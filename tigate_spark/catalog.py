@@ -1,0 +1,674 @@
+"""Query catalog: every implemented SURVEY §2 operator as a
+(spark builder, duckdb oracle) pair.
+
+The driver (and ``tests/test_catalog_vs_duckdb.py``) runs each Spark query
+and its oracle side-by-side and compares row count + schema + sorted value
+hash, so every expression here is written to be *bit-identical* across
+engines:
+
+- time base: microseconds (Spark ``ts div 1000`` ⇄ DuckDB ``epoch_us``)
+- money: integer cents (``round(x*100)`` then bigint sums)
+- hashes: md5-derived (``functions.phash``)
+- strings: printf-built on both sides
+
+DuckDB-side note: ``CAST(double AS BIGINT)`` *rounds* in DuckDB but
+*truncates* in Spark — every double→int conversion goes through ``round``
+first on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tigate_spark.config import EventFilterRule, FilterConfig
+from tigate_spark.functions.phash import h32, h32_sql
+from tigate_spark.operators import apply as apply_ops
+from tigate_spark.operators import filters as f_ops
+from tigate_spark.operators import ordering as o_ops
+from tigate_spark.operators import routing as r_ops
+from tigate_spark.operators import schema_registry as sr_ops
+from tigate_spark.operators import txn as t_ops
+from tigate_spark.sources.batch import load_table
+from tigate_spark.sources.changes import ORACLE_CHANGES_CTE, changes_stream
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    builder: Builder
+    oracle: str | None  # DuckDB SQL; None → rows-only check
+    doc: str = ""
+    bench: bool = False  # include in bench.py headline set
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
+    def deco(fn: Builder) -> Builder:
+        CATALOG[name] = QuerySpec(name, fn, oracle, doc, bench)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# core projections shared below
+# --------------------------------------------------------------------------
+_CORE_COLS = ["schema_name", "table_name", "table_id", "op", "start_ts",
+              "commit_ts", "seq", "pk", "event_type", "value_cents"]
+
+_HOUR_US = 3_600_000_000
+
+
+# ==========================================================================
+# Flagship: the full CDC pipeline (S1→F1→F2→F3→P1→output)
+# ==========================================================================
+@register(
+    "cdc_pipeline_e2e",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT schema_name, table_name, table_id, op, start_ts, commit_ts, seq, pk,
+       event_type, value_cents
+FROM changes
+WHERE table_name IN ('t0', 't1', 't2')
+  AND op <> 'D'
+  AND NOT (op = 'I' AND event_type = 'click' AND value_cents < 5000)
+""",
+    doc="Changefeed pipeline: table filter (F1) + event filter (F2) + "
+        "expr filter (F3) + column select (P1)",
+    bench=True,
+)
+def cdc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    cfg = FilterConfig(
+        rules=["app.t0", "app.t1", "app.t2"],
+        event_filters=[
+            EventFilterRule(
+                matcher=["app.*"],
+                ignore_event=["delete"],
+                ignore_insert_value_expr="event_type = 'click' AND value_cents < 5000",
+            )
+        ],
+    )
+    return f_ops.apply_filter_config(ch, cfg).select(*_CORE_COLS)
+
+
+@register(
+    "changes_normalize",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT schema_name, table_name, table_id, op, start_ts, commit_ts, seq, pk,
+       event_type, value_cents, before, after
+FROM changes
+""",
+    doc="S1/S3: raw source → canonical change-event rows with before/after images",
+)
+def changes_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return changes_stream(spark, sf_dir, with_images=True).select(
+        *_CORE_COLS, "before", "after"
+    )
+
+
+# ==========================================================================
+# Filters F1–F6
+# ==========================================================================
+@register(
+    "filter_table_rule",
+    ORACLE_CHANGES_CTE
+    + "SELECT seq, table_name, op FROM changes WHERE table_name IN ('t1', 't3')",
+    doc="F1: mysql-replication-rule table matcher (filter.go:47-66)",
+)
+def filter_table_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    return f_ops.table_filter(ch, ["app.t1", "app.t3"]).select("seq", "table_name", "op")
+
+
+@register(
+    "filter_event_type",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, table_name, op FROM changes
+WHERE NOT (table_name IN ('t1', 't2') AND op IN ('D', 'U'))
+""",
+    doc="F2: ignore-event=[delete,update] on matched tables (sql_event_filter.go:181-209)",
+)
+def filter_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    rule = EventFilterRule(matcher=["app.t1", "app.t2"], ignore_event=["delete", "update"])
+    return f_ops.event_type_filter(ch, rule).select("seq", "table_name", "op")
+
+
+@register(
+    "filter_expr_values",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, op, pk, event_type, value_cents FROM changes
+WHERE NOT (
+     (op = 'I' AND (pk % 10 = 2 OR event_type = 'click'))
+  OR (op = 'U' AND value_cents > 30000)
+  OR (op = 'U' AND CAST(json_extract_string(before, '$.value_cents') AS BIGINT) < 500)
+  OR (op = 'D' AND value_cents > 20000)
+)
+""",
+    doc="F3: ignore-insert/update-old/update-new/delete value exprs "
+        "(expr_filter.go:249-338) via Spark expr()",
+)
+def filter_expr_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    rule = EventFilterRule(
+        matcher=["*.*"],
+        ignore_insert_value_expr="pk % 10 = 2 OR event_type = 'click'",
+        ignore_update_new_value_expr="value_cents > 30000",
+        ignore_update_old_value_expr=
+            "CAST(get_json_object(before, '$.value_cents') AS BIGINT) < 500",
+        ignore_delete_value_expr="value_cents > 20000",
+    )
+    return f_ops.expr_value_filter(ch, rule).select(
+        "seq", "op", "pk", "event_type", "value_cents"
+    )
+
+
+@register(
+    "filter_start_ts",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, start_ts, commit_ts FROM changes
+WHERE start_ts NOT IN (SELECT start_ts FROM changes WHERE seq IN (10, 20))
+""",
+    doc="F4: ignore-txn-start-ts list (filter.go:217-224)",
+)
+def filter_start_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    ts_list = [r.start_ts for r in ch.filter(F.col("seq").isin(10, 20)).select("start_ts").collect()]
+    return f_ops.ignore_txn_start_ts(ch, ts_list).select("seq", "start_ts", "commit_ts")
+
+
+_DDL_CTE = ORACLE_CHANGES_CTE + """
+, ddl AS (
+  SELECT table_id, commit_ts, seq,
+         CASE CAST(seq % 5 AS INTEGER)
+           WHEN 0 THEN 'create table' WHEN 1 THEN 'add column'
+           WHEN 2 THEN 'drop table' WHEN 3 THEN 'truncate table'
+           ELSE 'rename table' END AS ddl_type,
+         CASE WHEN seq % 3 = 0 THEN printf(
+                'ALTER TABLE t%d ADD COLUMN c%d INT; ALTER TABLE t%d DROP COLUMN d%d',
+                table_id, seq % 10, table_id, seq % 10)
+              ELSE printf('CREATE TABLE t%d_%d (id INT)', table_id, seq % 10)
+         END AS query
+  FROM changes WHERE event_type = 'signup'
+)
+"""
+
+
+def _ddl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DDL side-channel (S4) derived from signup events."""
+    ch = changes_stream(spark, sf_dir).filter(F.col("event_type") == "signup")
+    ddl_type = (
+        F.when(F.col("seq") % 5 == 0, "create table")
+        .when(F.col("seq") % 5 == 1, "add column")
+        .when(F.col("seq") % 5 == 2, "drop table")
+        .when(F.col("seq") % 5 == 3, "truncate table")
+        .otherwise("rename table")
+    )
+    query = F.when(
+        F.col("seq") % 3 == 0,
+        F.format_string(
+            "ALTER TABLE t%d ADD COLUMN c%d INT; ALTER TABLE t%d DROP COLUMN d%d",
+            F.col("table_id"), F.col("seq") % 10, F.col("table_id"), F.col("seq") % 10,
+        ),
+    ).otherwise(F.format_string("CREATE TABLE t%d_%d (id INT)", F.col("table_id"), F.col("seq") % 10))
+    return ch.select("table_id", "commit_ts", "seq", ddl_type.alias("ddl_type"), query.alias("query"))
+
+
+@register(
+    "ddl_allowlist",
+    _DDL_CTE + """
+SELECT seq, table_id, ddl_type FROM ddl
+WHERE ddl_type IN ('create table', 'add column', 'truncate table')
+""",
+    doc="F5: DDL allow-list (filter.go:226-231; ShouldDiscardDDL :167-190)",
+)
+def ddl_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ddl = _ddl_stream(spark, sf_dir)
+    return f_ops.ddl_allowlist_filter(
+        ddl, ["create table", "add column", "truncate table"]
+    ).select("seq", "table_id", "ddl_type")
+
+
+@register(
+    "ddl_split_multistatement",
+    _DDL_CTE + """
+SELECT seq, trim(s.stmt) AS stmt
+FROM ddl, unnest(string_split(ddl.query, ';')) AS s(stmt)
+WHERE trim(s.stmt) <> ''
+""",
+    doc="F6: multi-statement DDL split + per-statement filter (filter.go:107-133)",
+)
+def ddl_split_multistatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ddl = _ddl_stream(spark, sf_dir)
+    return f_ops.split_multistatement_ddl(ddl).select("seq", "stmt")
+
+
+# ==========================================================================
+# Projections P1–P7
+# ==========================================================================
+@register(
+    "projection_column_selector",
+    ORACLE_CHANGES_CTE
+    + "SELECT schema_name, table_name, table_id, op, start_ts, commit_ts, seq, pk, "
+      "event_type FROM changes",
+    doc="P1: column selector keeps metadata + selected payload columns "
+        "(column_selector.go:23-101)",
+)
+def projection_column_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.config import ColumnSelector
+    from tigate_spark.operators.projections import column_selector
+
+    ch = changes_stream(spark, sf_dir)
+    return column_selector(ch, ColumnSelector(columns=["event_*"]))
+
+
+@register(
+    "projection_update_split",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, 'D' AS op, before AS image, 1 AS piece_no FROM changes WHERE op = 'U'
+UNION ALL
+SELECT seq, 'I' AS op, after AS image, 2 AS piece_no FROM changes WHERE op = 'U'
+UNION ALL
+SELECT seq, op, CASE WHEN op = 'D' THEN before ELSE after END AS image, 1 AS piece_no
+FROM changes WHERE op <> 'U'
+""",
+    doc="P6: UPDATE → DELETE+INSERT image pairing (mounter.go:80-109)",
+)
+def projection_update_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.operators.projections import split_updates
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    out = split_updates(ch)
+    return out.select("seq", F.col("op").cast("string").alias("op"), "image",
+                      F.col("piece_no").cast("int").alias("piece_no"))
+
+
+@register(
+    "projection_handle_key_only",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, pk, length(coalesce(after, '')) > 70 AS only_handle_key,
+       CASE WHEN length(coalesce(after, '')) > 70 THEN NULL ELSE after END AS after
+FROM changes
+""",
+    doc="P3: handle-key-only for oversized messages (sink.go:162-163; open/codec.go:43-48)",
+)
+def projection_handle_key_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.operators.projections import handle_key_only
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    return handle_key_only(ch, threshold=70).select("seq", "pk", "only_handle_key", "after")
+
+
+@register(
+    "projection_checksum",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, md5(concat_ws(chr(1),
+  coalesce(CAST(table_id AS VARCHAR), '\\N'),
+  coalesce(CAST(pk AS VARCHAR), '\\N'),
+  coalesce(op, '\\N'),
+  coalesce(CAST(value_cents AS VARCHAR), '\\N'))) AS checksum
+FROM changes
+""",
+    doc="P7: row integrity checksum (verify_checksum.go equivalent)",
+)
+def projection_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.operators.projections import row_checksum
+
+    ch = changes_stream(spark, sf_dir)
+    return row_checksum(ch, ["table_id", "pk", "op", "value_cents"]).select("seq", "checksum")
+
+
+# ==========================================================================
+# Routing R1–R8
+# ==========================================================================
+@register(
+    "route_topic_partition",
+    ORACLE_CHANGES_CTE
+    + f"""
+SELECT seq,
+       printf('cdc_%s_%s', schema_name, table_name) AS topic,
+       {h32_sql("'app.' || table_name")} % 16 AS part_table,
+       commit_ts % 16 AS part_ts,
+       {h32_sql('pk')} % 16 AS part_index_value,
+       {h32_sql("event_type || chr(1) || CAST(user_id AS VARCHAR)")} % 16 AS part_columns,
+       (table_id % 31) % 8 AS worker_lane
+FROM changes
+""",
+    doc="R1-R8: topic template + table/ts/index-value/columns partitioners + "
+        "MySQL worker lanes (eventrouter/*, mysql_sink.go:143-149)",
+)
+def route_topic_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    return ch.select(
+        "seq",
+        F.format_string("cdc_%s_%s", F.col("schema_name"), F.col("table_name")).alias("topic"),
+        (h32(F.concat(F.lit("app."), F.col("table_name"))) % 16).alias("part_table"),
+        r_ops.partition_by_ts(16).alias("part_ts"),
+        r_ops.partition_by_index_value(16).alias("part_index_value"),
+        r_ops.partition_by_columns(16, ["event_type", "user_id"]).alias("part_columns"),
+        r_ops.worker_lane(8).alias("worker_lane"),
+    )
+
+
+# ==========================================================================
+# Ordering / time / progress T1–T11
+# ==========================================================================
+@register(
+    "order_apply_seq",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, table_id, pk,
+       row_number() OVER (
+         PARTITION BY table_id, pk
+         ORDER BY commit_ts, start_ts,
+                  CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END, seq
+       ) AS apply_seq
+FROM changes
+""",
+    doc="T1/T2: total order per key — (commit_ts, start_ts, D<U<I, seq) "
+        "(eventstore/format.go:50-85)",
+)
+def order_apply_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    return o_ops.apply_order(ch).select("seq", "table_id", "pk", "apply_seq")
+
+
+@register(
+    "range_scan",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, commit_ts FROM changes
+WHERE commit_ts > (SELECT min(commit_ts) + 864000000000 FROM changes)
+  AND commit_ts <= (SELECT min(commit_ts) + 2592000000000 FROM changes)
+""",
+    doc="T2: (startTs, endTs] range scan (event_store.go:602,740-767)",
+)
+def range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    b = ch.agg(F.min("commit_ts").alias("t0"))
+    return (
+        ch.crossJoin(F.broadcast(b))
+        .filter(
+            (F.col("commit_ts") > F.col("t0") + 864_000_000_000)
+            & (F.col("commit_ts") <= F.col("t0") + 2_592_000_000_000)
+        )
+        .select("seq", "commit_ts")
+    )
+
+
+@register(
+    "stale_event_drop",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, commit_ts FROM changes
+WHERE commit_ts > (SELECT min(commit_ts) + 604800000000 FROM changes)
+""",
+    doc="T9: drop events at/below handled resolved-ts (dispatcher.go:271-279)",
+)
+def stale_event_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    b = ch.agg((F.min("commit_ts") + 604_800_000_000).alias("resolved"))
+    return (
+        ch.crossJoin(F.broadcast(b))
+        .filter(F.col("commit_ts") > F.col("resolved"))
+        .select("seq", "commit_ts")
+    )
+
+
+@register(
+    "txn_grouping",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT table_id, start_ts, commit_ts,
+       count(*) AS n_rows,
+       sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS n_insert,
+       sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS n_update,
+       sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_delete,
+       min(seq) AS first_seq,
+       sum(value_cents) AS txn_value_cents
+FROM changes GROUP BY table_id, start_ts, commit_ts
+""",
+    doc="T6: txn grouping by (table, start_ts, commit_ts) (event_broker.go:489-502)",
+)
+def txn_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t_ops.txn_group(changes_stream(spark, sf_dir))
+
+
+@register(
+    "syncpoint_ticks",
+    ORACLE_CHANGES_CTE
+    + f"""
+SELECT commit_ts - commit_ts % {_HOUR_US} AS sync_point_ts,
+       max(commit_ts) AS primary_ts,
+       count(*) AS n_events
+FROM changes GROUP BY 1
+""",
+    doc="T7: aligned syncpoint ticks + (primary_ts) map (syncpoint.go:15-22; "
+        "mysql_writer.go:530-540)",
+)
+def syncpoint_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t_ops.syncpoint_ticks(changes_stream(spark, sf_dir), _HOUR_US)
+
+
+@register(
+    "table_progress",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT table_id, max(commit_ts) AS checkpoint_ts, count(*) AS n_events,
+       count(DISTINCT printf('%d:%d', commit_ts, start_ts)) AS n_txns
+FROM changes GROUP BY table_id
+""",
+    doc="T11: per-table progress/checkpoint (table_progress.go:24-44)",
+)
+def table_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    return ch.groupBy("table_id").agg(
+        F.max("commit_ts").alias("checkpoint_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.format_string("%d:%d", F.col("commit_ts"), F.col("start_ts"))).alias("n_txns"),
+    )
+
+
+@register(
+    "changefeed_checkpoint",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT min(resolved_ts) AS checkpoint_ts, count(*) AS n_tables
+FROM (SELECT table_id, max(commit_ts) AS resolved_ts FROM changes GROUP BY table_id)
+""",
+    doc="T5: two-level min-watermark aggregation (maintainer.go:74,164-171)",
+)
+def changefeed_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return o_ops.changefeed_checkpoint(changes_stream(spark, sf_dir))
+
+
+# ==========================================================================
+# Schema registry T3/T4
+# ==========================================================================
+_VERSIONS_CTE = """
+, versions AS (
+  SELECT t.table_id, g.version,
+         (SELECT min(commit_ts) FROM changes) + g.version * 604800000000 AS version_ts,
+         printf('v%d', g.version) AS schema_tag
+  FROM (SELECT unnest(range(4)) AS table_id) t
+  CROSS JOIN (SELECT unnest(range(5)) AS version) g
+)
+"""
+
+
+@register(
+    "schema_asof_join",
+    ORACLE_CHANGES_CTE + _VERSIONS_CTE
+    + """
+SELECT c.seq, c.table_id, v.version AS schema_version, v.schema_tag
+FROM changes c
+ASOF LEFT JOIN versions v
+  ON c.table_id = v.table_id AND v.version_ts <= c.commit_ts - 1
+""",
+    doc="T3: multi-version schema as-of lookup at commitTs-1 "
+        "(multi_version.go:98-128; event_broker.go:492) — broadcast range join",
+)
+def schema_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir).select("seq", "table_id", "commit_ts")
+    versions = sr_ops.synthetic_schema_versions(spark, ch)
+    out = sr_ops.asof_schema_join(ch, versions)
+    return out.select("seq", "table_id", "schema_version", "schema_tag")
+
+
+@register(
+    "dml_ddl_merge",
+    _DDL_CTE
+    + """
+SELECT table_id, commit_ts, is_ddl, src_seq,
+       row_number() OVER (PARTITION BY table_id
+                          ORDER BY commit_ts, is_ddl DESC, src_seq) AS merge_rank
+FROM (
+  SELECT table_id, commit_ts, 0 AS is_ddl, seq AS src_seq
+  FROM changes WHERE event_type <> 'signup'
+  UNION ALL
+  SELECT table_id, commit_ts, 1 AS is_ddl, seq AS src_seq FROM ddl
+)
+""",
+    doc="T4: DML/DDL merge by commit ts, DDL first at equal ts "
+        "(event_broker.go:459-462)",
+)
+def dml_ddl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    dml = changes_stream(spark, sf_dir).filter(F.col("event_type") != "signup")
+    ddl = _ddl_stream(spark, sf_dir)
+    merged = sr_ops.merge_dml_ddl(dml, ddl).drop("query")
+    w = Window.partitionBy("table_id").orderBy(
+        "commit_ts", F.col("is_ddl").desc(), "src_seq"
+    )
+    return merged.withColumn("merge_rank", F.row_number().over(w))
+
+
+# ==========================================================================
+# Apply / sinks K1
+# ==========================================================================
+_LAST_CHANGE_CTE = ORACLE_CHANGES_CTE + """
+, ordered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY table_id, pk
+    ORDER BY commit_ts DESC, start_ts DESC,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC, seq DESC
+  ) AS rn
+  FROM changes
+)
+"""
+
+
+@register(
+    "apply_materialize",
+    _LAST_CHANGE_CTE
+    + """
+SELECT table_id, pk, commit_ts AS last_commit_ts, event_type, value_cents
+FROM ordered WHERE rn = 1 AND op <> 'D'
+""",
+    doc="K1: materialize final replica state (last-writer-wins per key; "
+        "mysql_writer.go:727-755 batch equivalent)",
+    bench=True,
+)
+def apply_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    return apply_ops.materialize(ch, ["event_type", "value_cents"])
+
+
+@register(
+    "apply_merge_to_base",
+    _LAST_CHANGE_CTE
+    + """
+SELECT coalesce(b.c_custkey, l.pk) AS c_custkey,
+       b.c_name AS c_name,
+       b.c_nationkey AS c_nationkey,
+       CASE WHEN l.pk IS NOT NULL THEN l.value_cents / 100.0
+            ELSE b.c_acctbal END AS c_acctbal,
+       b.c_mktsegment AS c_mktsegment
+FROM customer b
+FULL OUTER JOIN (SELECT * FROM ordered WHERE rn = 1 AND table_id = 0) l
+  ON b.c_custkey = l.pk
+WHERE l.op IS NULL OR l.op <> 'D'
+""",
+    doc="K1/P5: MERGE change stream onto base snapshot — safe-mode "
+        "REPLACE + delete-by-pk (mysql_writer.go:686; sql_builder.go:104-111)",
+)
+def apply_merge_to_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "customer")
+    ch = (
+        changes_stream(spark, sf_dir)
+        .filter(F.col("table_id") == 0)
+        .withColumn("new_acctbal", F.col("value_cents") / 100.0)
+    )
+    return apply_ops.merge_into_base(base, ch, "c_custkey", {"c_acctbal": "new_acctbal"})
+
+
+# ==========================================================================
+# Encoders E1/E2
+# ==========================================================================
+@register(
+    "encoder_canal_json",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, printf(
+  '{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,"type":"%s","es":%d,"ts":%d,"sql":"","data":%s,"old":%s,"_tidb":{"commitTs":%d}}',
+  schema_name, table_name,
+  CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+  commit_ts // 1000, commit_ts // 1000,
+  '[' || coalesce(CASE WHEN op = 'D' THEN before ELSE after END, 'null') || ']',
+  CASE WHEN op = 'U' THEN '[' || before || ']' ELSE 'null' END,
+  commit_ts) AS message
+FROM changes
+""",
+    doc="E1: canal-json encoder, field-exact (canal_json_message.go:43-60,139)",
+    bench=True,
+)
+def encoder_canal_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_canal_json
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    return encode_canal_json(ch).select("seq", "message")
+
+
+@register(
+    "encoder_open_protocol",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq,
+  printf('{"ts":%d,"scm":"%s","tbl":"%s","t":1}', commit_ts, schema_name, table_name) AS key,
+  CASE WHEN op = 'U' THEN printf('{"u":%s,"p":%s}', after, before)
+       WHEN op = 'I' THEN printf('{"u":%s}', after)
+       ELSE printf('{"d":%s}', before) END AS value
+FROM changes
+""",
+    doc="E2: open-protocol key/value encoder (open/codec.go:24-120)",
+)
+def encoder_open_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_open_protocol
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    return encode_open_protocol(ch).select("seq", "key", "value")
+
+
+def get_catalog() -> dict[str, QuerySpec]:
+    """All registered queries (imports extension modules for side effects)."""
+    import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)
+    import tigate_spark.catalog_relational  # noqa: F401  (registers relational queries)
+
+    return CATALOG

@@ -1,0 +1,81 @@
+"""Changefeed configuration — the engine's "query language".
+
+Reference parity: ``ChangefeedConfig`` (``pkg/config/changefeed.go:21-38``)
++ filter config (``pkg/config/filter.go:21-46``) + sink config column
+selectors / dispatch rules (``pkg/config/sink.go``). A changefeed here is a
+declarative pipeline spec compiled to a DataFrame plan (batch) or a
+Structured Streaming query (stream).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EventFilterRule:
+    """Per-table-matcher event filter (``pkg/config/filter.go:36-46``)."""
+
+    matcher: list[str] = field(default_factory=lambda: ["*.*"])
+    ignore_event: list[str] = field(default_factory=list)  # {"insert","update","delete"} or DDL classes
+    ignore_sql: list[str] = field(default_factory=list)  # regex on DDL query text
+    ignore_insert_value_expr: str | None = None
+    ignore_update_new_value_expr: str | None = None
+    ignore_update_old_value_expr: str | None = None
+    ignore_delete_value_expr: str | None = None
+
+
+@dataclass
+class FilterConfig:
+    """``pkg/config/filter.go:21-25``: rules + ignore-txn-start-ts + event filters."""
+
+    rules: list[str] = field(default_factory=lambda: ["*.*"])
+    ignore_txn_start_ts: list[int] = field(default_factory=list)
+    event_filters: list[EventFilterRule] = field(default_factory=list)
+
+
+@dataclass
+class ColumnSelector:
+    """``pkg/common/columnselector/column_selector.go:23-101``."""
+
+    matcher: list[str] = field(default_factory=lambda: ["*.*"])
+    columns: list[str] = field(default_factory=lambda: ["*"])
+
+
+@dataclass
+class DispatchRule:
+    """Event-router rule (``eventrouter/event_router.go:27-66``)."""
+
+    matcher: list[str] = field(default_factory=lambda: ["*.*"])
+    topic: str = "{schema}_{table}"
+    partition: str = "index-value"  # default | table | ts | index-value | columns | key
+    partition_columns: list[str] = field(default_factory=list)
+    key: str | None = None
+
+
+@dataclass
+class SinkConfig:
+    protocol: str = "canal-json"  # canal-json | open-protocol
+    only_output_updated_columns: bool = False
+    delete_only_output_handle_key_columns: bool = False
+    large_message_handle: str | None = None  # None | handle-key-only | claim-check
+    large_message_threshold: int = 1 << 20
+    column_selectors: list[ColumnSelector] = field(default_factory=list)
+    dispatch_rules: list[DispatchRule] = field(default_factory=list)
+    safe_mode: bool = False
+    num_partitions: int = 16
+
+
+@dataclass
+class ChangefeedConfig:
+    """``pkg/config/changefeed.go:21-38`` equivalent."""
+
+    changefeed_id: str = "default"
+    sink_uri: str = "noop://"
+    start_ts: int = 0
+    target_ts: int | None = None
+    filter: FilterConfig = field(default_factory=FilterConfig)
+    sink: SinkConfig = field(default_factory=SinkConfig)
+    enable_sync_point: bool = False
+    sync_point_interval_s: int = 3600
+    force_replicate: bool = False

@@ -1,0 +1,85 @@
+"""Protocol encoders E1/E2 (SURVEY §2.6) — canal-json + open-protocol.
+
+Reference parity:
+- E1 canal-json message shape ``pkg/sink/codec/canal/canal_json_message.go:43-60``
+  (database, table, pkNames, isDdl, type, es, ts, data[], old[]; the
+  ``_tidb`` extension carries commitTs, ``:139``).
+- E2 open-protocol key ``{ts, scm, tbl, t}`` + value ``{u|d|p: cols}``
+  ``pkg/sink/codec/open/codec.go:24-120``.
+
+The encoders are pure ``format_string`` / ``to_json`` column expressions —
+JVM-side, codegen'd, zero Python. Field layout is golden-tested and the
+whole message string is oracle-checked byte-for-byte (printf on both
+engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_CANAL_FMT = (
+    '{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,'
+    '"type":"%s","es":%d,"ts":%d,"sql":"",'
+    '"data":%s,"old":%s,"_tidb":{"commitTs":%d}}'
+)
+
+_CANAL_TYPE = {"I": "INSERT", "U": "UPDATE", "D": "DELETE"}
+
+
+def canal_type_col(op_col: str = "op") -> Column:
+    return (
+        F.when(F.col(op_col) == "I", "INSERT")
+        .when(F.col(op_col) == "U", "UPDATE")
+        .otherwise("DELETE")
+    )
+
+
+def encode_canal_json(df: DataFrame, out_col: str = "message") -> DataFrame:
+    """E1: one canal-json message per change row.
+
+    ``data``: after-image for I/U, before-image for D (canal semantics);
+    ``old``: before-image for U, else null. ``es``/``ts`` are millisecond
+    clocks (``canal_json_message.go:48-52``); ``_tidb.commitTs`` keeps the
+    exact µs commit ts.
+    """
+    data = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
+    old = F.when(F.col("op") == "U", F.col("before"))
+    msg = F.format_string(
+        _CANAL_FMT,
+        F.col("schema_name"),
+        F.col("table_name"),
+        canal_type_col(),
+        F.expr("commit_ts div 1000"),
+        F.expr("commit_ts div 1000"),
+        F.concat(F.lit("["), F.coalesce(data, F.lit("null")), F.lit("]")),
+        F.when(old.isNotNull(), F.concat(F.lit("["), old, F.lit("]"))).otherwise(F.lit("null")),
+        F.col("commit_ts"),
+    )
+    return df.withColumn(out_col, msg)
+
+
+_OPEN_KEY_FMT = '{"ts":%d,"scm":"%s","tbl":"%s","t":1}'
+_OPEN_VAL_U_FMT = '{"u":%s,"p":%s}'
+_OPEN_VAL_I_FMT = '{"u":%s}'
+_OPEN_VAL_D_FMT = '{"d":%s}'
+
+
+def encode_open_protocol(df: DataFrame,
+                         key_col: str = "key", value_col: str = "value") -> DataFrame:
+    """E2: open-protocol (key, value) JSON pair per change row.
+
+    Key carries (commitTs, schema, table, type=1=row); value carries
+    ``u`` (after) / ``p`` (pre/before for updates) / ``d`` (delete image)
+    exactly as ``open/codec.go:24-72`` lays out.
+    """
+    key = F.format_string(
+        _OPEN_KEY_FMT, F.col("commit_ts"), F.col("schema_name"), F.col("table_name")
+    )
+    value = (
+        F.when(F.col("op") == "U",
+               F.format_string(_OPEN_VAL_U_FMT, F.col("after"), F.col("before")))
+        .when(F.col("op") == "I", F.format_string(_OPEN_VAL_I_FMT, F.col("after")))
+        .otherwise(F.format_string(_OPEN_VAL_D_FMT, F.col("before")))
+    )
+    return df.withColumn(key_col, key).withColumn(value_col, value)

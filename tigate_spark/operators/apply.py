@@ -1,0 +1,78 @@
+"""Replica apply (K1) — materialize a change stream onto table state.
+
+Reference parity: the MySQL sink applies ordered per-key changes
+transactionally (``pkg/sink/mysql/mysql_writer.go:727-755``,
+``prepareDMLs :670-725``); safe-mode rewrites INSERT→REPLACE so replay is
+idempotent (``mysql_writer.go:686-691``). In Spark the batch-equivalent is
+"last-writer-wins per key" — a per-key ``max_by`` on the total order
+``(commit_ts, start_ts, op_rank, seq)``, then MERGE onto the base
+snapshot.
+
+Scale: both steps are single-shuffle on the key; no window + full sort is
+required (``max_by`` aggregates map-side). The base join broadcasts when
+the base is small, else it's a co-partitioned SMJ on pk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tigate_spark.operators.ordering import op_rank_col
+
+
+def latest_change_per_key(changes: DataFrame, payload_cols: list[str]) -> DataFrame:
+    """Reduce the stream to the final change per (table_id, pk).
+
+    One hash aggregation: ``max_by(payload, order_key)`` with the
+    lexicographic order key (commit_ts, start_ts, op_rank, seq).
+    """
+    order_key = F.struct(
+        F.col("commit_ts"), F.col("start_ts"), op_rank_col(), F.col("seq")
+    )
+    payload = F.struct(F.col("op").alias("op"), *[F.col(c).alias(c) for c in payload_cols])
+    agg = changes.groupBy("table_id", "pk").agg(
+        F.max_by(payload, order_key).alias("last"),
+        F.max("commit_ts").alias("last_commit_ts"),
+    )
+    cols = [F.col("table_id"), F.col("pk"), F.col("last.op").alias("op"),
+            F.col("last_commit_ts")]
+    cols += [F.col(f"last.{c}").alias(c) for c in payload_cols]
+    return agg.select(*cols)
+
+
+def materialize(changes: DataFrame, payload_cols: list[str]) -> DataFrame:
+    """Final table state from an empty base: live rows = keys whose last
+    op is not delete."""
+    last = latest_change_per_key(changes, payload_cols)
+    return last.filter(F.col("op") != "D").drop("op")
+
+
+def merge_into_base(base: DataFrame, changes: DataFrame,
+                    key_col: str, set_cols: dict[str, str]) -> DataFrame:
+    """MERGE the stream's final per-key state onto a base snapshot:
+
+    - last op D      → row deleted
+    - last op I/U    → row upserted (``set_cols``: base_col ← change_col)
+    - untouched keys → base row kept
+
+    Equivalent of safe-mode REPLACE + delete-by-pk replay
+    (``mysql_writer.go:686``, ``sql_builder.go:104-111``).
+    """
+    last = latest_change_per_key(changes, list(set_cols.values()))
+    joined = base.alias("b").join(
+        last.alias("c"), F.col(f"b.{key_col}") == F.col("c.pk"), "full_outer"
+    )
+    keep = F.col("c.op").isNull() | (F.col("c.op") != "D")
+    out_cols = []
+    for c in base.columns:
+        if c in set_cols:
+            out_cols.append(
+                F.when(F.col("c.op").isNotNull(), F.col(f"c.{set_cols[c]}"))
+                .otherwise(F.col(f"b.{c}")).alias(c)
+            )
+        elif c == key_col:
+            out_cols.append(F.coalesce(F.col(f"b.{key_col}"), F.col("c.pk")).alias(c))
+        else:
+            out_cols.append(F.col(f"b.{c}").alias(c))
+    return joined.filter(keep).select(*out_cols)

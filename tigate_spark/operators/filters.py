@@ -1,0 +1,130 @@
+"""Filter operators F1–F6 (SURVEY §2.3) — pure Catalyst predicates.
+
+Every filter compiles to a DataFrame ``filter`` so Catalyst pushes it into
+the parquet scan (predicate pushdown; verify with
+``df.explain('formatted')`` → ``PushedFilters``). Nothing here leaves the
+JVM.
+
+Reference parity:
+- F1 table filter      ``pkg/filter/filter.go:47-66,201``
+- F2 event-type filter ``pkg/filter/sql_event_filter.go:43-110,181-209``
+- F3 value-expr filter ``pkg/filter/expr_filter.go:39-80,249-338``
+- F4 ignore-txn-ts     ``pkg/filter/filter.go:217-224``
+- F5 DDL allow-list    ``pkg/filter/filter.go:226-231; ShouldDiscardDDL :167-190``
+- F6 multi-stmt split  ``pkg/filter/filter.go:107-133``
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tigate_spark.config import EventFilterRule, FilterConfig
+
+_OP_BY_EVENT = {"insert": "I", "update": "U", "delete": "D"}
+
+
+def rule_to_regex(rule: str) -> tuple[str, str]:
+    """One mysql-replication-rule ``schema.table`` glob → two regexes.
+
+    Mirrors the matcher semantics of ``pkg/filter/filter.go:47-66`` (fnmatch
+    on schema and table separately; ``*.*`` matches everything).
+    """
+    schema_glob, _, table_glob = rule.partition(".")
+    if not table_glob:
+        table_glob = "*"
+    # '^' anchor: Spark rlike is substring-match; fnmatch.translate only
+    # anchors the end (\Z).
+    return "^" + fnmatch.translate(schema_glob), "^" + fnmatch.translate(table_glob)
+
+
+def table_filter(df: DataFrame, rules: list[str],
+                 schema_col: str = "schema_name", table_col: str = "table_name") -> DataFrame:
+    """F1: keep rows whose (schema, table) matches any rule."""
+    if not rules or rules == ["*.*"]:
+        return df
+    cond: Column = F.lit(False)
+    for rule in rules:
+        s_re, t_re = rule_to_regex(rule)
+        cond = cond | (F.col(schema_col).rlike(s_re) & F.col(table_col).rlike(t_re))
+    return df.filter(cond)
+
+
+def _matcher_cond(matcher: list[str], schema_col: str, table_col: str) -> Column:
+    cond: Column = F.lit(False)
+    for rule in matcher or ["*.*"]:
+        s_re, t_re = rule_to_regex(rule)
+        cond = cond | (F.col(schema_col).rlike(s_re) & F.col(table_col).rlike(t_re))
+    return cond
+
+
+def event_type_filter(df: DataFrame, rule: EventFilterRule,
+                      op_col: str = "op") -> DataFrame:
+    """F2: drop DML whose op is in ``ignore_event`` for matching tables."""
+    ops = [_OP_BY_EVENT[e] for e in rule.ignore_event if e in _OP_BY_EVENT]
+    if not ops:
+        return df
+    matched = _matcher_cond(rule.matcher, "schema_name", "table_name")
+    return df.filter(~(matched & F.col(op_col).isin(ops)))
+
+
+def expr_value_filter(df: DataFrame, rule: EventFilterRule) -> DataFrame:
+    """F3: drop rows where the configured SQL expr evaluates true against
+    the row image — exactly tigate's ``ignore-*-value-expr``
+    (``pkg/filter/expr_filter.go:249-338``), compiled by Spark's ``expr``
+    instead of TiDB's expression engine.
+
+    The expressions reference image columns directly (our canonical stream
+    keeps scalar columns; typed views expose ``before.*``/``after.*``).
+    """
+    matched = _matcher_cond(rule.matcher, "schema_name", "table_name")
+    drop: Column = F.lit(False)
+    if rule.ignore_insert_value_expr:
+        drop = drop | ((F.col("op") == "I") & F.expr(rule.ignore_insert_value_expr))
+    if rule.ignore_update_new_value_expr:
+        drop = drop | ((F.col("op") == "U") & F.expr(rule.ignore_update_new_value_expr))
+    if rule.ignore_update_old_value_expr:
+        drop = drop | ((F.col("op") == "U") & F.expr(rule.ignore_update_old_value_expr))
+    if rule.ignore_delete_value_expr:
+        drop = drop | ((F.col("op") == "D") & F.expr(rule.ignore_delete_value_expr))
+    return df.filter(~(matched & drop))
+
+
+def ignore_txn_start_ts(df: DataFrame, start_ts_list: list[int]) -> DataFrame:
+    """F4: drop whole transactions by start_ts (``filter.go:217-224``)."""
+    if not start_ts_list:
+        return df
+    return df.filter(~F.col("start_ts").isin(start_ts_list))
+
+
+def ddl_allowlist_filter(ddl_df: DataFrame, allowed_types: list[str],
+                         type_col: str = "ddl_type") -> DataFrame:
+    """F5: only allow-listed DDL classes replicate (``filter.go:226-231``)."""
+    return ddl_df.filter(F.col(type_col).isin(allowed_types))
+
+
+def split_multistatement_ddl(ddl_df: DataFrame, query_col: str = "query") -> DataFrame:
+    """F6: split ``;``-joined DDL into one row per statement, dropping
+    empties (``FilterDDLEvent``, ``filter.go:107-133``)."""
+    stmt = F.explode(F.split(F.col(query_col), ";"))
+    return (
+        ddl_df.withColumn("stmt", stmt)
+        .withColumn("stmt", F.trim(F.col("stmt")))
+        .filter(F.col("stmt") != "")
+        .drop(query_col)
+    )
+
+
+def apply_filter_config(df: DataFrame, cfg: FilterConfig) -> DataFrame:
+    """Compose F1 + F4 + all event-filter rules (F2/F3) in reference order
+    (table filter at scan registration, event/expr filters before sink —
+    ``pkg/filter/filter.go:81-105``)."""
+    out = table_filter(df, cfg.rules)
+    out = ignore_txn_start_ts(out, cfg.ignore_txn_start_ts)
+    for rule in cfg.event_filters:
+        out = event_type_filter(out, rule)
+        out = expr_value_filter(out, rule)
+    return out

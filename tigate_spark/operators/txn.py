@@ -1,0 +1,48 @@
+"""Transaction grouping + syncpoint operators (T6, T7 — SURVEY §2.2).
+
+Reference parity:
+- T6 txn grouping  ``pkg/eventservice/event_broker.go:489-502``;
+  ``pkg/common/event/dml_event.go:84-108`` (rows sharing (startTs,
+  commitTs) form one DMLEvent).
+- T7 sync point    ``downstreamadapter/syncpoint/syncpoint.go:15-22``
+  (ts alignment), emit ``event_broker.go:380-394``, ts-map table
+  ``pkg/sink/mysql/mysql_writer.go:154-200,530-540``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def txn_group(df: DataFrame) -> DataFrame:
+    """T6: one row per transaction per table, with size + op mix.
+
+    Map-side partial aggregation handles skew; at 100 TB the groupBy keys
+    (table_id, start_ts, commit_ts) are near-unique so combiners are cheap.
+    """
+    return df.groupBy("table_id", "start_ts", "commit_ts").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("n_insert"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias("n_update"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_delete"),
+        F.min("seq").alias("first_seq"),
+        F.sum("value_cents").alias("txn_value_cents"),
+    )
+
+
+def syncpoint_ticks(df: DataFrame, interval_us: int) -> DataFrame:
+    """T7: aligned tumbling ticks; each tick records the primary(max commit)
+    ts it covers — the ``syncpoint_v1`` (primary_ts, secondary_ts) map.
+
+    Alignment mirrors CalculateStartSyncPointTs (``syncpoint.go:15-22``):
+    tick k covers ``[k*interval, (k+1)*interval)``.
+    """
+    bucket = (F.col("commit_ts") - F.col("commit_ts") % interval_us).alias("sync_point_ts")
+    return (
+        df.groupBy(bucket)
+        .agg(
+            F.max("commit_ts").alias("primary_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1,0 +1,61 @@
+"""SparkSession construction + the configs every entry point needs.
+
+The driver-generated parquet stores ``events.ts`` as INT64
+TIMESTAMP(NANOS), which Spark 4 refuses to read unless
+``spark.sql.legacy.parquet.nanosAsLong=true``. That conf is a runtime SQL
+conf, so :func:`ensure_confs` can fix up *any* session (including one the
+correctness driver built) before the first read.
+
+Scale posture (100 TB): AQE on (skew-join + partition coalescing), broadcast
+joins for dimension tables, Arrow for every Python boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe (and required) to set at runtime on any session.
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet carries TIMESTAMP(NANOS); read it as epoch-nanos long.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime re-planning: skew-join splitting + post-shuffle coalescing.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for any pandas-UDF boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dimension tables (region/nation/customer/schema registry) broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def ensure_confs(spark: SparkSession) -> SparkSession:
+    """Apply RUNTIME_CONFS to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-settable in this deployment; keep going — only
+            # nanosAsLong is load-bearing and it is always settable.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "tigate_spark", cpus: int | None = None) -> SparkSession:
+    """Build a local session sized like the bench/test environment."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.driver.memory", os.environ.get("TIGATE_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return ensure_confs(spark)

@@ -1,0 +1,110 @@
+"""Canonical change-event stream (the engine's DMLEvent equivalent).
+
+Reference parity: tigate's ``DMLEvent`` carries
+``(PhysicalTableID, StartTs, CommitTs, Seq, RowTypes[], Rows)``
+(``pkg/common/event/dml_event.go:20-61``) with ``RowChange =
+{PreRow, Row, RowType}`` (``dml_event.go:353-368``): insert has no
+before-image, delete has no after-image, update has both
+(``pkgg/common/event/mounter.go:48-109``).
+
+Here the driver's ``events`` table plays the raw replayable change log
+(S1). The derivation below is *deterministic arithmetic* so the DuckDB
+oracle can reproduce it bit-for-bit:
+
+- ``commit_ts``: event time in **microseconds** (Spark reads the NANOS
+  parquet column as long → ``ts div 1000``; DuckDB truncates to µs on read
+  → ``epoch_us(ts)``; both yield the same integer).
+- ``op``: I/U/D from ``event_id % 10`` (6:3:1 mix).
+- ``start_ts``: ``commit_ts - (event_id % 97 + 1) * 1000`` — txn start
+  precedes commit, several events can share a txn.
+- ``pk``: ``event_id % 200`` — repeated keys so ordering/apply semantics
+  are exercised (same-key total order, ``logservice/eventstore/format.go:50-85``).
+- ``before``/``after``: JSON images built with printf-style formatting so
+  both engines emit byte-identical strings; update's before-image differs
+  from its after-image by construction (value_cents - 100).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tigate_spark.sources.batch import load_table
+
+#: number of logical tables the stream fans out to
+N_TABLES = 4
+#: pk cardinality per table
+N_KEYS = 200
+
+_IMG_FMT = '{"pk":%d,"event_type":"%s","value_cents":%d,"user_id":%d}'
+
+
+def changes_stream(spark: SparkSession, sf_dir: str, with_images: bool = False) -> DataFrame:
+    """events → canonical change rows.
+
+    Columns: schema_name, table_name, table_id, op, start_ts, commit_ts,
+    seq, pk, event_type, value_cents, user_id, props
+    (+ before/after JSON images when ``with_images``).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ch = ev.select(
+        F.lit("app").alias("schema_name"),
+        F.concat(F.lit("t"), (F.col("user_id") % N_TABLES).cast("string")).alias("table_name"),
+        (F.col("user_id") % N_TABLES).cast("bigint").alias("table_id"),
+        F.when(F.col("event_id") % 10 < 6, "I")
+        .when(F.col("event_id") % 10 < 9, "U")
+        .otherwise("D")
+        .alias("op"),
+        (F.expr("ts div 1000") - (F.col("event_id") % 97 + 1) * 1000).alias("start_ts"),
+        F.expr("ts div 1000").alias("commit_ts"),
+        F.col("event_id").alias("seq"),
+        (F.col("event_id") % N_KEYS).cast("bigint").alias("pk"),
+        F.col("event_type"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        F.col("user_id"),
+        F.col("props"),
+    )
+    if with_images:
+        after = F.format_string(
+            _IMG_FMT, F.col("pk"), F.col("event_type"), F.col("value_cents"), F.col("user_id")
+        )
+        before = F.format_string(
+            _IMG_FMT, F.col("pk"), F.col("event_type"), F.col("value_cents") - 100, F.col("user_id")
+        )
+        ch = ch.withColumn(
+            "before", F.when(F.col("op").isin("U", "D"), before)
+        ).withColumn(
+            "after", F.when(F.col("op").isin("I", "U"), after)
+        )
+    return ch
+
+
+#: DuckDB CTE mirroring changes_stream(with_images=True) exactly.
+ORACLE_CHANGES_CTE = """
+WITH changes AS (
+  SELECT
+    'app' AS schema_name,
+    't' || CAST(user_id % 4 AS VARCHAR) AS table_name,
+    CAST(user_id % 4 AS BIGINT) AS table_id,
+    CASE WHEN event_id % 10 < 6 THEN 'I'
+         WHEN event_id % 10 < 9 THEN 'U'
+         ELSE 'D' END AS op,
+    epoch_us(ts) - (event_id % 97 + 1) * 1000 AS start_ts,
+    epoch_us(ts) AS commit_ts,
+    event_id AS seq,
+    CAST(event_id % 200 AS BIGINT) AS pk,
+    event_type,
+    CAST(round(value * 100) AS BIGINT) AS value_cents,
+    user_id,
+    props,
+    CASE WHEN event_id % 10 >= 6 THEN printf(
+      '{"pk":%d,"event_type":"%s","value_cents":%d,"user_id":%d}',
+      CAST(event_id % 200 AS BIGINT), event_type,
+      CAST(round(value * 100) AS BIGINT) - 100, user_id) END AS before,
+    CASE WHEN event_id % 10 < 9 THEN printf(
+      '{"pk":%d,"event_type":"%s","value_cents":%d,"user_id":%d}',
+      CAST(event_id % 200 AS BIGINT), event_type,
+      CAST(round(value * 100) AS BIGINT), user_id) END AS after
+  FROM events
+)
+"""
