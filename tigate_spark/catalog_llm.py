@@ -1,4 +1,372 @@
-"""LLM-data-pipeline operator catalog (SURVEY §7 M6) — placeholder.
-
-Filled by the dedup / similarity / text-analysis / multimodal waves.
+"""LLM-data-pipeline operator catalog (SURVEY §7 M6): dedup, similarity
+search, text analysis, multimodal — each with a DuckDB oracle mirroring
+the Spark expression exactly (md5-derived hashes, integer quantization).
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tigate_spark.catalog import register
+from tigate_spark.functions import dedup as dd
+from tigate_spark.functions import similarity as sim
+from tigate_spark.functions import text as tx
+from tigate_spark.functions.phash import h32_sql
+from tigate_spark.sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# shared DuckDB snippets (twins of functions/text.py + dedup.py + similarity.py)
+# ---------------------------------------------------------------------------
+_TOK_CTE = """
+WITH tok AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tokens
+  FROM documents
+)
+"""
+
+_SHINGLE_CTE = _TOK_CTE + """
+, sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(tokens) - 3, 1)),
+           i -> array_to_string(tokens[i:i+4], ' '))) AS shingles
+  FROM tok
+)
+"""
+
+_P = dd.MINHASH_P
+_K = dd.MINHASH_K
+
+_MINHASH_SIG_SQL = (
+    f"list_transform(range({_K}), i -> list_min(list_transform("
+    f"list_transform(shingles, s -> {h32_sql('s')} % {_P}), "
+    f"h -> (({h32_sql(chr(39) + 'mh_a' + chr(39) + ' || CAST(i AS VARCHAR)')} % {_P}) * h "
+    f"+ ({h32_sql(chr(39) + 'mh_b' + chr(39) + ' || CAST(i AS VARCHAR)')} % {_P})) % {_P})))"
+)
+
+_QUANT_CTE = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+  FROM embeddings
+), base AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS norm_sq
+  FROM q
+)
+"""
+
+_EN = ", ".join(f"'{w}'" for w in tx.EN_STOPWORDS)
+_ES = ", ".join(f"'{w}'" for w in tx.ES_STOPWORDS)
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+@register(
+    "text_token_count",
+    _TOK_CTE
+    + f"""
+SELECT doc_id,
+       CAST(len(tokens) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{tx.BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+FROM tok
+""",
+    doc="Token counting: whitespace + BPE-ish regex",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_score",
+    _TOK_CTE
+    + f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(tokens) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(tokens, x -> length(x))) * 100 // len(tokens) AS BIGINT)
+         AS avg_token_len_x100,
+       CAST(len(list_distinct(tokens)) * 10000 // len(tokens) AS BIGINT) AS ttr_bp,
+       CAST(len(list_filter(tokens, x -> x IN ({_EN}))) * 10000 // len(tokens) AS BIGINT)
+         AS stopword_bp,
+       len(tokens) BETWEEN 20 AND 2000
+         AND len(list_distinct(tokens)) * 10000 // len(tokens) >= 1000 AS quality_ok
+FROM tok
+""",
+    doc="Quality scoring: length / lexical diversity / stopword density (integer bp)",
+    bench=True,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lang_id",
+    _TOK_CTE
+    + f"""
+SELECT doc_id,
+       CAST(len(list_filter(tokens, x -> x IN ({_EN}))) AS BIGINT) AS en_hits,
+       CAST(len(list_filter(tokens, x -> x IN ({_ES}))) AS BIGINT) AS es_hits,
+       CASE WHEN len(list_filter(tokens, x -> x IN ({_ES}))) >
+                 len(list_filter(tokens, x -> x IN ({_EN}))) THEN 'es'
+            WHEN len(list_filter(tokens, x -> x IN ({_EN}))) > 0 THEN 'en'
+            ELSE 'und' END AS lang_pred
+FROM tok
+""",
+    doc="Language-ID heuristic via stopword n-gram hits",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    _TOK_CTE
+    + """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fingerprint
+FROM tok
+""",
+    doc="Document fingerprint: md5 of sorted distinct vocabulary",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Dedup
+# ===========================================================================
+@register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+    doc="Exact dedup: content-hash groups → canonical id",
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _SHINGLE_CTE
+    + """
+, e AS (
+  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh, unnest(shingles) AS s
+  FROM sh
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS inter,
+       a.n_sh + b.n_sh - count(*) AS union_sz,
+       count(*) * 10000 // (a.n_sh + b.n_sh - count(*)) AS jaccard_bp
+FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+""",
+    doc="n-gram Jaccard near-dup pairs via inverted-index join (no O(n²) cross join)",
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_signature",
+    _SHINGLE_CTE
+    + f"""
+SELECT doc_id,
+       array_to_string({_MINHASH_SIG_SQL}, ',') AS sig
+FROM sh WHERE len(shingles) >= 1
+""",
+    doc="MinHash signatures (k=8, md5-derived hash family), row-local",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dd.minhash_signature(load_table(spark, sf_dir, "documents"))
+    return sigs.select("doc_id", F.expr("array_join(sig, ',')").alias("sig"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    _SHINGLE_CTE
+    + f"""
+, sigs AS (
+  SELECT doc_id, {_MINHASH_SIG_SQL} AS sig
+  FROM sh WHERE len(shingles) >= 1
+), bands AS (
+  SELECT doc_id, g.band, sig[g.band + 1] AS v
+  FROM sigs, (SELECT unnest(range({_K})) AS band) g
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""",
+    doc="MinHash-LSH candidate pairs (b=8 singleton bands; only (doc,band) rows shuffle)",
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_SIMHASH_SQL = (
+    f"CAST(list_sum(list_transform(range(32), b -> "
+    f"CASE WHEN list_sum(list_transform("
+    f"list_transform(list_distinct(tokens), t -> {h32_sql('t')}), "
+    f"h -> CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+    f"THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END)) AS BIGINT)"
+)
+
+
+@register(
+    "dedup_simhash",
+    _TOK_CTE + f"SELECT doc_id, {_SIMHASH_SQL} AS simhash FROM tok",
+    doc="32-bit SimHash signatures over the token vocabulary, row-local",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    _TOK_CTE
+    + f"""
+, sh AS (SELECT doc_id, {_SIMHASH_SQL} AS simhash FROM tok),
+chunks AS (
+  SELECT doc_id, simhash, g.c AS chunk, (simhash >> CAST(g.c * 8 AS INTEGER)) & 255 AS v
+  FROM sh, (SELECT unnest(range(4)) AS c) g
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+""",
+    doc="SimHash near-dup pairs: 8-bit chunk LSH prefilter + Hamming≤6 verify",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dd.simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+@register(
+    "dedup_embedding_exact",
+    _QUANT_CTE
+    + """
+SELECT md5(array_to_string(q, ',')) AS qhash,
+       min(vec_id) AS canonical_vec_id,
+       count(*) AS n_copies
+FROM base GROUP BY 1
+""",
+    doc="Embedding exact dedup on quantized-vector digest",
+)
+def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.embedding_exact_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+@register(
+    "sim_cosine_topk",
+    _QUANT_CTE
+    + """
+, scored AS (
+  SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(round(
+           CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * qr.q[i])) AS BIGINT)
+           / (sqrt(CAST(c.norm_sq AS DOUBLE)) * sqrt(CAST(qr.norm_sq AS DOUBLE))) * 10000
+         ) AS BIGINT) AS cos_bp
+  FROM base c JOIN base qr ON qr.vec_id < 20 AND c.vec_id <> qr.vec_id
+)
+SELECT query_id, neighbor_id, rank, cos_bp FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_bp DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+    doc="Brute-force exact cosine top-10 (integer-quantized dot products)",
+    bench=True,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sim.brute_force_topk(load_table(spark, sf_dir, "embeddings"))
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+_BUCKET_SQL = (
+    "CAST(list_sum(list_transform(range(8), p -> "
+    "CASE WHEN list_sum(list_transform(range(1, 65), d -> q[d] * "
+    f"(({h32_sql(chr(39) + 'pl' + chr(39) + ' || CAST(p AS VARCHAR) || ' + chr(39) + '_' + chr(39) + ' || CAST(d AS VARCHAR)')} % 2001) - 1000))) > 0 "
+    "THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END)) AS BIGINT)"
+)
+
+
+@register(
+    "sim_lsh_bucket",
+    _QUANT_CTE + f"SELECT vec_id, {_BUCKET_SQL} AS bucket FROM base",
+    doc="Sign-random-projection LSH bucket id per vector (8 deterministic planes)",
+)
+def sim_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sim.lsh_bucket(load_table(spark, sf_dir, "embeddings"))
+    return out.select("vec_id", "bucket")
+
+
+@register(
+    "sim_ann_lsh_topk",
+    _QUANT_CTE
+    + f"""
+, bucketed AS (
+  SELECT vec_id, q, norm_sq, {_BUCKET_SQL} AS bucket FROM base
+), scored AS (
+  SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(round(
+           CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * qr.q[i])) AS BIGINT)
+           / (sqrt(CAST(c.norm_sq AS DOUBLE)) * sqrt(CAST(qr.norm_sq AS DOUBLE))) * 10000
+         ) AS BIGINT) AS cos_bp
+  FROM bucketed c JOIN bucketed qr
+    ON qr.vec_id < 20 AND c.bucket = qr.bucket AND c.vec_id <> qr.vec_id
+)
+SELECT query_id, neighbor_id, rank, cos_bp FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_bp DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="ANN top-5 via LSH bucket prefilter — the 100 TB scale path",
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sim.ann_lsh_topk(load_table(spark, sf_dir, "embeddings"))
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ===========================================================================
+# Multimodal plumbing
+# ===========================================================================
+@register(
+    "multimodal_binary_meta",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       'text/plain' AS mime
+FROM documents
+""",
+    doc="Opaque binary payload + typed metadata (decode stubbed; Spark plumbing real)",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = load_table(spark, sf_dir, "documents")
+    from tigate_spark.functions.multimodal import attach_binary_payload
+
+    with_payload = attach_binary_payload(out)
+    return with_payload.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+        F.col("media_meta.mime").alias("mime"),
+    )

@@ -1,0 +1,91 @@
+"""Multimodal column plumbing (SURVEY §7 M6).
+
+Images/audio/video ride through the engine as opaque ``binary`` payload
+columns with a typed metadata struct, exactly like any other change-event
+payload. The Spark-side plumbing — schema, partitioning, Arrow batch shape
+through ``mapInPandas`` — is real and tested; the actual codec step is
+STUBBED (decode libraries aren't in this environment): pass
+``fake_decode=True`` for a deterministic fake, else the UDF raises
+``NotImplementedError`` where a real ``PIL.Image.open`` / ``soundfile``
+call would go.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: decode/feature-extraction output schema (one row per input payload)
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("width", LongType()),     # image decode stub
+        StructField("height", LongType()),    # image decode stub
+        StructField("n_frames", LongType()),  # video/audio sample stub
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model an opaque media payload: binary column + typed metadata.
+
+    (Testdata has no real media, so the document text bytes stand in; with
+    a real lake this is the scan of a ``binary`` parquet/avro column.)
+    """
+    return df.select(
+        "doc_id",
+        F.col(text_col).cast(BinaryType()).alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(F.col(text_col).cast(BinaryType())).cast("bigint").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_features(df: DataFrame, fake_decode: bool = True,
+                    batch_hint: int = 1024) -> DataFrame:
+    """Decode/feature-extract payloads via Arrow-batched ``mapInPandas``.
+
+    The partition shape is production-real: one Arrow batch of payloads in,
+    one batch of feature rows out — at 100 TB this runs embarrassingly
+    parallel per input split with no shuffle. Only the codec is stubbed.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "real media decode requires PIL/soundfile/av — not in this env"
+                )
+            payloads = pdf["payload"]
+            n = payloads.str.len().astype("int64")
+            md5s = payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            # deterministic fake decode: dimensions derived from content
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "modality": "text/plain",
+                    "n_bytes": n,
+                    "content_md5": md5s,
+                    "width": (n % 640) + 1,
+                    "height": (n % 480) + 1,
+                    "n_frames": (n % 16) + 1,
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,102 @@
+"""Text-analysis operators for the training-data pipeline (SURVEY §7 M6).
+
+Everything is built-in JVM expressions (split / higher-order array
+functions / regexp) — no Python in the hot path, so a 100 TB documents
+table runs whole-stage-codegen'd with the scan's column pruning intact.
+
+Each helper has a DuckDB-oracle twin in :mod:`tigate_spark.catalog_llm`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: whitespace tokenizer (lowercased, empties dropped)
+TOKENS_EXPR = "filter(split(lower(text), ' '), x -> x <> '')"
+
+#: BPE-ish regex token pattern: letter runs, digit runs, single symbols
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+ES_STOPWORDS = ("el", "la", "de", "y", "en", "que", "los", "del", "se", "las")
+
+
+def _inlist(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def with_tokens(df: DataFrame) -> DataFrame:
+    return df.withColumn("tokens", F.expr(TOKENS_EXPR))
+
+
+def token_counts(df: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counting."""
+    out = with_tokens(df)
+    return out.select(
+        "doc_id",
+        F.expr("cast(size(tokens) as bigint)").alias("n_tokens"),
+        F.expr("cast(size(array_distinct(tokens)) as bigint)").alias("n_distinct_tokens"),
+        F.expr(
+            f"cast(size(regexp_extract_all(lower(text), '{BPE_PATTERN}', 0)) as bigint)"
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def quality_score(df: DataFrame) -> DataFrame:
+    """Length / lexical-diversity / stopword-ratio quality signals.
+
+    Ratios are integer basis points so results are engine-exact:
+    ``ttr_bp`` = type-token ratio, ``stopword_bp`` = stopword density.
+    """
+    out = with_tokens(df)
+    stop = _inlist(EN_STOPWORDS)
+    return out.select(
+        "doc_id",
+        F.expr("cast(length(text) as bigint)").alias("n_chars"),
+        F.expr("cast(size(tokens) as bigint)").alias("n_tokens"),
+        F.expr(
+            "cast(aggregate(tokens, 0L, (acc, x) -> acc + length(x)) * 100 "
+            "div size(tokens) as bigint)"
+        ).alias("avg_token_len_x100"),
+        F.expr(
+            "cast(size(array_distinct(tokens)) * 10000 div size(tokens) as bigint)"
+        ).alias("ttr_bp"),
+        F.expr(
+            f"cast(size(filter(tokens, x -> x in ({stop}))) * 10000 "
+            "div size(tokens) as bigint)"
+        ).alias("stopword_bp"),
+    ).withColumn(
+        "quality_ok",
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 2000)
+        & (F.col("ttr_bp") >= 1000),
+    )
+
+
+def lang_id(df: DataFrame) -> DataFrame:
+    """Stopword-hit language heuristic (en vs es; ties → en; none → und)."""
+    out = with_tokens(df)
+    en = _inlist(EN_STOPWORDS)
+    es = _inlist(ES_STOPWORDS)
+    out = out.select(
+        "doc_id",
+        F.expr(f"cast(size(filter(tokens, x -> x in ({en}))) as bigint)").alias("en_hits"),
+        F.expr(f"cast(size(filter(tokens, x -> x in ({es}))) as bigint)").alias("es_hits"),
+    )
+    return out.withColumn(
+        "lang_pred",
+        F.when(F.col("es_hits") > F.col("en_hits"), "es")
+        .when(F.col("en_hits") > 0, "en")
+        .otherwise("und"),
+    )
+
+
+def fingerprint(df: DataFrame) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token vocabulary (robust to token shuffling — a cheap near-dup key)."""
+    out = with_tokens(df)
+    return out.select(
+        "doc_id",
+        F.expr("md5(array_join(array_sort(array_distinct(tokens)), ' '))").alias("fingerprint"),
+    )
