@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Bench harness: headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes fully (noop sink — no driver collect) so the number
+measures the distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tigate_spark.catalog import get_catalog  # noqa: E402
+from tigate_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = get_spark("tigate-bench", cpus=cpus)
+    cat = get_catalog()
+    headline = {n: s for n, s in cat.items() if s.bench}
+
+    # warm the JVM/codegen path once (tiny scale) so per-query numbers
+    # measure the plan, not first-call compilation
+    warm = headline["tpch_q1_pricing_summary"].builder(spark, sf_dir)
+    warm.limit(1).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(headline):
+        df = headline[name].builder(spark, sf_dir)
+        t0 = time.monotonic()
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.monotonic() - t0, 3)
+        times[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

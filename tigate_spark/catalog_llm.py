@@ -200,15 +200,21 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT doc_id, {_MINHASH_SIG_SQL} AS sig
   FROM sh WHERE len(shingles) >= 1
 ), bands AS (
-  SELECT doc_id, g.band, sig[g.band + 1] AS v
-  FROM sigs, (SELECT unnest(range({_K})) AS band) g
+  SELECT doc_id, g.band,
+         printf('%d:%d', sig[2 * g.band + 1], sig[2 * g.band + 2]) AS v
+  FROM sigs, (SELECT unnest(range({dd.MINHASH_BANDS})) AS band) g
+), sized AS (
+  SELECT band, v FROM bands GROUP BY band, v HAVING count(*) <= {dd.LSH_BUCKET_CAP}
+), bf AS (
+  SELECT b.* FROM bands b JOIN sized s ON b.band = s.band AND b.v = s.v
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-FROM bands a JOIN bands b
+FROM bf a JOIN bf b
   ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 """,
-    doc="MinHash-LSH candidate pairs (b=8 singleton bands; only (doc,band) rows shuffle)",
+    doc="MinHash-LSH candidate pairs (b=4 bands × r=2, oversized buckets capped; "
+        "only (doc,band) rows shuffle)",
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,10 +247,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 chunks AS (
   SELECT doc_id, simhash, g.c AS chunk, (simhash >> CAST(g.c * 8 AS INTEGER)) & 255 AS v
   FROM sh, (SELECT unnest(range(4)) AS c) g
+), sized AS (
+  SELECT chunk, v FROM chunks GROUP BY chunk, v HAVING count(*) <= {dd.LSH_BUCKET_CAP}
+), cf AS (
+  SELECT c.* FROM chunks c JOIN sized s ON c.chunk = s.chunk AND c.v = s.v
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM chunks a JOIN chunks b
+FROM cf a JOIN cf b
   ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 """,

@@ -23,8 +23,14 @@ from tigate_spark.functions.text import TOKENS_EXPR
 
 #: MinHash modulus (2^31 - 1, prime); products stay < 2^62 — no overflow.
 MINHASH_P = 2_147_483_647
-#: number of MinHash functions == number of singleton LSH bands (b=8, r=1)
+#: number of MinHash functions (banded as b=4 bands × r=2 rows)
 MINHASH_K = 8
+#: LSH bands use r=2 rows — a collision needs two agreeing minhashes,
+#: which kills the common-feature buckets a single shared shingle creates
+MINHASH_BANDS = 4
+#: drop LSH buckets bigger than this — an oversized bucket signals a
+#: corpus-common feature, not near-duplication, and would go quadratic
+LSH_BUCKET_CAP = 100
 
 _H32 = "cast(conv(substr(md5({e}), 1, 8), 16, 10) as bigint)"
 
@@ -36,9 +42,28 @@ SHINGLES_EXPR = (
 )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition ahead of expression-heavy row-local stages.
+
+    A small parquet file arrives as one split → one task; hashing every
+    shingle of every doc in a single thread serializes the stage. At lake
+    scale the scan has many splits, but widening CPU-bound stages beyond
+    split count is still the right call — the shuffle is tiny (raw text)
+    compared to the compute it parallelizes.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def with_shingles(df: DataFrame) -> DataFrame:
+    # The <5-token filter runs BEFORE the fan-out on the cheap token count,
+    # so Catalyst has nothing expensive to push below the exchange (an
+    # equivalent size(shingles) filter would inline the whole shingle
+    # expression into a pre-shuffle, single-split Filter — observed 2×
+    # slowdown).
     return (
-        df.withColumn("tokens", F.expr(TOKENS_EXPR))
+        df.filter(F.expr(f"size({TOKENS_EXPR}) >= 5"))
+        .transform(_fan_out)
+        .withColumn("tokens", F.expr(TOKENS_EXPR))
         .withColumn("shingles", F.expr(f"array_distinct({SHINGLES_EXPR})"))
     )
 
@@ -61,11 +86,14 @@ def ngram_jaccard_pairs(df: DataFrame) -> DataFrame:
     Inverted-index join: docs sharing ≥1 shingle become candidates; Jaccard
     in basis points = 10000·|∩| / |∪|.
     """
+    # explode_outer: plain explode triggers InferFiltersFromGenerate, whose
+    # size(shingles)>0 predicate gets pushed below the fan-out exchange and
+    # recomputes every shingle single-threaded.
     sh = with_shingles(df).select(
         "doc_id",
         F.expr("cast(size(shingles) as bigint)").alias("n_sh"),
-        F.explode("shingles").alias("s"),
-    )
+        F.explode_outer("shingles").alias("s"),
+    ).filter(F.col("s").isNotNull())
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -90,34 +118,62 @@ def minhash_signature(df: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """Row-local MinHash signature: sig[i] = min over shingles of
     ((a_i·h + b_i) mod p), with a_i/b_i md5-derived per function index.
 
-    Docs with no shingles (<5 tokens) are excluded (degenerate signature).
+    The hash-family constants are pre-computed driver-side (same md5
+    derivation → same values as the oracle) so each shingle is md5'd
+    exactly once per row; the k per-function mins then run over the cached
+    hash array. Docs with no shingles (<5 tokens) are excluded.
     """
+    from tigate_spark.functions.phash import h32_py
+
     p = MINHASH_P
-    hs = f"transform(shingles, s -> {_H32.format(e='s')} % {p})"
-    a_i = _H32.format(e=f"concat('mh_a', cast(i as string))") + f" % {p}"
-    b_i = _H32.format(e=f"concat('mh_b', cast(i as string))") + f" % {p}"
-    sig = (
-        f"transform(sequence(0, {k - 1}), i -> "
-        f"aggregate({hs}, {p}L, (acc, h) -> least(acc, (({a_i}) * h + ({b_i})) % {p})))"
+    a = [h32_py(f"mh_a{i}") % p for i in range(k)]
+    b = [h32_py(f"mh_b{i}") % p for i in range(k)]
+    sig = F.array(
+        *[
+            F.expr(
+                f"aggregate(hs, {p}L, (acc, h) -> least(acc, ({a[i]}L * h + {b[i]}L) % {p}))"
+            )
+            for i in range(k)
+        ]
     )
+    # docs with <5 tokens (no shingles) are already excluded by with_shingles
     return (
         with_shingles(df)
-        .filter(F.expr("size(shingles) >= 1"))
-        .select("doc_id", F.expr(sig).alias("sig"))
+        .withColumn("hs", F.expr(f"transform(shingles, s -> {_H32.format(e='s')} % {p})"))
+        .select("doc_id", sig.alias("sig"))
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """LSH candidate pairs: b=k singleton bands — docs agreeing on minhash
-    function i land in bucket (i, value); pairs count shared bands.
+def lsh_bands(df: DataFrame) -> DataFrame:
+    """(doc_id, band, v) rows: band value = the r=2 minhash pair rendered
+    as a string key."""
+    sigs = minhash_signature(df, MINHASH_K)
+    bands = F.expr(
+        f"transform(sequence(0, {MINHASH_BANDS - 1}), b -> struct(b as band, "
+        "concat_ws(':', element_at(sig, cast(2 * b + 1 as int)), "
+        "element_at(sig, cast(2 * b + 2 as int))) as v))"
+    )
+    return (
+        sigs.select("doc_id", F.explode_outer(bands).alias("bv"))
+        .filter(F.col("bv").isNotNull())
+        .select("doc_id", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    )
 
-    Only (doc, band) rows shuffle — tiny vs the corpus.
+
+def minhash_lsh_pairs(df: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """LSH candidate pairs: b=4 bands × r=2 rows; docs agreeing on both
+    minhashes of a band share a bucket; pairs count shared bands.
+
+    Scale safety: buckets larger than ``bucket_cap`` are dropped before
+    pairing (an oversized bucket is a corpus-common feature — pairing it
+    is quadratic and semantically useless). Only (doc, band) rows shuffle.
     """
-    sigs = minhash_signature(df, k)
-    bands = sigs.select(
-        "doc_id", F.posexplode("sig").alias("band", "v")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
+    bands = lsh_bands(df)
+    sizes = bands.groupBy("band", "v").agg(F.count(F.lit(1)).alias("bucket_n"))
+    bands_f = bands.join(
+        sizes.filter(F.col("bucket_n") <= bucket_cap), ["band", "v"]
+    ).select("doc_id", "band", "v")
+    a, b = bands_f.alias("a"), bands_f.alias("b")
     return (
         a.join(
             b,
@@ -132,35 +188,55 @@ def minhash_lsh_pairs(df: DataFrame, k: int = MINHASH_K) -> DataFrame:
 
 def simhash(df: DataFrame, bits: int = 32) -> DataFrame:
     """Row-local 32-bit SimHash over the distinct-token vocabulary:
-    bit b set iff Σ_tokens (±1 by token-hash bit b) > 0."""
-    hs = f"transform(array_distinct(tokens), t -> {_H32.format(e='t')})"
+    bit b set iff Σ_tokens (±1 by token-hash bit b) > 0.
+
+    Token hashes are hoisted into a column so each token is md5'd once,
+    not once per bit.
+    """
     sig = (
         f"aggregate(transform(sequence(0, {bits - 1}), b -> "
-        f"case when aggregate({hs}, 0L, (acc, h) -> acc + "
+        f"case when aggregate(hs, 0L, (acc, h) -> acc + "
         f"case when (shiftright(h, cast(b as int)) & 1) = 1 then 1 else -1 end) > 0 "
         f"then shiftleft(1L, cast(b as int)) else 0L end), 0L, (acc, x) -> acc + x)"
     )
     return (
-        df.withColumn("tokens", F.expr(TOKENS_EXPR))
+        _fan_out(df)
+        .withColumn("tokens", F.expr(TOKENS_EXPR))
+        .withColumn(
+            "hs", F.expr(f"transform(array_distinct(tokens), t -> {_H32.format(e='t')})")
+        )
         .select("doc_id", F.expr(sig).alias("simhash"))
     )
 
 
-def simhash_near_pairs(df: DataFrame, max_hamming: int = 6) -> DataFrame:
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 6,
+                       bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share ≥1 of four 8-bit chunks
-    (banded LSH on the signature), then exact Hamming filter."""
+    (banded LSH on the signature), then exact Hamming filter.
+
+    Oversized chunk buckets are dropped like in :func:`minhash_lsh_pairs`
+    — on a clustered corpus a popular chunk value would pair
+    quadratically."""
     sh = simhash(df)
-    chunks = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), c -> "
-                "struct(c as chunk, shiftright(simhash, cast(c * 8 as int)) & 255 as v))"
-            )
-        ).alias("ch"),
-    ).select("doc_id", "simhash", F.col("ch.chunk").alias("chunk"), F.col("ch.v").alias("v"))
-    a, b = chunks.alias("a"), chunks.alias("b")
+    chunks = (
+        sh.select(
+            "doc_id",
+            "simhash",
+            F.explode_outer(
+                F.expr(
+                    "transform(sequence(0, 3), c -> "
+                    "struct(c as chunk, shiftright(simhash, cast(c * 8 as int)) & 255 as v))"
+                )
+            ).alias("ch"),
+        )
+        .filter(F.col("ch").isNotNull())
+        .select("doc_id", "simhash", F.col("ch.chunk").alias("chunk"), F.col("ch.v").alias("v"))
+    )
+    sizes = chunks.groupBy("chunk", "v").agg(F.count(F.lit(1)).alias("bucket_n"))
+    chunks_f = chunks.join(
+        sizes.filter(F.col("bucket_n") <= bucket_cap), ["chunk", "v"]
+    ).select("doc_id", "simhash", "chunk", "v")
+    a, b = chunks_f.alias("a"), chunks_f.alias("b")
     cand = (
         a.join(
             b,

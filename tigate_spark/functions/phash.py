@@ -20,8 +20,19 @@ In the hot path at 100 TB scale these stay JVM-side (built-in ``md5`` /
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def h32_py(s: str) -> int:
+    """Driver-side twin of :func:`h32` — same value for the same string.
+
+    Used to pre-compute hash-family constants (MinHash a_i/b_i, LSH plane
+    coefficients) at plan-build time instead of per row per element.
+    """
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
 def h32(col: Column) -> Column:

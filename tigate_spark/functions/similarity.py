@@ -31,6 +31,8 @@ DIM = 64
 
 
 def with_quantized(df: DataFrame) -> DataFrame:
+    # fan out: a single parquet split would serialize the vector math
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df.withColumn("q", F.expr(QUANT_EXPR)).withColumn(
         "norm_sq", F.expr("aggregate(q, 0L, (acc, x) -> acc + x * x)")
     )
@@ -72,25 +74,28 @@ def brute_force_topk(df: DataFrame, n_queries: int = 20, k: int = 10) -> DataFra
     )
 
 
-def _plane_coef(p: str, d: str) -> str:
-    """Deterministic pseudo-random hyperplane coefficient in [-1000, 1000]."""
-    h = _H32.format(e=f"concat('pl', cast({p} as string), '_', cast({d} as string))")
-    return f"(({h}) % 2001) - 1000"
+def _plane_coefs(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplane coefficients in [-1000, 1000],
+    md5-derived — identical to the oracle's inline derivation, but computed
+    once at plan time instead of 512 md5 calls per row."""
+    from tigate_spark.functions.phash import h32_py
+
+    return [
+        [(h32_py(f"pl{p}_{d}") % 2001) - 1000 for d in range(1, dim + 1)]
+        for p in range(n_planes)
+    ]
 
 
 def lsh_bucket(df: DataFrame, n_planes: int = N_PLANES, dim: int = DIM) -> DataFrame:
     """Sign-random-projection bucket id (0..2^n_planes-1) per vector."""
-    coef = _plane_coef("p", "d")
-    dot_p = (
-        f"aggregate(sequence(1, {dim}), 0L, (acc, d) -> acc + element_at(q, cast(d as int))"
-        f" * ({coef}))"
-    )
-    bucket = (
-        f"aggregate(transform(sequence(0, {n_planes - 1}), p -> "
-        f"case when ({dot_p}) > 0 then shiftleft(1L, cast(p as int)) else 0L end), "
-        f"0L, (acc, x) -> acc + x)"
-    )
-    return with_quantized(df).withColumn("bucket", F.expr(bucket))
+    coefs = _plane_coefs(n_planes, dim)
+    bucket = None
+    for p in range(n_planes):
+        arr = "array(" + ", ".join(f"{c}L" for c in coefs[p]) + ")"
+        dot_p = f"aggregate(zip_with(q, {arr}, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+        bit = F.when(F.expr(dot_p) > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        bucket = bit if bucket is None else bucket + bit
+    return with_quantized(df).withColumn("bucket", bucket)
 
 
 def ann_lsh_topk(df: DataFrame, n_queries: int = 20, k: int = 5) -> DataFrame:
