@@ -1,0 +1,212 @@
+"""Streaming changefeed tests — replica equivalence, restart/exactly-once,
+changelog encoding, syncpoint/progress bookkeeping, DDL barrier.
+
+Mirrors the reference's integration-test strategy (SURVEY §5): apply the
+change stream through the engine, then compare the materialized replica
+against an independent batch computation over the same inputs
+(`sync_diff_inspector` equivalence, `tests/integration_tests/README.md:17`).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tigate_spark.config import ChangefeedConfig, EventFilterRule, FilterConfig
+from tigate_spark.operators.apply import materialize
+from tigate_spark.operators.filters import apply_filter_config
+from tigate_spark.sources.changes import changes_stream
+from tigate_spark.streaming.changefeed import PAYLOAD_COLS, Changefeed
+from tigate_spark.streaming.ddl import (
+    DDLEvent,
+    SchemaRegistry,
+    split_batch_at_ddl,
+)
+from tigate_spark.streaming.sinks import read_replica
+
+
+@pytest.fixture(scope="module")
+def chunked_source(spark, sf_dir, tmp_path_factory):
+    """events split into 4 files ordered by commit_ts → 4 micro-batches
+    (maxFilesPerTrigger=1 + lexicographic file order)."""
+    src = str(tmp_path_factory.mktemp("events_src"))
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    qs = ev.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    for i in range(4):
+        part = ev.filter(
+            (F.col("event_id") > bounds[i]) & (F.col("event_id") <= bounds[i + 1])
+        )
+        part.coalesce(1).write.parquet(os.path.join(src, f"chunk-{i:02d}"))
+    # flatten: file source wants files under one dir
+    flat = str(tmp_path_factory.mktemp("events_flat"))
+    n = 0
+    for i in range(4):
+        for f in sorted(glob.glob(os.path.join(src, f"chunk-{i:02d}", "part-*.parquet"))):
+            os.link(f, os.path.join(flat, f"{i:02d}-{os.path.basename(f)}"))
+            n += 1
+    assert n == 4
+    return flat
+
+
+def _expected_replica(spark, sf_dir, cfg: ChangefeedConfig):
+    ch = changes_stream(spark, sf_dir)
+    ch = apply_filter_config(ch, cfg.filter)
+    return materialize(ch, PAYLOAD_COLS)
+
+
+def test_replica_equivalence_multibatch(spark, sf_dir, chunked_source, tmp_path):
+    cfg = ChangefeedConfig(changefeed_id="cf-replica", sink_uri="replica://")
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    cf.run_to_completion()
+    # 4 source files → 4 micro-batches through the incremental merge
+    batches = spark.read.parquet(cf.bookkeeping.progress_dir)
+    assert batches.select("batch_id").distinct().count() == 4
+
+    got = read_replica(spark, cf.sink.state_dir).select(
+        "table_id", "pk", "commit_ts", *PAYLOAD_COLS
+    )
+    exp = _expected_replica(spark, sf_dir, cfg).select(
+        "table_id", "pk", F.col("last_commit_ts").alias("commit_ts"), *PAYLOAD_COLS
+    )
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
+def test_restart_is_exactly_once(spark, sf_dir, chunked_source, tmp_path):
+    """Stop after the first batches, restart on the same checkpoint: no
+    re-apply, same final state (T10 subsumed by checkpointLocation)."""
+    cfg = ChangefeedConfig(changefeed_id="cf-restart", sink_uri="replica://")
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    cf.run_to_completion()
+    first = read_replica(spark, cf.sink.state_dir)
+    n_batches_1 = (
+        spark.read.parquet(cf.bookkeeping.progress_dir)
+        .select("batch_id").distinct().count()
+    )
+    # restart over the same source + checkpoint — nothing new to process
+    cf2 = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    cf2.run_to_completion()
+    n_batches_2 = (
+        spark.read.parquet(cf.bookkeeping.progress_dir)
+        .select("batch_id").distinct().count()
+    )
+    assert n_batches_2 == n_batches_1  # no batch re-ran
+    again = read_replica(spark, cf2.sink.state_dir)
+    assert again.count() == first.count()
+
+
+def test_filters_reach_streaming_plan(spark, sf_dir, chunked_source, tmp_path):
+    """Changefeed with event+expr filters: replica matches the filtered
+    batch oracle (event_filter integration-test shape, conf/cf.toml)."""
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-filtered",
+        sink_uri="replica://",
+        filter=FilterConfig(
+            rules=["app.t0", "app.t1", "app.t2"],
+            event_filters=[EventFilterRule(
+                matcher=["app.t1"], ignore_event=["delete"],
+                ignore_insert_value_expr="value_cents < 500",
+            )],
+        ),
+    )
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    cf.run_to_completion()
+    got = read_replica(spark, cf.sink.state_dir)
+    exp = _expected_replica(spark, sf_dir, cfg)
+    assert got.count() == exp.count()
+    assert set(r["table_id"] for r in got.select("table_id").distinct().collect()) <= {0, 1, 2}
+
+
+def test_changelog_sink_encodes_and_routes(spark, sf_dir, chunked_source, tmp_path):
+    cfg = ChangefeedConfig(changefeed_id="cf-log", sink_uri="changelog://")
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    cf.run_to_completion()
+    log = spark.read.parquet(cf.sink.out_dir)
+    ch = changes_stream(spark, sf_dir)
+    assert log.count() == ch.count()
+    # canal-json messages parse and agree with the row's op
+    sample = log.select("message", "topic", "partition").limit(50).collect()
+    for r in sample:
+        msg = json.loads(r["message"])
+        assert msg["type"] in ("INSERT", "UPDATE", "DELETE")
+        assert r["topic"].startswith("app_t")
+        assert 0 <= r["partition"] < cfg.sink.num_partitions
+    # per-key ordering preserved inside a partition lane: same pk+table
+    # always routes to the same partition (index-value dispatch, R5)
+    lanes = log.groupBy("table_id", "pk").agg(
+        F.countDistinct("partition").alias("n")
+    )
+    assert lanes.filter(F.col("n") > 1).count() == 0
+
+
+def test_syncpoint_ticks_aligned(spark, sf_dir, chunked_source, tmp_path):
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-sync", sink_uri="noop://",
+        enable_sync_point=True, sync_point_interval_s=3600,
+    )
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    cf.run_to_completion()
+    ticks = spark.read.parquet(cf.bookkeeping.syncpoint_dir)
+    iv = 3600 * 1_000_000
+    assert ticks.count() > 0
+    assert ticks.filter(F.col("primary_ts") % iv != 0).count() == 0
+    lo, hi = changes_stream(spark, sf_dir).agg(
+        F.min("commit_ts"), F.max("commit_ts")
+    ).first()
+    first_tick, last_tick = ticks.agg(F.min("primary_ts"), F.max("primary_ts")).first()
+    assert lo < first_tick <= last_tick <= hi
+
+
+def test_ddl_barrier_split(spark, sf_dir, tmp_path):
+    """Two DDLs inside one batch: apply order is DML<ts1, DDL1, DML<ts2,
+    DDL2, rest; single-table DDL only blocks its own table."""
+    ch = changes_stream(spark, sf_dir)
+    ts_lo, ts_hi = ch.agg(F.min("commit_ts"), F.max("commit_ts")).first()
+    t1 = ts_lo + (ts_hi - ts_lo) // 3
+    t2 = ts_lo + 2 * (ts_hi - ts_lo) // 3
+    ddls = [
+        DDLEvent(commit_ts=t1, table_id=2, query="ALTER TABLE t2 ADD COLUMN x INT",
+                 schema_tag="v1"),
+        DDLEvent(commit_ts=t2, table_id=None, query="ALTER DATABASE app CHARSET utf8",
+                 schema_tag="v2"),
+    ]
+    registry = SchemaRegistry(str(tmp_path / "registry"))
+    applied: list[tuple[int, int]] = []  # (sub, n_rows)
+
+    def apply_dml(df, sub):
+        applied.append((sub, df.count()))
+
+    audit = split_batch_at_ddl(
+        ch, ddls,
+        apply_dml,
+        lambda d: registry.append(spark, d, n_tables=4),
+    )
+    kinds = [a["kind"] for a in audit]
+    assert kinds == ["dml", "ddl", "dml", "ddl", "dml"]
+    total = sum(a["rows"] for a in audit if a["kind"] == "dml")
+    assert total == ch.count()
+    # sub-batch 0 may contain table!=2 rows beyond t1 but no table-2 rows >= t1
+    # (verified via the split predicate itself in sub 1/2 counts)
+    reg = registry.versions(spark)
+    assert reg.filter(F.col("schema_tag") == "v1").count() == 1  # only table 2
+    assert reg.filter(F.col("schema_tag") == "v2").count() == 4  # all tables
+
+    # barrier correctness, replayed manually: rows applied in sub 0 must
+    # not include table 2 at/after t1
+    def blocked(df):
+        return df.filter(
+            ((F.col("table_id") == 2) & (F.col("commit_ts") >= t1))
+            | (F.col("commit_ts") >= t2)
+        )
+
+    eligible0 = ch.filter(
+        ~(((F.col("table_id") == 2) & (F.col("commit_ts") >= t1))
+          | (F.col("commit_ts") >= t2))
+    )
+    assert applied[0][1] == eligible0.count()

@@ -670,5 +670,6 @@ def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)
     import tigate_spark.catalog_relational  # noqa: F401  (registers relational queries)
+    import tigate_spark.catalog_streaming  # noqa: F401  (registers streaming-path queries)
 
     return CATALOG

@@ -40,13 +40,19 @@ _IMG_FMT = '{"pk":%d,"event_type":"%s","value_cents":%d,"user_id":%d}'
 
 
 def changes_stream(spark: SparkSession, sf_dir: str, with_images: bool = False) -> DataFrame:
-    """events → canonical change rows.
+    """events → canonical change rows (batch read).
 
     Columns: schema_name, table_name, table_id, op, start_ts, commit_ts,
     seq, pk, event_type, value_cents, user_id, props
     (+ before/after JSON images when ``with_images``).
     """
-    ev = load_table(spark, sf_dir, "events")
+    return normalize_events(load_table(spark, sf_dir, "events"), with_images)
+
+
+def normalize_events(ev: DataFrame, with_images: bool = False) -> DataFrame:
+    """S1/S3 normalization on an events DataFrame — works identically on a
+    batch read and on a ``readStream`` file source (same Catalyst plan), so
+    the streaming changefeed reuses it verbatim."""
     ch = ev.select(
         F.lit("app").alias("schema_name"),
         F.concat(F.lit("t"), (F.col("user_id") % N_TABLES).cast("string")).alias("table_name"),

@@ -1,0 +1,169 @@
+"""Changefeed runtime: compile a :class:`ChangefeedConfig` into a
+Structured Streaming query (SURVEY §3.1-3.2 collapsed onto Spark).
+
+Reference lifecycle parity (``api/v2/changefeed.go:51-120`` →
+coordinator → maintainer → dispatchers, SURVEY §3.1): config validation
+happens here; "coordinator/maintainer/dispatcher scheduling" is the Spark
+driver + task scheduler; per-dispatcher seq/handshake recovery (T10,
+``event_collector.go:469-496``) is subsumed by the file-source offset log
++ ``checkpointLocation`` WAL — a restarted query resumes exactly after the
+last committed batch.
+
+Pipeline per micro-batch (the hot loop, §3.2):
+  raw events → :func:`normalize_events` (S3) → table/event/expr/start-ts
+  filters (F1-F4) → column selector (P1) → start_ts/target_ts range (T2)
+  → sink (K1/K2/K3) with progress + syncpoint bookkeeping (T5/T7/T11).
+
+Everything before the sink is one declarative DataFrame plan, so Catalyst
+pushes the filters into the parquet scan of every micro-batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from tigate_spark.config import ChangefeedConfig
+from tigate_spark.operators import filters as f_ops
+from tigate_spark.operators.projections import column_selector
+from tigate_spark.session import ensure_confs
+from tigate_spark.sources.changes import normalize_events
+from tigate_spark.streaming.sinks import (
+    Bookkeeping,
+    ChangelogSink,
+    NoopSink,
+    ReplicaSink,
+)
+
+#: payload columns the canonical change rows carry into sinks
+PAYLOAD_COLS = ["event_type", "value_cents", "user_id"]
+
+
+class Changefeed:
+    """One replication job = one Structured Streaming query."""
+
+    def __init__(self, spark: SparkSession, cfg: ChangefeedConfig,
+                 source_dir: str, work_dir: str):
+        if not cfg.sink_uri:
+            raise ValueError("sink_uri is required")  # changefeed.go:62 parity
+        self.spark = ensure_confs(spark)
+        self.cfg = cfg
+        self.source_dir = source_dir
+        self.work_dir = work_dir
+        self.checkpoint_dir = os.path.join(work_dir, "checkpoint", cfg.changefeed_id)
+        self.bookkeeping = Bookkeeping(
+            os.path.join(work_dir, "bookkeeping", cfg.changefeed_id),
+            sync_point_us=cfg.sync_point_interval_s * 1_000_000
+            if cfg.enable_sync_point else None,
+        )
+        self.sink = self._build_sink()
+
+    # -- source ------------------------------------------------------------
+    def _source(self) -> tuple[str, str | None]:
+        """File-stream sources need a directory; a single-file source
+        becomes (parent_dir, glob_filter)."""
+        if os.path.isfile(self.source_dir):
+            return os.path.dirname(self.source_dir), os.path.basename(self.source_dir)
+        return self.source_dir, None
+
+    def _events_schema(self):
+        # one driver-side footer read; the streaming source needs an
+        # explicit schema (no inference on file streams)
+        return self.spark.read.parquet(self.source_dir).schema
+
+    def read_stream(self) -> DataFrame:
+        path, glob_filter = self._source()
+        reader = (
+            self.spark.readStream.schema(self._events_schema())
+            .option("maxFilesPerTrigger", "1")  # one file = one micro-batch
+        )
+        if glob_filter:
+            reader = reader.option("pathGlobFilter", glob_filter)
+        return reader.parquet(path)
+
+    # -- transform (F1-F4, P1, T2) ----------------------------------------
+    def transform(self, raw: DataFrame) -> DataFrame:
+        scheme = self.cfg.sink_uri.split("://", 1)[0]
+        with_images = scheme in ("kafka", "changelog")
+        ch = normalize_events(raw, with_images=with_images)
+        if self.cfg.start_ts:
+            ch = ch.filter(F.col("commit_ts") > self.cfg.start_ts)
+        if self.cfg.target_ts:
+            ch = ch.filter(F.col("commit_ts") <= self.cfg.target_ts)
+        ch = f_ops.apply_filter_config(ch, self.cfg.filter)
+        for sel in self.cfg.sink.column_selectors:
+            ch = column_selector(ch, sel)
+        return ch
+
+    # -- sink --------------------------------------------------------------
+    def _build_sink(self):
+        scheme = self.cfg.sink_uri.split("://", 1)[0]
+        if scheme in ("mysql", "tidb", "replica"):
+            return ReplicaSink(
+                os.path.join(self.work_dir, "replica", self.cfg.changefeed_id),
+                PAYLOAD_COLS, self.bookkeeping,
+            )
+        if scheme in ("kafka", "changelog"):
+            return ChangelogSink(
+                os.path.join(self.work_dir, "changelog", self.cfg.changefeed_id),
+                self.bookkeeping,
+            )
+        if scheme in ("noop", "blackhole"):
+            return NoopSink(self.bookkeeping)
+        raise ValueError(f"unsupported sink scheme: {scheme}")  # sink.go:41-56
+
+    def _prepare_for_sink(self, batch: DataFrame) -> DataFrame:
+        if isinstance(self.sink, ChangelogSink):
+            from tigate_spark.functions.encoders import (
+                encode_canal_json,
+                encode_open_protocol,
+            )
+            from tigate_spark.operators.routing import route
+
+            rules = self.cfg.sink.dispatch_rules or []
+            if rules:
+                batch = route(batch, rules, self.cfg.sink.num_partitions)
+            else:
+                from tigate_spark.operators.routing import (
+                    partition_by_index_value,
+                    topic_expr,
+                )
+                batch = batch.withColumn(
+                    "topic", topic_expr("{schema}_{table}")
+                ).withColumn(
+                    "partition",
+                    partition_by_index_value(self.cfg.sink.num_partitions).cast("bigint"),
+                )
+            if self.cfg.sink.protocol == "open-protocol":
+                batch = encode_open_protocol(batch)
+            else:
+                batch = encode_canal_json(batch)
+        return batch
+
+    def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.sink.process_batch(self._prepare_for_sink(batch_df), batch_id)
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self, available_now: bool = True) -> StreamingQuery:
+        stream = self.transform(self.read_stream())
+        writer = (
+            stream.writeStream.foreachBatch(self._foreach_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(self.cfg.changefeed_id)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_to_completion(self, timeout_s: int = 300) -> None:
+        q = self.start(available_now=True)
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            if q.isActive:
+                q.stop()
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))

@@ -1,0 +1,191 @@
+"""foreachBatch sinks K1–K6 (SURVEY §2.7) for the streaming changefeed.
+
+Reference parity:
+- K1 MySQL/TiDB sink: txn-batched ordered apply, safe-mode REPLACE +
+  delete-by-pk idempotent replay (``pkg/sink/mysql/mysql_writer.go:727-755``,
+  ``:686-691``; SQL shapes ``pkg/sink/mysql/sql_builder.go:56-205``).
+  Here: :class:`ReplicaSink` — last-writer-wins MERGE of each micro-batch
+  into a parquet replica. At lake scale the same ``process_batch`` body is
+  a Delta/Iceberg ``MERGE INTO``; the union+max_by merge below is the
+  engine-neutral formulation (one shuffle on the key, map-side combinable).
+- K2 Kafka sink (``downstreamadapter/sink/kafka_sink.go``; DML worker
+  ``kafka_dml_worker.go:107-369``): :class:`ChangelogSink` — router columns
+  (topic, partition, key) + protocol encoding appended to a partitioned
+  parquet changelog (Kafka stand-in; the container has no broker). Same
+  at-least-once contract as the reference MQ sink.
+- K3 blackhole (``downstreamadapter/sink/blackhole.go``): :class:`NoopSink`.
+- K4 ddl-ts bookkeeping (``mysql_writer.go:280-330``) and
+  T5/T11 progress: every sink appends per-batch checkpoint rows
+  (batch_id, table_id, resolved_ts, n_events) to a bookkeeping table.
+- K5 syncpoint ts-map (``mysql_writer.go:154-200,525-545``): aligned ticks
+  appended per batch when sync point is enabled (T7,
+  ``downstreamadapter/syncpoint/syncpoint.go:15-22``).
+
+Deletes are kept as tombstones in the replica state so a late/replayed
+older change cannot resurrect a deleted key (the stale-drop guarantee T9,
+``dispatcher.go:271-279``, falls out of max_by on the total order).
+:func:`read_replica` exposes the live view; tombstones below the global
+checkpoint are GC-able (T12, ``logservice/eventstore/gc.go`` equivalent —
+here a ``VACUUM``-style rewrite, left to the store).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tigate_spark.operators.ordering import op_rank_col
+
+#: syncpoint alignment interval (µs) when enabled — 1h like the reference default
+DEFAULT_SYNC_POINT_US = 3600 * 1_000_000
+
+
+def _swap_dir(tmp: str, dst: str) -> None:
+    """Replace directory ``dst`` with ``tmp``. A foreachBatch replay after a
+    crash between the renames re-runs the idempotent merge, so the window
+    is safe; real deployments use a transactional table format instead."""
+    old = dst + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(dst):
+        os.rename(dst, old)
+    os.rename(tmp, dst)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+class Bookkeeping:
+    """K4/K5/T11 side tables appended per micro-batch."""
+
+    def __init__(self, base_dir: str, sync_point_us: int | None = None):
+        self.progress_dir = os.path.join(base_dir, "table_progress")
+        self.syncpoint_dir = os.path.join(base_dir, "syncpoint")
+        self.sync_point_us = sync_point_us
+
+    def record(self, batch_df: DataFrame, batch_id: int) -> None:
+        progress = batch_df.groupBy("table_id").agg(
+            F.max("commit_ts").alias("resolved_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        ).withColumn("batch_id", F.lit(batch_id))
+        progress.write.mode("append").parquet(self.progress_dir)
+        if self.sync_point_us:
+            iv = self.sync_point_us
+            # aligned ticks covered by this batch: CalculateStartSyncPointTs
+            # rounds up to the next interval boundary (syncpoint.go:15-22)
+            ticks = batch_df.agg(
+                F.min("commit_ts").alias("lo"), F.max("commit_ts").alias("hi")
+            ).select(
+                F.explode(
+                    F.sequence(
+                        (F.floor(F.col("lo") / iv) + 1) * iv,
+                        F.floor(F.col("hi") / iv) * iv,
+                        F.lit(iv),
+                    )
+                ).alias("primary_ts")
+            ).withColumn("batch_id", F.lit(batch_id))
+            ticks.write.mode("append").parquet(self.syncpoint_dir)
+
+
+class ReplicaSink:
+    """K1: merge each micro-batch into a materialized replica (parquet).
+
+    State schema: (table_id, pk, op, commit_ts, start_ts, op_rank, seq,
+    *payload_cols) — the winning change per key plus its order key, so the
+    next merge's max_by is a pure union+agg (idempotent under replay).
+    """
+
+    def __init__(self, state_dir: str, payload_cols: list[str],
+                 bookkeeping: Bookkeeping | None = None):
+        self.state_dir = state_dir
+        self.payload_cols = payload_cols
+        self.bookkeeping = bookkeeping
+
+    def _state(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(self.state_dir):
+            return None
+        return spark.read.parquet(self.state_dir)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cols = ["table_id", "pk", "op", "commit_ts", "start_ts", "seq",
+                *[c for c in self.payload_cols if c in batch_df.columns]]
+        incoming = batch_df.select(*cols)
+        state = self._state(spark)
+        merged_src = incoming if state is None else incoming.unionByName(
+            state.select(*cols)
+        )
+        # one shuffle: max_by over the exact total order (commit_ts,
+        # start_ts, D<U<I, seq) — the winner keeps its full order key so
+        # cross-batch ties at the same commit_ts still resolve correctly
+        order_key = F.struct(
+            F.col("commit_ts"), F.col("start_ts"), op_rank_col(), F.col("seq")
+        )
+        payload = F.struct(*[F.col(c) for c in cols if c not in ("table_id", "pk")])
+        agg = merged_src.groupBy("table_id", "pk").agg(
+            F.max_by(payload, order_key).alias("w")
+        )
+        new_state = agg.select(
+            "table_id", "pk",
+            *[F.col(f"w.{c}").alias(c) for c in cols if c not in ("table_id", "pk")],
+        )
+        tmp = self.state_dir + f".tmp-{uuid.uuid4().hex[:8]}"
+        new_state.write.mode("overwrite").parquet(tmp)
+        _swap_dir(tmp, self.state_dir)
+        if self.bookkeeping:
+            self.bookkeeping.record(batch_df, batch_id)
+
+    def live(self, spark: SparkSession) -> DataFrame:
+        """The replica's live view (tombstones filtered)."""
+        return read_replica(spark, self.state_dir)
+
+
+def read_replica(spark: SparkSession, state_dir: str) -> DataFrame:
+    return spark.read.parquet(state_dir).filter(F.col("op") != "D").drop("op")
+
+
+class ChangelogSink:
+    """K2: encoded + routed changelog appended to parquet (Kafka stand-in).
+
+    Expects the batch already carries ``topic``/``partition``/``message``
+    (or key/value) columns from the routing+encoding stages; partitions the
+    files by topic like Kafka partitions by topic."""
+
+    def __init__(self, out_dir: str, bookkeeping: Bookkeeping | None = None):
+        self.out_dir = out_dir
+        self.bookkeeping = bookkeeping
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        out_cols = [c for c in ("topic", "partition", "key", "value", "message", "seq",
+                                "commit_ts", "table_id", "pk")
+                    if c in batch_df.columns]
+        (batch_df.select(*out_cols)
+         .repartition("topic", "partition")
+         .write.mode("append").partitionBy("topic").parquet(self.out_dir))
+        if self.bookkeeping:
+            self.bookkeeping.record(batch_df, batch_id)
+
+
+class NoopSink:
+    """K3: blackhole (throughput measurement)."""
+
+    def __init__(self, bookkeeping: Bookkeeping | None = None):
+        self.bookkeeping = bookkeeping
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.format("noop").mode("overwrite").save()
+        if self.bookkeeping:
+            self.bookkeeping.record(batch_df, batch_id)
+
+
+__all__ = [
+    "Bookkeeping",
+    "ChangelogSink",
+    "NoopSink",
+    "ReplicaSink",
+    "read_replica",
+    "op_rank_col",
+]
