@@ -666,6 +666,77 @@ def encoder_open_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_open_protocol(ch).select("seq", "key", "value")
 
 
+@register(
+    "decoder_canal_json",
+    ORACLE_CHANGES_CTE
+    + """
+, msgs AS (
+  SELECT seq,
+    printf('{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,"type":"%s","es":%d,"ts":%d,"sql":"","data":%s,"old":%s,"_tidb":{"commitTs":%d}}',
+      schema_name, table_name,
+      CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+      commit_ts // 1000, commit_ts // 1000,
+      '[' || coalesce(CASE WHEN op = 'D' THEN before ELSE after END, 'null') || ']',
+      CASE WHEN op = 'U' THEN '[' || before || ']' ELSE 'null' END,
+      commit_ts) AS message
+  FROM changes
+)
+SELECT seq,
+  json_extract_string(message, '$.database') AS database,
+  json_extract_string(message, '$."table"') AS table_name,
+  json_extract_string(message, '$.type') AS canal_type,
+  CAST(json_extract(message, '$.es') AS BIGINT) AS es,
+  CAST(json_extract(message, '$._tidb.commitTs') AS BIGINT) AS commit_ts,
+  CAST(json_extract(message, '$.data[0].pk') AS BIGINT) AS pk,
+  json_extract_string(message, '$.data[0].event_type') AS event_type,
+  CAST(json_extract(message, '$.data[0].value_cents') AS BIGINT) AS value_cents,
+  CAST(json_extract(message, '$.old[0].value_cents') AS BIGINT) AS old_value_cents
+FROM msgs
+""",
+    doc="E7: canal-json consumer decoder — encode→from_json round trip "
+        "(decoder/decoder.go; canal/canal_json_message.go)",
+)
+def decoder_canal_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import decode_canal_json, encode_canal_json
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    return decode_canal_json(encode_canal_json(ch))
+
+
+@register(
+    "encoder_claim_check",
+    ORACLE_CHANGES_CTE
+    + """
+, msgs AS (
+  SELECT seq,
+    printf('{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,"type":"%s","es":%d,"ts":%d,"sql":"","data":%s,"old":%s,"_tidb":{"commitTs":%d}}',
+      schema_name, table_name,
+      CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+      commit_ts // 1000, commit_ts // 1000,
+      '[' || coalesce(CASE WHEN op = 'D' THEN before ELSE after END, 'null') || ']',
+      CASE WHEN op = 'U' THEN '[' || before || ']' ELSE 'null' END,
+      commit_ts) AS message
+  FROM changes
+)
+SELECT seq,
+  octet_length(encode(message)) > 256 AS offloaded,
+  CASE WHEN octet_length(encode(message)) > 256
+       THEN printf('{"claimCheckLocation":"s3://claim-check/%s.json"}', md5(message))
+       ELSE message END AS wire_value
+FROM msgs
+""",
+    doc="E5: claim-check large-message offload — oversized messages become "
+        "md5-addressed object-store pointers (claimcheck/claim_check.go)",
+)
+def encoder_claim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import claim_check, encode_canal_json
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    return claim_check(encode_canal_json(ch), threshold=256).select(
+        "seq", "offloaded", "wire_value"
+    )
+
+
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)

@@ -380,3 +380,67 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("payload").alias("content_md5"),
         F.col("media_meta.mime").alias("mime"),
     )
+
+
+# ===========================================================================
+# Embedding near-dup + IVF ANN (SURVEY §7 M6 extensions)
+# ===========================================================================
+@register(
+    "dedup_embedding_cosine",
+    _QUANT_CTE
+    + f"""
+, bucketed AS (
+  SELECT vec_id, q, norm_sq, {_BUCKET_SQL} AS bucket FROM base
+)
+SELECT vec_a, vec_b, cos_bp FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    CAST(round(
+      CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT)
+      / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) * 10000
+    ) AS BIGINT) AS cos_bp
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cos_bp >= 3000
+""",
+    doc="Embedding-cosine near-dup pairs: LSH-bucket prefilter + exact "
+        "integer cosine ≥ 0.30 (only same-bucket pairs shuffle)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.embedding_cosine_near_dup(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sim_ivf_topk",
+    _QUANT_CTE
+    + """
+, cents AS (SELECT vec_id AS cent_id, q AS cq FROM base WHERE vec_id < 16),
+assign AS (
+  SELECT b.vec_id, b.q, b.norm_sq, c.cent_id,
+         row_number() OVER (PARTITION BY b.vec_id ORDER BY
+           list_sum(list_transform(range(1, 65),
+                                   i -> (b.q[i] - c.cq[i]) * (b.q[i] - c.cq[i]))),
+           c.cent_id) AS rn
+  FROM base b CROSS JOIN cents c
+), cells AS (
+  SELECT vec_id, q, norm_sq, cent_id AS cell FROM assign WHERE rn = 1
+), scored AS (
+  SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(round(
+      CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * qr.q[i])) AS BIGINT)
+      / (sqrt(CAST(c.norm_sq AS DOUBLE)) * sqrt(CAST(qr.norm_sq AS DOUBLE))) * 10000
+    ) AS BIGINT) AS cos_bp
+  FROM cells c JOIN cells qr
+    ON qr.vec_id < 20 AND c.cell = qr.cell AND c.vec_id <> qr.vec_id
+)
+SELECT query_id, neighbor_id, rank, cos_bp FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_bp DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="IVF ANN top-5: broadcast codebook, exact L2 argmin cell assignment, "
+        "nprobe=1 probe — corpus scanned once",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sim.ivf_topk(load_table(spark, sf_dir, "embeddings"))
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

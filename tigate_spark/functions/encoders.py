@@ -83,3 +83,59 @@ def encode_open_protocol(df: DataFrame,
         .otherwise(F.format_string(_OPEN_VAL_D_FMT, F.col("before")))
     )
     return df.withColumn(key_col, key).withColumn(value_col, value)
+
+
+_CANAL_MSG_SCHEMA = (
+    "id BIGINT, database STRING, table STRING, pkNames ARRAY<STRING>, "
+    "isDdl BOOLEAN, type STRING, es BIGINT, ts BIGINT, sql STRING, "
+    "data ARRAY<STRUCT<pk BIGINT, event_type STRING, value_cents BIGINT, user_id BIGINT>>, "
+    "old ARRAY<STRUCT<pk BIGINT, event_type STRING, value_cents BIGINT, user_id BIGINT>>, "
+    "_tidb STRUCT<commitTs BIGINT>"
+)
+
+
+def decode_canal_json(df: DataFrame, msg_col: str = "message") -> DataFrame:
+    """E7: consumer-side canal-json decoder
+    (``pkg/sink/codec/decoder/decoder.go``,
+    ``canal/canal_json_message.go``) — ``from_json`` back into typed
+    change columns; the encode→decode round trip is loss-free for the
+    fields the protocol carries."""
+    parsed = df.withColumn("m", F.from_json(F.col(msg_col), _CANAL_MSG_SCHEMA))
+    return parsed.select(
+        "seq",
+        F.col("m.database").alias("database"),
+        F.col("m.table").alias("table_name"),
+        F.col("m.type").alias("canal_type"),
+        F.col("m.es").alias("es"),
+        F.col("m._tidb.commitTs").alias("commit_ts"),
+        F.expr("m.data[0].pk").alias("pk"),
+        F.expr("m.data[0].event_type").alias("event_type"),
+        F.expr("m.data[0].value_cents").alias("value_cents"),
+        F.expr("m.old[0].value_cents").alias("old_value_cents"),
+    )
+
+
+#: claim-check pointer layout (pkg/sink/kafka/claimcheck/claim_check.go —
+#: the MQ message is replaced by a location pointer; the payload goes to
+#: object storage)
+_CLAIM_FMT = '{"claimCheckLocation":"s3://claim-check/%s.json"}'
+
+
+def claim_check(df: DataFrame, threshold: int,
+                msg_col: str = "message") -> DataFrame:
+    """E5: large-message offload — messages over ``threshold`` bytes are
+    replaced by a deterministic object-storage pointer (md5-addressed);
+    the side-write of the payload itself is the sink's `foreachBatch`
+    job (here represented by the address column)."""
+    oversized = F.octet_length(F.col(msg_col)) > threshold
+    return (
+        df.withColumn("offloaded", oversized)
+        .withColumn(
+            "claim_addr",
+            F.when(oversized, F.format_string(_CLAIM_FMT, F.md5(F.col(msg_col)))),
+        )
+        .withColumn(
+            "wire_value",
+            F.when(oversized, F.col("claim_addr")).otherwise(F.col(msg_col)),
+        )
+    )

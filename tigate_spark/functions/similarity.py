@@ -143,3 +143,101 @@ def embedding_exact_dedup(df: DataFrame) -> DataFrame:
         F.min("vec_id").alias("canonical_vec_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+def embedding_cosine_near_dup(df: DataFrame, threshold_bp: int = 3000) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the dedup-by-meaning operator.
+
+    Candidates must share a sign-random-projection bucket (the 100 TB
+    prefilter: only same-bucket pairs shuffle, never the O(n²) cross
+    join), then the exact integer cosine keeps pairs ≥ ``threshold_bp``.
+    The LSH prefilter is part of the operator's *defined semantics* (like
+    every LSH dedup it trades recall for scale), so the oracle reproduces
+    it bit-for-bit.
+    """
+    base = lsh_bucket(df).select("vec_id", "q", "norm_sq", "bucket")
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    scored = pairs.withColumn(
+        "dot",
+        F.expr(
+            "aggregate(zip_with(a.q, b.q, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+        ),
+    ).withColumn(
+        "cos_bp",
+        F.expr(
+            "cast(round(dot / (sqrt(cast(a.norm_sq as double)) * "
+            "sqrt(cast(b.norm_sq as double))) * 10000) as bigint)"
+        ),
+    )
+    return scored.filter(F.col("cos_bp") >= threshold_bp).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        "cos_bp",
+    )
+
+
+def ivf_topk(df: DataFrame, n_centroids: int = 16,
+             n_queries: int = 20, k: int = 5) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into centroid
+    cells, then probe only the query's cell (nprobe=1).
+
+    The centroid "codebook" here is the first ``n_centroids`` vectors —
+    a deterministic stand-in for a k-means fit (the assignment/probe
+    dataflow, which is what scales, is identical; swapping in trained
+    centroids changes one broadcast). Assignment is exact integer L2
+    argmin against the broadcast codebook — corpus scanned once, no
+    shuffle until the per-cell candidate join.
+    """
+    base = with_quantized(df).select("vec_id", "q", "norm_sq")
+    cents = F.broadcast(
+        base.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("q").alias("cq")
+        )
+    )
+    dist = F.expr(
+        "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    )
+    cells = (
+        base.crossJoin(cents)
+        .withColumn("dist", dist)
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(F.col("cent_id"), F.struct(F.col("dist"), F.col("cent_id"))).alias("cell"),
+            F.first("q").alias("q"),
+            F.first("norm_sq").alias("norm_sq"),
+        )
+    )
+    queries = F.broadcast(
+        cells.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("norm_sq").alias("q_norm"),
+            F.col("cell").alias("q_cell"),
+        )
+    )
+    joined = cells.join(
+        queries,
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = joined.withColumn(
+        "dot", F.expr("aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+    ).withColumn(
+        "cos_bp",
+        F.expr(
+            "cast(round(dot / (sqrt(cast(norm_sq as double)) * sqrt(cast(q_norm as double)))"
+            " * 10000) as bigint)"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_bp").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "cos_bp")
+    )
