@@ -93,7 +93,9 @@ def ngram_jaccard_pairs(df: DataFrame) -> DataFrame:
         "doc_id",
         F.expr("cast(size(shingles) as bigint)").alias("n_sh"),
         F.explode_outer("shingles").alias("s"),
-    ).filter(F.col("s").isNotNull())
+    ).filter(F.col("s").isNotNull()).persist()
+    # persist: both self-join sides reference the inverted index; without it
+    # the shingle pipeline runs twice (round-robin exchange blocks reuse)
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -168,7 +170,12 @@ def minhash_lsh_pairs(df: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFr
     pairing (an oversized bucket is a corpus-common feature — pairing it
     is quadratic and semantically useless). Only (doc, band) rows shuffle.
     """
-    bands = lsh_bands(df)
+    # materialize the (tiny) signature table once — the plan references it
+    # four times (two self-join sides × the size filter) and the round-robin
+    # fan-out exchange blocks Catalyst's exchange reuse, so without this the
+    # whole shingle→minhash pipeline runs 4×. At lake scale the same move is
+    # "write the signature table, then pair" — standard MinHash practice.
+    bands = lsh_bands(df).persist()
     sizes = bands.groupBy("band", "v").agg(F.count(F.lit(1)).alias("bucket_n"))
     bands_f = bands.join(
         sizes.filter(F.col("bucket_n") <= bucket_cap), ["band", "v"]
@@ -231,7 +238,7 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 6,
         )
         .filter(F.col("ch").isNotNull())
         .select("doc_id", "simhash", F.col("ch.chunk").alias("chunk"), F.col("ch.v").alias("v"))
-    )
+    ).persist()  # referenced 4×: see minhash_lsh_pairs
     sizes = chunks.groupBy("chunk", "v").agg(F.count(F.lit(1)).alias("bucket_n"))
     chunks_f = chunks.join(
         sizes.filter(F.col("bucket_n") <= bucket_cap), ["chunk", "v"]
