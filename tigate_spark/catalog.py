@@ -737,6 +737,121 @@ def encoder_claim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "txn_match_prewrite_commit",
+    ORACLE_CHANGES_CTE
+    + """
+, commits AS (
+  SELECT start_ts, pk, commit_ts FROM changes WHERE seq % 50 <> 0
+), prewrites AS (
+  SELECT start_ts AS p_start_ts, pk AS p_pk, value_cents, event_type, seq
+  FROM changes
+)
+SELECT c.start_ts, c.pk, c.commit_ts, p.value_cents, p.event_type, p.seq
+FROM commits c JOIN prewrites p
+  ON c.start_ts = p.p_start_ts AND c.pk = p.p_pk
+""",
+    doc="S2: prewrite⋈commit transaction matcher on (start_ts, key); "
+        "rollbacks (no commit) drop out (txn_matcher.go:42-110)",
+)
+def txn_match_prewrite_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    prewrites = ch.select("start_ts", "pk", "value_cents", "event_type", "seq")
+    commits = ch.filter(F.col("seq") % 50 != 0).select("start_ts", "pk", "commit_ts")
+    return t_ops.match_prewrite_commit(prewrites, commits)
+
+
+@register(
+    "projection_updated_columns",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq,
+  list_sort(list_filter(json_keys(after),
+    k -> json_extract_string(before, '$.' || k)
+         IS DISTINCT FROM json_extract_string(after, '$.' || k))) AS changed_cols,
+  CAST(len(list_filter(json_keys(after),
+    k -> json_extract_string(before, '$.' || k)
+         IS DISTINCT FROM json_extract_string(after, '$.' || k))) AS BIGINT) AS n_changed
+FROM changes WHERE op = 'U'
+""",
+    doc="P2: only-updated-columns — JVM map-diff of before/after images "
+        "(sink.go:160; open/codec.go:56-72)",
+)
+def projection_updated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.operators.projections import updated_columns_projection
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    return updated_columns_projection(ch).select("seq", "changed_cols", "n_changed")
+
+
+@register(
+    "decoder_open_protocol",
+    ORACLE_CHANGES_CTE
+    + """
+, msgs AS (
+  SELECT seq,
+    printf('{"ts":%d,"scm":"%s","tbl":"%s","t":1}',
+           commit_ts, schema_name, table_name) AS key,
+    CASE WHEN op = 'U' THEN printf('{"u":%s,"p":%s}', after, before)
+         WHEN op = 'I' THEN printf('{"u":%s}', after)
+         ELSE printf('{"d":%s}', before) END AS value
+  FROM changes
+)
+SELECT seq,
+  CAST(json_extract(key, '$.ts') AS BIGINT) AS commit_ts,
+  json_extract_string(key, '$.scm') AS schema_name,
+  json_extract_string(key, '$.tbl') AS table_name,
+  CAST(json_extract(value, '$.u.value_cents') AS BIGINT) AS new_value_cents,
+  CAST(json_extract(value, '$.p.value_cents') AS BIGINT) AS old_value_cents,
+  CAST(json_extract(value, '$.d.pk') AS BIGINT) AS deleted_pk
+FROM msgs
+""",
+    doc="E7: open-protocol consumer decoder — key/value from_json round "
+        "trip (decoder/decoder.go; open/codec.go:24-120)",
+)
+def decoder_open_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_open_protocol
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    enc = encode_open_protocol(ch)
+    img = "STRUCT<pk BIGINT, event_type STRING, value_cents BIGINT, user_id BIGINT>"
+    k = F.from_json(F.col("key"), "ts BIGINT, scm STRING, tbl STRING, t BIGINT")
+    v = F.from_json(F.col("value"), f"u {img}, p {img}, d {img}")
+    return enc.select(
+        "seq",
+        k["ts"].alias("commit_ts"),
+        k["scm"].alias("schema_name"),
+        k["tbl"].alias("table_name"),
+        v["u"]["value_cents"].alias("new_value_cents"),
+        v["p"]["value_cents"].alias("old_value_cents"),
+        v["d"]["pk"].alias("deleted_pk"),
+    )
+
+
+@register(
+    "ddl_action_classify",
+    _DDL_CTE + """
+, stmts AS (
+  SELECT seq, trim(s.stmt) AS stmt
+  FROM ddl, unnest(string_split(ddl.query, ';')) AS s(stmt)
+  WHERE trim(s.stmt) <> ''
+)
+SELECT seq, stmt,
+  CASE WHEN stmt LIKE 'CREATE TABLE%' THEN 'create table'
+       WHEN stmt LIKE 'ALTER TABLE%ADD COLUMN%' THEN 'add column'
+       WHEN stmt LIKE 'ALTER TABLE%DROP COLUMN%' THEN 'drop column'
+       ELSE 'other' END AS ddl_action
+FROM stmts
+""",
+    doc="S4/F5: DDL action-type classification — the dispatch key of the "
+        "~30-case action switch (persist_storage.go:812-939)",
+)
+def ddl_action_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ddl = _ddl_stream(spark, sf_dir)
+    stmts = f_ops.split_multistatement_ddl(ddl).select("seq", "stmt")
+    return f_ops.classify_ddl(stmts).select("seq", "stmt", "ddl_action")
+
+
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)

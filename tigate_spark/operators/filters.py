@@ -128,3 +128,32 @@ def apply_filter_config(df: DataFrame, cfg: FilterConfig) -> DataFrame:
         out = event_type_filter(out, rule)
         out = expr_value_filter(out, rule)
     return out
+
+
+#: DDL statement → action type, mirroring the action switch coverage of
+#: ``logservice/schemastore/persist_storage.go:812-939`` for the statement
+#: shapes the engine's DDL channel carries.
+DDL_ACTION_PATTERNS: list[tuple[str, str]] = [
+    (r"(?i)^\s*CREATE\s+TABLE", "create table"),
+    (r"(?i)^\s*DROP\s+TABLE", "drop table"),
+    (r"(?i)^\s*TRUNCATE\s+TABLE", "truncate table"),
+    (r"(?i)^\s*RENAME\s+TABLE", "rename table"),
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+ADD\s+COLUMN", "add column"),
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+DROP\s+COLUMN", "drop column"),
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+MODIFY", "modify column"),
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+ADD\s+INDEX", "add index"),
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+DROP\s+INDEX", "drop index"),
+    (r"(?i)^\s*CREATE\s+(DATABASE|SCHEMA)", "create schema"),
+    (r"(?i)^\s*DROP\s+(DATABASE|SCHEMA)", "drop schema"),
+    (r"(?i)^\s*CREATE\s+VIEW", "create view"),
+]
+
+
+def classify_ddl(df: DataFrame, stmt_col: str = "stmt") -> DataFrame:
+    """F5/S4: classify each DDL statement into its action type (the
+    dispatch key of the reference's ~30-case action switch,
+    ``persist_storage.go:812-939``); unknown statements → 'other'."""
+    action: Column = F.lit("other")
+    for pat, name in reversed(DDL_ACTION_PATTERNS):
+        action = F.when(F.col(stmt_col).rlike(pat), name).otherwise(action)
+    return df.withColumn("ddl_action", action)

@@ -85,3 +85,30 @@ def row_checksum(df: DataFrame, cols: list[str], out_col: str = "checksum") -> D
     portable across engines)."""
     parts = [F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in cols]
     return df.withColumn(out_col, F.md5(F.concat_ws("\x01", *parts)))
+
+
+#: payload image schema for the canonical synthetic images
+IMG_MAP = "map<string,string>"
+
+
+def updated_columns_projection(df: DataFrame) -> DataFrame:
+    """P2: only-updated-columns — for update rows, emit just the column
+    names whose value changed between the before and after images
+    (``pkg/config/sink.go:160``; open-codec ``open/codec.go:56-72`` drops
+    unchanged columns from the ``old`` image).
+
+    The images are JSON; the diff is a JVM-side map comparison
+    (``from_json`` → ``map_filter``), no Python.
+    """
+    from pyspark.sql import functions as F
+
+    b = F.from_json(F.col("before"), IMG_MAP)
+    a = F.from_json(F.col("after"), IMG_MAP)
+    changed = F.array_sort(
+        F.map_keys(F.map_filter(b, lambda k, v: v != a[k]))
+    )
+    return (
+        df.filter(F.col("op") == "U")
+        .withColumn("changed_cols", changed)
+        .withColumn("n_changed", F.size("changed_cols").cast("bigint"))
+    )

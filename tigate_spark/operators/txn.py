@@ -46,3 +46,23 @@ def syncpoint_ticks(df: DataFrame, interval_us: int) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def match_prewrite_commit(prewrites: DataFrame, commits: DataFrame) -> DataFrame:
+    """S2: the transaction matcher — join prewrite values with commit
+    timestamps per ``(start_ts, key)``; prewrites with no commit (rollback
+    or still-pending) drop out (``logservice/logpuller/txn_matcher.go:42-110``).
+
+    Batch form is an inner join; the streaming form is the same join as a
+    stream-stream join with watermarks bounding the prewrite retention
+    (tigate caches unmatched prewrites exactly the same way).
+    """
+    p = prewrites.select(
+        F.col("start_ts").alias("p_start_ts"), F.col("pk").alias("p_pk"),
+        "value_cents", "event_type", "seq",
+    )
+    c = commits.select("start_ts", "pk", "commit_ts")
+    return (
+        c.join(p, (F.col("start_ts") == F.col("p_start_ts")) & (F.col("pk") == F.col("p_pk")))
+        .select("start_ts", "pk", "commit_ts", "value_cents", "event_type", "seq")
+    )
