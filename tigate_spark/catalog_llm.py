@@ -444,3 +444,37 @@ SELECT query_id, neighbor_id, rank, cos_bp FROM (
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sim.ivf_topk(load_table(spark, sf_dir, "embeddings"))
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       md5(md5(text) || ':' || CAST(i AS VARCHAR)) AS frame_md5
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, octet_length(encode(text)) % 16 + 1, 2)) AS i
+  FROM documents
+)
+""",
+    doc="Multimodal frame sampling: mapInPandas 1→N batch shape (decode "
+        "stubbed deterministically; Spark plumbing real)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.multimodal import attach_binary_payload, sample_frames
+
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return sample_frames(docs, every_n=2)
+
+
+@register(
+    "multimodal_resize",
+    None,  # deterministic fake, but byte-tiling is awkward in SQL → rows-only check
+    doc="Multimodal image resize: mapInPandas 1→1 batch shape, zero "
+        "shuffle (PIL decode stubbed; schema/partitioning real)",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.multimodal import attach_binary_payload, resize_images
+
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return resize_images(docs).select("doc_id", "width", "height", "resized_md5")

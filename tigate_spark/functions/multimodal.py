@@ -89,3 +89,98 @@ def decode_features(df: DataFrame, fake_decode: bool = True,
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224,
+                  fake_decode: bool = True) -> DataFrame:
+    """Image resize via Arrow-batched ``mapInPandas`` — 1 row in, 1 row out,
+    zero shuffle (runs inside the scan stage at scale).
+
+    The real body is ``PIL.Image.open(io.BytesIO(b)).resize((w, h))``;
+    STUBBED here (no PIL in env) with a deterministic fake that hashes the
+    payload into a pseudo-thumbnail so tests pin the batch shape + schema.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError("real resize requires PIL — not in this env")
+            out_payload = []
+            md5s = []
+            for b in pdf["payload"]:
+                digest = hashlib.md5(bytes(b)).digest()
+                # fake thumbnail: digest tiled to w*h/64 bytes (deterministic)
+                thumb = (digest * ((target_w * target_h) // (64 * len(digest)) + 1))
+                thumb = thumb[: max(16, (target_w * target_h) // 64)]
+                out_payload.append(thumb)
+                md5s.append(hashlib.md5(thumb).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": out_payload,
+                    "width": target_w,
+                    "height": target_h,
+                    "resized_md5": md5s,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 2,
+                  fake_decode: bool = True) -> DataFrame:
+    """Video frame sampling via ``mapInPandas`` — the 1→N batch shape
+    (one payload row explodes into ceil(n_frames / every_n) frame rows).
+
+    Real body: ``av.open`` + keyframe iteration; STUBBED with the same
+    deterministic fake frame count as :func:`decode_features`
+    (``n_frames = n_bytes % 16 + 1``), frame digest =
+    ``md5(content_md5 || ':' || frame_idx)`` so the oracle reproduces it.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError("real frame sampling requires av — not in this env")
+            doc_ids, idxs, md5s = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(b)
+                content_md5 = hashlib.md5(data).hexdigest()
+                n_frames = (len(data) % 16) + 1
+                for i in range(0, n_frames, every_n):
+                    doc_ids.append(int(doc_id))
+                    idxs.append(i)
+                    md5s.append(
+                        hashlib.md5(f"{content_md5}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(doc_ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int64"),
+                 "frame_md5": pd.Series(md5s, dtype="object")}
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)

@@ -1,0 +1,83 @@
+"""Custom stateful streaming operators — ``applyInPandasWithState`` +
+watermark-windowed aggregation (T5/T9 streaming-native forms, SURVEY §7).
+
+Reference parity: tigate keeps per-dispatcher cross-batch state (seen
+resolved-ts, seq continuity) in its dynstream handlers; Spark's
+equivalent primitive is ``applyInPandasWithState`` (per-key GroupState in
+the state store, RocksDB-backed at scale). The flagship use here is
+**streaming exact dedup** for LLM-pipeline ingestion: emit a document the
+first micro-batch its content hash is seen, suppress every later
+occurrence — state = one boolean per hash, storable at 100 TB scale
+because the key space is the *distinct* hash set, partitioned by hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+FIRST_SEEN_OUT = "group_key STRING, first_id BIGINT, first_seq BIGINT"
+FIRST_SEEN_STATE = "seen BOOLEAN"
+
+
+def first_seen(df: DataFrame, key_col: str, id_col: str, seq_col: str) -> DataFrame:
+    """Cross-batch first-occurrence dedup keyed on ``key_col``.
+
+    Each group is one key (content hash / pk); GroupState holds a single
+    boolean. The first batch containing the key emits its minimal
+    (seq, id) row; later batches are suppressed. In append mode the
+    output stream is exactly the deduplicated stream.
+    """
+
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        best_seq = None
+        best_id = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            i = pdf[seq_col].astype("int64").idxmin()
+            s, d = int(pdf[seq_col][i]), int(pdf[id_col][i])
+            if best_seq is None or (s, d) < (best_seq, best_id):
+                best_seq, best_id = s, d
+        if state.exists or best_seq is None:
+            yield pd.DataFrame({"group_key": pd.Series([], dtype="object"),
+                                "first_id": pd.Series([], dtype="int64"),
+                                "first_seq": pd.Series([], dtype="int64")})
+            return
+        state.update((True,))
+        yield pd.DataFrame({"group_key": [str(key[0])],
+                            "first_id": pd.Series([best_id], dtype="int64"),
+                            "first_seq": pd.Series([best_seq], dtype="int64")})
+
+    keyed = df.withColumn("group_key", F.col(key_col).cast("string"))
+    return keyed.groupBy("group_key").applyInPandasWithState(
+        fn, FIRST_SEEN_OUT, FIRST_SEEN_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def windowed_counts(df: DataFrame, window: str = "1 hour",
+                    watermark_delay: str = "30 minutes") -> DataFrame:
+    """T5/T9 streaming-native: event-time tumbling counts with a watermark.
+
+    Append mode only emits a window once the watermark passes its end, and
+    rows older than the watermark are dropped (the reference's stale-event
+    drop, ``dispatcher.go:271-279``) — both behaviors come from
+    ``withWatermark``, no custom code.
+    """
+    with_time = df.withColumn("commit_time", F.timestamp_micros(F.col("commit_ts")))
+    return (
+        with_time.withWatermark("commit_time", watermark_delay)
+        .groupBy(F.window("commit_time", window).alias("w"), F.col("table_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "table_id",
+            "n_events",
+        )
+    )
