@@ -852,6 +852,53 @@ def ddl_action_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f_ops.classify_ddl(stmts).select("seq", "stmt", "ddl_action")
 
 
+@register(
+    "ddl_barrier_subbatches",
+    ORACLE_CHANGES_CTE
+    + """
+, bounds AS (SELECT min(commit_ts) AS lo, max(commit_ts) AS hi FROM changes),
+marked AS (
+  SELECT c.*,
+         (SELECT lo + (hi - lo) // 3 FROM bounds) AS t1,
+         (SELECT lo + 2 * (hi - lo) // 3 FROM bounds) AS t2
+  FROM changes c
+)
+SELECT CAST(CASE
+         WHEN NOT (table_id = 2 AND commit_ts >= t1) AND commit_ts < t2 THEN 0
+         WHEN (table_id = 2 AND commit_ts >= t1) AND commit_ts < t2 THEN 1
+         ELSE 2 END AS BIGINT) AS sub,
+       count(*) AS n_rows
+FROM marked GROUP BY 1
+""",
+    doc="T8: DDL barrier — micro-batch split into sub-batches around two "
+        "DDL commit ts (one single-table, one global); unaffected tables "
+        "flow early (barrier.go:26-57; ddl_only_block_related_table)",
+)
+def ddl_barrier_subbatches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.streaming.ddl import DDLEvent, split_batch_at_ddl
+
+    ch = changes_stream(spark, sf_dir)
+    lo, hi = ch.agg(F.min("commit_ts"), F.max("commit_ts")).first()
+    t1 = lo + (hi - lo) // 3
+    t2 = lo + 2 * (hi - lo) // 3
+    ddls = [
+        DDLEvent(commit_ts=t1, table_id=2, query="ALTER TABLE t2 ADD COLUMN x INT",
+                 schema_tag="v1"),
+        DDLEvent(commit_ts=t2, table_id=None, query="ALTER DATABASE app CHARSET utf8",
+                 schema_tag="v2"),
+    ]
+    parts: list[DataFrame] = []
+
+    def apply_dml(df: DataFrame, sub: int) -> None:
+        parts.append(df.withColumn("sub", F.lit(sub).cast("bigint")))
+
+    split_batch_at_ddl(ch, ddls, apply_dml, lambda d: None)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("sub").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)
