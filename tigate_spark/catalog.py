@@ -899,6 +899,28 @@ def ddl_barrier_subbatches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("sub").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+@register(
+    "agg_salted_skew_safe",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT event_type, sum(value_cents) AS sum_value_cents, count(*) AS n_rows
+FROM changes GROUP BY event_type
+""",
+    doc="R9/skew: two-stage salted aggregation over pathologically hot "
+        "group keys — identical result, no hot reducer "
+        "(write_bytes_splitter.go intent; salting + AQE are the Spark forms)",
+)
+def agg_salted_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.operators.skew import salted_sum_count
+
+    ch = changes_stream(spark, sf_dir)
+    out = salted_sum_count(ch, ["event_type"], "value_cents",
+                           n_salts=16, salt_src="seq")
+    return out.select("event_type",
+                      F.col("sum_value_cents"),
+                      F.col("n_rows"))
+
+
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)

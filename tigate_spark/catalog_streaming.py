@@ -63,3 +63,44 @@ def streaming_replica_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_CHANGELOG_ORACLE = ORACLE_CHANGES_CTE + """
+SELECT seq,
+  'app_' || table_name AS topic,
+  CAST(('0x' || substr(md5(CAST(pk AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS partition,
+  printf('{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,"type":"%s","es":%d,"ts":%d,"sql":"","data":%s,"old":%s,"_tidb":{"commitTs":%d}}',
+    schema_name, table_name,
+    CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+    commit_ts // 1000, commit_ts // 1000,
+    '[' || coalesce(CASE WHEN op = 'D' THEN before ELSE after END, 'null') || ']',
+    CASE WHEN op = 'U' THEN '[' || before || ']' ELSE 'null' END,
+    commit_ts) AS message
+FROM changes
+"""
+
+
+@register(
+    "streaming_changelog_e2e",
+    _CHANGELOG_ORACLE,
+    doc="Structured Streaming changefeed → Kafka-shaped changelog sink "
+        "(router topic/partition + canal-json encode), hash-matched "
+        "message-for-message against the oracle (K2, SURVEY §3.2)",
+)
+def streaming_changelog_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.streaming.changefeed import Changefeed
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        cfg = ChangefeedConfig(changefeed_id="log-e2e", sink_uri="changelog://")
+        cf = Changefeed(
+            spark, cfg, os.path.join(sf_dir, "events.parquet"), work
+        )
+        cf.run_to_completion()
+        log = spark.read.parquet(cf.sink.out_dir).select(
+            "seq", "topic", "partition", "message"
+        )
+        out = spark.createDataFrame(log.collect(), log.schema)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1,0 +1,46 @@
+"""Skew-safe aggregation (R9's span-splitting intent, SURVEY §2.5).
+
+Reference parity: hot tables are split into multiple spans by write volume
+(``maintainer/split/write_bytes_splitter.go:30-122``,
+``region_count_splitter.go:28-66``) so no single dispatcher owns a hot
+key range. The Spark-native equivalents are (a) AQE skew handling —
+enabled globally in :mod:`tigate_spark.session` — and (b) explicit
+**salting** for aggregations whose group keys are pathologically hot:
+two-stage partial→final aggregation over a salted key.
+
+Salting only helps algebraic aggregates (sum/count/min/max — anything
+with a merge function); the final stage re-aggregates the partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum_count(df: DataFrame, keys: list[str], value_col: str,
+                     n_salts: int = 16, salt_src: str | None = None) -> DataFrame:
+    """Two-stage skew-safe ``groupBy(keys).agg(sum, count)``.
+
+    Stage 1 groups by ``(keys, salt)`` — a hot key fans out over
+    ``n_salts`` reducers; stage 2 merges the ≤ ``n_salts`` partials per
+    key. Deterministic salt (hash of ``salt_src`` or a row-spread column)
+    keeps the result reproducible.
+    """
+    salt: Column = (
+        F.abs(F.hash(F.col(salt_src))) % n_salts
+        if salt_src is not None
+        else (F.monotonically_increasing_id() % n_salts)
+    )
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(
+            F.sum(value_col).alias("_psum"),
+            F.count(F.lit(1)).alias("_pcnt"),
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_psum").alias(f"sum_{value_col}"),
+        F.sum("_pcnt").alias("n_rows"),
+    )
