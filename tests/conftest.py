@@ -22,3 +22,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias fixture for property tests (function-scoped hypothesis runs
+    share the session-scoped SparkSession)."""
+    return spark

@@ -1,0 +1,57 @@
+"""Property-based test: ordered last-writer-wins apply vs a Python model.
+
+Hypothesis generates adversarial change sequences (colliding keys, equal
+commit timestamps, shuffled arrival order); `materialize` must agree with
+a sequential replay that applies changes in the exact total order
+(commit_ts, start_ts, D<U<I, seq) — the invariant the reference's LSM key
+encodes (``logservice/eventstore/format.go:50-85``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tigate_spark.operators.apply import materialize
+
+OP_RANK = {"D": 1, "U": 2, "I": 3}
+
+change = st.tuples(
+    st.integers(0, 1),      # table_id
+    st.integers(0, 3),      # pk (few keys → many collisions)
+    st.sampled_from("IUD"),  # op
+    st.integers(0, 4),      # commit_ts (tiny range → ts ties)
+    st.integers(0, 2),      # start_ts
+    st.integers(0, 50),     # value
+)
+
+
+def _model(rows):
+    """Sequential replay in total order — the ground truth."""
+    state = {}
+    for r in sorted(rows, key=lambda r: (r["commit_ts"], r["start_ts"],
+                                         OP_RANK[r["op"]], r["seq"])):
+        k = (r["table_id"], r["pk"])
+        if r["op"] == "D":
+            state[k] = None
+        else:
+            state[k] = r["value_cents"]
+    return {k: v for k, v in state.items() if v is not None}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(change, min_size=1, max_size=60))
+def test_materialize_matches_sequential_replay(spark_prop, data):
+    rows = [
+        dict(table_id=t, pk=p, op=o, commit_ts=c, start_ts=s,
+             seq=i, value_cents=v)
+        for i, (t, p, o, c, s, v) in enumerate(data)
+    ]
+    df = spark_prop.createDataFrame(pd.DataFrame(rows))
+    got = {
+        (r["table_id"], r["pk"]): r["value_cents"]
+        for r in materialize(df, ["value_cents"]).collect()
+    }
+    assert got == _model(rows)

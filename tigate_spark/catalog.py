@@ -921,6 +921,49 @@ def agg_salted_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_rows"))
 
 
+@register(
+    "apply_composite_key",
+    _LAST_CHANGE_CTE.replace(
+        "PARTITION BY table_id, pk", "PARTITION BY table_id, pk, event_type"
+    )
+    + """
+SELECT table_id, pk, event_type, commit_ts AS last_commit_ts, value_cents
+FROM ordered WHERE rn = 1 AND op <> 'D'
+""",
+    doc="K1/many_pk_or_uk: last-writer-wins apply over a composite unique "
+        "key (table_id, pk, event_type) — same single-shuffle max_by",
+)
+def apply_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    last = apply_ops.latest_change_per_key(
+        ch, ["value_cents"], key_cols=["table_id", "pk", "event_type"]
+    )
+    return last.filter(F.col("op") != "D").select(
+        "table_id", "pk", "event_type", "last_commit_ts", "value_cents"
+    )
+
+
+@register(
+    "force_replicate_rowkey",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq,
+       md5(CAST(event_type AS VARCHAR) || chr(1) || CAST(value_cents AS VARCHAR)
+           || chr(1) || CAST(user_id AS VARCHAR)) AS row_key
+FROM changes
+""",
+    doc="force-replicate: synthetic full-row key for tables without a "
+        "handle key (ChangefeedConfig.ForceReplicate; "
+        "force_replicate_table scenario)",
+)
+def force_replicate_rowkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    out = apply_ops.force_replicate_rowkey(
+        ch, ["event_type", "value_cents", "user_id"]
+    )
+    return out.select("seq", "row_key")
+
+
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)

@@ -21,24 +21,37 @@ from pyspark.sql import functions as F
 from tigate_spark.operators.ordering import op_rank_col
 
 
-def latest_change_per_key(changes: DataFrame, payload_cols: list[str]) -> DataFrame:
-    """Reduce the stream to the final change per (table_id, pk).
+def latest_change_per_key(changes: DataFrame, payload_cols: list[str],
+                          key_cols: list[str] | None = None) -> DataFrame:
+    """Reduce the stream to the final change per key (default
+    ``(table_id, pk)``; composite/unique-key tables pass their own
+    ``key_cols`` — the reference's many-pk-or-uk case).
 
     One hash aggregation: ``max_by(payload, order_key)`` with the
     lexicographic order key (commit_ts, start_ts, op_rank, seq).
     """
+    keys = key_cols or ["table_id", "pk"]
     order_key = F.struct(
         F.col("commit_ts"), F.col("start_ts"), op_rank_col(), F.col("seq")
     )
     payload = F.struct(F.col("op").alias("op"), *[F.col(c).alias(c) for c in payload_cols])
-    agg = changes.groupBy("table_id", "pk").agg(
+    agg = changes.groupBy(*keys).agg(
         F.max_by(payload, order_key).alias("last"),
         F.max("commit_ts").alias("last_commit_ts"),
     )
-    cols = [F.col("table_id"), F.col("pk"), F.col("last.op").alias("op"),
+    cols = [*[F.col(k) for k in keys], F.col("last.op").alias("op"),
             F.col("last_commit_ts")]
     cols += [F.col(f"last.{c}").alias(c) for c in payload_cols]
     return agg.select(*cols)
+
+
+def force_replicate_rowkey(changes: DataFrame, payload_cols: list[str]) -> DataFrame:
+    """Force-replicate: a table with no handle key gets a synthetic row key
+    = hash of the full payload image, so delete-by-key still works
+    (``ChangefeedConfig.ForceReplicate``, ``pkg/config/changefeed.go:21-38``;
+    the force_replicate_table integration scenario)."""
+    row_key = F.md5(F.concat_ws("\x01", *[F.col(c).cast("string") for c in payload_cols]))
+    return changes.withColumn("row_key", row_key)
 
 
 def materialize(changes: DataFrame, payload_cols: list[str]) -> DataFrame:
