@@ -107,16 +107,29 @@ class ReplicaSink:
     def _state(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.exists(self.state_dir):
             return None
-        return spark.read.parquet(self.state_dir)
+        # partition-column discovery types table_id as int — restore bigint
+        return spark.read.parquet(self.state_dir).withColumn(
+            "table_id", F.col("table_id").cast("bigint")
+        )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Merge one micro-batch into the partitioned replica.
+
+        Scale shape (the Delta-MERGE pattern without Delta): state is
+        hash-partitioned by ``table_id``; only partitions the batch
+        touches are read (partition-pruned scan) and rewritten — untouched
+        partitions are hard-linked into the new state version, so batch
+        cost is O(touched partitions), not O(total state).
+        """
         spark = batch_df.sparkSession
         cols = ["table_id", "pk", "op", "commit_ts", "start_ts", "seq",
                 *[c for c in self.payload_cols if c in batch_df.columns]]
         incoming = batch_df.select(*cols)
+        # the touched-partition list is tiny (it is a table list, not data)
+        touched = [r["table_id"] for r in incoming.select("table_id").distinct().collect()]
         state = self._state(spark)
         merged_src = incoming if state is None else incoming.unionByName(
-            state.select(*cols)
+            state.filter(F.col("table_id").isin(touched)).select(*cols)
         )
         # one shuffle: max_by over the exact total order (commit_ts,
         # start_ts, D<U<I, seq) — the winner keeps its full order key so
@@ -133,10 +146,26 @@ class ReplicaSink:
             *[F.col(f"w.{c}").alias(c) for c in cols if c not in ("table_id", "pk")],
         )
         tmp = self.state_dir + f".tmp-{uuid.uuid4().hex[:8]}"
-        new_state.write.mode("overwrite").parquet(tmp)
+        new_state.write.mode("overwrite").partitionBy("table_id").parquet(tmp)
+        if state is not None:
+            self._link_untouched(touched, tmp)
         _swap_dir(tmp, self.state_dir)
         if self.bookkeeping:
             self.bookkeeping.record(batch_df, batch_id)
+
+    def _link_untouched(self, touched: list, tmp: str) -> None:
+        """Hard-link state partitions the batch did not touch into the new
+        version (no data rewrite — the 'copy' is metadata-only)."""
+        touched_dirs = {f"table_id={t}" for t in touched}
+        for entry in os.listdir(self.state_dir):
+            if not entry.startswith("table_id=") or entry in touched_dirs:
+                continue
+            src = os.path.join(self.state_dir, entry)
+            dst = os.path.join(tmp, entry)
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    os.link(os.path.join(src, f), os.path.join(dst, f))
 
     def live(self, spark: SparkSession) -> DataFrame:
         """The replica's live view (tombstones filtered)."""
@@ -144,7 +173,12 @@ class ReplicaSink:
 
 
 def read_replica(spark: SparkSession, state_dir: str) -> DataFrame:
-    return spark.read.parquet(state_dir).filter(F.col("op") != "D").drop("op")
+    return (
+        spark.read.parquet(state_dir)
+        .withColumn("table_id", F.col("table_id").cast("bigint"))
+        .filter(F.col("op") != "D")
+        .drop("op")
+    )
 
 
 class ChangelogSink:
