@@ -964,6 +964,40 @@ def force_replicate_rowkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("seq", "row_key")
 
 
+@register(
+    "encoder_open_batch",
+    ORACLE_CHANGES_CTE
+    + f"""
+, msgs AS (
+  SELECT seq,
+    'app_' || table_name AS topic,
+    {h32_sql('pk')} % 16 AS partition,
+    CASE WHEN op = 'U' THEN printf('{{"u":%s,"p":%s}}', after, before)
+         WHEN op = 'I' THEN printf('{{"u":%s}}', after)
+         ELSE printf('{{"d":%s}}', before) END AS value
+  FROM changes
+)
+SELECT topic, partition,
+       string_agg(value, chr(10) ORDER BY seq) AS batch_value,
+       count(*) AS n_messages, max(seq) AS max_seq
+FROM msgs GROUP BY topic, partition
+""",
+    doc="E4: per-(topic,partition) message batching in seq order "
+        "(kafka_dml_worker.go:221-321) over open-protocol values",
+)
+def encoder_open_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import (
+        encode_open_protocol,
+        encode_open_protocol_batch,
+    )
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    enc = encode_open_protocol(ch).withColumn(
+        "topic", F.format_string("app_%s", F.col("table_name"))
+    ).withColumn("partition", (h32(F.col("pk")) % 16))
+    return encode_open_protocol_batch(enc)
+
+
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)

@@ -1,0 +1,118 @@
+"""Engine: the changefeed lifecycle API (SURVEY §3.1).
+
+Reference parity — the v2 HTTP API surface (``api/v2/api.go:51-58``,
+``api/v2/changefeed.go:51-120``) collapsed onto Python calls:
+
+| reference                        | here                          |
+|---------------------------------|-------------------------------|
+| POST /api/v2/changefeeds        | ``Engine.create(cfg)``        |
+| GET  /api/v2/changefeeds        | ``Engine.list()``             |
+| POST .../{id}/pause             | ``Engine.pause(id)``          |
+| POST .../{id}/resume            | ``Engine.resume(id)``         |
+| DELETE .../{id}                 | ``Engine.remove(id)``         |
+
+Pause/resume ride on Spark's ``checkpointLocation``: pausing stops the
+query; resuming restarts it from the committed offsets (the reference
+persists ``checkpointTs`` in etcd and replays from it — T10's recovery,
+subsumed). The coordinator/maintainer/dispatcher scheduling hierarchy is
+the Spark driver + task scheduler.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from tigate_spark.config import ChangefeedConfig
+from tigate_spark.streaming.changefeed import Changefeed
+
+#: changefeed-id validation, mirroring the reference's ID rules
+#: (``api/v2/changefeed.go`` → model.ValidateChangefeedID)
+_ID_RE = re.compile(r"^[a-zA-Z0-9](?:[a-zA-Z0-9\-_.]{0,126}[a-zA-Z0-9])?$")
+
+
+@dataclass
+class _Feed:
+    cfg: ChangefeedConfig
+    changefeed: Changefeed
+    state: str = "stopped"  # stopped | running | paused | removed
+    query: object = None
+    meta: dict = field(default_factory=dict)
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, source_dir: str, work_dir: str):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.work_dir = work_dir
+        self._feeds: dict[str, _Feed] = {}
+
+    def create(self, cfg: ChangefeedConfig) -> str:
+        """Validate + register a changefeed (does not start it)."""
+        if not _ID_RE.match(cfg.changefeed_id):
+            raise ValueError(f"invalid changefeed id: {cfg.changefeed_id!r}")
+        if cfg.changefeed_id in self._feeds and \
+                self._feeds[cfg.changefeed_id].state != "removed":
+            raise ValueError(f"changefeed exists: {cfg.changefeed_id}")
+        cf = Changefeed(self.spark, cfg, self.source_dir, self.work_dir)
+        self._feeds[cfg.changefeed_id] = _Feed(cfg=cfg, changefeed=cf)
+        return cfg.changefeed_id
+
+    def start(self, changefeed_id: str, available_now: bool = True):
+        feed = self._get(changefeed_id)
+        feed.query = feed.changefeed.start(available_now=available_now)
+        feed.state = "running"
+        return feed.query
+
+    def run_to_completion(self, changefeed_id: str, timeout_s: int = 300) -> None:
+        feed = self._get(changefeed_id)
+        feed.state = "running"
+        try:
+            feed.changefeed.run_to_completion(timeout_s)
+        finally:
+            feed.state = "stopped"
+
+    def pause(self, changefeed_id: str) -> None:
+        feed = self._get(changefeed_id)
+        if feed.query is not None and feed.query.isActive:
+            feed.query.stop()
+        feed.state = "paused"
+
+    def resume(self, changefeed_id: str, available_now: bool = True):
+        """Restart from the committed checkpoint — no reprocessing."""
+        feed = self._get(changefeed_id)
+        q = feed.changefeed.start(available_now=available_now)
+        feed.query = q
+        feed.state = "running"
+        return q
+
+    def remove(self, changefeed_id: str, drop_state: bool = False) -> None:
+        feed = self._get(changefeed_id)
+        if feed.query is not None and feed.query.isActive:
+            feed.query.stop()
+        feed.state = "removed"
+        if drop_state:
+            shutil.rmtree(feed.changefeed.checkpoint_dir, ignore_errors=True)
+            sink = feed.changefeed.sink
+            for attr in ("state_dir", "out_dir"):
+                d = getattr(sink, attr, None)
+                if d and os.path.exists(d):
+                    shutil.rmtree(d, ignore_errors=True)
+
+    def list(self) -> list[dict]:
+        return [
+            {"id": cid, "state": f.state, "sink_uri": f.cfg.sink_uri}
+            for cid, f in self._feeds.items()
+        ]
+
+    def _get(self, changefeed_id: str) -> _Feed:
+        if changefeed_id not in self._feeds:
+            raise KeyError(f"changefeed not found: {changefeed_id}")
+        feed = self._feeds[changefeed_id]
+        if feed.state == "removed":
+            raise KeyError(f"changefeed removed: {changefeed_id}")
+        return feed

