@@ -210,3 +210,24 @@ def test_ddl_barrier_split(spark, sf_dir, tmp_path):
           | (F.col("commit_ts") >= t2))
     )
     assert applied[0][1] == eligible0.count()
+
+
+def test_vacuum_tombstones(spark, sf_dir, chunked_source, tmp_path):
+    """T12: tombstones below the checkpoint are GC-able; live view
+    unchanged."""
+    from tigate_spark.streaming.sinks import vacuum_tombstones
+
+    cfg = ChangefeedConfig(changefeed_id="cf-gc", sink_uri="replica://")
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    cf.run_to_completion()
+    state_dir = cf.sink.state_dir
+    state = spark.read.parquet(state_dir)
+    n_dead = state.filter(F.col("op") == "D").count()
+    assert n_dead > 0
+    live_before = read_replica(spark, state_dir).count()
+    hi = state.agg(F.max("commit_ts")).first()[0]
+    removed = vacuum_tombstones(spark, state_dir, below_ts=hi + 1)
+    assert removed == n_dead
+    after = spark.read.parquet(state_dir)
+    assert after.filter(F.col("op") == "D").count() == 0
+    assert read_replica(spark, state_dir).count() == live_before

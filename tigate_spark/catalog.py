@@ -998,6 +998,41 @@ def encoder_open_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_open_protocol_batch(enc)
 
 
+@register(
+    "schema_evolution_typed_view",
+    ORACLE_CHANGES_CTE + _VERSIONS_CTE
+    + """
+, resolved AS (
+  SELECT c.seq, c.table_id, c.event_type, c.value_cents, c.user_id, c.props,
+         v.version AS schema_version
+  FROM changes c
+  ASOF LEFT JOIN versions v
+    ON c.table_id = v.table_id AND v.version_ts <= c.commit_ts - 1
+)
+SELECT seq, table_id, schema_version,
+  CASE WHEN schema_version >= 0 THEN event_type END AS v_event_type,
+  CASE WHEN schema_version >= 1 THEN value_cents END AS v_value_cents,
+  CASE WHEN schema_version >= 2 THEN user_id END AS v_user_id,
+  CASE WHEN schema_version >= 3 THEN props END AS v_props
+FROM resolved
+""",
+    doc="T3/M3: per-version typed view — each event exposes only the "
+        "columns its as-of schema version defines (decode at commitTs-1, "
+        "event_broker.go:492; TableInfo columns table_info_helper.go:311-369)",
+)
+def schema_evolution_typed_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir).select(
+        "seq", "table_id", "commit_ts", "event_type", "value_cents", "user_id", "props"
+    )
+    versions = sr_ops.synthetic_schema_versions(spark, ch)
+    resolved = sr_ops.asof_schema_join(ch, versions)
+    out = sr_ops.typed_view(resolved)
+    return out.select(
+        "seq", "table_id", "schema_version",
+        "v_event_type", "v_value_cents", "v_user_id", "v_props",
+    )
+
+
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)

@@ -79,3 +79,7 @@ class ChangefeedConfig:
     enable_sync_point: bool = False
     sync_point_interval_s: int = 3600
     force_replicate: bool = False
+    #: source rate limit per micro-batch — the engine's backpressure knob
+    #: (reference: MemoryQuota ``changefeed.go:21-38`` + dynstream pause/
+    #: resume; Spark-native form is bounding batch size at the source)
+    max_files_per_trigger: int = 1

@@ -21,6 +21,12 @@ from pyspark.sql import functions as F
 
 from tigate_spark.functions.text import TOKENS_EXPR
 
+# Algorithms are the published ones: MinHash resemblance sketches
+# (Broder, "On the resemblance and containment of documents", 1997),
+# banded LSH (Indyk & Motwani 1998; Leskovec/Rajaraman/Ullman MMDS ch.3),
+# SimHash (Charikar, "Similarity estimation techniques from rounding
+# algorithms", STOC 2002) — re-expressed as Spark higher-order functions.
+
 #: MinHash modulus (2^31 - 1, prime); products stay < 2^62 — no overflow.
 MINHASH_P = 2_147_483_647
 #: number of MinHash functions (banded as b=4 bands × r=2 rows)

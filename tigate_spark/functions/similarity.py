@@ -14,6 +14,10 @@ Scale design:
   off the table. An IVF variant is the same shape with learned centroids.
 
 Everything is higher-order array functions — JVM-side, no Python.
+
+Published bases: sign-random-projection LSH (Charikar, STOC 2002 — cosine
+LSH), IVF coarse quantization (Jégou/Douze/Schmid, "Product quantization
+for nearest neighbor search", TPAMI 2011 — the inverted-file part).
 """
 
 from __future__ import annotations

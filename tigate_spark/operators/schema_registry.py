@@ -74,3 +74,27 @@ def merge_dml_ddl(dml: DataFrame, ddl: DataFrame) -> DataFrame:
         F.col("seq").alias("src_seq"), F.col("query"),
     )
     return d.unionByName(x)
+
+
+#: payload columns in the order schema versions introduce them — version k
+#: "knows" the first k+1 columns (the per-version TableInfo column list,
+#: ``pkg/common/table_info_helper.go:311-369``)
+VERSION_COLUMNS = ["event_type", "value_cents", "user_id", "props"]
+
+
+def typed_view(changes_with_version: DataFrame) -> DataFrame:
+    """T3/M3: per-version typed projection — each event exposes exactly the
+    columns its resolved schema version defines; later-version columns read
+    as NULL under an older schema (decode-with-TableInfo-as-of-commitTs,
+    ``pkg/eventservice/event_broker.go:492``).
+
+    This is the map-payload normalization of SURVEY §7.1: one physical
+    schema, per-version column visibility as expressions — no per-version
+    DataFrame schemas, so a single plan serves mixed-version batches.
+    """
+    out = changes_with_version
+    for i, c in enumerate(VERSION_COLUMNS):
+        out = out.withColumn(
+            f"v_{c}", F.when(F.col("schema_version") >= i, F.col(c))
+        )
+    return out

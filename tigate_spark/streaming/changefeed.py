@@ -78,7 +78,9 @@ class Changefeed:
         path, glob_filter = self._source()
         reader = (
             self.spark.readStream.schema(self._events_schema())
-            .option("maxFilesPerTrigger", "1")  # one file = one micro-batch
+            # backpressure: bound micro-batch size at the source (the
+            # MemoryQuota equivalent); default 1 file = 1 micro-batch
+            .option("maxFilesPerTrigger", str(self.cfg.max_files_per_trigger))
         )
         if glob_filter:
             reader = reader.option("pathGlobFilter", glob_filter)

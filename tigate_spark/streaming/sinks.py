@@ -223,3 +223,26 @@ __all__ = [
     "read_replica",
     "op_rank_col",
 ]
+
+
+def vacuum_tombstones(spark: SparkSession, state_dir: str, below_ts: int) -> int:
+    """T12: event-store GC — drop delete tombstones whose commit_ts is
+    below the global checkpoint (``logservice/eventstore/gc.go``; for a
+    Delta replica this is VACUUM). A tombstone older than the checkpoint
+    can never be contradicted by a late change (stale events below the
+    checkpoint are dropped at ingest — T9), so removing it is safe.
+
+    Returns the number of tombstones removed. Partition layout preserved.
+    """
+    state = spark.read.parquet(state_dir).withColumn(
+        "table_id", F.col("table_id").cast("bigint")
+    )
+    dead = state.filter((F.col("op") == "D") & (F.col("commit_ts") < below_ts))
+    n = dead.count()
+    if n == 0:
+        return 0
+    kept = state.filter(~((F.col("op") == "D") & (F.col("commit_ts") < below_ts)))
+    tmp = state_dir + f".tmp-{uuid.uuid4().hex[:8]}"
+    kept.write.mode("overwrite").partitionBy("table_id").parquet(tmp)
+    _swap_dir(tmp, state_dir)
+    return n
