@@ -28,6 +28,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Dimension tables (region/nation/customer/schema registry) broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # E6 parity: zstd on stored state/changelogs, like the reference's
+    # pebble value compression (event_store.go:32).
+    "spark.sql.parquet.compression.codec": "zstd",
 }
 
 
