@@ -176,25 +176,26 @@ def minhash_lsh_pairs(df: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFr
     pairing (an oversized bucket is a corpus-common feature — pairing it
     is quadratic and semantically useless). Only (doc, band) rows shuffle.
     """
-    # materialize the (tiny) signature table once — the plan references it
-    # four times (two self-join sides × the size filter) and the round-robin
-    # fan-out exchange blocks Catalyst's exchange reuse, so without this the
-    # whole shingle→minhash pipeline runs 4×. At lake scale the same move is
-    # "write the signature table, then pair" — standard MinHash practice.
-    bands = lsh_bands(df).persist()
-    sizes = bands.groupBy("band", "v").agg(F.count(F.lit(1)).alias("bucket_n"))
-    bands_f = bands.join(
-        sizes.filter(F.col("bucket_n") <= bucket_cap), ["band", "v"]
-    ).select("doc_id", "band", "v")
-    a, b = bands_f.alias("a"), bands_f.alias("b")
+    # Bucket-local pair generation: ONE shuffle clusters (band, v); pairs
+    # come from array combinations inside each bucket row (bounded by
+    # bucket_cap → ≤ cap·(cap-1)/2 pairs), then one final agg shuffle.
+    # This replaces the sizes-join + self-join formulation (4 shuffles and
+    # 4 recomputes of the signature pipeline) — the standard
+    # sort-by-bucket-then-pair MinHash layout at lake scale.
+    buckets = (
+        lsh_bands(df)
+        .groupBy("band", "v")
+        .agg(F.expr("array_sort(collect_list(doc_id))").alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= bucket_cap))
+    )
+    pairs = F.expr(
+        "flatten(transform(sequence(0, size(ds) - 2), i -> "
+        "transform(sequence(i + 1, size(ds) - 1), j -> "
+        "struct(ds[i] as doc_a, ds[j] as doc_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
@@ -244,25 +245,28 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 6,
         )
         .filter(F.col("ch").isNotNull())
         .select("doc_id", "simhash", F.col("ch.chunk").alias("chunk"), F.col("ch.v").alias("v"))
-    ).persist()  # referenced 4×: see minhash_lsh_pairs
-    sizes = chunks.groupBy("chunk", "v").agg(F.count(F.lit(1)).alias("bucket_n"))
-    chunks_f = chunks.join(
-        sizes.filter(F.col("bucket_n") <= bucket_cap), ["chunk", "v"]
-    ).select("doc_id", "simhash", "chunk", "v")
-    a, b = chunks_f.alias("a"), chunks_f.alias("b")
+    )
+    # bucket-local pair generation (see minhash_lsh_pairs): one clustering
+    # shuffle, combinations inside each ≤cap bucket, one distinct shuffle
+    buckets = (
+        chunks.groupBy("chunk", "v")
+        .agg(F.expr(
+            "array_sort(collect_list(struct(doc_id, simhash)))"
+        ).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= bucket_cap))
+    )
+    pairs = F.expr(
+        "flatten(transform(sequence(0, size(ds) - 2), i -> "
+        "transform(sequence(i + 1, size(ds) - 1), j -> "
+        "struct(ds[i].doc_id as doc_a, ds[j].doc_id as doc_b, "
+        "ds[i].simhash as sh_a, ds[j].simhash as sh_b))))"
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.bit_count(F.col("p.sh_a").bitwiseXOR(F.col("p.sh_b"))).alias("hamming"),
         )
         .distinct()
     )
