@@ -104,3 +104,49 @@ def streaming_changelog_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_first_seen_e2e",
+    ORACLE_CHANGES_CTE + """
+SELECT CAST(table_id AS VARCHAR) || ':' || CAST(pk AS VARCHAR) AS group_key,
+       min(pk) AS first_id,
+       min(seq) AS first_seq
+FROM changes
+GROUP BY table_id, pk
+""",
+    doc="Streaming exact dedup via applyInPandasWithState: first occurrence "
+        "per key across micro-batches (GroupState = one boolean per key)",
+)
+def streaming_first_seen_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tigate_spark.sources.changes import normalize_events
+    from tigate_spark.streaming.stateful import first_seen
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        schema = spark.read.parquet(src).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(os.path.dirname(src))
+        )
+        ch = normalize_events(raw).withColumn(
+            "k", F.concat_ws(":", F.col("table_id"), F.col("pk"))
+        )
+        out_dir, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+        q = (
+            first_seen(ch, "k", "pk", "seq")
+            .writeStream.format("parquet")
+            .option("path", out_dir).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        got = spark.read.parquet(out_dir)
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
