@@ -15,3 +15,21 @@ Design rules (see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy re-exports: keep `import tigate_spark` cheap (no pyspark import)
+    if name in ("ChangefeedConfig", "FilterConfig", "EventFilterRule",
+                "SinkConfig", "DispatchRule", "ColumnSelector"):
+        from tigate_spark import config
+        return getattr(config, name)
+    if name == "Engine":
+        from tigate_spark.engine import Engine
+        return Engine
+    if name == "Changefeed":
+        from tigate_spark.streaming.changefeed import Changefeed
+        return Changefeed
+    if name == "get_catalog":
+        from tigate_spark.catalog import get_catalog
+        return get_catalog
+    raise AttributeError(name)

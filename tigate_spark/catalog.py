@@ -1033,6 +1033,34 @@ def schema_evolution_typed_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "partition_table_logical",
+    _LAST_CHANGE_CTE.replace(
+        "PARTITION BY table_id, pk", "PARTITION BY table_id // 2, pk"
+    )
+    + """
+SELECT table_id // 2 AS logical_table_id, pk,
+       commit_ts AS last_commit_ts, value_cents
+FROM ordered WHERE rn = 1 AND op <> 'D'
+""",
+    doc="partition_table scenario: physical partitions (table spans) of "
+        "one logical table merge into one replica — apply keys on the "
+        "logical id (tigate routes per physical table id, "
+        "pkg/common/table_span.go; sinks converge on the logical table)",
+)
+def partition_table_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # physical tables 2k and 2k+1 are partitions of logical table k
+    ch = changes_stream(spark, sf_dir).withColumn(
+        "logical_table_id", F.expr("table_id div 2")
+    )
+    last = apply_ops.latest_change_per_key(
+        ch, ["value_cents"], key_cols=["logical_table_id", "pk"]
+    )
+    return last.filter(F.col("op") != "D").select(
+        "logical_table_id", "pk", "last_commit_ts", "value_cents"
+    )
+
+
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)
