@@ -478,3 +478,60 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return resize_images(docs).select("doc_id", "width", "height", "resized_md5")
+
+
+# ===========================================================================
+# End-to-end corpus cleaning (the LLM-ingest flagship composite)
+# ===========================================================================
+@register(
+    "llm_clean_corpus",
+    _TOK_CTE
+    + f"""
+, qual AS (
+  SELECT doc_id, text, tokens FROM tok
+  WHERE len(tokens) BETWEEN 20 AND 2000
+    AND len(list_distinct(tokens)) * 10000 // len(tokens) >= 1000
+), exact AS (
+  SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)
+), surv AS (
+  SELECT t.doc_id, t.text, t.tokens FROM tok t JOIN exact e ON t.doc_id = e.doc_id
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(tokens) - 3, 1)),
+           i -> array_to_string(tokens[i:i+4], ' '))) AS shingles
+  FROM surv
+), sigs AS (
+  SELECT doc_id, {_MINHASH_SIG_SQL} AS sig
+  FROM sh WHERE len(shingles) >= 1
+), bands AS (
+  SELECT doc_id, g.band,
+         printf('%d:%d', sig[2 * g.band + 1], sig[2 * g.band + 2]) AS v
+  FROM sigs, (SELECT unnest(range({dd.MINHASH_BANDS})) AS band) g
+), sized AS (
+  SELECT band, v FROM bands GROUP BY band, v HAVING count(*) <= {dd.LSH_BUCKET_CAP}
+), bf AS (
+  SELECT b.* FROM bands b JOIN sized s ON b.band = s.band AND b.v = s.v
+), dropped AS (
+  SELECT DISTINCT b.doc_id FROM bf a JOIN bf b
+    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT s.doc_id, md5(s.text) AS content_hash
+FROM surv s WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
+""",
+    doc="Corpus cleaning pipeline: quality filter → exact dedup (canonical "
+        "min doc_id per content hash) → MinHash-LSH near-dup removal — the "
+        "composed LLM-ingest flow, one declarative plan",
+)
+def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qual_ids = tx.quality_score(docs).filter(F.col("quality_ok")).select("doc_id")
+    qual_docs = docs.join(qual_ids, "doc_id")
+    canonical = qual_docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    survivors = docs.join(canonical, "doc_id")
+    pairs = dd.minhash_lsh_pairs(survivors)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    clean = survivors.join(dropped, "doc_id", "left_anti")
+    return clean.select("doc_id", F.md5("text").alias("content_hash"))
