@@ -231,3 +231,18 @@ def test_vacuum_tombstones(spark, sf_dir, chunked_source, tmp_path):
     after = spark.read.parquet(state_dir)
     assert after.filter(F.col("op") == "D").count() == 0
     assert read_replica(spark, state_dir).count() == live_before
+
+
+def test_checkpoint_broadcast_per_topic(spark, sf_dir, chunked_source, tmp_path):
+    """K6: every batch appends a resolved-ts message per topic."""
+    import json as _json
+
+    cfg = ChangefeedConfig(changefeed_id="cf-k6", sink_uri="changelog://")
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    cf.run_to_completion()
+    ckpt = spark.read.parquet(cf.sink.checkpoint_dir)
+    # 4 batches × 4 topics
+    assert ckpt.count() == 16
+    assert ckpt.select("topic").distinct().count() == 4
+    msg = _json.loads(ckpt.first()["message"])
+    assert msg["type"] == "resolved" and msg["ts"] > 0

@@ -190,6 +190,10 @@ class ChangelogSink:
 
     def __init__(self, out_dir: str, bookkeeping: Bookkeeping | None = None):
         self.out_dir = out_dir
+        #: K6: resolved-ts broadcast — one checkpoint message per topic per
+        #: batch so consumers can advance without waiting for data
+        #: (kafka_ddl_worker.go checkpoint loop; event_broker.go:579-606)
+        self.checkpoint_dir = out_dir.rstrip("/") + "_checkpoint"
         self.bookkeeping = bookkeeping
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -199,6 +203,16 @@ class ChangelogSink:
         (batch_df.select(*out_cols)
          .repartition("topic", "partition")
          .write.mode("append").partitionBy("topic").parquet(self.out_dir))
+        ckpt = batch_df.groupBy("topic").agg(
+            F.max("commit_ts").alias("resolved_ts")
+        ).select(
+            "topic",
+            F.format_string(
+                '{"type":"resolved","ts":%d,"batch":%d}',
+                F.col("resolved_ts"), F.lit(batch_id),
+            ).alias("message"),
+        )
+        ckpt.write.mode("append").parquet(self.checkpoint_dir)
         if self.bookkeeping:
             self.bookkeeping.record(batch_df, batch_id)
 
