@@ -1061,6 +1061,45 @@ def partition_table_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_session_windows",
+    ORACLE_CHANGES_CTE
+    + """
+, m AS (
+  SELECT user_id, commit_ts,
+         CASE WHEN lag(commit_ts) OVER w IS NULL
+                   OR commit_ts - lag(commit_ts) OVER w >= 1800000000 THEN 1
+              ELSE 0 END AS new_s
+  FROM changes WINDOW w AS (PARTITION BY user_id ORDER BY commit_ts)
+), g AS (
+  SELECT user_id, commit_ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY commit_ts
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m
+)
+SELECT user_id, min(commit_ts) AS first_ts, max(commit_ts) AS last_ts,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sess
+""",
+    doc="Sessionization: gap-based session windows per user "
+        "(F.session_window, 30-min gap) — streaming-native stateful "
+        "windows; oracle via gaps-and-islands SQL",
+)
+def agg_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir).withColumn(
+        "commit_time", F.timestamp_micros(F.col("commit_ts"))
+    )
+    return (
+        ch.groupBy(F.session_window("commit_time", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("commit_ts").alias("first_ts"),
+            F.max("commit_ts").alias("last_ts"),
+        )
+        .select("user_id", "first_ts", "last_ts", "n_events")
+    )
+
+
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)
