@@ -246,3 +246,17 @@ def test_checkpoint_broadcast_per_topic(spark, sf_dir, chunked_source, tmp_path)
     assert ckpt.select("topic").distinct().count() == 4
     msg = _json.loads(ckpt.first()["message"])
     assert msg["type"] == "resolved" and msg["ts"] > 0
+
+
+def test_crash_recovery_between_swap_renames(spark, sf_dir, chunked_source, tmp_path):
+    """Simulate a crash after `state → state.old` but before
+    `tmp → state`: the next read/merge must restore the committed state."""
+    cfg = ChangefeedConfig(changefeed_id="cf-crash", sink_uri="replica://")
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    cf.run_to_completion()
+    state_dir = cf.sink.state_dir
+    n = read_replica(spark, state_dir).count()
+    # crash state: dir renamed away, new version never landed
+    os.rename(state_dir, state_dir + ".old")
+    assert read_replica(spark, state_dir).count() == n  # recovered
+    assert os.path.exists(state_dir)

@@ -58,6 +58,16 @@ def _swap_dir(tmp: str, dst: str) -> None:
         shutil.rmtree(old)
 
 
+def _recover_dir(dst: str) -> None:
+    """Crash recovery for :func:`_swap_dir`: if the swap died between the
+    two renames, the previous state survives at ``dst + '.old'`` — restore
+    it so a replayed merge starts from the last committed state instead of
+    silently starting empty."""
+    old = dst + ".old"
+    if not os.path.exists(dst) and os.path.exists(old):
+        os.rename(old, dst)
+
+
 class Bookkeeping:
     """K4/K5/T11 side tables appended per micro-batch."""
 
@@ -105,6 +115,7 @@ class ReplicaSink:
         self.bookkeeping = bookkeeping
 
     def _state(self, spark: SparkSession) -> DataFrame | None:
+        _recover_dir(self.state_dir)
         if not os.path.exists(self.state_dir):
             return None
         # partition-column discovery types table_id as int — restore bigint
@@ -173,6 +184,7 @@ class ReplicaSink:
 
 
 def read_replica(spark: SparkSession, state_dir: str) -> DataFrame:
+    _recover_dir(state_dir)
     return (
         spark.read.parquet(state_dir)
         .withColumn("table_id", F.col("table_id").cast("bigint"))
