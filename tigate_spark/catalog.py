@@ -1100,6 +1100,21 @@ def agg_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "filter_ddl_sql_regex",
+    _DDL_CTE + """
+SELECT seq, table_id, query FROM ddl
+WHERE NOT (regexp_matches(query, 'ADD COLUMN') OR regexp_matches(query, '^CREATE TABLE t0'))
+""",
+    doc="F2 (DDL): ignore-sql regex filter on DDL query text "
+        "(sql_event_filter.go:43-110)",
+)
+def filter_ddl_sql_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ddl = _ddl_stream(spark, sf_dir)
+    rule = EventFilterRule(ignore_sql=["ADD COLUMN", "^CREATE TABLE t0"])
+    return f_ops.ddl_sql_filter(ddl, rule).select("seq", "table_id", "query")
+
+
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)

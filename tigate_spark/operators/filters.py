@@ -157,3 +157,16 @@ def classify_ddl(df: DataFrame, stmt_col: str = "stmt") -> DataFrame:
     for pat, name in reversed(DDL_ACTION_PATTERNS):
         action = F.when(F.col(stmt_col).rlike(pat), name).otherwise(action)
     return df.withColumn("ddl_action", action)
+
+
+def ddl_sql_filter(ddl_df: DataFrame, rule: EventFilterRule,
+                   query_col: str = "query") -> DataFrame:
+    """F2 (DDL side): drop DDL whose query text matches any ``ignore_sql``
+    regex for matching tables (``pkg/filter/sql_event_filter.go:43-110`` —
+    the ``ignore-sql`` rule list; partial-match regex like the reference)."""
+    if not rule.ignore_sql:
+        return ddl_df
+    hit: Column = F.lit(False)
+    for pat in rule.ignore_sql:
+        hit = hit | F.col(query_col).rlike(pat)
+    return ddl_df.filter(~hit)
