@@ -1115,6 +1115,48 @@ def filter_ddl_sql_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f_ops.ddl_sql_filter(ddl, rule).select("seq", "table_id", "query")
 
 
+@register(
+    "agg_pivot_event_types",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT table_name,
+  sum(CASE WHEN event_type = 'click' THEN value_cents END) AS click,
+  sum(CASE WHEN event_type = 'error' THEN value_cents END) AS error,
+  sum(CASE WHEN event_type = 'purchase' THEN value_cents END) AS purchase,
+  sum(CASE WHEN event_type = 'signup' THEN value_cents END) AS signup,
+  sum(CASE WHEN event_type = 'view' THEN value_cents END) AS view
+FROM changes GROUP BY table_name
+""",
+    doc="Pivot: event types to columns, summed cents per table "
+        "(df.pivot = one-shuffle conditional aggregation)",
+)
+def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    return (
+        ch.groupBy("table_name")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .sum("value_cents")
+    )
+
+
+@register(
+    "agg_cube_table_op",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT table_name, op, sum(value_cents) AS sum_cents, count(*) AS n
+FROM changes GROUP BY CUBE (table_name, op)
+""",
+    doc="CUBE over (table, op): all grouping-set subtotals in one pass "
+        "(partial-agg friendly; Catalyst expands grouping sets)",
+)
+def agg_cube_table_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    return ch.cube("table_name", "op").agg(
+        F.sum("value_cents").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)
