@@ -1157,6 +1157,25 @@ def agg_cube_table_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_unpivot_measures",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, 'value_cents' AS measure, value_cents AS val FROM changes
+UNION ALL
+SELECT seq, 'user_id' AS measure, user_id AS val FROM changes
+""",
+    doc="Unpivot/melt: wide measures to (measure, val) rows via stack() — "
+        "generator expression, no shuffle",
+)
+def agg_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    return ch.selectExpr(
+        "seq",
+        "stack(2, 'value_cents', value_cents, 'user_id', user_id) AS (measure, val)",
+    )
+
+
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)
