@@ -1176,6 +1176,38 @@ def agg_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "projection_type_render",
+    """
+SELECT l_orderkey, l_linenumber,
+  strftime(l_shipdate, '%Y-%m-%d') AS ship_date_str,
+  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_datetime_str,
+  printf('%.2f', l_quantity) AS quantity_str,
+  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+  CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2 ELSE 3 END AS returnflag_enum,
+  l_linenumber & 1 AS line_bit
+FROM lineitem
+""",
+    doc="P4: sink-boundary type rendering — date/datetime→string, "
+        "double→fixed-dp string, money→int cents, enum→ordinal, bit mask "
+        "(FormatColVal, pkg/common/helper.go:19-80; the 45-type fixture "
+        "sql_builder_test.go:169 spirit)",
+)
+def projection_type_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date_str"),
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship_datetime_str"),
+        F.format_string("%.2f", F.col("l_quantity")).alias("quantity_str"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("price_cents"),
+        F.when(F.col("l_returnflag") == "A", 1)
+        .when(F.col("l_returnflag") == "N", 2)
+        .otherwise(3).alias("returnflag_enum"),
+        F.expr("l_linenumber & 1").alias("line_bit"),
+    )
+
+
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)
