@@ -146,7 +146,14 @@ class Changefeed:
         return batch
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        self.sink.process_batch(self._prepare_for_sink(batch_df), batch_id)
+        # every sink runs several actions per batch (touched-partition
+        # listing, data write, bookkeeping) — cache the batch once so the
+        # source is scanned once, not once per action
+        prepared = self._prepare_for_sink(batch_df).persist()
+        try:
+            self.sink.process_batch(prepared, batch_id)
+        finally:
+            prepared.unpersist()
 
     # -- lifecycle ---------------------------------------------------------
     def start(self, available_now: bool = True) -> StreamingQuery:
