@@ -49,3 +49,39 @@ def test_pause_resume_completes_from_checkpoint(spark, sf_dir, tmp_path):
     assert not os.path.exists(feed_state_dir)
     with pytest.raises(KeyError):
         eng.pause(cid)
+
+
+def test_config_json_round_trip():
+    import json
+
+    from tigate_spark.config import (
+        changefeed_config_from_dict,
+        changefeed_config_to_dict,
+    )
+
+    body = {
+        "changefeed_id": "cf-api",
+        "sink_uri": "changelog://",
+        "start_ts": 123,
+        "filter": {
+            "rules": ["app.t0"],
+            "event_filters": [{"matcher": ["app.t0"], "ignore_event": ["delete"]}],
+        },
+        "sink": {
+            "protocol": "open-protocol",
+            "dispatch_rules": [{"matcher": ["*.*"], "partition": "ts"}],
+            "unknown_future_field": True,  # ignored, not an error
+        },
+        "enable_sync_point": True,
+    }
+    cfg = changefeed_config_from_dict(body)
+    assert cfg.changefeed_id == "cf-api"
+    assert cfg.filter.rules == ["app.t0"]
+    assert cfg.filter.event_filters[0].ignore_event == ["delete"]
+    assert cfg.sink.protocol == "open-protocol"
+    assert cfg.sink.dispatch_rules[0].partition == "ts"
+    assert cfg.enable_sync_point is True
+    # round trip is JSON-stable
+    d = changefeed_config_to_dict(cfg)
+    cfg2 = changefeed_config_from_dict(json.loads(json.dumps(d)))
+    assert cfg2 == cfg

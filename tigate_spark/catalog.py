@@ -1208,6 +1208,25 @@ def projection_type_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "schema_asof_join_grouped",
+    ORACLE_CHANGES_CTE + _VERSIONS_CTE
+    + """
+SELECT c.seq, c.table_id, v.version AS schema_version, v.schema_tag
+FROM changes c
+ASOF LEFT JOIN versions v
+  ON c.table_id = v.table_id AND v.version_ts <= c.commit_ts - 1
+""",
+    doc="T3 alternate physical: cogrouped pd.merge_asof per table — the "
+        "non-broadcast path for huge registries; same semantics as "
+        "schema_asof_join (multi_version.go:98-128)",
+)
+def schema_asof_join_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir).select("seq", "table_id", "commit_ts")
+    versions = sr_ops.synthetic_schema_versions(spark, ch)
+    return sr_ops.asof_schema_join_grouped(ch, versions)
+
+
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)

@@ -83,3 +83,39 @@ class ChangefeedConfig:
     #: (reference: MemoryQuota ``changefeed.go:21-38`` + dynstream pause/
     #: resume; Spark-native form is bounding batch size at the source)
     max_files_per_trigger: int = 1
+
+
+def _build(cls, data: dict):
+    """Construct a config dataclass from a plain dict, ignoring unknown
+    keys (forward compatibility, like the reference's JSON binding)."""
+    import dataclasses
+
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        if f.name == "filter" and isinstance(v, dict):
+            v = _build(FilterConfig, v)
+        elif f.name == "sink" and isinstance(v, dict):
+            v = _build(SinkConfig, v)
+        elif f.name == "event_filters":
+            v = [_build(EventFilterRule, x) if isinstance(x, dict) else x for x in v]
+        elif f.name == "column_selectors":
+            v = [_build(ColumnSelector, x) if isinstance(x, dict) else x for x in v]
+        elif f.name == "dispatch_rules":
+            v = [_build(DispatchRule, x) if isinstance(x, dict) else x for x in v]
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def changefeed_config_from_dict(data: dict) -> ChangefeedConfig:
+    """The POST /api/v2/changefeeds request body → ChangefeedConfig
+    (``api/v2/changefeed.go:51-120`` JSON binding equivalent)."""
+    return _build(ChangefeedConfig, data)
+
+
+def changefeed_config_to_dict(cfg: ChangefeedConfig) -> dict:
+    import dataclasses
+
+    return dataclasses.asdict(cfg)

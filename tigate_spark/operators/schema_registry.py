@@ -98,3 +98,41 @@ def typed_view(changes_with_version: DataFrame) -> DataFrame:
             f"v_{c}", F.when(F.col("schema_version") >= i, F.col(c))
         )
     return out
+
+
+def asof_schema_join_grouped(changes: DataFrame, versions: DataFrame) -> DataFrame:
+    """T3 alternate physical strategy: cogrouped ``pd.merge_asof`` per
+    table — the path for registries too large to broadcast (the broadcast
+    range join of :func:`asof_schema_join` explodes when versions-per-table
+    is big). Both sides shuffle once on table_id; the as-of resolution is
+    a linear merge inside each Arrow batch.
+    """
+    import pandas as pd
+
+    out_schema = "seq BIGINT, table_id BIGINT, schema_version BIGINT, schema_tag STRING"
+
+    def fn(ev: pd.DataFrame, ver: pd.DataFrame) -> pd.DataFrame:
+        ev = ev.sort_values("asof_ts")
+        ver = ver.sort_values("version_ts")
+        if len(ver) == 0:
+            m = ev.assign(version=pd.Series([None] * len(ev), dtype="Int64"),
+                          schema_tag=None)
+        else:
+            m = pd.merge_asof(ev, ver[["version_ts", "version", "schema_tag"]],
+                              left_on="asof_ts", right_on="version_ts",
+                              direction="backward")
+        return pd.DataFrame({
+            "seq": m["seq"].astype("int64"),
+            "table_id": m["table_id"].astype("int64"),
+            "schema_version": m["version"].astype("Int64"),
+            "schema_tag": m["schema_tag"],
+        })
+
+    ev = changes.select("seq", "table_id",
+                        (F.col("commit_ts") - 1).alias("asof_ts"))
+    ver = versions.select("table_id", "version_ts", "version", "schema_tag")
+    return (
+        ev.groupBy("table_id")
+        .cogroup(ver.groupBy("table_id"))
+        .applyInPandas(lambda k, e, v: fn(e, v), out_schema)
+    )
