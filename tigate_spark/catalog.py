@@ -1227,6 +1227,49 @@ def schema_asof_join_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sr_ops.asof_schema_join_grouped(ch, versions)
 
 
+@register(
+    "audit_image_chain",
+    ORACLE_CHANGES_CTE
+    + """
+, ordered AS (
+  SELECT *, lag(after) OVER (
+    PARTITION BY table_id, pk
+    ORDER BY commit_ts, start_ts,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END, seq
+  ) AS prev_after
+  FROM changes
+)
+SELECT table_id, pk, seq, op,
+       prev_after IS NOT NULL AS has_prev,
+       CASE WHEN op = 'U' AND prev_after IS NOT NULL
+            THEN before = prev_after END AS chain_ok
+FROM ordered
+""",
+    doc="CDC audit: per-key image-chain check — does each update's "
+        "before-image equal the previous change's after-image in total "
+        "order (the sync_diff-style consistency probe, SURVEY §2.8 "
+        "before/after diff join)",
+)
+def audit_image_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from tigate_spark.operators.ordering import op_rank_col
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    w = Window.partitionBy("table_id", "pk").orderBy(
+        "commit_ts", "start_ts", op_rank_col(), "seq"
+    )
+    out = ch.withColumn("prev_after", F.lag("after").over(w))
+    return out.select(
+        "table_id", "pk", "seq", "op",
+        F.col("prev_after").isNotNull().alias("has_prev"),
+        F.when(
+            (F.col("op") == "U") & F.col("prev_after").isNotNull(),
+            F.col("before") == F.col("prev_after"),
+        ).alias("chain_ok"),
+    )
+
+
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)
