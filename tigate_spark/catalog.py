@@ -1270,6 +1270,54 @@ def audit_image_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decoder_dead_letter",
+    ORACLE_CHANGES_CTE
+    + """
+, msgs AS (
+  SELECT seq,
+    CASE WHEN seq % 97 = 0 THEN 'garbage{' ELSE
+      printf('{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,"type":"%s","es":%d,"ts":%d,"sql":"","data":%s,"old":%s,"_tidb":{"commitTs":%d}}',
+        schema_name, table_name,
+        CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+        commit_ts // 1000, commit_ts // 1000,
+        '[' || coalesce(CASE WHEN op = 'D' THEN before ELSE after END, 'null') || ']',
+        CASE WHEN op = 'U' THEN '[' || before || ']' ELSE 'null' END,
+        commit_ts)
+    END AS message
+  FROM changes
+)
+SELECT seq,
+       seq % 97 = 0 AS is_dead_letter,
+       CASE WHEN seq % 97 <> 0
+            THEN CAST(json_extract(message, '$._tidb.commitTs') AS BIGINT) END
+         AS commit_ts
+FROM msgs
+""",
+    doc="Decoder dead-letter routing: corrupt messages survive decode as "
+        "flagged DLQ rows instead of failing the batch (PERMISSIVE "
+        "from_json; consumer-side resilience for E7)",
+)
+def decoder_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_canal_json
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    enc = encode_canal_json(ch).withColumn(
+        "message",
+        F.when(F.col("seq") % 97 == 0, F.lit("garbage{")).otherwise(F.col("message")),
+    )
+    parsed = enc.withColumn(
+        "m", F.from_json(F.col("message"), "_tidb STRUCT<commitTs BIGINT>")
+    )
+    # PERMISSIVE from_json yields an all-null struct for malformed input
+    # (not a null struct) — the inner field is the corruption signal
+    return parsed.select(
+        "seq",
+        F.col("m._tidb").isNull().alias("is_dead_letter"),
+        F.col("m._tidb.commitTs").alias("commit_ts"),
+    )
+
+
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)
