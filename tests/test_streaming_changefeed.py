@@ -260,3 +260,26 @@ def test_crash_recovery_between_swap_renames(spark, sf_dir, chunked_source, tmp_
     os.rename(state_dir, state_dir + ".old")
     assert read_replica(spark, state_dir).count() == n  # recovered
     assert os.path.exists(state_dir)
+
+
+def test_claim_check_in_changelog(spark, sf_dir, chunked_source, tmp_path):
+    """E5 wired through the config: oversized messages land as pointers."""
+    from tigate_spark.config import SinkConfig
+
+    from tigate_spark.functions.encoders import encode_canal_json
+
+    enc = encode_canal_json(changes_stream(spark, sf_dir, with_images=True))
+    median_len = int(
+        enc.selectExpr("octet_length(message) AS n").approxQuantile("n", [0.5], 0.0)[0]
+    )
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-claim", sink_uri="changelog://",
+        sink=SinkConfig(large_message_handle="claim-check",
+                        large_message_threshold=median_len),
+    )
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    cf.run_to_completion()
+    log = spark.read.parquet(cf.sink.out_dir)
+    n_total = log.count()
+    n_ptr = log.filter(F.col("message").startswith('{"claimCheckLocation"')).count()
+    assert 0 < n_ptr < n_total  # some offloaded, some inline

@@ -139,10 +139,25 @@ class Changefeed:
                     "partition",
                     partition_by_index_value(self.cfg.sink.num_partitions).cast("bigint"),
                 )
+            if self.cfg.sink.large_message_handle == "handle-key-only":
+                # P3: oversized payload images reduced to the handle key
+                # before encoding (open/codec.go:43-48)
+                from tigate_spark.operators.projections import handle_key_only
+
+                batch = handle_key_only(
+                    batch, self.cfg.sink.large_message_threshold, payload_col="after"
+                )
             if self.cfg.sink.protocol == "open-protocol":
                 batch = encode_open_protocol(batch)
             else:
                 batch = encode_canal_json(batch)
+            if self.cfg.sink.large_message_handle == "claim-check":
+                # E5: oversized encoded messages become object-store pointers
+                from tigate_spark.functions.encoders import claim_check
+
+                batch = claim_check(
+                    batch, self.cfg.sink.large_message_threshold
+                ).withColumn("message", F.col("wire_value"))
         return batch
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
