@@ -154,3 +154,32 @@ def test_late_rows_dropped_by_watermark(spark, tmp_path):
     # batch 0 put 10 rows in hour 0 (i%4==0), late row would make 11
     counts = [r["n_events"] for r in h0.collect()]
     assert sum(counts) == 10
+
+
+def test_drop_duplicates_within_watermark(spark, sf_dir, chunked_source, tmp_path):
+    """Spark's built-in streaming dedup (dropDuplicatesWithinWatermark)
+    agrees with batch distinct-key counting — state is bounded by the
+    watermark horizon instead of growing forever (the built-in
+    alternative to the applyInPandasWithState first_seen operator)."""
+    ch = _stream(spark, chunked_source).withColumn(
+        "commit_time", F.timestamp_micros(F.col("commit_ts"))
+    )
+    dedup = (
+        ch.withWatermark("commit_time", "10 seconds")
+        .dropDuplicatesWithinWatermark(["table_id", "pk"])
+    )
+    q = (
+        dedup.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    exp = changes_stream(spark, sf_dir).select("table_id", "pk").distinct().count()
+    # every key emitted at least once; duplicates only across expired
+    # watermark horizons (none here — the stream spans < horizon per key
+    # in most cases); at minimum: distinct keys covered, no same-batch dups
+    assert got.select("table_id", "pk").distinct().count() == exp
+    assert got.count() >= exp
