@@ -1318,6 +1318,24 @@ def decoder_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "setop_intersect_keys",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT pk FROM changes WHERE table_id = 0
+INTERSECT
+SELECT pk FROM changes WHERE table_id = 1
+""",
+    doc="Set op INTERSECT: keys present in both table streams "
+        "(hash-dedup both sides, co-shuffled semi join)",
+)
+def setop_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    a = ch.filter(F.col("table_id") == 0).select("pk")
+    b = ch.filter(F.col("table_id") == 1).select("pk")
+    return a.intersect(b)
+
+
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)
