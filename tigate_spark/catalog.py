@@ -1336,6 +1336,43 @@ def setop_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.intersect(b)
 
 
+@register(
+    "agg_rollup_schema_table",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT schema_name, table_name, sum(value_cents) AS sum_cents, count(*) AS n
+FROM changes GROUP BY ROLLUP (schema_name, table_name)
+""",
+    doc="ROLLUP over (schema, table): hierarchical subtotals in one pass",
+)
+def agg_rollup_schema_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    return ch.rollup("schema_name", "table_name").agg(
+        F.sum("value_cents").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "join_semi_anti_keys",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT pk,
+       pk IN (SELECT pk FROM changes WHERE table_id = 1 AND op = 'D') AS deleted_in_t1
+FROM (SELECT DISTINCT pk FROM changes WHERE table_id = 0)
+""",
+    doc="LEFT SEMI/ANTI joins: flag t0 keys by presence in t1's deletes — "
+        "the existence-check joins pipelines use instead of IN-subqueries",
+)
+def join_semi_anti_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    t0 = ch.filter(F.col("table_id") == 0).select("pk").distinct()
+    t1_del = ch.filter((F.col("table_id") == 1) & (F.col("op") == "D")).select("pk")
+    hit = t0.join(t1_del, "pk", "left_semi").withColumn("deleted_in_t1", F.lit(True))
+    miss = t0.join(t1_del, "pk", "left_anti").withColumn("deleted_in_t1", F.lit(False))
+    return hit.unionByName(miss)
+
+
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)
