@@ -1337,6 +1337,24 @@ def setop_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_except_keys",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT pk FROM changes WHERE table_id = 0
+EXCEPT
+SELECT pk FROM changes WHERE table_id = 1
+""",
+    doc="Set op EXCEPT: keys only in t0's stream "
+        "(hash-dedup + co-shuffled anti join)",
+)
+def setop_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    a = ch.filter(F.col("table_id") == 0).select("pk")
+    b = ch.filter(F.col("table_id") == 1).select("pk")
+    return a.subtract(b)
+
+
+@register(
     "agg_rollup_schema_table",
     ORACLE_CHANGES_CTE
     + """

@@ -55,6 +55,40 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q6_forecast_revenue",
+    """
+SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS revenue_cents,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="Pure scan-filter-agg (TPC-H Q6 shape): every predicate sits on a scan "
+        "column so all four push into the parquet reader; single partial/final agg, "
+        "no shuffle of data rows — the plan to beat at 100 TB is IO-bound",
+    bench=True,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
     "tpch_q3_shipping_priority",
     """
 SELECT l.l_orderkey AS l_orderkey,
