@@ -55,6 +55,40 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q4_order_priority",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1995-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+    doc="EXISTS-subquery shape (TPC-H Q4): date-windowed orders LEFT SEMI join "
+        "a filtered lineitem — the semi join never materializes match "
+        "multiplicity, both filters push to their scans, and the join "
+        "co-shuffles on orderkey (testdata has no commitdate/receiptdate; "
+        "l_returnflag='R' stands in as the EXISTS predicate)",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    windowed = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        windowed.join(
+            returned, windowed.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
     "tpch_q6_forecast_revenue",
     """
 SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS revenue_cents,
