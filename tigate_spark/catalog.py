@@ -1319,6 +1319,38 @@ def decoder_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_running_balance",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT table_id, pk, seq,
+       sum(CASE op WHEN 'D' THEN -value_cents ELSE value_cents END)
+         OVER (PARTITION BY table_id, pk ORDER BY commit_ts, seq
+               ROWS UNBOUNDED PRECEDING) AS running_cents
+FROM changes
+""",
+    doc="Running-balance window (ROWS UNBOUNDED PRECEDING): per-key cumulative "
+        "signed sum in commit order — the balance-reconstruction scan over a "
+        "change log; one shuffle on (table_id, pk), sort within partitions, "
+        "single streaming-frame pass (no re-scan per row)",
+)
+def window_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ch = changes_stream(spark, sf_dir)
+    signed = F.when(F.col("op") == "D", -F.col("value_cents")).otherwise(
+        F.col("value_cents")
+    )
+    w = (
+        Window.partitionBy("table_id", "pk")
+        .orderBy("commit_ts", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ch.select(
+        "table_id", "pk", "seq", F.sum(signed).over(w).alias("running_cents")
+    )
+
+
+@register(
     "setop_intersect_keys",
     ORACLE_CHANGES_CTE
     + """
