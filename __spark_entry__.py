@@ -25,10 +25,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return cat["cdc_pipeline_e2e"].builder(spark, "/root/testdata/sf0.001")
 
 
+#: Run order: one flagship per operator family first, so a driver that
+#: stops at a time/entry cap still covers every family; the remainder
+#: follows in registration order. (Round 1's driver stopped at 50 of 84.)
+_PRIORITY = [
+    "cdc_pipeline_e2e", "changes_normalize", "filter_table_rule",
+    "projection_update_split", "projection_updated_columns",
+    "route_topic_partition", "order_apply_seq", "txn_grouping",
+    "schema_asof_join", "apply_merge_to_base", "encoder_canal_json",
+    "decoder_canal_json", "window_running_balance", "agg_salted_skew_safe",
+    "agg_pivot_event_types", "agg_cube_table_op", "agg_rollup_schema_table",
+    "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
+    "tpch_q4_order_priority", "window_topn_orders_per_customer",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine", "sim_cosine_topk",
+    "sim_ann_lsh_topk", "sim_ivf_topk", "text_lang_id",
+    "text_quality_score", "text_token_count", "text_fingerprint",
+    "multimodal_binary_meta", "multimodal_frame_sample",
+    "multimodal_resize", "llm_clean_corpus", "sample_hash_bucket",
+    "sample_stratified_hash", "approx_distinct_users",
+    "approx_order_value_quantiles", "window_range_1h_sum",
+    "window_lag_interarrival", "join_interval_broadcast",
+    "gc_eligible_tombstones", "tpch_q16_supplier_cnt",
+    "tpch_q14_promo_revenue", "streaming_replica_e2e",
+    "streaming_changelog_e2e", "streaming_first_seen_e2e",
+]
+
+
+def _ordered_catalog():
+    cat = get_catalog()
+    ordered = [n for n in _PRIORITY if n in cat]
+    ordered += [n for n in cat if n not in set(ordered)]
+    return [(n, cat[n]) for n in ordered]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, spec in get_catalog().items():
+    for name, spec in _ordered_catalog():
         def make(b):
             def run(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ensure_confs(spark)
@@ -42,4 +77,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle per query (omitted → rows-only check)."""
-    return {name: spec.oracle for name, spec in get_catalog().items() if spec.oracle}
+    return {name: spec.oracle for name, spec in _ordered_catalog() if spec.oracle}

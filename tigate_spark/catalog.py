@@ -437,11 +437,11 @@ def stale_event_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT table_id, start_ts, commit_ts,
        count(*) AS n_rows,
-       sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS n_insert,
-       sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS n_update,
-       sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_delete,
+       CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
        min(seq) AS first_seq,
-       sum(value_cents) AS txn_value_cents
+       CAST(sum(value_cents) AS BIGINT) AS txn_value_cents
 FROM changes GROUP BY table_id, start_ts, commit_ts
 """,
     doc="T6: txn grouping by (table, start_ts, commit_ts) (event_broker.go:489-502)",
@@ -766,22 +766,28 @@ def txn_match_prewrite_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE_CHANGES_CTE
     + """
 SELECT seq,
-  list_sort(list_filter(json_keys(after),
+  array_to_string(list_sort(list_filter(json_keys(after),
     k -> json_extract_string(before, '$.' || k)
-         IS DISTINCT FROM json_extract_string(after, '$.' || k))) AS changed_cols,
+         IS DISTINCT FROM json_extract_string(after, '$.' || k))), ',') AS changed_cols,
   CAST(len(list_filter(json_keys(after),
     k -> json_extract_string(before, '$.' || k)
          IS DISTINCT FROM json_extract_string(after, '$.' || k))) AS BIGINT) AS n_changed
 FROM changes WHERE op = 'U'
 """,
     doc="P2: only-updated-columns — JVM map-diff of before/after images "
-        "(sink.go:160; open/codec.go:56-72)",
+        "(sink.go:160; open/codec.go:56-72). Catalog entry emits the "
+        "changed-column list as a sorted comma-joined string so the external "
+        "comparator can hash it (arrays are unhashable in the pandas sort).",
 )
 def projection_updated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tigate_spark.operators.projections import updated_columns_projection
 
     ch = changes_stream(spark, sf_dir, with_images=True)
-    return updated_columns_projection(ch).select("seq", "changed_cols", "n_changed")
+    return updated_columns_projection(ch).select(
+        "seq",
+        F.concat_ws(",", "changed_cols").alias("changed_cols"),
+        "n_changed",
+    )
 
 
 @register(
@@ -903,7 +909,7 @@ def ddl_barrier_subbatches(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_skew_safe",
     ORACLE_CHANGES_CTE
     + """
-SELECT event_type, sum(value_cents) AS sum_value_cents, count(*) AS n_rows
+SELECT event_type, CAST(sum(value_cents) AS BIGINT) AS sum_value_cents, count(*) AS n_rows
 FROM changes GROUP BY event_type
 """,
     doc="R9/skew: two-stage salted aggregation over pathologically hot "
@@ -1120,11 +1126,11 @@ def filter_ddl_sql_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE_CHANGES_CTE
     + """
 SELECT table_name,
-  sum(CASE WHEN event_type = 'click' THEN value_cents END) AS click,
-  sum(CASE WHEN event_type = 'error' THEN value_cents END) AS error,
-  sum(CASE WHEN event_type = 'purchase' THEN value_cents END) AS purchase,
-  sum(CASE WHEN event_type = 'signup' THEN value_cents END) AS signup,
-  sum(CASE WHEN event_type = 'view' THEN value_cents END) AS view
+  CAST(sum(CASE WHEN event_type = 'click' THEN value_cents END) AS BIGINT) AS click,
+  CAST(sum(CASE WHEN event_type = 'error' THEN value_cents END) AS BIGINT) AS error,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN value_cents END) AS BIGINT) AS purchase,
+  CAST(sum(CASE WHEN event_type = 'signup' THEN value_cents END) AS BIGINT) AS signup,
+  CAST(sum(CASE WHEN event_type = 'view' THEN value_cents END) AS BIGINT) AS view
 FROM changes GROUP BY table_name
 """,
     doc="Pivot: event types to columns, summed cents per table "
@@ -1143,7 +1149,7 @@ def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube_table_op",
     ORACLE_CHANGES_CTE
     + """
-SELECT table_name, op, sum(value_cents) AS sum_cents, count(*) AS n
+SELECT table_name, op, CAST(sum(value_cents) AS BIGINT) AS sum_cents, count(*) AS n
 FROM changes GROUP BY CUBE (table_name, op)
 """,
     doc="CUBE over (table, op): all grouping-set subtotals in one pass "
@@ -1323,9 +1329,9 @@ def decoder_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE_CHANGES_CTE
     + """
 SELECT table_id, pk, seq,
-       sum(CASE op WHEN 'D' THEN -value_cents ELSE value_cents END)
+       CAST(sum(CASE op WHEN 'D' THEN -value_cents ELSE value_cents END)
          OVER (PARTITION BY table_id, pk ORDER BY commit_ts, seq
-               ROWS UNBOUNDED PRECEDING) AS running_cents
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
 FROM changes
 """,
     doc="Running-balance window (ROWS UNBOUNDED PRECEDING): per-key cumulative "
@@ -1390,7 +1396,7 @@ def setop_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup_schema_table",
     ORACLE_CHANGES_CTE
     + """
-SELECT schema_name, table_name, sum(value_cents) AS sum_cents, count(*) AS n
+SELECT schema_name, table_name, CAST(sum(value_cents) AS BIGINT) AS sum_cents, count(*) AS n
 FROM changes GROUP BY ROLLUP (schema_name, table_name)
 """,
     doc="ROLLUP over (schema, table): hierarchical subtotals in one pass",
@@ -1425,6 +1431,7 @@ def join_semi_anti_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def get_catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports extension modules for side effects)."""
+    import tigate_spark.catalog_analytics  # noqa: F401  (registers window/sample/sketch queries)
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)
     import tigate_spark.catalog_relational  # noqa: F401  (registers relational queries)
     import tigate_spark.catalog_streaming  # noqa: F401  (registers streaming-path queries)

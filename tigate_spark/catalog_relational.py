@@ -25,10 +25,10 @@ def _cents(col):
     "tpch_q1_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_cents,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -91,25 +91,27 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6_forecast_revenue",
     """
-SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS revenue_cents,
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-  AND l_shipdate < TIMESTAMP '1995-01-01'
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """,
     doc="Pure scan-filter-agg (TPC-H Q6 shape): every predicate sits on a scan "
         "column so all four push into the parquet reader; single partial/final agg, "
-        "no shuffle of data rows — the plan to beat at 100 TB is IO-bound",
+        "no shuffle of data rows — the plan to beat at 100 TB is IO-bound "
+        "(dates shifted into the testdata's 1995-2001 shipdate range so the "
+        "query aggregates real rows, not an empty scan)",
     bench=True,
 )
 def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
@@ -126,7 +128,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     """
 SELECT l.l_orderkey AS l_orderkey,
-       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        o.o_orderdate AS o_orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -165,7 +167,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_supplier",
     """
 SELECT n.n_name AS n_name,
-       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -244,7 +246,7 @@ def setop_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
        count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
 """,
     doc="Streaming-shaped windowed aggregation in batch form (hourly tumbling)",
@@ -262,4 +264,354 @@ def agg_events_per_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
         )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1995-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+""",
+    doc="Top returned-revenue customers (TPC-H Q10 shape): fact⋈fact "
+        "co-shuffles on orderkey, customer+nation broadcast, deterministic "
+        "top-20 — at 100 TB the only big exchange is orders⋈lineitem",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q12_priority_by_status",
+    """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+""",
+    doc="Join + conditional aggregation (TPC-H Q12 shape; l_linestatus "
+        "stands in for l_shipmode which the testdata lacks): shipdate "
+        "filter pushes to the lineitem scan, join co-shuffles on orderkey, "
+        "CASE-sums fold into one partial/final agg",
+)
+def tpch_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) * 100000 // sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS promo_share_hbp
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+  AND l_shipdate < TIMESTAMP '1995-04-01'
+""",
+    doc="Promo revenue share (TPC-H Q14 shape): part broadcasts into the "
+        "date-pruned lineitem scan; the ratio is integer cents * 1e5 // "
+        "total (exact integer math, no float drift across partition "
+        "orders) — hbp = hundredths of a basis point",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0).cast("bigint"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).alias("promo_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            F.expr("promo_cents * 100000 div total_cents").alias("promo_share_hbp"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    """
+SELECT p_brand, p_size, CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = ps.l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+""",
+    doc="NOT-IN + count-distinct (TPC-H Q16 shape): lineitem distinct "
+        "(part,supp) pairs stand in for partsupp; the NOT IN becomes a "
+        "broadcast LEFT ANTI join (supplier side is tiny), part broadcasts, "
+        "count(DISTINCT) is a two-stage agg on the pair key",
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+    )
+    return (
+        ps.join(F.broadcast(bad_supp), ps.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q18_large_volume_orders",
+    """
+SELECT c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3
+HAVING sum(CAST(round(l.l_quantity) AS BIGINT)) > 200
+""",
+    doc="Group-by + HAVING over a join (TPC-H Q18 shape): the quantity "
+        "pre-aggregation happens on the lineitem side of the shuffle "
+        "(partial agg before the join at scale); customer broadcasts",
+)
+def tpch_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # pre-aggregate quantities per order BEFORE joining: shrinks the join
+    # input from line-level to order-level (the scale move for Q18)
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return (
+        qty.join(o, qty.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "o_orderkey",
+            _cents(F.col("o_totalprice")).alias("total_cents"), "sum_qty",
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_filter",
+    """
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_type = 'PROMO' AND l_quantity >= 25)
+""",
+    doc="Disjunctive multi-table predicates (TPC-H Q19 shape): part "
+        "broadcasts; Catalyst pushes the single-side conjuncts it can "
+        "derive and evaluates the OR post-join in codegen",
+)
+def tpch_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 20) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 25))
+    )
+    return j.filter(cond).agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "tpch_q22_idle_customers",
+    """
+WITH bal AS (
+  SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT)) AS avg_cents
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM customer, bal
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) > avg_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_mktsegment
+""",
+    doc="Scalar-subquery threshold + anti join (TPC-H Q22 shape): "
+        "well-funded customers with no *recent* orders (every testdata "
+        "customer has some order, so 'idle' = nothing since 1999); the avg "
+        "is over exact integer cents (deterministic across partition "
+        "orders), broadcast as a 1-row dim; NOT EXISTS is a LEFT ANTI join "
+        "on the date-filtered orders key set",
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_cents", _cents(F.col("c_acctbal"))
+    )
+    o_keys = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("bal_cents").alias("avg_cents")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("bal_cents") > F.col("avg_cents"))
+        .join(F.broadcast(o_keys), c.c_custkey == o_keys.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").alias("total_cents"),
+        )
+    )
+
+
+@register(
+    "tpch_q2_top_supplier_per_part",
+    """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ranked AS (
+  SELECT p.p_partkey, s.s_suppkey, s.s_name,
+         CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         row_number() OVER (PARTITION BY p.p_partkey
+                            ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rn
+  FROM ps
+  JOIN part p ON p.p_partkey = ps.l_partkey
+  JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+  WHERE p.p_size = 5
+)
+SELECT p_partkey, s_suppkey, s_name, acctbal_cents
+FROM ranked WHERE rn = 1
+""",
+    doc="Correlated-subquery shape (TPC-H Q2): best supplier per part "
+        "rewritten as a window top-1 over the derived part⋈supplier pairs "
+        "— one shuffle on p_partkey instead of a per-row subquery; part "
+        "and supplier both broadcast",
+)
+def tpch_q2_top_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 5)
+    s = load_table(spark, sf_dir, "supplier")
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("s_acctbal").desc(), "s_suppkey"
+    )
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey", "s_suppkey", "s_name",
+            _cents(F.col("s_acctbal")).alias("acctbal_cents"),
+        )
+    )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+""",
+    doc="Cross-nation volume (TPC-H Q7 shape): nation joined twice under "
+        "different roles (supplier vs customer side) with a disjunctive "
+        "pair filter; all dims broadcast, facts co-shuffle once on orderkey",
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
     )

@@ -70,7 +70,14 @@ def worker_lane(n_workers: int, table_id_col: str = "table_id") -> Column:
 
 
 def route(df: DataFrame, rules: list[DispatchRule], n_partitions: int) -> DataFrame:
-    """R1: first matching rule assigns topic + partition columns."""
+    """R1: first matching rule assigns topic + partition columns.
+
+    Rows matching no rule fall back to the default ``{schema}_{table}``
+    topic and index-value partitioning, mirroring the reference router's
+    always-present default (``eventrouter/event_router.go:78-137`` — the
+    router appends a catch-all ``['*','*']`` rule), so no row ever carries
+    a NULL topic into a partitioned sink.
+    """
     topic: Column = F.lit(None).cast("string")
     part: Column = F.lit(None).cast("bigint")
     assigned: Column = F.lit(False)
@@ -90,4 +97,6 @@ def route(df: DataFrame, rules: list[DispatchRule], n_partitions: int) -> DataFr
         topic = F.when(m, t).otherwise(topic)
         part = F.when(m, p).otherwise(part)
         assigned = assigned | _matcher_cond(rule.matcher, "schema_name", "table_name")
+    topic = F.coalesce(topic, topic_expr("{schema}_{table}"))
+    part = F.coalesce(part, partition_by_index_value(n_partitions))
     return df.withColumn("topic", topic).withColumn("partition", part.cast("bigint"))

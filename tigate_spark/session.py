@@ -43,6 +43,18 @@ def ensure_confs(spark: SparkSession) -> SparkSession:
             # Non-settable in this deployment; keep going — only
             # nanosAsLong is load-bearing and it is always settable.
             pass
+    # Size the shuffle to the actual cores, not the 200-partition default:
+    # AQE coalesces batch shuffles anyway, but *stateful streaming* stages
+    # get no AQE — a plain session would run 200 tasks per micro-batch.
+    # On a real cluster defaultParallelism scales with the executor fleet,
+    # so this stays correct at 1000 executors.
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism, 8)),
+        )
+    except Exception:
+        pass
     return spark
 
 

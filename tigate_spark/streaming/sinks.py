@@ -31,6 +31,7 @@ here a ``VACUUM``-style rewrite, left to the store).
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import uuid
@@ -62,10 +63,14 @@ def _recover_dir(dst: str) -> None:
     """Crash recovery for :func:`_swap_dir`: if the swap died between the
     two renames, the previous state survives at ``dst + '.old'`` — restore
     it so a replayed merge starts from the last committed state instead of
-    silently starting empty."""
+    silently starting empty. Also sweeps orphaned ``dst.tmp-*`` versions a
+    crash before the swap left behind, so replay cycles can't accumulate
+    full state copies on disk."""
     old = dst + ".old"
     if not os.path.exists(dst) and os.path.exists(old):
         os.rename(old, dst)
+    for leftover in glob.glob(dst + ".tmp-*"):
+        shutil.rmtree(leftover, ignore_errors=True)
 
 
 class Bookkeeping:
