@@ -48,8 +48,10 @@ _PRIORITY = [
     "approx_order_value_quantiles", "window_range_1h_sum",
     "window_lag_interarrival", "join_interval_broadcast",
     "gc_eligible_tombstones", "tpch_q16_supplier_cnt",
-    "tpch_q14_promo_revenue", "streaming_replica_e2e",
+    "tpch_q14_promo_revenue", "dedup_duplicate_clusters",
+    "join_skew_split_salted", "corpus_top_tokens", "streaming_replica_e2e",
     "streaming_changelog_e2e", "streaming_first_seen_e2e",
+    "streaming_window_counts_e2e",
 ]
 
 

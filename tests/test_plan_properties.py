@@ -1,0 +1,141 @@
+"""Plan-shape gates: the properties that decide 100 TB behavior, pinned as
+tests so a regression in pushdown / broadcast / codegen fails CI, not the
+cluster bill (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tigate_spark.catalog import get_catalog
+from tigate_spark.plans.audit import (
+    assert_broadcast_join,
+    assert_no_python_in_plan,
+    assert_pushed_filters,
+    assert_shuffle_join,
+    count_exchanges,
+)
+
+CATALOG = get_catalog()
+SF_DIR = os.environ.get("TIGATE_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _df(spark, name):
+    return CATALOG[name].builder(spark, SF_DIR)
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def no_auto_broadcast(spark):
+    """Disable size-based auto-broadcast so the plan shows its at-scale
+    shape: at sf0.001 *everything* fits under the threshold and every
+    join degenerates to BHJ, hiding the fact-side shuffle the assertions
+    are about. Explicit F.broadcast() hints still broadcast.
+
+    Must wrap the *assertions*, not the build: physical planning is lazy
+    (happens at explain time), and building goes through load_table →
+    ensure_confs, which re-sets the production threshold."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q6_filters_reach_scan(spark):
+    """TPC-H Q6 shape: all predicates sit on scan columns → every one
+    pushes into the parquet reader; the plan is scan+agg, no data shuffle."""
+    df = _df(spark, "tpch_q6_forecast_revenue")
+    plan = assert_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+    # partial/final agg only — the single exchange carries one row per task
+    assert "HashAggregate" in plan
+
+
+def test_q3_broadcast_dim_shuffle_fact(spark):
+    """Q3: customer (dim) broadcasts via explicit hint; orders⋈lineitem
+    co-shuffles."""
+    df = _df(spark, "tpch_q3_shipping_priority")
+    with no_auto_broadcast(spark):
+        assert_broadcast_join(df, n_min=1)
+        assert_shuffle_join(df)
+
+
+def test_q5_star_join_broadcasts_all_dims(spark):
+    """Q5: 6-way star — all four dims broadcast (explicit hints), facts
+    SMJ once."""
+    df = _df(spark, "tpch_q5_local_supplier")
+    with no_auto_broadcast(spark):
+        assert_broadcast_join(df, n_min=4)
+        assert_shuffle_join(df)
+
+
+def test_q1_column_pruning(spark):
+    """Q1 reads 7 of 11 lineitem columns — ReadSchema must not widen."""
+    from tigate_spark.plans.audit import plan_of
+
+    df = _df(spark, "tpch_q1_pricing_summary")
+    plan = plan_of(df)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    # pruned: l_orderkey/l_partkey/l_suppkey/l_linenumber must not be read
+    for dropped in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert dropped not in read[0], f"{dropped} not pruned: {read[0]}"
+
+
+def test_cdc_pipeline_stays_jvm_side(spark):
+    """The CDC hot path (filters+projection) is pure JVM — no Python."""
+    df = _df(spark, "cdc_pipeline_e2e")
+    assert_no_python_in_plan(df)
+
+
+def test_encoders_stay_jvm_side(spark):
+    """Encoders are format_string/to_json — whole-stage codegen, no UDF."""
+    for name in ("encoder_canal_json", "encoder_open_protocol"):
+        assert_no_python_in_plan(_df(spark, name))
+
+
+def test_replica_apply_single_shuffle(spark):
+    """Last-writer-wins apply = exactly one data shuffle (the max_by agg).
+
+    A second exchange would mean the merge re-partitions needlessly —
+    at 100 TB that doubles the largest shuffle in the pipeline."""
+    df = _df(spark, "apply_materialize")
+    assert count_exchanges(df) <= 1, df.explain("formatted")
+
+
+def test_window_running_balance_single_shuffle(spark):
+    """Window ops partition once on (table_id, pk); the frame pass is
+    sort-local."""
+    df = _df(spark, "window_running_balance")
+    assert count_exchanges(df) <= 1
+
+
+def test_interval_join_is_broadcast_nested_loop(spark):
+    """The 6-row interval dim must broadcast — a shuffle range join here
+    would be a catastrophic plan at scale."""
+    from tigate_spark.plans.audit import plan_of
+
+    df = _df(spark, "join_interval_broadcast")
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_lsh_pairs_bounded_shuffles(spark):
+    """MinHash-LSH: fan-out repartition + bucket clustering + pair agg —
+    the shuffled payload is (doc, band) rows, never the corpus text twice."""
+    df = _df(spark, "dedup_minhash_lsh")
+    # repartition + groupBy(band,v) + groupBy(pair) = 3 exchanges max
+    assert count_exchanges(df) <= 3
+
+
+@pytest.mark.parametrize(
+    "name", ["sample_hash_bucket", "sample_stratified_hash"]
+)
+def test_sampling_no_shuffle(spark, name):
+    """Hash-bucket sampling is a pure scan-filter — zero exchanges."""
+    assert count_exchanges(_df(spark, name)) == 0

@@ -928,6 +928,40 @@ def agg_salted_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_skew_split_salted",
+    ORACLE_CHANGES_CTE
+    + f"""
+, dim AS (
+  SELECT DISTINCT table_id,
+         {h32_sql('table_id')} % 64 AS shard
+  FROM changes
+)
+SELECT c.seq, c.table_id, d.shard
+FROM changes c JOIN dim d ON c.table_id = d.table_id
+""",
+    doc="R9/skew: split-salted join — the change stream's join key "
+        "(table_id, 4 hot values) is pathologically skewed, so hot keys "
+        "are salted n-ways on the fact side with the matching dim rows "
+        "replicated per salt, cold keys join normally, results union "
+        "(write_bytes_splitter.go intent; the explicit form of AQE's "
+        "skew-join rewrite, for skew known at plan time). Result is "
+        "row-identical to the plain join.",
+)
+def join_skew_split_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.operators.skew import skew_split_join
+
+    ch = changes_stream(spark, sf_dir)
+    dim = ch.select("table_id").distinct().withColumn(
+        "shard", h32(F.col("table_id")) % 64
+    )
+    out = skew_split_join(
+        ch.select("seq", "table_id"), dim, "table_id",
+        hot_keys=[0, 1], n_salts=8, salt_src="seq",
+    )
+    return out.select("seq", "table_id", "shard")
+
+
+@register(
     "apply_composite_key",
     _LAST_CHANGE_CTE.replace(
         "PARTITION BY table_id, pk", "PARTITION BY table_id, pk, event_type"

@@ -535,3 +535,128 @@ def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     clean = survivors.join(dropped, "doc_id", "left_anti")
     return clean.select("doc_id", F.md5("text").alias("content_hash"))
+
+
+_LSH_PAIRS_CTES = _SHINGLE_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1) + f"""
+, sigs AS (
+  SELECT doc_id, {_MINHASH_SIG_SQL} AS sig
+  FROM sh WHERE len(shingles) >= 1
+), bands AS (
+  SELECT doc_id, g.band,
+         printf('%d:%d', sig[2 * g.band + 1], sig[2 * g.band + 2]) AS v
+  FROM sigs, (SELECT unnest(range({dd.MINHASH_BANDS})) AS band) g
+), sized AS (
+  SELECT band, v FROM bands GROUP BY band, v HAVING count(*) <= {dd.LSH_BUCKET_CAP}
+), bf AS (
+  SELECT b.* FROM bands b JOIN sized s ON b.band = s.band AND b.v = s.v
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bf a JOIN bf b
+    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+"""
+
+
+@register(
+    "dedup_duplicate_clusters",
+    _LSH_PAIRS_CTES
+    + """
+, edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach AS (
+  SELECT a AS node, a AS lab FROM edges
+  UNION
+  SELECT e.b AS node, r.lab
+  FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM comp
+""",
+    doc="Near-duplicate clusters: connected components over the MinHash-LSH "
+        "pair graph via iterative min-label propagation (the GraphFrames/"
+        "Pregel pattern — each round one shuffle join + one min-agg, "
+        "lineage cut per round with localCheckpoint, loop until fixpoint; "
+        "converges in O(component diameter) rounds, and near-dup "
+        "components are shallow by construction). Oracle: DuckDB "
+        "recursive-CTE reachability. The fixpoint is iteration-order "
+        "independent, so both engines agree exactly.",
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(20):
+        prop = edges.join(labels, edges["doc_b"] == labels["node"]).select(
+            edges["doc_a"].alias("node"), labels["cluster_id"].alias("cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("cluster_id", "new_id")
+            .join(labels, "node")
+            .filter(F.col("new_id") != F.col("cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    )
+
+
+@register(
+    "corpus_top_tokens",
+    _TOK_CTE
+    + """
+, df AS (SELECT unnest(list_distinct(tokens)) AS token FROM tok)
+SELECT token, count(*) AS doc_freq
+FROM df GROUP BY token
+ORDER BY doc_freq DESC, token
+LIMIT 50
+""",
+    doc="Corpus vocabulary profile: top-50 tokens by document frequency "
+        "(distinct-per-doc explode → count → deterministic top-k) — the "
+        "wordcount shape with map-side partial aggregation; at 100 TB the "
+        "explode dominates and the agg output is vocabulary-sized, so the "
+        "final top-k is a cheap single-partition sort",
+)
+def corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.text import TOKENS_EXPR
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.expr(f"array_distinct({TOKENS_EXPR})")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(50)
+    )

@@ -150,3 +150,58 @@ def streaming_first_seen_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(got.collect(), got.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_window_counts_e2e",
+    ORACLE_CHANGES_CTE + """
+SELECT commit_ts - commit_ts % 3600000000 AS window_start_us,
+       table_id, count(*) AS n_events
+FROM changes
+GROUP BY 1, 2
+""",
+    doc="Structured Streaming event-time tumbling window counts with a "
+        "watermark (T5/T7 streaming-native), run through a real "
+        "availableNow query in complete mode — the materialized final "
+        "window table hash-matches the batch hourly aggregation; the "
+        "watermark's late-row semantics are pinned separately in "
+        "tests/test_streaming_changefeed.py (append-mode emission)",
+)
+def streaming_window_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.sources.changes import normalize_events
+    from tigate_spark.streaming.stateful import windowed_counts
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        schema = spark.read.parquet(src).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(os.path.dirname(src))
+        )
+        agg = windowed_counts(normalize_events(raw), "1 hour", "30 minutes")
+        out = agg.select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "table_id",
+            "n_events",
+        )
+        out_dir, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+
+        def write_windows(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out_dir)
+
+        q = (
+            out.writeStream.outputMode("complete")
+            .foreachBatch(write_windows)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        got = spark.read.parquet(out_dir)
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

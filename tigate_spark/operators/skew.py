@@ -44,3 +44,37 @@ def salted_sum_count(df: DataFrame, keys: list[str], value_col: str,
         F.sum("_psum").alias(f"sum_{value_col}"),
         F.sum("_pcnt").alias("n_rows"),
     )
+
+
+def skew_split_join(fact: DataFrame, dim: DataFrame, key: str,
+                    hot_keys: list, n_salts: int = 8,
+                    salt_src: str = "seq") -> DataFrame:
+    """Skew-safe inner equi join: split hot keys out, salt + replicate them.
+
+    A plain shuffle join lands each hot key on ONE reducer. The classic
+    rewrite (what AQE skew-join does adaptively, expressed explicitly for
+    when the skew is known at plan time):
+
+    - **hot keys**: fact rows get a deterministic salt in ``[0, n_salts)``;
+      the matching dim rows are replicated once per salt value, so every
+      salted partition still finds its match — the hot key now spreads
+      over ``n_salts`` reducers;
+    - **cold keys**: joined normally;
+    - results unioned. Row-identical to ``fact.join(dim, key)``.
+
+    Only the *hot-key* dim rows replicate (cold dim rows don't), so the
+    overhead is ``|hot dim rows| × n_salts`` — negligible even at 100 TB.
+    """
+    hot_f = fact.filter(F.col(key).isin(hot_keys))
+    cold_f = fact.filter(~F.col(key).isin(hot_keys))
+    hot_d = dim.filter(F.col(key).isin(hot_keys))
+    cold_d = dim.filter(~F.col(key).isin(hot_keys))
+
+    salt = F.abs(F.hash(F.col(salt_src))) % n_salts
+    salted_fact = hot_f.withColumn("_salt", salt)
+    replicated_dim = hot_d.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    hot_join = salted_fact.join(replicated_dim, [key, "_salt"]).drop("_salt")
+    cold_join = cold_f.join(cold_d, key)
+    return hot_join.unionByName(cold_join)

@@ -1,0 +1,86 @@
+"""Physical-plan audit helpers: assert the plans we ship are the plans we
+mean (SURVEY §4 — the scale story is the plan, not the sf0.1 wall clock).
+
+``plan_of`` renders the formatted physical plan; the ``assert_*`` helpers
+pin the properties that matter at 100 TB:
+
+- filters reach the parquet scan (``PushedFilters`` non-empty) — a scan
+  that reads everything to filter later reads 100 TB;
+- column pruning (``ReadSchema`` carries only referenced columns);
+- small dims broadcast (``BroadcastHashJoin``), facts co-shuffle
+  (``SortMergeJoin``/``ShuffledHashJoin``) — a broadcast that silently
+  degrades to SMJ adds a 100 TB shuffle;
+- expression work stays in whole-stage codegen (no ``BatchEvalPython``
+  in the hot path — row-at-a-time Python is a 10-100× tax).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def plan_of(df: DataFrame) -> str:
+    """The formatted physical plan as a string."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def assert_pushed_filters(df: DataFrame, *needles: str) -> str:
+    """Assert the plan pushes at least one filter into a scan (and each
+    ``needle`` column name appears in a PushedFilters clause)."""
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan, f"no pushed filters:\n{plan}"
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    joined = "\n".join(pushed)
+    assert joined.replace("PushedFilters: []", "") .strip(), (
+        f"PushedFilters empty:\n{plan}"
+    )
+    for needle in needles:
+        assert any(needle in ln for ln in pushed), (
+            f"filter on {needle!r} not pushed:\n{joined}"
+        )
+    return plan
+
+
+def assert_broadcast_join(df: DataFrame, n_min: int = 1) -> str:
+    """Assert at least ``n_min`` broadcast hash joins in the plan."""
+    plan = plan_of(df)
+    n = plan.count("BroadcastHashJoin")
+    assert n >= n_min, f"expected ≥{n_min} BroadcastHashJoin, got {n}:\n{plan}"
+    return plan
+
+
+def assert_shuffle_join(df: DataFrame) -> str:
+    """Assert the big-side join co-shuffles (sort-merge or shuffled-hash)."""
+    plan = plan_of(df)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), (
+        f"no shuffle join in plan:\n{plan}"
+    )
+    return plan
+
+
+def assert_no_python_in_plan(df: DataFrame) -> str:
+    """Assert no row-at-a-time Python evaluation in the plan.
+
+    Arrow-batched pandas stages (``ArrowEvalPython`` / ``MapInPandas`` /
+    ``FlatMapGroupsInPandas``) are allowed — they are the sanctioned
+    Python boundary; ``BatchEvalPython`` (pickled row loop) is not.
+    """
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan, (
+        f"row-at-a-time Python UDF in plan:\n{plan}"
+    )
+    return plan
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan (broadcast exchanges are
+    not counted — they move dim-sized, not fact-sized, data)."""
+    plan = plan_of(df)
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Exchange") and "SinglePartition" not in ln
+        and "broadcast" not in ln.lower()
+    )
