@@ -738,6 +738,55 @@ def encoder_claim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "encoder_debezium",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq,
+  printf('{"payload":{"source":%s,"ts_ms":%d,"transaction":null,"op":"%s",%s}}',
+    printf('{"version":"2.4.0.Final","connector":"TiCDC","name":"%s","ts_ms":%d,"snapshot":"false","db":"%s","table":"%s","server_id":0,"gtid":null,"file":"","pos":0,"row":0,"thread":0,"query":null,"commit_ts":%d,"cluster_id":"%s"}',
+      'default', commit_ts // 1000, schema_name, table_name, commit_ts, 'default'),
+    commit_ts // 1000,
+    CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u' ELSE 'd' END,
+    CASE op WHEN 'I' THEN printf('"before":null,"after":%s', after)
+            WHEN 'U' THEN printf('"before":%s,"after":%s', before, after)
+            ELSE printf('"before":%s,"after":null', before) END
+  ) AS message
+FROM changes
+""",
+    doc="Debezium-envelope encoder — in-tree but unwired in the reference "
+        "(debezium/codec.go:525-600; commented out of encoder_builder.go:"
+        "24-25); field-exact payload.source with the TiDB extension fields; "
+        "envelope ts_ms pinned to commit ms for replay determinism",
+)
+def encoder_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_debezium
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    return encode_debezium(ch).select("seq", "message")
+
+
+@register(
+    "encoder_csv_rows",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq,
+  concat_ws(',', op, schema_name, table_name,
+            CAST(commit_ts AS VARCHAR), CAST(pk AS VARCHAR),
+            event_type, CAST(value_cents AS VARCHAR)) AS line
+FROM changes
+""",
+    doc="CSV line encoder (storage-sink style, one delimited line per "
+        "change; \\N null rendering follows the reference's MySQL-dump "
+        "type renderer, pkg/common/helper.go:19-80)",
+)
+def encoder_csv_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_csv_rows
+
+    ch = changes_stream(spark, sf_dir)
+    return encode_csv_rows(ch).select("seq", "line")
+
+
+@register(
     "txn_match_prewrite_commit",
     ORACLE_CHANGES_CTE
     + """

@@ -163,3 +163,69 @@ def encode_open_protocol_batch(df: DataFrame, sep: str = "\n") -> DataFrame:
             F.max("seq").alias("max_seq"),
         )
     )
+
+
+_DBZ_SOURCE_FMT = (
+    '{"version":"2.4.0.Final","connector":"TiCDC","name":"%s",'
+    '"ts_ms":%d,"snapshot":"false","db":"%s","table":"%s",'
+    '"server_id":0,"gtid":null,"file":"","pos":0,"row":0,"thread":0,'
+    '"query":null,"commit_ts":%d,"cluster_id":"%s"}'
+)
+_DBZ_FMT = '{"payload":{"source":%s,"ts_ms":%d,"transaction":null,"op":"%s",%s}}'
+
+
+def encode_debezium(df: DataFrame, cluster_id: str = "default",
+                    out_col: str = "message") -> DataFrame:
+    """Debezium-envelope encoder (in-tree but unwired in the reference —
+    ``pkg/sink/codec/debezium/codec.go:525-600``, commented out of
+    ``encoder_builder.go:24-25``; implemented here so the engine covers
+    the full in-tree codec surface).
+
+    Field layout mirrors the reference: ``payload.source`` carries the
+    connector metadata + TiDB extensions (``commit_ts``, ``cluster_id``);
+    ``op`` is c/u/d; before/after images per op. The reference stamps the
+    envelope ``ts_ms`` with processing wall-clock (``nowFunc``) — here it
+    is the commit millisecond, keeping the message replay-deterministic
+    (same rationale as the claim-check addressing).
+    """
+    source = F.format_string(
+        _DBZ_SOURCE_FMT,
+        F.lit(cluster_id),
+        F.expr("commit_ts div 1000"),
+        F.col("schema_name"),
+        F.col("table_name"),
+        F.col("commit_ts"),
+        F.lit(cluster_id),
+    )
+    op = (
+        F.when(F.col("op") == "I", F.lit("c"))
+        .when(F.col("op") == "U", F.lit("u"))
+        .otherwise(F.lit("d"))
+    )
+    images = (
+        F.when(F.col("op") == "I",
+               F.format_string('"before":null,"after":%s', F.col("after")))
+        .when(F.col("op") == "U",
+              F.format_string('"before":%s,"after":%s',
+                              F.col("before"), F.col("after")))
+        .otherwise(F.format_string('"before":%s,"after":null', F.col("before")))
+    )
+    msg = F.format_string(
+        _DBZ_FMT, source, F.expr("commit_ts div 1000"), op, images
+    )
+    return df.withColumn(out_col, msg)
+
+
+def encode_csv_rows(df: DataFrame, out_col: str = "line") -> DataFrame:
+    """CSV line encoder (storage-sink style): one delimited line per
+    change — ``op, schema, table, commit_ts, pk, event_type, value_cents``
+    with NULLs rendered ``\\N`` (the MySQL dump convention the reference's
+    type renderer follows, ``pkg/common/helper.go:19-80``).
+    """
+    cols = [
+        F.col("op"), F.col("schema_name"), F.col("table_name"),
+        F.col("commit_ts").cast("string"), F.col("pk").cast("string"),
+        F.col("event_type"), F.col("value_cents").cast("string"),
+    ]
+    rendered = [F.coalesce(c, F.lit("\\N")) for c in cols]
+    return df.withColumn(out_col, F.concat_ws(",", *rendered))
