@@ -766,6 +766,32 @@ def encoder_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "encoder_simple_protocol",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq,
+  printf('{"version":1,"database":"%s","table":"%s","tableID":%d,"type":"DML","commitTs":%d,"buildTs":%d,"schemaVersion":1',
+         schema_name, table_name, table_id, commit_ts, commit_ts // 1000)
+  || CASE op
+       WHEN 'I' THEN printf(',"data":%s}', after)
+       WHEN 'U' THEN printf(',"data":%s,"old":%s}', after, before)
+       ELSE printf(',"old":%s}', before)
+     END AS message
+FROM changes
+""",
+    doc="Simple-protocol encoder — in-tree but unwired in the reference "
+        "(simple/message.go:475-505; encoder_builder.go:26-27): versioned "
+        "DML message, omitempty data/old per op, buildTs pinned to commit "
+        "ms for replay determinism",
+)
+def encoder_simple_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_simple_protocol
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    return encode_simple_protocol(ch).select("seq", "message")
+
+
+@register(
     "encoder_csv_rows",
     ORACLE_CHANGES_CTE
     + """
@@ -1463,15 +1489,17 @@ def setop_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT pk FROM changes WHERE table_id = 0
 EXCEPT
-SELECT pk FROM changes WHERE table_id = 1
+SELECT pk FROM changes WHERE table_id = 1 AND op = 'D'
 """,
-    doc="Set op EXCEPT: keys only in t0's stream "
-        "(hash-dedup + co-shuffled anti join)",
+    doc="Set op EXCEPT: t0 keys never deleted in t1's stream "
+        "(hash-dedup + co-shuffled anti join; the right side is the "
+        "delete subset so the difference is non-empty — both streams "
+        "share the full key domain)",
 )
 def setop_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = changes_stream(spark, sf_dir)
     a = ch.filter(F.col("table_id") == 0).select("pk")
-    b = ch.filter(F.col("table_id") == 1).select("pk")
+    b = ch.filter((F.col("table_id") == 1) & (F.col("op") == "D")).select("pk")
     return a.subtract(b)
 
 

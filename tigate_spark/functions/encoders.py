@@ -229,3 +229,34 @@ def encode_csv_rows(df: DataFrame, out_col: str = "line") -> DataFrame:
     ]
     rendered = [F.coalesce(c, F.lit("\\N")) for c in cols]
     return df.withColumn(out_col, F.concat_ws(",", *rendered))
+
+
+_SIMPLE_PREFIX_FMT = (
+    '{"version":1,"database":"%s","table":"%s","tableID":%d,"type":"DML",'
+    '"commitTs":%d,"buildTs":%d,"schemaVersion":1'
+)
+
+
+def encode_simple_protocol(df: DataFrame, out_col: str = "message") -> DataFrame:
+    """Simple-protocol encoder (in-tree but unwired in the reference —
+    ``pkg/sink/codec/simple/message.go:475-505``, commented out of
+    ``encoder_builder.go:26-27``): versioned row message with
+    ``data``/``old`` images per op (``omitempty`` — insert carries data
+    only, update both, delete old only). ``buildTs`` is wall-clock in the
+    reference (``time.Now``); pinned to the commit millisecond here so
+    messages are replay-deterministic.
+    """
+    prefix = F.format_string(
+        _SIMPLE_PREFIX_FMT,
+        F.col("schema_name"), F.col("table_name"), F.col("table_id"),
+        F.col("commit_ts"), F.expr("commit_ts div 1000"),
+    )
+    tail = (
+        F.when(F.col("op") == "I",
+               F.format_string(',"data":%s}', F.col("after")))
+        .when(F.col("op") == "U",
+              F.format_string(',"data":%s,"old":%s}',
+                              F.col("after"), F.col("before")))
+        .otherwise(F.format_string(',"old":%s}', F.col("before")))
+    )
+    return df.withColumn(out_col, F.concat(prefix, tail))
