@@ -615,3 +615,355 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+       CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+                     THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+  AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'ASIA'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+GROUP BY 1
+""",
+    doc="National market share (TPC-H Q8 shape): 8-way join with nation in "
+        "two roles (customer-side prunes via region, supplier-side feeds the "
+        "CASE numerator); fixed-size dims (part-filtered, nation, region) "
+        "force-broadcast, customer/supplier stay size-decided (AQE "
+        "broadcasts them at test SF, shuffles at 100 TB); numerator/"
+        "denominator emitted as exact cents (share = ratio downstream)",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    nc = load_table(spark, sf_dir, "nation").alias("nc")
+    ns = load_table(spark, sf_dir, "nation").alias("ns")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier")
+    vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))
+        .join(F.broadcast(r), F.col("nc.n_regionkey") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("ns.n_name") == "NATION_3", vol).otherwise(F.lit(0))
+            ).cast("bigint").alias("nation_cents"),
+            F.sum(vol).cast("bigint").alias("total_cents"),
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    """
+SELECT ns.n_name AS nation, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS profit_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+""",
+    doc="Product-type profit (TPC-H Q9 shape): LIKE-pattern part prune + "
+        "supplier-nation rollup by year; no partsupp table in testdata, so "
+        "profit omits the supplycost term (documented stand-in, same join "
+        "tree); part/supplier/nation broadcast, the orders join is the one "
+        "big shuffle",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    ns = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == ns.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("bigint").alias("profit_cents")
+        )
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    """
+WITH ps AS (
+  SELECT l.l_partkey, CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_1'
+  GROUP BY 1
+)
+SELECT l_partkey, value_cents FROM ps
+WHERE value_cents > (SELECT CAST(round(sum(value_cents) * 0.001) AS BIGINT) FROM ps)
+""",
+    doc="Important-stock scalar threshold (TPC-H Q11 shape): per-part value "
+        "held by one nation's suppliers, kept only when above a fraction of "
+        "the global total — agg, then a 1-row global re-agg broadcast back "
+        "as the HAVING threshold; lineitem⋈supplier⋈nation stands in for "
+        "partsupp (no partsupp table in testdata)",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    ps = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
+    )
+    thresh = ps.agg(
+        F.round(F.sum("value_cents") * 0.001).cast("bigint").alias("thresh_cents")
+    )
+    return (
+        ps.crossJoin(F.broadcast(thresh))
+        .filter(F.col("value_cents") > F.col("thresh_cents"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+) t
+GROUP BY 1
+""",
+    doc="Customer order-count distribution (TPC-H Q13 shape): left outer "
+        "join with a join-side-only predicate (kept customers with zero "
+        "matching orders count 0), then a second aggregation over the "
+        "first's output — the classic double-agg; count(o_orderkey) skips "
+        "NULLs from the outer join by definition",
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_cents
+FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_cents = (SELECT max(total_cents) FROM revenue)
+""",
+    doc="Top supplier by quarterly revenue (TPC-H Q15 shape): the revenue "
+        "'view' is computed once and reused for both the max scalar and the "
+        "final join (Spark reuses the exchange); max broadcasts as a 1-row "
+        "dim; ties all surface (deterministic either way)",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("total_cents")
+        )
+    )
+    best = revenue.agg(F.max("total_cents").alias("max_cents"))
+    winners = (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_cents") == F.col("max_cents"))
+    )
+    # winners is ~1 row: broadcast IT into supplier, not the reverse
+    return s.join(F.broadcast(winners), F.col("l_suppkey") == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_cents"
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'
+WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+    doc="Small-quantity-order revenue (TPC-H Q17 shape): correlated avg "
+        "subquery decorrelated as a window avg over l_partkey AFTER the "
+        "brand prune — a brand-filtered part join keeps every lineitem of "
+        "each surviving part, so the per-part avg over the pruned subset "
+        "equals the avg over all of lineitem (one shuffle on the small "
+        "subset, no second lineitem scan, nothing broadcast that grows "
+        "with the part count)",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .withColumn("qty_thresh", F.avg("l_quantity").over(w) * 0.2)
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice"))).cast("bigint").alias("total_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+@register(
+    "tpch_q20_part_promotion",
+    """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS avail_qty,
+         CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                        AND l_shipdate < TIMESTAMP '1997-01-01'
+                       THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_1996
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM ps
+JOIN part p ON p.p_partkey = ps.l_partkey AND p.p_name LIKE 'red%'
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_2'
+WHERE ps.avail_qty > ps.qty_1996 / 2.0
+""",
+    doc="Part-promotion supplier screen (TPC-H Q20 shape): nested IN-chains "
+        "become semi-join chains — (part,supp) availability from lineitem "
+        "stands in for partsupp (no partsupp table), the correlated "
+        "'availqty > half of the year's shipments' subquery is a same-group "
+        "conditional sum, then part-name and nation prunes; DISTINCT "
+        "collapses multi-part suppliers (the semi-join effect)",
+)
+def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    qty96 = F.when(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")),
+        F.round(F.col("l_quantity")).cast("bigint"),
+    ).otherwise(F.lit(0))
+    ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("avail_qty"),
+            F.sum(qty96).alias("qty_1996"),
+        )
+    )
+    return (
+        ps.filter(F.col("avail_qty") > F.col("qty_1996") / 2.0)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1
+""",
+    doc="Suppliers-who-kept-waiting (TPC-H Q21 shape): EXISTS → LEFT SEMI "
+        "and NOT EXISTS → LEFT ANTI self-joins on orderkey with a "
+        "supplier-inequality residual (hash join on the equi key, residual "
+        "evaluated in the join); l_returnflag='R' stands in for the "
+        "late-receipt predicate (testdata has no l_receiptdate/commitdate); "
+        "the sole-guilty-supplier semantics are preserved exactly",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+        .join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(s, F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
