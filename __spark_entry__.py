@@ -50,8 +50,9 @@ _PRIORITY = [
     "gc_eligible_tombstones", "tpch_q16_supplier_cnt",
     "tpch_q14_promo_revenue", "dedup_duplicate_clusters",
     "join_skew_split_salted", "corpus_top_tokens", "streaming_replica_e2e",
-    "streaming_changelog_e2e", "streaming_first_seen_e2e",
-    "streaming_window_counts_e2e",
+    "streaming_changelog_e2e", "streaming_storage_e2e",
+    "streaming_first_seen_e2e", "streaming_window_counts_e2e",
+    "streaming_txn_match_e2e",
 ]
 
 

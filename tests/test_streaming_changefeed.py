@@ -145,6 +145,38 @@ def test_changelog_sink_encodes_and_routes(spark, sf_dir, chunked_source, tmp_pa
     assert lanes.filter(F.col("n") > 1).count() == 0
 
 
+def test_storage_sink_dated_tree(spark, sf_dir, chunked_source, tmp_path):
+    """K7 cloud-storage sink: {schema}/{table}/{date}/ text tree + root
+    metadata checkpoint (csv_storage_basic/run.sh:23-27, changefeed.toml
+    protocol=csv date-separator=day)."""
+    from tigate_spark.streaming.sinks import read_storage
+
+    cfg = ChangefeedConfig(changefeed_id="cf-store", sink_uri="file://out")
+    cfg.sink.protocol = "csv"
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    cf.run_to_completion()
+    ch = changes_stream(spark, sf_dir)
+    tree = read_storage(spark, cf.sink.out_dir)
+    assert tree.count() == ch.count()
+    assert {"schema_name", "table_name", "dt", "value"} <= set(tree.columns)
+    # dated directory layout on disk
+    leaf_dirs = glob.glob(
+        os.path.join(cf.sink.out_dir, "schema_name=*", "table_name=*", "dt=*")
+    )
+    assert leaf_dirs, "expected schema/table/date partition dirs"
+    assert all(
+        os.path.basename(d).startswith("dt=20") for d in leaf_dirs
+    )
+    # every line is the 7-field csv shape
+    bad = tree.filter(
+        F.size(F.split(F.col("value"), ",")) != 7
+    ).count()
+    assert bad == 0
+    # root metadata file carries the changefeed checkpoint ts
+    meta = json.load(open(os.path.join(cf.sink.out_dir, "metadata")))
+    assert meta["checkpoint-ts"] == ch.agg(F.max("commit_ts")).collect()[0][0]
+
+
 def test_syncpoint_ticks_aligned(spark, sf_dir, chunked_source, tmp_path):
     cfg = ChangefeedConfig(
         changefeed_id="cf-sync", sink_uri="noop://",

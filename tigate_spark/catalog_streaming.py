@@ -205,3 +205,117 @@ def streaming_window_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(got.collect(), got.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_STORAGE_ORACLE = ORACLE_CHANGES_CTE + """
+SELECT schema_name, table_name,
+       strftime(make_timestamp(commit_ts), '%Y-%m-%d') AS dt,
+       concat_ws(',',
+         coalesce(op, '\\N'),
+         coalesce(schema_name, '\\N'),
+         coalesce(table_name, '\\N'),
+         coalesce(CAST(commit_ts AS VARCHAR), '\\N'),
+         coalesce(CAST(pk AS VARCHAR), '\\N'),
+         coalesce(event_type, '\\N'),
+         coalesce(CAST(value_cents AS VARCHAR), '\\N')) AS line
+FROM changes
+"""
+
+
+@register(
+    "streaming_storage_e2e",
+    _STORAGE_ORACLE,
+    doc="Structured Streaming changefeed → cloud-storage sink (K7): dated "
+        "partitioned text tree {schema}/{table}/{yyyy-MM-dd}/ of CSV lines "
+        "(csv_storage_basic/run.sh:23-27, changefeed.toml date-separator) "
+        "read back via partition discovery and hash-matched line-for-line",
+)
+def streaming_storage_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.streaming.changefeed import Changefeed
+    from tigate_spark.streaming.sinks import read_storage
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        cfg = ChangefeedConfig(changefeed_id="store-e2e", sink_uri="file://out")
+        cfg.sink.protocol = "csv"
+        cf = Changefeed(
+            spark, cfg, os.path.join(sf_dir, "events.parquet"), work
+        )
+        cf.run_to_completion()
+        tree = read_storage(spark, cf.sink.out_dir).select(
+            "schema_name", "table_name", "dt", F.col("value").alias("line")
+        )
+        out = spark.createDataFrame(tree.collect(), tree.schema)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_TXN_MATCH_ORACLE = ORACLE_CHANGES_CTE + """
+, commits AS (
+  SELECT start_ts, pk, commit_ts FROM changes WHERE seq % 50 <> 0
+), prewrites AS (
+  SELECT start_ts AS p_start_ts, pk AS p_pk, value_cents, event_type, seq
+  FROM changes
+)
+SELECT c.start_ts, c.pk, c.commit_ts, p.value_cents, p.event_type, p.seq
+FROM commits c JOIN prewrites p
+  ON c.start_ts = p.p_start_ts AND c.pk = p.p_pk
+"""
+
+
+@register(
+    "streaming_txn_match_e2e",
+    _TXN_MATCH_ORACLE,
+    doc="S2 as a real Structured Streaming stream-stream join: prewrite "
+        "and commit file streams joined on (start_ts, key) with watermarks "
+        "bounding prewrite state retention (txn_matcher.go:42-110); "
+        "unmatched prewrites (the seq%50 'rollbacks') age out of the join "
+        "state instead of matching",
+)
+def streaming_txn_match_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.operators.txn import match_prewrite_commit_streams
+    from tigate_spark.sources.changes import normalize_events
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(events_path).schema
+    src_dir = os.path.dirname(events_path)
+
+    def stream():
+        return normalize_events(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(events_path))
+            .parquet(src_dir),
+            with_images=False,
+        )
+
+    pre = stream().select(
+        "start_ts", "pk", "value_cents", "event_type", "seq",
+        F.timestamp_micros("start_ts").alias("p_time"),
+    )
+    com = stream().filter(F.col("seq") % 50 != 0).select(
+        "start_ts", "pk", "commit_ts",
+        F.timestamp_micros("commit_ts").alias("c_time"),
+    )
+    matched = match_prewrite_commit_streams(pre, com)
+    work = tempfile.mkdtemp(prefix="tigate-txn-")
+    try:
+        out_dir = os.path.join(work, "out")
+        q = (
+            matched.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.isActive:
+            q.stop()
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        res = spark.read.parquet(out_dir).select(
+            "start_ts", "pk", "commit_ts", "value_cents", "event_type", "seq"
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -55,7 +55,10 @@ class DispatchRule:
 
 @dataclass
 class SinkConfig:
-    protocol: str = "canal-json"  # canal-json | open-protocol
+    protocol: str = "canal-json"  # canal-json | open-protocol | csv (storage)
+    #: storage-sink directory date layer: none | year | month | day
+    #: (`csv_storage_basic/conf/changefeed.toml:6`)
+    date_separator: str = "day"
     only_output_updated_columns: bool = False
     delete_only_output_handle_key_columns: bool = False
     large_message_handle: str | None = None  # None | handle-key-only | claim-check

@@ -66,3 +66,38 @@ def match_prewrite_commit(prewrites: DataFrame, commits: DataFrame) -> DataFrame
         c.join(p, (F.col("start_ts") == F.col("p_start_ts")) & (F.col("pk") == F.col("p_pk")))
         .select("start_ts", "pk", "commit_ts", "value_cents", "event_type", "seq")
     )
+
+
+def match_prewrite_commit_streams(
+    prewrites: DataFrame, commits: DataFrame,
+    retention: str = "10 minutes", late: str = "10 seconds",
+) -> DataFrame:
+    """S2, streaming form: the txn matcher as a Structured Streaming
+    stream-stream inner join on ``(start_ts, key)``.
+
+    The reference caches unmatched prewrites per key until the commit (or a
+    rollback) arrives (``logservice/logpuller/txn_matcher.go:42-110``);
+    here the watermark + time-range bound does the same job — a prewrite
+    is retained in join state for at most ``retention`` of event time, then
+    evicted (the rollback/no-commit path). Both inputs need an event-time
+    column: ``p_time`` (prewrite, from start_ts) and ``c_time`` (commit,
+    from commit_ts); commitTs > startTs always holds upstream, so the
+    range condition is one-sided plus the retention cap.
+    """
+    p = prewrites.select(
+        F.col("start_ts").alias("p_start_ts"), F.col("pk").alias("p_pk"),
+        "value_cents", "event_type", "seq", "p_time",
+    ).withWatermark("p_time", late)
+    c = commits.select("start_ts", "pk", "commit_ts", "c_time").withWatermark(
+        "c_time", late
+    )
+    return (
+        c.join(
+            p,
+            (F.col("start_ts") == F.col("p_start_ts"))
+            & (F.col("pk") == F.col("p_pk"))
+            & (F.col("c_time") >= F.col("p_time"))
+            & (F.col("c_time") <= F.col("p_time") + F.expr(f"INTERVAL {retention}")),
+        )
+        .select("start_ts", "pk", "commit_ts", "value_cents", "event_type", "seq")
+    )

@@ -24,6 +24,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic date/timestamp rendering regardless of cluster tz
+    # (storage-sink dated paths, window boundaries).
+    "spark.sql.session.timeZone": "UTC",
     # Arrow transfer for any pandas-UDF boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Dimension tables (region/nation/customer/schema registry) broadcast.

@@ -89,7 +89,10 @@ class Changefeed:
     # -- transform (F1-F4, P1, T2) ----------------------------------------
     def transform(self, raw: DataFrame) -> DataFrame:
         scheme = self.cfg.sink_uri.split("://", 1)[0]
-        with_images = scheme in ("kafka", "changelog")
+        with_images = scheme in ("kafka", "changelog") or (
+            scheme in ("file", "s3", "storage")
+            and self.cfg.sink.protocol == "canal-json"
+        )
         ch = normalize_events(raw, with_images=with_images)
         if self.cfg.start_ts:
             ch = ch.filter(F.col("commit_ts") > self.cfg.start_ts)
@@ -112,6 +115,18 @@ class Changefeed:
             return ChangelogSink(
                 os.path.join(self.work_dir, "changelog", self.cfg.changefeed_id),
                 self.bookkeeping,
+            )
+        if scheme in ("file", "s3", "storage"):
+            # K7 cloud-storage sink (csv_storage_basic/run.sh:23 —
+            # file:// URI; s3:// in the broader product)
+            from tigate_spark.streaming.sinks import StorageSink
+
+            protocol = self.cfg.sink.protocol
+            return StorageSink(
+                os.path.join(self.work_dir, "storage", self.cfg.changefeed_id),
+                protocol="csv" if protocol not in ("csv", "canal-json") else protocol,
+                date_separator=self.cfg.sink.date_separator,
+                bookkeeping=self.bookkeeping,
             )
         if scheme in ("noop", "blackhole"):
             return NoopSink(self.bookkeeping)

@@ -234,6 +234,99 @@ class ChangelogSink:
             self.bookkeeping.record(batch_df, batch_id)
 
 
+#: TiCDC storage-sink date-separator → directory date format
+#: (`csv_storage_basic/conf/changefeed.toml:6` — none | year | month | day)
+_DATE_SEPARATOR_FMT = {
+    "none": None,
+    "year": "yyyy",
+    "month": "yyyy-MM",
+    "day": "yyyy-MM-dd",
+}
+
+
+class StorageSink:
+    """K7: cloud-storage sink — dated-path file layout (csv / canal-json).
+
+    The reference ships this sink family through its storage integration
+    tests (`tests/integration_tests/csv_storage_basic/run.sh:23-27` —
+    ``SINK_URI="file://$WORK_DIR/storage_test?flush-interval=5s"`` with
+    ``protocol = "csv"``, ``date-separator = 'day'``,
+    `csv_storage_basic/conf/changefeed.toml:1-16`; canal-json variant in
+    `canal_json_storage_basic/`). Layout (public TiCDC storage layout):
+
+        out_dir/{schema}/{table}/{date}/<data files>    one line per change
+        out_dir/metadata                                 {"checkpoint-ts": N}
+
+    Spark-first: the dated tree IS a partitioned text write —
+    ``partitionBy(schema, table, dt)`` — so the layout falls out of the
+    planner with no per-table driver loop and scales to any table count.
+    File *naming* inside a leaf dir is Spark task naming (``part-*``)
+    rather than the reference's ``CDC{num:06}.csv``; the directory
+    contract, one-line-per-change content, and metadata checkpoint match.
+    Micro-batch cadence plays flush-interval: each batch appends new files
+    (file-rolling falls out of the trigger).
+    """
+
+    def __init__(self, out_dir: str, protocol: str = "csv",
+                 date_separator: str = "day",
+                 bookkeeping: Bookkeeping | None = None):
+        if date_separator not in _DATE_SEPARATOR_FMT:
+            raise ValueError(f"unsupported date-separator: {date_separator}")
+        if protocol not in ("csv", "canal-json"):
+            raise ValueError(f"unsupported storage protocol: {protocol}")
+        self.out_dir = out_dir
+        self.protocol = protocol
+        self.date_separator = date_separator
+        self.bookkeeping = bookkeeping
+
+    def _encode(self, batch_df: DataFrame) -> DataFrame:
+        from tigate_spark.functions.encoders import (
+            encode_canal_json,
+            encode_csv_rows,
+        )
+
+        if self.protocol == "csv":
+            return encode_csv_rows(batch_df, out_col="line")
+        return encode_canal_json(batch_df, out_col="line")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        enc = self._encode(batch_df)
+        parts = ["schema_name", "table_name"]
+        fmt = _DATE_SEPARATOR_FMT[self.date_separator]
+        if fmt:
+            # commit_ts is µs since epoch (engine time base)
+            enc = enc.withColumn(
+                "dt", F.date_format(F.timestamp_micros("commit_ts"), fmt)
+            )
+            parts.append("dt")
+        (enc.select(*parts, "line")
+         .repartition(*parts)  # one task (→ one file) per touched leaf dir
+         .write.mode("append").partitionBy(*parts).text(self.out_dir))
+        # metadata checkpoint file at sink root (TiCDC cloudstorage
+        # metadata contract: {"checkpoint-ts": N}); 1-row driver-side write
+        row = batch_df.agg(F.max("commit_ts").alias("ts")).collect()[0]
+        if row["ts"] is not None:
+            os.makedirs(self.out_dir, exist_ok=True)
+            tmp = os.path.join(self.out_dir, f".metadata.tmp-{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as f:
+                f.write('{"checkpoint-ts":%d}' % row["ts"])
+            os.replace(tmp, os.path.join(self.out_dir, "metadata"))
+        if self.bookkeeping:
+            self.bookkeeping.record(batch_df, batch_id)
+
+
+def read_storage(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Consumer side of :class:`StorageSink` (the reference's
+    ``run_storage_consumer``): reads the dated tree back with the
+    partition columns (schema_name, table_name[, dt]) recovered from the
+    directory layout."""
+    # glob the first partition level so the root-level ``metadata`` file
+    # doesn't defeat partition discovery; basePath recovers the columns
+    return spark.read.option("basePath", out_dir).text(
+        os.path.join(out_dir, "schema_name=*")
+    )
+
+
 class NoopSink:
     """K3: blackhole (throughput measurement)."""
 
@@ -251,7 +344,9 @@ __all__ = [
     "ChangelogSink",
     "NoopSink",
     "ReplicaSink",
+    "StorageSink",
     "read_replica",
+    "read_storage",
     "op_rank_col",
 ]
 
