@@ -139,3 +139,36 @@ def test_lsh_pairs_bounded_shuffles(spark):
 def test_sampling_no_shuffle(spark, name):
     """Hash-bucket sampling is a pure scan-filter — zero exchanges."""
     assert count_exchanges(_df(spark, name)) == 0
+
+
+def test_q8_fixed_dims_broadcast_facts_shuffle(spark):
+    """Q8: the two nation roles + region + filtered part broadcast by
+    explicit hint; orders/customer/supplier joins stay size-decided so
+    they shuffle at scale instead of OOMing a forced broadcast."""
+    df = _df(spark, "tpch_q8_market_share")
+    with no_auto_broadcast(spark):
+        assert_broadcast_join(df, n_min=4)
+        assert_shuffle_join(df)
+
+
+def test_q17_window_decorrelation_bounded_shuffles(spark):
+    """Q17: the correlated avg runs as a window over the brand-pruned
+    subset — one hash partitioning for the window plus the single-row
+    final agg; a join-back formulation would add a third exchange of
+    lineitem width."""
+    df = _df(spark, "tpch_q17_small_quantity_revenue")
+    with no_auto_broadcast(spark):
+        assert count_exchanges(df) <= 2
+
+
+def test_q21_semi_anti_self_joins(spark):
+    """Q21: EXISTS/NOT EXISTS compile to LeftSemi/LeftAnti hash joins with
+    the supplier-inequality residual — not to a cartesian or a
+    row-at-a-time subquery."""
+    from tigate_spark.plans.audit import plan_of
+
+    df = _df(spark, "tpch_q21_waiting_suppliers")
+    plan = plan_of(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan

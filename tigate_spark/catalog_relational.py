@@ -725,13 +725,15 @@ WITH ps AS (
   GROUP BY 1
 )
 SELECT l_partkey, value_cents FROM ps
-WHERE value_cents > (SELECT CAST(round(sum(value_cents) * 0.001) AS BIGINT) FROM ps)
+WHERE value_cents > (SELECT CAST(round(avg(value_cents) * 2.0) AS BIGINT) FROM ps)
 """,
     doc="Important-stock scalar threshold (TPC-H Q11 shape): per-part value "
-        "held by one nation's suppliers, kept only when above a fraction of "
-        "the global total — agg, then a 1-row global re-agg broadcast back "
-        "as the HAVING threshold; lineitem⋈supplier⋈nation stands in for "
-        "partsupp (no partsupp table in testdata)",
+        "held by one nation's suppliers, kept only when above a threshold "
+        "derived from a global re-agg broadcast back as the HAVING bound — "
+        "2x the mean part value rather than TPC-H's fixed fraction of the "
+        "total, so the predicate stays non-trivial at every SF (a fixed "
+        "fraction goes empty as part count grows); lineitem⋈supplier⋈"
+        "nation stands in for partsupp (no partsupp table in testdata)",
 )
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -744,7 +746,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
     )
     thresh = ps.agg(
-        F.round(F.sum("value_cents") * 0.001).cast("bigint").alias("thresh_cents")
+        F.round(F.avg("value_cents") * 2.0).cast("bigint").alias("thresh_cents")
     )
     return (
         ps.crossJoin(F.broadcast(thresh))

@@ -9,6 +9,13 @@ the state store, RocksDB-backed at scale). The flagship use here is
 first micro-batch its content hash is seen, suppress every later
 occurrence — state = one boolean per hash, storable at 100 TB scale
 because the key space is the *distinct* hash set, partitioned by hash.
+
+Spark 4's ``transformWithStateInPandas`` is the designed successor
+(typed value/list/map state, timers, TTL); its driver worker needs the
+``google.protobuf`` package, absent in this build environment, so every
+stateful operator here sticks to ``applyInPandasWithState`` — the
+migration is mechanical (GroupState → getValueState) when protobuf is
+available.
 """
 
 from __future__ import annotations
