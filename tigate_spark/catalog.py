@@ -1548,3 +1548,99 @@ def get_catalog() -> dict[str, QuerySpec]:
     import tigate_spark.catalog_streaming  # noqa: F401  (registers streaming-path queries)
 
     return CATALOG
+
+
+_DDL_FULL_SWITCH_CTE = ORACLE_CHANGES_CTE + """
+, ddl_full AS (
+  SELECT seq,
+         CASE CAST(seq % 14 AS INTEGER)
+           WHEN 0 THEN printf('ALTER TABLE t%d ADD PARTITION (PARTITION p%d VALUES LESS THAN (100))', table_id, seq % 10)
+           WHEN 1 THEN printf('ALTER TABLE t%d DROP PARTITION p%d', table_id, seq % 10)
+           WHEN 2 THEN printf('ALTER TABLE t%d TRUNCATE PARTITION p%d', table_id, seq % 10)
+           WHEN 3 THEN printf('ALTER TABLE t%d EXCHANGE PARTITION p%d WITH TABLE s%d', table_id, seq % 10, table_id)
+           WHEN 4 THEN printf('ALTER TABLE t%d REORGANIZE PARTITION p0 INTO (PARTITION p1 VALUES LESS THAN (10))', table_id)
+           WHEN 5 THEN printf('ALTER TABLE t%d ALTER COLUMN c%d SET DEFAULT 0', table_id, seq % 10)
+           WHEN 6 THEN printf('ALTER TABLE t%d AUTO_INCREMENT = %d', table_id, seq)
+           WHEN 7 THEN printf('ALTER TABLE t%d SHARD_ROW_ID_BITS = 4', table_id)
+           WHEN 8 THEN printf('ALTER TABLE t%d ATTRIBUTES ''merge_option=allow''', table_id)
+           WHEN 9 THEN printf('DROP VIEW v%d', table_id)
+           WHEN 10 THEN printf('CREATE VIEW v%d AS SELECT 1', table_id)
+           WHEN 11 THEN printf('ALTER TABLE t%d CHANGE c0 c1 BIGINT', table_id)
+           WHEN 12 THEN printf('ALTER TABLE t%d ADD INDEX idx%d (c0)', table_id, seq % 10)
+           ELSE printf('ALTER TABLE t%d MODIFY c0 INT', table_id)
+         END AS stmt
+  FROM changes WHERE event_type = 'signup'
+)
+"""
+
+
+@register(
+    "ddl_action_classify_full",
+    _DDL_FULL_SWITCH_CTE + """
+SELECT CASE
+         WHEN stmt LIKE '%ADD PARTITION%' THEN 'add partition'
+         WHEN stmt LIKE '%DROP PARTITION%' THEN 'drop partition'
+         WHEN stmt LIKE '%TRUNCATE PARTITION%' THEN 'truncate partition'
+         WHEN stmt LIKE '%EXCHANGE PARTITION%' THEN 'exchange partition'
+         WHEN stmt LIKE '%REORGANIZE PARTITION%' THEN 'reorganize partition'
+         WHEN stmt LIKE '%SET DEFAULT%' THEN 'set default value'
+         WHEN stmt LIKE '%AUTO_INCREMENT%' THEN 'rebase auto id'
+         WHEN stmt LIKE '%SHARD_ROW_ID_BITS%' THEN 'shard row id'
+         WHEN stmt LIKE '%ATTRIBUTES%' THEN 'alter table attributes'
+         WHEN stmt LIKE 'DROP VIEW%' THEN 'drop view'
+         WHEN stmt LIKE 'CREATE VIEW%' THEN 'create view'
+         WHEN stmt LIKE '%CHANGE c0%' THEN 'modify column'
+         WHEN stmt LIKE '%ADD INDEX%' THEN 'add index'
+         ELSE 'modify column'
+       END AS ddl_action,
+       CAST(count(*) AS BIGINT) AS n
+FROM ddl_full
+GROUP BY 1
+""",
+    doc="S4/F5: the FULL DDL action switch — every action case the "
+        "reference's schema store dispatches on (persist_storage.go:"
+        "812-939: partition add/drop/truncate/exchange/reorganize, set "
+        "default, rebase auto-id, shard-row-id, table attributes, views, "
+        "CHANGE/MODIFY column, indexes) classified from statement text "
+        "and counted per action",
+)
+def ddl_action_classify_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir).filter(F.col("event_type") == "signup")
+    m = F.col("seq") % 14
+    stmt = (
+        F.when(m == 0, F.format_string(
+            "ALTER TABLE t%d ADD PARTITION (PARTITION p%d VALUES LESS THAN (100))",
+            F.col("table_id"), F.col("seq") % 10))
+        .when(m == 1, F.format_string(
+            "ALTER TABLE t%d DROP PARTITION p%d", F.col("table_id"), F.col("seq") % 10))
+        .when(m == 2, F.format_string(
+            "ALTER TABLE t%d TRUNCATE PARTITION p%d", F.col("table_id"), F.col("seq") % 10))
+        .when(m == 3, F.format_string(
+            "ALTER TABLE t%d EXCHANGE PARTITION p%d WITH TABLE s%d",
+            F.col("table_id"), F.col("seq") % 10, F.col("table_id")))
+        .when(m == 4, F.format_string(
+            "ALTER TABLE t%d REORGANIZE PARTITION p0 INTO (PARTITION p1 VALUES LESS THAN (10))",
+            F.col("table_id")))
+        .when(m == 5, F.format_string(
+            "ALTER TABLE t%d ALTER COLUMN c%d SET DEFAULT 0",
+            F.col("table_id"), F.col("seq") % 10))
+        .when(m == 6, F.format_string(
+            "ALTER TABLE t%d AUTO_INCREMENT = %d", F.col("table_id"), F.col("seq")))
+        .when(m == 7, F.format_string(
+            "ALTER TABLE t%d SHARD_ROW_ID_BITS = 4", F.col("table_id")))
+        .when(m == 8, F.format_string(
+            "ALTER TABLE t%d ATTRIBUTES 'merge_option=allow'", F.col("table_id")))
+        .when(m == 9, F.format_string("DROP VIEW v%d", F.col("table_id")))
+        .when(m == 10, F.format_string("CREATE VIEW v%d AS SELECT 1", F.col("table_id")))
+        .when(m == 11, F.format_string(
+            "ALTER TABLE t%d CHANGE c0 c1 BIGINT", F.col("table_id")))
+        .when(m == 12, F.format_string(
+            "ALTER TABLE t%d ADD INDEX idx%d (c0)", F.col("table_id"), F.col("seq") % 10))
+        .otherwise(F.format_string("ALTER TABLE t%d MODIFY c0 INT", F.col("table_id")))
+    )
+    stmts = ch.select("seq", stmt.alias("stmt"))
+    return (
+        f_ops.classify_ddl(stmts)
+        .groupBy("ddl_action")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

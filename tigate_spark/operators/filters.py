@@ -146,6 +146,18 @@ DDL_ACTION_PATTERNS: list[tuple[str, str]] = [
     (r"(?i)^\s*CREATE\s+(DATABASE|SCHEMA)", "create schema"),
     (r"(?i)^\s*DROP\s+(DATABASE|SCHEMA)", "drop schema"),
     (r"(?i)^\s*CREATE\s+VIEW", "create view"),
+    # partition lifecycle + the remaining persist_storage.go action cases
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+ADD\s+PARTITION", "add partition"),
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+DROP\s+PARTITION", "drop partition"),
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+TRUNCATE\s+PARTITION", "truncate partition"),
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+EXCHANGE\s+PARTITION", "exchange partition"),
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+REORGANIZE\s+PARTITION", "reorganize partition"),
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+ALTER\s+(COLUMN\s+)?\S+\s+SET\s+DEFAULT", "set default value"),
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+AUTO_INCREMENT", "rebase auto id"),
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+SHARD_ROW_ID_BITS", "shard row id"),
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+ATTRIBUTES", "alter table attributes"),
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+CHANGE", "modify column"),
+    (r"(?i)^\s*DROP\s+VIEW", "drop view"),
 ]
 
 
