@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""10x scale probe: replicate sf0.1 facts with disjoint keys and measure
+how headline operators scale (wall-clock ratio vs data ratio). Not part
+of the driver bench contract (bench.py is); this pins the scaling rows
+in BASELINE.md reproducibly, like bench_streaming.py does for streaming.
+
+Replication offsets keys so joins stay realistic; document/embedding
+payloads repeat, which makes the dedup workload *dup-heavier* than
+sf0.1 (every doc has 10 copies) — a harder, not easier, LSH case.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tigate_spark.session import get_spark  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get("SCALE_DIR", "/tmp/tigate-scale10x")
+COPIES = int(os.environ.get("SCALE_COPIES", "10"))
+OFF = 1_000_000_000
+
+#: key columns to offset per copy (join keys stay consistent)
+OFFSETS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+QUERIES = [
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q21_waiting_suppliers", "cdc_pipeline_e2e", "dedup_exact",
+    "dedup_minhash_lsh", "sim_cosine_topk", "text_quality_score",
+]
+
+
+def build(spark) -> None:
+    if os.path.isdir(DST) and os.path.exists(os.path.join(DST, "_BUILT")):
+        return
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST)
+    for t in DIMS:
+        shutil.copy(os.path.join(SRC, f"{t}.parquet"), os.path.join(DST, f"{t}.parquet"))
+    for t, keys in OFFSETS.items():
+        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        parts = []
+        for i in range(COPIES):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * OFF))
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # one flat file per table like the source layout (single dir is fine)
+        out.coalesce(max(1, COPIES // 2)).write.mode("overwrite").parquet(
+            os.path.join(DST, f"{t}.parquet")
+        )
+    open(os.path.join(DST, "_BUILT"), "w").write("ok")
+
+
+def main() -> None:
+    spark = get_spark(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark)
+    from tigate_spark.catalog import get_catalog
+
+    cat = get_catalog()
+    results = {}
+    for name in QUERIES:
+        fn = cat[name].builder
+        fn(spark, SRC).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time(); fn(spark, SRC).write.format("noop").mode("overwrite").save()
+        base = time.time() - t0
+        fn(spark, DST).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time(); fn(spark, DST).write.format("noop").mode("overwrite").save()
+        scaled = time.time() - t0
+        results[name] = {
+            "sf0.1_sec": round(base, 2),
+            f"{COPIES}x_sec": round(scaled, 2),
+            "time_ratio": round(scaled / base, 1) if base > 0 else None,
+        }
+        print(json.dumps({name: results[name]}), flush=True)
+    print(json.dumps({"metric": "scale_probe", "copies": COPIES, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
