@@ -1644,3 +1644,63 @@ def ddl_action_classify_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ddl_action")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+#: K1 safe-mode boundary (mysql_writer.go:686-691): inserts with
+#: commit_ts beyond the replicating threshold stay INSERT; anything at or
+#: below replays idempotently as REPLACE. Mid-range constant so the
+#: catalog entry exercises both branches.
+_REPLICATING_TS_US = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC
+
+
+@register(
+    "encoder_mysql_sql",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq,
+  CASE op
+    WHEN 'I' THEN CASE WHEN commit_ts > %d
+      THEN printf('INSERT INTO `%%s`.`%%s` (`pk`,`event_type`,`value_cents`) VALUES (?,?,?)', schema_name, table_name)
+      ELSE printf('REPLACE INTO `%%s`.`%%s` (`pk`,`event_type`,`value_cents`) VALUES (?,?,?)', schema_name, table_name) END
+    WHEN 'U' THEN printf('UPDATE `%%s`.`%%s` SET `event_type` = ?, `value_cents` = ? WHERE `pk` = ? LIMIT 1', schema_name, table_name)
+    ELSE printf('DELETE FROM `%%s`.`%%s` WHERE `pk` = ? LIMIT 1', schema_name, table_name)
+  END AS sql,
+  CASE op
+    WHEN 'I' THEN printf('[%%d,"%%s",%%s]', pk, event_type, coalesce(CAST(value_cents AS VARCHAR), 'null'))
+    WHEN 'U' THEN printf('["%%s",%%s,%%d]', event_type, coalesce(CAST(value_cents AS VARCHAR), 'null'), pk)
+    ELSE printf('[%%d]', pk)
+  END AS args
+FROM changes
+""" % (_REPLICATING_TS_US, ),
+    doc="K1: the MySQL sink's prepareDMLs SQL text surface — parametric "
+        "INSERT/REPLACE (safe-mode translate boundary mysql_writer.go:"
+        "686-691), UPDATE ... WHERE pk LIMIT 1, DELETE ... WHERE pk "
+        "LIMIT 1 (sql_builder.go:56-205), with the arg vector as JSON; "
+        "pure format_string, whole-stage codegen",
+)
+def encoder_mysql_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    qual = (F.col("schema_name"), F.col("table_name"))
+    insert_sql = F.format_string(
+        "INSERT INTO `%s`.`%s` (`pk`,`event_type`,`value_cents`) VALUES (?,?,?)", *qual)
+    replace_sql = F.format_string(
+        "REPLACE INTO `%s`.`%s` (`pk`,`event_type`,`value_cents`) VALUES (?,?,?)", *qual)
+    update_sql = F.format_string(
+        "UPDATE `%s`.`%s` SET `event_type` = ?, `value_cents` = ? WHERE `pk` = ? LIMIT 1", *qual)
+    delete_sql = F.format_string(
+        "DELETE FROM `%s`.`%s` WHERE `pk` = ? LIMIT 1", *qual)
+    vc = F.coalesce(F.col("value_cents").cast("string"), F.lit("null"))
+    sql = (
+        F.when((F.col("op") == "I") & (F.col("commit_ts") > _REPLICATING_TS_US), insert_sql)
+        .when(F.col("op") == "I", replace_sql)
+        .when(F.col("op") == "U", update_sql)
+        .otherwise(delete_sql)
+    )
+    args = (
+        F.when(F.col("op") == "I",
+               F.format_string('[%d,"%s",%s]', F.col("pk"), F.col("event_type"), vc))
+        .when(F.col("op") == "U",
+              F.format_string('["%s",%s,%d]', F.col("event_type"), vc, F.col("pk")))
+        .otherwise(F.format_string("[%d]", F.col("pk")))
+    )
+    return ch.select("seq", sql.alias("sql"), args.alias("args"))
