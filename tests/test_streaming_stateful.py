@@ -183,3 +183,60 @@ def test_drop_duplicates_within_watermark(spark, sf_dir, chunked_source, tmp_pat
     # in most cases); at minimum: distinct keys covered, no same-batch dups
     assert got.select("table_id", "pk").distinct().count() == exp
     assert got.count() >= exp
+
+
+def test_txn_match_cross_batch_state(spark, sf_dir, tmp_path):
+    """S2 stream-stream join: a prewrite that arrives a micro-batch BEFORE
+    its commit must be held in join state and still match (the reference's
+    unmatched-prewrite cache, txn_matcher.go:42-110). Commits are split
+    into two files (below/above the median commit_ts) so batch 2's
+    commits can only match prewrites buffered from batch 1."""
+    from tigate_spark.operators.txn import match_prewrite_commit_streams
+
+    ch = changes_stream(spark, sf_dir)
+    pre_b = ch.select(
+        "start_ts", "pk", "value_cents", "event_type", "seq",
+        F.timestamp_micros("start_ts").alias("p_time"),
+    )
+    com_b = ch.select(
+        "start_ts", "pk", "commit_ts",
+        F.timestamp_micros("commit_ts").alias("c_time"),
+    )
+    expected = (
+        com_b.alias("c")
+        .join(
+            pre_b.alias("p"),
+            (F.col("c.start_ts") == F.col("p.start_ts"))
+            & (F.col("c.pk") == F.col("p.pk")),
+        )
+        .count()
+    )
+    med = int(com_b.approxQuantile("commit_ts", [0.5], 0.0)[0])
+    pre_dir, com_dir = str(tmp_path / "pre"), str(tmp_path / "com")
+    pre_b.coalesce(1).write.parquet(pre_dir)
+    com_b.filter(F.col("commit_ts") <= med).coalesce(1).write.parquet(com_dir)
+    time.sleep(1.1)  # distinct mtimes so file order (→ batch order) is stable
+    com_b.filter(F.col("commit_ts") > med).coalesce(1).write.mode(
+        "append"
+    ).parquet(com_dir)
+
+    pre_s = (
+        spark.readStream.schema(pre_b.schema)
+        .option("maxFilesPerTrigger", "1").parquet(pre_dir)
+    )
+    com_s = (
+        spark.readStream.schema(com_b.schema)
+        .option("maxFilesPerTrigger", "1").parquet(com_dir)
+    )
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        match_prewrite_commit_streams(pre_s, com_s)
+        .writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", ck).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == expected
+    # the second file's commits really did match across the batch boundary
+    assert got.filter(F.col("commit_ts") > med).count() > 0
