@@ -1704,3 +1704,60 @@ def encoder_mysql_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.format_string("[%d]", F.col("pk")))
     )
     return ch.select("seq", sql.alias("sql"), args.alias("args"))
+
+
+@register(
+    "encoder_message_batches",
+    ORACLE_CHANGES_CTE
+    + f"""
+, routed AS (
+  SELECT seq,
+         printf('%s_%s', schema_name, table_name) AS topic,
+         {h32_sql('pk')} % 16 AS partition,
+         printf('{{"id":%d,"pk":%d,"v":%s}}', seq, pk,
+                coalesce(CAST(value_cents AS VARCHAR), 'null')) AS message
+  FROM changes
+), numbered AS (
+  SELECT *, CAST((row_number() OVER (PARTITION BY topic, partition ORDER BY seq) - 1) // 64 AS BIGINT) AS batch_no
+  FROM routed
+)
+SELECT topic, partition, batch_no,
+       CAST(count(*) AS BIGINT) AS n_msgs,
+       CAST(sum(length(message)) AS BIGINT) AS bytes,
+       min(seq) AS first_seq, max(seq) AS last_seq
+FROM numbered
+GROUP BY 1, 2, 3
+""",
+    doc="E4: MQ message batching — accumulate ≤64 messages per "
+        "(topic,partition) lane in seq order, emit per-batch manifest "
+        "(count, bytes, seq span) like the DML worker's batch+group loop "
+        "(kafka_dml_worker.go:267-321). Per-lane row_number keeps the "
+        "numbering deterministic AND scalable: one shuffle on the lane "
+        "key, no global ordering bottleneck",
+)
+def encoder_message_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ch = changes_stream(spark, sf_dir)
+    routed = ch.select(
+        "seq",
+        F.format_string("%s_%s", F.col("schema_name"), F.col("table_name")).alias("topic"),
+        (h32(F.col("pk")) % 16).alias("partition"),
+        F.format_string(
+            '{"id":%d,"pk":%d,"v":%s}', F.col("seq"), F.col("pk"),
+            F.coalesce(F.col("value_cents").cast("string"), F.lit("null")),
+        ).alias("message"),
+    )
+    w = Window.partitionBy("topic", "partition").orderBy("seq")
+    numbered = routed.withColumn(
+        "batch_no", ((F.row_number().over(w) - F.lit(1)) / F.lit(64)).cast("bigint")
+    )
+    return (
+        numbered.groupBy("topic", "partition", "batch_no")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_msgs"),
+            F.sum(F.length("message")).cast("bigint").alias("bytes"),
+            F.min("seq").alias("first_seq"),
+            F.max("seq").alias("last_seq"),
+        )
+    )
