@@ -1761,3 +1761,29 @@ def encoder_message_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("seq").alias("last_seq"),
         )
     )
+
+
+@register(
+    "encoder_canal_json_typed",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, printf(
+  '{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,"type":"%s","es":%d,"ts":%d,"sql":"","sqlType":{"pk":-5,"event_type":12,"value_cents":-5},"mysqlType":{"pk":"bigint","event_type":"varchar(255)","value_cents":"bigint"},"data":%s,"old":%s,"_tidb":{"commitTs":%d}}',
+  schema_name, table_name,
+  CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+  commit_ts // 1000, commit_ts // 1000,
+  '[' || coalesce(CASE WHEN op = 'D' THEN before ELSE after END, 'null') || ']',
+  CASE WHEN op = 'U' THEN '[' || before || ']' ELSE 'null' END,
+  commit_ts) AS message
+FROM changes
+""",
+    doc="E1 full message shape: canal-json with per-column sqlType "
+        "(java.sql.Types) and mysqlType maps (canal_json_message.go:55-57; "
+        "maps built from table info in canal/encoder.go:155,218-277) — "
+        "the type-metadata surface SURVEY §7.4 flags as hard part 4",
+)
+def encoder_canal_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_canal_json_typed
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    return encode_canal_json_typed(ch).select("seq", "message")

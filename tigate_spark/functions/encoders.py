@@ -26,6 +26,46 @@ _CANAL_FMT = (
 
 _CANAL_TYPE = {"I": "INSERT", "U": "UPDATE", "D": "DELETE"}
 
+#: java.sql.Types codes the reference's canal encoder emits per column
+#: (canal_json_message.go:55-57; JavaSQLType map encoder.go:218). The
+#: engine's change payload is (pk BIGINT, event_type VARCHAR,
+#: value_cents BIGINT) → BIGINT=-5, VARCHAR=12.
+CANAL_SQL_TYPE_MAP = '{"pk":-5,"event_type":12,"value_cents":-5}'
+CANAL_MYSQL_TYPE_MAP = (
+    '{"pk":"bigint","event_type":"varchar(255)","value_cents":"bigint"}'
+)
+
+_CANAL_TYPED_FMT = (
+    '{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,'
+    '"type":"%s","es":%d,"ts":%d,"sql":"",'
+    '"sqlType":' + CANAL_SQL_TYPE_MAP + ','
+    '"mysqlType":' + CANAL_MYSQL_TYPE_MAP + ','
+    '"data":%s,"old":%s,"_tidb":{"commitTs":%d}}'
+)
+
+
+def encode_canal_json_typed(df: DataFrame, out_col: str = "message") -> DataFrame:
+    """E1 with column type metadata: the full JSONMessage shape including
+    the per-column ``sqlType`` (java.sql.Types codes) and ``mysqlType``
+    maps (``canal_json_message.go:55-57``; maps built per table info in
+    ``canal/encoder.go:155,218-277``). The maps here come from the fixed
+    change-payload schema; with per-table schemas they are rendered from
+    the broadcast schema registry (T3) the same way."""
+    data = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
+    old = F.when(F.col("op") == "U", F.col("before"))
+    msg = F.format_string(
+        _CANAL_TYPED_FMT,
+        F.col("schema_name"),
+        F.col("table_name"),
+        canal_type_col(),
+        F.expr("commit_ts div 1000"),
+        F.expr("commit_ts div 1000"),
+        F.concat(F.lit("["), F.coalesce(data, F.lit("null")), F.lit("]")),
+        F.when(old.isNotNull(), F.concat(F.lit("["), old, F.lit("]"))).otherwise(F.lit("null")),
+        F.col("commit_ts"),
+    )
+    return df.withColumn(out_col, msg)
+
 
 def canal_type_col(op_col: str = "op") -> Column:
     return (
