@@ -1787,3 +1787,69 @@ def encoder_canal_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ch = changes_stream(spark, sf_dir, with_images=True)
     return encode_canal_json_typed(ch).select("seq", "message")
+
+
+_DBZ_MSG_CTE = ORACLE_CHANGES_CTE + """
+, msgs AS (
+  SELECT seq,
+    printf('{"payload":{"source":%s,"ts_ms":%d,"transaction":null,"op":"%s",%s}}',
+      printf('{"version":"2.4.0.Final","connector":"TiCDC","name":"%s","ts_ms":%d,"snapshot":"false","db":"%s","table":"%s","server_id":0,"gtid":null,"file":"","pos":0,"row":0,"thread":0,"query":null,"commit_ts":%d,"cluster_id":"%s"}',
+        'default', commit_ts // 1000, schema_name, table_name, commit_ts, 'default'),
+      commit_ts // 1000,
+      CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u' ELSE 'd' END,
+      CASE op WHEN 'I' THEN printf('"before":null,"after":%s', after)
+              WHEN 'U' THEN printf('"before":%s,"after":%s', before, after)
+              ELSE printf('"before":%s,"after":null', before) END
+    ) AS message
+  FROM changes
+)
+"""
+
+
+@register(
+    "decoder_debezium",
+    _DBZ_MSG_CTE + """
+SELECT seq,
+  json_extract_string(message, '$.payload.source.db') AS database,
+  json_extract_string(message, '$.payload.source."table"') AS table_name,
+  CASE json_extract_string(message, '$.payload.op')
+    WHEN 'c' THEN 'I' WHEN 'u' THEN 'U' ELSE 'D' END AS op,
+  CAST(json_extract(message, '$.payload.source.commit_ts') AS BIGINT) AS commit_ts,
+  CAST(json_extract(message,
+    CASE WHEN json_extract_string(message, '$.payload.op') = 'd'
+         THEN '$.payload.before.pk' ELSE '$.payload.after.pk' END) AS BIGINT) AS pk,
+  json_extract_string(message,
+    CASE WHEN json_extract_string(message, '$.payload.op') = 'd'
+         THEN '$.payload.before.event_type' ELSE '$.payload.after.event_type' END) AS event_type,
+  CAST(json_extract(message,
+    CASE WHEN json_extract_string(message, '$.payload.op') = 'd'
+         THEN '$.payload.before.value_cents' ELSE '$.payload.after.value_cents' END) AS BIGINT) AS value_cents
+FROM msgs
+""",
+    doc="E7 for debezium: encode→from_json round trip — c/u/d maps back "
+        "to I/U/D, the effective image (after for c/u, before for d) "
+        "yields the typed columns (decoder/decoder.go consumer pattern)",
+)
+def decoder_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import decode_debezium, encode_debezium
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    return decode_debezium(encode_debezium(ch))
+
+
+@register(
+    "decoder_csv_rows",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT op, schema_name, table_name, commit_ts, pk, event_type, value_cents
+FROM changes
+""",
+    doc="E7 for the storage CSV line format: encode→split round trip "
+        "(run_storage_consumer path); \\\\N unmaps to NULL so the typed "
+        "columns come back exactly",
+)
+def decoder_csv_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import decode_csv_rows, encode_csv_rows
+
+    ch = changes_stream(spark, sf_dir)
+    return decode_csv_rows(encode_csv_rows(ch))

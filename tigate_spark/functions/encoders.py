@@ -300,3 +300,60 @@ def encode_simple_protocol(df: DataFrame, out_col: str = "message") -> DataFrame
         .otherwise(F.format_string(',"old":%s}', F.col("before")))
     )
     return df.withColumn(out_col, F.concat(prefix, tail))
+
+
+_DBZ_MSG_SCHEMA = (
+    "STRUCT<payload: STRUCT<"
+    "source: STRUCT<db: STRING, `table`: STRING, commit_ts: BIGINT, cluster_id: STRING>, "
+    "ts_ms: BIGINT, op: STRING, "
+    "before: STRUCT<pk: BIGINT, event_type: STRING, value_cents: BIGINT>, "
+    "after: STRUCT<pk: BIGINT, event_type: STRING, value_cents: BIGINT>>>"
+)
+
+
+def decode_debezium(df: DataFrame, msg_col: str = "message") -> DataFrame:
+    """E7 for the debezium envelope: ``from_json`` back into typed change
+    columns (consumer side of :func:`encode_debezium`; the reference
+    ships decoders for its integration-test consumers,
+    ``pkg/sink/codec/decoder/decoder.go``). c/u/d maps back to I/U/D; the
+    effective image is after for c/u, before for d."""
+    parsed = df.withColumn("m", F.from_json(F.col(msg_col), _DBZ_MSG_SCHEMA))
+    op = (
+        F.when(F.col("m.payload.op") == "c", "I")
+        .when(F.col("m.payload.op") == "u", "U")
+        .otherwise(F.lit("D"))
+    )
+    img = F.when(
+        F.col("m.payload.op") == "d", F.col("m.payload.before")
+    ).otherwise(F.col("m.payload.after"))
+    return parsed.select(
+        "seq",
+        F.col("m.payload.source.db").alias("database"),
+        F.col("m.payload.source.table").alias("table_name"),
+        op.alias("op"),
+        F.col("m.payload.source.commit_ts").alias("commit_ts"),
+        img["pk"].alias("pk"),
+        img["event_type"].alias("event_type"),
+        img["value_cents"].alias("value_cents"),
+    )
+
+
+def decode_csv_rows(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """E7 for the storage-sink CSV line format: split back into typed
+    change columns (consumer side of :func:`encode_csv_rows`, the
+    reference's ``run_storage_consumer`` path). ``\\N`` unmaps to NULL."""
+    parts = F.split(F.col(line_col), ",")
+
+    def field(i: int):
+        v = parts.getItem(i)
+        return F.when(v == "\\N", F.lit(None).cast("string")).otherwise(v)
+
+    return df.select(
+        field(0).alias("op"),
+        field(1).alias("schema_name"),
+        field(2).alias("table_name"),
+        field(3).cast("bigint").alias("commit_ts"),
+        field(4).cast("bigint").alias("pk"),
+        field(5).alias("event_type"),
+        field(6).cast("bigint").alias("value_cents"),
+    )
