@@ -1853,3 +1853,25 @@ def decoder_csv_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ch = changes_stream(spark, sf_dir)
     return decode_csv_rows(encode_csv_rows(ch))
+
+
+@register(
+    "decoder_simple_protocol",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT schema_name AS database, table_name, table_id, op, commit_ts, pk, event_type,
+       CASE WHEN op = 'D' THEN value_cents - 100 ELSE value_cents END AS value_cents
+FROM changes
+""",
+    doc="E7 for the simple protocol: encode→from_json round trip — op "
+        "inferred from image presence (data only=I, both=U, old only=D), "
+        "effective image data for I/U, old for D (pkg/sink/codec/simple)",
+)
+def decoder_simple_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import (
+        decode_simple_protocol,
+        encode_simple_protocol,
+    )
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    return decode_simple_protocol(encode_simple_protocol(ch))

@@ -357,3 +357,39 @@ def decode_csv_rows(df: DataFrame, line_col: str = "line") -> DataFrame:
         field(5).alias("event_type"),
         field(6).cast("bigint").alias("value_cents"),
     )
+
+
+_SIMPLE_MSG_SCHEMA = (
+    "STRUCT<version: INT, `database`: STRING, `table`: STRING, tableID: BIGINT, "
+    "type: STRING, commitTs: BIGINT, buildTs: BIGINT, schemaVersion: INT, "
+    "data: STRUCT<pk: BIGINT, event_type: STRING, value_cents: BIGINT>, "
+    "old: STRUCT<pk: BIGINT, event_type: STRING, value_cents: BIGINT>>"
+)
+
+
+def decode_simple_protocol(df: DataFrame, msg_col: str = "message") -> DataFrame:
+    """E7 for the simple protocol: consumer-side decode of
+    :func:`encode_simple_protocol` (``pkg/sink/codec/simple``'s decoder
+    counterpart). Op is inferred from image presence exactly as the
+    protocol defines it (omitempty): data only → INSERT, data+old →
+    UPDATE, old only → DELETE; the effective image is data for I/U,
+    old for D."""
+    parsed = df.withColumn("m", F.from_json(F.col(msg_col), _SIMPLE_MSG_SCHEMA))
+    has_data = F.col("m.data").isNotNull()
+    has_old = F.col("m.old").isNotNull()
+    op = (
+        F.when(has_data & has_old, "U")
+        .when(has_data, F.lit("I"))
+        .otherwise(F.lit("D"))
+    )
+    img = F.when(has_data, F.col("m.data")).otherwise(F.col("m.old"))
+    return parsed.select(
+        F.col("m.database").alias("database"),
+        F.col("m.table").alias("table_name"),
+        F.col("m.tableID").alias("table_id"),
+        op.alias("op"),
+        F.col("m.commitTs").alias("commit_ts"),
+        img["pk"].alias("pk"),
+        img["event_type"].alias("event_type"),
+        img["value_cents"].alias("value_cents"),
+    )
