@@ -177,6 +177,28 @@ def test_storage_sink_dated_tree(spark, sf_dir, chunked_source, tmp_path):
     assert meta["checkpoint-ts"] == ch.agg(F.max("commit_ts")).collect()[0][0]
 
 
+def test_storage_sink_canal_json_lines(spark, sf_dir, chunked_source, tmp_path):
+    """K7 with protocol=canal-json (canal_json_storage_basic variant):
+    every line in the dated tree is a parseable canal-json message whose
+    database/table agree with the partition directories."""
+    from tigate_spark.streaming.sinks import read_storage
+
+    cfg = ChangefeedConfig(changefeed_id="cf-store-cj", sink_uri="file://out")
+    cfg.sink.protocol = "canal-json"
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    cf.run_to_completion()
+    ch = changes_stream(spark, sf_dir)
+    tree = read_storage(spark, cf.sink.out_dir)
+    assert tree.count() == ch.count()
+    sample = tree.limit(50).collect()
+    assert sample
+    for r in sample:
+        msg = json.loads(r["value"])
+        assert msg["type"] in ("INSERT", "UPDATE", "DELETE")
+        assert msg["database"] == r["schema_name"]
+        assert msg["table"] == r["table_name"]
+
+
 def test_syncpoint_ticks_aligned(spark, sf_dir, chunked_source, tmp_path):
     cfg = ChangefeedConfig(
         changefeed_id="cf-sync", sink_uri="noop://",
