@@ -660,3 +660,43 @@ def corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), "token")
         .limit(50)
     )
+
+
+@register(
+    "embed_int8_quantize",
+    _QUANT_CTE + """
+SELECT vec_id, norm_sq,
+       CAST(list_max(list_transform(q, x -> abs(x))) AS BIGINT) AS max_abs,
+       array_to_string(list_transform(q, v ->
+         CASE WHEN list_max(list_transform(q, x -> abs(x))) = 0 THEN 0
+              WHEN v < 0 THEN -((-v) * 127 // list_max(list_transform(q, x -> abs(x))))
+              ELSE (v * 127) // list_max(list_transform(q, x -> abs(x))) END), ',') AS int8_vec
+FROM base
+""",
+    doc="Embedding int8 quantization for storage/serving (the standard "
+        "training-pipeline compaction step): per-vector max-abs scaling "
+        "to [-127,127] in exact integer math (sign-split floor division "
+        "matches across engines), plus the exact norm witness; all "
+        "array-local (F.transform/aggregate) — zero shuffles, scales "
+        "embarrassingly",
+)
+def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+    )
+    qd = emb.select("vec_id", q.alias("q"))
+    norm_sq = F.expr("aggregate(q, 0L, (a, v) -> a + v * v)")
+    max_abs = F.expr("array_max(transform(q, x -> abs(x)))")
+    int8_vec = F.expr(
+        "array_join(transform(q, v -> CASE"
+        " WHEN array_max(transform(q, x -> abs(x))) = 0 THEN 0L"
+        " WHEN v < 0 THEN -((-v) * 127 div array_max(transform(q, x -> abs(x))))"
+        " ELSE (v * 127) div array_max(transform(q, x -> abs(x))) END), ',')"
+    )
+    return qd.select(
+        "vec_id",
+        norm_sq.cast("bigint").alias("norm_sq"),
+        max_abs.cast("bigint").alias("max_abs"),
+        int8_vec.alias("int8_vec"),
+    )
