@@ -49,10 +49,16 @@ _PRIORITY = [
     "window_lag_interarrival", "join_interval_broadcast",
     "gc_eligible_tombstones", "tpch_q16_supplier_cnt",
     "tpch_q14_promo_revenue", "dedup_duplicate_clusters",
-    "join_skew_split_salted", "corpus_top_tokens", "streaming_replica_e2e",
-    "streaming_changelog_e2e", "streaming_storage_e2e",
-    "streaming_first_seen_e2e", "streaming_window_counts_e2e",
-    "streaming_txn_match_e2e",
+    "join_skew_split_salted", "corpus_top_tokens",
+    "tpch_q8_market_share", "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue", "tpch_q21_waiting_suppliers",
+    "encoder_mysql_sql", "encoder_canal_json_typed",
+    "encoder_message_batches", "ddl_action_classify_full",
+    "decoder_debezium", "decoder_csv_rows", "decoder_simple_protocol",
+    "embed_int8_quantize",
+    "streaming_replica_e2e", "streaming_changelog_e2e",
+    "streaming_storage_e2e", "streaming_first_seen_e2e",
+    "streaming_window_counts_e2e", "streaming_txn_match_e2e",
 ]
 
 
