@@ -172,3 +172,20 @@ def test_q21_semi_anti_self_joins(spark):
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_new_codecs_stay_jvm_side(spark):
+    """Every codec added in round 2 — typed canal, mysql SQL text,
+    debezium/csv/simple decoders, batching, int8 quantize — is pure
+    format_string/from_json/transform: zero Python in the plan."""
+    for name in (
+        "encoder_canal_json_typed", "encoder_mysql_sql",
+        "encoder_message_batches", "decoder_debezium", "decoder_csv_rows",
+        "decoder_simple_protocol", "embed_int8_quantize",
+    ):
+        assert_no_python_in_plan(_df(spark, name))
+
+
+def test_quantize_zero_shuffle(spark):
+    """int8 quantization is array-local — no exchange at any scale."""
+    assert count_exchanges(_df(spark, "embed_int8_quantize")) == 0

@@ -337,3 +337,12 @@ def test_claim_check_in_changelog(spark, sf_dir, chunked_source, tmp_path):
     n_total = log.count()
     n_ptr = log.filter(F.col("message").startswith('{"claimCheckLocation"')).count()
     assert 0 < n_ptr < n_total  # some offloaded, some inline
+
+
+def test_storage_sink_rejects_bad_config():
+    from tigate_spark.streaming.sinks import StorageSink
+
+    with pytest.raises(ValueError):
+        StorageSink("/tmp/x", protocol="avro")
+    with pytest.raises(ValueError):
+        StorageSink("/tmp/x", date_separator="hour")
