@@ -47,6 +47,25 @@ def no_auto_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_count_exchanges_sees_real_shuffles(spark):
+    """Self-test for the audit helper: a groupBy over a non-trivial key IS
+    a shuffle and must count as one; a SinglePartition final agg and a
+    broadcast exchange must not. Guards against the formatted-explain
+    rendering drifting out from under the header regex (round-2 ADVICE:
+    the old line-prefix match counted 0 on every plan, making every
+    shuffle gate vacuous)."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(1000).withColumn("k", F.col("id") % 7)
+    shuffled = df.groupBy("k").count()
+    assert count_exchanges(shuffled) >= 1, shuffled.explain("formatted")
+    # global agg coalesces to SinglePartition — not a data shuffle
+    assert count_exchanges(df.agg(F.sum("id"))) == 0
+    # broadcast join moves dim-sized data only
+    dim = F.broadcast(spark.range(7).withColumnRenamed("id", "k"))
+    assert count_exchanges(df.join(dim, "k")) == 0
+
+
 def test_q6_filters_reach_scan(spark):
     """TPC-H Q6 shape: all predicates sit on scan columns → every one
     pushes into the parquet reader; the plan is scan+agg, no data shuffle."""

@@ -16,6 +16,8 @@ pin the properties that matter at 100 TB:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -74,13 +76,34 @@ def assert_no_python_in_plan(df: DataFrame) -> str:
     return plan
 
 
+_EXCHANGE_HEADER = re.compile(r"^\(\d+\) Exchange$")
+
+
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the plan (broadcast exchanges are
-    not counted — they move dim-sized, not fact-sized, data)."""
-    plan = plan_of(df)
-    return sum(
-        1
-        for ln in plan.splitlines()
-        if ln.strip().startswith("Exchange") and "SinglePartition" not in ln
-        and "broadcast" not in ln.lower()
-    )
+    """Number of *data* shuffle exchanges in the plan.
+
+    Formatted explain renders each node once in the tree ("+- Exchange (4)")
+    and once as a detail-section header ("(4) Exchange" followed by an
+    "Arguments:" line). We count the detail headers — one per node, no
+    indentation ambiguity — and use the Arguments line to drop the two
+    non-data-shuffle kinds:
+
+    - ``SinglePartition`` — the one-row final-agg / global-sort coalesce;
+    - broadcast distribution — dim-sized, not fact-sized, movement
+      (``BroadcastExchange`` has its own header and never matches, but the
+      guard also covers ``Exchange`` with a broadcast distribution).
+    """
+    lines = plan_of(df).splitlines()
+    n = 0
+    for i, raw in enumerate(lines):
+        if not _EXCHANGE_HEADER.match(raw.strip()):
+            continue
+        args = ""
+        for follow in lines[i + 1 : i + 6]:
+            if follow.strip().startswith("Arguments:"):
+                args = follow
+                break
+        if "SinglePartition" in args or "broadcast" in args.lower():
+            continue
+        n += 1
+    return n
