@@ -15,6 +15,7 @@ from tigate_spark.plans.audit import (
     assert_no_python_in_plan,
     assert_pushed_filters,
     assert_shuffle_join,
+    count_broadcast_exchanges,
     count_exchanges,
 )
 
@@ -75,21 +76,27 @@ def test_q6_filters_reach_scan(spark):
     assert "HashAggregate" in plan
 
 
-def test_q3_broadcast_dim_shuffle_fact(spark):
-    """Q3: customer (dim) broadcasts via explicit hint; orders⋈lineitem
-    co-shuffles."""
+def test_q3_fact_joins_size_decided(spark):
+    """Q3: customer is SF-proportional — no broadcast hint anywhere, so
+    with auto-broadcast disabled the whole plan co-shuffles; at test SF the
+    default (auto-broadcast on) plan still broadcasts it size-decided."""
     df = _df(spark, "tpch_q3_shipping_priority")
     with no_auto_broadcast(spark):
-        assert_broadcast_join(df, n_min=1)
+        assert count_broadcast_exchanges(df) == 0
         assert_shuffle_join(df)
+    # fresh df: QueryExecution memoizes the physical plan, so the hinted-off
+    # explain above would otherwise be reused under the restored threshold
+    assert_broadcast_join(_df(spark, "tpch_q3_shipping_priority"), n_min=1)
 
 
-def test_q5_star_join_broadcasts_all_dims(spark):
-    """Q5: 6-way star — all four dims broadcast (explicit hints), facts
-    SMJ once."""
+def test_q5_star_join_broadcasts_fixed_dims_only(spark):
+    """Q5: 6-way star — only the fixed-size dims (nation, region) carry
+    broadcast hints; customer/supplier are SF-proportional and stay
+    size-decided, facts SMJ."""
     df = _df(spark, "tpch_q5_local_supplier")
     with no_auto_broadcast(spark):
-        assert_broadcast_join(df, n_min=4)
+        assert_broadcast_join(df, n_min=2)
+        assert count_broadcast_exchanges(df) == 2  # nation + region only
         assert_shuffle_join(df)
 
 
@@ -161,13 +168,47 @@ def test_sampling_no_shuffle(spark, name):
 
 
 def test_q8_fixed_dims_broadcast_facts_shuffle(spark):
-    """Q8: the two nation roles + region + filtered part broadcast by
-    explicit hint; orders/customer/supplier joins stay size-decided so
-    they shuffle at scale instead of OOMing a forced broadcast."""
+    """Q8: the two nation roles + region broadcast by explicit hint;
+    part/orders/customer/supplier joins stay size-decided so they shuffle
+    at scale instead of OOMing a forced broadcast."""
     df = _df(spark, "tpch_q8_market_share")
     with no_auto_broadcast(spark):
-        assert_broadcast_join(df, n_min=4)
+        assert_broadcast_join(df, n_min=3)
+        assert count_broadcast_exchanges(df) == 3  # nc + ns + region
         assert_shuffle_join(df)
+
+
+# Expected bounded-dim broadcast hints per query (everything else must be
+# size-decided): part/customer/supplier/filtered-orders are SF-proportional
+# — a hard F.broadcast() on any of them OOMs the executors at the 100 TB
+# design point (part ≈ 2.6 B rows). Reference intent: hot-side distribution
+# is always size-driven (maintainer/split/write_bytes_splitter.go:30-122).
+_BOUNDED_BROADCASTS = {
+    "tpch_q2_top_supplier_per_part": 0,
+    "tpch_q9_product_profit": 1,       # nation
+    "tpch_q14_promo_revenue": 0,
+    "tpch_q16_supplier_cnt": 0,
+    "tpch_q17_small_quantity_revenue": 0,
+    "tpch_q18_large_volume_orders": 0,
+    "tpch_q19_disjunctive_filter": 0,
+    "tpch_q20_part_promotion": 1,      # nation (filtered to one row)
+}
+
+
+@pytest.mark.parametrize("name", sorted(_BOUNDED_BROADCASTS))
+def test_no_sf_proportional_broadcast_hints(spark, name):
+    """With auto-broadcast disabled, the only BroadcastExchange nodes left
+    are explicit hints — and those must all be on fixed-size dims. A count
+    above the bounded-dim budget means someone re-added a hint on an
+    SF-proportional relation (the round-2 q14/q19/q2/q9/q16/q20 defect)."""
+    df = _df(spark, name)
+    with no_auto_broadcast(spark):
+        n = count_broadcast_exchanges(df)
+        assert n <= _BOUNDED_BROADCASTS[name], (
+            f"{name}: {n} broadcast hints, budget "
+            f"{_BOUNDED_BROADCASTS[name]} — SF-proportional relation "
+            f"force-broadcast?"
+        )
 
 
 def test_q17_window_decorrelation_bounded_shuffles(spark):

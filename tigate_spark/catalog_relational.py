@@ -141,7 +141,9 @@ ORDER BY revenue_cents DESC, l_orderkey
 LIMIT 10
 """,
     doc="3-way join + agg + deterministic top-k (TPC-H Q3 shape); customer "
-        "broadcasts, orders⋈lineitem co-shuffles on orderkey",
+        "is SF-proportional so it stays size-decided (AQE broadcasts it at "
+        "test SF, co-shuffles at 100 TB), orders⋈lineitem co-shuffles on "
+        "orderkey",
     bench=True,
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,7 +156,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
         .select("l_orderkey", "revenue_cents", "o_orderdate")
@@ -177,7 +179,9 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 """,
-    doc="6-way star join: dims broadcast, facts co-shuffle (TPC-H Q5 shape)",
+    doc="6-way star join (TPC-H Q5 shape): fixed-size dims (nation, region) "
+        "force-broadcast; customer/supplier are SF-proportional so they stay "
+        "size-decided; facts co-shuffle",
     bench=True,
 )
 def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,9 +193,9 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -284,7 +288,8 @@ ORDER BY revenue_cents DESC, c_custkey
 LIMIT 20
 """,
     doc="Top returned-revenue customers (TPC-H Q10 shape): fact⋈fact "
-        "co-shuffles on orderkey, customer+nation broadcast, deterministic "
+        "co-shuffles on orderkey, nation broadcasts (customer stays "
+        "size-decided), deterministic "
         "top-20 — at 100 TB the only big exchange is orders⋈lineitem",
 )
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,7 +302,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
@@ -353,8 +358,10 @@ FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE l_shipdate >= TIMESTAMP '1995-03-01'
   AND l_shipdate < TIMESTAMP '1995-04-01'
 """,
-    doc="Promo revenue share (TPC-H Q14 shape): part broadcasts into the "
-        "date-pruned lineitem scan; the ratio is integer cents * 1e5 // "
+    doc="Promo revenue share (TPC-H Q14 shape): part is SF-proportional "
+        "(~2.6 B rows at the 100 TB design point) so the join is "
+        "size-decided — AQE broadcasts at test SF, co-shuffles at scale; "
+        "the ratio is integer cents * 1e5 // "
         "total (exact integer math, no float drift across partition "
         "orders) — hbp = hundredths of a basis point",
 )
@@ -367,7 +374,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     promo = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0).cast("bigint"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.sum(promo).alias("promo_cents"),
             F.sum(cents).alias("total_cents"),
@@ -394,7 +401,8 @@ GROUP BY p_brand, p_size
 """,
     doc="NOT-IN + count-distinct (TPC-H Q16 shape): lineitem distinct "
         "(part,supp) pairs stand in for partsupp; the NOT IN becomes a "
-        "broadcast LEFT ANTI join (supplier side is tiny), part broadcasts, "
+        "LEFT ANTI join — supplier and part are SF-proportional so both "
+        "joins stay size-decided (AQE broadcasts at test SF); "
         "count(DISTINCT) is a two-stage agg on the pair key",
 )
 def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,8 +419,8 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_suppkey").distinct()
     )
     return (
-        ps.join(F.broadcast(bad_supp), ps.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        ps.join(bad_supp, ps.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("supplier_cnt"))
     )
@@ -432,7 +440,8 @@ HAVING sum(CAST(round(l.l_quantity) AS BIGINT)) > 200
 """,
     doc="Group-by + HAVING over a join (TPC-H Q18 shape): the quantity "
         "pre-aggregation happens on the lineitem side of the shuffle "
-        "(partial agg before the join at scale); customer broadcasts",
+        "(partial agg before the join at scale); customer stays "
+        "size-decided (SF-proportional)",
 )
 def tpch_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -447,7 +456,7 @@ def tpch_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         qty.join(o, qty.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey", "o_orderkey",
             _cents(F.col("o_totalprice")).alias("total_cents"), "sum_qty",
@@ -465,14 +474,15 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
    OR (p_type = 'PROMO' AND l_quantity >= 25)
 """,
-    doc="Disjunctive multi-table predicates (TPC-H Q19 shape): part "
-        "broadcasts; Catalyst pushes the single-side conjuncts it can "
-        "derive and evaluates the OR post-join in codegen",
+    doc="Disjunctive multi-table predicates (TPC-H Q19 shape): part is "
+        "SF-proportional so the join stays size-decided; Catalyst pushes "
+        "the single-side conjuncts it can derive and evaluates the OR "
+        "post-join in codegen",
 )
 def tpch_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(1, 20))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 20) & F.col("l_quantity").between(10, 30))
@@ -520,7 +530,7 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("bal_cents") > F.col("avg_cents"))
-        .join(F.broadcast(o_keys), c.c_custkey == o_keys.o_custkey, "left_anti")
+        .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
@@ -549,7 +559,7 @@ FROM ranked WHERE rn = 1
     doc="Correlated-subquery shape (TPC-H Q2): best supplier per part "
         "rewritten as a window top-1 over the derived part⋈supplier pairs "
         "— one shuffle on p_partkey instead of a per-row subquery; part "
-        "and supplier both broadcast",
+        "and supplier are SF-proportional so both joins stay size-decided",
 )
 def tpch_q2_top_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 5)
@@ -562,8 +572,8 @@ def tpch_q2_top_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("s_acctbal").desc(), "s_suppkey"
     )
     return (
-        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        ps.join(p, ps.l_partkey == p.p_partkey)
+        .join(s, ps.l_suppkey == s.s_suppkey)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -591,7 +601,8 @@ GROUP BY 1, 2, 3
 """,
     doc="Cross-nation volume (TPC-H Q7 shape): nation joined twice under "
         "different roles (supplier vs customer side) with a disjunctive "
-        "pair filter; all dims broadcast, facts co-shuffle once on orderkey",
+        "pair filter; the two nation roles broadcast, customer/supplier "
+        "stay size-decided, facts co-shuffle once on orderkey",
 )
 def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -607,8 +618,8 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair)
@@ -638,9 +649,10 @@ GROUP BY 1
 """,
     doc="National market share (TPC-H Q8 shape): 8-way join with nation in "
         "two roles (customer-side prunes via region, supplier-side feeds the "
-        "CASE numerator); fixed-size dims (part-filtered, nation, region) "
-        "force-broadcast, customer/supplier stay size-decided (AQE "
-        "broadcasts them at test SF, shuffles at 100 TB); numerator/"
+        "CASE numerator); fixed-size dims (nation, region) force-broadcast, "
+        "part/customer/supplier are SF-proportional so they stay "
+        "size-decided (AQE broadcasts them at test SF, shuffles at 100 TB); "
+        "numerator/"
         "denominator emitted as exact cents (share = ratio downstream)",
 )
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,7 +669,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))
@@ -689,8 +701,8 @@ GROUP BY 1, 2
     doc="Product-type profit (TPC-H Q9 shape): LIKE-pattern part prune + "
         "supplier-nation rollup by year; no partsupp table in testdata, so "
         "profit omits the supplycost term (documented stand-in, same join "
-        "tree); part/supplier/nation broadcast, the orders join is the one "
-        "big shuffle",
+        "tree); nation broadcasts, part/supplier stay size-decided, the "
+        "orders join is the one big shuffle",
 )
 def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -699,7 +711,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == ns.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -856,7 +868,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     w = Window.partitionBy("l_partkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .withColumn("qty_thresh", F.avg("l_quantity").over(w) * 0.2)
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
@@ -910,7 +922,7 @@ def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ps.filter(F.col("avail_qty") > F.col("qty_1996") / 2.0)
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select("s_suppkey", "s_name")

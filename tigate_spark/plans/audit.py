@@ -77,6 +77,19 @@ def assert_no_python_in_plan(df: DataFrame) -> str:
 
 
 _EXCHANGE_HEADER = re.compile(r"^\(\d+\) Exchange$")
+_BROADCAST_HEADER = re.compile(r"^\(\d+\) BroadcastExchange$")
+
+
+def count_broadcast_exchanges(df: DataFrame) -> int:
+    """Number of BroadcastExchange nodes (detail-section headers, one per
+    node). With auto-broadcast disabled, every one of these is an explicit
+    ``F.broadcast()`` hint — the gate for "no SF-proportional relation is
+    force-broadcast" asserts this equals the count of bounded-dim hints."""
+    return sum(
+        1
+        for raw in plan_of(df).splitlines()
+        if _BROADCAST_HEADER.match(raw.strip())
+    )
 
 
 def count_exchanges(df: DataFrame) -> int:
