@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from tigate_spark.catalog import register
 from tigate_spark.sources.batch import load_table
+from tigate_spark.sources.changes import event_us
 
 
 def _cents(col):
@@ -258,7 +259,7 @@ FROM events GROUP BY 1, 2
 )
 def agg_events_per_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    us = F.expr("ts div 1000")
+    us = event_us(ev)
     return (
         ev.groupBy(
             "event_type",

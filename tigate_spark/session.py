@@ -1,10 +1,13 @@
 """SparkSession construction + the configs every entry point needs.
 
-The driver-generated parquet stores ``events.ts`` as INT64
-TIMESTAMP(NANOS), which Spark 4 refuses to read unless
-``spark.sql.legacy.parquet.nanosAsLong=true``. That conf is a runtime SQL
-conf, so :func:`ensure_confs` can fix up *any* session (including one the
-correctness driver built) before the first read.
+``events.ts`` has shipped in two parquet vintages: TIMESTAMP(MICROS)
+(the current testdata — Spark reads ``timestamp_ntz``) and INT64
+TIMESTAMP(NANOS) (older data, which Spark 4 refuses to read unless
+``spark.sql.legacy.parquet.nanosAsLong=true``). We keep ``nanosAsLong``
+set so both vintages load; the µs time base is derived dtype-adaptively
+in ``sources/changes.py:event_us``. ``ensure_confs`` can fix up *any*
+session (including one the correctness driver built) before the first
+read.
 
 Scale posture (100 TB): AQE on (skew-join + partition coalescing), broadcast
 joins for dimension tables, Arrow for every Python boundary.
@@ -18,7 +21,8 @@ from pyspark.sql import SparkSession
 
 #: Confs that are safe (and required) to set at runtime on any session.
 RUNTIME_CONFS: dict[str, str] = {
-    # events.parquet carries TIMESTAMP(NANOS); read it as epoch-nanos long.
+    # Older events.parquet vintages carry TIMESTAMP(NANOS); read those as
+    # epoch-nanos long (no-op for the current TIMESTAMP(MICROS) data).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Runtime re-planning: skew-join splitting + post-shuffle coalescing.
     "spark.sql.adaptive.enabled": "true",
@@ -43,8 +47,8 @@ def ensure_confs(spark: SparkSession) -> SparkSession:
         try:
             spark.conf.set(k, v)
         except Exception:
-            # Non-settable in this deployment; keep going — only
-            # nanosAsLong is load-bearing and it is always settable.
+            # Non-settable in this deployment; keep going — none of
+            # these is load-bearing for correctness on current testdata.
             pass
     # Size the shuffle to the actual cores, not the 200-partition default:
     # AQE coalesces batch shuffles anyway, but *stateful streaming* stages

@@ -31,7 +31,9 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table. ``events.ts`` arrives as epoch-nanos long."""
+    """Read one testdata table. ``events.ts`` dtype varies by data vintage
+    (timestamp_ntz today, epoch-nanos long historically) — downstream code
+    normalizes via ``sources.changes.event_us``."""
     ensure_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

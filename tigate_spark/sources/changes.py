@@ -11,9 +11,11 @@ Here the driver's ``events`` table plays the raw replayable change log
 (S1). The derivation below is *deterministic arithmetic* so the DuckDB
 oracle can reproduce it bit-for-bit:
 
-- ``commit_ts``: event time in **microseconds** (Spark reads the NANOS
-  parquet column as long → ``ts div 1000``; DuckDB truncates to µs on read
-  → ``epoch_us(ts)``; both yield the same integer).
+- ``commit_ts``: event time in **microseconds**, derived dtype-adaptively
+  by :func:`event_us` (the testdata has shipped ``ts`` both as parquet
+  TIMESTAMP(MICROS) → Spark ``timestamp_ntz`` and as INT64 nanos → long);
+  DuckDB reads the same column as ``epoch_us(ts)``; both yield the same
+  integer for either vintage.
 - ``op``: I/U/D from ``event_id % 10`` (6:3:1 mix).
 - ``start_ts``: ``commit_ts - (event_id % 97 + 1) * 1000`` — txn start
   precedes commit, several events can share a txn.
@@ -39,6 +41,21 @@ N_KEYS = 200
 _IMG_FMT = '{"pk":%d,"event_type":"%s","value_cents":%d,"user_id":%d}'
 
 
+def event_us(ev: DataFrame):
+    """Epoch-µs column for ``events.ts``, whatever dtype the parquet carries.
+
+    Current testdata stores ``ts`` as parquet TIMESTAMP(MICROS) (Spark reads
+    ``timestamp_ntz``); earlier vintages stored INT64 nanos (read as long
+    under ``nanosAsLong``). Both map to the identical integer DuckDB's
+    ``epoch_us(ts)`` produces (session tz pinned to UTC in session.py, so
+    the ntz→tz cast is the identity on the wall-clock value).
+    """
+    dtype = dict(ev.dtypes).get("ts", "")
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(F.col("ts").cast("timestamp"))
+    return F.expr("ts div 1000")
+
+
 def changes_stream(spark: SparkSession, sf_dir: str, with_images: bool = False) -> DataFrame:
     """events → canonical change rows (batch read).
 
@@ -53,6 +70,7 @@ def normalize_events(ev: DataFrame, with_images: bool = False) -> DataFrame:
     """S1/S3 normalization on an events DataFrame — works identically on a
     batch read and on a ``readStream`` file source (same Catalyst plan), so
     the streaming changefeed reuses it verbatim."""
+    us = event_us(ev)
     ch = ev.select(
         F.lit("app").alias("schema_name"),
         F.concat(F.lit("t"), (F.col("user_id") % N_TABLES).cast("string")).alias("table_name"),
@@ -61,8 +79,8 @@ def normalize_events(ev: DataFrame, with_images: bool = False) -> DataFrame:
         .when(F.col("event_id") % 10 < 9, "U")
         .otherwise("D")
         .alias("op"),
-        (F.expr("ts div 1000") - (F.col("event_id") % 97 + 1) * 1000).alias("start_ts"),
-        F.expr("ts div 1000").alias("commit_ts"),
+        (us - (F.col("event_id") % 97 + 1) * 1000).alias("start_ts"),
+        us.alias("commit_ts"),
         F.col("event_id").alias("seq"),
         (F.col("event_id") % N_KEYS).cast("bigint").alias("pk"),
         F.col("event_type"),
