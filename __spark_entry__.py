@@ -25,16 +25,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return cat["cdc_pipeline_e2e"].builder(spark, "/root/testdata/sf0.001")
 
 
-#: Run order: one flagship per operator family first, so a driver that
-#: stops at a time/entry cap still covers every family; the remainder
-#: follows in registration order. (Round 1's driver stopped at 50 of 84.)
+#: Run order for a driver that caps at ~50 entries per round. Round-4
+#: rotation: (a) the 22 entries that errored in r03 (the ts regression)
+#: so the heal shows externally, (b) the 6 streaming e2e runs — never
+#: driver-verified in rounds 1-3 — placed early, (c) 22 entries that have
+#: never had an external correctness row. The 77-r04 remainder rotates in
+#: over subsequent rounds.
 _PRIORITY = [
-    "cdc_pipeline_e2e", "changes_normalize", "filter_table_rule",
-    "projection_update_split", "projection_updated_columns",
-    "route_topic_partition", "order_apply_seq", "txn_grouping",
-    "schema_asof_join", "apply_merge_to_base", "encoder_canal_json",
-    "decoder_canal_json", "window_running_balance", "agg_salted_skew_safe",
+    # flagship canaries (errored in r03 → prove healed)
+    "cdc_pipeline_e2e", "changes_normalize",
+    # streaming e2e — first-ever external rows
+    "streaming_replica_e2e", "streaming_changelog_e2e",
+    "streaming_storage_e2e", "streaming_first_seen_e2e",
+    "streaming_window_counts_e2e", "streaming_txn_match_e2e",
+    # remaining r03-errored entries
+    "filter_table_rule", "projection_update_split",
+    "projection_updated_columns", "route_topic_partition",
+    "order_apply_seq", "txn_grouping", "schema_asof_join",
+    "apply_merge_to_base", "encoder_canal_json", "decoder_canal_json",
+    "window_running_balance", "agg_salted_skew_safe",
     "agg_pivot_event_types", "agg_cube_table_op", "agg_rollup_schema_table",
+    "approx_distinct_users", "window_range_1h_sum",
+    "window_lag_interarrival", "join_interval_broadcast",
+    "gc_eligible_tombstones",
+    # never-externally-verified rotation (r04 slice)
+    "join_skew_split_salted", "corpus_top_tokens",
+    "tpch_q8_market_share", "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue", "tpch_q21_waiting_suppliers",
+    "encoder_mysql_sql", "encoder_canal_json_typed",
+    "encoder_message_batches", "ddl_action_classify_full",
+    "decoder_debezium", "decoder_csv_rows", "decoder_simple_protocol",
+    "embed_int8_quantize", "syncpoint_ticks", "filter_start_ts",
+    "apply_materialize", "encoder_open_protocol",
+    "txn_match_prewrite_commit", "range_scan", "stale_event_drop",
+    "table_progress",
+    # previously-green families (r02/r03) follow in registration order.
     "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
     "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
     "tpch_q4_order_priority", "window_topn_orders_per_customer",
@@ -44,21 +69,9 @@ _PRIORITY = [
     "text_quality_score", "text_token_count", "text_fingerprint",
     "multimodal_binary_meta", "multimodal_frame_sample",
     "multimodal_resize", "llm_clean_corpus", "sample_hash_bucket",
-    "sample_stratified_hash", "approx_distinct_users",
-    "approx_order_value_quantiles", "window_range_1h_sum",
-    "window_lag_interarrival", "join_interval_broadcast",
-    "gc_eligible_tombstones", "tpch_q16_supplier_cnt",
+    "sample_stratified_hash",
+    "approx_order_value_quantiles", "tpch_q16_supplier_cnt",
     "tpch_q14_promo_revenue", "dedup_duplicate_clusters",
-    "join_skew_split_salted", "corpus_top_tokens",
-    "tpch_q8_market_share", "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity_revenue", "tpch_q21_waiting_suppliers",
-    "encoder_mysql_sql", "encoder_canal_json_typed",
-    "encoder_message_batches", "ddl_action_classify_full",
-    "decoder_debezium", "decoder_csv_rows", "decoder_simple_protocol",
-    "embed_int8_quantize",
-    "streaming_replica_e2e", "streaming_changelog_e2e",
-    "streaming_storage_e2e", "streaming_first_seen_e2e",
-    "streaming_window_counts_e2e", "streaming_txn_match_e2e",
 ]
 
 
