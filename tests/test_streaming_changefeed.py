@@ -199,6 +199,45 @@ def test_storage_sink_canal_json_lines(spark, sf_dir, chunked_source, tmp_path):
         assert msg["table"] == r["table_name"]
 
 
+def test_storage_checkpoint_monotonic_under_replay(spark, sf_dir, tmp_path):
+    """K7 metadata contract: an out-of-order / replayed micro-batch must
+    never move checkpoint-ts backwards (TiCDC cloudstorage metadata is
+    monotone; csv_storage_basic consumer resumes from it)."""
+    from tigate_spark.streaming.sinks import StorageSink
+
+    ch = changes_stream(spark, sf_dir).withColumn("pk", F.col("pk"))
+    mid = ch.approxQuantile("commit_ts", [0.5], 0.0)[0]
+    newer = ch.filter(F.col("commit_ts") > mid)
+    older = ch.filter(F.col("commit_ts") <= mid)
+    sink = StorageSink(str(tmp_path / "store"), protocol="csv")
+    sink.process_batch(newer, 1)
+    meta_path = os.path.join(sink.out_dir, "metadata")
+    hi = json.load(open(meta_path))["checkpoint-ts"]
+    # replay an older batch out of order
+    sink.process_batch(older, 0)
+    assert json.load(open(meta_path))["checkpoint-ts"] == hi
+    # a genuinely newer batch still advances it
+    sink.process_batch(newer, 2)
+    assert json.load(open(meta_path))["checkpoint-ts"] == hi
+
+
+def test_replica_batch_path_has_no_driver_collect():
+    """Scale gate: the reference's design point is >1M tables
+    (README.md:5) — the per-batch merge must not collect() a table list to
+    the driver (the touched-partition pruning is a broadcast semi-join +
+    filesystem listing of the written tmp tree)."""
+    import inspect
+
+    from tigate_spark.streaming.sinks import ReplicaSink
+
+    src = inspect.getsource(ReplicaSink.process_batch) + inspect.getsource(
+        ReplicaSink._link_untouched
+    )
+    assert ".collect(" not in src
+    assert ".isin(" not in src
+    assert "left_semi" in src
+
+
 def test_syncpoint_ticks_aligned(spark, sf_dir, chunked_source, tmp_path):
     cfg = ChangefeedConfig(
         changefeed_id="cf-sync", sink_uri="noop://",
@@ -215,6 +254,17 @@ def test_syncpoint_ticks_aligned(spark, sf_dir, chunked_source, tmp_path):
     ).first()
     first_tick, last_tick = ticks.agg(F.min("primary_ts"), F.max("primary_ts")).first()
     assert lo < first_tick <= last_tick <= hi
+    # K5 ts-map pairs (mysql_writer.go:528-542): every tick carries the
+    # downstream applied position, which can never trail the tick itself
+    assert ticks.filter(F.col("secondary_ts") < F.col("primary_ts")).count() == 0
+    # the map advances batch over batch (monotone applied position)
+    per_batch = (
+        ticks.groupBy("batch_id").agg(F.max("secondary_ts").alias("s"))
+        .orderBy("batch_id").collect()
+    )
+    assert len(per_batch) > 1, "expected ticks from multiple micro-batches"
+    secs = [r["s"] for r in per_batch]
+    assert secs == sorted(secs)
 
 
 def test_ddl_barrier_split(spark, sf_dir, tmp_path):

@@ -454,13 +454,21 @@ def txn_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "syncpoint_ticks",
     ORACLE_CHANGES_CTE
     + f"""
-SELECT commit_ts - commit_ts % {_HOUR_US} AS sync_point_ts,
-       max(commit_ts) AS primary_ts,
-       count(*) AS n_events
-FROM changes GROUP BY 1
+SELECT sync_point_ts, primary_ts, n_events,
+       CAST(max(primary_ts) OVER (
+         ORDER BY sync_point_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS secondary_ts
+FROM (
+  SELECT commit_ts - commit_ts % {_HOUR_US} AS sync_point_ts,
+         max(commit_ts) AS primary_ts,
+         count(*) AS n_events
+  FROM changes GROUP BY 1
+)
 """,
-    doc="T7: aligned syncpoint ticks + (primary_ts) map (syncpoint.go:15-22; "
-        "mysql_writer.go:530-540)",
+    doc="T7: aligned syncpoint ticks + (primary_ts, secondary_ts) map "
+        "(syncpoint.go:15-22; mysql_writer.go:528-542 — secondary is the "
+        "downstream applied position when the tick lands)",
 )
 def syncpoint_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t_ops.syncpoint_ticks(changes_stream(spark, sf_dir), _HOUR_US)

@@ -27,8 +27,10 @@ def salted_sum_count(df: DataFrame, keys: list[str], value_col: str,
     key. Deterministic salt (hash of ``salt_src`` or a row-spread column)
     keeps the result reproducible.
     """
+    # pmod, not abs(hash)%n: hash() can return Int.MinValue, whose abs is
+    # itself (negative) — pmod keeps the salt in [0, n_salts) always
     salt: Column = (
-        F.abs(F.hash(F.col(salt_src))) % n_salts
+        F.pmod(F.hash(F.col(salt_src)), F.lit(n_salts))
         if salt_src is not None
         else (F.monotonically_increasing_id() % n_salts)
     )
@@ -70,7 +72,9 @@ def skew_split_join(fact: DataFrame, dim: DataFrame, key: str,
     hot_d = dim.filter(F.col(key).isin(hot_keys))
     cold_d = dim.filter(~F.col(key).isin(hot_keys))
 
-    salt = F.abs(F.hash(F.col(salt_src))) % n_salts
+    # pmod: abs(Int.MinValue) is still negative → a negative salt would
+    # match no replicated dim row and silently drop that fact row
+    salt = F.pmod(F.hash(F.col(salt_src)), F.lit(n_salts))
     salted_fact = hot_f.withColumn("_salt", salt)
     replicated_dim = hot_d.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

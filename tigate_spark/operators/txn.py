@@ -32,20 +32,29 @@ def txn_group(df: DataFrame) -> DataFrame:
 
 
 def syncpoint_ticks(df: DataFrame, interval_us: int) -> DataFrame:
-    """T7: aligned tumbling ticks; each tick records the primary(max commit)
-    ts it covers — the ``syncpoint_v1`` (primary_ts, secondary_ts) map.
+    """T7: aligned tumbling ticks — the ``syncpoint_v1``
+    (primary_ts, secondary_ts) map (``mysql_writer.go:528-542``).
+
+    ``primary_ts`` is the upstream max commit covered by the tick;
+    ``secondary_ts`` is the downstream applied position when the tick is
+    written (``mysql_writer.go:154-185`` reads ``@@tidb_current_ts``) —
+    in a totally-ordered replay that is the running max of applied commit
+    ts, so it is monotone across ticks by construction.
 
     Alignment mirrors CalculateStartSyncPointTs (``syncpoint.go:15-22``):
     tick k covers ``[k*interval, (k+1)*interval)``.
     """
+    from pyspark.sql import Window
+
     bucket = (F.col("commit_ts") - F.col("commit_ts") % interval_us).alias("sync_point_ts")
-    return (
-        df.groupBy(bucket)
-        .agg(
-            F.max("commit_ts").alias("primary_ts"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
+    ticks = df.groupBy(bucket).agg(
+        F.max("commit_ts").alias("primary_ts"),
+        F.count(F.lit(1)).alias("n_events"),
     )
+    applied = Window.orderBy("sync_point_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ticks.withColumn("secondary_ts", F.max("primary_ts").over(applied))
 
 
 def match_prewrite_commit(prewrites: DataFrame, commits: DataFrame) -> DataFrame:

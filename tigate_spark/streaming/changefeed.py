@@ -121,10 +121,11 @@ class Changefeed:
             # file:// URI; s3:// in the broader product)
             from tigate_spark.streaming.sinks import StorageSink
 
-            protocol = self.cfg.sink.protocol
+            # unsupported protocols raise (StorageSink validates), like every
+            # other sink scheme — a silent csv fallback would mask misconfig
             return StorageSink(
                 os.path.join(self.work_dir, "storage", self.cfg.changefeed_id),
-                protocol="csv" if protocol not in ("csv", "canal-json") else protocol,
+                protocol=self.cfg.sink.protocol,
                 date_separator=self.cfg.sink.date_separator,
                 bookkeeping=self.bookkeeping,
             )

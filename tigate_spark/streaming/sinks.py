@@ -90,7 +90,12 @@ class Bookkeeping:
         if self.sync_point_us:
             iv = self.sync_point_us
             # aligned ticks covered by this batch: CalculateStartSyncPointTs
-            # rounds up to the next interval boundary (syncpoint.go:15-22)
+            # rounds up to the next interval boundary (syncpoint.go:15-22).
+            # K5 ts-map rows are (primary_ts, secondary_ts) pairs like the
+            # reference syncpoint_v1 table (mysql_writer.go:528-542, :154-185:
+            # secondary_ts = downstream current ts when the tick is written);
+            # here the downstream position at tick time is the replica's max
+            # applied commit_ts for the batch that crossed the boundary.
             ticks = batch_df.agg(
                 F.min("commit_ts").alias("lo"), F.max("commit_ts").alias("hi")
             ).select(
@@ -100,7 +105,8 @@ class Bookkeeping:
                         F.floor(F.col("hi") / iv) * iv,
                         F.lit(iv),
                     )
-                ).alias("primary_ts")
+                ).alias("primary_ts"),
+                F.col("hi").alias("secondary_ts"),
             ).withColumn("batch_id", F.lit(batch_id))
             ticks.write.mode("append").parquet(self.syncpoint_dir)
 
@@ -141,11 +147,18 @@ class ReplicaSink:
         cols = ["table_id", "pk", "op", "commit_ts", "start_ts", "seq",
                 *[c for c in self.payload_cols if c in batch_df.columns]]
         incoming = batch_df.select(*cols)
-        # the touched-partition list is tiny (it is a table list, not data)
-        touched = [r["table_id"] for r in incoming.select("table_id").distinct().collect()]
         state = self._state(spark)
+        # Touched-partition pruning stays distributed: a broadcast left-semi
+        # join against the batch's distinct table_ids. The reference's design
+        # point is >1M tables (README.md:5) — a driver collect()+isin literal
+        # would be a driver OOM / plan explosion there, while the semi-join
+        # triggers dynamic partition pruning on the table_id-partitioned
+        # state scan (only touched partitions are read).
         merged_src = incoming if state is None else incoming.unionByName(
-            state.filter(F.col("table_id").isin(touched)).select(*cols)
+            state.join(
+                F.broadcast(incoming.select("table_id").distinct()),
+                "table_id", "left_semi",
+            ).select(*cols)
         )
         # one shuffle: max_by over the exact total order (commit_ts,
         # start_ts, D<U<I, seq) — the winner keeps its full order key so
@@ -164,15 +177,18 @@ class ReplicaSink:
         tmp = self.state_dir + f".tmp-{uuid.uuid4().hex[:8]}"
         new_state.write.mode("overwrite").partitionBy("table_id").parquet(tmp)
         if state is not None:
-            self._link_untouched(touched, tmp)
+            self._link_untouched(tmp)
         _swap_dir(tmp, self.state_dir)
         if self.bookkeeping:
             self.bookkeeping.record(batch_df, batch_id)
 
-    def _link_untouched(self, touched: list, tmp: str) -> None:
+    def _link_untouched(self, tmp: str) -> None:
         """Hard-link state partitions the batch did not touch into the new
-        version (no data rewrite — the 'copy' is metadata-only)."""
-        touched_dirs = {f"table_id={t}" for t in touched}
+        version (no data rewrite — the 'copy' is metadata-only). The touched
+        set is read off the freshly-written tmp tree (filesystem metadata),
+        not collected from data — every touched table has a winner row, so
+        tmp's partition dirs ARE the touched set."""
+        touched_dirs = {e for e in os.listdir(tmp) if e.startswith("table_id=")}
         for entry in os.listdir(self.state_dir):
             if not entry.startswith("table_id=") or entry in touched_dirs:
                 continue
@@ -269,7 +285,8 @@ class StorageSink:
 
     def __init__(self, out_dir: str, protocol: str = "csv",
                  date_separator: str = "day",
-                 bookkeeping: Bookkeeping | None = None):
+                 bookkeeping: Bookkeeping | None = None,
+                 files_per_leaf: int = 4):
         if date_separator not in _DATE_SEPARATOR_FMT:
             raise ValueError(f"unsupported date-separator: {date_separator}")
         if protocol not in ("csv", "canal-json"):
@@ -278,6 +295,9 @@ class StorageSink:
         self.protocol = protocol
         self.date_separator = date_separator
         self.bookkeeping = bookkeeping
+        #: writer fan-out per leaf dir — a hot table's daily partition is
+        #: written by up to this many tasks instead of funneling through one
+        self.files_per_leaf = max(1, files_per_leaf)
 
     def _encode(self, batch_df: DataFrame) -> DataFrame:
         from tigate_spark.functions.encoders import (
@@ -299,18 +319,33 @@ class StorageSink:
                 "dt", F.date_format(F.timestamp_micros("commit_ts"), fmt)
             )
             parts.append("dt")
+        # deterministic leaf-local salt bounds files per leaf while letting a
+        # hot (table, day) leaf write through files_per_leaf parallel tasks
+        salt = F.pmod(F.hash("line"), F.lit(self.files_per_leaf))
         (enc.select(*parts, "line")
-         .repartition(*parts)  # one task (→ one file) per touched leaf dir
+         .repartition(*[F.col(p) for p in parts], salt)
          .write.mode("append").partitionBy(*parts).text(self.out_dir))
         # metadata checkpoint file at sink root (TiCDC cloudstorage
-        # metadata contract: {"checkpoint-ts": N}); 1-row driver-side write
+        # metadata contract: {"checkpoint-ts": N}); 1-row driver-side write.
+        # Monotonic: a replayed / out-of-order micro-batch must never move
+        # checkpoint-ts backwards, so max with the previous value.
         row = batch_df.agg(F.max("commit_ts").alias("ts")).collect()[0]
         if row["ts"] is not None:
             os.makedirs(self.out_dir, exist_ok=True)
+            meta_path = os.path.join(self.out_dir, "metadata")
+            ckpt = int(row["ts"])
+            if os.path.exists(meta_path):
+                import json
+
+                with open(meta_path) as f:
+                    try:
+                        ckpt = max(ckpt, int(json.load(f)["checkpoint-ts"]))
+                    except (ValueError, KeyError):
+                        pass
             tmp = os.path.join(self.out_dir, f".metadata.tmp-{uuid.uuid4().hex[:8]}")
             with open(tmp, "w") as f:
-                f.write('{"checkpoint-ts":%d}' % row["ts"])
-            os.replace(tmp, os.path.join(self.out_dir, "metadata"))
+                f.write('{"checkpoint-ts":%d}' % ckpt)
+            os.replace(tmp, meta_path)
         if self.bookkeeping:
             self.bookkeeping.record(batch_df, batch_id)
 
