@@ -159,6 +159,32 @@ def test_lsh_pairs_bounded_shuffles(spark):
     assert count_exchanges(df) <= 3
 
 
+def test_jaccard_pairs_bucket_local(spark):
+    """n-gram Jaccard after the df-cap rewrite: posting-list clustering +
+    pair agg + sizes agg + 2 size joins — bounded exchanges, and no
+    SortMergeJoin of the exploded shingle table against itself (the
+    pre-rewrite O(df²) shape)."""
+    from tigate_spark.plans.audit import plan_of
+
+    df = _df(spark, "dedup_ngram_jaccard")
+    assert count_exchanges(df) <= 7
+    # pair generation must come from bucket-local combinations (explode of
+    # posting-list arrays), not a shingle-equality self-join
+    assert "flatten(transform(sequence" in plan_of(df)
+
+
+def test_embedding_cosine_bucket_local(spark):
+    """Embedding near-dup after the cap rewrite: one clustering shuffle +
+    combinations — no self-join of the bucketed corpus."""
+    from tigate_spark.plans.audit import plan_of
+
+    df = _df(spark, "dedup_embedding_cosine")
+    assert count_exchanges(df) <= 2
+    plan = plan_of(df)
+    assert "flatten(transform(sequence" in plan
+    assert "SortMergeJoin" not in plan
+
+
 @pytest.mark.parametrize(
     "name", ["sample_hash_bucket", "sample_stratified_hash"]
 )

@@ -158,19 +158,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     _SHINGLE_CTE
-    + """
+    + f"""
 , e AS (
-  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh, unnest(shingles) AS s
+  SELECT doc_id, unnest(shingles) AS s
   FROM sh
+), kept AS (
+  SELECT s FROM e GROUP BY s HAVING count(*) <= {dd.LSH_BUCKET_CAP}
+), ke AS (
+  SELECT e.doc_id, e.s FROM e JOIN kept USING (s)
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM ke GROUP BY doc_id
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        count(*) AS inter,
-       a.n_sh + b.n_sh - count(*) AS union_sz,
-       count(*) * 10000 // (a.n_sh + b.n_sh - count(*)) AS jaccard_bp
-FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+       sa.n_sh + sb.n_sh - count(*) AS union_sz,
+       count(*) * 10000 // (sa.n_sh + sb.n_sh - count(*)) AS jaccard_bp
+FROM ke a JOIN ke b ON a.s = b.s AND a.doc_id < b.doc_id
+JOIN sz sa ON sa.doc_id = a.doc_id
+JOIN sz sb ON sb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh
 """,
-    doc="n-gram Jaccard near-dup pairs via inverted-index join (no O(n²) cross join)",
+    doc="n-gram Jaccard near-dup pairs via df-capped inverted index: shingles "
+        "with document frequency > cap are stop-shingles (removed from pairing "
+        "AND set sizes), bounding pair work per shingle at cap²/2",
     bench=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,6 +401,11 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
 , bucketed AS (
   SELECT vec_id, q, norm_sq, {_BUCKET_SQL} AS bucket FROM base
+), sized AS (
+  SELECT bucket FROM bucketed GROUP BY bucket
+  HAVING count(*) <= {sim.SIM_BUCKET_CAP}
+), bf AS (
+  SELECT b.* FROM bucketed b JOIN sized s ON b.bucket = s.bucket
 )
 SELECT vec_a, vec_b, cos_bp FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -398,12 +413,13 @@ SELECT vec_a, vec_b, cos_bp FROM (
       CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT)
       / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) * 10000
     ) AS BIGINT) AS cos_bp
-  FROM bucketed a JOIN bucketed b
+  FROM bf a JOIN bf b
     ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 ) WHERE cos_bp >= 3000
 """,
-    doc="Embedding-cosine near-dup pairs: LSH-bucket prefilter + exact "
-        "integer cosine ≥ 0.30 (only same-bucket pairs shuffle)",
+    doc="Embedding-cosine near-dup pairs: LSH-bucket prefilter (oversized "
+        "buckets dropped — cap mirrors the pair-work bound) + exact integer "
+        "cosine ≥ 0.30 (only same-bucket pairs shuffle)",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_cosine_near_dup(load_table(spark, sf_dir, "embeddings"))

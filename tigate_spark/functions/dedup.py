@@ -86,39 +86,60 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame) -> DataFrame:
+def ngram_jaccard_pairs(df: DataFrame, df_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """Candidate near-dup pairs with exact Jaccard over 5-gram shingle sets.
 
-    Inverted-index join: docs sharing ≥1 shingle become candidates; Jaccard
-    in basis points = 10000·|∩| / |∪|.
+    Inverted-index posting lists keyed by shingle; Jaccard in basis points
+    = 10000·|∩| / |∪| over the **kept-shingle universe**: shingles whose
+    document frequency exceeds ``df_cap`` are stop-shingles — removed from
+    both the pairing and the set sizes, exactly like df-based stopword
+    filtering in published near-dup pipelines. Without the cap one
+    corpus-common shingle (df = 10⁶) generates O(df²) pairs; with it the
+    pair work per shingle is ≤ cap·(cap-1)/2, so total work is linear in
+    corpus size. Pairs are generated bucket-locally (array combinations
+    inside each ≤cap posting list) — one clustering shuffle plus one agg
+    shuffle, no self-join.
     """
     # explode_outer: plain explode triggers InferFiltersFromGenerate, whose
     # size(shingles)>0 predicate gets pushed below the fan-out exchange and
     # recomputes every shingle single-threaded.
     sh = with_shingles(df).select(
-        "doc_id",
-        F.expr("cast(size(shingles) as bigint)").alias("n_sh"),
-        F.explode_outer("shingles").alias("s"),
-    ).filter(F.col("s").isNotNull()).persist()
-    # persist: both self-join sides reference the inverted index; without it
-    # the shingle pipeline runs twice (round-robin exchange blocks reuse)
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
+        "doc_id", F.explode_outer("shingles").alias("s")
+    ).filter(F.col("s").isNotNull())
+    # persist: kept-shingle sizes and pair generation both read the postings
+    posting = (
+        sh.groupBy("s")
+        .agg(F.expr("array_sort(collect_list(doc_id))").alias("ds"))
+        .filter(F.size("ds") <= df_cap)
+        .persist()
+    )
+    sizes = (
+        posting.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pairs = F.expr(
+        "flatten(transform(sequence(0, size(ds) - 2), i -> "
+        "transform(sequence(i + 1, size(ds) - 1), j -> "
+        "struct(ds[i] as doc_a, ds[j] as doc_b))))"
+    )
+    inter = (
+        posting.filter(F.size("ds") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        "inter",
-        (F.col("n_a") + F.col("n_b") - F.col("inter")).alias("union_sz"),
-        F.expr("cast(inter * 10000 div (n_a + n_b - inter) as bigint)").alias("jaccard_bp"),
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (F.col("n_a") + F.col("n_b") - F.col("inter")).alias("union_sz"),
+            F.expr("cast(inter * 10000 div (n_a + n_b - inter) as bigint)").alias("jaccard_bp"),
+        )
     )
 
 

@@ -32,6 +32,9 @@ QUANT_EXPR = "transform(embedding, x -> cast(round(cast(x as double) * 10000) as
 
 N_PLANES = 8
 DIM = 64
+#: drop LSH buckets bigger than this before pairing — one dense bucket
+#: (a popular region of the embedding space) would pair O(n²) otherwise
+SIM_BUCKET_CAP = 100
 
 
 def with_quantized(df: DataFrame) -> DataFrame:
@@ -149,39 +152,56 @@ def embedding_exact_dedup(df: DataFrame) -> DataFrame:
     )
 
 
-def embedding_cosine_near_dup(df: DataFrame, threshold_bp: int = 3000) -> DataFrame:
+def embedding_cosine_near_dup(df: DataFrame, threshold_bp: int = 3000,
+                              bucket_cap: int = SIM_BUCKET_CAP) -> DataFrame:
     """Embedding-cosine near-dup pairs — the dedup-by-meaning operator.
 
     Candidates must share a sign-random-projection bucket (the 100 TB
     prefilter: only same-bucket pairs shuffle, never the O(n²) cross
-    join), then the exact integer cosine keeps pairs ≥ ``threshold_bp``.
-    The LSH prefilter is part of the operator's *defined semantics* (like
-    every LSH dedup it trades recall for scale), so the oracle reproduces
-    it bit-for-bit.
+    join); buckets larger than ``bucket_cap`` are dropped before pairing —
+    a dense bucket is a popular embedding region, and pairing it is
+    quadratic in its size. The exact integer cosine then keeps pairs
+    ≥ ``threshold_bp``. Prefilter + cap are part of the operator's
+    *defined semantics* (like every LSH dedup it trades recall for
+    scale), so the oracle reproduces both bit-for-bit.
+
+    Pairs are generated bucket-locally (array combinations inside each
+    ≤cap bucket row — same layout as ``minhash_lsh_pairs``): one
+    clustering shuffle, no self-join.
     """
     base = lsh_bucket(df).select("vec_id", "q", "norm_sq", "bucket")
-    a, b = base.alias("a"), base.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    buckets = (
+        base.groupBy("bucket")
+        .agg(F.expr("array_sort(collect_list(struct(vec_id, q, norm_sq)))").alias("vs"))
+        .filter((F.size("vs") >= 2) & (F.size("vs") <= bucket_cap))
     )
-    scored = pairs.withColumn(
-        "dot",
-        F.expr(
-            "aggregate(zip_with(a.q, b.q, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
-        ),
-    ).withColumn(
-        "cos_bp",
-        F.expr(
-            "cast(round(dot / (sqrt(cast(a.norm_sq as double)) * "
-            "sqrt(cast(b.norm_sq as double))) * 10000) as bigint)"
-        ),
+    pairs = F.expr(
+        "flatten(transform(sequence(0, size(vs) - 2), i -> "
+        "transform(sequence(i + 1, size(vs) - 1), j -> "
+        "struct(vs[i] as a, vs[j] as b))))"
+    )
+    scored = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.a.vec_id").alias("vec_a"),
+            F.col("p.b.vec_id").alias("vec_b"),
+            F.expr(
+                "aggregate(zip_with(p.a.q, p.b.q, (x, y) -> x * y), "
+                "0L, (acc, x) -> acc + x)"
+            ).alias("dot"),
+            F.col("p.a.norm_sq").alias("na"),
+            F.col("p.b.norm_sq").alias("nb"),
+        )
+        .withColumn(
+            "cos_bp",
+            F.expr(
+                "cast(round(dot / (sqrt(cast(na as double)) * "
+                "sqrt(cast(nb as double))) * 10000) as bigint)"
+            ),
+        )
     )
     return scored.filter(F.col("cos_bp") >= threshold_bp).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        "cos_bp",
+        "vec_a", "vec_b", "cos_bp"
     )
 
 

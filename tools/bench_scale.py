@@ -41,7 +41,8 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 QUERIES = [
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q21_waiting_suppliers", "cdc_pipeline_e2e", "dedup_exact",
-    "dedup_minhash_lsh", "sim_cosine_topk", "text_quality_score",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "sim_cosine_topk", "text_quality_score",
 ]
 
 
