@@ -57,8 +57,11 @@ _PRIORITY = [
     "decoder_debezium", "decoder_csv_rows", "decoder_simple_protocol",
     "embed_int8_quantize", "syncpoint_ticks", "filter_start_ts",
     "apply_materialize", "encoder_open_protocol",
-    "txn_match_prewrite_commit", "range_scan", "stale_event_drop",
-    "table_progress",
+    "txn_match_prewrite_commit",
+    "encoder_simple_bootstrap", "decoder_simple_bootstrap",
+    "encoder_avro_json", "decoder_avro_json",
+    # r05 rotation continues here
+    "table_progress", "range_scan", "stale_event_drop",
     # previously-green families (r02/r03) follow in registration order.
     "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
     "tpch_q3_shipping_priority", "tpch_q5_local_supplier",

@@ -6,7 +6,8 @@ and its oracle side-by-side and compares row count + schema + sorted value
 hash, so every expression here is written to be *bit-identical* across
 engines:
 
-- time base: microseconds (Spark ``ts div 1000`` ⇄ DuckDB ``epoch_us``)
+- time base: microseconds (Spark ``sources.changes.event_us`` ⇄ DuckDB
+  ``epoch_us``)
 - money: integer cents (``round(x*100)`` then bigint sums)
 - hashes: md5-derived (``functions.phash``)
 - strings: printf-built on both sides
@@ -797,6 +798,115 @@ def encoder_simple_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ch = changes_stream(spark, sf_dir, with_images=True)
     return encode_simple_protocol(ch).select("seq", "message")
+
+
+def _bootstrap_fmt() -> str:
+    from tigate_spark.functions.encoders import _BOOTSTRAP_FMT
+
+    return _BOOTSTRAP_FMT
+
+
+@register(
+    "encoder_simple_bootstrap",
+    ORACLE_CHANGES_CTE
+    + f"""
+SELECT table_id,
+  printf('{_bootstrap_fmt()}',
+         schema_name, table_name, table_id, commit_ts, commit_ts // 1000,
+         schema_name, table_name, table_id) AS message
+FROM (
+  SELECT schema_name, table_name, table_id, min(commit_ts) AS commit_ts
+  FROM changes GROUP BY 1, 2, 3
+)
+""",
+    doc="Simple-protocol BOOTSTRAP tableSchema handshake, one versioned "
+        "message per table (bootstraper.go:39-100; simple/message.go:276-307,"
+        "517-530) — the schema message a consumer needs before DML",
+)
+def encoder_simple_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_simple_bootstrap
+
+    ch = changes_stream(spark, sf_dir)
+    return encode_simple_bootstrap(ch).select("table_id", "message")
+
+
+@register(
+    "decoder_simple_bootstrap",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT schema_name AS database, table_name, table_id,
+       'BOOTSTRAP' AS msg_type, min(commit_ts) AS commit_ts,
+       CAST(1 AS BIGINT) AS schema_version, CAST(4 AS BIGINT) AS n_columns,
+       'pk,event_type,value_cents,user_id' AS column_names,
+       'pk' AS pk_columns
+FROM changes GROUP BY 1, 2, 3
+""",
+    doc="E7 for the bootstrap handshake: encode→from_json round trip "
+        "recovers the consumer-side registry row (columns, schema version, "
+        "primary-key set) — simple/message.go:440-470 decode path",
+)
+def decoder_simple_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import (
+        decode_simple_bootstrap,
+        encode_simple_bootstrap,
+    )
+
+    ch = changes_stream(spark, sf_dir)
+    return decode_simple_bootstrap(encode_simple_bootstrap(ch))
+
+
+@register(
+    "encoder_avro_json",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq,
+  printf('{"pk":%d}', pk) AS key,
+  CASE WHEN op = 'D' THEN NULL ELSE
+    printf('{"pk":%d,"event_type":{"string":"%s"},"value_cents":{"long":%d},"user_id":{"long":%d},"_tidb_op":"%s","_tidb_commit_ts":%d,"_tidb_commit_physical_time":%d}',
+           pk, event_type, value_cents, user_id,
+           CASE WHEN op = 'I' THEN 'c' ELSE 'u' END,
+           commit_ts, commit_ts // 1000)
+  END AS value
+FROM changes
+""",
+    doc="Avro codec, JSON encoding of the reference's record layout "
+        "(arvo.go:163-205,328-343,505-540; avro_basic integration test as "
+        "spec): union-wrapped nullable columns, _tidb_op/_tidb_commit_ts/"
+        "_tidb_commit_physical_time extension fields, delete = key + null "
+        "value tombstone (arvo.go:163-166). Confluent binary framing + "
+        "schema-registry registration are transport concerns outside the "
+        "Kafka stand-in",
+)
+def encoder_avro_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_avro_json
+
+    ch = changes_stream(spark, sf_dir)
+    return encode_avro_json(ch).select("seq", "key", "value")
+
+
+@register(
+    "decoder_avro_json",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, op, pk,
+       CASE WHEN op = 'D' THEN NULL ELSE commit_ts END AS commit_ts,
+       CASE WHEN op = 'D' THEN NULL ELSE event_type END AS event_type,
+       CASE WHEN op = 'D' THEN NULL ELSE value_cents END AS value_cents,
+       CASE WHEN op = 'D' THEN NULL ELSE user_id END AS user_id
+FROM changes
+""",
+    doc="E7 for the Avro codec: encode→from_json round trip — null value "
+        "tombstone maps back to D with the pk taken from the key record, "
+        "_tidb_op c/u maps back to I/U, unions unwrap",
+)
+def decoder_avro_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import (
+        decode_avro_json,
+        encode_avro_json,
+    )
+
+    ch = changes_stream(spark, sf_dir)
+    return decode_avro_json(encode_avro_json(ch))
 
 
 @register(

@@ -393,3 +393,163 @@ def decode_simple_protocol(df: DataFrame, msg_col: str = "message") -> DataFrame
         img["event_type"].alias("event_type"),
         img["value_cents"].alias("value_cents"),
     )
+
+
+#: tableSchema payload fragments for the engine's logical tables — the
+#: column set every app.tN table carries (columnSchema/dataType layout:
+#: ``pkg/sink/codec/simple/message.go:105-128``; index layout ``:223-229``).
+_BOOTSTRAP_COLS_JSON = (
+    '[{"name":"pk","dataType":{"mysqlType":"bigint","charset":"binary",'
+    '"collate":"binary"},"nullable":false,"default":null},'
+    '{"name":"event_type","dataType":{"mysqlType":"varchar(255)",'
+    '"charset":"utf8mb4","collate":"utf8mb4_bin"},"nullable":true,"default":null},'
+    '{"name":"value_cents","dataType":{"mysqlType":"bigint","charset":"binary",'
+    '"collate":"binary"},"nullable":true,"default":null},'
+    '{"name":"user_id","dataType":{"mysqlType":"bigint","charset":"binary",'
+    '"collate":"binary"},"nullable":true,"default":null}]'
+)
+_BOOTSTRAP_IDX_JSON = (
+    '[{"name":"primary","unique":true,"primary":true,"nullable":false,'
+    '"columns":["pk"]}]'
+)
+
+_BOOTSTRAP_FMT = (
+    '{"version":1,"database":"%s","table":"%s","tableID":%d,"type":"BOOTSTRAP",'
+    '"commitTs":%d,"buildTs":%d,"tableSchema":{"schema":"%s","table":"%s",'
+    '"tableID":%d,"version":1,"columns":' + _BOOTSTRAP_COLS_JSON
+    + ',"indexes":' + _BOOTSTRAP_IDX_JSON + "}}"
+)
+
+
+def encode_simple_bootstrap(ch: DataFrame, out_col: str = "message") -> DataFrame:
+    """Simple-protocol BOOTSTRAP messages — the per-table schema handshake a
+    consumer needs before it can interpret DML (``pkg/sink/codec/
+    bootstraper.go:39-100`` sends one per active table; message shape
+    ``simple/message.go:517-530`` with the ``TableSchema`` payload
+    ``:276-307``). One message per logical table; ``commitTs`` is the
+    table's first change ts (the bootstrap snapshot point) and ``buildTs``
+    is pinned to its millisecond for replay determinism (wall-clock in the
+    reference).
+    """
+    tables = ch.groupBy("schema_name", "table_name", "table_id").agg(
+        F.min("commit_ts").alias("commit_ts")
+    )
+    msg = F.format_string(
+        _BOOTSTRAP_FMT,
+        F.col("schema_name"), F.col("table_name"), F.col("table_id"),
+        F.col("commit_ts"), F.expr("commit_ts div 1000"),
+        F.col("schema_name"), F.col("table_name"), F.col("table_id"),
+    )
+    return tables.withColumn(out_col, msg)
+
+
+_BOOTSTRAP_MSG_SCHEMA = (
+    "STRUCT<version: INT, `database`: STRING, `table`: STRING, tableID: BIGINT, "
+    "type: STRING, commitTs: BIGINT, buildTs: BIGINT, "
+    "tableSchema: STRUCT<schema: STRING, `table`: STRING, tableID: BIGINT, "
+    "version: BIGINT, "
+    "columns: ARRAY<STRUCT<name: STRING, dataType: STRUCT<mysqlType: STRING, "
+    "charset: STRING, collate: STRING>, nullable: BOOLEAN, `default`: STRING>>, "
+    "indexes: ARRAY<STRUCT<name: STRING, `unique`: BOOLEAN, `primary`: BOOLEAN, "
+    "nullable: BOOLEAN, columns: ARRAY<STRING>>>>>"
+)
+
+
+def decode_simple_bootstrap(df: DataFrame, msg_col: str = "message") -> DataFrame:
+    """Consumer side of :func:`encode_simple_bootstrap`: parse the
+    tableSchema handshake back into the typed registry row a consumer
+    builds before decoding DML (columns list, schema version, primary-key
+    column set)."""
+    parsed = df.withColumn("m", F.from_json(F.col(msg_col), _BOOTSTRAP_MSG_SCHEMA))
+    pk_cols = F.expr(
+        "array_join(flatten(transform("
+        "filter(m.tableSchema.indexes, i -> i.primary), i -> i.columns)), ',')"
+    )
+    return parsed.select(
+        F.col("m.database").alias("database"),
+        F.col("m.table").alias("table_name"),
+        F.col("m.tableID").alias("table_id"),
+        F.col("m.type").alias("msg_type"),
+        F.col("m.commitTs").alias("commit_ts"),
+        F.col("m.tableSchema.version").alias("schema_version"),
+        F.expr("cast(size(m.tableSchema.columns) as bigint)").alias("n_columns"),
+        F.expr(
+            "array_join(transform(m.tableSchema.columns, c -> c.name), ',')"
+        ).alias("column_names"),
+        pk_cols.alias("pk_columns"),
+    )
+
+
+#: Avro JSON-encoding of the row record (field layout
+#: ``pkg/sink/codec/avro/arvo.go:163-205,328-343,505-540``): nullable
+#: columns are ["null", T] unions — the Avro JSON encoding renders a
+#: non-null union value as {"type": value} (Avro spec §JSON encoding) —
+#: while the non-null handle key (pk) stays plain; TiDB extension fields
+#: _tidb_op ("c"/"u", arvo.go:314-325), _tidb_commit_ts, and
+#: _tidb_commit_physical_time ride along. The reference frames the
+#: payload as Confluent binary (magic byte + schema id + Avro binary);
+#: the engine keeps the JSON encoding of the same record — schema
+#: registration and binary framing are transport concerns the Kafka
+#: stand-in doesn't model.
+_AVRO_VALUE_FMT = (
+    '{"pk":%d,"event_type":{"string":"%s"},"value_cents":{"long":%d},'
+    '"user_id":{"long":%d},"_tidb_op":"%s","_tidb_commit_ts":%d,'
+    '"_tidb_commit_physical_time":%d}'
+)
+_AVRO_KEY_FMT = '{"pk":%d}'
+
+
+def encode_avro_json(df: DataFrame, key_col: str = "key",
+                     value_col: str = "value") -> DataFrame:
+    """Avro codec (E-family): key = handle-key record, value = row record
+    with TiDB extension fields, JSON-encoded.
+
+    Deletes produce a **null value** (``arvo.go:163-166`` returns nil —
+    the Kafka tombstone convention; the consumer infers the delete from
+    the null payload and takes the key from the key record). Physical
+    time is the commit millisecond (stand-in for TSO physical extraction,
+    ``oracle.ExtractPhysical``).
+    """
+    op = F.when(F.col("op") == "I", "c").otherwise(F.lit("u"))
+    value = F.when(
+        F.col("op") != "D",
+        F.format_string(
+            _AVRO_VALUE_FMT,
+            F.col("pk"), F.col("event_type"), F.col("value_cents"),
+            F.col("user_id"), op, F.col("commit_ts"),
+            F.expr("commit_ts div 1000"),
+        ),
+    )
+    key = F.format_string(_AVRO_KEY_FMT, F.col("pk"))
+    return df.withColumn(key_col, key).withColumn(value_col, value)
+
+
+_AVRO_VALUE_SCHEMA = (
+    "STRUCT<pk: BIGINT, event_type: STRUCT<string: STRING>, "
+    "value_cents: STRUCT<long: BIGINT>, user_id: STRUCT<long: BIGINT>, "
+    "_tidb_op: STRING, _tidb_commit_ts: BIGINT, "
+    "_tidb_commit_physical_time: BIGINT>"
+)
+
+
+def decode_avro_json(df: DataFrame, key_col: str = "key",
+                     value_col: str = "value") -> DataFrame:
+    """Consumer side of :func:`encode_avro_json`: a null value is a delete
+    tombstone (pk from the key record); otherwise _tidb_op c/u maps back
+    to I/U and the union-wrapped columns unwrap."""
+    parsed = df.withColumn(
+        "v", F.from_json(F.col(value_col), _AVRO_VALUE_SCHEMA)
+    ).withColumn("k", F.from_json(F.col(key_col), "STRUCT<pk: BIGINT>"))
+    is_del = F.col(value_col).isNull()
+    return parsed.select(
+        F.col("seq"),
+        F.when(is_del, "D")
+        .when(F.col("v._tidb_op") == "c", "I")
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.when(is_del, F.col("k.pk")).otherwise(F.col("v.pk")).alias("pk"),
+        F.col("v._tidb_commit_ts").alias("commit_ts"),
+        F.col("v.event_type.string").alias("event_type"),
+        F.col("v.value_cents.long").alias("value_cents"),
+        F.col("v.user_id.long").alias("user_id"),
+    )
