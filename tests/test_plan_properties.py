@@ -211,37 +211,42 @@ def test_q8_fixed_dims_broadcast_facts_shuffle(spark):
 # is always size-driven (maintainer/split/write_bytes_splitter.go:30-122).
 _BOUNDED_BROADCASTS = {
     "tpch_q2_top_supplier_per_part": 0,
+    "tpch_q7_nation_volume": 2,        # two nation roles
     "tpch_q9_product_profit": 1,       # nation
+    "tpch_q10_returned_items": 1,      # nation
     "tpch_q14_promo_revenue": 0,
     "tpch_q16_supplier_cnt": 0,
     "tpch_q17_small_quantity_revenue": 0,
     "tpch_q18_large_volume_orders": 0,
     "tpch_q19_disjunctive_filter": 0,
     "tpch_q20_part_promotion": 1,      # nation (filtered to one row)
+    "tpch_q22_idle_customers": 1,      # single-row avg_bal scalar
 }
 
 
 @pytest.mark.parametrize("name", sorted(_BOUNDED_BROADCASTS))
 def test_no_sf_proportional_broadcast_hints(spark, name):
     """With auto-broadcast disabled, the only BroadcastExchange nodes left
-    are explicit hints — and those must all be on fixed-size dims. A count
-    above the bounded-dim budget means someone re-added a hint on an
-    SF-proportional relation (the round-2 q14/q19/q2/q9/q16/q20 defect)."""
+    are explicit hints — and those must all be on fixed-size dims. Exact
+    equality both ways: a count above the budget means someone re-added a
+    hint on an SF-proportional relation (the round-2 q14/q19/q2/q9/q16/q20
+    defect); a count below it means a fixed-dim hint was lost and the join
+    will shuffle the fact side at scale."""
     df = _df(spark, name)
     with no_auto_broadcast(spark):
         n = count_broadcast_exchanges(df)
-        assert n <= _BOUNDED_BROADCASTS[name], (
+        assert n == _BOUNDED_BROADCASTS[name], (
             f"{name}: {n} broadcast hints, budget "
             f"{_BOUNDED_BROADCASTS[name]} — SF-proportional relation "
-            f"force-broadcast?"
+            f"force-broadcast, or a fixed-dim hint dropped?"
         )
 
 
 def test_q17_window_decorrelation_bounded_shuffles(spark):
-    """Q17: the correlated avg runs as a window over the brand-pruned
-    subset — one hash partitioning for the window plus the single-row
-    final agg; a join-back formulation would add a third exchange of
-    lineitem width."""
+    """Q17: with auto-broadcast off and no part hint, the two exchanges
+    are the lineitem/part sort-merge-join shuffle sides (the window reuses
+    the join partitioning); a join-back formulation of the correlated avg
+    would add a third exchange of lineitem width."""
     df = _df(spark, "tpch_q17_small_quantity_revenue")
     with no_auto_broadcast(spark):
         assert count_exchanges(df) <= 2

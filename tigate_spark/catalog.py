@@ -186,9 +186,13 @@ WHERE start_ts NOT IN (SELECT start_ts FROM changes WHERE seq IN (10, 20))
     doc="F4: ignore-txn-start-ts list (filter.go:217-224)",
 )
 def filter_start_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # data-derived ignore set → anti-join variant (no driver collect);
+    # the literal-list operator stays for config-shaped ignore lists
     ch = changes_stream(spark, sf_dir)
-    ts_list = [r.start_ts for r in ch.filter(F.col("seq").isin(10, 20)).select("start_ts").collect()]
-    return f_ops.ignore_txn_start_ts(ch, ts_list).select("seq", "start_ts", "commit_ts")
+    ignore = ch.filter(F.col("seq").isin(10, 20))
+    return f_ops.ignore_txn_start_ts_df(ch, ignore).select(
+        "seq", "start_ts", "commit_ts"
+    )
 
 
 _DDL_CTE = ORACLE_CHANGES_CTE + """

@@ -94,10 +94,23 @@ def expr_value_filter(df: DataFrame, rule: EventFilterRule) -> DataFrame:
 
 
 def ignore_txn_start_ts(df: DataFrame, start_ts_list: list[int]) -> DataFrame:
-    """F4: drop whole transactions by start_ts (``filter.go:217-224``)."""
+    """F4: drop whole transactions by start_ts (``filter.go:217-224``).
+
+    The list form matches the reference's config shape (a literal
+    ignore-txn-start-ts list). When the ignore set is *data-derived*,
+    use :func:`ignore_txn_start_ts_df` — no driver round-trip.
+    """
     if not start_ts_list:
         return df
     return df.filter(~F.col("start_ts").isin(start_ts_list))
+
+
+def ignore_txn_start_ts_df(df: DataFrame, ignore: DataFrame) -> DataFrame:
+    """F4 with a DataFrame-valued ignore set: broadcast anti-join on
+    start_ts — the whole filter stays in the plan (no collect), so a
+    large or query-derived ignore set is fine at any scale."""
+    ignore_ts = ignore.select("start_ts").distinct()
+    return df.join(F.broadcast(ignore_ts), "start_ts", "left_anti")
 
 
 def ddl_allowlist_filter(ddl_df: DataFrame, allowed_types: list[str],
