@@ -56,11 +56,12 @@ _PRIORITY = [
     "encoder_message_batches", "ddl_action_classify_full",
     "decoder_debezium", "decoder_csv_rows", "decoder_simple_protocol",
     "embed_int8_quantize", "syncpoint_ticks", "filter_start_ts",
-    "apply_materialize", "encoder_open_protocol",
-    "txn_match_prewrite_commit",
+    "apply_materialize",
     "encoder_simple_bootstrap", "decoder_simple_bootstrap",
     "encoder_avro_json", "decoder_avro_json",
-    # r05 rotation continues here
+    "encoder_open_batch_framed",
+    # r05 rotation continues here (S2/E2 carried r02-green signal)
+    "encoder_open_protocol", "txn_match_prewrite_commit",
     "table_progress", "range_scan", "stale_event_drop",
     # previously-green families (r02/r03) follow in registration order.
     "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",

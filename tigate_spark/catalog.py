@@ -1236,6 +1236,49 @@ def encoder_open_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "encoder_open_batch_framed",
+    ORACLE_CHANGES_CTE
+    + f"""
+, msgs AS (
+  SELECT seq,
+    'app_' || table_name AS topic,
+    {h32_sql('pk')} % 16 AS partition,
+    printf('{{"ts":%d,"scm":"%s","tbl":"%s","t":1}}',
+           commit_ts, schema_name, table_name) AS key,
+    CASE WHEN op = 'U' THEN printf('{{"u":%s,"p":%s}}', after, before)
+         WHEN op = 'I' THEN printf('{{"u":%s}}', after)
+         ELSE printf('{{"d":%s}}', before) END AS value
+  FROM changes
+)
+SELECT topic, partition,
+       '0000000000000001' || string_agg(
+         lpad(hex(strlen(key)), 16, '0') || hex(key), '' ORDER BY seq)
+         AS batch_key_hex,
+       string_agg(
+         lpad(hex(strlen(value)), 16, '0') || hex(value), '' ORDER BY seq)
+         AS batch_value_hex,
+       count(*) AS n_messages, max(seq) AS max_seq
+FROM msgs GROUP BY topic, partition
+""",
+    doc="E2 binary batch framing, byte-compatible with the open-protocol "
+        "wire format (open/encoder.go:113-152): key = [8B BE version=1] + "
+        "per-row [8B BE len][key], value = per-row [8B BE len][value]; "
+        "rendered as hex (unhex = producer payload)",
+)
+def encoder_open_batch_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import (
+        encode_open_batch_framed,
+        encode_open_protocol,
+    )
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    enc = encode_open_protocol(ch).withColumn(
+        "topic", F.format_string("app_%s", F.col("table_name"))
+    ).withColumn("partition", (h32(F.col("pk")) % 16))
+    return encode_open_batch_framed(enc)
+
+
+@register(
     "schema_evolution_typed_view",
     ORACLE_CHANGES_CTE + _VERSIONS_CTE
     + """

@@ -553,3 +553,40 @@ def decode_avro_json(df: DataFrame, key_col: str = "key",
         F.col("v.value_cents.long").alias("value_cents"),
         F.col("v.user_id.long").alias("user_id"),
     )
+
+
+def encode_open_batch_framed(df: DataFrame) -> DataFrame:
+    """E2 binary batch framing — the open-protocol wire format
+    (``pkg/sink/codec/open/encoder.go:113-152``):
+
+    - message key   = ``[8B BE BatchVersion1=1]`` + per row
+      ``[8B BE keyLen][key bytes]``
+    - message value = per row ``[8B BE valueLen][value bytes]``
+
+    One frame per (topic, partition) in seq order (the count/size batch
+    split is the E4 dimension, ``kafka_dml_worker.go:221-321``). Frames
+    are built as hex strings JVM-side (hex is the cross-engine-stable
+    rendering; ``unhex`` of the columns is the byte payload a Kafka
+    producer would send) — length prefixes use octet_length, so non-ASCII
+    payloads frame correctly. Expects columns
+    (topic, partition, seq, key, value).
+    """
+    grouped = df.groupBy("topic", "partition").agg(
+        F.expr("array_sort(collect_list(struct(seq, key, value)))").alias("ms")
+    )
+    key_hex = F.expr(
+        "concat('0000000000000001', array_join(transform(ms, m -> "
+        "concat(lpad(hex(octet_length(m.key)), 16, '0'), hex(m.key))), ''))"
+    )
+    value_hex = F.expr(
+        "array_join(transform(ms, m -> "
+        "concat(lpad(hex(octet_length(m.value)), 16, '0'), hex(m.value))), '')"
+    )
+    return grouped.select(
+        "topic",
+        "partition",
+        key_hex.alias("batch_key_hex"),
+        value_hex.alias("batch_value_hex"),
+        F.expr("cast(size(ms) as bigint)").alias("n_messages"),
+        F.expr("element_at(transform(ms, m -> m.seq), -1)").alias("max_seq"),
+    )
