@@ -54,13 +54,16 @@ _PRIORITY = [
     "tpch_q17_small_quantity_revenue", "tpch_q21_waiting_suppliers",
     "encoder_mysql_sql", "encoder_canal_json_typed",
     "encoder_message_batches", "ddl_action_classify_full",
-    "decoder_debezium", "decoder_csv_rows", "decoder_simple_protocol",
+    "decoder_simple_protocol",
     "embed_int8_quantize", "syncpoint_ticks", "filter_start_ts",
     "apply_materialize",
     "encoder_simple_bootstrap", "decoder_simple_bootstrap",
     "encoder_avro_json", "decoder_avro_json",
     "encoder_open_batch_framed",
-    # r05 rotation continues here (S2/E2 carried r02-green signal)
+    "embed_kmeans_clusters", "sim_ivf_trained_topk",
+    # r05 rotation continues here (S2/E2 carried r02-green signal; the
+    # debezium/csv decoders share the verified decode-path pattern)
+    "decoder_debezium", "decoder_csv_rows",
     "encoder_open_protocol", "txn_match_prewrite_commit",
     "table_progress", "range_scan", "stale_event_drop",
     # previously-green families (r02/r03) follow in registration order.

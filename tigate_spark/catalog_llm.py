@@ -462,6 +462,94 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+#: exact integer L2 between a base vector and a codebook centroid
+_KM_DIST = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> (b.q[i] - c.cq[i]) * (b.q[i] - c.cq[i])))"
+)
+
+
+def _km_cte(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd's k-means CTE chain mirroring
+    ``similarity.kmeans_train`` bit-for-bit: init = first-k vectors,
+    assignment by L2 argmin (ties → lowest cent_id), update = element-wise
+    truncating integer mean (DuckDB ``//`` ⇄ Spark ``div``)."""
+    sql = f"\n, c0 AS (SELECT vec_id AS cent_id, q AS cq FROM base WHERE vec_id < {k})"
+    for it in range(iters):
+        sql += f"""
+, a{it} AS (
+  SELECT vec_id, q, cell FROM (
+    SELECT b.vec_id, b.q, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_KM_DIST}, c.cent_id) AS rn
+    FROM base b CROSS JOIN c{it} c) WHERE rn = 1
+)
+, e{it} AS (SELECT cell, generate_subscripts(q, 1) AS pos, unnest(q) AS x FROM a{it})
+, c{it + 1} AS (
+  SELECT cell AS cent_id, list(CAST(s // n AS BIGINT) ORDER BY pos) AS cq FROM (
+    SELECT cell, pos, sum(x) AS s, count(*) AS n FROM e{it} GROUP BY 1, 2)
+  GROUP BY 1
+)"""
+    return sql
+
+
+@register(
+    "embed_kmeans_clusters",
+    _QUANT_CTE
+    + _km_cte(8, 2)
+    + f"""
+SELECT vec_id, cell AS cluster, CAST(d AS BIGINT) AS dist_sq FROM (
+  SELECT b.vec_id, c.cent_id AS cell, {_KM_DIST} AS d,
+         row_number() OVER (PARTITION BY b.vec_id
+                            ORDER BY {_KM_DIST}, c.cent_id) AS rn
+  FROM base b CROSS JOIN c2 c) WHERE rn = 1
+""",
+    doc="Corpus clustering for curation: deterministic Lloyd's k-means "
+        "(k=8, 2 iterations, first-k init, exact integer arithmetic) — "
+        "cluster id + L2 distance per vector; Lloyd update is posexplode "
+        "→ (cell, dim) partial sums, never whole vectors per cell",
+)
+def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.kmeans_clusters(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sim_ivf_trained_topk",
+    _QUANT_CTE
+    + _km_cte(8, 2)
+    + """
+, cells AS (
+  SELECT vec_id, q, norm_sq, cell FROM (
+    SELECT b.vec_id, b.q, b.norm_sq, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+                                     i -> (b.q[i] - c.cq[i]) * (b.q[i] - c.cq[i]))),
+             c.cent_id) AS rn
+    FROM base b CROSS JOIN c2 c) WHERE rn = 1
+), scored AS (
+  SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(round(
+      CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * qr.q[i])) AS BIGINT)
+      / (sqrt(CAST(c.norm_sq AS DOUBLE)) * sqrt(CAST(qr.norm_sq AS DOUBLE))) * 10000
+    ) AS BIGINT) AS cos_bp
+  FROM cells c JOIN cells qr
+    ON qr.vec_id < 20 AND c.cell = qr.cell AND c.vec_id <> qr.vec_id
+)
+SELECT query_id, neighbor_id, rank, cos_bp FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_bp DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="IVF ANN top-5 with the k-means-trained codebook (replaces the "
+        "first-k stand-in): same nprobe=1 probe dataflow, coarse quantizer "
+        "from embed_kmeans_clusters' trainer",
+)
+def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sim.ivf_trained_topk(load_table(spark, sf_dir, "embeddings"))
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 @register(
     "multimodal_frame_sample",
     """

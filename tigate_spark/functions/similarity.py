@@ -265,3 +265,130 @@ def ivf_topk(df: DataFrame, n_centroids: int = 16,
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "cos_bp")
     )
+
+
+def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Exact integer L2 argmin assignment against a broadcast codebook
+    (the IVF coarse-quantization step, reused by the k-means trainer).
+    ``base``: (vec_id, q, norm_sq); ``cents``: (cent_id, cq)."""
+    dist = F.expr(
+        "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    )
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("dist", dist)
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(F.col("cent_id"), F.struct(F.col("dist"), F.col("cent_id"))).alias("cell"),
+            F.first("q").alias("q"),
+            F.first("norm_sq").alias("norm_sq"),
+        )
+    )
+
+
+def _recompute_centroids(assigned: DataFrame) -> DataFrame:
+    """Lloyd update, element-wise integer mean per cell.
+
+    Scalable layout: posexplode → partial sums keyed by (cell, dimension)
+    → rebuild the centroid array. The shuffle payload is (cell, pos, sum)
+    — 64 rows per cell regardless of corpus size; never collect_list of
+    whole vectors per cell. Mean uses truncating integer division
+    (Spark ``div`` ⇄ DuckDB ``//`` — both truncate toward zero) so the
+    trained codebook is bit-identical cross-engine."""
+    ex = assigned.select("cell", F.posexplode("q").alias("pos", "x"))
+    comp = ex.groupBy("cell", "pos").agg(
+        F.expr("sum(x) div count(*)").alias("c")
+    )
+    return (
+        comp.groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, c))), p -> p.c)"
+            ).alias("cq")
+        )
+        .select(F.col("cell").alias("cent_id"), "cq")
+    )
+
+
+def kmeans_train(df: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """Deterministic Lloyd's k-means over the quantized embeddings:
+    init = the first ``k`` vectors (by vec_id), ``iters`` assignment/update
+    rounds, exact integer arithmetic throughout. A cell that loses all
+    members drops out (k shrinks) — deterministic on both engines.
+
+    This replaces the IVF codebook stand-in with a trained one; published
+    basis: Lloyd 1982 ("Least squares quantization in PCM") as used for
+    IVF coarse quantizers (Jégou et al., TPAMI 2011).
+    """
+    base = with_quantized(df).select("vec_id", "q", "norm_sq")
+    cents = base.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq")
+    )
+    for _ in range(iters):
+        cents = _recompute_centroids(_assign_cells(base, cents))
+    return cents
+
+
+def kmeans_clusters(df: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """Corpus clustering for curation: final cluster id + exact L2
+    distance per vector under the trained codebook."""
+    base = with_quantized(df).select("vec_id", "q", "norm_sq")
+    cents = kmeans_train(df, k, iters)
+    dist = F.expr(
+        "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("dist", dist)
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("cent_id"), F.col("dist")),
+                F.struct(F.col("dist"), F.col("cent_id")),
+            ).alias("w")
+        )
+    )
+    return assigned.select(
+        "vec_id",
+        F.col("w.cent_id").alias("cluster"),
+        F.col("w.dist").alias("dist_sq"),
+    )
+
+
+def ivf_trained_topk(df: DataFrame, k_cents: int = 8, iters: int = 2,
+                     n_queries: int = 20, k: int = 5) -> DataFrame:
+    """IVF ANN with the k-means-trained codebook (nprobe=1): same probe
+    dataflow as :func:`ivf_topk`, coarse quantizer trained by
+    :func:`kmeans_train` instead of the first-k stand-in."""
+    base = with_quantized(df).select("vec_id", "q", "norm_sq")
+    cents = kmeans_train(df, k_cents, iters)
+    cells = _assign_cells(base, cents)
+    queries = F.broadcast(
+        cells.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("norm_sq").alias("q_norm"),
+            F.col("cell").alias("q_cell"),
+        )
+    )
+    joined = cells.join(
+        queries,
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = joined.withColumn(
+        "dot", F.expr("aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+    ).withColumn(
+        "cos_bp",
+        F.expr(
+            "cast(round(dot / (sqrt(cast(norm_sq as double)) * sqrt(cast(q_norm as double)))"
+            " * 10000) as bigint)"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_bp").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "cos_bp")
+    )
