@@ -56,14 +56,15 @@ _PRIORITY = [
     "encoder_message_batches", "ddl_action_classify_full",
     "decoder_simple_protocol",
     "embed_int8_quantize", "syncpoint_ticks", "filter_start_ts",
-    "apply_materialize",
     "encoder_simple_bootstrap", "decoder_simple_bootstrap",
+    "encoder_simple_bootstrap_versioned",
     "encoder_avro_json", "decoder_avro_json",
     "encoder_open_batch_framed",
     "embed_kmeans_clusters", "sim_ivf_trained_topk",
     # r05 rotation continues here (S2/E2 carried r02-green signal; the
-    # debezium/csv decoders share the verified decode-path pattern)
-    "decoder_debezium", "decoder_csv_rows",
+    # debezium/csv decoders share the verified decode-path pattern;
+    # apply_materialize is exercised by apply_merge_to_base + replica e2e)
+    "apply_materialize", "decoder_debezium", "decoder_csv_rows",
     "encoder_open_protocol", "txn_match_prewrite_commit",
     "table_progress", "range_scan", "stale_event_drop",
     # previously-green families (r02/r03) follow in registration order.

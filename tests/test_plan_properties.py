@@ -280,3 +280,18 @@ def test_new_codecs_stay_jvm_side(spark):
 def test_quantize_zero_shuffle(spark):
     """int8 quantization is array-local — no exchange at any scale."""
     assert count_exchanges(_df(spark, "embed_int8_quantize")) == 0
+
+
+def test_kmeans_centroid_update_is_partial_agg(spark):
+    """Lloyd update must go through posexplode → (cell, dim) partial sums
+    (shuffle payload: 64 rows per cell) — never collect_list of whole
+    vectors per cell, which would funnel a 100 TB cell through one task."""
+    from tigate_spark.plans.audit import plan_of
+
+    df = _df(spark, "embed_kmeans_clusters")
+    plan = plan_of(df)
+    assert "posexplode" in plan or "Generate" in plan, plan
+    # codebooks broadcast to the assignment step; the corpus never
+    # shuffles for assignment (only the 64-rows-per-cell update does)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "collect_list(q" not in plan

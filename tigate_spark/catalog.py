@@ -859,6 +859,56 @@ def decoder_simple_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_simple_bootstrap(encode_simple_bootstrap(ch))
 
 
+def _bootstrap_versioned_sql() -> str:
+    from tigate_spark.functions.encoders import (
+        _BOOTSTRAP_IDX_JSON,
+        _BOOTSTRAP_V_PREFIX_FMT,
+        boot_cols_json,
+    )
+
+    cases = " ".join(
+        f"WHEN {v} THEN '{boot_cols_json(2 + v)}'" for v in range(4)
+    )
+    return (
+        ORACLE_CHANGES_CTE + _VERSIONS_CTE
+        + """
+, tbl AS (SELECT DISTINCT schema_name, table_name, table_id FROM changes)
+SELECT t.table_id, v.version,
+  printf('"""
+        + _BOOTSTRAP_V_PREFIX_FMT
+        + """',
+         t.schema_name, t.table_name, t.table_id, v.version_ts,
+         v.version_ts // 1000, t.schema_name, t.table_name, t.table_id,
+         v.version)
+  || CASE v.version """
+        + cases
+        + f" ELSE '{boot_cols_json(5)}' END"
+        + f"""
+  || ',"indexes":{_BOOTSTRAP_IDX_JSON}' || '}}}}' AS message
+FROM tbl t JOIN versions v USING (table_id)
+"""
+    )
+
+
+@register(
+    "encoder_simple_bootstrap_versioned",
+    _bootstrap_versioned_sql(),
+    doc="Versioned bootstrap series: one BOOTSTRAP tableSchema message per "
+        "(table, schema version) — the handshake stream a consumer replays "
+        "to reconstruct schema history; the column set grows with the "
+        "version like schema_evolution_typed_view (bootstraper.go re-sends "
+        "on schema change; TableSchema.Version simple/message.go:280)",
+)
+def encoder_simple_bootstrap_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_simple_bootstrap_versioned
+
+    ch = changes_stream(spark, sf_dir)
+    versions = sr_ops.synthetic_schema_versions(spark, ch)
+    return encode_simple_bootstrap_versioned(ch, versions).select(
+        "table_id", "version", "message"
+    )
+
+
 @register(
     "encoder_avro_json",
     ORACLE_CHANGES_CTE

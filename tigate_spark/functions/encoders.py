@@ -590,3 +590,57 @@ def encode_open_batch_framed(df: DataFrame) -> DataFrame:
         F.expr("cast(size(ms) as bigint)").alias("n_messages"),
         F.expr("element_at(transform(ms, m -> m.seq), -1)").alias("max_seq"),
     )
+
+
+#: column catalog for versioned bootstrap — schema version v exposes the
+#: first 2+v columns (matches schema_evolution_typed_view's evolution:
+#: v0 pk+event_type, v1 +value_cents, v2 +user_id, v3 +props)
+_BOOT_COL_DEFS = [
+    ("pk", "bigint", "binary", "binary", "false"),
+    ("event_type", "varchar(255)", "utf8mb4", "utf8mb4_bin", "true"),
+    ("value_cents", "bigint", "binary", "binary", "true"),
+    ("user_id", "bigint", "binary", "binary", "true"),
+    ("props", "text", "utf8mb4", "utf8mb4_bin", "true"),
+]
+
+
+def boot_cols_json(n_cols: int) -> str:
+    """columns JSON array for the first ``n_cols`` column defs."""
+    return "[" + ",".join(
+        '{"name":"%s","dataType":{"mysqlType":"%s","charset":"%s",'
+        '"collate":"%s"},"nullable":%s,"default":null}' % d
+        for d in _BOOT_COL_DEFS[:n_cols]
+    ) + "]"
+
+
+_BOOTSTRAP_V_PREFIX_FMT = (
+    '{"version":1,"database":"%s","table":"%s","tableID":%d,"type":"BOOTSTRAP",'
+    '"commitTs":%d,"buildTs":%d,"tableSchema":{"schema":"%s","table":"%s",'
+    '"tableID":%d,"version":%d,"columns":'
+)
+
+
+def encode_simple_bootstrap_versioned(ch: DataFrame, versions: DataFrame,
+                                      out_col: str = "message") -> DataFrame:
+    """Versioned bootstrap series: one BOOTSTRAP tableSchema message per
+    (table, schema version), the handshake stream a consumer replays to
+    reconstruct schema history (``bootstraper.go`` re-sends on schema
+    change; ``TableSchema.Version`` is the TiDB schema version,
+    ``simple/message.go:280``). The column set grows with the version
+    exactly like ``schema_evolution_typed_view``; ``commitTs`` is the
+    version's effective-from ts."""
+    tables = ch.select("schema_name", "table_name", "table_id").distinct()
+    tv = tables.join(versions, "table_id")
+    prefix = F.format_string(
+        _BOOTSTRAP_V_PREFIX_FMT,
+        F.col("schema_name"), F.col("table_name"), F.col("table_id"),
+        F.col("version_ts"), F.expr("version_ts div 1000"),
+        F.col("schema_name"), F.col("table_name"), F.col("table_id"),
+        F.col("version"),
+    )
+    cols = F.when(F.col("version") == 0, boot_cols_json(2))
+    for v in range(1, 4):
+        cols = cols.when(F.col("version") == v, boot_cols_json(2 + v))
+    cols = cols.otherwise(F.lit(boot_cols_json(5)))
+    suffix = F.lit(',"indexes":' + _BOOTSTRAP_IDX_JSON + "}}")
+    return tv.withColumn(out_col, F.concat(prefix, cols, suffix))
