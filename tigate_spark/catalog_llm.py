@@ -804,3 +804,144 @@ def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_abs.cast("bigint").alias("max_abs"),
         int8_vec.alias("int8_vec"),
     )
+
+
+# ===========================================================================
+# Training-data pipeline extensions, round 4: decontamination, PII masking,
+# sequence packing
+# ===========================================================================
+@register(
+    "decontaminate_vs_eval",
+    _SHINGLE_CTE
+    + """
+, e AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+, ev AS (SELECT doc_id, s FROM e WHERE doc_id % 50 = 0)
+SELECT t.doc_id,
+       count(DISTINCT t.s) AS n_shared_shingles,
+       count(DISTINCT ev.doc_id) AS n_eval_docs
+FROM e t JOIN ev ON t.s = ev.s AND t.doc_id % 50 <> 0
+GROUP BY 1
+""",
+    doc="Benchmark decontamination: flag training docs sharing >=1 distinct "
+        "5-gram shingle with the eval holdout (doc_id % 50 = 0 stand-in). "
+        "Eval-side shingle index broadcasts (eval sets are small); the "
+        "training corpus streams through one scan — the standard n-gram "
+        "overlap decontamination check at any corpus size",
+)
+def decontaminate_vs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ex = dd.with_shingles(docs).select(
+        "doc_id", F.explode_outer("shingles").alias("s")
+    ).filter(F.col("s").isNotNull())
+    ev = ex.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_doc"), "s"
+    )
+    train = ex.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_shingles"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+    )
+
+
+#: deterministic PII injection so the masking path is exercised on every
+#: row (the synthetic corpus carries no real emails/phones); the operator
+#: itself is corpus-agnostic
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_NUM_RE = "[0-9]{6,}"
+
+
+@register(
+    "text_mask_pii",
+    """
+SELECT doc_id,
+  len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+    AS n_emails,
+  len(regexp_extract_all(
+    regexp_replace(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '[0-9]{6,}')) AS n_long_nums,
+  regexp_replace(
+    regexp_replace(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '[0-9]{6,}', '<NUM>', 'g') AS masked_text
+FROM (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com tel 555123' || CAST(doc_id AS VARCHAR) AS pii_text
+  FROM documents
+)
+""",
+    doc="PII masking for training corpora: emails -> <EMAIL>, >=6-digit "
+        "runs -> <NUM> (pure regexp_replace, JVM-side; deterministic PII "
+        "injection exercises the path on every row of the synthetic corpus)",
+)
+def text_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pii = F.expr(
+        "concat(text, ' contact user', cast(doc_id as string),"
+        " '@example.com tel 555123', cast(doc_id as string))"
+    )
+    d = docs.select("doc_id", pii.alias("pii_text"))
+    email_masked = F.regexp_replace(F.col("pii_text"), _PII_EMAIL_RE, "<EMAIL>")
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"cast(size(regexp_extract_all(pii_text, '{_PII_EMAIL_RE}', 0)) as bigint)"
+        ).alias("n_emails"),
+        F.expr(
+            f"cast(size(regexp_extract_all("
+            f"regexp_replace(pii_text, '{_PII_EMAIL_RE}', '<EMAIL>'), "
+            f"'{_PII_NUM_RE}', 0)) as bigint)"
+        ).alias("n_long_nums"),
+        F.regexp_replace(email_masked, _PII_NUM_RE, "<NUM>").alias("masked_text"),
+    )
+
+
+@register(
+    "pack_sequences",
+    _TOK_CTE
+    + """
+, sized AS (
+  SELECT doc_id, doc_id // 1000 AS shard, CAST(len(tokens) AS BIGINT) AS n_tokens
+  FROM tok
+), packed AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_tok
+  FROM sized
+)
+SELECT doc_id, n_tokens,
+       shard * 1000000 + start_tok // 2048 AS pack_id,
+       start_tok % 2048 AS offset_in_pack
+FROM packed
+""",
+    doc="Sequence packing (concat-and-chunk, the standard LLM pretraining "
+        "layout): docs are concatenated in doc_id order and chunked into "
+        "2048-token packs; packing is shard-local (doc_id div 1000) so the "
+        "running-sum window parallelizes across shards instead of one "
+        "global sort — the 100 TB layout",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.expr("doc_id div 1000").alias("shard"),
+        F.expr(f"cast(size({tx.TOKENS_EXPR}) as bigint)").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = sized.withColumn(
+        "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("shard") * 1_000_000 + F.expr("start_tok div 2048")).alias("pack_id"),
+        F.expr("start_tok % 2048").alias("offset_in_pack"),
+    )
