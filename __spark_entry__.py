@@ -65,6 +65,7 @@ _PRIORITY = [
     # debezium/csv decoders share the verified decode-path pattern;
     # apply_materialize is exercised by apply_merge_to_base + replica e2e)
     "decontaminate_vs_eval", "text_mask_pii", "pack_sequences",
+    "text_repetition_score", "sample_quality_weighted",
     "apply_materialize", "decoder_debezium", "decoder_csv_rows",
     "encoder_open_protocol", "txn_match_prewrite_commit",
     "table_progress", "range_scan", "stale_event_drop",

@@ -945,3 +945,83 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("shard") * 1_000_000 + F.expr("start_tok div 2048")).alias("pack_id"),
         F.expr("start_tok % 2048").alias("offset_in_pack"),
     )
+
+
+@register(
+    "text_repetition_score",
+    _TOK_CTE
+    + """
+, shr AS (
+  SELECT doc_id, tokens,
+         list_transform(range(1, len(tokens) - 3),
+                        i -> array_to_string(tokens[i:i+4], ' ')) AS sh_all
+  FROM tok WHERE len(tokens) >= 5
+)
+SELECT doc_id,
+       CAST(len(sh_all) AS BIGINT) AS n_shingles,
+       CAST(len(list_distinct(sh_all)) AS BIGINT) AS n_distinct_shingles,
+       CAST((len(sh_all) - len(list_distinct(sh_all))) * 10000 // len(sh_all)
+            AS BIGINT) AS dup_shingle_bp,
+       CAST(list_max(list_transform(list_distinct(tokens),
+              t -> len(list_filter(tokens, x -> x = t)))) * 10000 // len(tokens)
+            AS BIGINT) AS top_token_bp
+FROM shr
+""",
+    doc="Repetition scoring (the Gopher-style repetition filter, Rae et al. "
+        "2021): duplicate-5-gram fraction + most-frequent-token share, both "
+        "integer basis points, fully row-local — no shuffle at any scale",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.filter(F.expr(f"size({tx.TOKENS_EXPR}) >= 5"))
+        .withColumn("tokens", F.expr(tx.TOKENS_EXPR))
+        .withColumn("sh_all", F.expr(dd.SHINGLES_EXPR))
+    )
+    return base.select(
+        "doc_id",
+        F.expr("cast(size(sh_all) as bigint)").alias("n_shingles"),
+        F.expr("cast(size(array_distinct(sh_all)) as bigint)").alias(
+            "n_distinct_shingles"
+        ),
+        F.expr(
+            "cast((size(sh_all) - size(array_distinct(sh_all))) * 10000 "
+            "div size(sh_all) as bigint)"
+        ).alias("dup_shingle_bp"),
+        F.expr(
+            "cast(array_max(transform(array_distinct(tokens), "
+            "t -> size(filter(tokens, x -> x = t)))) * 10000 "
+            "div size(tokens) as bigint)"
+        ).alias("top_token_bp"),
+    )
+
+
+@register(
+    "sample_quality_weighted",
+    _TOK_CTE
+    + f"""
+SELECT doc_id,
+       CAST(len(list_distinct(tokens)) * 10000 // len(tokens) AS BIGINT) AS ttr_bp
+FROM tok
+WHERE len(tokens) > 0
+  AND {h32_sql('doc_id')} % 10000 <
+      len(list_distinct(tokens)) * 10000 // len(tokens)
+""",
+    doc="Quality-weighted deterministic sampling: keep probability "
+        "proportional to lexical diversity (ttr_bp / 10000) via the "
+        "hash-bucket trick — importance sampling for training mixes that "
+        "stays a stateless, replayable scan-filter at 100 TB",
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.withColumn("tokens", F.expr(tx.TOKENS_EXPR)).filter(
+        F.expr("size(tokens) > 0")
+    )
+    ttr = F.expr("cast(size(array_distinct(tokens)) * 10000 div size(tokens) as bigint)")
+    from tigate_spark.functions.phash import h32
+
+    return (
+        t.withColumn("ttr_bp", ttr)
+        .filter(h32(F.col("doc_id")) % 10000 < F.col("ttr_bp"))
+        .select("doc_id", "ttr_bp")
+    )
