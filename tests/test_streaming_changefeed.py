@@ -221,6 +221,52 @@ def test_storage_checkpoint_monotonic_under_replay(spark, sf_dir, tmp_path):
     assert json.load(open(meta_path))["checkpoint-ts"] == hi
 
 
+def test_storage_hot_leaf_writes_multiple_files(spark, sf_dir, tmp_path):
+    """K7 fan-out: a hot (table, day) leaf is written by up to
+    files_per_leaf tasks — never funneled through a single writer
+    (the r03 single-task-per-leaf bottleneck). AQE's partition coalescing
+    merges the salted groups back together when the batch is tiny (the
+    desired small-files behavior at low volume), so it is disabled here to
+    observe the at-scale plan shape."""
+    from tigate_spark.streaming.sinks import StorageSink
+
+    ch = changes_stream(spark, sf_dir)
+    sink = StorageSink(str(tmp_path / "store"), protocol="csv", files_per_leaf=4)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        sink.process_batch(ch, 0)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    leaf_dirs = glob.glob(
+        os.path.join(sink.out_dir, "schema_name=*", "table_name=*", "dt=*")
+    )
+    assert leaf_dirs
+    # the hottest leaf got more than one data file
+    max_files = max(
+        len([f for f in os.listdir(d) if f.startswith("part-")]) for d in leaf_dirs
+    )
+    assert max_files > 1, "hot leaf funneled through one writer task"
+
+
+def test_ignore_start_ts_df_matches_list_variant(spark, sf_dir):
+    """F4: the anti-join (data-derived) form is row-identical to the
+    literal-list (config) form."""
+    from tigate_spark.operators.filters import (
+        ignore_txn_start_ts,
+        ignore_txn_start_ts_df,
+    )
+
+    ch = changes_stream(spark, sf_dir)
+    ignore = ch.filter(F.col("seq").isin(10, 20))
+    got = ignore_txn_start_ts_df(ch, ignore).select("seq")
+    ts_list = [r.start_ts for r in ignore.select("start_ts").collect()]
+    exp = ignore_txn_start_ts(ch, ts_list).select("seq")
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+
+
 def test_replica_batch_path_has_no_driver_collect():
     """Scale gate: the reference's design point is >1M tables
     (README.md:5) — the per-batch merge must not collect() a table list to
