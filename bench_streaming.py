@@ -8,6 +8,7 @@ with availableNow over 4 micro-batches, for both sink families:
 
 - ``replica://``   (K1: last-writer-wins merge into partitioned parquet)
 - ``changelog://`` (K2: route + canal-json encode + per-topic append)
+- ``file://``      (K7: csv encode + dated-tree text write + metadata)
 
 Prints one JSON line per sink. Not driver-run (bench.py is the contract);
 this pins the BASELINE.md streaming numbers reproducibly.
@@ -52,6 +53,8 @@ def run_sink(spark, src_dir: str, sink_uri: str, total_rows: int) -> dict:
     work = tempfile.mkdtemp(prefix=f"tigate-sbench-{sink_uri.split(':')[0]}-")
     try:
         cfg = ChangefeedConfig(changefeed_id="sbench", sink_uri=sink_uri)
+        if sink_uri.startswith("file"):
+            cfg.sink.protocol = "csv"
         cf = Changefeed(spark, cfg, src_dir, work)
         t0 = time.monotonic()
         cf.run_to_completion(timeout_s=600)
@@ -72,7 +75,7 @@ def main() -> None:
     big = tempfile.mkdtemp(prefix="tigate-sbench-src-")
     try:
         total = build_big_source(spark, big)
-        for uri in ("replica://", "changelog://"):
+        for uri in ("replica://", "changelog://", "file://out"):
             print(json.dumps(run_sink(spark, big, uri, total)), flush=True)
     finally:
         shutil.rmtree(big, ignore_errors=True)
