@@ -1025,3 +1025,97 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h32(F.col("doc_id")) % 10000 < F.col("ttr_bp"))
         .select("doc_id", "ttr_bp")
     )
+
+
+@register(
+    "corpus_mix_stats",
+    _TOK_CTE
+    + """
+, per AS (
+  SELECT d.source, d.lang,
+         count(*) AS n_docs,
+         CAST(sum(len(t.tokens)) AS BIGINT) AS n_tokens
+  FROM documents d JOIN tok t USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, n_tokens,
+       CAST(n_tokens * 10000 // sum(n_tokens) OVER () AS BIGINT) AS token_share_bp
+FROM per
+""",
+    doc="Corpus mixture statistics: docs + token mass per (source, lang) "
+        "with basis-point shares — the numbers a training-mix weighting "
+        "step consumes; map-side partial agg + a scalar total, no heavy "
+        "shuffle at any corpus size",
+)
+def corpus_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.withColumn("n_tok", F.expr(f"size({tx.TOKENS_EXPR})"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return per.withColumn(
+        "token_share_bp",
+        F.expr("cast(n_tokens * 10000 div sum(n_tokens) over () as bigint)"),
+    )
+
+
+@register(
+    "embed_dim_stats",
+    _QUANT_CTE
+    + """
+, ex AS (
+  SELECT generate_subscripts(q, 1) - 1 AS pos, unnest(q) AS x FROM base
+)
+SELECT pos,
+       count(*) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(x * x) AS BIGINT) AS sum_sq,
+       CAST(sum(x) * 100 // count(*) AS BIGINT) AS mean_x100
+FROM ex GROUP BY 1
+""",
+    doc="Per-dimension embedding statistics (exact integer sum / sum-sq / "
+        "mean) — the inputs to whitening or normalization diagnostics; "
+        "posexplode partial aggregation, 64 output rows at any corpus size",
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = sim.with_quantized(emb).select("vec_id", "q")
+    ex = q.select(F.posexplode("q").alias("pos", "x"))
+    return ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sum_sq"),
+        F.expr("cast(sum(x) * 100 div count(*) as bigint)").alias("mean_x100"),
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+
+
+@register(
+    "corpus_length_histogram",
+    _TOK_CTE
+    + """
+SELECT CAST(floor(log2(len(tokens))) AS BIGINT) AS bucket_log2,
+       count(*) AS n_docs,
+       CAST(min(len(tokens)) AS BIGINT) AS min_tokens,
+       CAST(max(len(tokens)) AS BIGINT) AS max_tokens
+FROM tok WHERE len(tokens) > 0
+GROUP BY 1
+""",
+    doc="Log2-bucketed document-length histogram (token counts) — the "
+        "shape a curriculum/packing step inspects; one map-side agg",
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.expr(f"size({tx.TOKENS_EXPR})").alias("n_tok")).filter(
+        F.col("n_tok") > 0
+    )
+    return t.groupBy(
+        F.expr("cast(floor(log2(n_tok)) as bigint)").alias("bucket_log2")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tok").cast("bigint").alias("min_tokens"),
+        F.max("n_tok").cast("bigint").alias("max_tokens"),
+    )
