@@ -310,22 +310,36 @@ def _recompute_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_train(df: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+def kmeans_train(df: DataFrame, k: int = 8, iters: int = 2,
+                 sample_mod: int | None = None) -> DataFrame:
     """Deterministic Lloyd's k-means over the quantized embeddings:
     init = the first ``k`` vectors (by vec_id), ``iters`` assignment/update
     rounds, exact integer arithmetic throughout. A cell that loses all
     members drops out (k shrinks) — deterministic on both engines.
 
-    This replaces the IVF codebook stand-in with a trained one; published
-    basis: Lloyd 1982 ("Least squares quantization in PCM") as used for
-    IVF coarse quantizers (Jégou et al., TPAMI 2011).
+    ``sample_mod``: train on the deterministic hash-sample
+    ``vec_id % sample_mod == 0`` instead of the full corpus — the 100 TB
+    posture (IVF coarse quantizers are always fit on a sample; the full
+    corpus is only *assigned*, one broadcast pass, after training). The
+    default (None) trains on everything, which is exact and fine up to
+    ~10⁸ vectors per iteration.
+
+    Published basis: Lloyd 1982 ("Least squares quantization in PCM") as
+    used for IVF coarse quantizers (Jégou et al., TPAMI 2011).
     """
     base = with_quantized(df).select("vec_id", "q", "norm_sq")
-    cents = base.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq")
+    train = base if sample_mod is None else base.filter(
+        F.col("vec_id") % sample_mod == 0
+    )
+    # init = first k vectors OF THE TRAINING SET (k lowest vec_ids) —
+    # ordered limit, deterministic on any engine; equals vec_id < k on the
+    # dense-id full corpus, so the default path matches the SQL oracle
+    cents = (
+        train.orderBy("vec_id").limit(k)
+        .select(F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"))
     )
     for _ in range(iters):
-        cents = _recompute_centroids(_assign_cells(base, cents))
+        cents = _recompute_centroids(_assign_cells(train, cents))
     return cents
 
 
