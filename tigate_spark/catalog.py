@@ -1302,11 +1302,11 @@ def encoder_open_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 SELECT topic, partition,
        '0000000000000001' || string_agg(
-         lpad(hex(strlen(key)), 16, '0') || hex(key), '' ORDER BY seq)
-         AS batch_key_hex,
+         lpad(hex(octet_length(encode(key))), 16, '0') || hex(key), ''
+         ORDER BY seq) AS batch_key_hex,
        string_agg(
-         lpad(hex(strlen(value)), 16, '0') || hex(value), '' ORDER BY seq)
-         AS batch_value_hex,
+         lpad(hex(octet_length(encode(value))), 16, '0') || hex(value), ''
+         ORDER BY seq) AS batch_value_hex,
        count(*) AS n_messages, max(seq) AS max_seq
 FROM msgs GROUP BY topic, partition
 """,
