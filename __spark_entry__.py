@@ -67,6 +67,7 @@ _PRIORITY = [
     "decontaminate_vs_eval", "text_mask_pii", "pack_sequences",
     "text_repetition_score", "sample_quality_weighted",
     "corpus_mix_stats", "embed_dim_stats", "corpus_length_histogram",
+    "encoder_simple_ddl",
     "apply_materialize", "decoder_debezium", "decoder_csv_rows",
     "encoder_open_protocol", "txn_match_prewrite_commit",
     "table_progress", "range_scan", "stale_event_drop",

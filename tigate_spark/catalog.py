@@ -909,6 +909,47 @@ def encoder_simple_bootstrap_versioned(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def _simple_ddl_sql() -> str:
+    from tigate_spark.functions.encoders import _SIMPLE_TS_FMT
+
+    ts = "printf('" + _SIMPLE_TS_FMT + "', table_id, table_id)"
+    return _DDL_CTE + (
+        """
+SELECT seq,
+  printf('{"version":1,"type":"%s","commitTs":%d,"buildTs":%d,"sql":"%s"',
+         CASE ddl_type WHEN 'create table' THEN 'CREATE'
+              WHEN 'rename table' THEN 'RENAME'
+              WHEN 'drop table' THEN 'ERASE'
+              WHEN 'truncate table' THEN 'TRUNCATE'
+              ELSE 'ALTER' END,
+         commit_ts, commit_ts // 1000, query)
+  || CASE WHEN ddl_type <> 'drop table' THEN ',"tableSchema":' || """
+        + ts
+        + """ ELSE '' END
+  || CASE WHEN ddl_type <> 'create table' THEN ',"preTableSchema":' || """
+        + ts
+        + """ ELSE '' END
+  || '}' AS message
+FROM ddl
+"""
+    )
+
+
+@register(
+    "encoder_simple_ddl",
+    _simple_ddl_sql(),
+    doc="Simple-protocol DDL messages (simple/message.go:527-550, "
+        "getDDLType :79-100): DDL class + raw SQL + tableSchema/"
+        "preTableSchema payloads (absent for ERASE-after / CREATE-before "
+        "respectively) — completes the simple protocol surface "
+        "(DML + bootstrap + DDL)",
+)
+def encoder_simple_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_simple_ddl
+
+    return encode_simple_ddl(_ddl_stream(spark, sf_dir)).select("seq", "message")
+
+
 @register(
     "encoder_avro_json",
     ORACLE_CHANGES_CTE

@@ -644,3 +644,49 @@ def encode_simple_bootstrap_versioned(ch: DataFrame, versions: DataFrame,
     cols = cols.otherwise(F.lit(boot_cols_json(5)))
     suffix = F.lit(',"indexes":' + _BOOTSTRAP_IDX_JSON + "}}")
     return tv.withColumn(out_col, F.concat(prefix, cols, suffix))
+
+
+#: simple-protocol DDL type mapping (getDDLType, simple/message.go:79-100)
+_SIMPLE_DDL_TYPE = {
+    "create table": "CREATE",
+    "rename table": "RENAME",
+    "drop table": "ERASE",
+    "truncate table": "TRUNCATE",
+    "add column": "ALTER",
+}
+
+_SIMPLE_TS_FMT = (
+    '{"schema":"app","table":"t%d","tableID":%d,"version":1,"columns":'
+    + _BOOTSTRAP_COLS_JSON + ',"indexes":' + _BOOTSTRAP_IDX_JSON + "}"
+)
+
+
+def encode_simple_ddl(ddl_df: DataFrame, out_col: str = "message") -> DataFrame:
+    """Simple-protocol DDL messages (``simple/message.go:527-550``):
+    versioned message with the DDL class (CREATE/ALTER/ERASE/TRUNCATE/
+    RENAME), the raw SQL, and tableSchema/preTableSchema payloads —
+    tableSchema absent for ERASE (table gone), preTableSchema absent for
+    CREATE (no prior schema), both present otherwise; schema/table fields
+    are omitempty on DDL like the reference. Expects the engine's DDL
+    stream columns (table_id, commit_ts, seq, ddl_type, query)."""
+    t = F.col("ddl_type")
+    msg_type = None
+    for k, v in _SIMPLE_DDL_TYPE.items():
+        cond = F.when(t == k, v)
+        msg_type = cond if msg_type is None else msg_type.when(t == k, v)
+    msg_type = msg_type.otherwise(F.lit("ALTER"))
+    ts_json = F.format_string(_SIMPLE_TS_FMT, F.col("table_id"), F.col("table_id"))
+    head = F.format_string(
+        '{"version":1,"type":"%s","commitTs":%d,"buildTs":%d,"sql":"%s"',
+        msg_type, F.col("commit_ts"), F.expr("commit_ts div 1000"),
+        F.col("query"),
+    )
+    schema_part = F.when(
+        t != "drop table", F.concat(F.lit(',"tableSchema":'), ts_json)
+    ).otherwise(F.lit(""))
+    pre_part = F.when(
+        t != "create table", F.concat(F.lit(',"preTableSchema":'), ts_json)
+    ).otherwise(F.lit(""))
+    return ddl_df.withColumn(
+        out_col, F.concat(head, schema_part, pre_part, F.lit("}"))
+    )
