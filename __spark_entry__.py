@@ -38,6 +38,7 @@ _PRIORITY = [
     "streaming_replica_e2e", "streaming_changelog_e2e",
     "streaming_storage_e2e", "streaming_first_seen_e2e",
     "streaming_window_counts_e2e", "streaming_txn_match_e2e",
+    "streaming_sessions_e2e",
     # remaining r03-errored entries
     "filter_table_rule", "projection_update_split",
     "projection_updated_columns", "route_topic_partition",
@@ -66,8 +67,9 @@ _PRIORITY = [
     # apply_materialize is exercised by apply_merge_to_base + replica e2e)
     "decontaminate_vs_eval", "text_mask_pii", "pack_sequences",
     "text_repetition_score", "sample_quality_weighted",
-    "corpus_mix_stats", "embed_dim_stats", "corpus_length_histogram",
-    "encoder_simple_ddl",
+    "corpus_mix_stats", "embed_dim_stats",
+    # r05 rotation also starts here
+    "corpus_length_histogram", "encoder_simple_ddl",
     "apply_materialize", "decoder_debezium", "decoder_csv_rows",
     "encoder_open_protocol", "txn_match_prewrite_commit",
     "table_progress", "range_scan", "stale_event_drop",

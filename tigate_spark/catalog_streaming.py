@@ -319,3 +319,78 @@ def streaming_txn_match_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(res.collect(), res.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_sessions_e2e",
+    ORACLE_CHANGES_CTE + """
+, m AS (
+  SELECT user_id, commit_ts,
+         CASE WHEN lag(commit_ts) OVER w IS NULL
+                   OR commit_ts - lag(commit_ts) OVER w >= 1800000000 THEN 1
+              ELSE 0 END AS new_s
+  FROM changes WINDOW w AS (PARTITION BY user_id ORDER BY commit_ts)
+), g AS (
+  SELECT user_id, commit_ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY commit_ts
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m
+)
+SELECT user_id, min(commit_ts) AS first_ts, max(commit_ts) AS last_ts,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sess
+""",
+    doc="Structured Streaming gap-based sessionization (F.session_window, "
+        "30-min gap, event-time watermark) run through a real availableNow "
+        "query in complete mode — the materialized session table "
+        "hash-matches the batch gaps-and-islands oracle; the streaming-"
+        "native stateful session operator (dynstream handler family, "
+        "SURVEY §3.2) at its scale shape: state is per (user, open "
+        "session), merged by the engine, no driver involvement",
+)
+def streaming_sessions_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.sources.changes import normalize_events
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        schema = spark.read.parquet(src).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(os.path.dirname(src))
+        )
+        ch = normalize_events(raw).withColumn(
+            "commit_time", F.timestamp_micros(F.col("commit_ts"))
+        ).withWatermark("commit_time", "30 minutes")
+        agg = (
+            ch.groupBy(
+                F.session_window("commit_time", "30 minutes").alias("w"),
+                "user_id",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("commit_ts").alias("first_ts"),
+                F.max("commit_ts").alias("last_ts"),
+            )
+            .select("user_id", "first_ts", "last_ts", "n_events")
+        )
+        out_dir, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+
+        def write_sessions(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out_dir)
+
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write_sessions)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        got = spark.read.parquet(out_dir)
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
