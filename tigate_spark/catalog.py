@@ -1305,13 +1305,20 @@ def force_replicate_rowkey(spark: SparkSession, sf_dir: str) -> DataFrame:
          ELSE printf('{{"d":%s}}', before) END AS value
   FROM changes
 )
-SELECT topic, partition,
+, lanes AS (
+  SELECT *, (row_number() OVER (PARTITION BY topic, partition ORDER BY seq) - 1)
+            // 1024 AS batch_seq
+  FROM msgs
+)
+SELECT topic, partition, batch_seq,
        string_agg(value, chr(10) ORDER BY seq) AS batch_value,
        count(*) AS n_messages, max(seq) AS max_seq
-FROM msgs GROUP BY topic, partition
+FROM lanes GROUP BY topic, partition, batch_seq
 """,
-    doc="E4: per-(topic,partition) message batching in seq order "
-        "(kafka_dml_worker.go:221-321) over open-protocol values",
+    doc="E4: per-(topic,partition) message batching in seq order, rolled "
+        "at MaxBatchSize=1024 (kafka_dml_worker.go:221-321; "
+        "open/encoder.go:122) over open-protocol values — bounded batch "
+        "state per lane at any scale",
 )
 def encoder_open_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tigate_spark.functions.encoders import (
@@ -1341,7 +1348,12 @@ def encoder_open_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
          ELSE printf('{{"d":%s}}', before) END AS value
   FROM changes
 )
-SELECT topic, partition,
+, lanes AS (
+  SELECT *, (row_number() OVER (PARTITION BY topic, partition ORDER BY seq) - 1)
+            // 1024 AS batch_seq
+  FROM msgs
+)
+SELECT topic, partition, batch_seq,
        '0000000000000001' || string_agg(
          lpad(hex(octet_length(encode(key))), 16, '0') || hex(key), ''
          ORDER BY seq) AS batch_key_hex,
@@ -1349,7 +1361,7 @@ SELECT topic, partition,
          lpad(hex(octet_length(encode(value))), 16, '0') || hex(value), ''
          ORDER BY seq) AS batch_value_hex,
        count(*) AS n_messages, max(seq) AS max_seq
-FROM msgs GROUP BY topic, partition
+FROM lanes GROUP BY topic, partition, batch_seq
 """,
     doc="E2 binary batch framing, byte-compatible with the open-protocol "
         "wire format (open/encoder.go:113-152): key = [8B BE version=1] + "

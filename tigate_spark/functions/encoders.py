@@ -181,14 +181,38 @@ def claim_check(df: DataFrame, threshold: int,
     )
 
 
-def encode_open_protocol_batch(df: DataFrame, sep: str = "\n") -> DataFrame:
-    """E4: message batching — one framed batch per ``(topic, partition)``,
-    messages in seq order (``kafka_dml_worker.go:221-321``: accumulate,
-    group by topic-partition, flush). The reference frames with uint64
-    lengths; a separator-framed text batch keeps the same grouping/order
-    semantics and stays oracle-checkable."""
+#: reference default max-batch-size (config MaxBatchSize; the encoder
+#: rolls a new message when the current batch hits it, open/encoder.go:122)
+OPEN_MAX_BATCH_SIZE = 1024
+
+
+def _with_batch_seq(df: DataFrame, max_batch_size: int):
+    """Split each (topic, partition) lane into ≤max_batch_size batches in
+    seq order — bounds the per-group state the batch aggregation collects
+    (one unbounded lane would otherwise accumulate a whole topic's history
+    into a single array row at scale)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("topic", "partition").orderBy("seq")
+    return df.withColumn(
+        "batch_seq",
+        ((F.row_number().over(w) - 1) / max_batch_size).cast("bigint"),
+    )
+
+
+def encode_open_protocol_batch(df: DataFrame, sep: str = "\n",
+                               max_batch_size: int = OPEN_MAX_BATCH_SIZE) -> DataFrame:
+    """E4: message batching — framed batches per ``(topic, partition)``,
+    messages in seq order, rolled at ``max_batch_size``
+    (``kafka_dml_worker.go:221-321``: accumulate, group by
+    topic-partition, flush; MaxBatchSize roll ``open/encoder.go:122``).
+    The reference frames with uint64 lengths; a separator-framed text
+    batch keeps the same grouping/order semantics and stays
+    oracle-checkable (:func:`encode_open_batch_framed` is the
+    byte-compatible form)."""
     return (
-        df.groupBy("topic", "partition")
+        _with_batch_seq(df, max_batch_size)
+        .groupBy("topic", "partition", "batch_seq")
         .agg(
             F.array_join(
                 F.transform(
@@ -555,7 +579,8 @@ def decode_avro_json(df: DataFrame, key_col: str = "key",
     )
 
 
-def encode_open_batch_framed(df: DataFrame) -> DataFrame:
+def encode_open_batch_framed(df: DataFrame,
+                             max_batch_size: int = OPEN_MAX_BATCH_SIZE) -> DataFrame:
     """E2 binary batch framing — the open-protocol wire format
     (``pkg/sink/codec/open/encoder.go:113-152``):
 
@@ -563,15 +588,17 @@ def encode_open_batch_framed(df: DataFrame) -> DataFrame:
       ``[8B BE keyLen][key bytes]``
     - message value = per row ``[8B BE valueLen][value bytes]``
 
-    One frame per (topic, partition) in seq order (the count/size batch
-    split is the E4 dimension, ``kafka_dml_worker.go:221-321``). Frames
-    are built as hex strings JVM-side (hex is the cross-engine-stable
-    rendering; ``unhex`` of the columns is the byte payload a Kafka
-    producer would send) — length prefixes use octet_length, so non-ASCII
-    payloads frame correctly. Expects columns
+    Frames roll at ``max_batch_size`` rows per (topic, partition) lane in
+    seq order (``open/encoder.go:122``; size-based rolling is the other
+    half of that predicate). Frames are built as hex strings JVM-side
+    (hex is the cross-engine-stable rendering; ``unhex`` of the columns is
+    the byte payload a Kafka producer would send) — length prefixes use
+    octet_length, so non-ASCII payloads frame correctly. Expects columns
     (topic, partition, seq, key, value).
     """
-    grouped = df.groupBy("topic", "partition").agg(
+    grouped = _with_batch_seq(df, max_batch_size).groupBy(
+        "topic", "partition", "batch_seq"
+    ).agg(
         F.expr("array_sort(collect_list(struct(seq, key, value)))").alias("ms")
     )
     key_hex = F.expr(
@@ -585,6 +612,7 @@ def encode_open_batch_framed(df: DataFrame) -> DataFrame:
     return grouped.select(
         "topic",
         "partition",
+        "batch_seq",
         key_hex.alias("batch_key_hex"),
         value_hex.alias("batch_value_hex"),
         F.expr("cast(size(ms) as bigint)").alias("n_messages"),
