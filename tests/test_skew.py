@@ -77,3 +77,30 @@ def test_salted_sum_matches_plain_agg(spark):
     assert joined.filter(
         (F.col("sum_v") != F.col("e_sum")) | (F.col("n_rows") != F.col("e_n"))
     ).count() == 0
+
+
+def test_open_batch_rolls_at_max_batch_size(spark):
+    """E4/E2 framing: a (topic, partition) lane longer than max_batch_size
+    splits into multiple batches in seq order — per-lane batch state is
+    bounded at any scale (open/encoder.go:122 MaxBatchSize roll)."""
+    from tigate_spark.functions.encoders import (
+        encode_open_batch_framed,
+        encode_open_protocol_batch,
+    )
+
+    df = spark.range(0, 95).select(
+        F.lit("t").alias("topic"),
+        (F.col("id") % 2).alias("partition"),
+        F.col("id").alias("seq"),
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+        F.concat(F.lit("v"), F.col("id")).alias("value"),
+    )
+    for out in (
+        encode_open_protocol_batch(df, max_batch_size=10),
+        encode_open_batch_framed(df, max_batch_size=10),
+    ):
+        rows = out.select("topic", "partition", "batch_seq", "n_messages").collect()
+        # 2 lanes x ~48 msgs -> 5 batches each
+        assert len(rows) == 10, rows
+        assert all(r["n_messages"] <= 10 for r in rows)
+        assert {r["batch_seq"] for r in rows} == {0, 1, 2, 3, 4}
