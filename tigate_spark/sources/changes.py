@@ -51,7 +51,8 @@ def event_us(ev: DataFrame):
     the ntz→tz cast is the identity on the wall-clock value).
     """
     dtype = dict(ev.dtypes).get("ts", "")
-    if dtype.startswith("timestamp"):
+    if dtype.startswith("timestamp") or dtype == "string":
+        # string vintage (ISO text) also round-trips through the cast
         return F.unix_micros(F.col("ts").cast("timestamp"))
     return F.expr("ts div 1000")
 
