@@ -42,7 +42,7 @@ QUERIES = [
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q21_waiting_suppliers", "cdc_pipeline_e2e", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "sim_cosine_topk", "text_quality_score",
+    "sim_cosine_topk", "embed_kmeans_clusters", "text_quality_score",
 ]
 
 
