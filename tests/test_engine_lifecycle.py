@@ -85,3 +85,27 @@ def test_config_json_round_trip():
     d = changefeed_config_to_dict(cfg)
     cfg2 = changefeed_config_from_dict(json.loads(json.dumps(d)))
     assert cfg2 == cfg
+
+
+def test_get_reports_checkpoint_and_update_requires_pause(spark, sf_dir, tmp_path):
+    """GET /changefeeds/{id} parity: detail carries checkpoint_ts once the
+    feed has progressed; PUT parity: update refuses a running feed, and a
+    paused update swaps the config while keeping the checkpoint dir."""
+    eng = Engine(spark, os.path.join(sf_dir, "events.parquet"), str(tmp_path))
+    cid = eng.create(ChangefeedConfig(changefeed_id="cf-get", sink_uri="replica://"))
+    assert eng.get(cid)["checkpoint_ts"] is None  # nothing ran yet
+    eng.run_to_completion(cid)
+    detail = eng.get(cid)
+    hi = changes_stream(spark, sf_dir).agg(F.max("commit_ts")).first()[0]
+    assert detail["checkpoint_ts"] == hi
+    # update only when not running
+    eng._feeds[cid].state = "running"
+    with pytest.raises(ValueError):
+        eng.update(cid, ChangefeedConfig(changefeed_id="cf-get", sink_uri="noop://"))
+    eng._feeds[cid].state = "paused"
+    with pytest.raises(ValueError):  # id immutable
+        eng.update(cid, ChangefeedConfig(changefeed_id="other", sink_uri="noop://"))
+    old_ckpt_dir = eng._feeds[cid].changefeed.checkpoint_dir
+    eng.update(cid, ChangefeedConfig(changefeed_id="cf-get", sink_uri="noop://"))
+    assert eng.get(cid)["sink_uri"] == "noop://"
+    assert eng._feeds[cid].changefeed.checkpoint_dir == old_ckpt_dir

@@ -109,6 +109,49 @@ class Engine:
             for cid, f in self._feeds.items()
         ]
 
+    def get(self, changefeed_id: str) -> dict:
+        """Changefeed detail incl. checkpoint progress — the reference's
+        ``GET /api/v2/changefeeds/{id}`` (returns ``checkpointTs``; here
+        the max resolved_ts the bookkeeping table has recorded)."""
+        feed = self._get(changefeed_id)
+        ckpt = None
+        progress_dir = feed.changefeed.bookkeeping.progress_dir
+        if os.path.exists(progress_dir):
+            from pyspark.sql import functions as F
+
+            row = (
+                self.spark.read.parquet(progress_dir)
+                .agg(F.max("resolved_ts").alias("ts"))
+                .first()
+            )
+            ckpt = row["ts"]
+        return {
+            "id": changefeed_id,
+            "state": feed.state,
+            "sink_uri": feed.cfg.sink_uri,
+            "checkpoint_ts": ckpt,
+            "start_ts": feed.cfg.start_ts,
+            "target_ts": feed.cfg.target_ts,
+        }
+
+    def update(self, changefeed_id: str, cfg: ChangefeedConfig) -> None:
+        """Replace a paused/stopped changefeed's config — the reference's
+        ``PUT /api/v2/changefeeds/{id}`` (update requires the feed not be
+        running, ``api/v2/changefeed.go`` updateChangefeed). The rebuilt
+        Changefeed keeps the same work_dir, so the checkpoint carries over
+        and resume continues from committed offsets under the new config."""
+        feed = self._get(changefeed_id)
+        if feed.state == "running":
+            raise ValueError(
+                f"changefeed {changefeed_id} is running; pause before update"
+            )
+        if cfg.changefeed_id != changefeed_id:
+            raise ValueError("changefeed id is immutable")
+        feed.cfg = cfg
+        feed.changefeed = Changefeed(
+            self.spark, cfg, self.source_dir, self.work_dir
+        )
+
     def _get(self, changefeed_id: str) -> _Feed:
         if changefeed_id not in self._feeds:
             raise KeyError(f"changefeed not found: {changefeed_id}")
