@@ -1157,16 +1157,18 @@ marked AS (
          (SELECT lo + 2 * (hi - lo) // 3 FROM bounds) AS t2
   FROM changes c
 )
-SELECT CAST(CASE
+SELECT seq,
+       CAST(CASE
          WHEN NOT (table_id = 2 AND commit_ts >= t1) AND commit_ts < t2 THEN 0
          WHEN (table_id = 2 AND commit_ts >= t1) AND commit_ts < t2 THEN 1
-         ELSE 2 END AS BIGINT) AS sub,
-       count(*) AS n_rows
-FROM marked GROUP BY 1
+         ELSE 2 END AS BIGINT) AS sub
+FROM marked
 """,
-    doc="T8: DDL barrier — micro-batch split into sub-batches around two "
-        "DDL commit ts (one single-table, one global); unaffected tables "
-        "flow early (barrier.go:26-57; ddl_only_block_related_table)",
+    doc="T8: DDL barrier — per-ROW sub-batch assignment around two DDL "
+        "commit ts (one single-table, one global); unaffected tables flow "
+        "early (barrier.go:26-57; ddl_only_block_related_table). Row-level "
+        "hash: every row's barrier placement is oracle-checked, not just "
+        "the sub-batch counts",
 )
 def ddl_barrier_subbatches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tigate_spark.streaming.ddl import DDLEvent, split_batch_at_ddl
@@ -1190,7 +1192,7 @@ def ddl_barrier_subbatches(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.groupBy("sub").agg(F.count(F.lit(1)).alias("n_rows"))
+    return out.select("seq", "sub")
 
 
 @register(
