@@ -573,9 +573,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_resize",
-    None,  # deterministic fake, but byte-tiling is awkward in SQL → rows-only check
+    """
+SELECT doc_id,
+       CAST(224 AS BIGINT) AS width, CAST(224 AS BIGINT) AS height,
+       md5(substring(repeat(md5(text), 50), 1, 1568)) AS resized_md5
+FROM documents
+""",
     doc="Multimodal image resize: mapInPandas 1→1 batch shape, zero "
-        "shuffle (PIL decode stubbed; schema/partitioning real)",
+        "shuffle (PIL decode stubbed; schema/partitioning real); the "
+        "deterministic digest-tiling fake is hex-string arithmetic, so the "
+        "oracle value-hashes it — no rows-only entries remain",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tigate_spark.functions.multimodal import attach_binary_payload, resize_images

@@ -108,8 +108,11 @@ def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224,
     zero shuffle (runs inside the scan stage at scale).
 
     The real body is ``PIL.Image.open(io.BytesIO(b)).resize((w, h))``;
-    STUBBED here (no PIL in env) with a deterministic fake that hashes the
-    payload into a pseudo-thumbnail so tests pin the batch shape + schema.
+    STUBBED here (no PIL in env) with a deterministic fake that tiles the
+    payload's md5 digest into a pseudo-thumbnail so tests pin the batch
+    shape + schema. The ``resized_md5`` digest hashes the thumbnail's
+    HEX rendering (pure string arithmetic on both engines), which lets a
+    DuckDB oracle reproduce it exactly — blob-typed md5 isn't portable.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -118,15 +121,17 @@ def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224,
         for pdf in batches:
             if not fake_decode:
                 raise NotImplementedError("real resize requires PIL — not in this env")
+            n_out = max(16, (target_w * target_h) // 64)
+            hex_len = 2 * n_out
+            copies = hex_len // 32 + 1
             out_payload = []
             md5s = []
             for b in pdf["payload"]:
-                digest = hashlib.md5(bytes(b)).digest()
+                content_hex = hashlib.md5(bytes(b)).hexdigest()
                 # fake thumbnail: digest tiled to w*h/64 bytes (deterministic)
-                thumb = (digest * ((target_w * target_h) // (64 * len(digest)) + 1))
-                thumb = thumb[: max(16, (target_w * target_h) // 64)]
-                out_payload.append(thumb)
-                md5s.append(hashlib.md5(thumb).hexdigest())
+                thumb_hex = (content_hex * copies)[:hex_len]
+                out_payload.append(bytes.fromhex(thumb_hex))
+                md5s.append(hashlib.md5(thumb_hex.encode()).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
