@@ -109,3 +109,18 @@ def test_get_reports_checkpoint_and_update_requires_pause(spark, sf_dir, tmp_pat
     eng.update(cid, ChangefeedConfig(changefeed_id="cf-get", sink_uri="noop://"))
     assert eng.get(cid)["sink_uri"] == "noop://"
     assert eng._feeds[cid].changefeed.checkpoint_dir == old_ckpt_dir
+
+
+def test_verify_table_classifies_by_filter(spark, sf_dir, tmp_path):
+    """POST /verify_table parity: filter rules split the table universe
+    into eligible vs ignored (the reference snapshot stubs the endpoint;
+    semantics per the public v2 API)."""
+    from tigate_spark.config import FilterConfig
+
+    eng = Engine(spark, os.path.join(sf_dir, "events.parquet"), str(tmp_path))
+    out = eng.verify_table(FilterConfig(rules=["app.t0", "app.t2"]))
+    assert out["eligible_tables"] == ["app.t0", "app.t2"]
+    assert out["ignored_tables"] == ["app.t1", "app.t3"]
+    assert out["ineligible_tables"] == []
+    # wildcard matches everything
+    assert eng.verify_table(FilterConfig(rules=["*.*"]))["ignored_tables"] == []

@@ -152,6 +152,25 @@ class Engine:
             self.spark, cfg, self.source_dir, self.work_dir
         )
 
+    def verify_table(self, filter_cfg) -> dict:
+        """``POST /api/v2/verify_table`` — which tables a filter config
+        matches. The reference snapshot stubs this endpoint
+        (``api/v2/changefeed.go:247-251``); semantics follow the public
+        TiCDC v2 API: eligible = matched tables (all the engine's logical
+        tables carry a pk, so none are ineligible)."""
+        from tigate_spark.operators.filters import table_rule_match
+        from tigate_spark.sources.changes import N_TABLES
+
+        eligible, ignored = [], []
+        for t in range(N_TABLES):
+            name = f"app.t{t}"
+            if table_rule_match(filter_cfg.rules, "app", f"t{t}"):
+                eligible.append(name)
+            else:
+                ignored.append(name)
+        return {"eligible_tables": eligible, "ineligible_tables": [],
+                "ignored_tables": ignored}
+
     def _get(self, changefeed_id: str) -> _Feed:
         if changefeed_id not in self._feeds:
             raise KeyError(f"changefeed not found: {changefeed_id}")

@@ -41,6 +41,22 @@ def rule_to_regex(rule: str) -> tuple[str, str]:
     return "^" + fnmatch.translate(schema_glob), "^" + fnmatch.translate(table_glob)
 
 
+def table_rule_match(rules: list[str], schema: str, table: str) -> bool:
+    """Driver-side single-table check of the F1 rule list — same matcher
+    semantics as :func:`table_filter` (``pkg/filter/filter.go:47-66``),
+    for APIs that classify tables without building a plan
+    (verify_table)."""
+    if not rules or rules == ["*.*"]:
+        return True
+    for rule in rules:
+        schema_glob, _, table_glob = rule.partition(".")
+        if not table_glob:
+            table_glob = "*"
+        if fnmatch.fnmatch(schema, schema_glob) and fnmatch.fnmatch(table, table_glob):
+            return True
+    return False
+
+
 def table_filter(df: DataFrame, rules: list[str],
                  schema_col: str = "schema_name", table_col: str = "table_name") -> DataFrame:
     """F1: keep rows whose (schema, table) matches any rule."""
