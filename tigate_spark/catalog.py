@@ -1384,6 +1384,61 @@ def encoder_open_batch_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decoder_open_batch",
+    ORACLE_CHANGES_CTE
+    + f"""
+, msgs AS (
+  SELECT seq,
+    'app_' || table_name AS topic,
+    {h32_sql('pk')} % 16 AS partition,
+    CASE WHEN op = 'U' THEN printf('{{"u":%s,"p":%s}}', after, before)
+         WHEN op = 'I' THEN printf('{{"u":%s}}', after)
+         ELSE printf('{{"d":%s}}', before) END AS value
+  FROM changes
+), lanes AS (
+  SELECT *, (row_number() OVER (PARTITION BY topic, partition ORDER BY seq) - 1)
+            // 1024 AS batch_seq
+  FROM msgs
+)
+SELECT topic, partition, batch_seq,
+  CAST(json_extract(value, '$.u.pk') AS BIGINT) AS new_pk,
+  CAST(json_extract(value, '$.u.value_cents') AS BIGINT) AS new_value_cents,
+  CAST(json_extract(value, '$.p.value_cents') AS BIGINT) AS old_value_cents,
+  CAST(json_extract(value, '$.d.pk') AS BIGINT) AS deleted_pk
+FROM lanes
+""",
+    doc="E7 for the E4 batch path: batches split back into messages "
+        "(consumer side of the batch framing) and each message from_json "
+        "decoded — the full encode→batch→unbatch→decode round trip "
+        "recovers the corpus as a multiset, per (topic, partition, batch)",
+)
+def decoder_open_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import (
+        encode_open_protocol,
+        encode_open_protocol_batch,
+    )
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    enc = encode_open_protocol(ch).withColumn(
+        "topic", F.format_string("app_%s", F.col("table_name"))
+    ).withColumn("partition", (h32(F.col("pk")) % 16))
+    batches = encode_open_protocol_batch(enc)
+    img = "STRUCT<pk BIGINT, event_type STRING, value_cents BIGINT, user_id BIGINT>"
+    msgs = batches.select(
+        "topic", "partition", "batch_seq",
+        F.explode(F.split(F.col("batch_value"), "\n")).alias("value"),
+    )
+    v = F.from_json(F.col("value"), f"u {img}, p {img}, d {img}")
+    return msgs.select(
+        "topic", "partition", "batch_seq",
+        v["u"]["pk"].alias("new_pk"),
+        v["u"]["value_cents"].alias("new_value_cents"),
+        v["p"]["value_cents"].alias("old_value_cents"),
+        v["d"]["pk"].alias("deleted_pk"),
+    )
+
+
+@register(
     "schema_evolution_typed_view",
     ORACLE_CHANGES_CTE + _VERSIONS_CTE
     + """
