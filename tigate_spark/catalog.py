@@ -605,6 +605,34 @@ def apply_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "apply_scd2_history",
+    ORACLE_CHANGES_CTE
+    + """
+, h AS (
+  SELECT table_id, pk, op, commit_ts, seq, event_type, value_cents,
+         lead(commit_ts) OVER (PARTITION BY table_id, pk
+           ORDER BY commit_ts, start_ts,
+                    CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END, seq)
+           AS valid_to
+  FROM changes
+)
+SELECT table_id, pk, event_type, value_cents,
+       commit_ts AS valid_from, valid_to,
+       valid_to IS NULL AS is_current, seq
+FROM h WHERE op <> 'D'
+""",
+    doc="Type-2 SCD history from the change stream: one validity interval "
+        "per change closed by the key's next change in the canonical total "
+        "order; deletes close intervals and emit none — the standard "
+        "changelog→warehouse-dimension materialization downstream of the "
+        "replica sink (one shuffle on the key)",
+)
+def apply_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    return apply_ops.scd2_history(ch, ["event_type", "value_cents"])
+
+
+@register(
     "apply_merge_to_base",
     _LAST_CHANGE_CTE
     + """

@@ -89,3 +89,38 @@ def merge_into_base(base: DataFrame, changes: DataFrame,
         else:
             out_cols.append(F.col(f"b.{c}").alias(c))
     return joined.filter(keep).select(*out_cols)
+
+
+def scd2_history(changes: DataFrame, payload_cols: list[str]) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from the change stream:
+    one validity interval per change, closed by the key's next change
+    (``valid_to`` null = current). Deletes close the prior interval and
+    emit no row of their own; the live row is the open interval of a key
+    whose last change wasn't a delete.
+
+    This is the standard changelog→warehouse-dimension materialization a
+    CDC consumer builds downstream of the replica sink (Kimball SCD type
+    2); one shuffle on the key, window-local otherwise — same scale shape
+    as :func:`materialize`.
+    """
+    from pyspark.sql import Window
+
+    from tigate_spark.operators.ordering import op_rank_col
+
+    # the engine's canonical per-key total order (T1)
+    w = Window.partitionBy("table_id", "pk").orderBy(
+        "commit_ts", "start_ts", op_rank_col(), "seq"
+    )
+    nxt = changes.select(
+        "table_id", "pk", "op", "commit_ts", "start_ts", "seq", *payload_cols
+    ).withColumn("valid_to", F.lead("commit_ts").over(w))
+    return (
+        nxt.filter(F.col("op") != "D")
+        .select(
+            "table_id", "pk", *payload_cols,
+            F.col("commit_ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+            "seq",
+        )
+    )
