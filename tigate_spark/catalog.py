@@ -633,6 +633,43 @@ def apply_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "apply_incremental_agg",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT table_id, event_type,
+       CAST(sum(CASE op WHEN 'I' THEN 1 WHEN 'D' THEN -1 ELSE 0 END) AS BIGINT)
+         AS net_rows,
+       CAST(sum(CASE op WHEN 'I' THEN value_cents
+                        WHEN 'U' THEN 100
+                        ELSE -(value_cents - 100) END) AS BIGINT)
+         AS net_value_cents
+FROM changes GROUP BY 1, 2
+""",
+    doc="Incremental aggregate (materialized-view) maintenance: each "
+        "change contributes its delta — insert +v, update (after-before), "
+        "delete -before — so a downstream SUM/COUNT view updates without "
+        "rescanning the base table; pure map-side combinable aggregation "
+        "(the before-image construction makes update deltas +100 here)",
+)
+def apply_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    row_delta = (
+        F.when(F.col("op") == "I", 1).when(F.col("op") == "D", -1).otherwise(0)
+    )
+    # before-image value is value_cents - 100 by construction (see
+    # sources/changes.py images); delta = after - before for U, -before for D
+    val_delta = (
+        F.when(F.col("op") == "I", F.col("value_cents"))
+        .when(F.col("op") == "U", F.lit(100))
+        .otherwise(-(F.col("value_cents") - 100))
+    )
+    return ch.groupBy("table_id", "event_type").agg(
+        F.sum(row_delta).cast("bigint").alias("net_rows"),
+        F.sum(val_delta).cast("bigint").alias("net_value_cents"),
+    )
+
+
+@register(
     "apply_merge_to_base",
     _LAST_CHANGE_CTE
     + """
