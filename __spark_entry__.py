@@ -65,6 +65,7 @@ _PRIORITY = [
     # r05 rotation continues here (S2/E2 carried r02-green signal; the
     # debezium/csv decoders share the verified decode-path pattern;
     # apply_materialize is exercised by apply_merge_to_base + replica e2e)
+    "apply_scd2_history", "apply_incremental_agg", "decoder_open_batch",
     "decontaminate_vs_eval", "text_mask_pii", "pack_sequences",
     "text_repetition_score", "sample_quality_weighted",
     "corpus_mix_stats", "embed_dim_stats",
