@@ -55,3 +55,20 @@ def test_materialize_matches_sequential_replay(spark_prop, data):
         for r in materialize(df, ["value_cents"]).collect()
     }
     assert got == _model(rows)
+
+
+def test_scd2_current_rows_equal_materialized_state(spark, sf_dir):
+    """SCD2 invariants: (a) the open (is_current) intervals are exactly the
+    materialized live rows — same keys, same payloads; (b) no interval is
+    negative (ties at one commit_ts may produce zero-length versions)."""
+    from tigate_spark.operators.apply import materialize, scd2_history
+    from tigate_spark.sources.changes import changes_stream
+
+    cols = ["event_type", "value_cents"]
+    ch = changes_stream(spark, sf_dir)
+    h = scd2_history(ch, cols)
+    cur = h.filter("is_current").select("table_id", "pk", *cols)
+    live = materialize(ch, cols).select("table_id", "pk", *cols)
+    assert cur.count() == live.count()
+    assert cur.exceptAll(live).count() == 0
+    assert h.filter("valid_to is not null and valid_from > valid_to").count() == 0
