@@ -66,7 +66,7 @@ _PRIORITY = [
     # debezium/csv decoders share the verified decode-path pattern;
     # apply_materialize is exercised by apply_merge_to_base + replica e2e)
     "apply_scd2_history", "apply_incremental_agg", "decoder_open_batch",
-    "convert_canal_to_avro",
+    "convert_canal_to_avro", "corpus_dup_rate_summary",
     "decontaminate_vs_eval", "text_mask_pii", "pack_sequences",
     "text_repetition_score", "sample_quality_weighted",
     "corpus_mix_stats", "embed_dim_stats",

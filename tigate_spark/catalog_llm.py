@@ -1126,3 +1126,34 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tok").cast("bigint").alias("min_tokens"),
         F.max("n_tok").cast("bigint").alias("max_tokens"),
     )
+
+
+@register(
+    "corpus_dup_rate_summary",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       CAST((count(*) - count(DISTINCT md5(text))) * 10000 // count(*) AS BIGINT)
+         AS dup_rate_bp,
+       CAST(max(cnt) AS BIGINT) AS largest_dup_group
+FROM documents,
+     (SELECT max(c) AS cnt FROM
+        (SELECT count(*) AS c FROM documents GROUP BY md5(text)))
+""",
+    doc="Corpus duplication summary: doc count, unique content count, "
+        "duplication rate (bp), largest duplicate group — the one-line "
+        "health stat a curation run reports; two map-side aggregations",
+)
+def corpus_dup_rate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return groups.agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.expr(
+            "cast((sum(c) - count(1)) * 10000 div sum(c) as bigint)"
+        ).alias("dup_rate_bp"),
+        F.max("c").cast("bigint").alias("largest_dup_group"),
+    )
