@@ -25,21 +25,57 @@ def entry(spark: SparkSession) -> DataFrame:
     return cat["cdc_pipeline_e2e"].builder(spark, "/root/testdata/sf0.001")
 
 
-#: Run order for a driver that caps at ~50 entries per round. Round-4
-#: rotation: (a) the 22 entries that errored in r03 (the ts regression)
-#: so the heal shows externally, (b) the 6 streaming e2e runs — never
-#: driver-verified in rounds 1-3 — placed early, (c) 22 entries that have
-#: never had an external correctness row. The 77-r04 remainder rotates in
-#: over subsequent rounds.
+#: Run order for a driver that caps at ~50 entries per round. Round-5
+#: rotation (VERDICT r04 task 1): position 1 is ``multimodal_resize`` (the
+#: only entry ever to fail externally — ``no_oracle`` r02/r03; its r04 hex
+#: oracle has never faced the driver), positions 2-41 are the 40 entries
+#: with no external correctness row in rounds 1-4, then the new r05
+#: entries, then re-verification canaries (flagship + streaming e2e).
+#: Green on all 50 ⇒ cumulative external coverage reaches 150/150.
 _PRIORITY = [
-    # flagship canaries (errored in r03 → prove healed)
+    # 1: the only-ever-failed entry, first external run of its hex oracle
+    "multimodal_resize",
+    # 2-41: never-externally-verified in r01-r04 (computed from the
+    # CORRECTNESS_r0{1..4}.json key union vs the catalog)
+    "apply_scd2_history", "apply_incremental_agg",
+    "encoder_debezium", "decoder_debezium",
+    "encoder_simple_protocol", "encoder_simple_ddl",
+    "encoder_csv_rows", "decoder_csv_rows",
+    "decoder_open_batch", "convert_canal_to_avro",
+    "setop_except_keys", "setop_distinct_segments",
+    "join_semi_anti_keys", "window_ntile_rank",
+    "dedup_minhash_signature", "dedup_simhash_pairs",
+    "dedup_embedding_exact", "sim_lsh_bucket", "sim_ivf_trained_topk",
+    "decontaminate_vs_eval", "text_mask_pii", "pack_sequences",
+    "text_repetition_score", "sample_quality_weighted",
+    "corpus_mix_stats", "embed_dim_stats",
+    "corpus_length_histogram", "corpus_dup_rate_summary",
+    "agg_events_per_type_hour",
+    "tpch_q2_top_supplier_per_part", "tpch_q7_nation_volume",
+    "tpch_q9_product_profit", "tpch_q10_returned_items",
+    "tpch_q11_important_stock", "tpch_q12_priority_by_status",
+    "tpch_q15_top_supplier", "tpch_q18_large_volume_orders",
+    "tpch_q19_disjunctive_filter", "tpch_q20_part_promotion",
+    "tpch_q22_idle_customers",
+    # new r05 entries (K6/K4 bookkeeping oracles, craft framing)
+    "sink_checkpoint_messages", "sink_batch_progress",
+    "encoder_craft_framed",
+    # re-verification canaries to round out the 50
     "cdc_pipeline_e2e", "changes_normalize",
-    # streaming e2e — first-ever external rows
     "streaming_replica_e2e", "streaming_changelog_e2e",
-    "streaming_storage_e2e", "streaming_first_seen_e2e",
-    "streaming_window_counts_e2e", "streaming_txn_match_e2e",
+    "streaming_storage_e2e", "streaming_txn_match_e2e",
+    # r06 rotation continues here: previously-green families in
+    # roughly descending staleness (r02-green before r04-green).
+    "streaming_first_seen_e2e", "streaming_window_counts_e2e",
     "streaming_sessions_e2e",
-    # remaining r03-errored entries
+    "filter_event_type", "filter_ddl_sql_regex", "filter_expr_values",
+    "ddl_split_multistatement", "ddl_allowlist",
+    "projection_handle_key_only", "projection_type_render",
+    "projection_checksum", "dml_ddl_merge", "changefeed_checkpoint",
+    "range_scan", "stale_event_drop", "table_progress",
+    "encoder_claim_check", "encoder_open_batch",
+    "encoder_open_protocol", "txn_match_prewrite_commit",
+    "apply_materialize",
     "filter_table_rule", "projection_update_split",
     "projection_updated_columns", "route_topic_partition",
     "order_apply_seq", "txn_grouping", "schema_asof_join",
@@ -49,7 +85,6 @@ _PRIORITY = [
     "approx_distinct_users", "window_range_1h_sum",
     "window_lag_interarrival", "join_interval_broadcast",
     "gc_eligible_tombstones",
-    # never-externally-verified rotation (r04 slice)
     "join_skew_split_salted", "corpus_top_tokens",
     "tpch_q8_market_share", "tpch_q13_customer_distribution",
     "tpch_q17_small_quantity_revenue", "tpch_q21_waiting_suppliers",
@@ -60,22 +95,7 @@ _PRIORITY = [
     "encoder_simple_bootstrap", "decoder_simple_bootstrap",
     "encoder_simple_bootstrap_versioned",
     "encoder_avro_json", "decoder_avro_json",
-    "encoder_open_batch_framed",
-    "embed_kmeans_clusters", "sim_ivf_trained_topk",
-    # r05 rotation continues here (S2/E2 carried r02-green signal; the
-    # debezium/csv decoders share the verified decode-path pattern;
-    # apply_materialize is exercised by apply_merge_to_base + replica e2e)
-    "apply_scd2_history", "apply_incremental_agg", "decoder_open_batch",
-    "convert_canal_to_avro", "corpus_dup_rate_summary",
-    "decontaminate_vs_eval", "text_mask_pii", "pack_sequences",
-    "text_repetition_score", "sample_quality_weighted",
-    "corpus_mix_stats", "embed_dim_stats",
-    # r05 rotation also starts here
-    "corpus_length_histogram", "encoder_simple_ddl",
-    "apply_materialize", "decoder_debezium", "decoder_csv_rows",
-    "encoder_open_protocol", "txn_match_prewrite_commit",
-    "table_progress", "range_scan", "stale_event_drop",
-    # previously-green families (r02/r03) follow in registration order.
+    "encoder_open_batch_framed", "embed_kmeans_clusters",
     "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
     "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
     "tpch_q4_order_priority", "window_topn_orders_per_customer",
@@ -84,8 +104,7 @@ _PRIORITY = [
     "sim_ann_lsh_topk", "sim_ivf_topk", "text_lang_id",
     "text_quality_score", "text_token_count", "text_fingerprint",
     "multimodal_binary_meta", "multimodal_frame_sample",
-    "multimodal_resize", "llm_clean_corpus", "sample_hash_bucket",
-    "sample_stratified_hash",
+    "llm_clean_corpus", "sample_hash_bucket", "sample_stratified_hash",
     "approx_order_value_quantiles", "tpch_q16_supplier_cnt",
     "tpch_q14_promo_revenue", "dedup_duplicate_clusters",
 ]
