@@ -212,6 +212,17 @@ _DDL_CTE = ORACLE_CHANGES_CTE + """
 """
 
 
+def _json_esc_sql(col: str) -> str:
+    """DuckDB mirror of :func:`tigate_spark.functions.encoders.json_escape`:
+    the same literal replace chain (backslash first), so both engines emit
+    identical escaped JSON string bodies."""
+    return (
+        "replace(replace(replace(replace(replace(" + col +
+        ", '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'), "
+        "chr(13), '\\r'), chr(9), '\\t')"
+    )
+
+
 def _ddl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DDL side-channel (S4) derived from signup events."""
     ch = changes_stream(spark, sf_dir).filter(F.col("event_type") == "signup")
@@ -881,8 +892,10 @@ def _bootstrap_fmt() -> str:
     + f"""
 SELECT table_id,
   printf('{_bootstrap_fmt()}',
-         schema_name, table_name, table_id, commit_ts, commit_ts // 1000,
-         schema_name, table_name, table_id) AS message
+         {_json_esc_sql("schema_name")}, {_json_esc_sql("table_name")},
+         table_id, commit_ts, commit_ts // 1000,
+         {_json_esc_sql("schema_name")}, {_json_esc_sql("table_name")},
+         table_id) AS message
 FROM (
   SELECT schema_name, table_name, table_id, min(commit_ts) AS commit_ts
   FROM changes GROUP BY 1, 2, 3
@@ -941,9 +954,11 @@ def _bootstrap_versioned_sql() -> str:
 SELECT t.table_id, v.version,
   printf('"""
         + _BOOTSTRAP_V_PREFIX_FMT
-        + """',
-         t.schema_name, t.table_name, t.table_id, v.version_ts,
-         v.version_ts // 1000, t.schema_name, t.table_name, t.table_id,
+        + f"""',
+         {_json_esc_sql("t.schema_name")}, {_json_esc_sql("t.table_name")},
+         t.table_id, v.version_ts,
+         v.version_ts // 1000, {_json_esc_sql("t.schema_name")},
+         {_json_esc_sql("t.table_name")}, t.table_id,
          v.version)
   || CASE v.version """
         + cases
@@ -987,7 +1002,7 @@ SELECT seq,
               WHEN 'drop table' THEN 'ERASE'
               WHEN 'truncate table' THEN 'TRUNCATE'
               ELSE 'ALTER' END,
-         commit_ts, commit_ts // 1000, query)
+         commit_ts, commit_ts // 1000, """ + _json_esc_sql("query") + """)
   || CASE WHEN ddl_type <> 'drop table' THEN ',"tableSchema":' || """
         + ts
         + """ ELSE '' END

@@ -180,7 +180,10 @@ GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh
 """,
     doc="n-gram Jaccard near-dup pairs via df-capped inverted index: shingles "
         "with document frequency > cap are stop-shingles (removed from pairing "
-        "AND set sizes), bounding pair work per shingle at cap²/2",
+        "AND set sizes), bounding pair work per shingle at cap²/2. NOTE "
+        "(changed r04): df_cap defaults on — jaccard_bp/union_sz are over the "
+        "kept-shingle universe; pass df_cap=None for exact full-universe "
+        "Jaccard on small corpora",
     bench=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

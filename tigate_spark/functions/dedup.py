@@ -86,7 +86,29 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, df_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+#: posting-list frames persisted by ngram_jaccard_pairs, released on the
+#: next invocation (at most one cache outstanding per session)
+_LIVE_POSTINGS: list[DataFrame] = []
+
+
+def release_posting_caches(keep: DataFrame | None = None) -> None:
+    """Unpersist posting-list caches from earlier ``ngram_jaccard_pairs``
+    calls (all of them, or all but ``keep``). Blocks are otherwise pinned
+    until session end in a long-lived session."""
+    kept = []
+    for p in _LIVE_POSTINGS:
+        if keep is not None and p is keep:
+            kept.append(p)
+            continue
+        try:
+            p.unpersist()
+        except Exception:
+            pass
+    _LIVE_POSTINGS[:] = kept
+
+
+def ngram_jaccard_pairs(df: DataFrame,
+                        df_cap: int | None = LSH_BUCKET_CAP) -> DataFrame:
     """Candidate near-dup pairs with exact Jaccard over 5-gram shingle sets.
 
     Inverted-index posting lists keyed by shingle; Jaccard in basis points
@@ -99,6 +121,18 @@ def ngram_jaccard_pairs(df: DataFrame, df_cap: int = LSH_BUCKET_CAP) -> DataFram
     corpus size. Pairs are generated bucket-locally (array combinations
     inside each ≤cap posting list) — one clustering shuffle plus one agg
     shuffle, no self-join.
+
+    ``df_cap=None`` opts out (exact Jaccard over the full shingle
+    universe) for small-corpus callers; the default changed in r04 from
+    uncapped to ``LSH_BUCKET_CAP`` (see OPERATORS.md note) because an
+    uncapped posting list is quadratic in the hottest shingle's df.
+
+    Cache lifetime: the posting-list frame is persisted because both the
+    kept-shingle sizes and the pair generation read it. The previous
+    invocation's cache is released on the next call (module-level
+    bookkeeping) so repeated calls in a long-lived session hold at most
+    one posting cache; callers needing eager release can unpersist via
+    ``release_posting_caches()`` after materializing the result.
     """
     # explode_outer: plain explode triggers InferFiltersFromGenerate, whose
     # size(shingles)>0 predicate gets pushed below the fan-out exchange and
@@ -107,12 +141,14 @@ def ngram_jaccard_pairs(df: DataFrame, df_cap: int = LSH_BUCKET_CAP) -> DataFram
         "doc_id", F.explode_outer("shingles").alias("s")
     ).filter(F.col("s").isNotNull())
     # persist: kept-shingle sizes and pair generation both read the postings
-    posting = (
-        sh.groupBy("s")
-        .agg(F.expr("array_sort(collect_list(doc_id))").alias("ds"))
-        .filter(F.size("ds") <= df_cap)
-        .persist()
+    posting = sh.groupBy("s").agg(
+        F.expr("array_sort(collect_list(doc_id))").alias("ds")
     )
+    if df_cap is not None:
+        posting = posting.filter(F.size("ds") <= df_cap)
+    posting = posting.persist()
+    release_posting_caches(keep=posting)
+    _LIVE_POSTINGS.append(posting)
     sizes = (
         posting.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")

@@ -194,9 +194,12 @@ def _with_batch_seq(df: DataFrame, max_batch_size: int):
     from pyspark.sql import Window
 
     w = Window.partitionBy("topic", "partition").orderBy("seq")
-    return df.withColumn(
-        "batch_seq",
-        ((F.row_number().over(w) - 1) / max_batch_size).cast("bigint"),
+    # integer div, not float: (rn-1)/N round-trips through double and is
+    # only exact while per-lane row_number < 2^53.
+    return (
+        df.withColumn("_rn0", (F.row_number().over(w) - 1).cast("bigint"))
+        .withColumn("batch_seq", F.expr(f"_rn0 div {int(max_batch_size)}"))
+        .drop("_rn0")
     )
 
 
@@ -445,6 +448,20 @@ _BOOTSTRAP_FMT = (
 )
 
 
+def json_escape(col: Column) -> Column:
+    """JSON string-escape a column interpolated into a format_string JSON
+    literal: backslash, double-quote, and the common control chars. A raw
+    ``"`` or ``\\`` in a DDL statement or identifier would otherwise
+    produce invalid JSON. Literal replaces (no regex); the DuckDB oracles
+    mirror the same replace chain (``_json_esc_sql`` in catalog.py)."""
+    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+    c = F.replace(c, F.lit("\t"), F.lit("\\t"))
+    return c
+
+
 def encode_simple_bootstrap(ch: DataFrame, out_col: str = "message") -> DataFrame:
     """Simple-protocol BOOTSTRAP messages — the per-table schema handshake a
     consumer needs before it can interpret DML (``pkg/sink/codec/
@@ -458,11 +475,12 @@ def encode_simple_bootstrap(ch: DataFrame, out_col: str = "message") -> DataFram
     tables = ch.groupBy("schema_name", "table_name", "table_id").agg(
         F.min("commit_ts").alias("commit_ts")
     )
+    esc_s, esc_t = json_escape(F.col("schema_name")), json_escape(F.col("table_name"))
     msg = F.format_string(
         _BOOTSTRAP_FMT,
-        F.col("schema_name"), F.col("table_name"), F.col("table_id"),
+        esc_s, esc_t, F.col("table_id"),
         F.col("commit_ts"), F.expr("commit_ts div 1000"),
-        F.col("schema_name"), F.col("table_name"), F.col("table_id"),
+        esc_s, esc_t, F.col("table_id"),
     )
     return tables.withColumn(out_col, msg)
 
@@ -659,11 +677,12 @@ def encode_simple_bootstrap_versioned(ch: DataFrame, versions: DataFrame,
     version's effective-from ts."""
     tables = ch.select("schema_name", "table_name", "table_id").distinct()
     tv = tables.join(versions, "table_id")
+    esc_s, esc_t = json_escape(F.col("schema_name")), json_escape(F.col("table_name"))
     prefix = F.format_string(
         _BOOTSTRAP_V_PREFIX_FMT,
-        F.col("schema_name"), F.col("table_name"), F.col("table_id"),
+        esc_s, esc_t, F.col("table_id"),
         F.col("version_ts"), F.expr("version_ts div 1000"),
-        F.col("schema_name"), F.col("table_name"), F.col("table_id"),
+        esc_s, esc_t, F.col("table_id"),
         F.col("version"),
     )
     cols = F.when(F.col("version") == 0, boot_cols_json(2))
@@ -707,7 +726,7 @@ def encode_simple_ddl(ddl_df: DataFrame, out_col: str = "message") -> DataFrame:
     head = F.format_string(
         '{"version":1,"type":"%s","commitTs":%d,"buildTs":%d,"sql":"%s"',
         msg_type, F.col("commit_ts"), F.expr("commit_ts div 1000"),
-        F.col("query"),
+        json_escape(F.col("query")),
     )
     schema_part = F.when(
         t != "drop table", F.concat(F.lit(',"tableSchema":'), ts_json)

@@ -49,10 +49,11 @@ def table_rule_match(rules: list[str], schema: str, table: str) -> bool:
     if not rules or rules == ["*.*"]:
         return True
     for rule in rules:
-        schema_glob, _, table_glob = rule.partition(".")
-        if not table_glob:
-            table_glob = "*"
-        if fnmatch.fnmatch(schema, schema_glob) and fnmatch.fnmatch(table, table_glob):
+        # Same regexes as the plan-side rlike filter: fnmatch.fnmatch would
+        # normcase (case-insensitive off-POSIX) and the two paths could
+        # diverge; one matcher keeps verify_table and table_filter in step.
+        s_re, t_re = rule_to_regex(rule)
+        if re.match(s_re, schema) and re.match(t_re, table):
             return True
     return False
 
