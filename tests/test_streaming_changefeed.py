@@ -270,18 +270,59 @@ def test_ignore_start_ts_df_matches_list_variant(spark, sf_dir):
 def test_replica_batch_path_has_no_driver_collect():
     """Scale gate: the reference's design point is >1M tables
     (README.md:5) — the per-batch merge must not collect() a table list to
-    the driver (the touched-partition pruning is a broadcast semi-join +
-    filesystem listing of the written tmp tree)."""
+    the driver (touched pruning is a broadcast semi-join; state resolution
+    is a manifest join, not a directory walk)."""
     import inspect
 
-    from tigate_spark.streaming.sinks import ReplicaSink
+    from tigate_spark.streaming import sinks
 
-    src = inspect.getsource(ReplicaSink.process_batch) + inspect.getsource(
-        ReplicaSink._link_untouched
+    src = (
+        inspect.getsource(sinks.ReplicaSink.process_batch)
+        + inspect.getsource(sinks._resolve_state)
+        + inspect.getsource(sinks._read_manifest)
     )
     assert ".collect(" not in src
     assert ".isin(" not in src
     assert "left_semi" in src
+    # no per-table driver filesystem work on the batch path
+    for banned in ("os.listdir", "os.link", "os.rename", "shutil"):
+        assert banned not in src, banned
+
+
+def test_replica_driver_fs_ops_scale_with_touched_only(
+        spark, sf_dir, chunked_source, tmp_path, monkeypatch):
+    """Manifest design gate (r04 verdict #3): merging a batch must issue
+    ZERO per-table driver filesystem calls — no listdir/link/rename loops
+    over the state tree — regardless of how many tables the state holds."""
+    import os as _os
+
+    from tigate_spark.streaming.sinks import ReplicaSink, read_replica
+
+    state_dir = str(tmp_path / "state")
+    sink = ReplicaSink(state_dir, ["event_type", "value_cents"])
+    full = changes_stream(spark, sf_dir)
+    sink.process_batch(full, 0)  # seed: state now spans every table
+
+    calls = {"listdir": 0, "link": 0, "rename": 0}
+    real_listdir = _os.listdir
+    monkeypatch.setattr(_os, "listdir", lambda *a, **k: (
+        calls.__setitem__("listdir", calls["listdir"] + 1)
+        or real_listdir(*a, **k)))
+    monkeypatch.setattr(_os, "link", lambda *a, **k: (
+        calls.__setitem__("link", calls["link"] + 1)))
+    real_rename = _os.rename
+    monkeypatch.setattr(_os, "rename", lambda *a, **k: (
+        calls.__setitem__("rename", calls["rename"] + 1)
+        or real_rename(*a, **k)))
+    one_table = full.filter(F.col("table_id") == 1).limit(50)
+    sink.process_batch(one_table, 1)
+    monkeypatch.undo()
+    # the Python driver code itself walks/links nothing (the JVM writes
+    # its two output dirs; os.* here only counts Python-side calls)
+    assert calls["link"] == 0
+    assert calls["rename"] == 0
+    assert calls["listdir"] == 0
+    assert read_replica(spark, state_dir).count() > 0
 
 
 def test_syncpoint_ticks_aligned(spark, sf_dir, chunked_source, tmp_path):
@@ -367,20 +408,24 @@ def test_vacuum_tombstones(spark, sf_dir, chunked_source, tmp_path):
     unchanged."""
     from tigate_spark.streaming.sinks import vacuum_tombstones
 
+    from tigate_spark.streaming.sinks import read_state
+
     cfg = ChangefeedConfig(changefeed_id="cf-gc", sink_uri="replica://")
     cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
     cf.run_to_completion()
     state_dir = cf.sink.state_dir
-    state = spark.read.parquet(state_dir)
+    state = read_state(spark, state_dir)
     n_dead = state.filter(F.col("op") == "D").count()
     assert n_dead > 0
     live_before = read_replica(spark, state_dir).count()
     hi = state.agg(F.max("commit_ts")).first()[0]
     removed = vacuum_tombstones(spark, state_dir, below_ts=hi + 1)
     assert removed == n_dead
-    after = spark.read.parquet(state_dir)
+    after = read_state(spark, state_dir)
     assert after.filter(F.col("op") == "D").count() == 0
     assert read_replica(spark, state_dir).count() == live_before
+    # vacuum doubles as a compact: exactly one live version remains
+    assert len(glob.glob(os.path.join(state_dir, "data", "v=*"))) == 1
 
 
 def test_checkpoint_broadcast_per_topic(spark, sf_dir, chunked_source, tmp_path):
@@ -398,18 +443,39 @@ def test_checkpoint_broadcast_per_topic(spark, sf_dir, chunked_source, tmp_path)
     assert msg["type"] == "resolved" and msg["ts"] > 0
 
 
-def test_crash_recovery_between_swap_renames(spark, sf_dir, chunked_source, tmp_path):
-    """Simulate a crash after `state → state.old` but before
-    `tmp → state`: the next read/merge must restore the committed state."""
+def test_crash_orphan_version_is_invisible(spark, sf_dir, chunked_source, tmp_path):
+    """Simulate a crash after the data write but before the manifest
+    append: the orphan ``v=<n>`` dir has no manifest row, so readers never
+    see it, the replayed batch clobbers it (same next version), and the
+    next compact sweeps it."""
+    import shutil as _shutil
+
+    from tigate_spark.streaming.sinks import ReplicaSink
+
     cfg = ChangefeedConfig(changefeed_id="cf-crash", sink_uri="replica://")
     cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
     cf.run_to_completion()
     state_dir = cf.sink.state_dir
     n = read_replica(spark, state_dir).count()
-    # crash state: dir renamed away, new version never landed
-    os.rename(state_dir, state_dir + ".old")
-    assert read_replica(spark, state_dir).count() == n  # recovered
-    assert os.path.exists(state_dir)
+    versions = sorted(
+        int(os.path.basename(d).split("=")[1])
+        for d in glob.glob(os.path.join(state_dir, "data", "v=*"))
+    )
+    # orphan: a copy of the newest version dir at max+1, as if a batch
+    # crashed after writing data but before committing manifest rows
+    orphan = os.path.join(state_dir, "data", f"v={versions[-1] + 1}")
+    _shutil.copytree(
+        os.path.join(state_dir, "data", f"v={versions[-1]}"), orphan
+    )
+    assert read_replica(spark, state_dir).count() == n  # orphan invisible
+    # replayed merge commits over/past the orphan and stays correct
+    sink = ReplicaSink(state_dir, PAYLOAD_COLS)
+    replay = changes_stream(spark, sf_dir).filter(F.col("table_id") == 0)
+    sink.process_batch(replay, 99)
+    assert read_replica(spark, state_dir).count() == n
+    sink.compact(spark)
+    assert read_replica(spark, state_dir).count() == n
+    assert not os.path.exists(orphan)  # swept
 
 
 def test_claim_check_in_changelog(spark, sf_dir, chunked_source, tmp_path):

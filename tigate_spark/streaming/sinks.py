@@ -45,32 +45,58 @@ from tigate_spark.operators.ordering import op_rank_col
 DEFAULT_SYNC_POINT_US = 3600 * 1_000_000
 
 
-def _swap_dir(tmp: str, dst: str) -> None:
-    """Replace directory ``dst`` with ``tmp``. A foreachBatch replay after a
-    crash between the renames re-runs the idempotent merge, so the window
-    is safe; real deployments use a transactional table format instead."""
-    old = dst + ".old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(dst):
-        os.rename(dst, old)
-    os.rename(tmp, dst)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+#: replica state layout (manifest-versioned, Delta-log-style)
+_MANIFEST = "_manifest"
+_DATA = "data"
 
 
-def _recover_dir(dst: str) -> None:
-    """Crash recovery for :func:`_swap_dir`: if the swap died between the
-    two renames, the previous state survives at ``dst + '.old'`` — restore
-    it so a replayed merge starts from the last committed state instead of
-    silently starting empty. Also sweeps orphaned ``dst.tmp-*`` versions a
-    crash before the swap left behind, so replay cycles can't accumulate
-    full state copies on disk."""
-    old = dst + ".old"
-    if not os.path.exists(dst) and os.path.exists(old):
-        os.rename(old, dst)
-    for leftover in glob.glob(dst + ".tmp-*"):
-        shutil.rmtree(leftover, ignore_errors=True)
+def _manifest_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, _MANIFEST)
+
+
+def _data_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, _DATA)
+
+
+def _read_manifest(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """The manifest log: (table_id, version) rows appended per batch —
+    a table's current state lives in ``data/v=<max version>``. Returns
+    None before the first commit."""
+    mdir = _manifest_dir(state_dir)
+    if not os.path.exists(mdir):
+        return None
+    return spark.read.parquet(mdir).select(
+        F.col("table_id").cast("bigint").alias("table_id"),
+        F.col("version").cast("bigint").alias("version"),
+    )
+
+
+def _resolve_state(spark: SparkSession, state_dir: str,
+                   man: DataFrame) -> DataFrame:
+    """Current state rows: data tree joined against each table's
+    max-version manifest row. Superseded copies (and orphan version dirs
+    a crash left without a manifest row) drop out of the version match —
+    no driver-side listing, linking, or renames anywhere on this path."""
+    data = (
+        spark.read.parquet(_data_dir(state_dir))
+        .withColumn("table_id", F.col("table_id").cast("bigint"))
+        .withColumn("v", F.col("v").cast("bigint"))
+    )
+    cur = man.groupBy("table_id").agg(F.max("version").alias("version"))
+    return (
+        data.join(cur, "table_id", "inner")
+        .filter(F.col("v") == F.col("version"))
+        .drop("v", "version")
+    )
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Full current replica state (tombstones included), or None if no
+    batch has committed yet."""
+    man = _read_manifest(spark, state_dir)
+    if man is None:
+        return None
+    return _resolve_state(spark, state_dir, man)
 
 
 class Bookkeeping:
@@ -117,49 +143,65 @@ class ReplicaSink:
     State schema: (table_id, pk, op, commit_ts, start_ts, op_rank, seq,
     *payload_cols) — the winning change per key plus its order key, so the
     next merge's max_by is a pure union+agg (idempotent under replay).
+
+    Storage is manifest-versioned (a Delta-log commit protocol in
+    miniature)::
+
+        state_dir/_manifest/*.parquet       log of (table_id, version)
+        state_dir/data/v=<n>/table_id=<id>/*.parquet
+
+    Each batch writes ONLY the touched tables' winner rows into a fresh
+    ``v=<n>`` directory and appends O(touched) manifest rows; a table's
+    current state is its max-version manifest row. Per-batch driver work
+    is O(1) filesystem calls (two Spark writes, one existence probe) —
+    no per-table listdir/hard-link loop and no POSIX dir rename, so the
+    layout holds on object stores and at the reference's >1M-table design
+    point (``README.md:5``). Superseded versions are reclaimed by the
+    amortized :meth:`compact` (Delta checkpoint + VACUUM equivalent),
+    triggered every ``compact_every`` commits. A crash between the data
+    write and the manifest append leaves an orphan version dir that no
+    manifest row references — invisible to readers, clobbered by the
+    replayed batch (same next version), swept by the next compact.
+    Production deployments point the same ``process_batch`` body at a
+    transactional table format (Delta/Iceberg ``MERGE INTO``).
     """
 
     def __init__(self, state_dir: str, payload_cols: list[str],
-                 bookkeeping: Bookkeeping | None = None):
+                 bookkeeping: Bookkeeping | None = None,
+                 compact_every: int = 16):
         self.state_dir = state_dir
         self.payload_cols = payload_cols
         self.bookkeeping = bookkeeping
-
-    def _state(self, spark: SparkSession) -> DataFrame | None:
-        _recover_dir(self.state_dir)
-        if not os.path.exists(self.state_dir):
-            return None
-        # partition-column discovery types table_id as int — restore bigint
-        return spark.read.parquet(self.state_dir).withColumn(
-            "table_id", F.col("table_id").cast("bigint")
-        )
+        self.compact_every = max(2, compact_every)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """Merge one micro-batch into the partitioned replica.
+        """Merge one micro-batch into the versioned replica.
 
-        Scale shape (the Delta-MERGE pattern without Delta): state is
-        hash-partitioned by ``table_id``; only partitions the batch
-        touches are read (partition-pruned scan) and rewritten — untouched
-        partitions are hard-linked into the new state version, so batch
-        cost is O(touched partitions), not O(total state).
+        Touched-table pruning stays distributed: a broadcast left-semi
+        join against the batch's distinct table_ids. The reference's
+        design point is >1M tables (README.md:5) — a driver
+        collect()+isin literal would be a driver OOM / plan explosion
+        there, while the semi-join lets dynamic partition pruning skip
+        untouched ``table_id=`` dirs in the state scan.
         """
         spark = batch_df.sparkSession
         cols = ["table_id", "pk", "op", "commit_ts", "start_ts", "seq",
                 *[c for c in self.payload_cols if c in batch_df.columns]]
         incoming = batch_df.select(*cols)
-        state = self._state(spark)
-        # Touched-partition pruning stays distributed: a broadcast left-semi
-        # join against the batch's distinct table_ids. The reference's design
-        # point is >1M tables (README.md:5) — a driver collect()+isin literal
-        # would be a driver OOM / plan explosion there, while the semi-join
-        # triggers dynamic partition pruning on the table_id-partitioned
-        # state scan (only touched partitions are read).
-        merged_src = incoming if state is None else incoming.unionByName(
-            state.join(
-                F.broadcast(incoming.select("table_id").distinct()),
-                "table_id", "left_semi",
+        touched = incoming.select("table_id").distinct()
+        man = _read_manifest(spark, self.state_dir)
+        if man is None:
+            merged_src, next_ver, n_versions = incoming, 1, 0
+        else:
+            info = man.agg(
+                F.max("version").alias("mx"),
+                F.count_distinct("version").alias("nv"),
+            ).first()
+            next_ver, n_versions = int(info["mx"]) + 1, int(info["nv"])
+            prev = _resolve_state(spark, self.state_dir, man).join(
+                F.broadcast(touched), "table_id", "left_semi"
             ).select(*cols)
-        )
+            merged_src = incoming.unionByName(prev)
         # one shuffle: max_by over the exact total order (commit_ts,
         # start_ts, D<U<I, seq) — the winner keeps its full order key so
         # cross-batch ties at the same commit_ts still resolve correctly
@@ -174,44 +216,74 @@ class ReplicaSink:
             "table_id", "pk",
             *[F.col(f"w.{c}").alias(c) for c in cols if c not in ("table_id", "pk")],
         )
-        tmp = self.state_dir + f".tmp-{uuid.uuid4().hex[:8]}"
-        new_state.write.mode("overwrite").partitionBy("table_id").parquet(tmp)
-        if state is not None:
-            self._link_untouched(tmp)
-        _swap_dir(tmp, self.state_dir)
+        # data first, manifest second: rows are visible only once their
+        # manifest rows land (the commit point)
+        vdir = os.path.join(_data_dir(self.state_dir), f"v={next_ver}")
+        new_state.write.mode("overwrite").partitionBy("table_id").parquet(vdir)
+        (touched.withColumn("version", F.lit(next_ver).cast("bigint"))
+         .coalesce(1)
+         .write.mode("append").parquet(_manifest_dir(self.state_dir)))
         if self.bookkeeping:
             self.bookkeeping.record(batch_df, batch_id)
+        if n_versions + 1 > self.compact_every:
+            self.compact(spark)
 
-    def _link_untouched(self, tmp: str) -> None:
-        """Hard-link state partitions the batch did not touch into the new
-        version (no data rewrite — the 'copy' is metadata-only). The touched
-        set is read off the freshly-written tmp tree (filesystem metadata),
-        not collected from data — every touched table has a winner row, so
-        tmp's partition dirs ARE the touched set."""
-        touched_dirs = {e for e in os.listdir(tmp) if e.startswith("table_id=")}
-        for entry in os.listdir(self.state_dir):
-            if not entry.startswith("table_id=") or entry in touched_dirs:
-                continue
-            src = os.path.join(self.state_dir, entry)
-            dst = os.path.join(tmp, entry)
-            os.makedirs(dst, exist_ok=True)
-            for f in os.listdir(src):
-                if f.endswith(".parquet"):
-                    os.link(os.path.join(src, f), os.path.join(dst, f))
+    def compact(self, spark: SparkSession) -> None:
+        """Amortized checkpoint: rewrite the full current state into one
+        new version, append a manifest snapshot, then drop superseded
+        version dirs and old manifest log files. Crash-safe in every
+        prefix: the snapshot append wins by max-version before any delete
+        runs, and cleanup is redone by the next compact."""
+        man = _read_manifest(spark, self.state_dir)
+        if man is None:
+            return
+        state = _resolve_state(spark, self.state_dir, man)
+        snapshot_ver = int(man.agg(F.max("version")).first()[0]) + 1
+        _checkpoint_state(spark, self.state_dir, state, man, snapshot_ver)
 
     def live(self, spark: SparkSession) -> DataFrame:
         """The replica's live view (tombstones filtered)."""
         return read_replica(spark, self.state_dir)
 
 
+def _checkpoint_state(spark: SparkSession, state_dir: str,
+                      new_state: DataFrame, man: DataFrame,
+                      snapshot_ver: int) -> None:
+    """Write ``new_state`` as a full snapshot version and supersede the
+    manifest log with it. Cleanup of old versions/log files is driver-side
+    but amortized (runs once per ``compact_every`` commits) and
+    best-effort — a crash mid-cleanup only leaves unreferenced garbage."""
+    mdir = _manifest_dir(state_dir)
+    old_log_files = [
+        p for p in glob.glob(os.path.join(mdir, "*"))
+        if os.path.isfile(p)
+    ]
+    vdir = os.path.join(_data_dir(state_dir), f"v={snapshot_ver}")
+    new_state.write.mode("overwrite").partitionBy("table_id").parquet(vdir)
+    # snapshot rows cover EVERY table the log knows (incl. now-empty ones,
+    # so a vacuumed-away table can't resurrect through an old version)
+    (man.select("table_id").distinct()
+     .withColumn("version", F.lit(snapshot_ver).cast("bigint"))
+     .coalesce(1)
+     .write.mode("append").parquet(mdir))
+    for p in old_log_files:
+        try:
+            os.remove(p)
+            crc = os.path.join(os.path.dirname(p), "." + os.path.basename(p) + ".crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+        except OSError:
+            pass
+    for d in glob.glob(os.path.join(_data_dir(state_dir), "v=*")):
+        if os.path.basename(d) != f"v={snapshot_ver}":
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def read_replica(spark: SparkSession, state_dir: str) -> DataFrame:
-    _recover_dir(state_dir)
-    return (
-        spark.read.parquet(state_dir)
-        .withColumn("table_id", F.col("table_id").cast("bigint"))
-        .filter(F.col("op") != "D")
-        .drop("op")
-    )
+    state = read_state(spark, state_dir)
+    if state is None:
+        raise FileNotFoundError(f"no committed replica state at {state_dir}")
+    return state.filter(F.col("op") != "D").drop("op")
 
 
 class ChangelogSink:
@@ -381,6 +453,7 @@ __all__ = [
     "ReplicaSink",
     "StorageSink",
     "read_replica",
+    "read_state",
     "read_storage",
     "op_rank_col",
 ]
@@ -393,17 +466,22 @@ def vacuum_tombstones(spark: SparkSession, state_dir: str, below_ts: int) -> int
     can never be contradicted by a late change (stale events below the
     checkpoint are dropped at ingest — T9), so removing it is safe.
 
-    Returns the number of tombstones removed. Partition layout preserved.
+    Single pass: the removed-tombstone count rides the compaction write as
+    an ``Observation`` metric — no separate pre-count scan. Implemented as
+    a filtered manifest checkpoint (full snapshot version + manifest
+    supersede), so it doubles as a compact. Returns tombstones removed.
     """
-    state = spark.read.parquet(state_dir).withColumn(
-        "table_id", F.col("table_id").cast("bigint")
-    )
-    dead = state.filter((F.col("op") == "D") & (F.col("commit_ts") < below_ts))
-    n = dead.count()
-    if n == 0:
+    from pyspark.sql import Observation
+
+    man = _read_manifest(spark, state_dir)
+    if man is None:
         return 0
-    kept = state.filter(~((F.col("op") == "D") & (F.col("commit_ts") < below_ts)))
-    tmp = state_dir + f".tmp-{uuid.uuid4().hex[:8]}"
-    kept.write.mode("overwrite").partitionBy("table_id").parquet(tmp)
-    _swap_dir(tmp, state_dir)
-    return n
+    state = _resolve_state(spark, state_dir, man)
+    dead = (F.col("op") == "D") & (F.col("commit_ts") < below_ts)
+    obs = Observation()
+    observed = state.observe(
+        obs, F.sum(F.when(dead, 1).otherwise(0)).alias("n_dead")
+    )
+    snapshot_ver = int(man.agg(F.max("version")).first()[0]) + 1
+    _checkpoint_state(spark, state_dir, observed.filter(~dead), man, snapshot_ver)
+    return int(obs.get["n_dead"] or 0)
