@@ -163,6 +163,13 @@ class Changefeed:
                 batch = handle_key_only(
                     batch, self.cfg.sink.large_message_threshold, payload_col="after"
                 )
+            # Shuffle BEFORE the encode: a 1-file micro-batch arrives on
+            # one source-read task, and everything below the exchange —
+            # including the per-row protocol encode and the cache
+            # materialization in _foreach_batch — would run there
+            # single-threaded. Clustering by (topic, partition) also
+            # bounds output files per batch to the lane count.
+            batch = batch.repartition(F.col("topic"), F.col("partition"))
             if self.cfg.sink.protocol == "open-protocol":
                 batch = encode_open_protocol(batch)
             else:
@@ -177,9 +184,15 @@ class Changefeed:
         return batch
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        # every sink runs several actions per batch (touched-partition
-        # listing, data write, bookkeeping) — cache the batch once so the
-        # source is scanned once, not once per action
+        # every sink runs several actions per batch (data write,
+        # bookkeeping, checkpoint) — cache the batch once so the source is
+        # scanned once, not once per action. The replica merge keys on
+        # (table_id, pk): pre-clustering the cache on the same key gives
+        # the cache full-width parallelism (a 1-file micro-batch otherwise
+        # materializes on one task) and lets the merge agg reuse the
+        # partitioning instead of re-exchanging the incoming side.
+        if isinstance(self.sink, ReplicaSink):
+            batch_df = batch_df.repartition(F.col("table_id"), F.col("pk"))
         prepared = self._prepare_for_sink(batch_df).persist()
         try:
             self.sink.process_batch(prepared, batch_id)

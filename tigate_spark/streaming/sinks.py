@@ -302,12 +302,21 @@ class ChangelogSink:
         self.bookkeeping = bookkeeping
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        out_cols = [c for c in ("topic", "partition", "key", "value", "message", "seq",
-                                "commit_ts", "table_id", "pk")
+        # No repartition here: the changefeed places the (topic, partition)
+        # shuffle BELOW the protocol encode (changefeed._prepare_for_sink),
+        # so the expensive per-row encode runs on all cores instead of on
+        # the micro-batch's few source-read tasks — with the shuffle here,
+        # a 1-file micro-batch encoded single-threaded. File count per
+        # batch stays bounded by the shuffle's (topic, partition) grouping.
+        # The checkpoint/bookkeeping aggs only touch (topic, table_id,
+        # commit_ts) — Catalyst prunes the encode out of those scans.
+        out_cols = [c for c in ("topic", "partition", "key", "value",
+                                "message", "seq", "commit_ts",
+                                "table_id", "pk")
                     if c in batch_df.columns]
         (batch_df.select(*out_cols)
-         .repartition("topic", "partition")
-         .write.mode("append").partitionBy("topic").parquet(self.out_dir))
+         .write.option("maxRecordsPerFile", 1_000_000)
+         .mode("append").partitionBy("topic").parquet(self.out_dir))
         ckpt = batch_df.groupBy("topic").agg(
             F.max("commit_ts").alias("resolved_ts")
         ).select(
@@ -382,20 +391,25 @@ class StorageSink:
         return encode_canal_json(batch_df, out_col="line")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        enc = self._encode(batch_df)
         parts = ["schema_name", "table_name"]
+        pre = batch_df
         fmt = _DATE_SEPARATOR_FMT[self.date_separator]
         if fmt:
             # commit_ts is µs since epoch (engine time base)
-            enc = enc.withColumn(
+            pre = pre.withColumn(
                 "dt", F.date_format(F.timestamp_micros("commit_ts"), fmt)
             )
             parts.append("dt")
-        # deterministic leaf-local salt bounds files per leaf while letting a
-        # hot (table, day) leaf write through files_per_leaf parallel tasks
-        salt = F.pmod(F.hash("line"), F.lit(self.files_per_leaf))
+        # Shuffle BEFORE the protocol encode: a micro-batch often arrives
+        # on a handful of source-read tasks, and an encode below the
+        # exchange would run there single-threaded. The deterministic
+        # leaf-local salt (pre-encode column, not the encoded line) bounds
+        # files per (table, day) leaf at files_per_leaf while letting a
+        # hot leaf write through that many parallel tasks.
+        salt = F.pmod(F.hash("seq"), F.lit(self.files_per_leaf))
+        pre = pre.repartition(*[F.col(p) for p in parts], salt)
+        enc = self._encode(pre)
         (enc.select(*parts, "line")
-         .repartition(*[F.col(p) for p in parts], salt)
          .write.mode("append").partitionBy(*parts).text(self.out_dir))
         # metadata checkpoint file at sink root (TiCDC cloudstorage
         # metadata contract: {"checkpoint-ts": N}); 1-row driver-side write.
