@@ -11,9 +11,11 @@ produces the same final state as the DuckDB last-writer-wins oracle
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -21,6 +23,25 @@ from pyspark.sql import functions as F
 from tigate_spark.catalog import register
 from tigate_spark.config import ChangefeedConfig
 from tigate_spark.sources.changes import ORACLE_CHANGES_CTE
+
+#: session-scoped parquet dir for entry results that outlive the entry's
+#: temp workdir; removed at interpreter exit
+_RESULTS_ROOT: str | None = None
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist an entry result to a session-scoped temp parquet and return
+    a lazy reader. The old ``collect()+createDataFrame`` round-trip shipped
+    the whole result through the driver — the *entry* would OOM at scale
+    while the engine would not (r04 verdict). The write stays distributed;
+    the returned frame is a plain scan the driver can consume lazily."""
+    global _RESULTS_ROOT
+    if _RESULTS_ROOT is None:
+        _RESULTS_ROOT = tempfile.mkdtemp(prefix="tigate-stream-results-")
+        atexit.register(shutil.rmtree, _RESULTS_ROOT, ignore_errors=True)
+    out = os.path.join(_RESULTS_ROOT, uuid.uuid4().hex[:12])
+    df.write.parquet(out)
+    return df.sparkSession.read.parquet(out)
 
 _STREAM_ORACLE = ORACLE_CHANGES_CTE + """
 , ordered AS (
@@ -58,9 +79,7 @@ def streaming_replica_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "table_id", "pk", F.col("commit_ts").alias("last_commit_ts"),
             "event_type", "value_cents",
         )
-        # materialize before the temp dir disappears
-        out = spark.createDataFrame(replica.collect(), replica.schema)
-        return out
+        return _materialize(replica)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -100,8 +119,7 @@ def streaming_changelog_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         log = spark.read.parquet(cf.sink.out_dir).select(
             "seq", "topic", "partition", "message"
         )
-        out = spark.createDataFrame(log.collect(), log.schema)
-        return out
+        return _materialize(log)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -146,8 +164,7 @@ def streaming_first_seen_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
         if q.exception() is not None:
             raise RuntimeError(str(q.exception()))
-        got = spark.read.parquet(out_dir)
-        return spark.createDataFrame(got.collect(), got.schema)
+        return _materialize(spark.read.parquet(out_dir))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -201,8 +218,7 @@ def streaming_window_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
         if q.exception() is not None:
             raise RuntimeError(str(q.exception()))
-        got = spark.read.parquet(out_dir)
-        return spark.createDataFrame(got.collect(), got.schema)
+        return _materialize(spark.read.parquet(out_dir))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -245,8 +261,7 @@ def streaming_storage_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         tree = read_storage(spark, cf.sink.out_dir).select(
             "schema_name", "table_name", "dt", F.col("value").alias("line")
         )
-        out = spark.createDataFrame(tree.collect(), tree.schema)
-        return out
+        return _materialize(tree)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -316,7 +331,7 @@ def streaming_txn_match_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = spark.read.parquet(out_dir).select(
             "start_ts", "pk", "commit_ts", "value_cents", "event_type", "seq"
         )
-        return spark.createDataFrame(res.collect(), res.schema)
+        return _materialize(res)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -390,7 +405,72 @@ def streaming_sessions_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
         if q.exception() is not None:
             raise RuntimeError(str(q.exception()))
-        got = spark.read.parquet(out_dir)
-        return spark.createDataFrame(got.collect(), got.schema)
+        return _materialize(spark.read.parquet(out_dir))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "sink_checkpoint_messages",
+    ORACLE_CHANGES_CTE + """
+SELECT topic,
+       printf('{"type":"resolved","ts":%d,"batch":0}', max(commit_ts)) AS message
+FROM (SELECT 'app_' || table_name AS topic, commit_ts FROM changes)
+GROUP BY topic
+""",
+    doc="K6 checkpoint-ts broadcast: the changelog sink appends one "
+        "resolved-ts message per topic per micro-batch so consumers can "
+        "advance their watermark without waiting for data "
+        "(kafka_ddl_worker.go checkpoint loop; event_broker.go:579-606) — "
+        "first oracle-checked entry for the broadcast table itself",
+)
+def sink_checkpoint_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.streaming.changefeed import Changefeed
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        cfg = ChangefeedConfig(changefeed_id="k6-e2e", sink_uri="changelog://")
+        cf = Changefeed(
+            spark, cfg, os.path.join(sf_dir, "events.parquet"), work
+        )
+        cf.run_to_completion()
+        ckpt = spark.read.parquet(cf.sink.checkpoint_dir).select(
+            "topic", "message"
+        )
+        return _materialize(ckpt)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "sink_batch_progress",
+    ORACLE_CHANGES_CTE + """
+SELECT table_id,
+       max(commit_ts) AS resolved_ts,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(0 AS BIGINT) AS batch_id
+FROM changes
+GROUP BY table_id
+""",
+    doc="K4/T11 per-batch progress bookkeeping: every sink records "
+        "(table_id, resolved_ts, n_events, batch_id) per micro-batch "
+        "(mysql_writer.go:280-330 ddl-ts tables; maintainer progress) — "
+        "first oracle-checked entry for the bookkeeping table itself",
+)
+def sink_batch_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.streaming.changefeed import Changefeed
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        cfg = ChangefeedConfig(changefeed_id="k4-e2e", sink_uri="replica://")
+        cf = Changefeed(
+            spark, cfg, os.path.join(sf_dir, "events.parquet"), work
+        )
+        cf.run_to_completion()
+        progress = spark.read.parquet(cf.bookkeeping.progress_dir).select(
+            "table_id", "resolved_ts", "n_events",
+            F.col("batch_id").cast("bigint").alias("batch_id"),
+        )
+        return _materialize(progress)
     finally:
         shutil.rmtree(work, ignore_errors=True)
