@@ -2330,3 +2330,60 @@ def decoder_simple_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ch = changes_stream(spark, sf_dir, with_images=True)
     return decode_simple_protocol(encode_simple_protocol(ch))
+
+
+def _craft_oracle() -> str:
+    from tigate_spark.functions.craft import craft_oracle_suffix
+
+    return (
+        ORACLE_CHANGES_CTE
+        + """
+, craft_in AS (
+  SELECT seq, op, schema_name, table_name, commit_ts,
+         CASE WHEN op IN ('I', 'U') THEN pk END AS after_pk,
+         CASE WHEN op IN ('I', 'U') THEN event_type END AS after_event_type,
+         CASE WHEN op IN ('I', 'U') THEN value_cents END AS after_value_cents,
+         CASE WHEN op IN ('I', 'U') THEN user_id END AS after_user_id,
+         CASE WHEN op IN ('U', 'D') THEN pk END AS before_pk,
+         CASE WHEN op IN ('U', 'D') THEN event_type END AS before_event_type,
+         CASE WHEN op IN ('U', 'D') THEN value_cents - 100 END AS before_value_cents,
+         CASE WHEN op IN ('U', 'D') THEN user_id END AS before_user_id
+  FROM changes
+)"""
+        + craft_oracle_suffix()
+        + "\nSELECT seq, message_hex FROM craft_msg"
+    )
+
+
+@register(
+    "encoder_craft_framed",
+    _craft_oracle(),
+    doc="Craft binary codec, single-event framing as a byte-exact hex "
+        "string: protobuf uvarints + zigzag delta chunks, encounter-order "
+        "term dictionary, typed old/new column groups, trailing size "
+        "tables closed by a byte-reversed uvarint "
+        "(pkg/sink/codec/craft/message_encoder.go:43-75,252-287, "
+        "model.go:188-205,297-310; decoder contract "
+        "message_decoder.go:293-316). Pure column expressions in both "
+        "engines — the hash match proves the framing byte-for-byte; "
+        "multi-event messages need the encode_open_protocol_batch "
+        "grouped-fold over these fragments (documented follow-up)",
+)
+def encoder_craft_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.craft import encode_craft_row
+
+    ch = changes_stream(spark, sf_dir)
+    new_img = F.col("op").isin("I", "U")
+    old_img = F.col("op").isin("U", "D")
+    prepared = ch.select(
+        "seq", "op", "schema_name", "table_name", "commit_ts",
+        F.when(new_img, F.col("pk")).alias("after_pk"),
+        F.when(new_img, F.col("event_type")).alias("after_event_type"),
+        F.when(new_img, F.col("value_cents")).alias("after_value_cents"),
+        F.when(new_img, F.col("user_id")).alias("after_user_id"),
+        F.when(old_img, F.col("pk")).alias("before_pk"),
+        F.when(old_img, F.col("event_type")).alias("before_event_type"),
+        F.when(old_img, F.col("value_cents") - 100).alias("before_value_cents"),
+        F.when(old_img, F.col("user_id")).alias("before_user_id"),
+    )
+    return encode_craft_row(prepared).select("seq", "message_hex")

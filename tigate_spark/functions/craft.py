@@ -1,0 +1,214 @@
+"""Craft codec — byte-exact single-event message framing (hex form).
+
+The reference's craft protocol (``pkg/sink/codec/craft/``) is a binary
+columnar format: protobuf-style uvarints/zigzag varints, delta-encoded
+chunks, a term dictionary interning strings in encounter order, column
+groups typed by old/new image, and trailing size tables closed by a
+byte-reversed uvarint (``message_encoder.go:43-75,252-287``,
+``model.go:188-205,297-310``, ``message_decoder.go:293-316``).
+
+Spark-first port: every varint/chunk is a generated CASE expression over
+``hex()``/``shiftright``/``lpad`` — the whole message is a pure column
+expression (JVM-side, codegen'd) emitted as a hex string, and the DuckDB
+oracle is generated from the SAME step list with only dialect spellings
+swapped, so the driver hash-match proves byte-exactness. Scope: one
+event per message (the ``MaxBatchSize=1`` shape); multi-event messages
+add cross-row delta chunks, which need the same grouped-fold as
+``encode_open_protocol_batch`` over per-event fragments — documented
+follow-up, not a semantic blocker.
+
+Layout of a single-event DML message (verified against the decoder):
+
+    uvarint(version=1)
+    headers:  delta-uvarint[commitTs] uvarint[type=1(Row)]
+              delta-varint[partition=-1] delta-varint[dict(schema)=0]
+              delta-varint[dict(table)=1]
+    groups:   for new (0x1, after-image; I/U) then old (0x2, before; U/D):
+              ty uvarint(ncols) delta-varint[dict(name ids)]
+              uvarint[mysql types] uvarint[flags] nullable-bytes[values]
+    term dictionary: uvarint(n) + uvarint lengths + strings
+    size tables: [headerSize, dictSize] [bodySize] [group sizes...]
+                 each uvarint(len)+delta-varint chunk; then the section
+                 length as a byte-REVERSED uvarint (decoder reads tail-in)
+
+Fixed payload schema (pk BIGINT handle/primary key, event_type VARCHAR,
+value_cents BIGINT, user_id BIGINT): mysql types 8/15/8/8
+(``EncodeTiDBType`` longlong/varchar), flags HandleKey|PrimaryKey=10 and
+Nullable=64 (``pkg/common/table_info.go:54-76``).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: (column, mysql type code, column flag)
+CRAFT_COLS = [
+    ("pk", 8, 10),            # longlong, HandleKeyFlag|PrimaryKeyFlag
+    ("event_type", 15, 64),   # varchar, NullableFlag
+    ("value_cents", 8, 64),
+    ("user_id", 8, 64),
+]
+
+_TYPES_HEX = "".join(f"{t:02X}" for _, t, _f in CRAFT_COLS)      # 080F0808
+_FLAGS_HEX = "".join(f"{f:02X}" for _, _t, f in CRAFT_COLS)      # 0A404040
+#: dict ids of the 4 column names are 2,3,4,5 (schema=0, table=1 interned
+#: first); delta-varint chunk = zigzag(2), then zigzag(1) three times
+_NAME_IDS_HEX = "04" + "02" * (len(CRAFT_COLS) - 1)
+_NAME_LENS_HEX = "".join(f"{len(c):02X}" for c, _t, _f in CRAFT_COLS)
+_NAMES_HEX = "".join(c.encode().hex().upper() for c, _t, _f in CRAFT_COLS)
+_NCOLS_HEX = f"{len(CRAFT_COLS):02X}"
+_NDICT_HEX = f"{len(CRAFT_COLS) + 2:02X}"
+
+
+def _dialect(d: str):
+    if d == "spark":
+        return {
+            "shr": lambda e, n: f"shiftright({e}, {n})",
+            "idiv": lambda a, b: f"({a} div {b})",
+            "slen": lambda e: f"octet_length({e})",
+        }
+    return {
+        "shr": lambda e, n: f"(({e}) >> {n})",
+        "idiv": lambda a, b: f"(({a}) // {b})",
+        "slen": lambda e: f"octet_length(encode({e}))",
+    }
+
+
+def _uvhex(expr: str, d: dict, nbytes: int = 10) -> str:
+    """CASE expression: hex string of protobuf uvarint(expr), expr >= 0."""
+    cases = []
+    for n in range(1, nbytes + 1):
+        parts = []
+        for i in range(n):
+            b = f"({d['shr'](expr, 7 * i)}) & 127" if i else f"({expr}) & 127"
+            if i < n - 1:
+                b = f"({b}) | 128"
+            parts.append(f"lpad(hex({b}), 2, '0')")
+        body = " || ".join(parts)
+        if n < nbytes:
+            cases.append(f"WHEN ({expr}) < {1 << (7 * n)} THEN {body}")
+        else:
+            cases.append(f"ELSE {body}")
+    return "CASE " + " ".join(cases) + " END"
+
+
+def _vhex(expr: str, d: dict, nbytes: int = 10) -> str:
+    """Zigzag varint hex (``encodeVarint``): uvarint((v<<1)^(v>>63))."""
+    zz = f"(CASE WHEN ({expr}) >= 0 THEN 2 * ({expr}) ELSE -2 * ({expr}) - 1 END)"
+    return _uvhex(zz, d, nbytes)
+
+
+def _revuvhex(expr: str, d: dict) -> str:
+    """Byte-reversed uvarint (``encodeUvarintReversed``) for the trailing
+    size-tables length — values here are section byte counts (< 16384)."""
+    lo = f"lpad(hex((({expr}) & 127) | 128), 2, '0')"
+    hi = f"lpad(hex({d['shr'](expr, 7)}), 2, '0')"
+    return (f"CASE WHEN ({expr}) < 128 THEN lpad(hex({expr}), 2, '0') "
+            f"ELSE {hi} || {lo} END")
+
+
+def craft_steps(d_name: str) -> list[tuple[str, str]]:
+    """Ordered (column, SQL) steps shared by the Spark builder and the
+    DuckDB oracle; each step may reference earlier step columns. Expects
+    input columns: op, schema_name, table_name, commit_ts, and
+    after_/before_ scalars for every CRAFT_COLS entry."""
+    d = _dialect(d_name)
+    steps: list[tuple[str, str]] = []
+    # per-image value byte hexes (nullable-bytes chunk: lengths then bytes)
+    for side, img in (("a", "after"), ("b", "before")):
+        for col, ty, _f in CRAFT_COLS:
+            src = f"{img}_{col}"
+            if ty == 15:  # varchar → raw bytes
+                steps.append((f"{side}_{col}_h", f"hex({src})"))
+            else:         # integer → zigzag varint
+                steps.append((f"{side}_{col}_h", _vhex(src, d)))
+        # nullable-bytes chunk lengths are ZIGZAG varints (encodeVarint —
+        # null encodes as -1 → 0x01), unlike the plain-uvarint string chunks
+        lens = " || ".join(
+            f"CASE WHEN {img}_{col} IS NULL THEN '01' "
+            f"ELSE {_vhex(d['idiv'](f'length({side}_{col}_h)', 2), d, 3)} END"
+            for col, _t, _f in CRAFT_COLS
+        )
+        vals = " || ".join(
+            f"coalesce({side}_{col}_h, '')" for col, _t, _f in CRAFT_COLS
+        )
+        steps.append((f"{side}_vals_h", f"{lens} || {vals}"))
+    steps.append((
+        "g_new_h",
+        "CASE WHEN op IN ('I', 'U') THEN "
+        f"'01' || '{_NCOLS_HEX}' || '{_NAME_IDS_HEX}' || '{_TYPES_HEX}' || "
+        f"'{_FLAGS_HEX}' || a_vals_h END",
+    ))
+    steps.append((
+        "g_old_h",
+        "CASE WHEN op IN ('U', 'D') THEN "
+        f"'02' || '{_NCOLS_HEX}' || '{_NAME_IDS_HEX}' || '{_TYPES_HEX}' || "
+        f"'{_FLAGS_HEX}' || b_vals_h END",
+    ))
+    steps.append(("groups_h", "coalesce(g_new_h, '') || coalesce(g_old_h, '')"))
+    # headers: delta-uvarint[ts], type=Row(1), partition=-1 → zigzag 0x01,
+    # schema dict id 0 → 0x00, table dict id 1 → zigzag 0x02
+    steps.append(("hdr_h", _uvhex("commit_ts", d) + " || '01' || '01' || '00' || '02'"))
+    steps.append((
+        "dict_h",
+        f"'{_NDICT_HEX}' || {_uvhex(d['slen']('schema_name'), d, 3)} || "
+        f"{_uvhex(d['slen']('table_name'), d, 3)} || '{_NAME_LENS_HEX}' || "
+        f"hex(schema_name) || hex(table_name) || '{_NAMES_HEX}'",
+    ))
+    for name, src in (("hdr_sz", "hdr_h"), ("dict_sz", "dict_h"),
+                      ("body_sz", "groups_h")):
+        steps.append((name, d["idiv"](f"length({src})", 2)))
+    steps.append(("g1_sz", d["idiv"]("length(coalesce(g_new_h, g_old_h))", 2)))
+    # size tables: meta [hdr, dict] + body [total] + per-event group sizes
+    group_tbl = (
+        "CASE WHEN g_new_h IS NOT NULL AND g_old_h IS NOT NULL THEN "
+        f"'02' || {_vhex('g1_sz', d, 3)} || "
+        f"{_vhex(d['idiv']('length(g_old_h)', 2) + ' - g1_sz', d, 3)} "
+        f"ELSE '01' || {_vhex('g1_sz', d, 3)} END"
+    )
+    steps.append((
+        "st_h",
+        f"'02' || {_vhex('hdr_sz', d, 3)} || {_vhex('dict_sz - hdr_sz', d, 3)}"
+        f" || '01' || {_vhex('body_sz', d, 3)} || {group_tbl}",
+    ))
+    steps.append((
+        "message_hex",
+        "'01' || hdr_h || groups_h || dict_h || st_h || "
+        + _revuvhex(d["idiv"]("length(st_h)", 2), d),
+    ))
+    return steps
+
+
+def encode_craft_row(df: DataFrame, out_col: str = "message_hex") -> DataFrame:
+    """Craft-framed single-event message per change row, as a hex string.
+
+    Expects ``op, schema_name, table_name, commit_ts`` plus
+    ``after_<col>``/``before_<col>`` scalars for every :data:`CRAFT_COLS`
+    entry (null image → group omitted, reference group presence rules).
+    Pure column expressions — JVM-side, whole-stage codegen, no Python.
+    """
+    steps = craft_steps("spark")
+    # one projection with lateral column aliases (each step references the
+    # previous steps' aliases) — a withColumn chain re-analyzes the whole
+    # growing expression tree per step (~8 s planning for this message)
+    out = df.selectExpr("*", *[f"{sql} AS {name}" for name, sql in steps])
+    out = out.drop(*[name for name, _ in steps if name != "message_hex"])
+    if out_col != "message_hex":
+        out = out.withColumnRenamed("message_hex", out_col)
+    return out
+
+
+def craft_oracle_suffix() -> str:
+    """DuckDB mirror: chained CTEs over a ``craft_in`` relation with the
+    same step columns, ending in a ``craft_msg`` relation."""
+    steps = craft_steps("duckdb")
+    sql = []
+    prev = "craft_in"
+    for i, (name, expr) in enumerate(steps):
+        cte = "craft_msg" if i == len(steps) - 1 else f"c{i}"
+        sql.append(f", {cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cte
+    return "".join(sql)
