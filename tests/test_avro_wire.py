@@ -1,0 +1,107 @@
+"""Golden decode test for the Confluent Avro wire framing: an
+independent Python Avro-binary decoder (spec §binary encoding — zigzag
+varint longs, length-prefixed strings, union branch indexes) must
+recover every field from the Spark-encoded message, and the 5-byte
+Confluent header (confluent_schema_registry.go:400-408) must carry the
+magic byte and the registered schema id."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from tigate_spark.functions.avro_wire import (
+    KEY_SCHEMA_ID,
+    VALUE_SCHEMA_ID,
+    encode_avro_confluent,
+)
+
+
+def _avro_long(b: bytes, i: int) -> tuple[int, int]:
+    x, s = 0, 0
+    while True:
+        x |= (b[i] & 0x7F) << s
+        s += 7
+        i += 1
+        if not b[i - 1] & 0x80:
+            return (x >> 1) ^ -(x & 1), i
+
+
+def _avro_string(b: bytes, i: int) -> tuple[str, int]:
+    n, i = _avro_long(b, i)
+    return b[i:i + n].decode("utf-8"), i + n
+
+
+def _strip_header(raw: bytes, want_id: int) -> bytes:
+    assert raw[0] == 0x00, "confluent magic byte"
+    assert int.from_bytes(raw[1:5], "big") == want_id
+    return raw[5:]
+
+
+def decode_value(raw: bytes) -> dict:
+    body = _strip_header(raw, VALUE_SCHEMA_ID)
+    i = 0
+    pk, i = _avro_long(body, i)
+    branch, i = _avro_long(body, i)
+    assert branch == 1, "event_type union non-null branch"
+    event_type, i = _avro_string(body, i)
+    branch, i = _avro_long(body, i)
+    assert branch == 1
+    value_cents, i = _avro_long(body, i)
+    branch, i = _avro_long(body, i)
+    assert branch == 1
+    user_id, i = _avro_long(body, i)
+    op, i = _avro_string(body, i)
+    commit_ts, i = _avro_long(body, i)
+    phys, i = _avro_long(body, i)
+    assert i == len(body), "no trailing bytes"
+    return dict(pk=pk, event_type=event_type, value_cents=value_cents,
+                user_id=user_id, op=op, commit_ts=commit_ts, phys=phys)
+
+
+ROWS = [
+    Row(seq=1, op="I", pk=7, event_type="click", value_cents=12345,
+        user_id=42, commit_ts=1_700_000_000_123_456),
+    Row(seq=2, op="U", pk=0, event_type="päge", value_cents=0,
+        user_id=2**40, commit_ts=999),
+    Row(seq=3, op="D", pk=199, event_type="x", value_cents=1,
+        user_id=1, commit_ts=1_000),
+]
+
+
+@pytest.fixture(scope="module")
+def encoded(spark):
+    df = encode_avro_confluent(spark.createDataFrame(ROWS))
+    return {r["seq"]: r for r in df.collect()}
+
+
+def test_key_frames_decode(encoded):
+    for row in ROWS:
+        body = _strip_header(bytes.fromhex(encoded[row.seq]["key_hex"]),
+                             KEY_SCHEMA_ID)
+        pk, i = _avro_long(body, 0)
+        assert (pk, i) == (row.pk, len(body))
+
+
+def test_value_frames_decode(encoded):
+    for row in ROWS:
+        if row.op == "D":
+            continue
+        got = decode_value(bytes.fromhex(encoded[row.seq]["value_hex"]))
+        assert got == dict(
+            pk=row.pk, event_type=row.event_type,
+            value_cents=row.value_cents, user_id=row.user_id,
+            op="c" if row.op == "I" else "u", commit_ts=row.commit_ts,
+            phys=row.commit_ts // 1000,
+        )
+
+
+def test_delete_is_tombstone(encoded):
+    assert encoded[3]["value_hex"] is None
+    assert encoded[3]["key_hex"] is not None
+
+
+def test_no_python_in_plan(spark):
+    df = encode_avro_confluent(spark.createDataFrame(ROWS))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

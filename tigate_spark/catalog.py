@@ -1084,6 +1084,40 @@ def decoder_avro_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_avro_json(encode_avro_json(ch))
 
 
+def _avro_wire_oracle() -> str:
+    from tigate_spark.functions.avro_wire import avro_wire_oracle_suffix
+
+    return (
+        ORACLE_CHANGES_CTE
+        + """
+, avro_in AS (
+  SELECT seq, op, pk, event_type, value_cents, user_id, commit_ts
+  FROM changes
+)"""
+        + avro_wire_oracle_suffix()
+        + "\nSELECT seq, key_hex, value_hex FROM avro_msg"
+    )
+
+
+@register(
+    "encoder_avro_confluent_framed",
+    _avro_wire_oracle(),
+    doc="Confluent Avro wire format as byte-exact hex: magic 0x00 + 4B BE "
+        "schema id (confluent_schema_registry.go:40-42,400-408) + Avro "
+        "binary record body (zigzag-varint longs, length-prefixed strings, "
+        "['null',T] union branch indexes; arvo.go:163-205,328-343). "
+        "Deletes stay key + null-value tombstones. Schema ids are the "
+        "deterministic first-registration ids (key=1, value=2) of the "
+        "stand-in registry. Pure column expressions in both engines — the "
+        "hash match proves the wire bytes",
+)
+def encoder_avro_confluent_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.avro_wire import encode_avro_confluent
+
+    ch = changes_stream(spark, sf_dir)
+    return encode_avro_confluent(ch).select("seq", "key_hex", "value_hex")
+
+
 @register(
     "encoder_csv_rows",
     ORACLE_CHANGES_CTE
