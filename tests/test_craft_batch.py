@@ -1,0 +1,197 @@
+"""Golden decode test for craft MULTI-event messages: an independent
+Python decoder implementing the reference's batch layout
+(message_encoder.go:268-303 encodeHeaders + encodeRowChangeEvents +
+encodeSizeTables; model.go:188-205 columnar Headers) must recover every
+event from the Spark-encoded batch message."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from tests.test_craft_codec import (
+    _delta_varint_chunk,
+    _uvarint,
+    _uvarint_reversed_tail,
+    _varint,
+)
+
+
+def _delta_uvarint_chunk(b: bytes, i: int, n: int) -> tuple[list[int], int]:
+    out = []
+    last = 0
+    for k in range(n):
+        v, i = _uvarint(b, i)
+        last = v if k == 0 else last + v
+        out.append(last)
+    return out, i
+
+
+def _parse_group(raw: bytes, i: int, gsize: int, terms: list[str]) -> tuple[int, dict, int]:
+    g_end = i + gsize
+    gty = raw[i]
+    i += 1
+    ncols, i = _uvarint(raw, i)
+    name_ids, i = _delta_varint_chunk(raw, i, ncols)
+    types, flags = [], []
+    for _ in range(ncols):
+        t, i = _uvarint(raw, i)
+        types.append(t)
+    for _ in range(ncols):
+        f, i = _uvarint(raw, i)
+        flags.append(f)
+    vlens = []
+    for _ in range(ncols):
+        ln, i = _varint(raw, i)
+        vlens.append(ln)
+    cols = {}
+    for k in range(ncols):
+        name = terms[name_ids[k]]
+        if vlens[k] < 0:
+            cols[name] = None
+        elif types[k] == 15:
+            cols[name] = raw[i:i + vlens[k]].decode()
+            i += vlens[k]
+        else:
+            v, i2 = _varint(raw, i)
+            assert i2 - i == vlens[k]
+            cols[name] = v
+            i = i2
+    assert i == g_end, (i, g_end)
+    return gty, {"types": types, "flags": flags, "cols": cols}, i
+
+
+def decode_craft_batch(raw: bytes) -> dict:
+    """Multi-event craft message decoder (reference batch algorithm)."""
+    version, i = _uvarint(raw, 0)
+    assert version == 1
+    st_size, nrev = _uvarint_reversed_tail(raw)
+    tables_start = len(raw) - nrev - st_size
+    tb, j = raw[tables_start:len(raw) - nrev], 0
+    tables = []
+    while j < len(tb):
+        n, j = _uvarint(tb, j)
+        chunk, j = _delta_varint_chunk(tb, j, n)
+        tables.append(chunk)
+    meta, body_sizes = tables[0], tables[1]
+    hdr_size, dict_size = meta[0], meta[1]
+    n_events = len(body_sizes)
+    assert len(tables) == 2 + n_events
+    # term dictionary after header + all event bodies
+    dict_off = i + hdr_size + sum(body_sizes)
+    db, dj = raw[dict_off:dict_off + dict_size], 0
+    ndict, dj = _uvarint(db, dj)
+    lens = []
+    for _ in range(ndict):
+        ln, dj = _uvarint(db, dj)
+        lens.append(ln)
+    terms = []
+    for ln in lens:
+        terms.append(db[dj:dj + ln].decode())
+        dj += ln
+    # columnar headers across all events
+    ts, i = _delta_uvarint_chunk(raw, i, n_events)
+    ty = []
+    for _ in range(n_events):
+        t, i = _uvarint(raw, i)
+        ty.append(t)
+    partition, i = _delta_varint_chunk(raw, i, n_events)
+    schema_ids, i = _delta_varint_chunk(raw, i, n_events)
+    table_ids, i = _delta_varint_chunk(raw, i, n_events)
+    events = []
+    for e in range(n_events):
+        body_end = i + body_sizes[e]
+        groups = {}
+        for gsize in tables[2 + e]:
+            gty, g, i = _parse_group(raw, i, gsize, terms)
+            groups[gty] = g
+        assert i == body_end, (i, body_end)
+        events.append({
+            "ts": ts[e], "type": ty[e], "partition": partition[e],
+            "schema": terms[schema_ids[e]], "table": terms[table_ids[e]],
+            "groups": groups,
+        })
+    return {"events": events}
+
+
+def _mk_row(seq, op, ts, pk, cents):
+    new_img, old_img = op in ("I", "U"), op in ("U", "D")
+    return Row(
+        seq=seq, op=op, schema_name="app", table_name="t3", commit_ts=ts,
+        after_pk=pk if new_img else None,
+        after_event_type="purchase" if new_img else None,
+        after_value_cents=cents if new_img else None,
+        after_user_id=424242 if new_img else None,
+        before_pk=pk if old_img else None,
+        before_event_type="purchase" if old_img else None,
+        before_value_cents=cents - 100 if old_img else None,
+        before_user_id=424242 if old_img else None,
+    )
+
+
+_SCHEMA = (
+    "seq long, op string, schema_name string, table_name string, "
+    "commit_ts long, "
+    "after_pk long, after_event_type string, after_value_cents long, "
+    "after_user_id long, before_pk long, before_event_type string, "
+    "before_value_cents long, before_user_id long"
+)
+
+ROWS = [
+    _mk_row(1, "I", 1723600000123456, 11, 1000),
+    _mk_row(2, "U", 1723600000123500, 12, 2000),
+    _mk_row(3, "D", 1723600000999999, 13, 3000),
+    _mk_row(4, "I", 1723600001000000, 14, 4000),
+    _mk_row(5, "U", 1723600001000001, 15, 5000),
+]
+
+
+@pytest.fixture(scope="module")
+def batch_msg(spark):
+    from tigate_spark.functions.craft import encode_craft_batch
+
+    df = spark.createDataFrame(ROWS, schema=_SCHEMA)
+    out = encode_craft_batch(df, max_batch_size=16).collect()
+    assert len(out) == 1, "one lane, one batch"
+    return out[0]
+
+
+def test_batch_decodes_every_event(batch_msg):
+    m = decode_craft_batch(bytes.fromhex(batch_msg["message_hex"]))
+    assert batch_msg["n_events"] == 5 and batch_msg["max_seq"] == 5
+    assert len(m["events"]) == 5
+    for row, ev in zip(ROWS, m["events"]):  # sorted by (ts, seq) = input order
+        assert ev["ts"] == row.commit_ts
+        assert ev["type"] == 1 and ev["partition"] == -1
+        assert ev["schema"] == "app" and ev["table"] == "t3"
+        expected = ({0x1} if row.op == "I" else
+                    {0x2} if row.op == "D" else {0x1, 0x2})
+        assert set(ev["groups"]) == expected
+        for gty, img in ((0x1, "after"), (0x2, "before")):
+            if gty not in ev["groups"]:
+                continue
+            g = ev["groups"][gty]
+            assert g["types"] == [8, 15, 8, 8]
+            assert g["cols"]["pk"] == getattr(row, f"{img}_pk")
+            assert g["cols"]["value_cents"] == getattr(row, f"{img}_value_cents")
+
+
+def test_batch_rolls_at_max_size(spark):
+    from tigate_spark.functions.craft import encode_craft_batch
+
+    df = spark.createDataFrame(ROWS, schema=_SCHEMA)
+    out = encode_craft_batch(df, max_batch_size=2).orderBy("batch_seq").collect()
+    assert [r["n_events"] for r in out] == [2, 2, 1]
+    for r in out:
+        m = decode_craft_batch(bytes.fromhex(r["message_hex"]))
+        assert len(m["events"]) == r["n_events"]
+
+
+def test_batch_plan_stays_jvm_side(spark):
+    from tigate_spark.functions.craft import encode_craft_batch
+
+    df = spark.createDataFrame(ROWS, schema=_SCHEMA)
+    plan = (encode_craft_batch(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -2406,10 +2406,16 @@ def _craft_oracle() -> str:
 def encoder_craft_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tigate_spark.functions.craft import encode_craft_row
 
+    return encode_craft_row(_craft_prepared(spark, sf_dir)).select(
+        "seq", "message_hex"
+    )
+
+
+def _craft_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = changes_stream(spark, sf_dir)
     new_img = F.col("op").isin("I", "U")
     old_img = F.col("op").isin("U", "D")
-    prepared = ch.select(
+    return ch.select(
         "seq", "op", "schema_name", "table_name", "commit_ts",
         F.when(new_img, F.col("pk")).alias("after_pk"),
         F.when(new_img, F.col("event_type")).alias("after_event_type"),
@@ -2420,4 +2426,52 @@ def encoder_craft_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(old_img, F.col("value_cents") - 100).alias("before_value_cents"),
         F.when(old_img, F.col("user_id")).alias("before_user_id"),
     )
-    return encode_craft_row(prepared).select("seq", "message_hex")
+
+
+def _craft_batch_oracle() -> str:
+    from tigate_spark.functions.craft import craft_batch_oracle_suffix
+
+    return (
+        ORACLE_CHANGES_CTE
+        + """
+, craft_in AS (
+  SELECT seq, op, schema_name, table_name, commit_ts,
+         CASE WHEN op IN ('I', 'U') THEN pk END AS after_pk,
+         CASE WHEN op IN ('I', 'U') THEN event_type END AS after_event_type,
+         CASE WHEN op IN ('I', 'U') THEN value_cents END AS after_value_cents,
+         CASE WHEN op IN ('I', 'U') THEN user_id END AS after_user_id,
+         CASE WHEN op IN ('U', 'D') THEN pk END AS before_pk,
+         CASE WHEN op IN ('U', 'D') THEN event_type END AS before_event_type,
+         CASE WHEN op IN ('U', 'D') THEN value_cents - 100 END AS before_value_cents,
+         CASE WHEN op IN ('U', 'D') THEN user_id END AS before_user_id
+  FROM changes
+)"""
+        + craft_batch_oracle_suffix()
+        + """
+SELECT schema_name, table_name, batch_seq,
+       CAST(len(ms) AS BIGINT) AS n_events,
+       ms[len(ms)].seq AS max_seq, message_hex
+FROM craft_batch_msg"""
+    )
+
+
+@register(
+    "encoder_craft_batch_framed",
+    _craft_batch_oracle(),
+    doc="Craft MULTI-event message framing, byte-exact hex: columnar "
+        "headers (delta-uvarint ts / uvarint type / delta-varint "
+        "partition + dict-id chunks across all events, model.go:188-205), "
+        "per-event column groups back-to-back, shared term dictionary, "
+        "size tables [hdr,dict]+body[N]+per-event group tables "
+        "(message_encoder.go:268-303) — the RowChangedEventBuffer "
+        "accumulation the single-event entry documented as follow-up. "
+        "One lane-key shuffle, collect_list bounded at MaxBatchSize=16 "
+        "fragments per group",
+)
+def encoder_craft_batch_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.craft import encode_craft_batch
+
+    return encode_craft_batch(_craft_prepared(spark, sf_dir)).select(
+        "schema_name", "table_name", "batch_seq", "n_events", "max_seq",
+        "message_hex",
+    )

@@ -163,16 +163,17 @@ def craft_steps(d_name: str) -> list[tuple[str, str]]:
         steps.append((name, d["idiv"](f"length({src})", 2)))
     steps.append(("g1_sz", d["idiv"]("length(coalesce(g_new_h, g_old_h))", 2)))
     # size tables: meta [hdr, dict] + body [total] + per-event group sizes
-    group_tbl = (
+    steps.append((
+        "group_tbl_h",
         "CASE WHEN g_new_h IS NOT NULL AND g_old_h IS NOT NULL THEN "
         f"'02' || {_vhex('g1_sz', d, 3)} || "
         f"{_vhex(d['idiv']('length(g_old_h)', 2) + ' - g1_sz', d, 3)} "
-        f"ELSE '01' || {_vhex('g1_sz', d, 3)} END"
-    )
+        f"ELSE '01' || {_vhex('g1_sz', d, 3)} END",
+    ))
     steps.append((
         "st_h",
         f"'02' || {_vhex('hdr_sz', d, 3)} || {_vhex('dict_sz - hdr_sz', d, 3)}"
-        f" || '01' || {_vhex('body_sz', d, 3)} || {group_tbl}",
+        f" || '01' || {_vhex('body_sz', d, 3)} || group_tbl_h",
     ))
     steps.append((
         "message_hex",
@@ -199,6 +200,168 @@ def encode_craft_row(df: DataFrame, out_col: str = "message_hex") -> DataFrame:
     if out_col != "message_hex":
         out = out.withColumnRenamed("message_hex", out_col)
     return out
+
+
+#: craft multi-event message size cap (MaxBatchSize shape,
+#: ``message_encoder.go`` RowChangedEventBuffer roll predicate)
+CRAFT_MAX_BATCH_SIZE = 16
+
+
+def _batch_dialect(d_name: str):
+    """Spellings that differ between Spark and DuckDB for the grouped
+    (batch-assembly) expressions; extends :func:`_dialect`."""
+    d = _dialect(d_name)
+    if d_name == "spark":
+        d.update(
+            nel="size(ms)",
+            el=lambda i, f: f"element_at(ms, {i}).{f}",
+            mapjoin=lambda body: (
+                "CASE WHEN size(ms) > 1 THEN array_join(transform("
+                f"sequence(2, size(ms)), i -> {body}), '') ELSE '' END"
+            ),
+            fieldjoin=lambda f: f"array_join(transform(ms, m -> m.{f}), '')",
+        )
+    else:
+        d.update(
+            nel="len(ms)",
+            el=lambda i, f: f"ms[{i}].{f}",
+            # array_to_string([], '') is NULL in DuckDB — coalesce the
+            # single-event case back to the empty chunk
+            mapjoin=lambda body: (
+                f"coalesce(array_to_string(list_transform(range(2, len(ms) + 1), "
+                f"i -> {body}), ''), '')"
+            ),
+            fieldjoin=lambda f: f"array_to_string(list_transform(ms, m -> m.{f}), '')",
+        )
+    return d
+
+
+def craft_batch_steps(d_name: str) -> list[tuple[str, str]]:
+    """Batch-assembly steps over a grouped relation with columns
+    (schema_name, table_name, batch_seq, ms) where ``ms`` is the
+    (ts, seq)-sorted array of per-event fragments
+    ``struct(ts, seq, g: groups_h, bs: body_sz, gt: group_tbl_h)``.
+
+    Multi-event craft layout (``model.go:188-205`` Headers.encode,
+    ``message_encoder.go:268-303`` encodeHeaders/encodeRowChangeEvents/
+    encodeSizeTables): columnar headers carry delta-uvarint[ts],
+    uvarint[type] , delta-varint[partition=-1/dict(schema)/dict(table)]
+    chunks across ALL events; then each event's column groups
+    back-to-back; then the term dictionary (schema, table, column names —
+    identical to the single-event dictionary because every event in a
+    lane shares them); then size tables [hdr, dict], body[N] (per-event
+    group bytes, delta-varint), and one group-size table per event.
+    """
+    d = _batch_dialect(d_name)
+    steps: list[tuple[str, str]] = []
+    steps.append(("hdr_ts_h",
+                  _uvhex(d["el"](1, "ts"), d) + " || "
+                  + d["mapjoin"](_uvhex(f"{d['el']('i', 'ts')} - {d['el']('i - 1', 'ts')}", d))))
+    # ty chunk (Row=1 per event) + partition(-1)/schema(0)/table(1) dict-id
+    # delta chunks: first value absolute, every later delta is 0
+    steps.append((
+        "hdr_h",
+        f"hdr_ts_h || repeat('01', {d['nel']}) || "
+        f"'01' || repeat('00', {d['nel']} - 1) || "
+        f"'00' || repeat('00', {d['nel']} - 1) || "
+        f"'02' || repeat('00', {d['nel']} - 1)",
+    ))
+    steps.append(("groups_all_h", d["fieldjoin"]("g")))
+    steps.append((
+        "dict_h",
+        f"'{_NDICT_HEX}' || {_uvhex(d['slen']('schema_name'), d, 3)} || "
+        f"{_uvhex(d['slen']('table_name'), d, 3)} || '{_NAME_LENS_HEX}' || "
+        f"hex(schema_name) || hex(table_name) || '{_NAMES_HEX}'",
+    ))
+    steps.append(("hdr_sz", d["idiv"]("length(hdr_h)", 2)))
+    steps.append(("dict_sz", d["idiv"]("length(dict_h)", 2)))
+    steps.append((
+        "body_tbl_h",
+        _uvhex(d["nel"], d, 3) + " || " + _vhex(d["el"](1, "bs"), d, 3) + " || "
+        + d["mapjoin"](_vhex(f"{d['el']('i', 'bs')} - {d['el']('i - 1', 'bs')}", d, 3)),
+    ))
+    steps.append((
+        "st_h",
+        f"'02' || {_vhex('hdr_sz', d, 3)} || {_vhex('dict_sz - hdr_sz', d, 3)}"
+        f" || body_tbl_h || {d['fieldjoin']('gt')}",
+    ))
+    steps.append((
+        "message_hex",
+        "'01' || hdr_h || groups_all_h || dict_h || st_h || "
+        + _revuvhex(d["idiv"]("length(st_h)", 2), d),
+    ))
+    return steps
+
+
+def encode_craft_batch(df: DataFrame,
+                       max_batch_size: int = CRAFT_MAX_BATCH_SIZE,
+                       out_col: str = "message_hex") -> DataFrame:
+    """Craft multi-event message per (schema, table) lane, rolled at
+    ``max_batch_size`` events in (commit_ts, seq) order — the
+    ``RowChangedEventBuffer`` accumulation shape. Same input contract as
+    :func:`encode_craft_row`; output one row per message with
+    (schema_name, table_name, batch_seq, n_events, max_seq, message_hex).
+
+    Entirely column expressions + one hash shuffle on the lane key — the
+    grouped fold is ``collect_list`` + ``array_sort`` over bounded
+    batches (≤ ``max_batch_size`` fragments each), so executor memory is
+    bounded regardless of corpus size.
+    """
+    frag_steps = craft_steps("spark")
+    frag = df.selectExpr("*", *[f"{sql} AS {name}" for name, sql in frag_steps])
+    lane = frag.selectExpr(
+        "schema_name", "table_name", "commit_ts", "seq",
+        "groups_h", "body_sz", "group_tbl_h",
+        "cast((row_number() OVER (PARTITION BY schema_name, table_name "
+        "ORDER BY commit_ts, seq) - 1) div "
+        f"{max_batch_size} AS BIGINT) AS batch_seq",
+    )
+    grouped = lane.groupBy("schema_name", "table_name", "batch_seq").agg(
+        F.expr(
+            "array_sort(collect_list(struct("
+            "commit_ts AS ts, seq, groups_h AS g, body_sz AS bs, "
+            "group_tbl_h AS gt)))"
+        ).alias("ms")
+    )
+    steps = craft_batch_steps("spark")
+    out = grouped.selectExpr(
+        "*", *[f"{sql} AS {name}" for name, sql in steps]
+    ).selectExpr(
+        "schema_name", "table_name", "batch_seq",
+        "cast(size(ms) AS BIGINT) AS n_events",
+        "element_at(transform(ms, m -> m.seq), -1) AS max_seq",
+        f"message_hex AS {out_col}",
+    )
+    return out
+
+
+def craft_batch_oracle_suffix(max_batch_size: int = CRAFT_MAX_BATCH_SIZE) -> str:
+    """DuckDB mirror of :func:`encode_craft_batch` over ``craft_in``,
+    ending in a ``craft_batch_msg`` relation."""
+    sql = [craft_oracle_suffix()]
+    sql.append(
+        f""", lane AS (
+  SELECT schema_name, table_name, commit_ts, seq,
+         groups_h, body_sz, group_tbl_h,
+         CAST((row_number() OVER (PARTITION BY schema_name, table_name
+               ORDER BY commit_ts, seq) - 1) // {max_batch_size} AS BIGINT)
+           AS batch_seq
+  FROM craft_msg
+), grouped AS (
+  SELECT schema_name, table_name, batch_seq,
+         list(struct_pack(ts := commit_ts, seq := seq, g := groups_h,
+                          bs := body_sz, gt := group_tbl_h)
+              ORDER BY commit_ts, seq) AS ms
+  FROM lane GROUP BY schema_name, table_name, batch_seq
+)"""
+    )
+    prev = "grouped"
+    steps = craft_batch_steps("duckdb")
+    for i, (name, expr) in enumerate(steps):
+        cte = "craft_batch_msg" if i == len(steps) - 1 else f"cb{i}"
+        sql.append(f", {cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cte
+    return "".join(sql)
 
 
 def craft_oracle_suffix() -> str:
