@@ -137,6 +137,41 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "text_chunk_documents",
+    _TOK_CTE
+    + f"""
+, ch AS (
+  SELECT doc_id, tokens, len(tokens) AS n,
+         CASE WHEN len(tokens) <= {tx.CHUNK_SIZE} THEN 1
+              ELSE 1 + (len(tokens) - {tx.CHUNK_SIZE} + {tx.CHUNK_STRIDE} - 1)
+                   // {tx.CHUNK_STRIDE} END AS n_chunks
+  FROM tok
+), ex AS (
+  SELECT doc_id, tokens, n, unnest(range(0, n_chunks)) AS chunk_id
+  FROM ch
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {tx.CHUNK_STRIDE} + 1 AS BIGINT) AS start_tok,
+       CAST(least(chunk_id * {tx.CHUNK_STRIDE} + {tx.CHUNK_SIZE}, n) AS BIGINT)
+         AS end_tok,
+       CAST(len(tokens[chunk_id * {tx.CHUNK_STRIDE} + 1 :
+                       chunk_id * {tx.CHUNK_STRIDE} + {tx.CHUNK_SIZE}]) AS BIGINT)
+         AS n_chunk_tokens,
+       coalesce(array_to_string(tokens[chunk_id * {tx.CHUNK_STRIDE} + 1 :
+                       chunk_id * {tx.CHUNK_STRIDE} + {tx.CHUNK_SIZE}], ' '), '')
+         AS chunk_text
+FROM ex
+""",
+    doc="Sliding token-window chunking (64-token windows, 16-token "
+        "overlap) — the pretraining/RAG shard step; per-row explode, "
+        "zero shuffle, map-side at any scale",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Dedup
 # ===========================================================================

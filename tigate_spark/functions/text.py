@@ -100,3 +100,42 @@ def fingerprint(df: DataFrame) -> DataFrame:
         "doc_id",
         F.expr("md5(array_join(array_sort(array_distinct(tokens)), ' '))").alias("fingerprint"),
     )
+
+
+#: chunking defaults: 64-token windows with 16-token overlap (stride 48)
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(df: DataFrame, size: int = CHUNK_SIZE,
+                    stride: int = CHUNK_STRIDE) -> DataFrame:
+    """Sliding token-window chunking — the pretraining/RAG shard step:
+    each document yields ``ceil(max(n - size, 0) / stride) + 1`` chunks of
+    ``size`` whitespace tokens overlapping by ``size - stride``.
+
+    Chunk boundaries are computed per row and exploded JVM-side (one
+    ``transform(sequence(...))`` + ``explode`` — no shuffle at all: a
+    100 TB documents scan chunks map-side and streams to the writer).
+    Empty documents produce one empty chunk (chunk_id 0, end_tok 0) so
+    every doc_id survives into the chunk table.
+    """
+    n_chunks = (
+        f"CASE WHEN size(tokens) <= {size} THEN 1 "
+        f"ELSE 1 + ((size(tokens) - {size} + {stride} - 1) div {stride}) END"
+    )
+    out = with_tokens(df).selectExpr(
+        "doc_id",
+        "size(tokens) AS n",
+        "tokens",
+        f"explode(sequence(0, {n_chunks} - 1)) AS chunk_id",
+    )
+    return out.selectExpr(
+        "doc_id",
+        "cast(chunk_id AS BIGINT) AS chunk_id",
+        f"cast(chunk_id * {stride} + 1 AS BIGINT) AS start_tok",
+        f"cast(least(chunk_id * {stride} + {size}, n) AS BIGINT) AS end_tok",
+        f"cast(size(slice(tokens, chunk_id * {stride} + 1, {size})) AS BIGINT)"
+        " AS n_chunk_tokens",
+        f"array_join(slice(tokens, chunk_id * {stride} + 1, {size}), ' ')"
+        " AS chunk_text",
+    )
