@@ -60,13 +60,14 @@ _PRIORITY = [
     # new r05 entries (K6/K4 bookkeeping oracles, craft + avro wire framing)
     "sink_checkpoint_messages", "sink_batch_progress",
     "encoder_craft_framed", "encoder_avro_confluent_framed",
-    "encoder_craft_batch_framed",
-    # re-verification canaries to round out the 50
-    "cdc_pipeline_e2e", "changes_normalize",
+    "encoder_craft_batch_framed", "text_chunk_documents",
+    # re-verification canaries to round out the 50 (changelog e2e kept:
+    # its sink codec changed to lz4 this round)
+    "cdc_pipeline_e2e",
     "streaming_replica_e2e", "streaming_changelog_e2e",
     # r06 rotation continues here: previously-green families in
     # roughly descending staleness (r02-green before r04-green).
-    "streaming_storage_e2e", "streaming_txn_match_e2e",
+    "changes_normalize", "streaming_storage_e2e", "streaming_txn_match_e2e",
     "streaming_first_seen_e2e", "streaming_window_counts_e2e",
     "streaming_sessions_e2e",
     "filter_event_type", "filter_ddl_sql_regex", "filter_expr_values",
