@@ -195,3 +195,52 @@ def test_batch_plan_stays_jvm_side(spark):
             .executedPlan().toString())
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_craft_resolved_golden(spark):
+    """Resolved-ts craft message: type=3, null partition/schema/table,
+    empty dictionary, [hdr,1]+[0] size tables (message_encoder.go:305-314)."""
+    from tigate_spark.functions.craft import encode_craft_resolved
+
+    df = spark.createDataFrame([Row(topic="app_t0", resolved_ts=1723600000123456)])
+    raw = bytes.fromhex(encode_craft_resolved(df).first()["message_hex"])
+    version, i = _uvarint(raw, 0)
+    assert version == 1
+    st_size, nrev = _uvarint_reversed_tail(raw)
+    tb, j = raw[len(raw) - nrev - st_size:len(raw) - nrev], 0
+    tables = []
+    while j < len(tb):
+        n, j = _uvarint(tb, j)
+        chunk, j = _delta_varint_chunk(tb, j, n)
+        tables.append(chunk)
+    assert len(tables) == 2, "meta + body only, no group tables"
+    hdr_size, dict_size = tables[0]
+    assert dict_size == 1 and tables[1] == [0]
+    ts, i = _uvarint(raw, i)
+    ty, i = _uvarint(raw, i)
+    (partition,), i = _delta_varint_chunk(raw, i, 1)
+    (schema_id,), i = _delta_varint_chunk(raw, i, 1)
+    (table_id,), i = _delta_varint_chunk(raw, i, 1)
+    assert ts == 1723600000123456 and ty == 3
+    assert partition == schema_id == table_id == -1
+    # empty dictionary immediately after headers
+    ndict, i = _uvarint(raw, i)
+    assert ndict == 0
+    assert i == len(raw) - nrev - st_size
+
+
+def test_open_resolved_golden(spark):
+    """Open-protocol checkpoint: [8B version][8B keyLen][{"ts":N,"t":3}]
+    key, zero-length value word (open/codec.go:149-178)."""
+    import json
+    from tigate_spark.functions.encoders import encode_open_resolved
+
+    df = spark.createDataFrame([Row(topic="app_t0", resolved_ts=97)])
+    r = encode_open_resolved(df).first()
+    key = bytes.fromhex(r["key_hex"])
+    assert int.from_bytes(key[0:8], "big") == 1
+    klen = int.from_bytes(key[8:16], "big")
+    payload = key[16:]
+    assert len(payload) == klen
+    assert json.loads(payload) == {"ts": 97, "t": 3}
+    assert bytes.fromhex(r["value_hex"]) == b"\x00" * 8

@@ -2475,3 +2475,71 @@ def encoder_craft_batch_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "schema_name", "table_name", "batch_seq", "n_events", "max_seq",
         "message_hex",
     )
+
+
+_RESOLVED_CTE = (
+    ORACLE_CHANGES_CTE
+    + """
+, resolved_in AS (
+  SELECT schema_name || '_' || table_name AS topic,
+         max(commit_ts) AS resolved_ts
+  FROM changes GROUP BY schema_name, table_name
+)"""
+)
+
+
+def _craft_resolved_oracle() -> str:
+    from tigate_spark.functions.craft import craft_resolved_oracle_suffix
+
+    return (_RESOLVED_CTE + craft_resolved_oracle_suffix()
+            + "\nSELECT topic, resolved_ts, message_hex FROM craft_resolved_msg")
+
+
+def _resolved_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    return ch.groupBy(
+        F.concat_ws("_", "schema_name", "table_name").alias("topic")
+    ).agg(F.max("commit_ts").alias("resolved_ts"))
+
+
+@register(
+    "encoder_craft_resolved",
+    _craft_resolved_oracle(),
+    doc="Craft resolved-ts checkpoint message, byte-exact hex "
+        "(message_encoder.go:305-314 NewResolvedEventEncoder): type="
+        "Resolved(3) header with null partition/schema/table (-1 ids), "
+        "empty term dictionary, size tables [hdr,1]+[0] — the K6 "
+        "checkpoint broadcast in craft wire bytes, one message per topic",
+)
+def encoder_craft_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.craft import encode_craft_resolved
+
+    return encode_craft_resolved(_resolved_topics(spark, sf_dir)).select(
+        "topic", "resolved_ts", "message_hex"
+    )
+
+
+@register(
+    "encoder_open_resolved",
+    _RESOLVED_CTE
+    + """
+SELECT topic, resolved_ts,
+       '0000000000000001'
+       || lpad(hex(octet_length(encode(k))), 16, '0') || hex(k) AS key_hex,
+       '0000000000000000' AS value_hex
+FROM (SELECT topic, resolved_ts,
+             printf('{"ts":%d,"t":3}', resolved_ts) AS k
+      FROM resolved_in)
+""",
+    doc="Open-protocol resolved-ts checkpoint message, byte-exact hex "
+        "(open/codec.go:149-178 encodeResolvedTs, encoder.go:220-233 "
+        "EncodeCheckpointEvent): key {\"ts\":N,\"t\":3} framed "
+        "[8B version][8B keyLen][key], value a bare zero length word — "
+        "one checkpoint message per topic",
+)
+def encoder_open_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_open_resolved
+
+    return encode_open_resolved(_resolved_topics(spark, sf_dir)).select(
+        "topic", "resolved_ts", "key_hex", "value_hex"
+    )

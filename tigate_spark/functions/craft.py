@@ -11,11 +11,11 @@ Spark-first port: every varint/chunk is a generated CASE expression over
 ``hex()``/``shiftright``/``lpad`` — the whole message is a pure column
 expression (JVM-side, codegen'd) emitted as a hex string, and the DuckDB
 oracle is generated from the SAME step list with only dialect spellings
-swapped, so the driver hash-match proves byte-exactness. Scope: one
-event per message (the ``MaxBatchSize=1`` shape); multi-event messages
-add cross-row delta chunks, which need the same grouped-fold as
-``encode_open_protocol_batch`` over per-event fragments — documented
-follow-up, not a semantic blocker.
+swapped, so the driver hash-match proves byte-exactness. The full craft
+message surface is here: single-event DML (:func:`encode_craft_row`),
+multi-event batches with cross-row delta chunks
+(:func:`encode_craft_batch` — a lane-key grouped fold over per-event
+fragments), and resolved-ts checkpoints (:func:`encode_craft_resolved`).
 
 Layout of a single-event DML message (verified against the decoder):
 
@@ -372,6 +372,51 @@ def craft_oracle_suffix() -> str:
     prev = "craft_in"
     for i, (name, expr) in enumerate(steps):
         cte = "craft_msg" if i == len(steps) - 1 else f"c{i}"
+        sql.append(f", {cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cte
+    return "".join(sql)
+
+
+def craft_resolved_steps(d_name: str) -> list[tuple[str, str]]:
+    """Resolved-ts (checkpoint) craft message over a ``resolved_ts``
+    column (``message_encoder.go:305-314`` NewResolvedEventEncoder):
+    headers carry one event with type=Resolved(3), null partition(-1) and
+    null schema/table dictionary ids (-1, ``model.go:44-48``), an EMPTY
+    term dictionary, and size tables [headerSize, dictSize=1] + body[0].
+    """
+    d = _dialect(d_name)
+    steps: list[tuple[str, str]] = []
+    # ts delta-uvarint + ty uvarint(3) + partition/schema/table zigzag(-1)
+    steps.append(("r_hdr_h", _uvhex("resolved_ts", d) + " || '03' || '01' || '01' || '01'"))
+    steps.append(("r_hdr_sz", d["idiv"]("length(r_hdr_h)", 2)))
+    # meta [hdr, dict=1 byte] + body [0]; no group tables
+    steps.append((
+        "r_st_h",
+        f"'02' || {_vhex('r_hdr_sz', d, 3)} || {_vhex('1 - r_hdr_sz', d, 3)}"
+        " || '01' || '00'",
+    ))
+    steps.append((
+        "message_hex",
+        "'01' || r_hdr_h || '00' || r_st_h || "
+        + _revuvhex(d["idiv"]("length(r_st_h)", 2), d),
+    ))
+    return steps
+
+
+def encode_craft_resolved(df: DataFrame) -> DataFrame:
+    """Craft resolved-ts checkpoint message per row (expects a
+    ``resolved_ts`` column) — the K6 checkpoint broadcast in craft's
+    wire bytes."""
+    steps = craft_resolved_steps("spark")
+    out = df.selectExpr("*", *[f"{sql} AS {name}" for name, sql in steps])
+    return out.drop(*[n for n, _ in steps if n != "message_hex"])
+
+
+def craft_resolved_oracle_suffix() -> str:
+    steps = craft_resolved_steps("duckdb")
+    sql, prev = [], "resolved_in"
+    for i, (name, expr) in enumerate(steps):
+        cte = "craft_resolved_msg" if i == len(steps) - 1 else f"cr{i}"
         sql.append(f", {cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
         prev = cte
     return "".join(sql)

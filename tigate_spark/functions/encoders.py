@@ -737,3 +737,19 @@ def encode_simple_ddl(ddl_df: DataFrame, out_col: str = "message") -> DataFrame:
     return ddl_df.withColumn(
         out_col, F.concat(head, schema_part, pre_part, F.lit("}"))
     )
+
+
+def encode_open_resolved(df: DataFrame) -> DataFrame:
+    """Open-protocol resolved-ts (checkpoint) message, byte-exact hex
+    (``open/codec.go:149-178`` encodeResolvedTs / ``encoder.go:220-233``
+    EncodeCheckpointEvent): key payload ``{"ts":N,"t":3}`` framed as
+    [8B BE BatchVersion1][8B BE keyLen][key]; value is a bare
+    [8B BE 0] length word. Expects a ``resolved_ts`` column."""
+    key_json = F.format_string('{"ts":%d,"t":3}', F.col("resolved_ts"))
+    key_hex = F.expr(
+        "concat('0000000000000001', "
+        "lpad(hex(octet_length(k)), 16, '0'), hex(k))"
+    )
+    return df.withColumn("k", key_json).withColumn(
+        "key_hex", key_hex
+    ).withColumn("value_hex", F.lit("0000000000000000")).drop("k")
