@@ -105,3 +105,25 @@ def test_no_python_in_plan(spark):
     df = encode_avro_confluent(spark.createDataFrame(ROWS))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_open_ddl_matches_reference_golden(spark):
+    """open/codec_test.go:211: value[8:] must equal
+    {"q":"<query>","t":3} for a create-table DDL."""
+    import json
+    from tigate_spark.functions.encoders import encode_open_ddl
+
+    q = "create table test.t(a tinyint primary key, b int)"
+    df = spark.createDataFrame([Row(
+        seq=1, commit_ts=427, schema_name="test", table_name="t",
+        ddl_type="create table", query=q,
+    )])
+    r = encode_open_ddl(df).first()
+    value = bytes.fromhex(r["value_hex"])
+    assert int.from_bytes(value[0:8], "big") == len(value) - 8
+    assert value[8:].decode() == f'{{"q":"{q}","t":3}}'
+    key = bytes.fromhex(r["key_hex"])
+    assert int.from_bytes(key[0:8], "big") == 1
+    klen = int.from_bytes(key[8:16], "big")
+    assert json.loads(key[16:16 + klen]) == {
+        "ts": 427, "scm": "test", "tbl": "t", "t": 2}

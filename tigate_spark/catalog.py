@@ -2519,6 +2519,47 @@ def encoder_craft_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _open_ddl_oracle() -> str:
+    from tigate_spark.functions.encoders import OPEN_DDL_ACTION
+
+    action = "CASE ddl_type " + " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in OPEN_DDL_ACTION.items()
+    ) + " END"
+    return (
+        _DDL_CTE
+        + f"""
+SELECT seq, commit_ts,
+       '0000000000000001'
+       || lpad(hex(octet_length(encode(k))), 16, '0') || hex(k) AS key_hex,
+       lpad(hex(octet_length(encode(v))), 16, '0') || hex(v) AS value_hex
+FROM (SELECT seq, commit_ts,
+             printf('{{"ts":%d,"scm":"app","tbl":"t%d","t":2}}',
+                    commit_ts, table_id) AS k,
+             printf('{{"q":"%s","t":%d}}', {_json_esc_sql("query")},
+                    {action}) AS v
+      FROM ddl)
+"""
+    )
+
+
+@register(
+    "encoder_open_ddl",
+    _open_ddl_oracle(),
+    doc="Open-protocol DDL message, byte-exact hex (open/codec.go:99-158 "
+        "encodeDDLEvent; codec_test.go:211 create-table golden): key "
+        "{ts,scm,tbl,t:2} framed [8B version][8B keyLen][key], value "
+        "{q,t:ActionType} framed [8B valueLen][value], TiDB parser "
+        "ActionType wire ints",
+)
+def encoder_open_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_open_ddl
+
+    ddl = _ddl_stream(spark, sf_dir).withColumn(
+        "schema_name", F.lit("app")
+    ).withColumn("table_name", F.concat(F.lit("t"), F.col("table_id")))
+    return encode_open_ddl(ddl).select("seq", "commit_ts", "key_hex", "value_hex")
+
+
 @register(
     "encoder_open_resolved",
     _RESOLVED_CTE

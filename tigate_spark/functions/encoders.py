@@ -753,3 +753,43 @@ def encode_open_resolved(df: DataFrame) -> DataFrame:
     return df.withColumn("k", key_json).withColumn(
         "key_hex", key_hex
     ).withColumn("value_hex", F.lit("0000000000000000")).drop("k")
+
+
+#: public TiDB parser ActionType ints (pingcap/tidb parser/model/ddl.go —
+#: stable wire constants; open/codec_test.go:211 shows create table → 3)
+OPEN_DDL_ACTION = {
+    "create table": 3,
+    "drop table": 4,
+    "add column": 5,
+    "truncate table": 11,
+    "rename table": 14,
+}
+
+
+def encode_open_ddl(df: DataFrame) -> DataFrame:
+    """Open-protocol DDL message, byte-exact hex
+    (``open/codec.go:99-158`` encodeDDLEvent): key
+    ``{"ts":N,"scm":s,"tbl":t,"t":2}`` framed
+    [8B BE BatchVersion1][8B BE keyLen][key]; value ``{"q":query,"t":A}``
+    (A = TiDB ActionType int) framed [8B BE valueLen][value]. Expects
+    columns commit_ts, schema_name, table_name, ddl_type, query."""
+    action = F.lit(None).cast("bigint")
+    for name, code in OPEN_DDL_ACTION.items():
+        action = F.when(F.col("ddl_type") == name, code).otherwise(action)
+    key_json = F.format_string(
+        '{"ts":%d,"scm":"%s","tbl":"%s","t":2}',
+        F.col("commit_ts"), json_escape(F.col("schema_name")),
+        json_escape(F.col("table_name")),
+    )
+    value_json = F.format_string(
+        '{"q":"%s","t":%d}', json_escape(F.col("query")), action
+    )
+    out = df.withColumn("k", key_json).withColumn("v", value_json)
+    return out.withColumn(
+        "key_hex",
+        F.expr("concat('0000000000000001', "
+               "lpad(hex(octet_length(k)), 16, '0'), hex(k))"),
+    ).withColumn(
+        "value_hex",
+        F.expr("concat(lpad(hex(octet_length(v)), 16, '0'), hex(v))"),
+    ).drop("k", "v")
