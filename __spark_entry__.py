@@ -68,7 +68,7 @@ _PRIORITY = [
     # r06 rotation continues here: previously-green families in
     # roughly descending staleness (r02-green before r04-green); new r05
     # entries that missed the top-50 window lead.
-    "encoder_craft_resolved", "encoder_open_resolved",
+    "encoder_craft_resolved", "encoder_open_resolved", "encoder_open_ddl",
     "changes_normalize", "streaming_storage_e2e", "streaming_txn_match_e2e",
     "streaming_first_seen_e2e", "streaming_window_counts_e2e",
     "streaming_sessions_e2e",

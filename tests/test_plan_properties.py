@@ -295,3 +295,43 @@ def test_kmeans_centroid_update_is_partial_agg(spark):
     # shuffles for assignment (only the 64-rows-per-cell update does)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "collect_list(q" not in plan
+
+
+def test_chunking_zero_shuffle(spark):
+    """Sliding-window chunking is per-row explode — no exchange; a
+    100 TB documents scan chunks map-side."""
+    df = _df(spark, "text_chunk_documents")
+    assert count_exchanges(df) == 0
+    assert_no_python_in_plan(df)
+
+
+def test_craft_encoders_jvm_side_and_lane_bounded(spark):
+    """Craft framing (single, batch, resolved) and the avro/open wire
+    encoders are pure column expressions; the batch fold shuffles only
+    on the lane key."""
+    for name in ("encoder_craft_framed", "encoder_craft_batch_framed",
+                 "encoder_craft_resolved", "encoder_avro_confluent_framed",
+                 "encoder_open_resolved", "encoder_open_ddl"):
+        assert_no_python_in_plan(_df(spark, name))
+
+
+def test_source_budget_single_lane_shuffle(spark):
+    """Token-budget sampling: the budget side broadcasts; the corpus
+    shuffles once for the per-source window cumsum."""
+    df = _df(spark, "sample_source_token_budget")
+    with no_auto_broadcast(spark):
+        assert count_broadcast_exchanges(df) >= 1
+        assert_no_python_in_plan(df)
+
+
+def test_label_outliers_broadcast_centroids(spark):
+    """Label-outlier audit: centroids/counts broadcast back to the scan;
+    the Lloyd-style partial sum goes through posexplode, never
+    collect_list of whole vectors per label on the corpus side."""
+    from tigate_spark.plans.audit import plan_of
+
+    df = _df(spark, "embed_label_outliers")
+    with no_auto_broadcast(spark):
+        plan = plan_of(df)
+        assert "BroadcastExchange" in plan, plan
+        assert_no_python_in_plan(df)

@@ -1195,3 +1195,117 @@ def corpus_dup_rate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_rate_bp"),
         F.max("c").cast("bigint").alias("largest_dup_group"),
     )
+
+
+@register(
+    "sample_source_token_budget",
+    _TOK_CTE
+    + f"""
+, doc AS (
+  SELECT d.doc_id, d.source, CAST(len(t.tokens) AS BIGINT) AS n_tok,
+         {h32_sql('d.doc_id')} AS h
+  FROM documents d JOIN tok t USING (doc_id)
+), budget AS (
+  SELECT source, CAST(sum(n_tok) * 4 // 10 AS BIGINT) AS budget
+  FROM doc GROUP BY source
+), run AS (
+  SELECT doc.*, budget.budget,
+         CAST(sum(n_tok) OVER (PARTITION BY doc.source
+              ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tok
+  FROM doc JOIN budget USING (source)
+)
+SELECT doc_id, source, n_tok, cum_tok, budget
+FROM run WHERE cum_tok <= budget
+""",
+    doc="Per-source token-budget sampling: each source contributes at "
+        "most 40% of its token mass, filled greedily in deterministic "
+        "hash order (the domain-mixing knob of a pretraining recipe). "
+        "One shuffle on source for the window cumsum; the budget agg is "
+        "partial/map-side — at 100 TB the per-source lanes stream "
+        "independently",
+)
+def sample_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.phash import h32
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc = docs.select(
+        "doc_id", "source",
+        F.expr(f"cast(size({tx.TOKENS_EXPR}) as bigint)").alias("n_tok"),
+        h32(F.col("doc_id")).alias("h"),
+    )
+    budget = doc.groupBy("source").agg(
+        F.expr("cast(sum(n_tok) * 4 div 10 as bigint)").alias("budget")
+    )
+    run = doc.join(F.broadcast(budget), "source").withColumn(
+        "cum_tok",
+        F.expr("cast(sum(n_tok) over (partition by source order by h, doc_id "
+               "rows unbounded preceding) as bigint)"),
+    )
+    return run.filter(F.col("cum_tok") <= F.col("budget")).select(
+        "doc_id", "source", "n_tok", "cum_tok", "budget"
+    )
+
+
+@register(
+    "embed_label_outliers",
+    """
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+  FROM embeddings
+), cen AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         list_transform(range(1, 65),
+           d -> CAST(list_sum(list_transform(list(q), v -> v[d])) AS BIGINT))
+           AS s
+  FROM base GROUP BY label
+), dist AS (
+  SELECT b.vec_id, b.label, cen.n,
+         CAST(list_sum(list_transform(range(1, 65),
+           d -> (b.q[d] * cen.n - cen.s[d]) * (b.q[d] * cen.n - cen.s[d])))
+           AS BIGINT) AS dist2_scaled
+  FROM base b JOIN cen USING (label)
+)
+SELECT vec_id, label, dist2_scaled, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY label
+             ORDER BY dist2_scaled DESC, vec_id) AS BIGINT) AS rk
+  FROM dist) WHERE rk <= 5
+""",
+    doc="Embedding label-outlier detection: per-label centroid (integer "
+        "partial sums via posexplode — never whole-vectors-per-group), "
+        "exact integer distance-to-centroid scaled by n (engine-exact, "
+        "no float reduction order), top-5 farthest per label — the "
+        "mislabeled-example audit of an embedding corpus. Centroids are "
+        "|labels|×64 rows broadcast back; corpus side is one scan",
+)
+def embed_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(sim.QUANT_EXPR).alias("q")
+    )
+    ex = emb.select("label", F.posexplode("q").alias("pos", "x"))
+    cen = (
+        ex.groupBy("label", "pos").agg(F.sum("x").alias("sx"))
+        .groupBy("label").agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, sx))), "
+                   "p -> p.sx)").alias("s")
+        )
+    )
+    n_per = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    joined = emb.join(F.broadcast(cen), "label").join(
+        F.broadcast(n_per), "label"
+    )
+    dist = joined.select(
+        "vec_id", "label",
+        F.expr(
+            "cast(aggregate(zip_with(q, s, (qd, sd) -> "
+            "(qd * n - sd) * (qd * n - sd)), 0L, (acc, v) -> acc + v) "
+            "as bigint)"
+        ).alias("dist2_scaled"),
+    )
+    return dist.withColumn(
+        "rk",
+        F.expr("cast(row_number() over (partition by label "
+               "order by dist2_scaled desc, vec_id) as bigint)"),
+    ).filter(F.col("rk") <= 5).select("vec_id", "label", "dist2_scaled", "rk")
