@@ -69,6 +69,7 @@ _PRIORITY = [
     # roughly descending staleness (r02-green before r04-green); new r05
     # entries that missed the top-50 window lead.
     "encoder_craft_resolved", "encoder_open_resolved", "encoder_open_ddl",
+    "sample_source_token_budget", "embed_label_outliers",
     "changes_normalize", "streaming_storage_e2e", "streaming_txn_match_e2e",
     "streaming_first_seen_e2e", "streaming_window_counts_e2e",
     "streaming_sessions_e2e",

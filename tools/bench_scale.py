@@ -43,6 +43,9 @@ QUERIES = [
     "tpch_q21_waiting_suppliers", "cdc_pipeline_e2e", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "sim_cosine_topk", "embed_kmeans_clusters", "text_quality_score",
+    # r05 additions: grouped craft fold, chunk explode, budget window
+    "encoder_craft_batch_framed", "text_chunk_documents",
+    "sample_source_token_budget",
 ]
 
 
