@@ -70,6 +70,7 @@ _PRIORITY = [
     # entries that missed the top-50 window lead.
     "encoder_craft_resolved", "encoder_open_resolved", "encoder_open_ddl",
     "sample_source_token_budget", "embed_label_outliers",
+    "streaming_blackhole_e2e",
     "changes_normalize", "streaming_storage_e2e", "streaming_txn_match_e2e",
     "streaming_first_seen_e2e", "streaming_window_counts_e2e",
     "streaming_sessions_e2e",

@@ -474,3 +474,38 @@ def sink_batch_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(progress)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_blackhole_e2e",
+    ORACLE_CHANGES_CTE + """
+SELECT table_id,
+       max(commit_ts) AS resolved_ts,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(0 AS BIGINT) AS batch_id
+FROM changes
+GROUP BY table_id
+""",
+    doc="K3 blackhole sink end-to-end: a real availableNow changefeed "
+        "through the noop writer (throughput path, "
+        "downstreamadapter/sink blackhole) with K4 bookkeeping attached — "
+        "proves the no-output sink still records per-table progress; "
+        "first oracle-checked entry for K3",
+)
+def streaming_blackhole_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.streaming.changefeed import Changefeed
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        cfg = ChangefeedConfig(changefeed_id="k3-e2e", sink_uri="noop://")
+        cf = Changefeed(
+            spark, cfg, os.path.join(sf_dir, "events.parquet"), work
+        )
+        cf.run_to_completion()
+        progress = spark.read.parquet(cf.bookkeeping.progress_dir).select(
+            "table_id", "resolved_ts", "n_events",
+            F.col("batch_id").cast("bigint").alias("batch_id"),
+        )
+        return _materialize(progress)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
