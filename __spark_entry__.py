@@ -61,16 +61,22 @@ _PRIORITY = [
     "sink_checkpoint_messages", "sink_batch_progress",
     "encoder_craft_framed", "encoder_avro_confluent_framed",
     "encoder_craft_batch_framed", "text_chunk_documents",
+    # flagship new r05 LLM-curation op (SemDeDup) takes the slot of the
+    # cdc_pipeline_e2e canary — entry() already smoke-runs that exact
+    # pipeline every round and its code is unchanged since its r04 green
+    "dedup_semantic_semdedup",
     # re-verification canaries to round out the 50 (changelog e2e kept:
-    # its sink codec changed to lz4 this round)
-    "cdc_pipeline_e2e",
+    # its sink codec changed to lz4 this round; replica kept: its state
+    # store moved to the partition manifest this round)
     "streaming_replica_e2e", "streaming_changelog_e2e",
     # r06 rotation continues here: previously-green families in
     # roughly descending staleness (r02-green before r04-green); new r05
     # entries that missed the top-50 window lead.
+    "sample_importance_dsir", "decontaminate_fuzzy_minhash",
+    "corpus_shuffle_assign",
     "encoder_craft_resolved", "encoder_open_resolved", "encoder_open_ddl",
     "sample_source_token_budget", "embed_label_outliers",
-    "streaming_blackhole_e2e",
+    "streaming_blackhole_e2e", "cdc_pipeline_e2e",
     "changes_normalize", "streaming_storage_e2e", "streaming_txn_match_e2e",
     "streaming_first_seen_e2e", "streaming_window_counts_e2e",
     "streaming_sessions_e2e",

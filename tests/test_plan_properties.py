@@ -335,3 +335,44 @@ def test_label_outliers_broadcast_centroids(spark):
         plan = plan_of(df)
         assert "BroadcastExchange" in plan, plan
         assert_no_python_in_plan(df)
+
+
+def test_semdedup_chunk_local_pairs(spark):
+    """SemDeDup: near-dup pairs come from chunk-local array combinations
+    (flatten/transform of collected (cell, chk) runs), never a self-join
+    of the assigned corpus; the codebook joins by broadcast."""
+    from tigate_spark.plans.audit import plan_of
+
+    df = _df(spark, "dedup_semantic_semdedup")
+    with no_auto_broadcast(spark):
+        plan = plan_of(df)
+        assert "flatten(transform(sequence" in plan
+        assert "BroadcastExchange" in plan, plan
+        assert_no_python_in_plan(df)
+
+
+def test_dsir_bucket_table_broadcasts(spark):
+    """DSIR importance weights: the 256-row bucket-ratio table broadcasts
+    back to the token stream — the corpus is never shuffled for scoring
+    (the only exchanges are the two fixed-width bucket aggs + doc agg)."""
+    df = _df(spark, "sample_importance_dsir")
+    with no_auto_broadcast(spark):
+        assert count_broadcast_exchanges(df) >= 1
+        assert_no_python_in_plan(df)
+
+
+def test_fuzzy_decontaminate_broadcasts_eval_index(spark):
+    """Fuzzy MinHash decontamination: the eval band index broadcasts; the
+    training corpus takes one signature scan + broadcast join."""
+    df = _df(spark, "decontaminate_fuzzy_minhash")
+    with no_auto_broadcast(spark):
+        assert count_broadcast_exchanges(df) >= 1
+        assert_no_python_in_plan(df)
+
+
+def test_corpus_shuffle_single_exchange(spark):
+    """Global shuffle assignment: exactly the one shard-key exchange you
+    must pay to randomize order — no global sort, no second shuffle."""
+    df = _df(spark, "corpus_shuffle_assign")
+    assert count_exchanges(df) == 1
+    assert_no_python_in_plan(df)

@@ -1309,3 +1309,184 @@ def embed_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(row_number() over (partition by label "
                "order by dist2_scaled desc, vec_id) as bigint)"),
     ).filter(F.col("rk") <= 5).select("vec_id", "label", "dist2_scaled", "rk")
+
+
+# ===========================================================================
+# Training-data pipeline extensions, round 5: semantic dedup (SemDeDup),
+# DSIR importance weights, fuzzy MinHash decontamination, global shuffle
+# ===========================================================================
+@register(
+    "dedup_semantic_semdedup",
+    _QUANT_CTE
+    + _km_cte(8, 2)
+    + f"""
+, asg AS (
+  SELECT vec_id, q, norm_sq, cell FROM (
+    SELECT b.vec_id, b.q, b.norm_sq, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_KM_DIST}, c.cent_id) AS rn
+    FROM base b CROSS JOIN c2 c) WHERE rn = 1
+), chunked AS (
+  SELECT vec_id, q, norm_sq, cell,
+         (row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1) // 100 AS chk
+  FROM asg
+), pr AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    CAST(round(
+      CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT)
+      / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) * 10000
+    ) AS BIGINT) AS cos_bp
+  FROM chunked a JOIN chunked b
+    ON a.cell = b.cell AND a.chk = b.chk AND a.vec_id < b.vec_id
+), pairs AS (SELECT * FROM pr WHERE cos_bp >= 3000),
+part AS (
+  SELECT vec_a AS vec_id, 0 AS is_b FROM pairs
+  UNION ALL
+  SELECT vec_b AS vec_id, 1 AS is_b FROM pairs
+), stats AS (
+  SELECT vec_id, count(*) AS n_near_dups, max(is_b) AS removed FROM part GROUP BY 1
+)
+SELECT a.vec_id, a.cell AS cluster,
+       CAST(COALESCE(s.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+       CAST(COALESCE(s.removed, 0) AS BIGINT) AS removed
+FROM asg a LEFT JOIN stats s ON a.vec_id = s.vec_id
+""",
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cells "
+        "scope the near-dup search, pairs form only within chunk-sliced "
+        "cell runs (pair work linear in cell size, never quadratic), and "
+        "each vector with a lower-id near-dup in its cluster is marked "
+        "removed (deterministic keep-one) — one curation-decision row per "
+        "vector; in production k scales with the corpus so cells stay small",
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sim.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id", "cluster", "n_near_dups",
+        F.col("removed").cast("bigint").alias("removed"),
+    )
+
+
+#: DSIR hashed-feature bucket count (fixed — the broadcast table is 256
+#: rows at any corpus size)
+_DSIR_BUCKETS = 256
+
+
+@register(
+    "sample_importance_dsir",
+    _TOK_CTE
+    + f"""
+, inst AS (
+  SELECT doc_id, {h32_sql('t')} % {_DSIR_BUCKETS} AS bkt
+  FROM (SELECT doc_id, unnest(tokens) AS t FROM tok)
+), btab AS (
+  SELECT bkt,
+         sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END) AS cr
+  FROM inst GROUP BY 1
+), rtab AS (
+  SELECT bkt, ((ct + 1) * 10000) // (cr + 1) AS ratio_bp FROM btab
+)
+SELECT i.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(r.ratio_bp) AS BIGINT) AS imp_weight_sum
+FROM inst i JOIN rtab r ON i.bkt = r.bkt
+WHERE i.doc_id % 50 <> 0
+GROUP BY 1
+""",
+    doc="DSIR-style importance weights (Xie et al. 2023, 'Data selection "
+        "for language models via importance resampling'): hashed unigram "
+        "features (256 md5 buckets), target = the eval holdout "
+        "(doc_id % 50 = 0 stand-in), raw = the rest; per-bucket "
+        "add-one-smoothed target/raw ratio in integer basis points, doc "
+        "weight = sum of its token-instance ratios (integer sum — "
+        "order-independent, bit-equal cross-engine). The bucket table is "
+        "256 rows at any corpus size → broadcast; scoring is one corpus "
+        "scan + broadcast join, no shuffle of the corpus",
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.phash import h32
+
+    docs = load_table(spark, sf_dir, "documents")
+    inst = (
+        tx.with_tokens(docs)
+        .select("doc_id", F.explode("tokens").alias("t"))
+        .select("doc_id", (h32(F.col("t")) % _DSIR_BUCKETS).alias("bkt"))
+    )
+    btab = inst.groupBy("bkt").agg(
+        F.sum(F.when(F.col("doc_id") % 50 == 0, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("doc_id") % 50 != 0, 1).otherwise(0)).alias("cr"),
+    )
+    rtab = btab.select("bkt", F.expr("((ct + 1) * 10000) div (cr + 1)").alias("ratio_bp"))
+    return (
+        inst.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(rtab), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("ratio_bp").alias("imp_weight_sum"),
+        )
+    )
+
+
+@register(
+    "decontaminate_fuzzy_minhash",
+    _SHINGLE_CTE
+    + f"""
+, sigs AS (
+  SELECT doc_id, {_MINHASH_SIG_SQL} AS sig
+  FROM sh WHERE len(shingles) >= 1
+), bands AS (
+  SELECT doc_id, g.band,
+         printf('%d:%d', sig[2 * g.band + 1], sig[2 * g.band + 2]) AS v
+  FROM sigs, (SELECT unnest(range({dd.MINHASH_BANDS})) AS band) g
+), ev AS (SELECT doc_id AS eval_doc, band, v FROM bands WHERE doc_id % 50 = 0),
+tr AS (SELECT * FROM bands WHERE doc_id % 50 <> 0)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_band_hits,
+       CAST(count(DISTINCT e.eval_doc) AS BIGINT) AS n_eval_docs
+FROM tr t JOIN ev e ON t.band = e.band AND t.v = e.v
+GROUP BY 1
+""",
+    doc="Fuzzy benchmark decontamination: training docs whose MinHash LSH "
+        "bands (b=4, r=2) collide with an eval-holdout doc's bands — the "
+        "near-duplicate contamination check (the exact-overlap twin is "
+        "decontaminate_vs_eval). The eval band index broadcasts (eval "
+        "sets are tiny); the corpus streams through one signature scan + "
+        "broadcast join, no corpus shuffle at any scale",
+)
+def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.fuzzy_decontaminate(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_shuffle_assign",
+    f"""
+SELECT doc_id,
+       {h32_sql("'shuf:' || CAST(doc_id AS VARCHAR)")} % 64 AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY {h32_sql("'shuf:' || CAST(doc_id AS VARCHAR)")} % 64
+         ORDER BY {h32_sql("'ord:' || CAST(doc_id AS VARCHAR)")}, doc_id
+       ) AS BIGINT) AS pos
+FROM documents
+""",
+    doc="Deterministic global shuffle for training-data layout: every doc "
+        "gets a salted-hash shard (64 shards) and a hash-ordered position "
+        "within its shard — the reproducible corpus shuffle before "
+        "sequence packing. At 100 TB this is exactly one shuffle on the "
+        "shard key (the shuffle you must pay to randomize order) and a "
+        "per-shard sort; no global sort, no driver state",
+)
+def corpus_shuffle_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from tigate_spark.functions.phash import h32
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (h32(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))) % 64)
+    okey = h32(F.concat(F.lit("ord:"), F.col("doc_id").cast("string")))
+    d = docs.select("doc_id", shard.alias("shard"), okey.alias("okey"))
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    return d.select(
+        "doc_id", "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

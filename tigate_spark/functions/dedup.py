@@ -328,3 +328,34 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 6,
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def fuzzy_decontaminate(df: DataFrame, eval_mod: int = 50) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag training docs whose MinHash
+    LSH bands collide with any *eval-holdout* doc's bands — the
+    near-duplicate (not just exact-n-gram) contamination check used on
+    web-scale pretraining corpora (the MinHash analogue of the exact
+    shingle-overlap check in ``decontaminate_vs_eval``).
+
+    Eval side = ``doc_id % eval_mod == 0`` (the stand-in holdout). Eval
+    sets are tiny relative to the corpus, so the eval band index
+    broadcasts; the training corpus streams through one signature scan and
+    one broadcast-hash join — no shuffle of the corpus at any scale.
+    Output: (doc_id, n_band_hits, n_eval_docs) for every flagged
+    training doc.
+    """
+    bands = lsh_bands(df)
+    ev = F.broadcast(
+        bands.filter(F.col("doc_id") % eval_mod == 0).select(
+            F.col("doc_id").alias("eval_doc"), "band", "v"
+        )
+    )
+    train = bands.filter(F.col("doc_id") % eval_mod != 0)
+    return (
+        train.join(ev, ["band", "v"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_band_hits"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+    )

@@ -406,3 +406,82 @@ def ivf_trained_topk(df: DataFrame, k_cents: int = 8, iters: int = 2,
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "cos_bp")
     )
+
+
+#: chunk size for within-cell pair generation in semantic dedup — bounds
+#: pair work at CAP²/2 per chunk (linear in cell size, never quadratic)
+SEMDEDUP_CHUNK = 100
+
+
+def semantic_dedup(df: DataFrame, k: int = 8, iters: int = 2,
+                   threshold_bp: int = 3000,
+                   chunk: int = SEMDEDUP_CHUNK) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the corpus with the k-means coarse quantizer,
+    generate near-dup pairs only *within* a cluster, and mark every vector
+    that has a lower-id near-duplicate in its cluster for removal (keep
+    the lowest id of each near-dup group — SemDeDup's keep-one policy made
+    deterministic).
+
+    Scale design: pair generation is chunked — each cell's members are
+    ordered by vec_id and sliced into ``chunk``-sized runs; pairs form
+    only within a run, so per-cell pair work is linear in cell size
+    (cells × chunk²/2), never quadratic. In production k scales with the
+    corpus (SemDeDup fits k ≈ N/10⁴ clusters) so cells stay small; the
+    chunking is the engine-side guarantee that a pathological cell cannot
+    blow up the plan. Output: one curation-decision row per vector —
+    (vec_id, cluster, n_near_dups, removed).
+    """
+    from pyspark.sql import Window
+
+    base = with_quantized(df).select("vec_id", "q", "norm_sq")
+    cents = kmeans_train(df, k, iters)
+    cells = _assign_cells(base, cents)
+    rn = F.row_number().over(Window.partitionBy("cell").orderBy("vec_id"))
+    chunked = cells.withColumn("rn", rn).withColumn(
+        "chk", F.expr(f"(rn - 1) div {chunk}")
+    )
+    buckets = (
+        chunked.groupBy("cell", "chk")
+        .agg(F.expr("array_sort(collect_list(struct(vec_id, q, norm_sq)))").alias("vs"))
+        .filter(F.size("vs") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(sequence(0, size(vs) - 2), i -> "
+        "transform(sequence(i + 1, size(vs) - 1), j -> "
+        "struct(vs[i] as a, vs[j] as b))))"
+    )
+    scored = (
+        buckets.select(F.col("cell"), F.explode(pairs).alias("p"))
+        .select(
+            "cell",
+            F.col("p.a.vec_id").alias("vec_a"),
+            F.col("p.b.vec_id").alias("vec_b"),
+            F.expr(
+                "cast(round(aggregate(zip_with(p.a.q, p.b.q, (x, y) -> x * y), "
+                "0L, (acc, x) -> acc + x) / (sqrt(cast(p.a.norm_sq as double)) * "
+                "sqrt(cast(p.b.norm_sq as double))) * 10000) as bigint)"
+            ).alias("cos_bp"),
+        )
+        .filter(F.col("cos_bp") >= threshold_bp)
+    )
+    part = scored.select(
+        F.col("vec_a").alias("vec_id"), F.lit(False).alias("is_b")
+    ).unionByName(
+        scored.select(F.col("vec_b").alias("vec_id"), F.lit(True).alias("is_b"))
+    )
+    stats = part.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_near_dups"),
+        F.max("is_b").alias("removed"),
+    )
+    return (
+        cells.select("vec_id", F.col("cell").alias("cluster"))
+        .join(stats, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("n_near_dups", F.lit(0)).cast("bigint").alias("n_near_dups"),
+            F.coalesce("removed", F.lit(False)).alias("removed"),
+        )
+    )
