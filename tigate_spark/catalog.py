@@ -522,6 +522,56 @@ def changefeed_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o_ops.changefeed_checkpoint(changes_stream(spark, sf_dir))
 
 
+_SEQ_LOSS_HASH = h32_sql(
+    "'loss:' || CAST(table_id AS VARCHAR) || ':' || CAST(sender_seq AS VARCHAR)"
+)
+
+
+@register(
+    "seq_gap_resets",
+    ORACLE_CHANGES_CTE
+    + f"""
+, sent AS (
+  SELECT table_id, commit_ts, seq,
+         row_number() OVER (PARTITION BY table_id
+                            ORDER BY commit_ts, seq) AS sender_seq
+  FROM changes
+), marked AS (
+  SELECT *, CASE WHEN {_SEQ_LOSS_HASH} % 37 = 0 THEN 1 ELSE 0 END AS lost
+  FROM sent
+), g1 AS (
+  SELECT *, min(CASE WHEN lost = 1 THEN sender_seq END)
+              OVER (PARTITION BY table_id) AS first_gap
+  FROM marked
+), g2 AS (
+  SELECT *, max(CASE WHEN sender_seq < first_gap THEN commit_ts END)
+              OVER (PARTITION BY table_id) AS resend_start
+  FROM g1
+)
+SELECT table_id,
+  CAST(sum(1 - lost) AS BIGINT) AS n_received,
+  CAST(COALESCE(any_value(first_gap) - 1, count(*)) AS BIGINT) AS n_accepted,
+  CAST(max(lost) AS BIGINT) AS reset_needed,
+  CAST(CASE WHEN max(lost) = 1 THEN COALESCE(any_value(resend_start), 0)
+       ELSE 0 END AS BIGINT) AS resend_start_ts,
+  CAST(CASE WHEN max(lost) = 1 THEN
+         sum(CASE WHEN commit_ts > COALESCE(resend_start, -1) THEN 1 ELSE 0 END)
+       ELSE 0 END AS BIGINT) AS n_resent
+FROM g2 GROUP BY 1
+""",
+    doc="T10: seq/handshake reset protocol, batch twin of the consumer "
+        "decision logic (checkEventSeq, event_collector.go:469-496; "
+        "handshake_event.go): per-lane consecutive sender seq, "
+        "deterministic ~1/37 transport loss, accepted prefix before the "
+        "first gap, RESET request carrying sendCommitTs, and the re-pull "
+        "size from that position — production Spark replaces the wire "
+        "protocol with exactly-once source offsets (SURVEY §7.3), this "
+        "keeps the protocol's decision table testable for parity",
+)
+def seq_gap_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return o_ops.seq_gap_resets(changes_stream(spark, sf_dir))
+
+
 # ==========================================================================
 # Schema registry T3/T4
 # ==========================================================================
