@@ -73,7 +73,7 @@ _PRIORITY = [
     # roughly descending staleness (r02-green before r04-green); new r05
     # entries that missed the top-50 window lead.
     "sample_importance_dsir", "decontaminate_fuzzy_minhash",
-    "corpus_shuffle_assign", "seq_gap_resets",
+    "corpus_shuffle_assign", "seq_gap_resets", "streaming_incr_agg_e2e",
     "encoder_craft_resolved", "encoder_open_resolved", "encoder_open_ddl",
     "sample_source_token_budget", "embed_label_outliers",
     "streaming_blackhole_e2e", "cdc_pipeline_e2e",

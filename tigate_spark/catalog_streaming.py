@@ -509,3 +509,98 @@ def streaming_blackhole_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(progress)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_incr_agg_e2e",
+    ORACLE_CHANGES_CTE + """
+SELECT table_id, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(value_cents) AS BIGINT) AS sum_cents,
+       max(commit_ts) AS last_commit_ts
+FROM changes
+GROUP BY 1, 2
+""",
+    doc="Streaming incremental-aggregate (IVM) maintenance end-to-end: "
+        "the source is pre-split into 4 commit-ts-range files and "
+        "consumed one file per micro-batch (maxFilesPerTrigger=1 — a "
+        "genuinely multi-batch availableNow run); each batch appends its "
+        "partial aggregate delta (count/sum/max per (table_id, "
+        "event_type)) and the maintained view is the fold of the deltas — "
+        "the partial-aggregate + compaction layout (batch twin: "
+        "apply_incremental_agg; at 100 TB the delta append is O(groups "
+        "touched per batch) and compaction is a background re-agg, the "
+        "standard streaming-IVM shape)",
+)
+def streaming_incr_agg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.sources.changes import normalize_events
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        base = spark.read.parquet(src)
+        # deterministic 4-way commit-range split so the availableNow run
+        # really is multi-batch (one file per trigger)
+        src_dir = os.path.join(work, "src")
+        n = base.count()
+        per = max(n // 4, 1)
+        ranked = base.withColumn(
+            "part",
+            F.expr(
+                "least(cast((row_number() over (order by ts, event_id) - 1) "
+                f"div {per} as int), 3)"
+            ),
+        )
+        # one partitioned write: the global row_number window leaves a
+        # single partition, so each part= dir gets exactly one file
+        ranked.write.partitionBy("part").parquet(src_dir)
+        schema = base.schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(os.path.join(src_dir, "part=*"))
+        )
+        ch = normalize_events(raw)
+        delta_dir = os.path.join(work, "deltas")
+        ckpt = os.path.join(work, "ckpt")
+
+        def append_delta(batch_df: DataFrame, batch_id: int) -> None:
+            delta = batch_df.groupBy("table_id", "event_type").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value_cents").alias("sum_cents"),
+                F.max("commit_ts").alias("last_commit_ts"),
+            )
+            delta.write.mode("append").parquet(delta_dir)
+
+        q = (
+            ch.writeStream.foreachBatch(append_delta)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        n_batches = (
+            spark.read.json(os.path.join(ckpt, "offsets")).count()
+            if os.path.isdir(os.path.join(ckpt, "offsets"))
+            else 0
+        )
+        if n > 4 and n_batches < 2:
+            raise RuntimeError(
+                f"expected a multi-batch run, got {n_batches} micro-batches"
+            )
+        # compaction: the maintained view = fold of the appended deltas
+        view = (
+            spark.read.parquet(delta_dir)
+            .groupBy("table_id", "event_type")
+            .agg(
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+                F.max("last_commit_ts").alias("last_commit_ts"),
+            )
+        )
+        return _materialize(view)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

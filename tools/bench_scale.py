@@ -46,6 +46,12 @@ QUERIES = [
     # r05 additions: grouped craft fold, chunk explode, budget window
     "encoder_craft_batch_framed", "text_chunk_documents",
     "sample_source_token_budget",
+    # late-r05 curation ops: cell-chunked semantic dedup, broadcast DSIR
+    # scoring, broadcast fuzzy-decontamination, single-shuffle global
+    # shuffle, lane-window seq protocol
+    "dedup_semantic_semdedup", "sample_importance_dsir",
+    "decontaminate_fuzzy_minhash", "corpus_shuffle_assign",
+    "seq_gap_resets",
 ]
 
 
