@@ -9,109 +9,13 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import Row
 
-from tests.test_craft_codec import (
-    _delta_varint_chunk,
-    _uvarint,
-    _uvarint_reversed_tail,
-    _varint,
+from tigate_spark.functions.craft_decoder import (
+    decode_craft_batch,
+    delta_varint_chunk as _delta_varint_chunk,
+    uvarint as _uvarint,
+    uvarint_reversed_tail as _uvarint_reversed_tail,
+    varint as _varint,
 )
-
-
-def _delta_uvarint_chunk(b: bytes, i: int, n: int) -> tuple[list[int], int]:
-    out = []
-    last = 0
-    for k in range(n):
-        v, i = _uvarint(b, i)
-        last = v if k == 0 else last + v
-        out.append(last)
-    return out, i
-
-
-def _parse_group(raw: bytes, i: int, gsize: int, terms: list[str]) -> tuple[int, dict, int]:
-    g_end = i + gsize
-    gty = raw[i]
-    i += 1
-    ncols, i = _uvarint(raw, i)
-    name_ids, i = _delta_varint_chunk(raw, i, ncols)
-    types, flags = [], []
-    for _ in range(ncols):
-        t, i = _uvarint(raw, i)
-        types.append(t)
-    for _ in range(ncols):
-        f, i = _uvarint(raw, i)
-        flags.append(f)
-    vlens = []
-    for _ in range(ncols):
-        ln, i = _varint(raw, i)
-        vlens.append(ln)
-    cols = {}
-    for k in range(ncols):
-        name = terms[name_ids[k]]
-        if vlens[k] < 0:
-            cols[name] = None
-        elif types[k] == 15:
-            cols[name] = raw[i:i + vlens[k]].decode()
-            i += vlens[k]
-        else:
-            v, i2 = _varint(raw, i)
-            assert i2 - i == vlens[k]
-            cols[name] = v
-            i = i2
-    assert i == g_end, (i, g_end)
-    return gty, {"types": types, "flags": flags, "cols": cols}, i
-
-
-def decode_craft_batch(raw: bytes) -> dict:
-    """Multi-event craft message decoder (reference batch algorithm)."""
-    version, i = _uvarint(raw, 0)
-    assert version == 1
-    st_size, nrev = _uvarint_reversed_tail(raw)
-    tables_start = len(raw) - nrev - st_size
-    tb, j = raw[tables_start:len(raw) - nrev], 0
-    tables = []
-    while j < len(tb):
-        n, j = _uvarint(tb, j)
-        chunk, j = _delta_varint_chunk(tb, j, n)
-        tables.append(chunk)
-    meta, body_sizes = tables[0], tables[1]
-    hdr_size, dict_size = meta[0], meta[1]
-    n_events = len(body_sizes)
-    assert len(tables) == 2 + n_events
-    # term dictionary after header + all event bodies
-    dict_off = i + hdr_size + sum(body_sizes)
-    db, dj = raw[dict_off:dict_off + dict_size], 0
-    ndict, dj = _uvarint(db, dj)
-    lens = []
-    for _ in range(ndict):
-        ln, dj = _uvarint(db, dj)
-        lens.append(ln)
-    terms = []
-    for ln in lens:
-        terms.append(db[dj:dj + ln].decode())
-        dj += ln
-    # columnar headers across all events
-    ts, i = _delta_uvarint_chunk(raw, i, n_events)
-    ty = []
-    for _ in range(n_events):
-        t, i = _uvarint(raw, i)
-        ty.append(t)
-    partition, i = _delta_varint_chunk(raw, i, n_events)
-    schema_ids, i = _delta_varint_chunk(raw, i, n_events)
-    table_ids, i = _delta_varint_chunk(raw, i, n_events)
-    events = []
-    for e in range(n_events):
-        body_end = i + body_sizes[e]
-        groups = {}
-        for gsize in tables[2 + e]:
-            gty, g, i = _parse_group(raw, i, gsize, terms)
-            groups[gty] = g
-        assert i == body_end, (i, body_end)
-        events.append({
-            "ts": ts[e], "type": ty[e], "partition": partition[e],
-            "schema": terms[schema_ids[e]], "table": terms[table_ids[e]],
-            "groups": groups,
-        })
-    return {"events": events}
 
 
 def _mk_row(seq, op, ts, pk, cents):

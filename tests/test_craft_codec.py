@@ -9,118 +9,15 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-
-def _uvarint(b: bytes, i: int) -> tuple[int, int]:
-    x, s = 0, 0
-    while True:
-        x |= (b[i] & 0x7F) << s
-        s += 7
-        i += 1
-        if not b[i - 1] & 0x80:
-            return x, i
-
-
-def _varint(b: bytes, i: int) -> tuple[int, int]:
-    u, i = _uvarint(b, i)
-    return (u >> 1) ^ -(u & 1), i
-
-
-def _uvarint_reversed_tail(b: bytes) -> tuple[int, int]:
-    # decodeUvarintReversed reads from the END of the buffer
-    x, s, n = 0, 0, 0
-    i = len(b) - 1
-    while True:
-        x |= (b[i] & 0x7F) << s
-        s += 7
-        n += 1
-        if not b[i] & 0x80:
-            return x, n
-        i -= 1
-
-
-def _delta_varint_chunk(b: bytes, i: int, n: int) -> tuple[list[int], int]:
-    out = []
-    last = 0
-    for k in range(n):
-        v, i = _varint(b, i)
-        last = v if k == 0 else last + v
-        out.append(last)
-    return out, i
-
-
-def decode_craft(raw: bytes) -> dict:
-    """Single-event craft message decoder (reference algorithm)."""
-    version, i = _uvarint(raw, 0)
-    assert version == 1
-    # size tables from the tail (decodeSizeTables)
-    st_size, nrev = _uvarint_reversed_tail(raw)
-    tables_start = len(raw) - nrev - st_size
-    tb, j = raw[tables_start:len(raw) - nrev], 0
-    tables = []
-    while j < len(tb):
-        n, j = _uvarint(tb, j)
-        chunk, j = _delta_varint_chunk(tb, j, n)
-        tables.append(chunk)
-    meta, body_sizes = tables[0], tables[1]
-    hdr_size, dict_size = meta[0], meta[1]
-    body_total = sum(body_sizes)
-    # term dictionary sits after header+body
-    dict_off = i + hdr_size + body_total
-    db, dj = raw[dict_off:dict_off + dict_size], 0
-    ndict, dj = _uvarint(db, dj)
-    lens = []
-    for _ in range(ndict):
-        ln, dj = _uvarint(db, dj)
-        lens.append(ln)
-    terms = []
-    for ln in lens:
-        terms.append(db[dj:dj + ln].decode())
-        dj += ln
-    # headers (single event)
-    ts, i = _uvarint(raw, i)
-    ty, i = _uvarint(raw, i)
-    (partition,), i = _delta_varint_chunk(raw, i, 1)
-    (schema_id,), i = _delta_varint_chunk(raw, i, 1)
-    (table_id,), i = _delta_varint_chunk(raw, i, 1)
-    # column groups
-    groups = {}
-    for gsize in tables[2]:
-        g_end = i + gsize
-        gty = raw[i]
-        i += 1
-        ncols, i = _uvarint(raw, i)
-        name_ids, i = _delta_varint_chunk(raw, i, ncols)
-        types, flags = [], []
-        for _ in range(ncols):
-            t, i = _uvarint(raw, i)
-            types.append(t)
-        for _ in range(ncols):
-            f, i = _uvarint(raw, i)
-            flags.append(f)
-        vlens = []
-        for _ in range(ncols):
-            ln, i = _varint(raw, i)
-            vlens.append(ln)
-        cols = {}
-        for k in range(ncols):
-            name = terms[name_ids[k]]
-            if vlens[k] < 0:
-                cols[name] = None
-            elif types[k] == 15:
-                cols[name] = raw[i:i + vlens[k]].decode()
-                i += vlens[k]
-            else:
-                v, i2 = _varint(raw, i)
-                assert i2 - i == vlens[k]
-                cols[name] = v
-                i = i2
-        assert i == g_end, (i, g_end)
-        groups[gty] = {"types": types, "flags": flags, "cols": cols}
-    return {
-        "ts": ts, "type": ty, "partition": partition,
-        "schema": terms[schema_id], "table": terms[table_id],
-        "groups": groups,
-    }
+# the decoder lives in the engine package now (consumer-side E7 surface);
+# it stays independent of the hex-generating encoder SQL
+from tigate_spark.functions.craft_decoder import (  # noqa: F401
+    decode_craft,
+    delta_varint_chunk as _delta_varint_chunk,
+    uvarint as _uvarint,
+    uvarint_reversed_tail as _uvarint_reversed_tail,
+    varint as _varint,
+)
 
 
 _SCHEMA = (

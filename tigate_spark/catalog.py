@@ -2461,6 +2461,68 @@ def encoder_craft_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decoder_craft_framed",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, schema_name, table_name, commit_ts, op, pk, event_type,
+       CASE WHEN op = 'D' THEN value_cents - 100 ELSE value_cents END
+         AS value_cents,
+       user_id
+FROM changes
+""",
+    doc="E7 craft consumer: decode the Spark-encoded single-event craft "
+        "binary back into typed change rows via an independent Python "
+        "decoder over Arrow mapInPandas (message_decoder.go algorithm; "
+        "encoder and decoder meet only at the byte level). The hash match "
+        "against the pre-encode truth proves the full encode→decode "
+        "round trip; per-partition, no shuffle",
+)
+def decoder_craft_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.craft import encode_craft_row
+    from tigate_spark.functions.craft_decoder import craft_decode_rows
+
+    enc = encode_craft_row(_craft_prepared(spark, sf_dir)).select(
+        "seq", "message_hex"
+    )
+    return craft_decode_rows(enc)
+
+
+@register(
+    "decoder_craft_batch_framed",
+    ORACLE_CHANGES_CTE
+    + """
+, lane AS (
+  SELECT *, row_number() OVER (PARTITION BY schema_name, table_name
+                               ORDER BY commit_ts, seq) - 1 AS rn
+  FROM changes
+)
+SELECT schema_name, table_name,
+       CAST(rn // 16 AS BIGINT) AS batch_seq,
+       CAST(rn % 16 AS BIGINT) AS event_idx,
+       commit_ts, op, pk, event_type,
+       CASE WHEN op = 'D' THEN value_cents - 100 ELSE value_cents END
+         AS value_cents,
+       user_id
+FROM lane
+""",
+    doc="E7 craft batch consumer: decode the multi-event "
+        "RowChangedEventBuffer messages (columnar headers, shared term "
+        "dictionary, per-event size tables) back into one row per event "
+        "with its position in the lane's (commit_ts, seq) order — the "
+        "batch encode→decode round trip hash-matched against the "
+        "pre-encode truth (message_encoder.go:268-303 layout)",
+)
+def decoder_craft_batch_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.craft import encode_craft_batch
+    from tigate_spark.functions.craft_decoder import craft_decode_batches
+
+    enc = encode_craft_batch(_craft_prepared(spark, sf_dir)).select(
+        "schema_name", "table_name", "batch_seq", "message_hex"
+    )
+    return craft_decode_batches(enc)
+
+
 def _craft_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = changes_stream(spark, sf_dir)
     new_img = F.col("op").isin("I", "U")
