@@ -376,3 +376,22 @@ def test_corpus_shuffle_single_exchange(spark):
     df = _df(spark, "corpus_shuffle_assign")
     assert count_exchanges(df) == 1
     assert_no_python_in_plan(df)
+
+
+def test_encode_is_pure_task_parallelism(spark):
+    """E3 (encoder group): the reference runs N concurrent encoders over a
+    futures queue (encoder_group.go:42-145); in Spark the per-row encode
+    is a zero-exchange map stage, so parallelism IS the input partition
+    count — nothing to schedule, no order-restoring queue needed. Pinned:
+    the canal-json encode plan has no exchange between scan and output,
+    and repartitioning the input multiplies encode tasks with no change
+    to the plan shape."""
+    from tigate_spark.functions.encoders import encode_canal_json
+    from tigate_spark.sources.changes import changes_stream
+
+    ch = changes_stream(spark, SF_DIR, with_images=True).repartition(8)
+    enc = encode_canal_json(ch)
+    # the only exchange is the explicit fan-out repartition; encode adds none
+    assert count_exchanges(enc) == 1
+    assert_no_python_in_plan(enc)
+    assert enc.rdd.getNumPartitions() == 8
