@@ -33,8 +33,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: entries, then re-verification canaries (flagship + streaming e2e).
 #: Green on all 50 ⇒ cumulative external coverage reaches 150/150.
 _PRIORITY = [
-    # 1: the only-ever-failed entry, first external run of its hex oracle
-    "multimodal_resize",
+    # 1: the only-ever-failed entry, first external run of its hex oracle;
+    # 2: the REAL resize kernel (numpy box filter, pixel-exact oracle)
+    # that retires the "stubbed codec" weakness alongside it
+    "multimodal_resize", "multimodal_resize_box",
     # 2-41: never-externally-verified in r01-r04 (computed from the
     # CORRECTNESS_r0{1..4}.json key union vs the catalog)
     "apply_scd2_history", "apply_incremental_agg",
@@ -50,7 +52,6 @@ _PRIORITY = [
     "text_repetition_score", "sample_quality_weighted",
     "corpus_mix_stats", "embed_dim_stats",
     "corpus_length_histogram", "corpus_dup_rate_summary",
-    "agg_events_per_type_hour",
     "tpch_q2_top_supplier_per_part", "tpch_q7_nation_volume",
     "tpch_q9_product_profit", "tpch_q10_returned_items",
     "tpch_q11_important_stock", "tpch_q12_priority_by_status",
@@ -72,6 +73,7 @@ _PRIORITY = [
     # r06 rotation continues here: previously-green families in
     # roughly descending staleness (r02-green before r04-green); new r05
     # entries that missed the top-50 window lead.
+    "agg_events_per_type_hour",
     "sample_importance_dsir", "decontaminate_fuzzy_minhash",
     "corpus_shuffle_assign", "seq_gap_resets", "streaming_incr_agg_e2e",
     "decoder_craft_framed", "decoder_craft_batch_framed",

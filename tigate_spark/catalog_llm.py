@@ -1490,3 +1490,34 @@ def corpus_shuffle_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+@register(
+    "multimodal_resize_box",
+    """
+SELECT doc_id,
+       CAST(4 AS BIGINT) AS out_w,
+       CAST(4 AS BIGINT) AS out_h,
+       array_to_string(list_transform(range(16), o ->
+         ( ((doc_id * 31 + ((o // 4) * 2) * 8 + (o % 4) * 2) % 256)
+         + ((doc_id * 31 + ((o // 4) * 2) * 8 + (o % 4) * 2 + 1) % 256)
+         + ((doc_id * 31 + ((o // 4) * 2 + 1) * 8 + (o % 4) * 2) % 256)
+         + ((doc_id * 31 + ((o // 4) * 2 + 1) * 8 + (o % 4) * 2 + 1) % 256)
+         ) // 4), ',') AS resized_csv
+FROM documents
+""",
+    doc="REAL image resize kernel (no stub): a deterministic raw grayscale "
+        "bitmap payload is decoded with np.frombuffer and 2x2 box-filter "
+        "downsampled (truncating integer average pooling) in vectorized "
+        "numpy inside Arrow mapInPandas — 8x8 -> 4x4, 1 row in / 1 row "
+        "out, zero shuffle. The oracle reproduces every output pixel "
+        "arithmetically. Complements multimodal_resize (whose JPEG decode "
+        "step is env-stubbed): kernel math and Arrow plumbing are the "
+        "production path; only entropy codecs stay stubbed",
+)
+def multimodal_resize_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.multimodal import resize_box, synth_raw_image
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize_box(synth_raw_image(docs))
+    return out.select("doc_id", "out_w", "out_h", "resized_csv")
