@@ -1521,3 +1521,34 @@ def multimodal_resize_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = resize_box(synth_raw_image(docs))
     return out.select("doc_id", "out_w", "out_h", "resized_csv")
+
+
+@register(
+    "multimodal_audio_energy",
+    """
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(16 AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(range(16), i ->
+         (((doc_id * 7 + (f * 16 + i) * 13) % 4096) - 2048)
+         * (((doc_id * 7 + (f * 16 + i) * 13) % 4096) - 2048)
+       )) // 16 AS BIGINT) AS energy_ms
+FROM documents, (SELECT unnest(range(4)) AS f) g
+""",
+    doc="REAL audio feature extraction (no stub): deterministic raw int16 "
+        "little-endian PCM payloads generated JVM-side as genuine bytes, "
+        "decoded with np.frombuffer and reduced to per-frame signal "
+        "energy (mean-square, truncating integer division) by a "
+        "vectorized numpy kernel over Arrow mapInPandas — the 1-payload-"
+        "to-N-frames batch shape, zero shuffle. Oracle reproduces every "
+        "frame energy arithmetically; only entropy-coded audio decode "
+        "(MP3/AAC) stays env-stubbed",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.multimodal import (
+        audio_frame_energy,
+        synth_raw_pcm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_frame_energy(synth_raw_pcm(docs))

@@ -263,3 +263,69 @@ def resize_box(df: DataFrame, in_w: int = 8, in_h: int = 8,
             )
 
     return df.mapInPandas(run, BOX_RESIZE_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("energy_ms", LongType()),  # mean-square, exact integer
+    ]
+)
+
+
+def synth_raw_pcm(df: DataFrame, n_samples: int = 64) -> DataFrame:
+    """Deterministic raw 16-bit little-endian PCM payload per doc —
+    sample(i) = ((doc_id·7 + i·13) mod 4096) − 2048, encoded JVM-side as
+    real bytes. Uncompressed PCM needs no codec library, so the decode
+    step is genuinely exercised (same binary plumbing as an MP3 payload
+    would use)."""
+    # int16 LE hex: low byte then high byte of the two's-complement value
+    sample = f"((doc_id * 7 + i * 13) % 4096) - 2048"
+    as_u16 = f"(({sample}) + 65536) % 65536"
+    px = (
+        f"transform(sequence(0, {n_samples - 1}), i -> "
+        f"concat(lpad(hex(({as_u16}) % 256), 2, '0'), "
+        f"lpad(hex(({as_u16}) div 256), 2, '0')))"
+    )
+    return df.select(
+        "doc_id",
+        F.expr(f"unhex(array_join({px}, ''))").alias("payload"),
+    )
+
+
+def audio_frame_energy(df: DataFrame, frame: int = 16) -> DataFrame:
+    """REAL audio feature extraction: decode raw int16 PCM with
+    ``np.frombuffer`` and compute per-frame signal energy (mean-square,
+    truncating integer division — exact cross-engine) with a vectorized
+    reshape/sum kernel. 1 payload row → n_samples/frame feature rows, the
+    1→N Arrow batch shape; zero shuffle at any scale. Like
+    :func:`resize_box`, nothing here is stubbed — only entropy-coded
+    audio (MP3/AAC decode) stays behind the documented env constraint."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            doc_ids, idxs, ns, energies = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(bytes(b), dtype="<i2").astype(np.int64)
+                n_frames = len(a) // frame
+                fr = a[: n_frames * frame].reshape(n_frames, frame)
+                ms = (fr * fr).sum(axis=1) // frame
+                for i in range(n_frames):
+                    doc_ids.append(int(doc_id))
+                    idxs.append(i)
+                    ns.append(frame)
+                    energies.append(int(ms[i]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "energy_ms": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_FRAME_SCHEMA)
