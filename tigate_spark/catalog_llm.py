@@ -1552,3 +1552,41 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return audio_frame_energy(synth_raw_pcm(docs))
+
+
+@register(
+    "embed_pca_project",
+    _QUANT_CTE
+    + """
+, pos AS (SELECT unnest(range(64)) AS i)
+, gm AS (
+  SELECT p1.i AS i, p2.i AS j,
+         CAST(sum(b.q[p1.i + 1] * b.q[p2.i + 1]) AS BIGINT) AS g
+  FROM base b, pos p1, pos p2 GROUP BY 1, 2
+), nrm AS (SELECT greatest(1, max(abs(g)) // 1099511627776) AS n FROM gm)
+, gs AS (SELECT i, j, g // (SELECT n FROM nrm) AS g FROM gm)
+, w1 AS (SELECT i, CAST(sum(g * 1000) AS BIGINT) AS w FROM gs GROUP BY 1)
+, m1 AS (SELECT greatest(max(abs(w)), 1) AS m FROM w1)
+, v1 AS (SELECT i, (w * 1000) // (SELECT m FROM m1) AS v FROM w1)
+, w2 AS (SELECT gs.i AS i, CAST(sum(gs.g * v1.v) AS BIGINT) AS w
+         FROM gs JOIN v1 ON gs.j = v1.i GROUP BY 1)
+, m2 AS (SELECT greatest(max(abs(w)), 1) AS m FROM w2)
+, v2 AS (SELECT i, (w * 1000) // (SELECT m FROM m2) AS v FROM w2)
+, ex AS (SELECT b.vec_id, p.i AS i, b.q[p.i + 1] AS x FROM base b, pos p)
+SELECT e.vec_id, CAST(sum(e.x * v2.v) AS BIGINT) AS pc1_proj
+FROM ex e JOIN v2 ON e.i = v2.i GROUP BY 1
+""",
+    doc="Top-principal-direction projection by EXACT INTEGER power "
+        "iteration (von Mises 1929; 2 iterations, all-ones init, "
+        "truncating renormalization to 1e3, Gram clamped to 2^40 per "
+        "entry so every intermediate fits int64 at any corpus size) — "
+        "the PCA-outlier / whitening diagnostic for embedding curation. "
+        "Gram = one corpus scan with an array-local outer product "
+        "(4096-key map-side partial agg, no join); the 64x64 result is a "
+        "fixed-size codebook, iterated driver-side exactly like a "
+        "broadcast IVF codebook, then the direction broadcasts back for "
+        "a one-pass projection. No float reduction anywhere — the oracle "
+        "reproduces every projection bit-for-bit",
+)
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.pca_project(load_table(spark, sf_dir, "embeddings"))

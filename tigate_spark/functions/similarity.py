@@ -485,3 +485,72 @@ def semantic_dedup(df: DataFrame, k: int = 8, iters: int = 2,
             F.coalesce("removed", F.lit(False)).alias("removed"),
         )
     )
+
+
+#: power-iteration fixed point scale and Gram clamp (exact integer PCA)
+PCA_SCALE = 1000
+PCA_GRAM_CLAMP = 1 << 40
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — Spark ``div`` / DuckDB
+    ``//`` semantics (Python's ``//`` floors, which differs on negatives)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def pca_top_direction(df: DataFrame, iters: int = 2,
+                      scale: int = PCA_SCALE, dim: int = DIM) -> list[int]:
+    """Top principal direction of the quantized embedding corpus by
+    EXACT INTEGER power iteration — deterministic cross-engine, no float
+    reduction anywhere.
+
+    Dataflow: the Gram matrix ``G = Σ q qᵀ`` is built with an array-local
+    outer product (4096 products per row, posexplode → 64²-key partial
+    agg — map-side combine, no join, one scan of the corpus); the 64×64
+    result is a fixed-size codebook-style object, so iterating on the
+    driver is scale-independent (exactly like broadcasting a trained IVF
+    codebook). Overflow discipline: G is clamped to ≤2⁴⁰ per entry by a
+    deterministic truncating divisor, and the iterate is renormalized to
+    ≤``scale`` after every multiply, so every intermediate fits int64 at
+    any corpus size. Init = all-ones × scale; ties and signs are fixed by
+    the data (no randomness).
+
+    Published basis: the power method (von Mises & Pollaczek-Geiringer
+    1929) as used for top-PC corpus diagnostics.
+    """
+    base = with_quantized(df).select("q")
+    prod = F.expr("flatten(transform(q, x -> transform(q, y -> x * y)))")
+    g_rows = (
+        base.select(F.posexplode(prod).alias("k", "p"))
+        .groupBy("k").agg(F.sum("p").alias("g"))
+        .collect()
+    )
+    g = {int(r["k"]): int(r["g"]) for r in g_rows}
+    maxabs = max(abs(v) for v in g.values()) or 1
+    nrm = max(1, maxabs // PCA_GRAM_CLAMP)
+    gs = {k: _tdiv(v, nrm) for k, v in g.items()}
+    v = [scale] * dim
+    for _ in range(iters):
+        w = [
+            sum(gs.get(i * dim + j, 0) * v[j] for j in range(dim))
+            for i in range(dim)
+        ]
+        m = max(abs(x) for x in w) or 1
+        v = [_tdiv(x * scale, m) for x in w]
+    return v
+
+
+def pca_project(df: DataFrame, iters: int = 2) -> DataFrame:
+    """Per-vector projection onto the corpus' top principal direction —
+    the PCA-outlier / whitening diagnostic as one broadcast pass."""
+    v = pca_top_direction(df, iters)
+    arr = "array(" + ",".join(f"{x}L" for x in v) + ")"
+    base = with_quantized(df).select("vec_id", "q")
+    return base.select(
+        "vec_id",
+        F.expr(
+            f"aggregate(zip_with(q, {arr}, (x, w) -> x * w), 0L, "
+            "(acc, t) -> acc + t)"
+        ).alias("pc1_proj"),
+    )
