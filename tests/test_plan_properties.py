@@ -395,3 +395,24 @@ def test_encode_is_pure_task_parallelism(spark):
     assert count_exchanges(enc) == 1
     assert_no_python_in_plan(enc)
     assert enc.rdd.getNumPartitions() == 8
+
+
+def test_pca_gram_is_maplocal_partial_agg(spark):
+    """PCA: the Gram matrix comes from an array-local outer product +
+    64²-key partial agg — exactly one exchange beyond the fan-out
+    repartition, and never a self-join of the exploded corpus."""
+    from tigate_spark.functions.similarity import with_quantized
+    from tigate_spark.sources.batch import load_table
+    import pyspark.sql.functions as F
+
+    base = with_quantized(load_table(spark, SF_DIR, "embeddings")).select("q")
+    prod = F.expr("flatten(transform(q, x -> transform(q, y -> x * y)))")
+    g = base.select(F.posexplode(prod).alias("k", "p")).groupBy("k").agg(
+        F.sum("p").alias("g")
+    )
+    from tigate_spark.plans.audit import plan_of
+
+    # fan-out repartition + the agg exchange
+    assert count_exchanges(g) <= 2
+    plan = plan_of(g)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
