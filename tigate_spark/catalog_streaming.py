@@ -604,3 +604,141 @@ def streaming_incr_agg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(view)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_ddl_barrier_e2e",
+    ORACLE_CHANGES_CTE + """
+, ordered AS (
+  SELECT seq, table_id, commit_ts,
+         row_number() OVER (ORDER BY commit_ts, seq) AS rn,
+         count(*) OVER () AS n
+  FROM changes
+), anchors AS (
+  SELECT ks.k, o.commit_ts AS ts_k, o.seq AS seq_k,
+         CASE ks.k WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE NULL END AS t_k
+  FROM (SELECT unnest(range(1, 4)) AS k) ks
+  JOIN ordered o ON o.rn = ks.k * (SELECT max(n) // 4 FROM ordered) + 1
+), parts AS (
+  SELECT o.seq, o.table_id, o.commit_ts,
+         (SELECT count(*) FROM anchors a
+          WHERE a.ts_k < o.commit_ts
+             OR (a.ts_k = o.commit_ts AND a.seq_k <= o.seq)) AS part
+  FROM ordered o
+)
+SELECT p.seq,
+       CAST(CASE WHEN p.part = 0 THEN 0
+            WHEN a.t_k IS NULL OR a.t_k = p.table_id THEN 1
+            ELSE 0 END AS BIGINT) AS sub_batch
+FROM parts p LEFT JOIN anchors a ON a.k = p.part
+""",
+    doc="Structured Streaming DDL barrier end-to-end (T8, the 7-step "
+        "barrier.go protocol on the micro-batch primitive): the source is "
+        "split into 4 commit-range files (one per trigger); three DDLs "
+        "are anchored at the quartile rows (two table-scoped, one "
+        "all-tables) and each micro-batch splits at the DDLs it contains "
+        "via split_batch_at_ddl — affected rows at/after the barrier ts "
+        "apply in the post-DDL sub-batch, unaffected tables flow early "
+        "(ddl_only_block_related_table semantics), the registry appends "
+        "between sub-batches. Output = every row's sub-batch assignment, "
+        "hash-matched; batch-order independent by construction so the "
+        "file source's trigger order cannot perturb the result",
+)
+def streaming_ddl_barrier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.sources.changes import normalize_events
+    from tigate_spark.streaming.ddl import (
+        DDLEvent,
+        SchemaRegistry,
+        split_batch_at_ddl,
+    )
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        base = spark.read.parquet(src)
+        n = base.count()
+        per = max(n // 4, 1)
+        ranked = base.withColumn(
+            "part",
+            F.expr(
+                "least(cast((row_number() over (order by ts, event_id) - 1) "
+                f"div {per} as int), 3)"
+            ),
+        )
+        src_dir = os.path.join(work, "src")
+        ranked.write.partitionBy("part").parquet(src_dir)
+        # DDL anchors: the first row of parts 1..3 in (commit_ts, seq) order
+        anchor_rows = (
+            normalize_events(base)
+            .withColumn(
+                "rn",
+                F.expr("row_number() over (order by commit_ts, seq)"),
+            )
+            .filter(F.col("rn").isin([per + 1, 2 * per + 1, 3 * per + 1]))
+            .select("rn", "commit_ts", "seq")
+            .collect()
+        )
+        anchors = []
+        for r in sorted(anchor_rows, key=lambda x: x["rn"]):
+            k = (r["rn"] - 1) // per
+            anchors.append(
+                (
+                    int(r["seq"]),
+                    DDLEvent(
+                        commit_ts=int(r["commit_ts"]),
+                        table_id=k if k in (1, 2) else None,
+                        query=f"ALTER TABLE t{k} ADD COLUMN c{k} BIGINT"
+                        if k in (1, 2)
+                        else "ALTER DATABASE app CHARACTER SET utf8mb4",
+                        schema_tag=f"v{k}",
+                    ),
+                )
+            )
+        registry = SchemaRegistry(os.path.join(work, "registry"))
+        delta_dir = os.path.join(work, "deltas")
+        ckpt = os.path.join(work, "ckpt")
+        schema = base.schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(os.path.join(src_dir, "part=*"))
+        )
+        ch = normalize_events(raw)
+
+        def run_barriers(batch_df: DataFrame, batch_id: int) -> None:
+            seqs = {
+                r["seq"]
+                for r in batch_df.select("seq")
+                .filter(F.col("seq").isin([a[0] for a in anchors]))
+                .collect()
+            }
+            ddls = [d for s, d in anchors if s in seqs]
+
+            def apply_dml(part_df: DataFrame, sub: int) -> None:
+                part_df.select(
+                    "seq", F.lit(sub).cast("bigint").alias("sub_batch")
+                ).write.mode("append").parquet(delta_dir)
+
+            def apply_ddl(ddl: DDLEvent) -> None:
+                registry.append(spark, ddl, n_tables=4)
+
+            split_batch_at_ddl(batch_df, ddls, apply_dml, apply_ddl)
+
+        q = (
+            ch.writeStream.foreachBatch(run_barriers)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        # the registry must hold all three versions (barrier ran exactly once
+        # per DDL — idempotence is the checkpoint's job, asserted in tests)
+        n_versions = registry.versions(spark).select("schema_tag").distinct().count()
+        if n_versions != 3:
+            raise RuntimeError(f"expected 3 registry versions, got {n_versions}")
+        return _materialize(spark.read.parquet(delta_dir))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
