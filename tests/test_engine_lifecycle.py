@@ -124,3 +124,17 @@ def test_verify_table_classifies_by_filter(spark, sf_dir, tmp_path):
     assert out["ineligible_tables"] == []
     # wildcard matches everything
     assert eng.verify_table(FilterConfig(rules=["*.*"]))["ignored_tables"] == []
+
+
+def test_status_and_health(spark, sf_dir, tmp_path):
+    from tigate_spark.config import ChangefeedConfig
+    from tigate_spark.engine import Engine
+
+    eng = Engine(spark, f"{sf_dir}/events.parquet", str(tmp_path))
+    st = eng.status()
+    assert st["liveness"] == "alive" and st["is_owner"]
+    assert "pyspark" in st["version"]
+    assert eng.health() == {"healthy": True, "failed": []}
+    cid = eng.create(ChangefeedConfig(changefeed_id="hc", sink_uri="noop://"))
+    eng.run_to_completion(cid)
+    assert eng.health()["healthy"]

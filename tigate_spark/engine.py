@@ -171,6 +171,31 @@ class Engine:
         return {"eligible_tables": eligible, "ineligible_tables": [],
                 "ignored_tables": ignored}
 
+    def status(self) -> dict:
+        """``GET /status`` parity (``api/v2/status.go``): liveness +
+        version info for the single logical "capture" (the Spark driver;
+        the reference's capture/owner node roles collapse onto it)."""
+        import pyspark
+
+        return {
+            "version": f"tigate-spark+pyspark-{pyspark.__version__}",
+            "id": self.spark.sparkContext.applicationId,
+            "is_owner": True,  # one driver == the elected coordinator
+            "liveness": "alive",
+        }
+
+    def health(self) -> dict:
+        """``GET /api/v2/health`` parity: healthy iff no registered
+        changefeed's streaming query has died with an exception."""
+        failed = []
+        for cid, feed in self._feeds.items():
+            q = feed.query
+            if q is not None and feed.state == "running":
+                exc = q.exception()
+                if exc is not None:
+                    failed.append({"changefeed": cid, "error": str(exc)})
+        return {"healthy": not failed, "failed": failed}
+
     def _get(self, changefeed_id: str) -> _Feed:
         if changefeed_id not in self._feeds:
             raise KeyError(f"changefeed not found: {changefeed_id}")
