@@ -79,3 +79,24 @@ def test_craft_plan_stays_jvm_side(spark):
     plan = encode_craft_row(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_craft_roundtrip_non_ascii(spark):
+    """UTF-8 multi-byte strings: term-dictionary and value lengths are
+    BYTE lengths (octet_length), so non-ASCII schema/table/varchar values
+    must survive the round trip (the reference's craft strings are Go
+    []byte — byte-addressed)."""
+    row = Row(
+        op="I", schema_name="应用", table_name="τράπεζα",
+        commit_ts=1723600000123456,
+        after_pk=1, after_event_type="käufe—日本語",
+        after_value_cents=5, after_user_id=9,
+        before_pk=None, before_event_type=None,
+        before_value_cents=None, before_user_id=None,
+    )
+    from tigate_spark.functions.craft import encode_craft_row
+
+    df = spark.createDataFrame([row], schema=_SCHEMA)
+    m = decode_craft(bytes.fromhex(encode_craft_row(df).first()["message_hex"]))
+    assert m["schema"] == "应用" and m["table"] == "τράπεζα"
+    assert m["groups"][1]["cols"]["event_type"] == "käufe—日本語"
