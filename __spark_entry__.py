@@ -78,7 +78,7 @@ _PRIORITY = [
     "corpus_shuffle_assign", "seq_gap_resets", "streaming_incr_agg_e2e",
     "decoder_craft_framed", "decoder_craft_batch_framed",
     "multimodal_audio_energy", "embed_pca_project",
-    "streaming_ddl_barrier_e2e",
+    "streaming_ddl_barrier_e2e", "convert_open_to_canal",
     "encoder_craft_resolved", "encoder_open_resolved", "encoder_open_ddl",
     "sample_source_token_budget", "embed_label_outliers",
     "streaming_blackhole_e2e", "cdc_pipeline_e2e",

@@ -1653,6 +1653,68 @@ def convert_canal_to_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "convert_open_to_canal",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, printf(
+  '{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,"type":"%s","es":%d,"ts":%d,"sql":"","data":%s,"old":%s,"_tidb":{"commitTs":%d}}',
+  schema_name, table_name,
+  CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+  commit_ts // 1000, commit_ts // 1000,
+  '[' || coalesce(CASE WHEN op = 'D' THEN before ELSE after END, 'null') || ']',
+  CASE WHEN op = 'U' THEN '[' || before || ']' ELSE 'null' END,
+  commit_ts) AS message
+FROM changes
+""",
+    doc="Protocol conversion bridge, reverse direction: open-protocol "
+        "key/value messages fully decoded (from_json; op inferred from "
+        "which of u/p/d images are present) and re-encoded as canal-json "
+        "— with convert_canal_to_avro this completes the consumer-side "
+        "conversion matrix; lossless for the shared fields, so the bridge "
+        "output equals direct canal encoding of the stream (the oracle)",
+)
+def convert_open_to_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import (
+        encode_canal_json,
+        encode_open_protocol,
+    )
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    enc = encode_open_protocol(ch)
+    img = "STRUCT<pk BIGINT, event_type STRING, value_cents BIGINT, user_id BIGINT>"
+    k = F.from_json(F.col("key"), "ts BIGINT, scm STRING, tbl STRING, t BIGINT")
+    v = F.from_json(F.col("value"), f"u {img}, p {img}, d {img}")
+    dec = enc.select("seq", k.alias("k"), v.alias("v"))
+    op = (
+        F.when(F.col("v.u").isNotNull() & F.col("v.p").isNotNull(), "U")
+        .when(F.col("v.u").isNotNull(), "I")
+        .otherwise("D")
+    )
+
+    def render(img_col: str):
+        return F.format_string(
+            '{"pk":%d,"event_type":"%s","value_cents":%d,"user_id":%d}',
+            F.col(f"{img_col}.pk"),
+            F.col(f"{img_col}.event_type"),
+            F.col(f"{img_col}.value_cents"),
+            F.col(f"{img_col}.user_id"),
+        )
+
+    mid = dec.select(
+        "seq",
+        F.col("k.scm").alias("schema_name"),
+        F.col("k.tbl").alias("table_name"),
+        F.col("k.ts").alias("commit_ts"),
+        op.alias("op"),
+        F.when(op == "U", render("v.p"))
+        .when(op == "D", render("v.d"))
+        .alias("before"),
+        F.when(op == "D", F.lit(None)).otherwise(render("v.u")).alias("after"),
+    )
+    return encode_canal_json(mid).select("seq", "message")
+
+
+@register(
     "schema_evolution_typed_view",
     ORACLE_CHANGES_CTE + _VERSIONS_CTE
     + """
