@@ -742,3 +742,80 @@ def streaming_ddl_barrier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark.read.parquet(delta_dir))
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_time_travel_e2e",
+    ORACLE_CHANGES_CTE + """
+, ordered0 AS (
+  SELECT *, row_number() OVER (ORDER BY commit_ts, seq) AS rn0,
+         count(*) OVER () AS n
+  FROM changes
+), pfx AS (
+  SELECT * FROM ordered0 WHERE rn0 <= 2 * (n // 4)
+), ordered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY table_id, pk
+    ORDER BY commit_ts DESC, start_ts DESC,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC, seq DESC
+  ) AS rn
+  FROM pfx
+)
+SELECT table_id, pk, commit_ts AS last_commit_ts, event_type, value_cents
+FROM ordered WHERE rn = 1 AND op <> 'D'
+""",
+    doc="Replica time travel end-to-end (Delta VERSION-AS-OF analogue on "
+        "the manifest-versioned store): a 4-batch availableNow changefeed "
+        "materializes the replica, then the state is read back AS OF "
+        "version 2 — every table resolved at its largest version ≤ 2, so "
+        "untouched tables read older version dirs — and hash-matches the "
+        "last-writer-wins oracle over exactly the first half of the "
+        "commit order. Source files carry forced increasing mtimes so "
+        "the file source's batch order is pinned; retention semantics "
+        "(compact = VACUUM) documented at read_state_as_of",
+)
+def streaming_time_travel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import time as _time
+
+    from tigate_spark.streaming.changefeed import Changefeed
+    from tigate_spark.streaming.sinks import read_state_as_of
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        base = spark.read.parquet(src)
+        n = base.count()
+        per = max(n // 4, 1)
+        ranked = base.withColumn(
+            "part",
+            F.expr(
+                "least(cast((row_number() over (order by ts, event_id) - 1) "
+                f"div {per} as int), 3)"
+            ),
+        )
+        parts_dir = os.path.join(work, "parts")
+        ranked.write.partitionBy("part").parquet(parts_dir)
+        flat = os.path.join(work, "flat")
+        os.makedirs(flat)
+        now = _time.time()
+        for k in range(4):
+            files = sorted(
+                _glob.glob(os.path.join(parts_dir, f"part={k}", "*.parquet"))
+            )
+            for j, f in enumerate(files):
+                dst = os.path.join(flat, f"{k:02d}-{j}.parquet")
+                os.link(f, dst)
+                # pin the file source's processing order
+                os.utime(dst, (now + k, now + k))
+        cfg = ChangefeedConfig(changefeed_id="tt-e2e", sink_uri="replica://")
+        cf = Changefeed(spark, cfg, flat, work)
+        cf.run_to_completion()
+        asof = read_state_as_of(spark, cf.sink.state_dir, 2)
+        out = asof.filter(F.col("op") != "D").select(
+            "table_id", "pk", F.col("commit_ts").alias("last_commit_ts"),
+            "event_type", "value_cents",
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -99,6 +99,25 @@ def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     return _resolve_state(spark, state_dir, man)
 
 
+def read_state_as_of(spark: SparkSession, state_dir: str,
+                     version: int) -> DataFrame | None:
+    """Time travel: the replica state as of manifest ``version`` —
+    every table resolved at its largest version ≤ ``version`` (a table
+    untouched since an earlier batch reads its older version dir). The
+    manifest-versioned layout gives this for free, exactly like Delta's
+    ``VERSION AS OF``; retention lasts until :meth:`ReplicaSink.compact`
+    reclaims superseded versions (the VACUUM analogue — after a compact,
+    only versions at/after the snapshot remain addressable). Returns
+    None if no manifest row is ≤ ``version``."""
+    man = _read_manifest(spark, state_dir)
+    if man is None:
+        return None
+    man_v = man.filter(F.col("version") <= version)
+    if man_v.first() is None:
+        return None
+    return _resolve_state(spark, state_dir, man_v)
+
+
 class Bookkeeping:
     """K4/K5/T11 side tables appended per micro-batch."""
 
