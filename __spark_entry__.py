@@ -79,7 +79,7 @@ _PRIORITY = [
     "decoder_craft_framed", "decoder_craft_batch_framed",
     "multimodal_audio_energy", "embed_pca_project",
     "streaming_ddl_barrier_e2e", "convert_open_to_canal",
-    "streaming_time_travel_e2e",
+    "streaming_time_travel_e2e", "apply_incremental_join",
     "encoder_craft_resolved", "encoder_open_resolved", "encoder_open_ddl",
     "sample_source_token_budget", "embed_label_outliers",
     "streaming_blackhole_e2e", "cdc_pipeline_e2e",

@@ -731,6 +731,80 @@ def apply_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "apply_incremental_join",
+    ORACLE_CHANGES_CTE
+    + """
+, lww AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY table_id, pk
+      ORDER BY commit_ts DESC, start_ts DESC,
+               CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC, seq DESC
+    ) AS rn FROM changes) WHERE rn = 1 AND op <> 'D'
+)
+SELECT l.pk,
+       l.commit_ts AS l_commit_ts, l.value_cents AS l_value_cents,
+       r.commit_ts AS r_commit_ts, r.value_cents AS r_value_cents
+FROM (SELECT * FROM lww WHERE table_id = 0) l
+JOIN (SELECT * FROM lww WHERE table_id = 1) r ON l.pk = r.pk
+""",
+    doc="Incremental JOIN-view maintenance (the other half of IVM next to "
+        "apply_incremental_agg): a materialized t0⋈t1 view is maintained "
+        "under a change delta by touched-key partial recompute — "
+        "V_new = V_old[key untouched by the delta] ∪ (A_new ⋈ B_new)"
+        "[touched keys] — the production join-IVM shape (recompute is "
+        "proportional to the delta's key set, never the base). The entry "
+        "computes the view THROUGH the incremental path (stream split at "
+        "the commit-ts midpoint into base+delta) and hash-matches the "
+        "direct join of the final states, proving the delta rule handles "
+        "inserts, updates, and delete-tombstones on both sides",
+)
+def apply_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir).filter(F.col("table_id").isin(0, 1))
+
+    def lww(df: DataFrame) -> DataFrame:
+        order_key = F.struct(
+            F.col("commit_ts"), F.col("start_ts"),
+            o_ops.op_rank_col(), F.col("seq"),
+        )
+        payload = F.struct("op", "commit_ts", "value_cents")
+        w = df.groupBy("table_id", "pk").agg(
+            F.max_by(payload, order_key).alias("w")
+        )
+        return w.select(
+            "table_id", "pk", F.col("w.op").alias("op"),
+            F.col("w.commit_ts").alias("commit_ts"),
+            F.col("w.value_cents").alias("value_cents"),
+        ).filter(F.col("op") != "D")
+
+    def join_view(state: DataFrame) -> DataFrame:
+        l = state.filter(F.col("table_id") == 0).select(
+            "pk", F.col("commit_ts").alias("l_commit_ts"),
+            F.col("value_cents").alias("l_value_cents"),
+        )
+        r = state.filter(F.col("table_id") == 1).select(
+            "pk", F.col("commit_ts").alias("r_commit_ts"),
+            F.col("value_cents").alias("r_value_cents"),
+        )
+        return l.join(r, "pk")
+
+    mid = ch.agg(
+        F.expr("min(commit_ts) + (max(commit_ts) - min(commit_ts)) div 2")
+        .alias("mid")
+    )
+    with_mid = ch.crossJoin(F.broadcast(mid))
+    base = with_mid.filter(F.col("commit_ts") <= F.col("mid")).drop("mid")
+    delta = with_mid.filter(F.col("commit_ts") > F.col("mid")).drop("mid")
+    touched = delta.select("pk").distinct()
+    v_old = join_view(lww(base))
+    v_new_touched = join_view(lww(ch)).join(
+        F.broadcast(touched), "pk", "left_semi"
+    )
+    kept = v_old.join(F.broadcast(touched), "pk", "left_anti")
+    return kept.unionByName(v_new_touched)
+
+
+@register(
     "apply_merge_to_base",
     _LAST_CHANGE_CTE
     + """
