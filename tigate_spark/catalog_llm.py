@@ -1590,3 +1590,56 @@ FROM ex e JOIN v2 ON e.i = v2.i GROUP BY 1
 )
 def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pca_project(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "dedup_exact_canonical",
+    """
+WITH variants AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  -- deterministic casing/punctuation mutants (every 3rd doc) so the
+  -- canonical grouping path is exercised on a corpus with no raw dups
+  SELECT doc_id + 1000000, upper(text) || '!!  ' FROM documents
+  WHERE doc_id % 3 = 0
+), canon AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+              ' +', ' ', 'g')) AS ctext
+  FROM variants
+)
+SELECT md5(ctext) AS canon_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM canon GROUP BY 1
+""",
+    doc="Canonicalized exact dedup (the normalize-then-hash step of "
+        "C4/RefinedWeb-style pipelines): lowercase, strip non-"
+        "alphanumerics, collapse whitespace, then hash-group — catches "
+        "casing/punctuation/spacing near-copies that byte-exact dedup "
+        "misses, at exactly the same scan + single-agg cost; keep = "
+        "lowest doc_id per canonical hash. Deterministic casing/"
+        "punctuation mutants (every 3rd doc) exercise the grouping on "
+        "the otherwise dup-free synthetic corpus",
+)
+def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mutants = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("!!  ")).alias("text"),
+    )
+    variants = docs.select("doc_id", "text").unionByName(mutants)
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +", " ",
+        )
+    )
+    return (
+        variants.select("doc_id", F.md5(canon).alias("canon_hash"))
+        .groupBy("canon_hash")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+    )
