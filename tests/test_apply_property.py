@@ -10,6 +10,7 @@ encodes (``logservice/eventstore/format.go:50-85``).
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -72,3 +73,49 @@ def test_scd2_current_rows_equal_materialized_state(spark, sf_dir):
     assert cur.count() == live.count()
     assert cur.exceptAll(live).count() == 0
     assert h.filter("valid_to is not null and valid_from > valid_to").count() == 0
+
+
+@pytest.mark.parametrize("frac", [0.1, 0.5, 0.9])
+def test_incremental_join_invariant_under_split(spark, sf_dir, frac):
+    """Join-view IVM: the touched-key partial recompute must equal the
+    direct join of final states at ANY base/delta split point — inserts,
+    updates, and tombstones land on both sides of the cut."""
+    import pyspark.sql.functions as F
+
+    from tigate_spark.sources.changes import changes_stream
+
+    ch = changes_stream(spark, sf_dir).filter(F.col("table_id").isin(0, 1))
+
+    def lww(df):
+        from tigate_spark.operators.ordering import op_rank_col
+
+        order_key = F.struct("commit_ts", "start_ts", op_rank_col(), "seq")
+        w = df.groupBy("table_id", "pk").agg(
+            F.max_by(F.struct("op", "commit_ts", "value_cents"), order_key).alias("w")
+        )
+        return w.select(
+            "table_id", "pk", F.col("w.op").alias("op"),
+            F.col("w.commit_ts").alias("commit_ts"),
+            F.col("w.value_cents").alias("value_cents"),
+        ).filter(F.col("op") != "D")
+
+    def view(state):
+        l = state.filter(F.col("table_id") == 0).select(
+            "pk", F.col("commit_ts").alias("lc"), F.col("value_cents").alias("lv"))
+        r = state.filter(F.col("table_id") == 1).select(
+            "pk", F.col("commit_ts").alias("rc"), F.col("value_cents").alias("rv"))
+        return l.join(r, "pk")
+
+    lo, hi = ch.agg(F.min("commit_ts"), F.max("commit_ts")).first()
+    cut = int(lo + (hi - lo) * frac)
+    base = ch.filter(F.col("commit_ts") <= cut)
+    delta = ch.filter(F.col("commit_ts") > cut)
+    touched = delta.select("pk").distinct()
+    incr = (
+        view(lww(base)).join(touched, "pk", "left_anti")
+        .unionByName(view(lww(ch)).join(touched, "pk", "left_semi"))
+    )
+    direct = view(lww(ch))
+    a = sorted(map(tuple, incr.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b
