@@ -546,3 +546,29 @@ def test_replica_time_travel_as_of_version(spark, sf_dir, chunked_source, tmp_pa
         read_state(spark, cf.sink.state_dir)
     )
     assert read_state_as_of(spark, cf.sink.state_dir, 0) is None
+
+
+def test_mid_stream_compaction_preserves_state(spark, sf_dir, chunked_source, tmp_path):
+    """Aggressive compaction (compact_every=2 → fires twice across 4
+    batches) must not change the merged state vs an uncompacted run."""
+    from tigate_spark.sources.changes import normalize_events
+    from tigate_spark.streaming.sinks import ReplicaSink
+
+    files = sorted(glob.glob(os.path.join(chunked_source, "*.parquet")))
+    assert len(files) == 4
+
+    def run(state_dir, compact_every):
+        sink = ReplicaSink(str(state_dir), PAYLOAD_COLS,
+                           compact_every=compact_every)
+        for i, f in enumerate(files):
+            sink.process_batch(normalize_events(spark.read.parquet(f)), i)
+        return sorted(
+            map(tuple, read_replica(spark, str(state_dir)).collect())
+        )
+
+    compacted = run(tmp_path / "a", 2)
+    plain = run(tmp_path / "b", 100)
+    assert compacted == plain
+    # the compacted run really did checkpoint: few live version dirs
+    n_vers = len(glob.glob(os.path.join(str(tmp_path / "a"), "data", "v=*")))
+    assert n_vers < 4
