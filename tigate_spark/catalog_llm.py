@@ -1643,3 +1643,66 @@ def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
         )
     )
+
+
+@register(
+    "dedup_keep_best_quality",
+    _LSH_PAIRS_CTES
+    + """
+, edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach AS (
+  SELECT a AS node, a AS lab FROM edges
+  UNION
+  SELECT e.b AS node, r.lab
+  FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+), qual AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(tokens)) * 10000 // len(tokens) AS BIGINT)
+           AS ttr_bp
+  FROM tok WHERE len(tokens) >= 1
+), allq AS (
+  SELECT q.doc_id, coalesce(c.cluster_id, q.doc_id) AS cluster_id, q.ttr_bp
+  FROM qual q LEFT JOIN comp c ON q.doc_id = c.doc_id
+), best AS (
+  SELECT cluster_id, doc_id AS best_doc FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY ttr_bp DESC, doc_id) AS rk
+    FROM allq) WHERE rk = 1
+)
+SELECT f.doc_id, f.cluster_id, f.ttr_bp,
+       CAST(CASE WHEN f.doc_id = b.best_doc THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM allq f JOIN best b ON f.cluster_id = b.cluster_id
+""",
+    doc="Cluster-aware keep policy: within each near-dup cluster "
+        "(connected components over the MinHash-LSH pair graph) keep the "
+        "HIGHEST-QUALITY member (type-token ratio, doc_id tiebreak) "
+        "instead of the lowest id — the keep rule production curation "
+        "pipelines actually use; singletons keep themselves. One decision "
+        "row per doc; the per-cluster argmax is a cluster-keyed agg "
+        "(co-shuffled, nothing driver-side)",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cl = dedup_duplicate_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    q = tx.quality_score(docs).select("doc_id", "ttr_bp")
+    full = q.join(cl, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", "doc_id")
+    )
+    best = full.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("ttr_bp"), -F.col("doc_id"))
+        ).alias("best_doc")
+    )
+    return (
+        full.join(best, "cluster_id")
+        .select(
+            "doc_id", "cluster_id", "ttr_bp",
+            (F.col("doc_id") == F.col("best_doc")).cast("bigint").alias("keep"),
+        )
+    )
