@@ -2625,6 +2625,47 @@ def decoder_craft_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decoder_craft_dead_letter",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq,
+       CASE WHEN seq % 97 = 0 THEN NULL ELSE schema_name END AS schema_name,
+       CASE WHEN seq % 97 = 0 THEN NULL ELSE table_name END AS table_name,
+       CASE WHEN seq % 97 = 0 THEN NULL ELSE commit_ts END AS commit_ts,
+       CASE WHEN seq % 97 = 0 THEN NULL ELSE op END AS op,
+       CASE WHEN seq % 97 = 0 THEN NULL ELSE pk END AS pk,
+       CASE WHEN seq % 97 = 0 THEN NULL ELSE event_type END AS event_type,
+       CASE WHEN seq % 97 = 0 THEN NULL
+            WHEN op = 'D' THEN value_cents - 100 ELSE value_cents END
+         AS value_cents,
+       CASE WHEN seq % 97 = 0 THEN NULL ELSE user_id END AS user_id,
+       CAST(CASE WHEN seq % 97 = 0 THEN 0 ELSE 1 END AS BIGINT) AS decode_ok
+FROM changes
+""",
+    doc="E7 dead-letter path for the craft consumer: every 97th message "
+        "is deterministically truncated in transit (last 4 bytes "
+        "dropped); the decoder flags those rows decode_ok=0 with null "
+        "fields instead of failing the task, while every intact message "
+        "still decodes byte-exactly — a poisoned message cannot stall "
+        "the changefeed (decoder-side twin of decoder_dead_letter)",
+)
+def decoder_craft_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.craft import encode_craft_row
+    from tigate_spark.functions.craft_decoder import craft_decode_rows
+
+    enc = encode_craft_row(_craft_prepared(spark, sf_dir)).select(
+        "seq",
+        F.when(
+            F.col("seq") % 97 == 0,
+            F.expr("substr(message_hex, 1, length(message_hex) - 8)"),
+        )
+        .otherwise(F.col("message_hex"))
+        .alias("message_hex"),
+    )
+    return craft_decode_rows(enc, dead_letter=True)
+
+
+@register(
     "decoder_craft_batch_framed",
     ORACLE_CHANGES_CTE
     + """

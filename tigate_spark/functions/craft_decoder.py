@@ -206,30 +206,53 @@ def _event_fields(m: dict) -> tuple:
     )
 
 
-def craft_decode_rows(df: DataFrame,
-                      hex_col: str = "message_hex") -> DataFrame:
+_ROW_DL_SCHEMA = _ROW_OUT_SCHEMA + ", decode_ok long"
+
+
+def craft_decode_rows(df: DataFrame, hex_col: str = "message_hex",
+                      dead_letter: bool = False) -> DataFrame:
     """Decode single-event craft messages back into change rows.
 
     Arrow-batched ``mapInPandas``: the decoder sees a pandas frame per
     batch and emits one typed row per message — per-partition, no
     shuffle, linear in message bytes at any scale.
+
+    ``dead_letter=True`` adds a ``decode_ok`` column and converts
+    per-message decode failures (truncated/garbled bytes) into
+    null-field rows with ``decode_ok = 0`` instead of failing the task —
+    the consumer-side dead-letter pattern of the reference's decoder
+    tests (a poisoned message must not stall the changefeed).
     """
     import pandas as pd
 
+    cols = [
+        "seq", "schema_name", "table_name", "commit_ts", "op",
+        "pk", "event_type", "value_cents", "user_id",
+    ]
+
     def fn(it):
         for pdf in it:
-            rows = [
-                (int(seq), *_event_fields(decode_craft(bytes.fromhex(h))))
-                for seq, h in zip(pdf["seq"], pdf[hex_col])
-            ]
-            yield pd.DataFrame(
-                rows, columns=[
-                    "seq", "schema_name", "table_name", "commit_ts", "op",
-                    "pk", "event_type", "value_cents", "user_id",
-                ],
-            )
+            rows = []
+            for seq, h in zip(pdf["seq"], pdf[hex_col]):
+                if not dead_letter:
+                    rows.append(
+                        (int(seq),
+                         *_event_fields(decode_craft(bytes.fromhex(h))))
+                    )
+                    continue
+                try:
+                    rows.append(
+                        (int(seq),
+                         *_event_fields(decode_craft(bytes.fromhex(h))), 1)
+                    )
+                except Exception:
+                    rows.append((int(seq), *([None] * 8), 0))
+            out_cols = cols + (["decode_ok"] if dead_letter else [])
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    return df.mapInPandas(fn, _ROW_OUT_SCHEMA)
+    return df.mapInPandas(
+        fn, _ROW_DL_SCHEMA if dead_letter else _ROW_OUT_SCHEMA
+    )
 
 
 _BATCH_OUT_SCHEMA = (
