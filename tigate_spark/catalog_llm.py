@@ -1706,3 +1706,45 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("best_doc")).cast("bigint").alias("keep"),
         )
     )
+
+
+@register(
+    "text_search_bm25_topk",
+    _TOK_CTE
+    + """
+, ex AS (SELECT doc_id, unnest(tokens) AS t FROM tok)
+, dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM ex GROUP BY 1)
+, stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS avg_scaled FROM dl)
+, qt AS (SELECT * FROM ex WHERE t IN ('join', 'scan', 'filter'))
+, dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM qt GROUP BY 1)
+, tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+         FROM qt GROUP BY 1, 2)
+, scored AS (
+  SELECT tf.doc_id,
+         CAST(sum(
+           (((s.n_docs - dft.df + 1) * 1000000) // (dft.df + 1))
+           * ((22 * tf.tf * s.avg_scaled * 1000) //
+              (10 * tf.tf * s.avg_scaled + 3 * s.avg_scaled
+               + 9 * dl.dl * s.n_docs))
+         ) AS BIGINT) AS score,
+         CAST(count(*) AS BIGINT) AS n_terms_hit
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dft ON tf.t = dft.t CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, score, n_terms_hit
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+    doc="Full-text keyword search: BM25-style top-10 (Robertson & "
+        "Zaragoza 2009; k1=1.2, b=0.75) in exact integer arithmetic — "
+        "rational log-free idf and fraction-cleared tf saturation, so "
+        "the ranking is bit-identical cross-engine. One token-explode "
+        "scan feeds document-length and term-frequency aggs; the "
+        "term-stats and corpus-stats tables broadcast; global top-k is "
+        "a distributed take-ordered, no global sort materialized",
+)
+def text_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.bm25_topk(load_table(spark, sf_dir, "documents"))

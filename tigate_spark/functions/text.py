@@ -139,3 +139,67 @@ def chunk_documents(df: DataFrame, size: int = CHUNK_SIZE,
         f"array_join(slice(tokens, chunk_id * {stride} + 1, {size}), ' ')"
         " AS chunk_text",
     )
+
+
+#: fixed query for the search catalog entry (frequent corpus terms)
+SEARCH_TERMS = ("join", "scan", "filter")
+
+
+def bm25_topk(df: DataFrame, terms: tuple[str, ...] = SEARCH_TERMS,
+              k: int = 10) -> DataFrame:
+    """Keyword search: BM25-style ranking (Robertson & Zaragoza 2009,
+    k1=1.2, b=0.75) in EXACT INTEGER arithmetic so the ranking is
+    bit-identical cross-engine:
+
+    - rational idf (log-free variant, documented):
+      ``idf_x1e6 = (N - df + 1)·10⁶ div (df + 1)``
+    - tf saturation with the algebra cleared of fractions
+      (k1 = 6/5, b = 3/4, avgdl = AVG/N):
+      ``tf_part_x1000 = 22·tf·AVG·1000 div (10·tf·AVG + 3·AVG + 9·dl·N)``
+      where AVG = total corpus token count — tf_part ≤ 2200 by
+      construction, so ``idf_x1e6 · tf_part_x1000`` fits int64 at any
+      corpus size.
+    - doc score = Σ over query terms (integer sum, order-independent).
+
+    Dataflow: one token-explode scan feeding both the per-doc length agg
+    and the per-(doc, term) tf agg; the 3-row term-stats table and the
+    1-row corpus stats broadcast; global top-k is a distributed
+    take-ordered (score desc, doc_id) — no global sort materialized.
+    """
+    from pyspark.sql import Window
+
+    toks = with_tokens(df).select("doc_id", F.explode("tokens").alias("t"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("avg_scaled")
+    )  # avg_scaled = AVG (total tokens); avgdl = AVG / n_docs
+    term_list = F.array(*[F.lit(t) for t in terms])
+    qt = toks.filter(F.array_contains(term_list, F.col("t")))
+    df_t = qt.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    tf = qt.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_x1e6",
+            F.expr("((n_docs - df + 1) * 1000000L) div (df + 1)"),
+        )
+        .withColumn(
+            "tf_part_x1000",
+            F.expr(
+                "(22L * tf * avg_scaled * 1000L) div "
+                "(10L * tf * avg_scaled + 3L * avg_scaled + 9L * dl * n_docs)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("idf_x1e6 * tf_part_x1000")).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "rank", "doc_id", "score", F.col("n_terms_hit").cast("bigint").alias("n_terms_hit")
+    )
