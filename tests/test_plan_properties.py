@@ -416,3 +416,13 @@ def test_pca_gram_is_maplocal_partial_agg(spark):
     assert count_exchanges(g) <= 2
     plan = plan_of(g)
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_pq_training_partial_agg_and_broadcast_codebook(spark):
+    """PQ: assignment joins the 8x16-row codebook by broadcast; the Lloyd
+    update shuffles (s, cell, dim) partial sums only — never whole
+    vectors per cell; encoding stays JVM-side."""
+    df = _df(spark, "embed_pq_encode")
+    with no_auto_broadcast(spark):
+        assert count_broadcast_exchanges(df) >= 1
+        assert_no_python_in_plan(df)

@@ -1748,3 +1748,103 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 )
 def text_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+_PQ_D = ("list_sum(list_transform(range(1, 9), "
+         "i -> (sub.subq[i] - c.cq[i]) * (sub.subq[i] - c.cq[i])))")
+
+
+def _pq_cte(iters: int = 2) -> str:
+    """Unrolled per-subspace Lloyd chain mirroring ``similarity.pq_train``
+    bit-for-bit (subspace ``s`` rides as a group key; init = first-16
+    subvectors; truncating integer centroid means)."""
+    sql = """
+, subs AS (
+  SELECT b.vec_id, g.s, b.q[g.s * 8 + 1 : g.s * 8 + 8] AS subq
+  FROM base b, (SELECT unnest(range(8)) AS s) g
+), pc0 AS (SELECT s, vec_id AS cent_id, subq AS cq FROM subs WHERE vec_id < 16)"""
+    for it in range(iters):
+        sql += f"""
+, pa{it} AS (
+  SELECT vec_id, s, subq, code, d FROM (
+    SELECT sub.vec_id, sub.s, sub.subq, c.cent_id AS code, {_PQ_D} AS d,
+           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                              ORDER BY {_PQ_D}, c.cent_id) AS rn
+    FROM subs sub JOIN pc{it} c ON sub.s = c.s) WHERE rn = 1
+)
+, pe{it} AS (SELECT s, code AS cell, generate_subscripts(subq, 1) AS pos,
+                    unnest(subq) AS x FROM pa{it})
+, pc{it + 1} AS (
+  SELECT s, cell AS cent_id, list(CAST(sm // n AS BIGINT) ORDER BY pos) AS cq
+  FROM (SELECT s, cell, pos, sum(x) AS sm, count(*) AS n
+        FROM pe{it} GROUP BY 1, 2, 3)
+  GROUP BY 1, 2)"""
+    sql += f"""
+, paF AS (
+  SELECT vec_id, s, code, d FROM (
+    SELECT sub.vec_id, sub.s, c.cent_id AS code, {_PQ_D} AS d,
+           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                              ORDER BY {_PQ_D}, c.cent_id) AS rn
+    FROM subs sub JOIN pc{iters} c ON sub.s = c.s) WHERE rn = 1
+)"""
+    return sql
+
+
+@register(
+    "embed_pq_encode",
+    _QUANT_CTE
+    + _pq_cte(2)
+    + """
+SELECT vec_id,
+       array_to_string(list(CAST(code AS VARCHAR) ORDER BY s), ',') AS codes,
+       CAST(sum(d) AS BIGINT) AS quant_err
+FROM paF GROUP BY 1
+""",
+    doc="Product quantization (Jégou/Douze/Schmid, TPAMI 2011): 8 "
+        "independent 16-code subspace codebooks trained in one grouped "
+        "Lloyd dataflow (subspace id as a group key, exact integer "
+        "arithmetic, first-16 init), then every vector encoded as 8 code "
+        "labels + its exact quantization error — the 8-byte-per-vector "
+        "ANN compression layout. The 8x16-row codebook broadcasts; "
+        "training sums shuffle (s, cell, dim) partials only, never whole "
+        "vectors per cell — scales like the IVF trainer",
+)
+def embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.pq_encode(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sim_pq_adc_topk",
+    _QUANT_CTE
+    + _pq_cte(2)
+    + f"""
+, qsubs AS (
+  SELECT vec_id AS query_id, s, subq AS qsub FROM subs WHERE vec_id < 5
+), dt AS (
+  SELECT q.query_id, q.s, c.cent_id AS code,
+         CAST(list_sum(list_transform(range(1, 9),
+              i -> (q.qsub[i] - c.cq[i]) * (q.qsub[i] - c.cq[i]))) AS BIGINT)
+           AS dpart
+  FROM qsubs q JOIN pc2 c ON q.s = c.s
+), scored AS (
+  SELECT dt.query_id, a.vec_id,
+         CAST(sum(dt.dpart) AS BIGINT) AS adc_dist
+  FROM paF a JOIN dt ON a.s = dt.s AND a.code = dt.code
+  WHERE a.vec_id <> dt.query_id
+  GROUP BY 1, 2 HAVING count(*) = 8
+)
+SELECT query_id, vec_id AS neighbor_id, rank, adc_dist FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="PQ asymmetric-distance (ADC) top-5 search: queries keep exact "
+        "subvectors, corpus vectors are only their 8 code labels, and "
+        "distance = 8 lookups in the broadcast per-query distance table "
+        "(5x8x16 rows) — the classic PQ query path where the corpus is "
+        "touched once as codes, never as full vectors (Jégou et al., "
+        "TPAMI 2011, §ADC)",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.pq_adc_topk(load_table(spark, sf_dir, "embeddings"))

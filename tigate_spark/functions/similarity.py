@@ -554,3 +554,141 @@ def pca_project(df: DataFrame, iters: int = 2) -> DataFrame:
             "(acc, t) -> acc + t)"
         ).alias("pc1_proj"),
     )
+
+
+#: product-quantization geometry: 64 dims → 8 subspaces × 8 dims, 16 codes
+PQ_SUBSPACES = 8
+PQ_SUBDIM = 8
+PQ_K = 16
+
+
+def _pq_base(df: DataFrame) -> DataFrame:
+    """(vec_id, s, subq): each vector exploded into its 8 subvectors."""
+    base = with_quantized(df).select("vec_id", "q")
+    subs = F.expr(
+        f"transform(sequence(0, {PQ_SUBSPACES - 1}), "
+        f"s -> struct(s as s, slice(q, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) as subq))"
+    )
+    return base.select(
+        "vec_id", F.explode(subs).alias("e")
+    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.subq").alias("subq"))
+
+
+_PQ_DIST = (
+    "aggregate(zip_with(subq, cq, (x, y) -> (x - y) * (x - y)), "
+    "0L, (acc, v) -> acc + v)"
+)
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmin code per (vec, subspace) against the broadcast codebook."""
+    joined = sub.join(F.broadcast(cents), "s")
+    return (
+        joined.withColumn("d", F.expr(_PQ_DIST))
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min(F.struct(F.col("d"), F.col("cent_id"))).alias("_w"),
+            F.first("subq").alias("subq"),
+        )
+        .select(
+            "vec_id", "s", F.col("_w.cent_id").alias("code"),
+            F.col("_w.d").alias("d"), "subq",
+        )
+    )
+
+
+def pq_train(df: DataFrame, iters: int = 2) -> DataFrame:
+    """Per-subspace Lloyd's k-means codebooks (Jégou/Douze/Schmid, TPAMI
+    2011 — product quantization): 8 independent 16-code codebooks trained
+    in ONE grouped dataflow (subspace id rides as a group key through the
+    same assignment/update shapes as :func:`kmeans_train`); exact integer
+    arithmetic, init = the first 16 vectors' subvectors. The whole
+    codebook is 8×16 rows — broadcast-sized at any corpus size."""
+    sub = _pq_base(df)
+    cents = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .select("s", F.col("vec_id").alias("cent_id"), F.col("subq").alias("cq"))
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(sub, cents)
+        ex = assigned.select("s", F.col("code").alias("cell"),
+                             F.posexplode("subq").alias("pos", "x"))
+        comp = ex.groupBy("s", "cell", "pos").agg(
+            F.expr("sum(x) div count(*)").alias("c")
+        )
+        cents = (
+            comp.groupBy("s", "cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, c))), p -> p.c)"
+                ).alias("cq")
+            )
+            .select("s", F.col("cell").alias("cent_id"), "cq")
+        )
+    return cents
+
+
+def pq_encode(df: DataFrame, iters: int = 2) -> DataFrame:
+    """PQ codes per vector: 8 one-of-16 code labels (rendered as a csv
+    string — 8 bytes of storage per vector in production) plus the exact
+    integer quantization error. Encoding is one broadcast pass over the
+    corpus; at 100 TB this is the standard 8-byte-per-vector ANN
+    compression layout."""
+    cents = pq_train(df, iters)
+    assigned = _pq_assign(_pq_base(df), cents)
+    return (
+        assigned.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(s, code))), "
+                "p -> cast(p.code as string)), ',')"
+            ).alias("codes"),
+            F.sum("d").cast("bigint").alias("quant_err"),
+        )
+    )
+
+
+def pq_adc_topk(df: DataFrame, n_queries: int = 5, k: int = 5,
+                iters: int = 2) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search: queries keep their exact
+    subvectors; every corpus vector is represented only by its 8 code
+    labels, and its approximate distance is the sum of 8 lookups in the
+    per-query distance table (n_queries × 8 × 16 rows — broadcast). This
+    is the classic PQ search dataflow: the corpus is touched once as
+    codes, never as full vectors — the 100 TB ANN query path."""
+    from pyspark.sql import Window
+
+    cents = pq_train(df, iters)
+    assigned = _pq_assign(_pq_base(df), cents).select("vec_id", "s", "code")
+    qsubs = (
+        _pq_base(df).filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), "s",
+                F.col("subq").alias("qsub"))
+    )
+    dt = (
+        qsubs.join(cents, "s")
+        .select(
+            "query_id", "s", F.col("cent_id").alias("code"),
+            F.expr(
+                "aggregate(zip_with(qsub, cq, (x, y) -> (x - y) * (x - y)), "
+                "0L, (acc, v) -> acc + v)"
+            ).alias("dpart"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(dt), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dpart").cast("bigint").alias("adc_dist"),
+             F.count(F.lit(1)).alias("n_sub"))
+        .filter(F.col("n_sub") == PQ_SUBSPACES)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "rank", "adc_dist")
+    )
