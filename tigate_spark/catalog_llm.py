@@ -1848,3 +1848,38 @@ SELECT query_id, vec_id AS neighbor_id, rank, adc_dist FROM (
 )
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "corpus_bigram_counts",
+    _TOK_CTE
+    + """
+, bg AS (
+  SELECT t.tokens[i] AS w1, t.tokens[i + 1] AS w2
+  FROM tok t, unnest(range(1, greatest(len(t.tokens), 1))) AS g(i)
+)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY 1, 2
+HAVING count(*) >= 5
+""",
+    doc="Adjacent-pair (bigram) counts over the corpus — the merge-step "
+        "statistic a BPE tokenizer trainer consumes each round (Sennrich "
+        "et al. 2016): one explode of consecutive token pairs + a "
+        "partial-first agg, thresholded to the pairs worth merging; "
+        "map-side combine keeps the shuffle at vocabulary² worst case, "
+        "ngram-frequency bounded in practice",
+)
+def corpus_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = F.expr(
+        "transform(sequence(1, greatest(size(tokens) - 1, 0)), "
+        "i -> struct(element_at(tokens, i) as w1, "
+        "element_at(tokens, i + 1) as w2))"
+    )
+    return (
+        tx.with_tokens(docs)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
