@@ -1754,14 +1754,16 @@ _PQ_D = ("list_sum(list_transform(range(1, 9), "
          "i -> (sub.subq[i] - c.cq[i]) * (sub.subq[i] - c.cq[i])))")
 
 
-def _pq_cte(iters: int = 2) -> str:
+def _pq_cte(iters: int = 2, src: str = "base") -> str:
     """Unrolled per-subspace Lloyd chain mirroring ``similarity.pq_train``
     bit-for-bit (subspace ``s`` rides as a group key; init = first-16
-    subvectors; truncating integer centroid means)."""
-    sql = """
+    subvectors; truncating integer centroid means). ``src`` is the
+    (vec_id, q) relation to quantize — ``base`` for plain PQ, the
+    residual relation for IVF-PQ."""
+    sql = f"""
 , subs AS (
   SELECT b.vec_id, g.s, b.q[g.s * 8 + 1 : g.s * 8 + 8] AS subq
-  FROM base b, (SELECT unnest(range(8)) AS s) g
+  FROM {src} b, (SELECT unnest(range(8)) AS s) g
 ), pc0 AS (SELECT s, vec_id AS cent_id, subq AS cq FROM subs WHERE vec_id < 16)"""
     for it in range(iters):
         sql += f"""
@@ -1883,3 +1885,56 @@ def corpus_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+@register(
+    "sim_ivfpq_topk",
+    _QUANT_CTE
+    + _km_cte(8, 2)
+    + f"""
+, cellsK AS (
+  SELECT vec_id, q, cell FROM (
+    SELECT b.vec_id, b.q, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_KM_DIST}, c.cent_id) AS rn
+    FROM base b CROSS JOIN c2 c) WHERE rn = 1
+), res AS (
+  SELECT l.vec_id, l.cell,
+         list_transform(range(1, 65), i -> l.q[i] - c.cq[i]) AS q
+  FROM cellsK l JOIN c2 c ON l.cell = c.cent_id
+)"""
+    + _pq_cte(2, src="res")
+    + """
+, qres AS (SELECT vec_id AS query_id, s, subq AS qsub FROM subs WHERE vec_id < 5)
+, qcell AS (SELECT vec_id AS query_id, cell AS q_cell FROM res WHERE vec_id < 5)
+, dt AS (
+  SELECT q.query_id, qc.q_cell, q.s, c.cent_id AS code,
+         CAST(list_sum(list_transform(range(1, 9),
+              i -> (q.qsub[i] - c.cq[i]) * (q.qsub[i] - c.cq[i]))) AS BIGINT)
+           AS dpart
+  FROM qres q JOIN qcell qc ON q.query_id = qc.query_id
+  JOIN pc2 c ON q.s = c.s
+), scored AS (
+  SELECT dt.query_id, a.vec_id, CAST(sum(dt.dpart) AS BIGINT) AS adc_dist
+  FROM paF a JOIN res r ON a.vec_id = r.vec_id
+  JOIN dt ON a.s = dt.s AND a.code = dt.code AND r.cell = dt.q_cell
+  WHERE a.vec_id <> dt.query_id
+  GROUP BY 1, 2 HAVING count(*) = 8
+)
+SELECT query_id, vec_id AS neighbor_id, rank, adc_dist FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="IVF-PQ with residual encoding — the production ANN index "
+        "(Jégou et al. 2011 §IVFADC; the FAISS IVFxPQy layout): k-means "
+        "coarse quantizer routes vectors to cells, the RESIDUAL "
+        "(vector − centroid) is PQ-encoded by grouped-subspace "
+        "codebooks, and a query probes its own cell (nprobe=1) scoring "
+        "candidates by asymmetric distance over the residual codebooks. "
+        "Corpus state = cell id + 8 code labels per vector; all "
+        "codebooks broadcast; exact integer arithmetic end to end",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivfpq_topk(load_table(spark, sf_dir, "embeddings"))

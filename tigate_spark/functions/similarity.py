@@ -562,16 +562,21 @@ PQ_SUBDIM = 8
 PQ_K = 16
 
 
-def _pq_base(df: DataFrame) -> DataFrame:
-    """(vec_id, s, subq): each vector exploded into its 8 subvectors."""
-    base = with_quantized(df).select("vec_id", "q")
+def _pq_split(qdf: DataFrame) -> DataFrame:
+    """(vec_id, s, subq) from a prepared (vec_id, q) frame: each vector
+    exploded into its 8 subvectors."""
     subs = F.expr(
         f"transform(sequence(0, {PQ_SUBSPACES - 1}), "
         f"s -> struct(s as s, slice(q, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) as subq))"
     )
-    return base.select(
+    return qdf.select(
         "vec_id", F.explode(subs).alias("e")
     ).select("vec_id", F.col("e.s").alias("s"), F.col("e.subq").alias("subq"))
+
+
+def _pq_base(df: DataFrame) -> DataFrame:
+    """(vec_id, s, subq) straight from the embeddings table."""
+    return _pq_split(with_quantized(df).select("vec_id", "q"))
 
 
 _PQ_DIST = (
@@ -604,28 +609,7 @@ def pq_train(df: DataFrame, iters: int = 2) -> DataFrame:
     same assignment/update shapes as :func:`kmeans_train`); exact integer
     arithmetic, init = the first 16 vectors' subvectors. The whole
     codebook is 8×16 rows — broadcast-sized at any corpus size."""
-    sub = _pq_base(df)
-    cents = (
-        sub.filter(F.col("vec_id") < PQ_K)
-        .select("s", F.col("vec_id").alias("cent_id"), F.col("subq").alias("cq"))
-    )
-    for _ in range(iters):
-        assigned = _pq_assign(sub, cents)
-        ex = assigned.select("s", F.col("code").alias("cell"),
-                             F.posexplode("subq").alias("pos", "x"))
-        comp = ex.groupBy("s", "cell", "pos").agg(
-            F.expr("sum(x) div count(*)").alias("c")
-        )
-        cents = (
-            comp.groupBy("s", "cell")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, c))), p -> p.c)"
-                ).alias("cq")
-            )
-            .select("s", F.col("cell").alias("cent_id"), "cq")
-        )
-    return cents
+    return _pq_train_subs(_pq_base(df), iters)
 
 
 def pq_encode(df: DataFrame, iters: int = 2) -> DataFrame:
@@ -677,6 +661,105 @@ def pq_adc_topk(df: DataFrame, n_queries: int = 5, k: int = 5,
     )
     scored = (
         assigned.join(F.broadcast(dt), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dpart").cast("bigint").alias("adc_dist"),
+             F.count(F.lit(1)).alias("n_sub"))
+        .filter(F.col("n_sub") == PQ_SUBSPACES)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "rank", "adc_dist")
+    )
+
+
+def _pq_train_subs(sub: DataFrame, iters: int = 2) -> DataFrame:
+    """Grouped-subspace Lloyd loop over a prepared (vec_id, s, subq)
+    frame (shared by :func:`pq_train` and the IVF-PQ residual trainer)."""
+    cents = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .select("s", F.col("vec_id").alias("cent_id"), F.col("subq").alias("cq"))
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(sub, cents)
+        ex = assigned.select("s", F.col("code").alias("cell"),
+                             F.posexplode("subq").alias("pos", "x"))
+        comp = ex.groupBy("s", "cell", "pos").agg(
+            F.expr("sum(x) div count(*)").alias("c")
+        )
+        cents = (
+            comp.groupBy("s", "cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, c))), p -> p.c)"
+                ).alias("cq")
+            )
+            .select("s", F.col("cell").alias("cent_id"), "cq")
+        )
+    return cents
+
+
+def ivfpq_topk(df: DataFrame, k_cents: int = 8, km_iters: int = 2,
+               pq_iters: int = 2, n_queries: int = 5, k: int = 5) -> DataFrame:
+    """IVF-PQ with residual encoding — the production ANN index layout
+    (Jégou et al. 2011 §IVFADC; the FAISS ``IVFxPQy`` architecture): a
+    k-means coarse quantizer routes each vector to a cell, the RESIDUAL
+    (vector − its centroid) is PQ-encoded, and a query probes its own
+    cell (nprobe=1) scoring candidates by asymmetric distance over the
+    residual codebooks. Corpus state = cell id + 8 code labels per
+    vector; everything broadcast-sized except the one cell-keyed lookup.
+    Exact integer arithmetic end to end."""
+    from pyspark.sql import Window
+
+    base = with_quantized(df).select("vec_id", "q", "norm_sq")
+    coarse = kmeans_train(df, k_cents, km_iters)
+    cells = _assign_cells(base, coarse)
+    res = (
+        cells.join(F.broadcast(coarse.withColumnRenamed("cent_id", "cell")),
+                   "cell")
+        .select(
+            "vec_id", "cell",
+            F.expr("zip_with(q, cq, (x, y) -> x - y)").alias("q"),
+        )
+    )
+    sub = _pq_split(res.select("vec_id", "q"))
+    cents = _pq_train_subs(sub, pq_iters)
+    assigned = _pq_assign(sub, cents).select("vec_id", "s", "code")
+    codes = assigned.join(res.select("vec_id", "cell"), "vec_id")
+    qres = (
+        _pq_split(
+            res.filter(F.col("vec_id") < n_queries).select("vec_id", "q")
+        )
+        .select(F.col("vec_id").alias("query_id"), "s",
+                F.col("subq").alias("qsub"))
+        .join(
+            res.filter(F.col("vec_id") < n_queries)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("cell").alias("q_cell")),
+            "query_id",
+        )
+    )
+    dt = (
+        qres.join(cents, "s")
+        .select(
+            "query_id", "q_cell", "s", F.col("cent_id").alias("code"),
+            F.expr(
+                "aggregate(zip_with(qsub, cq, (x, y) -> (x - y) * (x - y)), "
+                "0L, (acc, v) -> acc + v)"
+            ).alias("dpart"),
+        )
+    )
+    scored = (
+        codes.join(
+            F.broadcast(dt),
+            (codes["s"] == dt["s"]) & (codes["code"] == dt["code"])
+            & (codes["cell"] == dt["q_cell"]),
+        )
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(F.sum("dpart").cast("bigint").alias("adc_dist"),
