@@ -52,6 +52,10 @@ QUERIES = [
     "dedup_semantic_semdedup", "sample_importance_dsir",
     "decontaminate_fuzzy_minhash", "corpus_shuffle_assign",
     "seq_gap_resets",
+    # late-r05: PQ family (grouped Lloyd + broadcast ADC), integer BM25,
+    # exact-integer PCA, craft consumer decode (Arrow mapInPandas)
+    "embed_pq_encode", "sim_ivfpq_topk", "text_search_bm25_topk",
+    "embed_pca_project", "decoder_craft_framed",
 ]
 
 
