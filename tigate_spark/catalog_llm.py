@@ -1938,3 +1938,54 @@ SELECT query_id, vec_id AS neighbor_id, rank, adc_dist FROM (
 )
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _recall_oracle() -> str:
+    from tigate_spark.catalog import CATALOG
+
+    exact = CATALOG["sim_cosine_topk"].oracle
+    approx = CATALOG["sim_ivfpq_topk"].oracle
+    return f"""
+SELECT e.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST(5 AS BIGINT) AS k
+FROM ({exact}) e
+LEFT JOIN ({approx}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+WHERE e.query_id < 5 AND e.rank <= 5
+GROUP BY 1
+"""
+
+
+@register(
+    "sim_ann_recall_report",
+    _recall_oracle(),
+    doc="ANN quality evaluation: recall@5 of the IVF-PQ index against the "
+        "exact brute-force ranking, per query — the measurement you run "
+        "to tune nprobe/codebook size before trusting an ANN index at "
+        "scale. Both rankings come from the engine's own operators; the "
+        "report is one broadcast join of two top-k tables (25 rows each)",
+)
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = (
+        sim.brute_force_topk(emb, n_queries=20, k=10)
+        .filter((F.col("query_id") < 5) & (F.col("rank") <= 5))
+        .select("query_id", "neighbor_id")
+    )
+    approx = sim.ivfpq_topk(emb).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["neighbor_id"] == approx["a_neighbor"]),
+            "left",
+        )
+        .groupBy(exact["query_id"].alias("query_id"))
+        .agg(
+            F.count("a_neighbor").cast("bigint").alias("n_overlap"),
+            F.lit(5).cast("bigint").alias("k"),
+        )
+    )
