@@ -1989,3 +1989,45 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(5).cast("bigint").alias("k"),
         )
     )
+
+
+def _curation_manifest_oracle() -> str:
+    from tigate_spark.catalog import CATALOG
+
+    keep = CATALOG["dedup_keep_best_quality"].oracle
+    contam = CATALOG["decontaminate_vs_eval"].oracle
+    dsir = CATALOG["sample_importance_dsir"].oracle
+    return f"""
+SELECT k.doc_id, k.cluster_id, k.ttr_bp, w.n_tokens, w.imp_weight_sum
+FROM ({keep}) k
+LEFT JOIN ({contam}) c ON k.doc_id = c.doc_id
+JOIN ({dsir}) w ON k.doc_id = w.doc_id
+WHERE k.keep = 1 AND c.doc_id IS NULL AND k.ttr_bp >= 1000
+"""
+
+
+@register(
+    "llm_curation_manifest",
+    _curation_manifest_oracle(),
+    doc="The composed modern curation pipeline as ONE declarative plan: a "
+        "doc survives iff it is its near-dup cluster's best-quality "
+        "member (SemDeDup-family keep policy), shares no 5-gram shingle "
+        "with the eval holdout (decontamination), and passes the lexical-"
+        "diversity floor; survivors carry their token count and DSIR "
+        "importance weight for downstream sampling. Every stage is an "
+        "already-oracle-checked operator — the manifest oracle composes "
+        "their oracles as subqueries, so the composition itself is "
+        "hash-verified end to end",
+)
+def llm_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keep = dedup_keep_best_quality(spark, sf_dir)
+    contam = decontaminate_vs_eval(spark, sf_dir).select(
+        F.col("doc_id").alias("c_doc")
+    )
+    dsir = sample_importance_dsir(spark, sf_dir)
+    return (
+        keep.filter((F.col("keep") == 1) & (F.col("ttr_bp") >= 1000))
+        .join(contam, keep["doc_id"] == contam["c_doc"], "left_anti")
+        .join(dsir, "doc_id")
+        .select("doc_id", "cluster_id", "ttr_bp", "n_tokens", "imp_weight_sum")
+    )
