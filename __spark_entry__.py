@@ -83,7 +83,7 @@ _PRIORITY = [
     "streaming_time_travel_e2e", "apply_incremental_join",
     "dedup_exact_canonical", "dedup_keep_best_quality",
     "text_search_bm25_topk", "embed_pq_encode", "sim_pq_adc_topk", "sim_ivfpq_topk", "sim_ann_recall_report", "corpus_bigram_counts",
-    "llm_curation_manifest",
+    "llm_curation_manifest", "streaming_minhash_dedup_e2e",
     "encoder_craft_resolved", "encoder_open_resolved", "encoder_open_ddl",
     "sample_source_token_budget", "embed_label_outliers",
     "streaming_blackhole_e2e", "cdc_pipeline_e2e",

@@ -819,3 +819,123 @@ def streaming_time_travel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_LSH_STREAM_ORACLE = None  # assembled below from catalog_llm's shingle CTEs
+
+
+def _lsh_stream_oracle() -> str:
+    from tigate_spark.catalog_llm import _MINHASH_SIG_SQL, _SHINGLE_CTE
+    from tigate_spark.functions import dedup as dd
+
+    return _SHINGLE_CTE + f"""
+, sigs AS (
+  SELECT doc_id, {_MINHASH_SIG_SQL} AS sig
+  FROM sh WHERE len(shingles) >= 1
+), bands AS (
+  SELECT doc_id, g.band,
+         printf('%d:%d', sig[2 * g.band + 1], sig[2 * g.band + 2]) AS v
+  FROM sigs, (SELECT unnest(range({dd.MINHASH_BANDS})) AS band) g
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY band, v ORDER BY doc_id) AS rk
+  FROM bands
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM ranked a JOIN ranked b
+  ON a.band = b.band AND a.v = b.v AND a.rk < b.rk
+     AND b.rk <= {dd.LSH_BUCKET_CAP}
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "streaming_minhash_dedup_e2e",
+    None,  # oracle attached right after definition (needs catalog_llm import)
+    doc="Streaming fuzzy dedup end-to-end (12th streaming entry): the "
+        "document corpus arrives as 4 doc_id-ordered micro-batches; an "
+        "applyInPandasWithState operator keyed by LSH bucket keeps each "
+        "bucket's first 100 member ids as GroupState and emits a "
+        "candidate pair the moment a new member lands in a known bucket "
+        "— cross-batch MinHash-LSH near-dup detection with state bounded "
+        "at cap ids per bucket forever (the incremental form of the "
+        "batch pipeline's oversized-bucket drop). The accumulated pair "
+        "stream hash-matches the rank-capped batch oracle because "
+        "arrival order is the doc_id order (pinned source mtimes)",
+)
+def streaming_minhash_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import time as _time
+
+    from tigate_spark.functions import dedup as dd
+    from tigate_spark.streaming.stateful import lsh_incremental_pairs
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "documents.parquet")
+        base = spark.read.parquet(src)
+        n = base.count()
+        per = max(n // 4, 1)
+        ranked = base.withColumn(
+            "part",
+            F.expr(
+                "least(cast((row_number() over (order by doc_id) - 1) "
+                f"div {per} as int), 3)"
+            ),
+        )
+        parts_dir = os.path.join(work, "parts")
+        ranked.write.partitionBy("part").parquet(parts_dir)
+        flat = os.path.join(work, "flat")
+        os.makedirs(flat)
+        now = _time.time()
+        for k in range(4):
+            files = sorted(
+                _glob.glob(os.path.join(parts_dir, f"part={k}", "*.parquet"))
+            )
+            for j, f in enumerate(files):
+                dst = os.path.join(flat, f"{k:02d}-{j}.parquet")
+                os.link(f, dst)
+                os.utime(dst, (now + k, now + k))
+        schema = base.schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(flat)
+        )
+        bands = dd.lsh_bands(raw)
+        out_dir, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+        q = (
+            lsh_incremental_pairs(bands, cap=dd.LSH_BUCKET_CAP)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        n_batches = (
+            spark.read.json(os.path.join(ckpt, "offsets")).count()
+            if os.path.isdir(os.path.join(ckpt, "offsets"))
+            else 0
+        )
+        if n > 4 and n_batches < 2:
+            raise RuntimeError(
+                f"expected a multi-batch run, got {n_batches} micro-batches"
+            )
+        pairs = (
+            spark.read.parquet(out_dir)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_bands"))
+        )
+        return _materialize(pairs)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# attach the oracle (assembled from catalog_llm's shingle/signature CTEs)
+from tigate_spark.catalog import CATALOG as _CAT  # noqa: E402
+
+_CAT["streaming_minhash_dedup_e2e"].oracle = _lsh_stream_oracle()

@@ -88,3 +88,53 @@ def windowed_counts(df: DataFrame, window: str = "1 hour",
             "n_events",
         )
     )
+
+
+LSH_INC_OUT = "bucket string, doc_a long, doc_b long"
+LSH_INC_STATE = "docs string"
+
+
+def lsh_incremental_pairs(bands_df: DataFrame, cap: int = 100) -> DataFrame:
+    """Cross-batch incremental MinHash-LSH near-dup pairing: GroupState
+    per (band, v) bucket holds its first ``cap`` member doc ids; each
+    arriving doc pairs with every earlier member while the bucket is
+    below cap, then the bucket saturates and later members are dropped
+    (the *incremental* form of the batch pipeline's oversized-bucket
+    drop — state stays bounded at cap ids per bucket forever).
+
+    Deterministic by construction when the source delivers docs in
+    doc_id order (commit-ordered chunks): new docs are processed sorted
+    within each batch, so bucket rank == global doc_id rank and the
+    emitted pair set equals the batch oracle's rank-capped pairing.
+    ``bands_df``: streaming (doc_id, band, v) rows.
+    """
+
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        docs: list[int] = []
+        if state.exists:
+            docs = [int(x) for x in state.get[0].split(",") if x]
+        new = sorted({int(d) for pdf in pdfs for d in pdf["doc_id"]})
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for d in new:
+            if len(docs) >= cap:
+                break  # saturated bucket: later members are dropped
+            out_a.extend(docs)
+            out_b.extend([d] * len(docs))
+            docs.append(d)
+        state.update((",".join(str(x) for x in docs),))
+        yield pd.DataFrame(
+            {
+                "bucket": pd.Series([str(key[0])] * len(out_a), dtype="object"),
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+            }
+        )
+
+    keyed = bands_df.withColumn(
+        "bucket", F.concat_ws("|", F.col("band"), F.col("v"))
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        fn, LSH_INC_OUT, LSH_INC_STATE, "append", GroupStateTimeout.NoTimeout
+    )
