@@ -821,9 +821,6 @@ def streaming_time_travel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-_LSH_STREAM_ORACLE = None  # assembled below from catalog_llm's shingle CTEs
-
-
 def _lsh_stream_oracle() -> str:
     from tigate_spark.catalog_llm import _MINHASH_SIG_SQL, _SHINGLE_CTE
     from tigate_spark.functions import dedup as dd
