@@ -77,7 +77,7 @@ _PRIORITY = [
     "sample_importance_dsir", "decontaminate_fuzzy_minhash",
     "corpus_shuffle_assign", "seq_gap_resets", "streaming_incr_agg_e2e",
     "decoder_craft_framed", "decoder_craft_batch_framed",
-    "decoder_craft_dead_letter",
+    "decoder_craft_dead_letter", "decoder_avro_confluent",
     "multimodal_audio_energy", "embed_pca_project",
     "streaming_ddl_barrier_e2e", "convert_open_to_canal",
     "streaming_time_travel_e2e", "apply_incremental_join",

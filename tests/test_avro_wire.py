@@ -10,53 +10,17 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import Row
 
-from tigate_spark.functions.avro_wire import (
+# the decoder lives in the engine package now (consumer-side E7 surface);
+# it stays independent of the hex-generating encoder SQL
+from tigate_spark.functions.avro_wire import (  # noqa: F401
     KEY_SCHEMA_ID,
     VALUE_SCHEMA_ID,
+    avro_long as _avro_long,
+    avro_string as _avro_string,
+    decode_avro_value as decode_value,
     encode_avro_confluent,
+    strip_confluent_header as _strip_header,
 )
-
-
-def _avro_long(b: bytes, i: int) -> tuple[int, int]:
-    x, s = 0, 0
-    while True:
-        x |= (b[i] & 0x7F) << s
-        s += 7
-        i += 1
-        if not b[i - 1] & 0x80:
-            return (x >> 1) ^ -(x & 1), i
-
-
-def _avro_string(b: bytes, i: int) -> tuple[str, int]:
-    n, i = _avro_long(b, i)
-    return b[i:i + n].decode("utf-8"), i + n
-
-
-def _strip_header(raw: bytes, want_id: int) -> bytes:
-    assert raw[0] == 0x00, "confluent magic byte"
-    assert int.from_bytes(raw[1:5], "big") == want_id
-    return raw[5:]
-
-
-def decode_value(raw: bytes) -> dict:
-    body = _strip_header(raw, VALUE_SCHEMA_ID)
-    i = 0
-    pk, i = _avro_long(body, i)
-    branch, i = _avro_long(body, i)
-    assert branch == 1, "event_type union non-null branch"
-    event_type, i = _avro_string(body, i)
-    branch, i = _avro_long(body, i)
-    assert branch == 1
-    value_cents, i = _avro_long(body, i)
-    branch, i = _avro_long(body, i)
-    assert branch == 1
-    user_id, i = _avro_long(body, i)
-    op, i = _avro_string(body, i)
-    commit_ts, i = _avro_long(body, i)
-    phys, i = _avro_long(body, i)
-    assert i == len(body), "no trailing bytes"
-    return dict(pk=pk, event_type=event_type, value_cents=value_cents,
-                user_id=user_id, op=op, commit_ts=commit_ts, phys=phys)
 
 
 ROWS = [

@@ -2625,6 +2625,39 @@ def decoder_craft_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decoder_avro_confluent",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, pk,
+  CASE WHEN op = 'D' THEN NULL ELSE event_type END AS event_type,
+  CASE WHEN op = 'D' THEN NULL ELSE value_cents END AS value_cents,
+  CASE WHEN op = 'D' THEN NULL ELSE user_id END AS user_id,
+  CASE WHEN op = 'D' THEN NULL WHEN op = 'I' THEN 'c' ELSE 'u' END AS op_flag,
+  CASE WHEN op = 'D' THEN NULL ELSE commit_ts END AS commit_ts,
+  CASE WHEN op = 'D' THEN NULL ELSE commit_ts // 1000 END AS phys_ms,
+  CAST(CASE WHEN op = 'D' THEN 1 ELSE 0 END AS BIGINT) AS is_tombstone
+FROM changes
+""",
+    doc="E7 Confluent Avro consumer: decode the byte-exact wire messages "
+        "(5-byte magic+schema-id header + Avro binary body — zigzag "
+        "varint longs, length-prefixed strings, union branches) back "
+        "into typed rows via an independent Python decoder over Arrow "
+        "mapInPandas; a null value is the delete tombstone, which "
+        "decodes key-only. Full encode→decode round trip hash-matched "
+        "against the pre-encode truth",
+)
+def decoder_avro_confluent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.avro_wire import (
+        avro_decode_rows,
+        encode_avro_confluent,
+    )
+
+    ch = changes_stream(spark, sf_dir)
+    enc = encode_avro_confluent(ch).select("seq", "key_hex", "value_hex")
+    return avro_decode_rows(enc)
+
+
+@register(
     "decoder_craft_dead_letter",
     ORACLE_CHANGES_CTE
     + """

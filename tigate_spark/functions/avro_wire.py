@@ -107,3 +107,96 @@ def avro_wire_oracle_suffix() -> str:
         sql.append(f", {cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
         prev = cte
     return "".join(sql)
+
+
+# ---------------------------------------------------------------------------
+# Consumer-side decoder (E7 for the Confluent Avro wire format) — an
+# independent Python implementation of Avro binary decoding (spec §binary
+# encoding) + the 5-byte Confluent header, run over Arrow mapInPandas.
+# Deliberately NOT derived from the hex-generating SQL above: encoder and
+# decoder meet only at the byte level.
+# ---------------------------------------------------------------------------
+def avro_long(b: bytes, i: int) -> tuple[int, int]:
+    x, s = 0, 0
+    while True:
+        x |= (b[i] & 0x7F) << s
+        s += 7
+        i += 1
+        if not b[i - 1] & 0x80:
+            return (x >> 1) ^ -(x & 1), i
+
+
+def avro_string(b: bytes, i: int) -> tuple[str, int]:
+    n, i = avro_long(b, i)
+    return b[i:i + n].decode("utf-8"), i + n
+
+
+def strip_confluent_header(raw: bytes, want_id: int) -> bytes:
+    assert raw[0] == 0x00, "confluent magic byte"
+    assert int.from_bytes(raw[1:5], "big") == want_id
+    return raw[5:]
+
+
+def decode_avro_key(raw: bytes) -> int:
+    body = strip_confluent_header(raw, KEY_SCHEMA_ID)
+    pk, i = avro_long(body, 0)
+    assert i == len(body)
+    return pk
+
+
+def decode_avro_value(raw: bytes) -> dict:
+    body = strip_confluent_header(raw, VALUE_SCHEMA_ID)
+    i = 0
+    pk, i = avro_long(body, i)
+    branch, i = avro_long(body, i)
+    assert branch == 1, "event_type union non-null branch"
+    event_type, i = avro_string(body, i)
+    branch, i = avro_long(body, i)
+    assert branch == 1
+    value_cents, i = avro_long(body, i)
+    branch, i = avro_long(body, i)
+    assert branch == 1
+    user_id, i = avro_long(body, i)
+    op, i = avro_string(body, i)
+    commit_ts, i = avro_long(body, i)
+    phys, i = avro_long(body, i)
+    assert i == len(body), "no trailing bytes"
+    return dict(pk=pk, event_type=event_type, value_cents=value_cents,
+                user_id=user_id, op=op, commit_ts=commit_ts, phys=phys)
+
+
+_AVRO_DEC_SCHEMA = (
+    "seq long, pk long, event_type string, value_cents long, user_id long, "
+    "op_flag string, commit_ts long, phys_ms long, is_tombstone long"
+)
+
+
+def avro_decode_rows(df: DataFrame, key_col: str = "key_hex",
+                     value_col: str = "value_hex") -> DataFrame:
+    """Decode Confluent-framed Avro binary messages back into typed rows;
+    a null value is the delete tombstone (key decodes alone). Arrow
+    ``mapInPandas``, per-partition, no shuffle."""
+    import pandas as pd
+
+    def fn(it):
+        for pdf in it:
+            rows = []
+            for seq, kh, vh in zip(pdf["seq"], pdf[key_col], pdf[value_col]):
+                pk = decode_avro_key(bytes.fromhex(kh))
+                if vh is None or (isinstance(vh, float)):
+                    rows.append((int(seq), pk, None, None, None,
+                                 None, None, None, 1))
+                    continue
+                v = decode_avro_value(bytes.fromhex(vh))
+                assert v["pk"] == pk
+                rows.append((int(seq), pk, v["event_type"], v["value_cents"],
+                             v["user_id"], v["op"], v["commit_ts"],
+                             v["phys"], 0))
+            yield pd.DataFrame(
+                rows, columns=[
+                    "seq", "pk", "event_type", "value_cents", "user_id",
+                    "op_flag", "commit_ts", "phys_ms", "is_tombstone",
+                ],
+            )
+
+    return df.mapInPandas(fn, _AVRO_DEC_SCHEMA)
