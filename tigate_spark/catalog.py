@@ -2906,3 +2906,35 @@ def encoder_open_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_open_resolved(_resolved_topics(spark, sf_dir)).select(
         "topic", "resolved_ts", "key_hex", "value_hex"
     )
+
+
+@register(
+    "agg_props_json_profile",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS n_distinct_k
+FROM changes GROUP BY 1
+""",
+    doc="Semi-structured payload analytics: the events' opaque JSON "
+        "props column parsed in-plan (get_json_object → typed bigint) "
+        "and aggregated per event type — the schema-on-read path for "
+        "JSON payload columns (the reference treats JSON as opaque "
+        "strings, §1.3; Spark gets typed extraction for free and the "
+        "extraction runs inside the scan stage, pure JVM)",
+)
+def agg_props_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ch.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.countDistinct(k).alias("n_distinct_k"),
+    )

@@ -936,3 +936,66 @@ def streaming_minhash_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 from tigate_spark.catalog import CATALOG as _CAT  # noqa: E402
 
 _CAT["streaming_minhash_dedup_e2e"].oracle = _lsh_stream_oracle()
+
+
+@register(
+    "streaming_filtered_replica_e2e",
+    ORACLE_CHANGES_CTE + """
+, filtered AS (
+  SELECT * FROM changes
+  WHERE table_name IN ('t0', 't1', 't2')
+    AND NOT (table_name = 't1' AND op = 'D')
+    AND NOT (op = 'I' AND value_cents > 30000)
+), ordered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY table_id, pk
+    ORDER BY commit_ts DESC, start_ts DESC,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC, seq DESC
+  ) AS rn
+  FROM filtered
+)
+SELECT table_id, pk, commit_ts AS last_commit_ts, event_type, value_cents
+FROM ordered WHERE rn = 1 AND op <> 'D'
+""",
+    doc="Config-driven filtering through the real streaming path: a "
+        "changefeed whose FilterConfig drops table t3 (F1 rule list), "
+        "ignores deletes on t1 (F2 per-matcher event filter), and "
+        "ignores high-value inserts via a SQL expression (F3) — the "
+        "event_filter integration scenario shape — runs end-to-end to "
+        "the replica sink; the materialized state hash-matches the LWW "
+        "oracle over exactly the surviving events (note t1 deletes "
+        "filtered out mean old rows legitimately survive)",
+)
+def streaming_filtered_replica_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.config import EventFilterRule, FilterConfig
+    from tigate_spark.streaming.changefeed import Changefeed
+    from tigate_spark.streaming.sinks import read_replica
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        cfg = ChangefeedConfig(
+            changefeed_id="filt-e2e",
+            sink_uri="replica://",
+            filter=FilterConfig(
+                rules=["app.t0", "app.t1", "app.t2"],
+                event_filters=[
+                    EventFilterRule(matcher=["app.t1"],
+                                    ignore_event=["delete"]),
+                    EventFilterRule(
+                        matcher=["app.*"],
+                        ignore_insert_value_expr="value_cents > 30000",
+                    ),
+                ],
+            ),
+        )
+        cf = Changefeed(
+            spark, cfg, os.path.join(sf_dir, "events.parquet"), work
+        )
+        cf.run_to_completion()
+        replica = read_replica(spark, cf.sink.state_dir).select(
+            "table_id", "pk", F.col("commit_ts").alias("last_commit_ts"),
+            "event_type", "value_cents",
+        )
+        return _materialize(replica)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
