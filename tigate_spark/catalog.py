@@ -2938,3 +2938,55 @@ def agg_props_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.countDistinct(k).alias("n_distinct_k"),
     )
+
+
+@register(
+    "claim_check_round_trip",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, printf(
+  '{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,"type":"%s","es":%d,"ts":%d,"sql":"","data":%s,"old":%s,"_tidb":{"commitTs":%d}}',
+  schema_name, table_name,
+  CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+  commit_ts // 1000, commit_ts // 1000,
+  '[' || coalesce(CASE WHEN op = 'D' THEN before ELSE after END, 'null') || ']',
+  CASE WHEN op = 'U' THEN '[' || before || ']' ELSE 'null' END,
+  commit_ts) AS message,
+  CAST(CASE WHEN octet_length(encode(printf(
+  '{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,"type":"%s","es":%d,"ts":%d,"sql":"","data":%s,"old":%s,"_tidb":{"commitTs":%d}}',
+  schema_name, table_name,
+  CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+  commit_ts // 1000, commit_ts // 1000,
+  '[' || coalesce(CASE WHEN op = 'D' THEN before ELSE after END, 'null') || ']',
+  CASE WHEN op = 'U' THEN '[' || before || ']' ELSE 'null' END,
+  commit_ts))) > 320 THEN 1 ELSE 0 END AS BIGINT) AS offloaded
+FROM changes
+""",
+    doc="E5 claim-check FULL round trip: oversized canal messages are "
+        "offloaded (md5-addressed side store = exactly the offloaded "
+        "payloads, deduplicated by address), the wire carries the "
+        "pointer, and the consumer re-joins pointer → payload to recover "
+        "every original message byte-for-byte — proving the offload is "
+        "lossless for both paths (the oracle is simply the original "
+        "encoding plus the offload flag). The side store joins on the "
+        "content address; only oversized rows ever leave the wire path",
+)
+def claim_check_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import claim_check, encode_canal_json
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    cc = claim_check(encode_canal_json(ch), threshold=320)
+    store = (
+        cc.filter(F.col("offloaded"))
+        .select("claim_addr", F.col("message").alias("payload"))
+        .distinct()
+    )
+    wire = cc.select("seq", "wire_value", "offloaded", "claim_addr")
+    return (
+        wire.join(store, "claim_addr", "left")
+        .select(
+            "seq",
+            F.coalesce("payload", "wire_value").alias("message"),
+            F.col("offloaded").cast("bigint").alias("offloaded"),
+        )
+    )
