@@ -2990,3 +2990,60 @@ def claim_check_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("offloaded").cast("bigint").alias("offloaded"),
         )
     )
+
+
+_CANAL_DDL_FMT = (
+    '{"id":0,"database":"app","table":"t%d","pkNames":null,"isDdl":true,'
+    '"type":"%s","es":%d,"ts":%d,"sql":"%s","sqlType":null,'
+    '"mysqlType":null,"data":null,"old":null,"_tidb":{"commitTs":%d}}'
+)
+
+
+@register(
+    "encoder_canal_json_ddl",
+    _DDL_CTE
+    + f"""
+SELECT seq, printf(
+  '{_CANAL_DDL_FMT}',
+  table_id,
+  CASE ddl_type WHEN 'create table' THEN 'CREATE'
+       WHEN 'add column' THEN 'ALTER'
+       WHEN 'drop table' THEN 'ERASE'
+       WHEN 'truncate table' THEN 'TRUNCATE'
+       ELSE 'RENAME' END,
+  commit_ts // 1000, commit_ts // 1000,
+  {_json_esc_sql('query')},
+  commit_ts) AS message
+FROM ddl
+""",
+    doc="Canal-json DDL messages: isDdl=true with the canal event-type "
+        "mapping (CREATE/ALTER/ERASE/TRUNCATE/RENAME — "
+        "convertDdlEventType, canal/helper.go:305-337), null "
+        "pkNames/sqlType/mysqlType/data/old per the JSONMessage struct "
+        "(canal_json_message.go:40-62, no omitempty), query "
+        "JSON-escaped, es/ts in canal milliseconds, _tidb.commitTs "
+        "extension (encoder.go:398-418 newJSONMessageForDDL) — "
+        "completes the canal protocol next to the DML and checkpoint "
+        "messages",
+)
+def encoder_canal_json_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import json_escape
+
+    ddl = _ddl_stream(spark, sf_dir)
+    canal_type = (
+        F.when(F.col("ddl_type") == "create table", "CREATE")
+        .when(F.col("ddl_type") == "add column", "ALTER")
+        .when(F.col("ddl_type") == "drop table", "ERASE")
+        .when(F.col("ddl_type") == "truncate table", "TRUNCATE")
+        .otherwise("RENAME")
+    )
+    msg = F.format_string(
+        _CANAL_DDL_FMT,
+        F.col("table_id"),
+        canal_type,
+        F.expr("commit_ts div 1000"),
+        F.expr("commit_ts div 1000"),
+        json_escape(F.col("query")),
+        F.col("commit_ts"),
+    )
+    return ddl.select("seq", msg.alias("message"))
