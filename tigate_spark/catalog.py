@@ -3047,3 +3047,39 @@ def encoder_canal_json_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("commit_ts"),
     )
     return ddl.select("seq", msg.alias("message"))
+
+
+_CANAL_WM_FMT = (
+    '{"id":0,"database":"","table":"","pkNames":null,"isDdl":false,'
+    '"type":"TIDB_WATERMARK","es":%d,"ts":%d,"sql":"","sqlType":null,'
+    '"mysqlType":null,"data":null,"old":null,'
+    '"_tidb":{"watermarkTs":%d}}'
+)
+
+
+@register(
+    "encoder_canal_resolved",
+    _RESOLVED_CTE
+    + f"""
+SELECT topic, resolved_ts,
+       printf('{_CANAL_WM_FMT}',
+              resolved_ts // 1000, resolved_ts // 1000, resolved_ts)
+         AS message
+FROM resolved_in
+""",
+    doc="Canal-json checkpoint message: type TIDB_WATERMARK with the "
+        "_tidb.watermarkTs extension and empty schema/table "
+        "(newJSONMessage4CheckpointEvent, canal/encoder.go:420-433; "
+        "tidbExtension canal_json_message.go:126-131) — one per topic, "
+        "completing the resolved-ts message family alongside the open "
+        "and craft variants",
+)
+def encoder_canal_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _resolved_topics(spark, sf_dir)
+    msg = F.format_string(
+        _CANAL_WM_FMT,
+        F.expr("resolved_ts div 1000"),
+        F.expr("resolved_ts div 1000"),
+        F.col("resolved_ts"),
+    )
+    return r.select("topic", "resolved_ts", msg.alias("message"))
