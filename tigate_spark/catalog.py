@@ -3083,3 +3083,60 @@ def encoder_canal_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("resolved_ts"),
     )
     return r.select("topic", "resolved_ts", msg.alias("message"))
+
+
+_CANAL_FULL_SQL = """printf(
+  '{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,"type":"%s","es":%d,"ts":%d,"sql":"","data":%s,"old":%s,"_tidb":{"commitTs":%d}}',
+  schema_name, table_name,
+  CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+  commit_ts // 1000, commit_ts // 1000,
+  '[' || coalesce(CASE WHEN op = 'D' THEN before ELSE after END, 'null') || ']',
+  CASE WHEN op = 'U' THEN '[' || before || ']' ELSE 'null' END,
+  commit_ts)"""
+
+_CANAL_HKO_SQL = """printf(
+  '{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,"type":"%s","es":%d,"ts":%d,"sql":"","data":[{"pk":%d}],"old":null,"_tidb":{"commitTs":%d,"onlyHandleKey":true}}',
+  schema_name, table_name,
+  CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+  commit_ts // 1000, commit_ts // 1000, pk, commit_ts)"""
+
+
+@register(
+    "encoder_canal_handle_key_only",
+    ORACLE_CHANGES_CTE
+    + f"""
+SELECT seq,
+  CASE WHEN octet_length(encode({_CANAL_FULL_SQL})) > 320
+       THEN {_CANAL_HKO_SQL} ELSE {_CANAL_FULL_SQL} END AS message,
+  CAST(CASE WHEN octet_length(encode({_CANAL_FULL_SQL})) > 320
+       THEN 1 ELSE 0 END AS BIGINT) AS only_handle_key
+FROM changes
+""",
+    doc="Canal-json large-message handle-key-only degradation: oversized "
+        "messages are re-rendered with only the handle-key column in "
+        "data and the _tidb.onlyHandleKey=true extension "
+        "(canal/encoder.go:140-144,343-347; the P3 projection applied "
+        "inside the E1 wire format) — the lossy counterpart of the "
+        "lossless claim-check offload, byte-exact for both paths",
+)
+def encoder_canal_handle_key_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_canal_json
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    full = encode_canal_json(ch)
+    degraded = F.format_string(
+        '{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,'
+        '"type":"%s","es":%d,"ts":%d,"sql":"","data":[{"pk":%d}],"old":null,'
+        '"_tidb":{"commitTs":%d,"onlyHandleKey":true}}',
+        F.col("schema_name"), F.col("table_name"),
+        F.when(F.col("op") == "I", "INSERT")
+        .when(F.col("op") == "U", "UPDATE").otherwise("DELETE"),
+        F.expr("commit_ts div 1000"), F.expr("commit_ts div 1000"),
+        F.col("pk"), F.col("commit_ts"),
+    )
+    oversized = F.octet_length(F.col("message")) > 320
+    return full.select(
+        "seq",
+        F.when(oversized, degraded).otherwise(F.col("message")).alias("message"),
+        oversized.cast("bigint").alias("only_handle_key"),
+    )
