@@ -3140,3 +3140,51 @@ def encoder_canal_handle_key_only(spark: SparkSession, sf_dir: str) -> DataFrame
         F.when(oversized, degraded).otherwise(F.col("message")).alias("message"),
         oversized.cast("bigint").alias("only_handle_key"),
     )
+
+
+@register(
+    "encoder_canal_claim_check",
+    ORACLE_CHANGES_CTE
+    + f"""
+SELECT seq,
+  CASE WHEN octet_length(encode({_CANAL_FULL_SQL})) > 320
+       THEN printf(
+  '{{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,"type":"%s","es":%d,"ts":%d,"sql":"","data":[{{"pk":%d}}],"old":null,"_tidb":{{"commitTs":%d,"claimCheckLocation":"s3://claim-check/%s.json"}}}}',
+  schema_name, table_name,
+  CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+  commit_ts // 1000, commit_ts // 1000, pk, commit_ts,
+  md5({_CANAL_FULL_SQL}))
+       ELSE {_CANAL_FULL_SQL} END AS message,
+  CAST(CASE WHEN octet_length(encode({_CANAL_FULL_SQL})) > 320
+       THEN 1 ELSE 0 END AS BIGINT) AS offloaded
+FROM changes
+""",
+    doc="Canal-json claim-check wire form: the oversized message goes to "
+        "external storage (content-addressed location) and the Kafka "
+        "message degrades to handle-key data plus the "
+        "_tidb.claimCheckLocation extension "
+        "(canal/encoder.go:347-351; claim_check.go:110-125 file "
+        "addressing) — the canal rendering of E5, complementing the "
+        "protocol-agnostic claim_check_round_trip",
+)
+def encoder_canal_claim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_canal_json
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    full = encode_canal_json(ch)
+    degraded = F.format_string(
+        '{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,'
+        '"type":"%s","es":%d,"ts":%d,"sql":"","data":[{"pk":%d}],"old":null,'
+        '"_tidb":{"commitTs":%d,"claimCheckLocation":"s3://claim-check/%s.json"}}',
+        F.col("schema_name"), F.col("table_name"),
+        F.when(F.col("op") == "I", "INSERT")
+        .when(F.col("op") == "U", "UPDATE").otherwise("DELETE"),
+        F.expr("commit_ts div 1000"), F.expr("commit_ts div 1000"),
+        F.col("pk"), F.col("commit_ts"), F.md5(F.col("message")),
+    )
+    oversized = F.octet_length(F.col("message")) > 320
+    return full.select(
+        "seq",
+        F.when(oversized, degraded).otherwise(F.col("message")).alias("message"),
+        oversized.cast("bigint").alias("offloaded"),
+    )
