@@ -3188,3 +3188,41 @@ def encoder_canal_claim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(oversized, degraded).otherwise(F.col("message")).alias("message"),
         oversized.cast("bigint").alias("offloaded"),
     )
+
+
+@register(
+    "decoder_canal_large_message",
+    ORACLE_CHANGES_CTE
+    + f"""
+SELECT seq,
+  CAST(CASE WHEN octet_length(encode({_CANAL_FULL_SQL})) > 320
+       THEN 1 ELSE 0 END AS BIGINT) AS only_handle_key,
+  pk,
+  CASE WHEN octet_length(encode({_CANAL_FULL_SQL})) > 320 THEN NULL
+       ELSE CASE WHEN op = 'D' THEN CAST(json_extract(before, '$.value_cents') AS BIGINT)
+                 ELSE CAST(json_extract(after, '$.value_cents') AS BIGINT) END
+  END AS value_cents,
+  CAST(commit_ts AS BIGINT) AS commit_ts
+FROM changes
+""",
+    doc="Canal large-message consumer: recognize the "
+        "_tidb.onlyHandleKey=true degraded messages, recover the handle "
+        "key from their one-column data, and read full payloads "
+        "otherwise — the consumer contract that a degraded row must "
+        "trigger an upstream reload instead of a partial apply "
+        "(decoder-side twin of encoder_canal_handle_key_only)",
+)
+def decoder_canal_large_message(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enc = encoder_canal_handle_key_only(spark, sf_dir)
+    ohk = F.get_json_object(F.col("message"), "$._tidb.onlyHandleKey")
+    return enc.select(
+        "seq",
+        F.when(ohk == "true", 1).otherwise(0).cast("bigint")
+        .alias("only_handle_key"),
+        F.get_json_object(F.col("message"), "$.data[0].pk").cast("bigint")
+        .alias("pk"),
+        F.get_json_object(F.col("message"), "$.data[0].value_cents")
+        .cast("bigint").alias("value_cents"),
+        F.get_json_object(F.col("message"), "$._tidb.commitTs").cast("bigint")
+        .alias("commit_ts"),
+    )
