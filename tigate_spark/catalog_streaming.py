@@ -999,3 +999,80 @@ def streaming_filtered_replica_e2e(spark: SparkSession, sf_dir: str) -> DataFram
         return _materialize(replica)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_syncpoint_e2e",
+    ORACLE_CHANGES_CTE + """
+, ordered AS (
+  SELECT commit_ts,
+         row_number() OVER (ORDER BY commit_ts, seq) AS rn,
+         count(*) OVER () AS n
+  FROM changes
+), parts AS (
+  SELECT commit_ts, least((rn - 1) // (n // 4), 3) AS part FROM ordered
+), ranges AS (
+  SELECT part, min(commit_ts) AS lo, max(commit_ts) AS hi
+  FROM parts GROUP BY 1
+)
+SELECT CAST(part AS BIGINT) AS batch_id,
+       CAST(t.primary_ts AS BIGINT) AS primary_ts,
+       CAST(hi AS BIGINT) AS secondary_ts
+FROM ranges, unnest(range((lo // 3600000000 + 1) * 3600000000,
+                          (hi // 3600000000) * 3600000000 + 1,
+                          3600000000)) AS t(primary_ts)
+""",
+    doc="Syncpoint through the real streaming path (K5/T7, 14th "
+        "streaming entry): a changefeed with enable_sync_point runs over "
+        "4 commit-range micro-batches (pinned source order); every "
+        "aligned hour tick a batch crosses lands in the ts-map table as "
+        "(primary_ts, secondary_ts = the downstream applied position "
+        "when the tick was written, i.e. that batch's max commit ts) — "
+        "the tidb_cdc.syncpoint_v1 contract (syncpoint.go:15-22, "
+        "mysql_writer.go:528-542), hash-matched tick for tick",
+)
+def streaming_syncpoint_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import time as _time
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        base = spark.read.parquet(src)
+        n = base.count()
+        per = max(n // 4, 1)
+        ranked = base.withColumn(
+            "part",
+            F.expr(
+                "least(cast((row_number() over (order by ts, event_id) - 1) "
+                f"div {per} as int), 3)"
+            ),
+        )
+        parts_dir = os.path.join(work, "parts")
+        ranked.write.partitionBy("part").parquet(parts_dir)
+        flat = os.path.join(work, "flat")
+        os.makedirs(flat)
+        now = _time.time()
+        for k in range(4):
+            for j, f in enumerate(sorted(
+                _glob.glob(os.path.join(parts_dir, f"part={k}", "*.parquet"))
+            )):
+                dst = os.path.join(flat, f"{k:02d}-{j}.parquet")
+                os.link(f, dst)
+                os.utime(dst, (now + k, now + k))
+        from tigate_spark.streaming.changefeed import Changefeed
+
+        cfg = ChangefeedConfig(
+            changefeed_id="sp-e2e", sink_uri="noop://",
+            enable_sync_point=True, sync_point_interval_s=3600,
+        )
+        cf = Changefeed(spark, cfg, flat, work)
+        cf.run_to_completion()
+        sp = spark.read.parquet(cf.bookkeeping.syncpoint_dir).select(
+            F.col("batch_id").cast("bigint").alias("batch_id"),
+            F.col("primary_ts").cast("bigint").alias("primary_ts"),
+            F.col("secondary_ts").cast("bigint").alias("secondary_ts"),
+        )
+        return _materialize(sp)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
