@@ -3226,3 +3226,105 @@ def decoder_canal_large_message(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(F.col("message"), "$._tidb.commitTs").cast("bigint")
         .alias("commit_ts"),
     )
+
+
+_OPEN_FULL_VAL_SQL = """(
+  CASE WHEN op = 'U' THEN printf('{"u":%s,"p":%s}', after, before)
+       WHEN op = 'I' THEN printf('{"u":%s}', after)
+       ELSE printf('{"d":%s}', before) END)"""
+
+_OPEN_HKO_VAL_SQL = """(
+  CASE WHEN op = 'U' THEN printf('{"u":{"pk":%d},"p":{"pk":%d}}', pk, pk)
+       WHEN op = 'I' THEN printf('{"u":{"pk":%d}}', pk)
+       ELSE printf('{"d":{"pk":%d}}', pk) END)"""
+
+
+@register(
+    "encoder_open_handle_key_only",
+    ORACLE_CHANGES_CTE
+    + f"""
+SELECT seq,
+  printf('{{"ts":%d,"scm":"%s","tbl":"%s","t":1}}',
+         commit_ts, schema_name, table_name) AS key,
+  CASE WHEN octet_length(encode({_OPEN_FULL_VAL_SQL})) > 120
+       THEN {_OPEN_HKO_VAL_SQL} ELSE {_OPEN_FULL_VAL_SQL} END AS value,
+  CAST(CASE WHEN octet_length(encode({_OPEN_FULL_VAL_SQL})) > 120
+       THEN 1 ELSE 0 END AS BIGINT) AS only_handle_key
+FROM changes
+""",
+    doc="Open-protocol large-message handle-key-only: oversized values "
+        "re-encode with only the handle-key column in every u/p/d image "
+        "(open/codec.go:43-72 writeColumnFieldValues with "
+        "onlyHandleKeyColumns; encoder.go:79-83) — the key is unchanged, "
+        "the consumer detects degradation by the shrunken image",
+)
+def encoder_open_handle_key_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_open_protocol
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    enc = encode_open_protocol(ch)
+    hko_val = (
+        F.when(F.col("op") == "U",
+               F.format_string('{"u":{"pk":%d},"p":{"pk":%d}}',
+                               F.col("pk"), F.col("pk")))
+        .when(F.col("op") == "I",
+              F.format_string('{"u":{"pk":%d}}', F.col("pk")))
+        .otherwise(F.format_string('{"d":{"pk":%d}}', F.col("pk")))
+    )
+    oversized = F.octet_length(F.col("value")) > 120
+    return enc.select(
+        "seq", "key",
+        F.when(oversized, hko_val).otherwise(F.col("value")).alias("value"),
+        oversized.cast("bigint").alias("only_handle_key"),
+    )
+
+
+@register(
+    "encoder_open_claim_check",
+    ORACLE_CHANGES_CTE
+    + f"""
+SELECT seq,
+  CASE WHEN octet_length(encode({_OPEN_FULL_VAL_SQL})) > 120
+       THEN printf('{{"ts":%d,"scm":"%s","tbl":"%s","t":1,"ohk":false,"ccl":"claim-check/%s.json"}}',
+                   commit_ts, schema_name, table_name,
+                   md5({_OPEN_FULL_VAL_SQL}))
+       ELSE printf('{{"ts":%d,"scm":"%s","tbl":"%s","t":1}}',
+                   commit_ts, schema_name, table_name) END AS key,
+  CASE WHEN octet_length(encode({_OPEN_FULL_VAL_SQL})) > 120
+       THEN {_OPEN_HKO_VAL_SQL} ELSE {_OPEN_FULL_VAL_SQL} END AS value,
+  CAST(CASE WHEN octet_length(encode({_OPEN_FULL_VAL_SQL})) > 120
+       THEN 1 ELSE 0 END AS BIGINT) AS offloaded
+FROM changes
+""",
+    doc="Open-protocol claim-check wire form: the oversized message's KEY "
+        "gains ohk:false + the content-addressed ccl location while the "
+        "value degrades to handle keys (open/codec.go:36-39; "
+        "encoder.go:54-66 — the full payload rides to external storage "
+        "under ccl) — completes the large-message matrix across both "
+        "wired protocols",
+)
+def encoder_open_claim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_open_protocol
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    enc = encode_open_protocol(ch)
+    oversized = F.octet_length(F.col("value")) > 120
+    cc_key = F.format_string(
+        '{"ts":%d,"scm":"%s","tbl":"%s","t":1,"ohk":false,"ccl":"claim-check/%s.json"}',
+        F.col("commit_ts"), F.col("schema_name"), F.col("table_name"),
+        F.md5(F.col("value")),
+    )
+    hko_val = (
+        F.when(F.col("op") == "U",
+               F.format_string('{"u":{"pk":%d},"p":{"pk":%d}}',
+                               F.col("pk"), F.col("pk")))
+        .when(F.col("op") == "I",
+              F.format_string('{"u":{"pk":%d}}', F.col("pk")))
+        .otherwise(F.format_string('{"d":{"pk":%d}}', F.col("pk")))
+    )
+    return enc.select(
+        "seq",
+        F.when(oversized, cc_key).otherwise(F.col("key")).alias("key"),
+        F.when(oversized, hko_val).otherwise(F.col("value")).alias("value"),
+        oversized.cast("bigint").alias("offloaded"),
+    )
