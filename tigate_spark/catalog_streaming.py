@@ -1076,3 +1076,72 @@ def streaming_syncpoint_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(sp)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_window_append_e2e",
+    ORACLE_CHANGES_CTE + """
+, mx AS (SELECT max(commit_ts) AS m FROM changes)
+SELECT commit_ts - commit_ts % 3600000000 AS window_start_us,
+       table_id, CAST(count(*) AS BIGINT) AS n_events
+FROM changes, mx
+GROUP BY 1, 2, mx.m
+HAVING (commit_ts - commit_ts % 3600000000) + 3600000000
+         <= mx.m - 1800000000
+""",
+    doc="Append-mode watermark finalization through a real multi-batch "
+        "run (15th streaming entry): hourly event-time window counts "
+        "with a 30-minute watermark emitted ONLY once the watermark "
+        "passes the window end — the availableNow run's final watermark "
+        "is max(event time) − delay, so exactly the windows whose end "
+        "≤ that bound appear, and every emitted count is final "
+        "(T5/T9 append semantics, externally hash-checked rather than "
+        "only pinned in tests)",
+)
+def streaming_window_append_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.sources.changes import normalize_events
+    from tigate_spark.streaming.stateful import windowed_counts
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        base = spark.read.parquet(src)
+        n = base.count()
+        per = max(n // 4, 1)
+        ranked = base.withColumn(
+            "part",
+            F.expr(
+                "least(cast((row_number() over (order by ts, event_id) - 1) "
+                f"div {per} as int), 3)"
+            ),
+        )
+        src_dir = os.path.join(work, "src")
+        ranked.write.partitionBy("part").parquet(src_dir)
+        schema = base.schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(os.path.join(src_dir, "part=*"))
+        )
+        agg = windowed_counts(normalize_events(raw), "1 hour", "30 minutes")
+        out = agg.select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "table_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        out_dir, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        return _materialize(spark.read.parquet(out_dir))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
