@@ -3328,3 +3328,43 @@ def encoder_open_claim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(oversized, hko_val).otherwise(F.col("value")).alias("value"),
         oversized.cast("bigint").alias("offloaded"),
     )
+
+
+@register(
+    "decoder_open_wire_frames",
+    _RESOLVED_CTE
+    + """
+SELECT topic,
+       CAST(1 AS BIGINT) AS version,
+       resolved_ts AS ts,
+       CAST(3 AS BIGINT) AS msg_type,
+       CAST(0 AS BIGINT) AS value_len
+FROM resolved_in
+""",
+    doc="E7 wire-frame consumer, pure JVM: the open-protocol resolved "
+        "checkpoint frames ([8B BE version][8B BE keyLen][key bytes] + "
+        "zero value length) parsed back with hex arithmetic — conv() on "
+        "the length words, unhex→from_json on the key — no Python "
+        "anywhere; proves the framing is machine-readable, not just "
+        "byte-matched (decoder contract of encoder.go:220-233)",
+)
+def decoder_open_wire_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_open_resolved
+
+    enc = encode_open_resolved(_resolved_topics(spark, sf_dir)).select(
+        "topic", "key_hex", "value_hex"
+    )
+    version = F.expr("cast(conv(substr(key_hex, 1, 16), 16, 10) as bigint)")
+    key_len = F.expr("cast(conv(substr(key_hex, 17, 16), 16, 10) as bigint)")
+    key_json = F.expr(
+        "cast(unhex(substr(key_hex, 33, cast(conv(substr(key_hex, 17, 16), 16, 10) as int) * 2)) as string)"
+    )
+    k = F.from_json(key_json, "ts BIGINT, t BIGINT")
+    value_len = F.expr("cast(conv(substr(value_hex, 1, 16), 16, 10) as bigint)")
+    return enc.select(
+        "topic",
+        version.alias("version"),
+        k["ts"].alias("ts"),
+        k["t"].alias("msg_type"),
+        value_len.alias("value_len"),
+    )
