@@ -3368,3 +3368,52 @@ def decoder_open_wire_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         k["t"].alias("msg_type"),
         value_len.alias("value_len"),
     )
+
+
+@register(
+    "decoder_open_ddl_frames",
+    _DDL_CTE
+    + f"""
+SELECT seq, commit_ts AS ts, 'app' AS scm,
+       't' || CAST(table_id AS VARCHAR) AS tbl,
+       CAST(2 AS BIGINT) AS msg_type,
+       query AS q,
+       CAST(CASE ddl_type WHEN 'create table' THEN 3
+            WHEN 'add column' THEN 5 WHEN 'drop table' THEN 4
+            WHEN 'truncate table' THEN 11 ELSE 14 END AS BIGINT) AS action
+FROM ddl
+""",
+    doc="E7 framed-DDL consumer, pure JVM: both frames of the open DDL "
+        "wire message parsed back with hex arithmetic — key offset from "
+        "the decoded keyLen word, value JSON from the second frame, "
+        "ActionType int recovered (decoder contract of "
+        "open/codec.go:99-158) — no Python anywhere; with "
+        "decoder_open_wire_frames this closes the loop on every framed "
+        "open-protocol message family",
+)
+def decoder_open_ddl_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_open_ddl
+
+    ddl = _ddl_stream(spark, sf_dir).withColumn(
+        "schema_name", F.lit("app")
+    ).withColumn("table_name", F.concat(F.lit("t"), F.col("table_id")))
+    enc = encode_open_ddl(ddl).select("seq", "key_hex", "value_hex")
+    key_json = F.expr(
+        "cast(unhex(substr(key_hex, 33, "
+        "cast(conv(substr(key_hex, 17, 16), 16, 10) as int) * 2)) as string)"
+    )
+    value_json = F.expr(
+        "cast(unhex(substr(value_hex, 17, "
+        "cast(conv(substr(value_hex, 1, 16), 16, 10) as int) * 2)) as string)"
+    )
+    k = F.from_json(key_json, "ts BIGINT, scm STRING, tbl STRING, t BIGINT")
+    v = F.from_json(value_json, "q STRING, t BIGINT")
+    return enc.select(
+        "seq",
+        k["ts"].alias("ts"),
+        k["scm"].alias("scm"),
+        k["tbl"].alias("tbl"),
+        k["t"].alias("msg_type"),
+        v["q"].alias("q"),
+        v["t"].alias("action"),
+    )
