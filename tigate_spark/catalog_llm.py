@@ -2031,3 +2031,59 @@ def llm_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dsir, "doc_id")
         .select("doc_id", "cluster_id", "ttr_bp", "n_tokens", "imp_weight_sum")
     )
+
+
+@register(
+    "sample_temperature_mix",
+    _TOK_CTE
+    + """
+, per_src AS (
+  SELECT d.source, CAST(sum(len(t.tokens)) AS BIGINT) AS n_tokens
+  FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+  GROUP BY 1
+), rooted AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS root
+  FROM per_src
+)
+SELECT source, n_tokens,
+       CAST(root * 10000 // (SELECT sum(root) FROM rooted) AS BIGINT)
+         AS mix_weight_bp,
+       CAST(n_tokens * 10000 // (SELECT sum(n_tokens) FROM rooted) AS BIGINT)
+         AS natural_bp
+FROM rooted
+""",
+    doc="Temperature-scaled source mixing (the mT5/XLM-R multinomial "
+        "rule, Conneau et al. 2020, at alpha=0.5): per-source sampling "
+        "weight proportional to n_tokens^alpha, upweighting low-resource "
+        "sources relative to their natural share. sqrt is IEEE "
+        "correctly-rounded on both engines and the weights are floored "
+        "to integers before the normalizing sum, so the whole "
+        "computation is deterministic — output = mixing weight vs "
+        "natural share in basis points per source; one token-count scan "
+        "+ a sources-sized (broadcastable) table",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        tx.with_tokens(docs)
+        .groupBy("source")
+        .agg(F.sum(F.expr("size(tokens)")).cast("bigint").alias("n_tokens"))
+    )
+    rooted = per_src.withColumn(
+        "root",
+        F.expr("cast(floor(sqrt(cast(n_tokens as double))) as bigint)"),
+    )
+    totals = rooted.agg(
+        F.sum("root").alias("t_root"), F.sum("n_tokens").alias("t_tok")
+    )
+    return (
+        rooted.crossJoin(F.broadcast(totals))
+        .select(
+            "source", "n_tokens",
+            F.expr("root * 10000 div t_root").cast("bigint")
+            .alias("mix_weight_bp"),
+            F.expr("n_tokens * 10000 div t_tok").cast("bigint")
+            .alias("natural_bp"),
+        )
+    )
