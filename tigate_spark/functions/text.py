@@ -161,10 +161,12 @@ def bm25_topk(df: DataFrame, terms: tuple[str, ...] = SEARCH_TERMS,
       corpus size.
     - doc score = Σ over query terms (integer sum, order-independent).
 
-    Dataflow: one token-explode scan feeding both the per-doc length agg
-    and the per-(doc, term) tf agg; the 3-row term-stats table and the
-    1-row corpus stats broadcast; global top-k is a distributed
-    take-ordered (score desc, doc_id) — no global sort materialized.
+    Dataflow: the token explode feeds the per-doc length agg and the
+    per-(doc, term) tf agg (two passes over the token stream — at lake
+    scale the doc-length table would be precomputed corpus metadata);
+    the 3-row term-stats table and the 1-row corpus stats broadcast;
+    global top-k is a distributed take-ordered (score desc, doc_id) —
+    no global sort materialized.
     """
     from pyspark.sql import Window
 
