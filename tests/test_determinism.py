@@ -1,0 +1,40 @@
+"""Physical-plan determinism gate: entries whose implementations use
+order-sensitive constructs (F.first on constant-per-group columns,
+floating sqrt with integer flooring, driver-side codebook iteration)
+must produce IDENTICAL results under different shuffle-partition counts
+— partition order must never leak into values."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tigate_spark.catalog import get_catalog
+
+CATALOG = get_catalog()
+SF_DIR = os.environ.get("TIGATE_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+SENSITIVE = [
+    "embed_pq_encode",
+    "embed_pca_project",
+    "sample_temperature_mix",
+    "dedup_semantic_semdedup",
+    "seq_gap_resets",
+    "sim_ivfpq_topk",
+]
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_invariant_under_partitioning(spark, name):
+    spec = CATALOG[name]
+
+    def run(parts):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            return sorted(map(tuple, spec.builder(spark, SF_DIR).collect()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    assert run(7) == run(31)
