@@ -82,7 +82,7 @@ _PRIORITY = [
     "claim_check_round_trip", "encoder_canal_json_ddl", "encoder_canal_resolved", "encoder_canal_handle_key_only", "encoder_canal_claim_check", "decoder_canal_large_message", "streaming_syncpoint_e2e",
     "encoder_open_handle_key_only", "encoder_open_claim_check",
     "streaming_window_append_e2e", "decoder_open_wire_frames",
-    "decoder_open_ddl_frames", "sample_temperature_mix",
+    "decoder_open_ddl_frames", "sample_temperature_mix", "decoder_simple_ddl",
     "multimodal_audio_energy", "embed_pca_project",
     "streaming_ddl_barrier_e2e", "convert_open_to_canal",
     "streaming_time_travel_e2e", "apply_incremental_join",

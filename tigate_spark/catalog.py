@@ -3417,3 +3417,47 @@ def decoder_open_ddl_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         v["q"].alias("q"),
         v["t"].alias("action"),
     )
+
+
+@register(
+    "decoder_simple_ddl",
+    _DDL_CTE
+    + """
+SELECT seq,
+       CASE ddl_type WHEN 'create table' THEN 'CREATE'
+            WHEN 'drop table' THEN 'ERASE'
+            WHEN 'truncate table' THEN 'TRUNCATE'
+            WHEN 'rename table' THEN 'RENAME'
+            ELSE 'ALTER' END AS ddl_class,
+       commit_ts,
+       query AS sql,
+       CAST(CASE WHEN ddl_type <> 'drop table' THEN 1 ELSE 0 END AS BIGINT)
+         AS has_table_schema,
+       CAST(CASE WHEN ddl_type <> 'create table' THEN 1 ELSE 0 END AS BIGINT)
+         AS has_pre_table_schema
+FROM ddl
+""",
+    doc="E7 simple-protocol DDL consumer: from_json the versioned DDL "
+        "message back into class/commitTs/sql and the presence of "
+        "tableSchema/preTableSchema payloads (absent for ERASE-after / "
+        "CREATE-before, simple/message.go:527-550) — completes the "
+        "consumer side of the simple family (DML + bootstrap + DDL)",
+)
+def decoder_simple_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_simple_ddl
+
+    enc = encode_simple_ddl(_ddl_stream(spark, sf_dir)).select("seq", "message")
+    m = F.from_json(
+        F.col("message"),
+        "version BIGINT, type STRING, commitTs BIGINT, buildTs BIGINT, "
+        "sql STRING, tableSchema STRING, preTableSchema STRING",
+    )
+    return enc.select(
+        "seq",
+        m["type"].alias("ddl_class"),
+        m["commitTs"].alias("commit_ts"),
+        m["sql"].alias("sql"),
+        m["tableSchema"].isNotNull().cast("bigint").alias("has_table_schema"),
+        m["preTableSchema"].isNotNull().cast("bigint")
+        .alias("has_pre_table_schema"),
+    )
