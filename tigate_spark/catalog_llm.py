@@ -953,8 +953,9 @@ def text_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM tok
 ), packed AS (
   SELECT doc_id, shard, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT)
            - n_tokens AS start_tok
   FROM sized
 )
@@ -1715,7 +1716,8 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 , ex AS (SELECT doc_id, unnest(tokens) AS t FROM tok)
 , dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM ex GROUP BY 1)
 , stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(dl) AS BIGINT) AS avg_scaled FROM dl)
+                   CAST((1000 * sum(dl)) // count(*) AS BIGINT)
+                     AS avgdl_x1000 FROM dl)
 , qt AS (SELECT * FROM ex WHERE t IN ('join', 'scan', 'filter'))
 , dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
           FROM qt GROUP BY 1)
@@ -1725,9 +1727,9 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT tf.doc_id,
          CAST(sum(
            (((s.n_docs - dft.df + 1) * 1000000) // (dft.df + 1))
-           * ((22 * tf.tf * s.avg_scaled * 1000) //
-              (10 * tf.tf * s.avg_scaled + 3 * s.avg_scaled
-               + 9 * dl.dl * s.n_docs))
+           * ((22000 * tf.tf * s.avgdl_x1000) //
+              (10 * tf.tf * s.avgdl_x1000 + 3 * s.avgdl_x1000
+               + 9000 * dl.dl))
          ) AS BIGINT) AS score,
          CAST(count(*) AS BIGINT) AS n_terms_hit
   FROM tf JOIN dl ON tf.doc_id = dl.doc_id
@@ -1873,13 +1875,17 @@ HAVING count(*) >= 5
 )
 def corpus_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # size(tokens) < 2 would make sequence(1, 0) yield the DESCENDING
+    # [1, 0] and element_at(tokens, 0) throw — gate short/empty docs out
+    # before the explode (they contribute no bigrams anyway).
     pairs = F.expr(
-        "transform(sequence(1, greatest(size(tokens) - 1, 0)), "
+        "transform(sequence(1, size(tokens) - 1), "
         "i -> struct(element_at(tokens, i) as w1, "
         "element_at(tokens, i + 1) as w2))"
     )
     return (
         tx.with_tokens(docs)
+        .filter(F.expr("size(tokens) >= 2"))
         .select(F.explode(pairs).alias("p"))
         .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("n"))

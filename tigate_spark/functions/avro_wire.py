@@ -132,15 +132,19 @@ def avro_string(b: bytes, i: int) -> tuple[str, int]:
 
 
 def strip_confluent_header(raw: bytes, want_id: int) -> bytes:
-    assert raw[0] == 0x00, "confluent magic byte"
-    assert int.from_bytes(raw[1:5], "big") == want_id
+    if raw[0] != 0x00:
+        raise ValueError(f"avro: bad confluent magic byte {raw[0]:#x}")
+    got = int.from_bytes(raw[1:5], "big")
+    if got != want_id:
+        raise ValueError(f"avro: schema id {got} != expected {want_id}")
     return raw[5:]
 
 
 def decode_avro_key(raw: bytes) -> int:
     body = strip_confluent_header(raw, KEY_SCHEMA_ID)
     pk, i = avro_long(body, 0)
-    assert i == len(body)
+    if i != len(body):
+        raise ValueError(f"avro: key has {len(body) - i} trailing bytes")
     return pk
 
 
@@ -149,18 +153,22 @@ def decode_avro_value(raw: bytes) -> dict:
     i = 0
     pk, i = avro_long(body, i)
     branch, i = avro_long(body, i)
-    assert branch == 1, "event_type union non-null branch"
+    if branch != 1:
+        raise ValueError(f"avro: event_type union branch {branch} != 1")
     event_type, i = avro_string(body, i)
     branch, i = avro_long(body, i)
-    assert branch == 1
+    if branch != 1:
+        raise ValueError(f"avro: value_cents union branch {branch} != 1")
     value_cents, i = avro_long(body, i)
     branch, i = avro_long(body, i)
-    assert branch == 1
+    if branch != 1:
+        raise ValueError(f"avro: user_id union branch {branch} != 1")
     user_id, i = avro_long(body, i)
     op, i = avro_string(body, i)
     commit_ts, i = avro_long(body, i)
     phys, i = avro_long(body, i)
-    assert i == len(body), "no trailing bytes"
+    if i != len(body):
+        raise ValueError(f"avro: value has {len(body) - i} trailing bytes")
     return dict(pk=pk, event_type=event_type, value_cents=value_cents,
                 user_id=user_id, op=op, commit_ts=commit_ts, phys=phys)
 
@@ -188,7 +196,9 @@ def avro_decode_rows(df: DataFrame, key_col: str = "key_hex",
                                  None, None, None, 1))
                     continue
                 v = decode_avro_value(bytes.fromhex(vh))
-                assert v["pk"] == pk
+                if v["pk"] != pk:
+                    raise ValueError(
+                        f"avro: key pk {pk} != value pk {v['pk']}")
                 rows.append((int(seq), pk, v["event_type"], v["value_cents"],
                              v["user_id"], v["op"], v["commit_ts"],
                              v["phys"], 0))

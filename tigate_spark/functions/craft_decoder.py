@@ -100,10 +100,13 @@ def _parse_group(raw: bytes, i: int, gsize: int,
             i += vlens[k]
         else:
             v, i2 = varint(raw, i)
-            assert i2 - i == vlens[k]
+            if i2 - i != vlens[k]:
+                raise ValueError(
+                    f"craft: column {k} varint width {i2 - i} != declared {vlens[k]}")
             cols[name] = v
             i = i2
-    assert i == g_end, (i, g_end)
+    if i != g_end:
+        raise ValueError(f"craft: group parse ended at {i}, expected {g_end}")
     return gty, {"types": types, "flags": flags, "cols": cols}, i
 
 
@@ -111,15 +114,25 @@ def _size_tables_and_dict(raw: bytes, i: int) -> tuple[list, list[str], int]:
     """Shared prologue: tail size tables + term dictionary."""
     st_size, nrev = uvarint_reversed_tail(raw)
     tables_start = len(raw) - nrev - st_size
+    if tables_start < i or st_size <= 0:
+        raise ValueError(
+            f"craft: size-table start {tables_start} out of bounds "
+            f"(payload starts at {i}, len {len(raw)})")
     tb, j = raw[tables_start:len(raw) - nrev], 0
     tables: list = []
     while j < len(tb):
         n, j = uvarint(tb, j)
         chunk, j = delta_varint_chunk(tb, j, n)
         tables.append(chunk)
+    if len(tables) < 2 or len(tables[0]) < 2:
+        raise ValueError(f"craft: malformed size tables ({len(tables)} chunks)")
     meta, body_sizes = tables[0], tables[1]
     hdr_size, dict_size = meta[0], meta[1]
     dict_off = i + hdr_size + sum(body_sizes)
+    if dict_off + dict_size > tables_start or hdr_size < 0 or dict_size < 0:
+        raise ValueError(
+            f"craft: dictionary [{dict_off}, {dict_off + dict_size}) "
+            f"overlaps size tables at {tables_start}")
     db, dj = raw[dict_off:dict_off + dict_size], 0
     ndict, dj = uvarint(db, dj)
     lens = []
@@ -136,7 +149,8 @@ def _size_tables_and_dict(raw: bytes, i: int) -> tuple[list, list[str], int]:
 def decode_craft(raw: bytes) -> dict:
     """Single-event craft message decoder (reference algorithm)."""
     version, i = uvarint(raw, 0)
-    assert version == 1
+    if version != 1:
+        raise ValueError(f"craft: unsupported version {version}")
     tables, terms, i = _size_tables_and_dict(raw, i)
     ts, i = uvarint(raw, i)
     ty, i = uvarint(raw, i)
@@ -157,11 +171,14 @@ def decode_craft(raw: bytes) -> dict:
 def decode_craft_batch(raw: bytes) -> dict:
     """Multi-event craft message decoder (reference batch algorithm)."""
     version, i = uvarint(raw, 0)
-    assert version == 1
+    if version != 1:
+        raise ValueError(f"craft: unsupported version {version}")
     tables, terms, i = _size_tables_and_dict(raw, i)
     body_sizes = tables[1]
     n_events = len(body_sizes)
-    assert len(tables) == 2 + n_events
+    if len(tables) != 2 + n_events:
+        raise ValueError(
+            f"craft: {len(tables)} size tables for {n_events} events")
     ts, i = delta_uvarint_chunk(raw, i, n_events)
     ty = []
     for _ in range(n_events):
@@ -177,7 +194,9 @@ def decode_craft_batch(raw: bytes) -> dict:
         for gsize in tables[2 + e]:
             gty, g, i = _parse_group(raw, i, gsize, terms)
             groups[gty] = g
-        assert i == body_end, (i, body_end)
+        if i != body_end:
+            raise ValueError(
+                f"craft: event body ended at {i}, expected {body_end}")
         events.append({
             "ts": ts[e], "type": ty[e], "partition": partition[e],
             "schema": terms[schema_ids[e]], "table": terms[table_ids[e]],

@@ -154,11 +154,15 @@ def bm25_topk(df: DataFrame, terms: tuple[str, ...] = SEARCH_TERMS,
     - rational idf (log-free variant, documented):
       ``idf_x1e6 = (N - df + 1)·10⁶ div (df + 1)``
     - tf saturation with the algebra cleared of fractions
-      (k1 = 6/5, b = 3/4, avgdl = AVG/N):
-      ``tf_part_x1000 = 22·tf·AVG·1000 div (10·tf·AVG + 3·AVG + 9·dl·N)``
-      where AVG = total corpus token count — tf_part ≤ 2200 by
-      construction, so ``idf_x1e6 · tf_part_x1000`` fits int64 at any
-      corpus size.
+      (k1 = 6/5, b = 3/4), using the exact milli-token average doc
+      length ``A = (1000·TOT) div N`` (TOT = total corpus tokens):
+      ``tf_part_x1000 = 22000·tf·A div (10·tf·A + 3·A + 9000·dl)``
+      — tf_part ≤ 2200 by construction, and every intermediate is
+      doc-scale, not corpus-scale: the largest term is ``22000·tf·A``,
+      which fits int64 whenever ``tf·avgdl < 4.2e11`` (e.g. max per-doc
+      term frequency 10⁶ with average doc length 400k tokens) —
+      independent of corpus size, unlike a formulation that multiplies
+      by the corpus total.
     - doc score = Σ over query terms (integer sum, order-independent).
 
     Dataflow: the token explode feeds the per-doc length agg and the
@@ -173,8 +177,9 @@ def bm25_topk(df: DataFrame, terms: tuple[str, ...] = SEARCH_TERMS,
     toks = with_tokens(df).select("doc_id", F.explode("tokens").alias("t"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("avg_scaled")
-    )  # avg_scaled = AVG (total tokens); avgdl = AVG / n_docs
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("(1000L * sum(dl)) div count(1)").alias("avgdl_x1000"),
+    )  # exact integer milli-token average doc length
     term_list = F.array(*[F.lit(t) for t in terms])
     qt = toks.filter(F.array_contains(term_list, F.col("t")))
     df_t = qt.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
@@ -190,8 +195,8 @@ def bm25_topk(df: DataFrame, terms: tuple[str, ...] = SEARCH_TERMS,
         .withColumn(
             "tf_part_x1000",
             F.expr(
-                "(22L * tf * avg_scaled * 1000L) div "
-                "(10L * tf * avg_scaled + 3L * avg_scaled + 9L * dl * n_docs)"
+                "(22000L * tf * avgdl_x1000) div "
+                "(10L * tf * avgdl_x1000 + 3L * avgdl_x1000 + 9000L * dl)"
             ),
         )
         .groupBy("doc_id")

@@ -3,8 +3,10 @@
 Plain SparkSession (no custom confs — __spark_entry__ / ensure_confs must
 repair it), import /root/repo/__spark_entry__.py, smoke entry(), then for
 every queries() entry run Spark vs DuckDB oracle at sf0.01: sort columns
-by name, normalize floats to %.10g, sort rows, compare. Nonzero exit on
-any mismatch/error.
+by name, normalize floats to %.10g, sort rows, compare — AND compare the
+pandas dtype-kind signature per column (int-vs-float drift fails even when
+values are numerically equal, matching the external driver's dtype-
+sensitive hash). Nonzero exit on any mismatch/error.
 
 Usage: python /tmp/drive_driver.py [--sf /root/testdata/sf0.01] [--only name1,name2] [--limit N]
 """
@@ -21,6 +23,21 @@ from pyspark.sql import SparkSession
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
+
+
+def dtype_sig(pdf):
+    """Per-column dtype kind signature, sorted by column name.
+
+    The external driver's value hash is dtype-sensitive (pandas int64 vs
+    float64 hash differently even when values are numerically equal — the
+    exact bug class behind the r05 ``pack_sequences`` HUGEINT→float64
+    failure). Signed/unsigned ints collapse to one kind; everything else
+    keeps its pandas dtype.kind.
+    """
+    return tuple(
+        (c, "i" if pdf[c].dtype.kind in "iu" else pdf[c].dtype.kind)
+        for c in sorted(pdf.columns)
+    )
 
 
 def norm_df(pdf):
@@ -78,12 +95,17 @@ def main():
                 print(f"[{i+1}/{len(names)}] {name}: rows-only {len(spdf)} ({time.time()-t0:.1f}s)", flush=True)
                 continue
             opdf = con.execute(oracles[name]).df()
+            ssig, osig = dtype_sig(spdf), dtype_sig(opdf)
             srows, orows = norm_df(spdf), norm_df(opdf)
-            ok = srows == orows
-            status = "OK" if ok else "MISMATCH"
+            dtype_ok = ssig == osig
+            ok = srows == orows and dtype_ok
+            status = "OK" if ok else ("DTYPE" if srows == orows else "MISMATCH")
             print(f"[{i+1}/{len(names)}] {name}: {status} spark={len(srows)} oracle={len(orows)} ({time.time()-t0:.1f}s)", flush=True)
             if not ok:
                 failed.append(name)
+                if not dtype_ok:
+                    drift = [(a, b) for a, b in zip(ssig, osig) if a != b]
+                    print(f"    dtype drift (spark vs oracle): {drift}")
                 for j, (a, b) in enumerate(zip(srows, orows)):
                     if a != b:
                         print(f"    first diff row {j}:\n      spark : {a}\n      oracle: {b}")
