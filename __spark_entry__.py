@@ -25,65 +25,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return cat["cdc_pipeline_e2e"].builder(spark, "/root/testdata/sf0.001")
 
 
-#: Run order for a driver that caps at ~50 entries per round. Round-5
-#: rotation (VERDICT r04 task 1): position 1 is ``multimodal_resize`` (the
-#: only entry ever to fail externally — ``no_oracle`` r02/r03; its r04 hex
-#: oracle has never faced the driver), position 2 its REAL-kernel twin,
-#: then the 40 entries with no external correctness row in rounds 1-4,
-#: the early-r05 entries, and re-verification canaries (streaming e2e
-#: whose internals changed this round). Everything after the 50-window
-#: is the r06 queue, led by the late-r05 additions (all internally
-#: driven green against DuckDB at sf0.01 — see BASELINE.md finals:
-#: 205/205). Catalog total: 205 entries; the cumulative never-
-#: externally-run backlog is structural (50/round cap), not a code gap.
+#: Run order for a driver that caps at ~50 entries per round. Round-6
+#: rotation (VERDICT r05 tasks 1+3): position 1 is ``pack_sequences`` —
+#: r05's only external failure, an oracle dtype bug (windowed
+#: sum(BIGINT) returned HUGEINT -> float64) now CAST to BIGINT; a green
+#: row restores 157/157 cumulative external pass. Positions 2-49 are
+#: the 48 entries with no external correctness row in rounds 1-5
+#: (computed from the CORRECTNESS_r0{1..5}.json key union vs the
+#: catalog): the craft/avro/open/canal wire + consumer-decoder family,
+#: the 8 never-driven streaming e2e (incl. ddl_barrier, syncpoint,
+#: minhash_dedup, blackhole — K3 and T10 get their first rows),
+#: the late-r05 LLM ops (DSIR, fuzzy decontamination, shuffle assign,
+#: BM25, PQ/ADC/IVF-PQ, PCA, audio energy), and seq_gap_resets.
+#: Position 50 is the flagship cdc_pipeline_e2e canary. After this
+#: window runs, every one of the 205 catalog entries has faced the
+#: external driver at least once (cumulative 205/205).
 _PRIORITY = [
-    # 1: the only-ever-failed entry, first external run of its hex oracle;
-    # 2: the REAL resize kernel (numpy box filter, pixel-exact oracle)
-    # that retires the "stubbed codec" weakness alongside it
-    "multimodal_resize", "multimodal_resize_box",
-    # 2-41: never-externally-verified in r01-r04 (computed from the
-    # CORRECTNESS_r0{1..4}.json key union vs the catalog)
-    "apply_scd2_history", "apply_incremental_agg",
-    "encoder_debezium", "decoder_debezium",
-    "encoder_simple_protocol", "encoder_simple_ddl",
-    "encoder_csv_rows", "decoder_csv_rows",
-    "decoder_open_batch", "convert_canal_to_avro",
-    "setop_except_keys", "setop_distinct_segments",
-    "join_semi_anti_keys", "window_ntile_rank",
-    "dedup_minhash_signature", "dedup_simhash_pairs",
-    "dedup_embedding_exact", "sim_lsh_bucket", "sim_ivf_trained_topk",
-    "decontaminate_vs_eval", "text_mask_pii", "pack_sequences",
-    "text_repetition_score", "sample_quality_weighted",
-    "corpus_mix_stats", "embed_dim_stats",
-    "corpus_length_histogram", "corpus_dup_rate_summary",
-    "tpch_q2_top_supplier_per_part", "tpch_q7_nation_volume",
-    "tpch_q9_product_profit", "tpch_q10_returned_items",
-    "tpch_q11_important_stock", "tpch_q12_priority_by_status",
-    "tpch_q15_top_supplier", "tpch_q18_large_volume_orders",
-    "tpch_q19_disjunctive_filter", "tpch_q20_part_promotion",
-    "tpch_q22_idle_customers",
-    # new r05 entries (K6/K4 bookkeeping oracles, craft + avro wire framing)
-    "sink_checkpoint_messages", "sink_batch_progress",
-    "encoder_craft_framed", "encoder_avro_confluent_framed",
-    "encoder_craft_batch_framed", "text_chunk_documents",
-    # flagship new r05 LLM-curation op (SemDeDup) takes the slot of the
-    # cdc_pipeline_e2e canary — entry() already smoke-runs that exact
-    # pipeline every round and its code is unchanged since its r04 green
-    "dedup_semantic_semdedup",
-    # re-verification canaries to round out the 50 (changelog e2e kept:
-    # its sink codec changed to lz4 this round; replica kept: its state
-    # store moved to the partition manifest this round)
-    "streaming_replica_e2e", "streaming_changelog_e2e",
-    # r06 rotation continues here: previously-green families in
-    # roughly descending staleness (r02-green before r04-green); new r05
-    # entries that missed the top-50 window lead.
-    "agg_events_per_type_hour",
-    "sample_importance_dsir", "decontaminate_fuzzy_minhash",
-    "corpus_shuffle_assign", "seq_gap_resets", "streaming_incr_agg_e2e",
-    "decoder_craft_framed", "decoder_craft_batch_framed",
-    "decoder_craft_dead_letter", "decoder_avro_confluent",
-    "agg_props_json_profile", "streaming_filtered_replica_e2e",
-    "claim_check_round_trip", "encoder_canal_json_ddl", "encoder_canal_resolved", "encoder_canal_handle_key_only", "encoder_canal_claim_check", "decoder_canal_large_message", "streaming_syncpoint_e2e",
+    "pack_sequences", "agg_events_per_type_hour", "sample_importance_dsir",
+    "decontaminate_fuzzy_minhash", "corpus_shuffle_assign", "seq_gap_resets",
+    "streaming_incr_agg_e2e", "decoder_craft_framed",
+    "decoder_craft_batch_framed", "decoder_craft_dead_letter",
+    "decoder_avro_confluent", "agg_props_json_profile",
+    "streaming_filtered_replica_e2e", "claim_check_round_trip",
+    "encoder_canal_json_ddl", "encoder_canal_resolved",
+    "encoder_canal_handle_key_only", "encoder_canal_claim_check",
+    "decoder_canal_large_message", "streaming_syncpoint_e2e",
     "encoder_open_handle_key_only", "encoder_open_claim_check",
     "streaming_window_append_e2e", "decoder_open_wire_frames",
     "decoder_open_ddl_frames", "sample_temperature_mix", "decoder_simple_ddl",
@@ -91,53 +57,74 @@ _PRIORITY = [
     "streaming_ddl_barrier_e2e", "convert_open_to_canal",
     "streaming_time_travel_e2e", "apply_incremental_join",
     "dedup_exact_canonical", "dedup_keep_best_quality",
-    "text_search_bm25_topk", "embed_pq_encode", "sim_pq_adc_topk", "sim_ivfpq_topk", "sim_ann_recall_report", "corpus_bigram_counts",
+    "text_search_bm25_topk", "embed_pq_encode", "sim_pq_adc_topk",
+    "sim_ivfpq_topk", "sim_ann_recall_report", "corpus_bigram_counts",
     "llm_curation_manifest", "streaming_minhash_dedup_e2e",
     "encoder_craft_resolved", "encoder_open_resolved", "encoder_open_ddl",
     "sample_source_token_budget", "embed_label_outliers",
     "streaming_blackhole_e2e", "cdc_pipeline_e2e",
-    "changes_normalize", "streaming_storage_e2e", "streaming_txn_match_e2e",
+    # --- end of the 50-entry round-6 window; re-verification backlog ---
+    "multimodal_resize", "multimodal_resize_box", "apply_scd2_history",
+    "apply_incremental_agg", "encoder_debezium", "decoder_debezium",
+    "encoder_simple_protocol", "encoder_simple_ddl", "encoder_csv_rows",
+    "decoder_csv_rows", "decoder_open_batch", "convert_canal_to_avro",
+    "setop_except_keys", "setop_distinct_segments", "join_semi_anti_keys",
+    "window_ntile_rank", "dedup_minhash_signature", "dedup_simhash_pairs",
+    "dedup_embedding_exact", "sim_lsh_bucket", "sim_ivf_trained_topk",
+    "decontaminate_vs_eval", "text_mask_pii", "text_repetition_score",
+    "sample_quality_weighted", "corpus_mix_stats", "embed_dim_stats",
+    "corpus_length_histogram", "corpus_dup_rate_summary",
+    "tpch_q2_top_supplier_per_part", "tpch_q7_nation_volume",
+    "tpch_q9_product_profit", "tpch_q10_returned_items",
+    "tpch_q11_important_stock", "tpch_q12_priority_by_status",
+    "tpch_q15_top_supplier", "tpch_q18_large_volume_orders",
+    "tpch_q19_disjunctive_filter", "tpch_q20_part_promotion",
+    "tpch_q22_idle_customers", "sink_checkpoint_messages",
+    "sink_batch_progress", "encoder_craft_framed",
+    "encoder_avro_confluent_framed", "encoder_craft_batch_framed",
+    "text_chunk_documents", "dedup_semantic_semdedup",
+    "streaming_replica_e2e", "streaming_changelog_e2e", "changes_normalize",
+    "streaming_storage_e2e", "streaming_txn_match_e2e",
     "streaming_first_seen_e2e", "streaming_window_counts_e2e",
-    "streaming_sessions_e2e",
-    "filter_event_type", "filter_ddl_sql_regex", "filter_expr_values",
-    "ddl_split_multistatement", "ddl_allowlist",
+    "streaming_sessions_e2e", "filter_event_type", "filter_ddl_sql_regex",
+    "filter_expr_values", "ddl_split_multistatement", "ddl_allowlist",
     "projection_handle_key_only", "projection_type_render",
     "projection_checksum", "dml_ddl_merge", "changefeed_checkpoint",
-    "range_scan", "stale_event_drop", "table_progress",
-    "encoder_claim_check", "encoder_open_batch",
-    "encoder_open_protocol", "txn_match_prewrite_commit",
-    "apply_materialize",
-    "filter_table_rule", "projection_update_split",
-    "projection_updated_columns", "route_topic_partition",
-    "order_apply_seq", "txn_grouping", "schema_asof_join",
-    "apply_merge_to_base", "encoder_canal_json", "decoder_canal_json",
-    "window_running_balance", "agg_salted_skew_safe",
+    "range_scan", "stale_event_drop", "table_progress", "encoder_claim_check",
+    "encoder_open_batch", "encoder_open_protocol",
+    "txn_match_prewrite_commit", "apply_materialize", "filter_table_rule",
+    "projection_update_split", "projection_updated_columns",
+    "route_topic_partition", "order_apply_seq", "txn_grouping",
+    "schema_asof_join", "apply_merge_to_base", "encoder_canal_json",
+    "decoder_canal_json", "window_running_balance", "agg_salted_skew_safe",
     "agg_pivot_event_types", "agg_cube_table_op", "agg_rollup_schema_table",
-    "approx_distinct_users", "window_range_1h_sum",
-    "window_lag_interarrival", "join_interval_broadcast",
-    "gc_eligible_tombstones",
-    "join_skew_split_salted", "corpus_top_tokens",
-    "tpch_q8_market_share", "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity_revenue", "tpch_q21_waiting_suppliers",
-    "encoder_mysql_sql", "encoder_canal_json_typed",
-    "encoder_message_batches", "ddl_action_classify_full",
-    "decoder_simple_protocol",
+    "approx_distinct_users", "window_range_1h_sum", "window_lag_interarrival",
+    "join_interval_broadcast", "gc_eligible_tombstones",
+    "join_skew_split_salted", "corpus_top_tokens", "tpch_q8_market_share",
+    "tpch_q13_customer_distribution", "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_suppliers", "encoder_mysql_sql",
+    "encoder_canal_json_typed", "encoder_message_batches",
+    "ddl_action_classify_full", "decoder_simple_protocol",
     "embed_int8_quantize", "syncpoint_ticks", "filter_start_ts",
     "encoder_simple_bootstrap", "decoder_simple_bootstrap",
-    "encoder_simple_bootstrap_versioned",
-    "encoder_avro_json", "decoder_avro_json",
-    "encoder_open_batch_framed", "embed_kmeans_clusters",
+    "encoder_simple_bootstrap_versioned", "encoder_avro_json",
+    "decoder_avro_json", "encoder_open_batch_framed", "embed_kmeans_clusters",
     "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
     "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
     "tpch_q4_order_priority", "window_topn_orders_per_customer",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding_cosine", "sim_cosine_topk",
-    "sim_ann_lsh_topk", "sim_ivf_topk", "text_lang_id",
-    "text_quality_score", "text_token_count", "text_fingerprint",
-    "multimodal_binary_meta", "multimodal_frame_sample",
-    "llm_clean_corpus", "sample_hash_bucket", "sample_stratified_hash",
-    "approx_order_value_quantiles", "tpch_q16_supplier_cnt",
-    "tpch_q14_promo_revenue", "dedup_duplicate_clusters",
+    "sim_ann_lsh_topk", "sim_ivf_topk", "text_lang_id", "text_quality_score",
+    "text_token_count", "text_fingerprint", "multimodal_binary_meta",
+    "multimodal_frame_sample", "llm_clean_corpus", "sample_hash_bucket",
+    "sample_stratified_hash", "approx_order_value_quantiles",
+    "tpch_q16_supplier_cnt", "tpch_q14_promo_revenue",
+    "dedup_duplicate_clusters", "projection_column_selector",
+    "decoder_open_protocol", "ddl_action_classify", "ddl_barrier_subbatches",
+    "apply_composite_key", "force_replicate_rowkey",
+    "schema_evolution_typed_view", "partition_table_logical",
+    "agg_session_windows", "agg_unpivot_measures", "schema_asof_join_grouped",
+    "audit_image_chain", "decoder_dead_letter", "setop_intersect_keys",
 ]
 
 

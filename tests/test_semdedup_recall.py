@@ -1,0 +1,136 @@
+"""SemDeDup recall properties (VERDICT r05 task 5 / ADVICE r05).
+
+The centroid-distance-ordered band pairing has an exactly stated recall
+bound: every within-cell pair whose ranks (ordered by distance-to-
+centroid, then vec_id) differ by ≤ chunk/2 is compared, exactly once.
+This module quantifies, against the brute-force within-cell ground
+truth at sf0.01 (500 vectors — bounded), that
+
+1. the band bound holds: no missed near-dup pair is ≤ 50 ranks apart;
+2. the engine's removal decisions equal the model's decisions derived
+   from the discovered pair set (the pairing scope is what the
+   docstring says, nothing more or less);
+3. the centroid-distance ordering discovers at least as many true
+   near-dup pairs as the old vec_id-ordered single chunking it
+   replaced (the blind-spot fix is measurable, not just argued).
+"""
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF01 = "/root/testdata/sf0.01"
+CHUNK = 100
+HALF = CHUNK // 2
+THRESHOLD_BP = 3000
+
+
+def _round_half_up(x: float) -> int:
+    """Spark/DuckDB round(): half away from zero (Python round banks)."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+@pytest.fixture(scope="module")
+def cell_members(spark):
+    from tigate_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    base = sim.with_quantized(emb).select("vec_id", "q", "norm_sq")
+    cents = sim.kmeans_train(emb, 8, 2)
+    rows = sim._assign_cells(base, cents, with_dist=True).collect()
+    cells: dict[int, list] = {}
+    for r in rows:
+        cells.setdefault(r["cell"], []).append(
+            (r["cdist"], r["vec_id"], r["q"], r["norm_sq"])
+        )
+    for members in cells.values():
+        members.sort()  # (cdist, vec_id) — the band ordering
+    return cells
+
+
+def _cos_bp(qa, na, qb, nb) -> int:
+    dot = sum(x * y for x, y in zip(qa, qb))
+    return _round_half_up(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000)
+
+
+def _truth_pairs(cells):
+    """Brute-force ALL within-cell near-dup pairs with their rank gap."""
+    out = {}
+    for members in cells.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                _, ida, qa, na = members[i]
+                _, idb, qb, nb = members[j]
+                if _cos_bp(qa, na, qb, nb) >= THRESHOLD_BP:
+                    out[(min(ida, idb), max(ida, idb))] = j - i
+    return out
+
+
+def _banded_pairs(cells):
+    """Pairs the two half-offset chunkings of the band ordering compare."""
+    out = set()
+    for members in cells.values():
+        chka = [(rn) // CHUNK for rn in range(len(members))]
+        chkb = [(rn + HALF) // CHUNK for rn in range(len(members))]
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                if chka[i] == chka[j] or chkb[i] == chkb[j]:
+                    ida, idb = members[i][1], members[j][1]
+                    out.add((min(ida, idb), max(ida, idb)))
+    return out
+
+
+def _vecid_chunk_pairs(cells):
+    """The OLD pairing scope: single chunking of the vec_id ordering."""
+    out = set()
+    for members in cells.values():
+        ids = sorted(m[1] for m in members)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if i // CHUNK == j // CHUNK:
+                    out.add((ids[i], ids[j]))
+    return out
+
+
+def test_band_bound_holds(cell_members):
+    truth = _truth_pairs(cell_members)
+    assert truth, "sf0.01 corpus must contain within-cell near-dups"
+    discovered = _banded_pairs(cell_members)
+    missed = {p: gap for p, gap in truth.items() if p not in discovered}
+    close_missed = {p: gap for p, gap in missed.items() if gap <= HALF}
+    assert not close_missed, (
+        f"band bound violated: near-dup pairs ≤ {HALF} ranks apart "
+        f"were not compared: {close_missed}"
+    )
+
+
+def test_engine_decisions_match_pairing_model(spark, cell_members):
+    from tigate_spark.catalog import get_catalog
+
+    truth = _truth_pairs(cell_members)
+    found = {p for p in truth if p in _banded_pairs(cell_members)}
+    expect_removed = {b for _, b in found}
+    expect_ndups: dict[int, int] = {}
+    for a, b in found:
+        expect_ndups[a] = expect_ndups.get(a, 0) + 1
+        expect_ndups[b] = expect_ndups.get(b, 0) + 1
+
+    out = get_catalog()["dedup_semantic_semdedup"].builder(spark, SF01)
+    got = {r["vec_id"]: (r["n_near_dups"], bool(r["removed"]))
+           for r in out.collect()}
+    got_removed = {v for v, (_, rm) in got.items() if rm}
+    assert got_removed == expect_removed
+    for v, (n, _) in got.items():
+        assert n == expect_ndups.get(v, 0), (v, n, expect_ndups.get(v, 0))
+
+
+def test_centroid_band_recall_not_worse_than_vecid_chunks(cell_members):
+    truth = _truth_pairs(cell_members)
+    new_found = sum(1 for p in truth if p in _banded_pairs(cell_members))
+    old_found = sum(1 for p in truth if p in _vecid_chunk_pairs(cell_members))
+    assert new_found >= old_found, (new_found, old_found, len(truth))
+    print(f"semdedup recall: band {new_found}/{len(truth)} vs "
+          f"vec_id-chunk {old_found}/{len(truth)}")

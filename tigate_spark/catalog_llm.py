@@ -1322,14 +1322,17 @@ def embed_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _km_cte(8, 2)
     + f"""
 , asg AS (
-  SELECT vec_id, q, norm_sq, cell FROM (
-    SELECT b.vec_id, b.q, b.norm_sq, c.cent_id AS cell,
+  SELECT vec_id, q, norm_sq, cell, d FROM (
+    SELECT b.vec_id, b.q, b.norm_sq, c.cent_id AS cell, {_KM_DIST} AS d,
            row_number() OVER (PARTITION BY b.vec_id
                               ORDER BY {_KM_DIST}, c.cent_id) AS rn
     FROM base b CROSS JOIN c2 c) WHERE rn = 1
 ), chunked AS (
   SELECT vec_id, q, norm_sq, cell,
-         (row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1) // 100 AS chk
+         (row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) - 1)
+           // 100 AS chka,
+         (row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) - 1 + 50)
+           // 100 AS chkb
   FROM asg
 ), pr AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1338,7 +1341,8 @@ def embed_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) * 10000
     ) AS BIGINT) AS cos_bp
   FROM chunked a JOIN chunked b
-    ON a.cell = b.cell AND a.chk = b.chk AND a.vec_id < b.vec_id
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+   AND (a.chka = b.chka OR a.chkb = b.chkb)
 ), pairs AS (SELECT * FROM pr WHERE cos_bp >= 3000),
 part AS (
   SELECT vec_a AS vec_id, 0 AS is_b FROM pairs
@@ -1353,11 +1357,16 @@ SELECT a.vec_id, a.cell AS cluster,
 FROM asg a LEFT JOIN stats s ON a.vec_id = s.vec_id
 """,
     doc="SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cells "
-        "scope the near-dup search, pairs form only within chunk-sliced "
-        "cell runs (pair work linear in cell size, never quadratic), and "
-        "each vector with a lower-id near-dup in its cluster is marked "
-        "removed (deterministic keep-one) — one curation-decision row per "
-        "vector; in production k scales with the corpus so cells stay small",
+        "scope the near-dup search; within a cell, members are ranked by "
+        "centroid distance and pairs form in two half-offset 100-rank "
+        "chunkings — every within-cell pair ≤50 ranks apart is compared "
+        "exactly once (near-dups rank adjacently by the triangle "
+        "inequality; pairs >50 ranks apart are not compared — the stated "
+        "recall bound). Pair work stays linear in cell size, never "
+        "quadratic; each vector with a lower-id near-dup is marked "
+        "removed (deterministic keep-one) — one curation-decision row "
+        "per vector; in production k scales with the corpus so cells "
+        "stay small",
 )
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sim.semantic_dedup(load_table(spark, sf_dir, "embeddings"))

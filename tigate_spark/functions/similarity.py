@@ -267,22 +267,28 @@ def ivf_topk(df: DataFrame, n_centroids: int = 16,
     )
 
 
-def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_cells(base: DataFrame, cents: DataFrame,
+                  with_dist: bool = False) -> DataFrame:
     """Exact integer L2 argmin assignment against a broadcast codebook
     (the IVF coarse-quantization step, reused by the k-means trainer).
-    ``base``: (vec_id, q, norm_sq); ``cents``: (cent_id, cq)."""
+    ``base``: (vec_id, q, norm_sq); ``cents``: (cent_id, cq). With
+    ``with_dist`` the assigned cell's exact L2 distance rides along as
+    ``cdist`` (SemDeDup orders cell members by it)."""
     dist = F.expr(
         "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
     )
+    aggs = [
+        F.min_by(F.col("cent_id"), F.struct(F.col("dist"), F.col("cent_id"))).alias("cell"),
+        F.first("q").alias("q"),
+        F.first("norm_sq").alias("norm_sq"),
+    ]
+    if with_dist:
+        aggs.append(F.min("dist").alias("cdist"))
     return (
         base.crossJoin(F.broadcast(cents))
         .withColumn("dist", dist)
         .groupBy("vec_id")
-        .agg(
-            F.min_by(F.col("cent_id"), F.struct(F.col("dist"), F.col("cent_id"))).alias("cell"),
-            F.first("q").alias("q"),
-            F.first("norm_sq").alias("norm_sq"),
-        )
+        .agg(*aggs)
     )
 
 
@@ -419,51 +425,80 @@ def semantic_dedup(df: DataFrame, k: int = 8, iters: int = 2,
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication"): cluster the corpus with the k-means coarse quantizer,
-    generate near-dup pairs only *within* a cluster, and mark every vector
-    that has a lower-id near-duplicate in its cluster for removal (keep
-    the lowest id of each near-dup group — SemDeDup's keep-one policy made
-    deterministic).
+    compare members within a cluster along a centroid-distance-ordered
+    sliding band, and mark every vector that has a lower-id near-duplicate
+    for removal (keep the lowest id of each near-dup group — SemDeDup's
+    keep-one policy made deterministic).
 
-    Scale design: pair generation is chunked — each cell's members are
-    ordered by vec_id and sliced into ``chunk``-sized runs; pairs form
-    only within a run, so per-cell pair work is linear in cell size
-    (cells × chunk²/2), never quadratic. In production k scales with the
-    corpus (SemDeDup fits k ≈ N/10⁴ clusters) so cells stay small; the
-    chunking is the engine-side guarantee that a pathological cell cannot
-    blow up the plan. Output: one curation-decision row per vector —
+    Pairing scope (the recall property, stated exactly): each cell's
+    members are ranked by (distance-to-centroid, vec_id); pairs form
+    inside ``chunk``-sized runs of that ranking AND inside a second
+    chunking offset by ``chunk/2``, so **every within-cell pair whose
+    ranks differ by ≤ chunk/2 is compared, exactly once** (straddling
+    pairs are produced only by the offset chunking). Pairs more than
+    ``chunk/2`` ranks apart are NOT compared — but by the triangle
+    inequality |d(a,c) − d(b,c)| ≤ d(a,b), true near-duplicates have
+    near-equal centroid distances and therefore adjacent ranks, which is
+    why Abbas et al. rank by centroid distance within the cell. (The
+    previous vec_id-ordered chunking had no such property: adjacency in
+    id order says nothing about similarity.)
+
+    Scale design: per-cell pair work is linear in cell size (≤ cells ×
+    chunk² pairs total, two offset passes), never quadratic. In
+    production k scales with the corpus (SemDeDup fits k ≈ N/10⁴
+    clusters) so cells stay small; the banding is the engine-side
+    guarantee that a pathological cell cannot blow up the plan. Output:
+    one curation-decision row per vector —
     (vec_id, cluster, n_near_dups, removed).
     """
     from pyspark.sql import Window
 
     base = with_quantized(df).select("vec_id", "q", "norm_sq")
     cents = kmeans_train(df, k, iters)
-    cells = _assign_cells(base, cents)
-    rn = F.row_number().over(Window.partitionBy("cell").orderBy("vec_id"))
-    chunked = cells.withColumn("rn", rn).withColumn(
-        "chk", F.expr(f"(rn - 1) div {chunk}")
+    cells = _assign_cells(base, cents, with_dist=True)
+    half = chunk // 2
+    rn = F.row_number().over(
+        Window.partitionBy("cell").orderBy("cdist", "vec_id")
     )
-    buckets = (
-        chunked.groupBy("cell", "chk")
-        .agg(F.expr("array_sort(collect_list(struct(vec_id, q, norm_sq)))").alias("vs"))
-        .filter(F.size("vs") >= 2)
+    chunked = (
+        cells.withColumn("rn", rn)
+        .withColumn("chka", F.expr(f"(rn - 1) div {chunk}"))
+        .withColumn("chkb", F.expr(f"(rn - 1 + {half}) div {chunk}"))
     )
-    pairs = F.expr(
-        "flatten(transform(sequence(0, size(vs) - 2), i -> "
-        "transform(sequence(i + 1, size(vs) - 1), j -> "
-        "struct(vs[i] as a, vs[j] as b))))"
-    )
-    scored = (
-        buckets.select(F.col("cell"), F.explode(pairs).alias("p"))
-        .select(
+
+    def window_pairs(chk_col: str, straddle_only: bool):
+        buckets = (
+            chunked.groupBy("cell", chk_col)
+            .agg(F.expr(
+                "array_sort(collect_list(struct(rn, vec_id, q, norm_sq, chka)))"
+            ).alias("vs"))
+            .filter(F.size("vs") >= 2)
+        )
+        pairs = F.expr(
+            "flatten(transform(sequence(0, size(vs) - 2), i -> "
+            "transform(sequence(i + 1, size(vs) - 1), j -> "
+            "struct(vs[i] as a, vs[j] as b))))"
+        )
+        out = buckets.select(F.col("cell"), F.explode(pairs).alias("p"))
+        if straddle_only:
+            # pairs inside one chka run were already produced by the
+            # base chunking — keep only boundary-straddling pairs so
+            # every unordered pair is generated exactly once
+            out = out.filter(F.expr("p.a.chka <> p.b.chka"))
+        return out.select(
             "cell",
-            F.col("p.a.vec_id").alias("vec_a"),
-            F.col("p.b.vec_id").alias("vec_b"),
+            F.least("p.a.vec_id", "p.b.vec_id").alias("vec_a"),
+            F.greatest("p.a.vec_id", "p.b.vec_id").alias("vec_b"),
             F.expr(
                 "cast(round(aggregate(zip_with(p.a.q, p.b.q, (x, y) -> x * y), "
                 "0L, (acc, x) -> acc + x) / (sqrt(cast(p.a.norm_sq as double)) * "
                 "sqrt(cast(p.b.norm_sq as double))) * 10000) as bigint)"
             ).alias("cos_bp"),
         )
+
+    scored = (
+        window_pairs("chka", straddle_only=False)
+        .unionByName(window_pairs("chkb", straddle_only=True))
         .filter(F.col("cos_bp") >= threshold_bp)
     )
     part = scored.select(
