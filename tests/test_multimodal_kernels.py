@@ -61,3 +61,66 @@ def test_pcm_negative_samples_roundtrip(spark):
     a = np.frombuffer(payload, dtype="<i2")
     expect = [((0 + 13 * i) % 4096) - 2048 for i in range(64)]
     assert a.tolist() == expect
+
+
+def test_bmp_synth_is_valid_and_parse_matches_hand_computed(spark, one_doc):
+    """synth_bmp must emit a structurally valid BMP (magic, offsets,
+    declared file size == actual) and parse_bmp_meta must recover every
+    field from the bytes alone."""
+    import struct
+
+    from tigate_spark.functions.multimodal import parse_bmp_meta, synth_bmp
+
+    payload = bytes(synth_bmp(one_doc).first()["payload"])
+    # independent header decode (not via parse_bmp_meta)
+    assert payload[:2] == b"BM"
+    fsz, _, off = struct.unpack_from("<III", payload, 2)
+    hsz, w, h, planes, bpp, comp, img = struct.unpack_from("<IiiHHII", payload, 14)
+    assert (fsz, off, hsz, planes, bpp, comp) == (len(payload), 54, 40, 1, 24, 0)
+    # doc_id=7: w = 7%6+2 = 3, h = 7%4+1 = 4, rs = (9+3)//4*4 = 12
+    assert (w, h, img) == (3, 4, 48)
+
+    row = parse_bmp_meta(synth_bmp(one_doc)).first()
+    pix_sum = sum(
+        (7 * 31 + r * 12 + c) % 256 for r in range(4) for c in range(9)
+    )
+    assert (row["width"], row["height"], row["bpp"]) == (3, 4, 24)
+    assert row["n_bytes"] == len(payload)
+    assert row["mean_px"] == pix_sum // (3 * 4 * 3)
+    assert row["mime"] == "image/bmp"
+
+
+def test_bmp_parse_rejects_corrupt_payloads(spark, one_doc):
+    """Truncated or magic-corrupted BMPs must raise (the dead-letter
+    contract), not parse to garbage."""
+    from pyspark.sql import functions as F
+
+    from tigate_spark.functions.multimodal import parse_bmp_meta, synth_bmp
+
+    good = synth_bmp(one_doc)
+    truncated = good.select("doc_id", F.expr("substring(payload, 1, 40)").alias("payload"))
+    bad_magic = good.select(
+        "doc_id",
+        F.expr("concat(unhex('4142'), substring(payload, 3))").alias("payload"),
+    )
+    for bad in (truncated, bad_magic):
+        with pytest.raises(Exception, match="bmp: bad magic/size"):
+            parse_bmp_meta(bad).collect()
+
+
+def test_raw_frame_sampling_matches_hand_computed(spark, one_doc):
+    """sample_frames: n_frames parsed from payload length, stride-2
+    sampling, per-frame sum and hex digest from the bytes."""
+    import hashlib
+
+    from tigate_spark.functions.multimodal import sample_frames, synth_raw_video
+
+    rows = {r["frame_idx"]: r
+            for r in sample_frames(synth_raw_video(one_doc), every_n=2).collect()}
+    # doc_id=7: n_frames = 7%5+2 = 4 → sampled frames 0, 2
+    assert sorted(rows) == [0, 2]
+    for f in (0, 2):
+        frame = bytes((7 * 17 + f * 16 + j) % 256 for j in range(16))
+        assert rows[f]["n_frames"] == 4
+        assert rows[f]["frame_sum"] == sum(frame)
+        assert rows[f]["frame_hex_md5"] == hashlib.md5(frame.hex().encode()).hexdigest()

@@ -409,25 +409,34 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_binary_meta",
     """
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS content_md5,
-       'text/plain' AS mime
-FROM documents
+SELECT doc_id, 'image/bmp' AS mime,
+       CAST(54 + rs * h AS BIGINT) AS n_bytes,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(24 AS BIGINT) AS bpp,
+       CAST(list_sum(list_transform(range(h), r ->
+              list_sum(list_transform(range(w * 3), c ->
+                (doc_id * 31 + r * rs + c) % 256))))
+            // (w * h * 3) AS BIGINT) AS mean_px
+FROM (
+  SELECT doc_id, w, h, (w * 3 + 3) // 4 * 4 AS rs
+  FROM (SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 1 AS h
+        FROM documents)
+)
 """,
-    doc="Opaque binary payload + typed metadata (decode stubbed; Spark plumbing real)",
+    doc="REAL container-header parse (no stub): a VALID 24-bit BMP file "
+        "per doc is synthesized JVM-side (magic, file header, "
+        "BITMAPINFOHEADER, bottom-up 4-byte-padded pixel rows), then "
+        "struct.unpack-parsed inside Arrow mapInPandas — size, "
+        "dimensions, depth and the mean pixel all come from the BYTES "
+        "(stride padding excluded), and the oracle reproduces every "
+        "parsed field arithmetically. 1 row in / 1 row out, zero "
+        "shuffle; malformed payloads raise for the dead-letter path",
 )
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = load_table(spark, sf_dir, "documents")
-    from tigate_spark.functions.multimodal import attach_binary_payload
+    from tigate_spark.functions.multimodal import parse_bmp_meta, synth_bmp
 
-    with_payload = attach_binary_payload(out)
-    return with_payload.select(
-        "doc_id",
-        F.col("media_meta.n_bytes").alias("n_bytes"),
-        F.md5("payload").alias("content_md5"),
-        F.col("media_meta.mime").alias("mime"),
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_bmp_meta(synth_bmp(docs))
 
 
 # ===========================================================================
@@ -591,22 +600,30 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_frame_sample",
     """
-SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-       md5(md5(text) || ':' || CAST(i AS VARCHAR)) AS frame_md5
-FROM (
-  SELECT doc_id, text,
-         unnest(range(0, octet_length(encode(text)) % 16 + 1, 2)) AS i
-  FROM documents
-)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(doc_id % 5 + 2 AS BIGINT) AS n_frames,
+       CAST(list_sum(list_transform(range(16), j ->
+         (doc_id * 17 + f * 16 + j) % 256)) AS BIGINT) AS frame_sum,
+       md5(array_to_string(list_transform(range(16), j ->
+         lpad(lower(hex((doc_id * 17 + f * 16 + j) % 256)), 2, '0')),
+         '')) AS frame_hex_md5
+FROM documents, (SELECT unnest(range(0, 6, 2)) AS f) g
+WHERE f < doc_id % 5 + 2
 """,
-    doc="Multimodal frame sampling: mapInPandas 1→N batch shape (decode "
-        "stubbed deterministically; Spark plumbing real)",
+    doc="REAL video frame sampling (no stub): a raw headerless frame "
+        "stream (fixed 16-byte frames back to back, count implied by "
+        "length — the YUV-raw contract) is synthesized JVM-side as "
+        "genuine bytes, np.frombuffer-stride-decoded and every-2nd-frame "
+        "sampled inside Arrow mapInPandas — the 1-payload-to-N-frames "
+        "batch shape, zero shuffle. Per-frame pixel sum and hex digest "
+        "come from the bytes; the oracle reproduces both arithmetically. "
+        "Only entropy-coded video (H.264) stays env-stubbed",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tigate_spark.functions.multimodal import attach_binary_payload, sample_frames
+    from tigate_spark.functions.multimodal import sample_frames, synth_raw_video
 
-    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
-    return sample_frames(docs, every_n=2)
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(synth_raw_video(docs), every_n=2)
 
 
 @register(

@@ -3,11 +3,20 @@
 Images/audio/video ride through the engine as opaque ``binary`` payload
 columns with a typed metadata struct, exactly like any other change-event
 payload. The Spark-side plumbing — schema, partitioning, Arrow batch shape
-through ``mapInPandas`` — is real and tested; the actual codec step is
-STUBBED (decode libraries aren't in this environment): pass
-``fake_decode=True`` for a deterministic fake, else the UDF raises
-``NotImplementedError`` where a real ``PIL.Image.open`` / ``soundfile``
-call would go.
+through ``mapInPandas`` — is real and tested, and every uncompressed
+container/kernel step is REAL code over genuine bytes:
+
+- :func:`parse_bmp_meta` parses a real BMP container header
+  (``struct.unpack`` of the 14+40-byte BITMAPINFOHEADER layout, bottom-up
+  padded pixel rows) from valid BMP files synthesized JVM-side;
+- :func:`sample_raw_frames` stride-samples a raw headerless frame stream
+  (``np.frombuffer`` reshape — the YUV-raw layout);
+- :func:`resize_box` / :func:`audio_frame_energy` are real numpy kernels.
+
+Only entropy-coded decode (JPEG/MP3/AAC/H.264) stays behind a documented
+``NotImplementedError`` (PIL/soundfile/av aren't in this environment) —
+:func:`resize_images` carries that one remaining env stub, with
+:func:`resize_box` as its real-kernel twin.
 """
 
 from __future__ import annotations
@@ -25,16 +34,16 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: decode/feature-extraction output schema (one row per input payload)
-FEATURE_SCHEMA = StructType(
+#: BMP container-parse output schema (one row per input payload)
+BMP_META_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
-        StructField("modality", StringType()),
+        StructField("mime", StringType()),
         StructField("n_bytes", LongType()),
-        StructField("content_md5", StringType()),
-        StructField("width", LongType()),     # image decode stub
-        StructField("height", LongType()),    # image decode stub
-        StructField("n_frames", LongType()),  # video/audio sample stub
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bpp", LongType()),
+        StructField("mean_px", LongType()),
     ]
 )
 
@@ -55,40 +64,93 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_features(df: DataFrame, fake_decode: bool = True,
-                    batch_hint: int = 1024) -> DataFrame:
-    """Decode/feature-extract payloads via Arrow-batched ``mapInPandas``.
+def _le4(e: str) -> str:
+    """SQL fragment: 4-byte little-endian hex rendering of expression e."""
+    return (
+        f"concat(lpad(hex(({e}) % 256), 2, '0'), "
+        f"lpad(hex((({e}) div 256) % 256), 2, '0'), "
+        f"lpad(hex((({e}) div 65536) % 256), 2, '0'), "
+        f"lpad(hex((({e}) div 16777216) % 256), 2, '0'))"
+    )
 
-    The partition shape is production-real: one Arrow batch of payloads in,
-    one batch of feature rows out — at 100 TB this runs embarrassingly
-    parallel per input split with no shuffle. Only the codec is stubbed.
-    """
+
+def synth_bmp(df: DataFrame) -> DataFrame:
+    """Deterministic VALID 24-bit BMP file per doc, rendered as real bytes
+    JVM-side: 'BM' magic, 14-byte file header, 40-byte BITMAPINFOHEADER
+    (BI_RGB, planes=1, bpp=24), bottom-up pixel rows padded to 4 bytes —
+    byte k of pixel data = (doc_id·31 + k) mod 256. Dimensions derive from
+    doc_id (w = doc_id%6+2, h = doc_id%4+1) so an arithmetic oracle can
+    reproduce every parsed field. BMP is uncompressed, so the container
+    parse downstream is genuinely real — no codec library involved."""
+    w = "(doc_id % 6 + 2)"
+    h = "(doc_id % 4 + 1)"
+    rs = f"((({w}) * 3 + 3) div 4 * 4)"
+    img = f"({rs} * {h})"
+    fsz = f"(54 + {img})"
+    pix = (
+        f"array_join(transform(sequence(0, {img} - 1), "
+        "k -> lpad(hex((doc_id * 31 + k) % 256), 2, '0')), '')"
+    )
+    payload = (
+        "unhex(concat('424D', "            # 'BM'
+        f"{_le4(fsz)}, "                   # file size
+        "'00000000', "                     # reserved
+        f"{_le4('54')}, "                  # pixel data offset
+        f"{_le4('40')}, "                  # BITMAPINFOHEADER size
+        f"{_le4(w)}, {_le4(h)}, "          # width, height
+        "'0100', '1800', "                 # planes=1, bpp=24 (LE u16)
+        f"{_le4('0')}, "                   # compression = BI_RGB
+        f"{_le4(img)}, "                   # image size
+        "'00000000000000000000000000000000', "  # ppm/palette fields
+        f"{pix}))"
+    )
+    return df.select("doc_id", F.expr(payload).alias("payload"))
+
+
+def parse_bmp_meta(df: DataFrame) -> DataFrame:
+    """REAL container-header parse: decode the BMP file header +
+    BITMAPINFOHEADER with ``struct.unpack`` and reduce the pixel matrix
+    (bottom-up rows, 4-byte stride padding excluded) to a mean sample
+    value — every output field comes from the BYTES, none from metadata
+    riding alongside. Arrow ``mapInPandas``, 1 row in / 1 row out, zero
+    shuffle — at 100 TB this runs inside the scan stage per input split.
+    Malformed/truncated payloads raise ``ValueError`` (dead-letter them
+    upstream like the craft decoder does)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
+        import struct
+
+        def parse(b: bytes) -> tuple:
+            if len(b) < 54 or b[:2] != b"BM":
+                raise ValueError("bmp: bad magic/size")
+            fsz, _, off = struct.unpack_from("<III", b, 2)
+            hsz, w, h, planes, bpp, comp, img = struct.unpack_from(
+                "<IiiHHII", b, 14
+            )
+            if hsz != 40 or planes != 1 or comp != 0 or bpp % 8:
+                raise ValueError(f"bmp: unsupported header ({hsz},{planes},{comp},{bpp})")
+            if fsz != len(b) or off + img > len(b):
+                raise ValueError("bmp: truncated payload")
+            bypp = bpp // 8
+            rs = (w * bypp + 3) // 4 * 4
+            total = 0
+            for y in range(h):
+                row = b[off + y * rs: off + y * rs + w * bypp]
+                total += sum(row)
+            return fsz, w, h, bpp, total // (w * h * bypp)
 
         for pdf in batches:
-            if not fake_decode:
-                raise NotImplementedError(
-                    "real media decode requires PIL/soundfile/av — not in this env"
-                )
-            payloads = pdf["payload"]
-            n = payloads.str.len().astype("int64")
-            md5s = payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest())
-            # deterministic fake decode: dimensions derived from content
+            rows = [
+                (int(d), "image/bmp", *parse(bytes(b)))
+                for d, b in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "modality": "text/plain",
-                    "n_bytes": n,
-                    "content_md5": md5s,
-                    "width": (n % 640) + 1,
-                    "height": (n % 480) + 1,
-                    "n_frames": (n % 16) + 1,
-                }
+                rows,
+                columns=["doc_id", "mime", "n_bytes", "width", "height",
+                         "bpp", "mean_px"],
             )
 
-    return df.mapInPandas(run, FEATURE_SCHEMA)
+    return df.mapInPandas(run, BMP_META_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(
@@ -149,43 +211,66 @@ FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("frame_idx", LongType()),
-        StructField("frame_md5", StringType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_sum", LongType()),
+        StructField("frame_hex_md5", StringType()),
     ]
 )
 
+#: raw frame byte size for the headerless frame-stream sampler (4×4 gray)
+RAW_FRAME_BYTES = 16
+
+
+def synth_raw_video(df: DataFrame, frame_bytes: int = RAW_FRAME_BYTES) -> DataFrame:
+    """Deterministic raw headerless frame stream per doc (the YUV-raw /
+    y4m-body layout: fixed-size frames back to back, frame count implied
+    by payload length) rendered as real bytes JVM-side —
+    byte k = (doc_id·17 + k) mod 256, n_frames = doc_id mod 5 + 2."""
+    total = f"((doc_id % 5 + 2) * {frame_bytes})"
+    px = (
+        f"transform(sequence(0, {total} - 1), "
+        "k -> lpad(hex((doc_id * 17 + k) % 256), 2, '0'))"
+    )
+    return df.select(
+        "doc_id", F.expr(f"unhex(array_join({px}, ''))").alias("payload")
+    )
+
 
 def sample_frames(df: DataFrame, every_n: int = 2,
-                  fake_decode: bool = True) -> DataFrame:
-    """Video frame sampling via ``mapInPandas`` — the 1→N batch shape
-    (one payload row explodes into ceil(n_frames / every_n) frame rows).
-
-    Real body: ``av.open`` + keyframe iteration; STUBBED with the same
-    deterministic fake frame count as :func:`decode_features`
-    (``n_frames = n_bytes % 16 + 1``), frame digest =
-    ``md5(content_md5 || ':' || frame_idx)`` so the oracle reproduces it.
-    """
+                  frame_bytes: int = RAW_FRAME_BYTES) -> DataFrame:
+    """REAL video frame sampling: decode a raw headerless frame stream
+    with ``np.frombuffer`` (frame count = payload length div frame size —
+    parsed from the bytes, the raw-video contract), stride-sample every
+    ``every_n``-th frame, and emit per-frame features: integer pixel sum
+    and an md5 digest of the frame's hex rendering (portable to a SQL
+    oracle — blob-typed md5 isn't). The 1→N Arrow batch shape of
+    :func:`audio_frame_energy`; zero shuffle at any scale. Nothing here
+    is faked — only entropy-coded video (H.264 etc.) remains behind the
+    documented env constraint, exactly like JPEG in
+    :func:`resize_images`."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
         for pdf in batches:
-            if not fake_decode:
-                raise NotImplementedError("real frame sampling requires av — not in this env")
-            doc_ids, idxs, md5s = [], [], []
+            rows = []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                data = bytes(b)
-                content_md5 = hashlib.md5(data).hexdigest()
-                n_frames = (len(data) % 16) + 1
+                a = np.frombuffer(bytes(b), dtype=np.uint8)
+                n_frames = len(a) // frame_bytes
+                fr = a[: n_frames * frame_bytes].reshape(n_frames, frame_bytes)
                 for i in range(0, n_frames, every_n):
-                    doc_ids.append(int(doc_id))
-                    idxs.append(i)
-                    md5s.append(
-                        hashlib.md5(f"{content_md5}:{i}".encode()).hexdigest()
-                    )
+                    hx = fr[i].tobytes().hex()
+                    rows.append((
+                        int(doc_id), i, n_frames,
+                        int(fr[i].astype(np.int64).sum()),
+                        hashlib.md5(hx.encode()).hexdigest(),
+                    ))
             yield pd.DataFrame(
-                {"doc_id": pd.Series(doc_ids, dtype="int64"),
-                 "frame_idx": pd.Series(idxs, dtype="int64"),
-                 "frame_md5": pd.Series(md5s, dtype="object")}
+                rows,
+                columns=["doc_id", "frame_idx", "n_frames", "frame_sum",
+                         "frame_hex_md5"],
             )
 
     return df.mapInPandas(run, FRAME_SCHEMA)
