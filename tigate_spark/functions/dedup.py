@@ -127,12 +127,20 @@ def ngram_jaccard_pairs(df: DataFrame,
     uncapped to ``LSH_BUCKET_CAP`` (see OPERATORS.md note) because an
     uncapped posting list is quadratic in the hottest shingle's df.
 
-    Cache lifetime: the posting-list frame is persisted because both the
-    kept-shingle sizes and the pair generation read it. The previous
-    invocation's cache is released on the next call (module-level
-    bookkeeping) so repeated calls in a long-lived session hold at most
-    one posting cache; callers needing eager release can unpersist via
-    ``release_posting_caches()`` after materializing the result.
+    Single-pass dataflow (r06 rewrite — the previous version persisted
+    the posting frame and scanned it twice, once for per-doc kept-shingle
+    sizes and once for pair generation): each posting row now emits one
+    membership marker per member (``doc_b`` NULL) *plus* its bucket-local
+    pairs, and a single (doc_a, doc_b) aggregation yields both the sizes
+    (NULL rows) and the intersections (pair rows). The three downstream
+    consumers (inter, n_a, n_b) filter that one aggregate — the inverted
+    index is scanned once instead of twice, and what gets persisted is
+    the O(docs + pairs) aggregate, not the O(total shingles) posting
+    lists (within a single action AQE's exchange reuse already shares
+    the shuffle; the persist serves repeated actions on the returned
+    frame, e.g. a warm benchmark loop). Cache lifetime keeps the r04
+    bookkeeping: at most one live cache per session, released on the
+    next call or via ``release_posting_caches()``.
     """
     # explode_outer: plain explode triggers InferFiltersFromGenerate, whose
     # size(shingles)>0 predicate gets pushed below the fan-out exchange and
@@ -140,30 +148,35 @@ def ngram_jaccard_pairs(df: DataFrame,
     sh = with_shingles(df).select(
         "doc_id", F.explode_outer("shingles").alias("s")
     ).filter(F.col("s").isNotNull())
-    # persist: kept-shingle sizes and pair generation both read the postings
     posting = sh.groupBy("s").agg(
         F.expr("array_sort(collect_list(doc_id))").alias("ds")
     )
     if df_cap is not None:
         posting = posting.filter(F.size("ds") <= df_cap)
-    posting = posting.persist()
-    release_posting_caches(keep=posting)
-    _LIVE_POSTINGS.append(posting)
-    sizes = (
-        posting.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
-    pairs = F.expr(
+    # one membership marker per member + the bucket-local pairs; the
+    # size(ds) >= 2 guard keeps sequence(0, -1) from going descending
+    combined_rows = F.expr(
+        "concat("
+        "transform(ds, d -> struct(d as doc_a, cast(null as bigint) as doc_b)), "
+        "case when size(ds) >= 2 then "
         "flatten(transform(sequence(0, size(ds) - 2), i -> "
         "transform(sequence(i + 1, size(ds) - 1), j -> "
-        "struct(ds[i] as doc_a, ds[j] as doc_b))))"
+        "struct(ds[i] as doc_a, ds[j] as doc_b)))) "
+        "else cast(array() as array<struct<doc_a:bigint,doc_b:bigint>>) end)"
     )
-    inter = (
-        posting.filter(F.size("ds") >= 2)
-        .select(F.explode(pairs).alias("p"))
+    combined = (
+        posting.select(F.explode(combined_rows).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    release_posting_caches(keep=combined)
+    _LIVE_POSTINGS.append(combined)
+    inter = combined.filter(F.col("doc_b").isNotNull()).select(
+        "doc_a", "doc_b", F.col("cnt").alias("inter")
+    )
+    sizes = combined.filter(F.col("doc_b").isNull()).select(
+        F.col("doc_a").alias("doc_id"), F.col("cnt").alias("n_sh")
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
