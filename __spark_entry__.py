@@ -37,9 +37,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: minhash_dedup, blackhole — K3 and T10 get their first rows),
 #: the late-r05 LLM ops (DSIR, fuzzy decontamination, shuffle assign,
 #: BM25, PQ/ADC/IVF-PQ, PCA, audio energy), and seq_gap_resets.
-#: Position 50 is the flagship cdc_pipeline_e2e canary. After this
-#: window runs, every one of the 205 catalog entries has faced the
-#: external driver at least once (cumulative 205/205).
+#: Position 50 is the NEW r06 entry engine_lifecycle_e2e (create →
+#: run → pause → backlog → exactly-once resume → remove, the §3.1
+#: surface previously unit-test-only — it takes the cdc_pipeline_e2e
+#: canary slot because entry() already smoke-runs that exact pipeline
+#: every round, the r05 precedent). After this window runs, every
+#: round-5 catalog entry has faced the external driver at least once
+#: (cumulative 205/205 + the new r06 additions).
 _PRIORITY = [
     "pack_sequences", "agg_events_per_type_hour", "sample_importance_dsir",
     "decontaminate_fuzzy_minhash", "corpus_shuffle_assign", "seq_gap_resets",
@@ -62,9 +66,9 @@ _PRIORITY = [
     "llm_curation_manifest", "streaming_minhash_dedup_e2e",
     "encoder_craft_resolved", "encoder_open_resolved", "encoder_open_ddl",
     "sample_source_token_budget", "embed_label_outliers",
-    "streaming_blackhole_e2e", "cdc_pipeline_e2e",
+    "streaming_blackhole_e2e", "engine_lifecycle_e2e",
     # --- end of the 50-entry round-6 window; re-verification backlog ---
-    "multimodal_resize", "multimodal_resize_box", "apply_scd2_history",
+    "cdc_pipeline_e2e", "multimodal_resize", "multimodal_resize_box", "apply_scd2_history",
     "apply_incremental_agg", "encoder_debezium", "decoder_debezium",
     "encoder_simple_protocol", "encoder_simple_ddl", "encoder_csv_rows",
     "decoder_csv_rows", "decoder_open_batch", "convert_canal_to_avro",

@@ -138,3 +138,58 @@ def test_status_and_health(spark, sf_dir, tmp_path):
     cid = eng.create(ChangefeedConfig(changefeed_id="hc", sink_uri="noop://"))
     eng.run_to_completion(cid)
     assert eng.health()["healthy"]
+
+
+def test_resume_processes_only_backlog(spark, sf_dir, tmp_path):
+    """Exactly-once resume with backlog: files landing while paused are
+    the ONLY input the resumed run processes (committed offsets replay
+    nothing) — pinned via the resumed query's recentProgress row counts."""
+    import glob
+    import json
+    import time
+
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    n = base.count()
+    per = max(n // 2, 1)
+    ranked = base.withColumn(
+        "part",
+        F.expr(
+            "least(cast((row_number() over (order by ts, event_id) - 1) "
+            f"div {per} as int), 1)"
+        ),
+    )
+    parts_dir = str(tmp_path / "parts")
+    ranked.write.partitionBy("part").parquet(parts_dir)
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    now = time.time()
+
+    def land(k):
+        total = 0
+        for j, f in enumerate(sorted(glob.glob(f"{parts_dir}/part={k}/*.parquet"))):
+            dst = os.path.join(flat, f"{k:02d}-{j}.parquet")
+            os.link(f, dst)
+            os.utime(dst, (now + k, now + k))
+            total += spark.read.parquet(f).count()
+        return total
+
+    land(0)
+    eng = Engine(spark, flat, str(tmp_path / "work"))
+    cid = eng.create(ChangefeedConfig(changefeed_id="eo", sink_uri="replica://"))
+    eng.run_to_completion(cid)
+    eng.pause(cid)
+    n2 = land(1)
+    q = eng.resume(cid)
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    assert q.exception() is None
+    resumed_rows = sum(
+        int(json.loads(str(p))["numInputRows"]) for p in q.recentProgress
+    )
+    assert resumed_rows == n2, (resumed_rows, n2)
+    eng.remove(cid, drop_state=True)

@@ -1145,3 +1145,81 @@ def streaming_window_append_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark.read.parquet(out_dir))
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "engine_lifecycle_e2e",
+    _STREAM_ORACLE,
+    doc="Engine lifecycle end-to-end (SURVEY §3.1, the one surface "
+        "previously exercised only by unit tests): create a changefeed "
+        "through the v2-API twin (Engine.create), run it over the first "
+        "half of the commit order, pause, land the second half as "
+        "backlog while paused (pinned mtimes keep the file-source batch "
+        "order), then resume — the restart replays NOTHING (Spark "
+        "checkpoint = the reference's etcd checkpointTs, T10 recovery) "
+        "and drains only the backlog. The final replica hash-matches the "
+        "last-writer-wins oracle over ALL changes; remove() tears the "
+        "feed down. Exactly-once-resume is additionally pinned by a unit "
+        "test on the resumed run's input row counts",
+)
+def engine_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import time as _time
+
+    from tigate_spark.engine import Engine
+    from tigate_spark.streaming.sinks import read_replica
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        base = spark.read.parquet(src)
+        n = base.count()
+        per = max(n // 2, 1)
+        ranked = base.withColumn(
+            "part",
+            F.expr(
+                "least(cast((row_number() over (order by ts, event_id) - 1) "
+                f"div {per} as int), 1)"
+            ),
+        )
+        parts_dir = os.path.join(work, "parts")
+        ranked.write.partitionBy("part").parquet(parts_dir)
+        flat = os.path.join(work, "flat")
+        os.makedirs(flat)
+        now = _time.time()
+
+        def land(k: int) -> None:
+            files = sorted(
+                _glob.glob(os.path.join(parts_dir, f"part={k}", "*.parquet"))
+            )
+            for j, f in enumerate(files):
+                dst = os.path.join(flat, f"{k:02d}-{j}.parquet")
+                os.link(f, dst)
+                os.utime(dst, (now + k, now + k))
+
+        land(0)
+        eng = Engine(spark, flat, work)
+        cid = eng.create(
+            ChangefeedConfig(changefeed_id="lifecycle-e2e", sink_uri="replica://")
+        )
+        eng.run_to_completion(cid)
+        eng.pause(cid)
+        land(1)  # backlog arrives while paused
+        q = eng.resume(cid)
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        state_dir = eng._feeds[cid].changefeed.sink.state_dir
+        replica = read_replica(spark, state_dir).select(
+            "table_id", "pk", F.col("commit_ts").alias("last_commit_ts"),
+            "event_type", "value_cents",
+        )
+        out = _materialize(replica)
+        eng.remove(cid, drop_state=True)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
