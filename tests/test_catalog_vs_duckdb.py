@@ -33,9 +33,15 @@ def ddb():
 
 def _norm(v):
     if isinstance(v, float):
+        # typed prefix: a float column must be float on BOTH engines —
+        # int-vs-float drift fails even when values are numerically equal
+        # (the external driver's hash is dtype-sensitive; note DuckDB
+        # HUGEINT arrives as Python int through fetchall, so the windowed-
+        # sum drift class is only visible to tools/drive_driver.py's
+        # pandas-dtype gate — run that too)
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.10g}"
+            return "f:NaN"
+        return f"f:{v:.10g}"
     if isinstance(v, bool):
         return str(v)
     try:

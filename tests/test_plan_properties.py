@@ -426,3 +426,35 @@ def test_pq_training_partial_agg_and_broadcast_codebook(spark):
     with no_auto_broadcast(spark):
         assert count_broadcast_exchanges(df) >= 1
         assert_no_python_in_plan(df)
+
+
+def test_substring_spans_no_pair_generation(spark):
+    """Exact substring-span dedup: one agg + one join back on the shingle
+    key — no quadratic pair arrays anywhere, no Python in the plan."""
+    from tigate_spark.plans.audit import plan_of
+
+    df = _df(spark, "dedup_substring_spans")
+    with no_auto_broadcast(spark):
+        plan = plan_of(df)
+        assert "flatten(transform(sequence" not in plan  # no pair explode
+        assert_no_python_in_plan(df)
+
+
+def test_lm_score_stat_tables_shuffle_joined(spark):
+    """Bigram-LM scoring: the count tables scale with vocabulary² so they
+    must SHUFFLE-join the bigram stream (broadcasting them is the 100 TB
+    trap); per-doc agg stays map-side combined; all JVM-side."""
+    df = _df(spark, "text_lm_score")
+    with no_auto_broadcast(spark):
+        assert_shuffle_join(df)
+        assert_no_python_in_plan(df)
+
+
+def test_bpe_merge_broadcasts_winning_pair(spark):
+    """BPE merge application: the 1-row winning pair must broadcast to the
+    match scan (hint-forced, survives auto-broadcast off); gaps-and-islands
+    runs per doc with no Python."""
+    df = _df(spark, "bpe_merge_apply")
+    with no_auto_broadcast(spark):
+        assert count_broadcast_exchanges(df) >= 1
+        assert_no_python_in_plan(df)

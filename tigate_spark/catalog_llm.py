@@ -2119,3 +2119,226 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("natural_bp"),
         )
     )
+
+
+# ===========================================================================
+# Training-data pipeline extensions, round 6: exact substring-span dedup
+# (Lee et al. 2022), bigram-LM quality scoring (CCNet twin), and a full
+# BPE merge-round application (completes the corpus_bigram_counts loop)
+# ===========================================================================
+@register(
+    "dedup_substring_spans",
+    _TOK_CTE
+    + """
+, spans AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS span_start,
+         array_to_string(tokens[g.i:g.i+4], ' ') AS shingle
+  FROM tok, unnest(range(1, greatest(len(tokens) - 3, 1))) AS g(i)
+  WHERE len(tokens) >= 5
+)
+SELECT s.doc_id, s.span_start, s.shingle,
+       CAST(d2.n_docs AS BIGINT) AS n_docs_sharing
+FROM spans s JOIN (
+  SELECT shingle, count(DISTINCT doc_id) AS n_docs FROM spans
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+) d2 ON s.shingle = d2.shingle
+""",
+    doc="Exact substring-span dedup (Lee et al. 2022, 'Deduplicating "
+        "Training Data Makes Language Models Better', the ExactSubstr "
+        "pass at 5-token granularity): every token position whose 5-gram "
+        "window recurs in at least one OTHER document is flagged with its "
+        "span start and sharing count — the spans a curation pass would "
+        "excise. One posexplode scan + a per-shingle distinct-doc agg + "
+        "one shuffle join back on the shingle key; no pair generation, "
+        "so no cap is needed — output is bounded by the duplicated-span "
+        "count itself",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = (
+        tx.with_tokens(docs)
+        .filter(F.expr("size(tokens) >= 5"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(tokens) - 4), "
+                    "i -> concat_ws(' ', slice(tokens, i, 5)))"
+                )
+            ).alias("pos0", "shingle"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("bigint").alias("span_start"),
+            "shingle",
+        )
+    )
+    dup = (
+        spans.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs_sharing"))
+        .filter(F.col("n_docs_sharing") >= 2)
+    )
+    return spans.join(dup, "shingle").select(
+        "doc_id", "span_start", "shingle", "n_docs_sharing"
+    )
+
+
+#: surprisal clip (1000× the base) — bounds the per-doc integer sum at
+#: ~1e7 per bigram so a 10⁹-bigram document still fits int64
+_LM_SURPRISE_CAP = 10_000_000
+
+
+@register(
+    "text_lm_score",
+    _TOK_CTE
+    + """
+, bg AS (
+  SELECT doc_id, tokens[g.i] AS w1, tokens[g.i + 1] AS w2
+  FROM tok, unnest(range(1, greatest(len(tokens), 1))) AS g(i)
+  WHERE len(tokens) >= 2
+), c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(least((c1.c1 * 10000) // c2.c2, 10000000)) // count(*)
+            AS BIGINT) AS surprise_bp
+FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+JOIN c1 ON bg.w1 = c1.w1
+GROUP BY 1
+""",
+    doc="Bigram-LM quality score (the log-free exact-integer twin of "
+        "CCNet's KenLM perplexity filter, Wenzek et al. 2020): the corpus "
+        "itself is the LM — per bigram, surprise = 10000·C(w1)/C(w1,w2) "
+        "(how unusual this continuation is), clipped at 1000× and "
+        "averaged per document; high scores mark incoherent/rare-"
+        "continuation text, the CCNet 'tail' bucket. One bigram-explode "
+        "scan feeds both count tables; scoring joins shuffle on the "
+        "bigram/left-token keys (the stats tables scale with vocabulary², "
+        "too big to broadcast at corpus scale) and the per-doc agg is "
+        "map-side combined. Intermediates fit int64 up to ~9e14 corpus "
+        "bigrams (C(w1)·10⁴ < 2⁶³)",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        tx.with_tokens(docs)
+        .filter(F.expr("size(tokens) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tokens) - 1), "
+                    "i -> struct(element_at(tokens, i) as w1, "
+                    "element_at(tokens, i + 1) as w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        bg.join(c2, ["w1", "w2"]).join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.expr(
+                f"cast(sum(least((c1 * 10000L) div c2, {_LM_SURPRISE_CAP}L)) "
+                "div count(1) as bigint)"
+            ).alias("surprise_bp"),
+        )
+    )
+
+
+@register(
+    "bpe_merge_apply",
+    _TOK_CTE
+    + """
+, bg AS (
+  SELECT doc_id, g.i AS i, tokens[g.i] AS w1, tokens[g.i + 1] AS w2
+  FROM tok, unnest(range(1, greatest(len(tokens), 1))) AS g(i)
+  WHERE len(tokens) >= 2
+), top AS (
+  SELECT w1, w2 FROM bg GROUP BY 1, 2
+  ORDER BY count(*) DESC, w1, w2 LIMIT 1
+), m AS (
+  SELECT bg.doc_id, bg.i,
+         bg.i - row_number() OVER (PARTITION BY bg.doc_id ORDER BY bg.i) AS grp
+  FROM bg JOIN top ON bg.w1 = top.w1 AND bg.w2 = top.w2
+), runs AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS run_len
+  FROM m GROUP BY doc_id, grp
+), merged AS (
+  SELECT doc_id, CAST(sum((run_len + 1) // 2) AS BIGINT) AS n_merges
+  FROM runs GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.tokens) AS BIGINT) AS n_tokens_before,
+       CAST(COALESCE(md.n_merges, 0) AS BIGINT) AS n_merges,
+       CAST(len(t.tokens) - COALESCE(md.n_merges, 0) AS BIGINT)
+         AS n_tokens_after,
+       (SELECT w1 || ' ' || w2 FROM top) AS merged_pair
+FROM tok t LEFT JOIN merged md ON t.doc_id = md.doc_id
+""",
+    doc="BPE merge-round application (Sennrich et al. 2016 — the step "
+        "corpus_bigram_counts computes the statistic FOR): pick the "
+        "corpus-max adjacent pair (deterministic tie-break) and apply it "
+        "left-to-right non-overlapping to every document, the way a BPE "
+        "trainer rewrites the token stream each round. LTR non-overlap "
+        "over a run of k consecutive matches merges ceil(k/2) pairs — "
+        "computed as gaps-and-islands over match positions, no per-token "
+        "iteration. The 1-row winning pair broadcasts; match scan + "
+        "per-doc window + agg are one shuffle each; per doc emits "
+        "before/after lengths and the merge count",
+)
+def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.with_tokens(docs).select("doc_id", "tokens")
+    bg = (
+        toks.filter(F.expr("size(tokens) >= 2"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(tokens) - 1), "
+                    "i -> struct(element_at(tokens, i) as w1, "
+                    "element_at(tokens, i + 1) as w2))"
+                )
+            ).alias("i0", "p"),
+        )
+        .select(
+            "doc_id", (F.col("i0") + 1).alias("i"),
+            F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
+        )
+    )
+    top = (
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w1", "w2").limit(1)
+        .select("w1", "w2")
+    )
+    m = bg.join(F.broadcast(top), ["w1", "w2"]).withColumn(
+        "grp",
+        F.col("i") - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("i")
+        ),
+    )
+    merged = (
+        m.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.expr("sum((run_len + 1) div 2)").alias("n_merges"))
+    )
+    return (
+        toks.join(merged, "doc_id", "left")
+        .crossJoin(F.broadcast(top.select(
+            F.concat_ws(" ", "w1", "w2").alias("merged_pair"))))
+        .select(
+            "doc_id",
+            F.expr("cast(size(tokens) as bigint)").alias("n_tokens_before"),
+            F.coalesce("n_merges", F.lit(0)).cast("bigint").alias("n_merges"),
+            F.expr("cast(size(tokens) - coalesce(n_merges, 0) as bigint)")
+            .alias("n_tokens_after"),
+            "merged_pair",
+        )
+    )
