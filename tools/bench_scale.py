@@ -56,6 +56,10 @@ QUERIES = [
     # exact-integer PCA, craft consumer decode (Arrow mapInPandas)
     "embed_pq_encode", "sim_ivfpq_topk", "text_search_bm25_topk",
     "embed_pca_project", "decoder_craft_framed",
+    # r06 additions: span-recurrence join, vocab-scale LM score joins,
+    # gaps-and-islands merge round, real BMP parse (Arrow mapInPandas)
+    "dedup_substring_spans", "text_lm_score", "bpe_merge_apply",
+    "multimodal_binary_meta",
 ]
 
 
