@@ -22,6 +22,11 @@ SENSITIVE = [
     "dedup_semantic_semdedup",
     "seq_gap_resets",
     "sim_ivfpq_topk",
+    # r06: winning-pair argmax (orderBy + limit 1) must tie-break on the
+    # pair itself, not arrival order
+    "bpe_merge_apply",
+    # r06: surprisal join + truncating per-doc average
+    "text_lm_score",
 ]
 
 
