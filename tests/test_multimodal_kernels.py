@@ -124,3 +124,36 @@ def test_raw_frame_sampling_matches_hand_computed(spark, one_doc):
         assert rows[f]["n_frames"] == 4
         assert rows[f]["frame_sum"] == sum(frame)
         assert rows[f]["frame_hex_md5"] == hashlib.md5(frame.hex().encode()).hexdigest()
+
+
+def test_bmp_parse_fuzz_never_garbage(spark):
+    """Fuzz the BMP parser directly (no Spark round trip): random
+    single-byte corruption and truncation of valid payloads must either
+    raise ValueError/struct.error or — when the mutated byte is in the
+    pixel area or a don't-care header field — still parse to the original
+    dimensions. A parse that silently returns different dimensions than
+    the (intact) header declares would be a garbage decode."""
+    import random
+    import struct
+
+    from tigate_spark.functions.multimodal import parse_bmp, synth_bmp
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    payloads = [bytes(r["payload"]) for r in synth_bmp(docs).collect()]
+    rng = random.Random(20260814)
+    for b in payloads:
+        base = parse_bmp(b)
+        for _ in range(60):
+            mut = bytearray(b)
+            pos = rng.randrange(len(mut))
+            mut[pos] = (mut[pos] + rng.randrange(1, 256)) % 256
+            try:
+                got = parse_bmp(bytes(mut))
+            except (ValueError, struct.error):
+                continue
+            # survived: header geometry must be unchanged (pixel-area or
+            # reserved-field mutation); mean may legitimately differ
+            assert got[1:4] == base[1:4], (pos, got, base)
+        for cut in (0, 1, 13, 53, len(b) - 1):
+            with pytest.raises((ValueError, struct.error)):
+                parse_bmp(b[:cut])

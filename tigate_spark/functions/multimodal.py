@@ -107,6 +107,36 @@ def synth_bmp(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.expr(payload).alias("payload"))
 
 
+def parse_bmp(b: bytes) -> tuple:
+    """Decode one BMP payload: (file_size, width, height, bpp, mean_px).
+
+    Real ``struct.unpack`` of the 14-byte file header + 40-byte
+    BITMAPINFOHEADER, then a bottom-up padded-row pixel reduction.
+    Malformed/truncated/inconsistent payloads raise ``ValueError`` —
+    never a silent garbage parse (the dead-letter contract; fuzz-tested
+    like the craft decoder)."""
+    import struct
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("bmp: bad magic/size")
+    fsz, _, off = struct.unpack_from("<III", b, 2)
+    hsz, w, h, planes, bpp, comp, img = struct.unpack_from("<IiiHHII", b, 14)
+    if hsz != 40 or planes != 1 or comp != 0 or bpp % 8:
+        raise ValueError(
+            f"bmp: unsupported header ({hsz},{planes},{comp},{bpp})")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bmp: non-positive dimensions {w}x{h}")
+    bypp = bpp // 8
+    rs = (w * bypp + 3) // 4 * 4
+    if fsz != len(b) or off + rs * h > len(b) or img not in (0, rs * h):
+        raise ValueError("bmp: truncated or inconsistent payload")
+    total = 0
+    for y in range(h):
+        row = b[off + y * rs: off + y * rs + w * bypp]
+        total += sum(row)
+    return fsz, w, h, bpp, total // (w * h * bypp)
+
+
 def parse_bmp_meta(df: DataFrame) -> DataFrame:
     """REAL container-header parse: decode the BMP file header +
     BITMAPINFOHEADER with ``struct.unpack`` and reduce the pixel matrix
@@ -118,30 +148,9 @@ def parse_bmp_meta(df: DataFrame) -> DataFrame:
     upstream like the craft decoder does)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
-        def parse(b: bytes) -> tuple:
-            if len(b) < 54 or b[:2] != b"BM":
-                raise ValueError("bmp: bad magic/size")
-            fsz, _, off = struct.unpack_from("<III", b, 2)
-            hsz, w, h, planes, bpp, comp, img = struct.unpack_from(
-                "<IiiHHII", b, 14
-            )
-            if hsz != 40 or planes != 1 or comp != 0 or bpp % 8:
-                raise ValueError(f"bmp: unsupported header ({hsz},{planes},{comp},{bpp})")
-            if fsz != len(b) or off + img > len(b):
-                raise ValueError("bmp: truncated payload")
-            bypp = bpp // 8
-            rs = (w * bypp + 3) // 4 * 4
-            total = 0
-            for y in range(h):
-                row = b[off + y * rs: off + y * rs + w * bypp]
-                total += sum(row)
-            return fsz, w, h, bpp, total // (w * h * bypp)
-
         for pdf in batches:
             rows = [
-                (int(d), "image/bmp", *parse(bytes(b)))
+                (int(d), "image/bmp", *parse_bmp(bytes(b)))
                 for d, b in zip(pdf["doc_id"], pdf["payload"])
             ]
             yield pd.DataFrame(

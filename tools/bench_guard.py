@@ -21,11 +21,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TOLERANCE = 1.2
-#: documented semantic changes (query -> reason), exempt from the gate
-WAIVERS = {
-    "dedup_ngram_jaccard": "r04 df-cap rewrite (stop-shingle removal) adds a "
-                           "kept-sizes agg — deliberate scale trade, see BASELINE.md",
-}
+#: documented semantic changes (query -> reason), exempt from the gate.
+#: (the long-standing dedup_ngram_jaccard waiver was retired in r06: the
+#: single-pass posting rewrite put it at ~0.3x of its mark)
+WAIVERS: dict[str, str] = {}
 
 
 def run_bench() -> dict:
