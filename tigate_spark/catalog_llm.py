@@ -2342,3 +2342,80 @@ def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merged_pair",
         )
     )
+
+
+@register(
+    "dedup_substring_excise",
+    _TOK_CTE
+    + """
+, spans AS (
+  SELECT doc_id, g.i AS i, array_to_string(tokens[g.i:g.i+4], ' ') AS shingle
+  FROM tok, unnest(range(1, greatest(len(tokens) - 3, 1))) AS g(i)
+  WHERE len(tokens) >= 5
+), dup AS (
+  SELECT shingle FROM spans GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+), covered AS (
+  SELECT DISTINCT s.doc_id, s.i + g.o AS tokpos
+  FROM spans s JOIN dup d ON s.shingle = d.shingle,
+       unnest(range(0, 5)) AS g(o)
+), cut AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_covered
+  FROM covered GROUP BY 1
+)
+SELECT t.doc_id, CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n_tokens_covered, 0) AS BIGINT) AS n_tokens_covered,
+       CAST(len(t.tokens) - COALESCE(c.n_tokens_covered, 0) AS BIGINT)
+         AS n_tokens_after
+FROM tok t LEFT JOIN cut c ON t.doc_id = c.doc_id
+""",
+    doc="Substring-span excision (the actionable form of "
+        "dedup_substring_spans, Lee et al. 2022: the ExactSubstr pass "
+        "CUTS the duplicated ranges, it doesn't drop documents): every "
+        "token covered by a cross-document-recurring 5-gram window is "
+        "marked, coverage is counted distinct per document, and each doc "
+        "reports before/covered/after token counts — the corpus-size "
+        "delta a curation run would realize. Span flagging + a 5-wide "
+        "position explode + distinct — work linear in flagged spans, "
+        "no pair generation",
+)
+def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.with_tokens(docs).select("doc_id", "tokens")
+    spans = (
+        toks.filter(F.expr("size(tokens) >= 5"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(tokens) - 4), "
+                    "i -> concat_ws(' ', slice(tokens, i, 5)))"
+                )
+            ).alias("pos0", "shingle"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("i"), "shingle")
+    )
+    dup = (
+        spans.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("shingle")
+    )
+    covered = (
+        spans.join(dup, "shingle")
+        .select("doc_id", F.explode(F.expr("sequence(i, i + 4)")).alias("tokpos"))
+        .distinct()
+    )
+    cut = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens_covered")
+    )
+    return (
+        toks.join(cut, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr("cast(size(tokens) as bigint)").alias("n_tokens"),
+            F.coalesce("n_tokens_covered", F.lit(0)).cast("bigint")
+            .alias("n_tokens_covered"),
+            F.expr("cast(size(tokens) - coalesce(n_tokens_covered, 0) "
+                   "as bigint)").alias("n_tokens_after"),
+        )
+    )
