@@ -71,6 +71,7 @@ _PRIORITY = [
     # (new r06 ops lead the r07 queue)
     "dedup_substring_spans", "text_lm_score", "bpe_merge_apply",
     "replica_chunk_checksums", "dedup_substring_excise",
+    "llm_curation_manifest_v2",
     "cdc_pipeline_e2e", "multimodal_resize", "multimodal_resize_box", "apply_scd2_history",
     "apply_incremental_agg", "encoder_debezium", "decoder_debezium",
     "encoder_simple_protocol", "encoder_simple_ddl", "encoder_csv_rows",

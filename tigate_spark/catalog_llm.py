@@ -2419,3 +2419,40 @@ def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "as bigint)").alias("n_tokens_after"),
         )
     )
+
+
+def _curation_manifest_v2_oracle() -> str:
+    from tigate_spark.catalog import CATALOG
+
+    lm = CATALOG["text_lm_score"].oracle
+    excise = CATALOG["dedup_substring_excise"].oracle
+    return f"""
+SELECT m.doc_id, m.cluster_id, m.ttr_bp, m.n_tokens, m.imp_weight_sum,
+       lm.surprise_bp, ex.n_tokens_covered, ex.n_tokens_after
+FROM ({_curation_manifest_oracle()}) m
+JOIN ({lm}) lm ON m.doc_id = lm.doc_id
+JOIN ({excise}) ex ON m.doc_id = ex.doc_id
+"""
+
+
+@register(
+    "llm_curation_manifest_v2",
+    _curation_manifest_v2_oracle(),
+    doc="The round-6 curation manifest: every surviving document of "
+        "llm_curation_manifest additionally carries its bigram-LM "
+        "surprisal (text_lm_score — the CCNet-style quality signal) and "
+        "its substring-excision accounting (dedup_substring_excise — "
+        "tokens the ExactSubstr cut would remove), so one table holds "
+        "every per-doc decision and weight a training-data build needs. "
+        "Pure column composition over already-oracle-checked operators; "
+        "the oracle nests their oracles as subqueries, hash-verifying "
+        "the composition end to end",
+)
+def llm_curation_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lm = text_lm_score(spark, sf_dir).select("doc_id", "surprise_bp")
+    ex = dedup_substring_excise(spark, sf_dir).select(
+        "doc_id", "n_tokens_covered", "n_tokens_after"
+    )
+    return llm_curation_manifest(spark, sf_dir).join(lm, "doc_id").join(
+        ex, "doc_id"
+    )
