@@ -143,38 +143,16 @@ def test_status_and_health(spark, sf_dir, tmp_path):
 def test_resume_processes_only_backlog(spark, sf_dir, tmp_path):
     """Exactly-once resume with backlog: files landing while paused are
     the ONLY input the resumed run processes (committed offsets replay
-    nothing) — pinned via the resumed query's recentProgress row counts."""
-    import glob
+    nothing) — pinned via the resumed query's recentProgress row counts.
+    Uses the catalog entry's own split-and-land scaffolding so the test
+    and engine_lifecycle_e2e can't silently diverge."""
     import json
-    import time
 
-    from pyspark.sql import functions as F
+    from tigate_spark.catalog_streaming import split_commit_order
 
-    base = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    n = base.count()
-    per = max(n // 2, 1)
-    ranked = base.withColumn(
-        "part",
-        F.expr(
-            "least(cast((row_number() over (order by ts, event_id) - 1) "
-            f"div {per} as int), 1)"
-        ),
+    flat, land = split_commit_order(
+        spark, os.path.join(sf_dir, "events.parquet"), str(tmp_path), 2
     )
-    parts_dir = str(tmp_path / "parts")
-    ranked.write.partitionBy("part").parquet(parts_dir)
-    flat = str(tmp_path / "flat")
-    os.makedirs(flat)
-    now = time.time()
-
-    def land(k):
-        total = 0
-        for j, f in enumerate(sorted(glob.glob(f"{parts_dir}/part={k}/*.parquet"))):
-            dst = os.path.join(flat, f"{k:02d}-{j}.parquet")
-            os.link(f, dst)
-            os.utime(dst, (now + k, now + k))
-            total += spark.read.parquet(f).count()
-        return total
-
     land(0)
     eng = Engine(spark, flat, str(tmp_path / "work"))
     cid = eng.create(ChangefeedConfig(changefeed_id="eo", sink_uri="replica://"))

@@ -450,11 +450,17 @@ def test_lm_score_stat_tables_shuffle_joined(spark):
         assert_no_python_in_plan(df)
 
 
-def test_bpe_merge_broadcasts_winning_pair(spark):
-    """BPE merge application: the 1-row winning pair must broadcast to the
-    match scan (hint-forced, survives auto-broadcast off); gaps-and-islands
-    runs per doc with no Python."""
+def test_bpe_merge_match_is_filter_not_join(spark):
+    """BPE merge application: the winning pair is resolved driver-side
+    (1-row scale-independent argmax) and pushed into the match scan as a
+    literal FILTER — the corpus side must carry no pair-match join at
+    all; gaps-and-islands runs per doc with no Python."""
+    from tigate_spark.plans.audit import plan_of
+
     df = _df(spark, "bpe_merge_apply")
     with no_auto_broadcast(spark):
-        assert count_broadcast_exchanges(df) >= 1
+        plan = plan_of(df)
+        # exactly one join survives: toks <- merged on doc_id (the
+        # formatted detail section prints one "Join type:" per join node)
+        assert plan.count("Join type:") == 1, plan
         assert_no_python_in_plan(df)

@@ -683,8 +683,7 @@ _CHUNK_ROW_SQL = (
 )
 SELECT table_id, pk // 32 AS chunk_id,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CAST(('0x' || substr(md5({_CHUNK_ROW_SQL}), 1, 8)) AS BIGINT))
-            AS BIGINT) AS chunk_checksum,
+       CAST(sum({h32_sql(_CHUNK_ROW_SQL)}) AS BIGINT) AS chunk_checksum,
        CAST(min(pk) AS BIGINT) AS pk_lo, CAST(max(pk) AS BIGINT) AS pk_hi
 FROM live GROUP BY 1, 2
 """,

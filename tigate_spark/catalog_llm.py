@@ -1377,9 +1377,10 @@ FROM asg a LEFT JOIN stats s ON a.vec_id = s.vec_id
         "scope the near-dup search; within a cell, members are ranked by "
         "centroid distance and pairs form in two half-offset 100-rank "
         "chunkings — every within-cell pair ≤50 ranks apart is compared "
-        "exactly once (near-dups rank adjacently by the triangle "
-        "inequality; pairs >50 ranks apart are not compared — the stated "
-        "recall bound). Pair work stays linear in cell size, never "
+        "exactly once, and same-chunk pairs up to 99 ranks apart also "
+        "compare (near-dups rank adjacently by the triangle inequality; "
+        "only pairs >50 ranks apart can be missed — the stated recall "
+        "bound). Pair work stays linear in cell size, never "
         "quadratic; each vector with a lower-id near-dup is marked "
         "removed (deterministic keep-one) — one curation-decision row "
         "per vector; in production k scales with the corpus so cells "
@@ -2287,9 +2288,13 @@ FROM tok t LEFT JOIN merged md ON t.doc_id = md.doc_id
         "trainer rewrites the token stream each round. LTR non-overlap "
         "over a run of k consecutive matches merges ceil(k/2) pairs — "
         "computed as gaps-and-islands over match positions, no per-token "
-        "iteration. The 1-row winning pair broadcasts; match scan + "
-        "per-doc window + agg are one shuffle each; per doc emits "
-        "before/after lengths and the merge count",
+        "iteration. The winning pair is resolved driver-side (a 1-row, "
+        "scale-independent argmax, the codebook precedent) and pushed "
+        "into the match scan as a literal FILTER — no join at all on the "
+        "corpus side; per-doc window + agg are one shuffle each; per doc "
+        "emits before/after lengths and the merge count (a corpus with "
+        "no bigrams reports every doc with 0 merges and a NULL pair, "
+        "matching the oracle's NULL scalar subquery)",
 )
 def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -2313,34 +2318,41 @@ def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
         )
     )
-    top = (
+    # The winning pair is a 1-row, scale-independent argmax — resolve it
+    # on the driver once (the PCA/codebook precedent) instead of letting
+    # two lazy consumers re-run the corpus-wide count+sort per action. An
+    # empty result (corpus with no bigrams) mirrors the oracle's NULL
+    # scalar subquery: merged_pair NULL, every doc reported with 0 merges.
+    top_rows = (
         bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "w1", "w2").limit(1)
-        .select("w1", "w2")
+        .collect()
     )
-    m = bg.join(F.broadcast(top), ["w1", "w2"]).withColumn(
-        "grp",
-        F.col("i") - F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("i")
-        ),
-    )
-    merged = (
-        m.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
-        .groupBy("doc_id")
-        .agg(F.expr("sum((run_len + 1) div 2)").alias("n_merges"))
-    )
-    return (
-        toks.join(merged, "doc_id", "left")
-        .crossJoin(F.broadcast(top.select(
-            F.concat_ws(" ", "w1", "w2").alias("merged_pair"))))
-        .select(
-            "doc_id",
-            F.expr("cast(size(tokens) as bigint)").alias("n_tokens_before"),
-            F.coalesce("n_merges", F.lit(0)).cast("bigint").alias("n_merges"),
-            F.expr("cast(size(tokens) - coalesce(n_merges, 0) as bigint)")
-            .alias("n_tokens_after"),
-            "merged_pair",
+    if top_rows:
+        w1, w2 = top_rows[0]["w1"], top_rows[0]["w2"]
+        pair_col = F.lit(f"{w1} {w2}")
+        m = bg.filter((F.col("w1") == w1) & (F.col("w2") == w2)).withColumn(
+            "grp",
+            F.col("i") - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("i")
+            ),
         )
+        merged = (
+            m.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+            .groupBy("doc_id")
+            .agg(F.expr("sum((run_len + 1) div 2)").alias("n_merges"))
+        )
+        out = toks.join(merged, "doc_id", "left")
+    else:
+        pair_col = F.lit(None).cast("string")
+        out = toks.withColumn("n_merges", F.lit(None).cast("bigint"))
+    return out.select(
+        "doc_id",
+        F.expr("cast(size(tokens) as bigint)").alias("n_tokens_before"),
+        F.coalesce("n_merges", F.lit(0)).cast("bigint").alias("n_merges"),
+        F.expr("cast(size(tokens) - coalesce(n_merges, 0) as bigint)")
+        .alias("n_tokens_after"),
+        pair_col.alias("merged_pair"),
     )
 
 

@@ -1147,6 +1147,49 @@ def streaming_window_append_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def split_commit_order(spark: SparkSession, src: str, work: str,
+                       n_parts: int):
+    """Split an events file into ``n_parts`` by commit order and return
+    ``(flat_dir, land)``: ``land(k)`` hard-links part k's files into
+    ``flat_dir`` with a pinned increasing mtime (the file source orders
+    batches by modification time) and returns the part's row count.
+    Shared by the lifecycle entry and its exactly-once unit test so the
+    batching scheme can't silently diverge between them."""
+    import glob as _glob
+    import time as _time
+
+    base = spark.read.parquet(src)
+    n = base.count()
+    per = max(n // n_parts, 1)
+    ranked = base.withColumn(
+        "part",
+        F.expr(
+            "least(cast((row_number() over (order by ts, event_id) - 1) "
+            f"div {per} as int), {n_parts - 1})"
+        ),
+    )
+    parts_dir = os.path.join(work, "parts")
+    ranked.write.partitionBy("part").parquet(parts_dir)
+    flat = os.path.join(work, "flat")
+    os.makedirs(flat, exist_ok=True)
+    now = _time.time()
+
+    def land(k: int) -> int:
+        total = 0
+        files = sorted(
+            _glob.glob(os.path.join(parts_dir, f"part={k}", "*.parquet"))
+        )
+        for j, f in enumerate(files):
+            dst = os.path.join(flat, f"{k:02d}-{j}.parquet")
+            os.link(f, dst)
+            os.utime(dst, (now + k, now + k))
+            total += spark.read.parquet(f).count()
+        return total
+
+    return flat, land
+
+
+
 @register(
     "engine_lifecycle_e2e",
     _STREAM_ORACLE,
@@ -1163,40 +1206,13 @@ def streaming_window_append_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "test on the resumed run's input row counts",
 )
 def engine_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob as _glob
-    import time as _time
-
     from tigate_spark.engine import Engine
     from tigate_spark.streaming.sinks import read_replica
 
     work = tempfile.mkdtemp(prefix="tigate-stream-")
     try:
         src = os.path.join(sf_dir, "events.parquet")
-        base = spark.read.parquet(src)
-        n = base.count()
-        per = max(n // 2, 1)
-        ranked = base.withColumn(
-            "part",
-            F.expr(
-                "least(cast((row_number() over (order by ts, event_id) - 1) "
-                f"div {per} as int), 1)"
-            ),
-        )
-        parts_dir = os.path.join(work, "parts")
-        ranked.write.partitionBy("part").parquet(parts_dir)
-        flat = os.path.join(work, "flat")
-        os.makedirs(flat)
-        now = _time.time()
-
-        def land(k: int) -> None:
-            files = sorted(
-                _glob.glob(os.path.join(parts_dir, f"part={k}", "*.parquet"))
-            )
-            for j, f in enumerate(files):
-                dst = os.path.join(flat, f"{k:02d}-{j}.parquet")
-                os.link(f, dst)
-                os.utime(dst, (now + k, now + k))
-
+        flat, land = split_commit_order(spark, src, work, 2)
         land(0)
         eng = Engine(spark, flat, work)
         cid = eng.create(
@@ -1213,8 +1229,7 @@ def engine_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.stop()
         if q.exception() is not None:
             raise RuntimeError(str(q.exception()))
-        state_dir = eng._feeds[cid].changefeed.sink.state_dir
-        replica = read_replica(spark, state_dir).select(
+        replica = read_replica(spark, eng.state_dir(cid)).select(
             "table_id", "pk", F.col("commit_ts").alias("last_commit_ts"),
             "event_type", "value_cents",
         )

@@ -109,6 +109,20 @@ class Engine:
             for cid, f in self._feeds.items()
         ]
 
+    def state_dir(self, changefeed_id: str) -> str:
+        """Filesystem location of the changefeed's materialized sink state
+        (the replica table for ``replica://``, the output tree otherwise)
+        — the public 'where is my downstream' accessor, so callers never
+        reach into internals for the read-back path."""
+        sink = self._get(changefeed_id).changefeed.sink
+        for attr in ("state_dir", "out_dir"):
+            d = getattr(sink, attr, None)
+            if d:
+                return d
+        raise ValueError(
+            f"changefeed {changefeed_id}'s sink has no materialized state"
+        )
+
     def get(self, changefeed_id: str) -> dict:
         """Changefeed detail incl. checkpoint progress — the reference's
         ``GET /api/v2/changefeeds/{id}`` (returns ``checkpointTs``; here

@@ -132,6 +132,8 @@ def avro_string(b: bytes, i: int) -> tuple[str, int]:
 
 
 def strip_confluent_header(raw: bytes, want_id: int) -> bytes:
+    if len(raw) < 5:
+        raise ValueError(f"avro: payload too short for confluent header ({len(raw)}B)")
     if raw[0] != 0x00:
         raise ValueError(f"avro: bad confluent magic byte {raw[0]:#x}")
     got = int.from_bytes(raw[1:5], "big")

@@ -9,8 +9,9 @@ container/kernel step is REAL code over genuine bytes:
 - :func:`parse_bmp_meta` parses a real BMP container header
   (``struct.unpack`` of the 14+40-byte BITMAPINFOHEADER layout, bottom-up
   padded pixel rows) from valid BMP files synthesized JVM-side;
-- :func:`sample_raw_frames` stride-samples a raw headerless frame stream
-  (``np.frombuffer`` reshape — the YUV-raw layout);
+- :func:`sample_frames` stride-samples a raw headerless frame stream
+  (``np.frombuffer`` reshape — the YUV-raw layout) synthesized by
+  :func:`synth_raw_video`;
 - :func:`resize_box` / :func:`audio_frame_energy` are real numpy kernels.
 
 Only entropy-coded decode (JPEG/MP3/AAC/H.264) stays behind a documented
@@ -126,6 +127,10 @@ def parse_bmp(b: bytes) -> tuple:
             f"bmp: unsupported header ({hsz},{planes},{comp},{bpp})")
     if w <= 0 or h <= 0:
         raise ValueError(f"bmp: non-positive dimensions {w}x{h}")
+    if off < 14 + hsz:
+        # a pixel offset inside the headers would silently sum header
+        # bytes as pixels — reject, never garbage-parse
+        raise ValueError(f"bmp: pixel offset {off} inside headers")
     bypp = bpp // 8
     rs = (w * bypp + 3) // 4 * 4
     if fsz != len(b) or off + rs * h > len(b) or img not in (0, rs * h):

@@ -435,8 +435,9 @@ def semantic_dedup(df: DataFrame, k: int = 8, iters: int = 2,
     inside ``chunk``-sized runs of that ranking AND inside a second
     chunking offset by ``chunk/2``, so **every within-cell pair whose
     ranks differ by ≤ chunk/2 is compared, exactly once** (straddling
-    pairs are produced only by the offset chunking). Pairs more than
-    ``chunk/2`` ranks apart are NOT compared — but by the triangle
+    pairs are produced only by the offset chunking; pairs sharing a
+    chunk are compared at rank gaps up to ``chunk − 1``). A pair can be
+    MISSED only when its rank gap exceeds ``chunk/2`` — but by the triangle
     inequality |d(a,c) − d(b,c)| ≤ d(a,b), true near-duplicates have
     near-equal centroid distances and therefore adjacent ranks, which is
     why Abbas et al. rank by centroid distance within the cell. (The
