@@ -1,0 +1,113 @@
+"""Property-based tests: the r06 rewrites vs direct Python models.
+
+1. ``ngram_jaccard_pairs`` (single-pass membership+pair aggregation) must
+   agree with a brute-force Python computation of exact Jaccard over the
+   kept-shingle universe on adversarial corpora (heavy duplication, short
+   docs, stop-shingles crossing the df cap).
+2. ``bpe_merge_apply``'s gaps-and-islands merge count must equal a direct
+   left-to-right non-overlapping merge simulation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+VOCAB = ["a", "b", "c", "d"]
+
+doc = st.lists(st.sampled_from(VOCAB), min_size=0, max_size=14).map(" ".join)
+
+
+def _shingles(text):
+    toks = [t for t in text.lower().split(" ") if t]
+    return {" ".join(toks[i:i + 5]) for i in range(len(toks) - 4)}
+
+
+def _jaccard_model(texts, df_cap):
+    sh = {i: _shingles(t) for i, t in enumerate(texts)}
+    df: dict[str, int] = {}
+    for s_set in sh.values():
+        for s in s_set:
+            df[s] = df.get(s, 0) + 1
+    kept = {i: {s for s in s_set if df_cap is None or df[s] <= df_cap}
+            for i, s_set in sh.items()}
+    out = {}
+    ids = sorted(kept)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(kept[a] & kept[b])
+            if inter:
+                union = len(kept[a] | kept[b])
+                out[(a, b)] = (inter, union, inter * 10000 // union)
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(doc, min_size=2, max_size=10), st.sampled_from([2, 3, None]))
+def test_jaccard_single_pass_matches_model(spark_prop, texts, df_cap):
+    from tigate_spark.functions import dedup as dd
+
+    df = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["union_sz"], r["jaccard_bp"])
+        for r in dd.ngram_jaccard_pairs(df, df_cap=df_cap).collect()
+    }
+    assert got == _jaccard_model(texts, df_cap)
+
+
+def _ltr_merges(tokens, w1, w2):
+    """Direct left-to-right non-overlapping merge simulation."""
+    i, merges = 0, 0
+    while i < len(tokens) - 1:
+        if tokens[i] == w1 and tokens[i + 1] == w2:
+            merges += 1
+            i += 2
+        else:
+            i += 1
+    return merges
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.lists(st.sampled_from(["a", "b"]), min_size=0,
+                         max_size=12).map(" ".join),
+                min_size=1, max_size=8))
+def test_bpe_merge_count_matches_ltr_simulation(spark_prop, tmp_path_factory, texts):
+    import os
+
+    from tigate_spark.catalog import get_catalog
+
+    # materialize the corpus as a documents table the entry can load
+    work = tmp_path_factory.mktemp("bpe")
+    df = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    df.write.mode("overwrite").parquet(os.path.join(str(work), "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in get_catalog()["bpe_merge_apply"].builder(
+            spark_prop, str(work)).collect()
+    }
+    # model: global argmax pair with (count desc, w1, w2) tie-break
+    counts: dict[tuple, int] = {}
+    toks = {i: [t for t in txt.lower().split(" ") if t]
+            for i, txt in enumerate(texts)}
+    for ts in toks.values():
+        for i in range(len(ts) - 1):
+            counts[(ts[i], ts[i + 1])] = counts.get((ts[i], ts[i + 1]), 0) + 1
+    if not counts:
+        for i, ts in toks.items():
+            assert out[i]["n_merges"] == 0
+            assert out[i]["merged_pair"] is None
+        return
+    (w1, w2), _ = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    for i, ts in toks.items():
+        exp = _ltr_merges(ts, w1, w2)
+        assert out[i]["n_merges"] == exp, (i, ts, (w1, w2), out[i])
+        assert out[i]["n_tokens_after"] == len(ts) - exp
+        assert out[i]["merged_pair"] == f"{w1} {w2}"
