@@ -2236,16 +2236,23 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # One corpus pass: reduce occurrences to per-doc distinct bigrams with
+    # multiplicity k first (the (doc, w1, w2) exchange is then REUSED by
+    # the corpus count table via AQE), and derive the left-token counts
+    # from the bigram counts instead of a third corpus aggregation —
+    # Σ_occurrences surprise ≡ Σ_distinct k·surprise, so values are
+    # unchanged and the oracle stays as-is.
+    bgc = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    c2 = bgc.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     return (
-        bg.join(c2, ["w1", "w2"]).join(c1, ["w1"])
+        bgc.join(c2, ["w1", "w2"]).join(c1, ["w1"])
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("k").cast("bigint").alias("n_bigrams"),
             F.expr(
-                f"cast(sum(least((c1 * 10000L) div c2, {_LM_SURPRISE_CAP}L)) "
-                "div count(1) as bigint)"
+                f"cast(sum(k * least((c1 * 10000L) div c2, {_LM_SURPRISE_CAP}L)) "
+                "div sum(k) as bigint)"
             ).alias("surprise_bp"),
         )
     )
