@@ -111,3 +111,20 @@ def test_bpe_merge_count_matches_ltr_simulation(spark_prop, tmp_path_factory, te
         assert out[i]["n_merges"] == exp, (i, ts, (w1, w2), out[i])
         assert out[i]["n_tokens_after"] == len(ts) - exp
         assert out[i]["merged_pair"] == f"{w1} {w2}"
+
+
+def test_jaccard_accepts_int_doc_ids(spark_prop):
+    """ADVICE r06: the membership-marker struct hard-codes bigint doc
+    ids; an int (32-bit) doc_id column must be normalized, not fail the
+    concat type check at analysis time."""
+    from tigate_spark.functions import dedup as dd
+
+    texts = ["the quick brown fox jumps over the lazy dog today",
+             "the quick brown fox jumps over the lazy dog today",
+             "completely different words fill this other document body"]
+    df = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    rows = dd.ngram_jaccard_pairs(df, df_cap=None).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(0, 1)}
+    assert rows[0]["jaccard_bp"] == 10000

@@ -157,3 +157,39 @@ def test_bmp_parse_fuzz_never_garbage(spark):
         for cut in (0, 1, 13, 53, len(b) - 1):
             with pytest.raises((ValueError, struct.error)):
                 parse_bmp(b[:cut])
+
+
+def test_bmp_parse_rejects_bpp_zero(spark):
+    """ADVICE r06: a crafted header with bpp=0 (and img=0, so every
+    size-consistency check is vacuous at rs=0) must hit the documented
+    ValueError dead-letter contract, not ZeroDivisionError."""
+    import struct
+
+    from tigate_spark.functions.multimodal import parse_bmp, synth_bmp
+
+    b = bytearray(
+        synth_bmp(spark.createDataFrame([(1,)], "doc_id long"))
+        .first()["payload"]
+    )
+    struct.pack_into("<H", b, 28, 0)        # bpp := 0
+    struct.pack_into("<I", b, 34, 0)        # img := 0 (rs*h == 0 matches)
+    with pytest.raises(ValueError):
+        parse_bmp(bytes(b))
+
+
+def test_frame_sampling_rejects_partial_frames(spark):
+    """ADVICE r06: payloads that are not a whole number of frames (or are
+    empty) raise ValueError instead of silently truncating / emitting
+    zero rows — same malformed-payload contract as parse_bmp."""
+    from pyspark.errors import PythonException
+
+    from tigate_spark.functions.multimodal import sample_frames, synth_raw_video
+
+    good = synth_raw_video(spark.createDataFrame([(3,)], "doc_id long"))
+    chopped = good.selectExpr(
+        "doc_id", "substring(payload, 1, length(payload) - 1) AS payload")
+    with pytest.raises(PythonException, match="not a positive multiple"):
+        sample_frames(chopped).collect()
+    empty = good.selectExpr("doc_id", "cast(x'' as binary) AS payload")
+    with pytest.raises(PythonException, match="not a positive multiple"):
+        sample_frames(empty).collect()

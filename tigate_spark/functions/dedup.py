@@ -145,8 +145,12 @@ def ngram_jaccard_pairs(df: DataFrame,
     # explode_outer: plain explode triggers InferFiltersFromGenerate, whose
     # size(shingles)>0 predicate gets pushed below the fan-out exchange and
     # recomputes every shingle single-threaded.
+    # cast once: the membership-marker struct and the empty-array fallback
+    # below hard-code bigint fields, so an int doc_id column would hit a
+    # concat type mismatch at analysis time — normalize here instead
     sh = with_shingles(df).select(
-        "doc_id", F.explode_outer("shingles").alias("s")
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode_outer("shingles").alias("s"),
     ).filter(F.col("s").isNotNull())
     posting = sh.groupBy("s").agg(
         F.expr("array_sort(collect_list(doc_id))").alias("ds")

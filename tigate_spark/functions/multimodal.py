@@ -122,7 +122,7 @@ def parse_bmp(b: bytes) -> tuple:
         raise ValueError("bmp: bad magic/size")
     fsz, _, off = struct.unpack_from("<III", b, 2)
     hsz, w, h, planes, bpp, comp, img = struct.unpack_from("<IiiHHII", b, 14)
-    if hsz != 40 or planes != 1 or comp != 0 or bpp % 8:
+    if hsz != 40 or planes != 1 or comp != 0 or bpp not in (8, 16, 24, 32):
         raise ValueError(
             f"bmp: unsupported header ({hsz},{planes},{comp},{bpp})")
     if w <= 0 or h <= 0:
@@ -272,8 +272,16 @@ def sample_frames(df: DataFrame, every_n: int = 2,
             rows = []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
                 a = np.frombuffer(bytes(b), dtype=np.uint8)
+                if len(a) == 0 or len(a) % frame_bytes:
+                    # raise-never-garbage: a payload that isn't a whole
+                    # number of frames is malformed raw video — dead-letter
+                    # it upstream (parse_bmp contract), don't silently
+                    # truncate or emit zero rows
+                    raise ValueError(
+                        f"raw video: {len(a)} bytes is not a positive "
+                        f"multiple of frame size {frame_bytes}")
                 n_frames = len(a) // frame_bytes
-                fr = a[: n_frames * frame_bytes].reshape(n_frames, frame_bytes)
+                fr = a.reshape(n_frames, frame_bytes)
                 for i in range(0, n_frames, every_n):
                     hx = fr[i].tobytes().hex()
                     rows.append((

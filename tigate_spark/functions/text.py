@@ -154,8 +154,10 @@ def bm25_topk(df: DataFrame, terms: tuple[str, ...] = SEARCH_TERMS,
     - rational idf (log-free variant, documented):
       ``idf_x1e6 = (N - df + 1)·10⁶ div (df + 1)``
     - tf saturation with the algebra cleared of fractions
-      (k1 = 6/5, b = 3/4), using the exact milli-token average doc
-      length ``A = (1000·TOT) div N`` (TOT = total corpus tokens):
+      (k1 = 6/5, b = 3/4), using the floored milli-token average doc
+      length ``A = (1000·TOT) div N`` (TOT = total corpus tokens;
+      integer div — consistent across engines, not bit-equal to the
+      unfloored rational form):
       ``tf_part_x1000 = 22000·tf·A div (10·tf·A + 3·A + 9000·dl)``
       — tf_part ≤ 2200 by construction, and every intermediate is
       doc-scale, not corpus-scale: the largest term is ``22000·tf·A``,
