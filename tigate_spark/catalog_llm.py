@@ -2475,3 +2475,193 @@ def llm_curation_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm_curation_manifest(spark, sf_dir).join(lm, "doc_id").join(
         ex, "doc_id"
     )
+
+
+# ===========================================================================
+# Training-data pipeline extensions, round 7: Gopher rule-based quality
+# gating (Rae et al. 2021 App. A), multi-epoch mixture planning under a
+# token budget (Muennighoff et al. 2023), paragraph-level dup fraction
+# (MassiveText / CCNet paragraph dedup signal)
+# ===========================================================================
+_GOPHER_STOP = ", ".join(f"'{w}'" for w in tx.EN_STOPWORDS)
+
+
+@register(
+    "text_gopher_quality_flags",
+    _TOK_CTE
+    + f"""
+, m AS (
+  SELECT doc_id,
+         CAST(len(tokens) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(tokens, x -> length(x))), 0)
+              * 1000 // greatest(len(tokens), 1) AS BIGINT)
+           AS mean_word_len_milli,
+         CAST(len(list_filter(tokens, x -> regexp_matches(x, '[a-z]')))
+              * 10000 // greatest(len(tokens), 1) AS BIGINT)
+           AS alpha_frac_bp,
+         CAST(len(list_intersect(list_distinct(tokens), [{_GOPHER_STOP}]))
+              AS BIGINT) AS n_stop_distinct
+  FROM tok
+)
+SELECT doc_id, n_words, mean_word_len_milli, alpha_frac_bp, n_stop_distinct,
+       CAST(CAST(n_words BETWEEN 50 AND 100000 AS INT) AS BIGINT)
+         AS f_word_count,
+       CAST(CAST(mean_word_len_milli BETWEEN 3000 AND 10000 AS INT)
+            AS BIGINT) AS f_mean_word_len,
+       CAST(CAST(alpha_frac_bp >= 8000 AS INT) AS BIGINT) AS f_alpha_words,
+       CAST(CAST(n_stop_distinct >= 2 AS INT) AS BIGINT) AS f_stopwords,
+       CAST(CAST(n_words BETWEEN 50 AND 100000
+                 AND mean_word_len_milli BETWEEN 3000 AND 10000
+                 AND alpha_frac_bp >= 8000
+                 AND n_stop_distinct >= 2 AS INT) AS BIGINT) AS keep
+FROM m
+""",
+    doc="Gopher rule-based quality gate (Rae et al. 2021, Appendix A — "
+        "the MassiveText filter): per document, word count in [50, 1e5], "
+        "mean word length in [3, 10] (milli-chars, exact integer), "
+        "fraction of words containing an alphabetic character >= 80% "
+        "(basis points), and >= 2 distinct stop words present; `keep` is "
+        "the conjunction. Every ratio is floored integer arithmetic so "
+        "both engines agree bit-for-bit. Pure per-row array math inside "
+        "the scan — no shuffle at all, trivially 100 TB-safe (the flags "
+        "then feed partial-agg mix stats or a filter pushed to the scan)",
+)
+def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stop = ", ".join(f"'{w}'" for w in tx.EN_STOPWORDS)
+    m = tx.with_tokens(docs).select(
+        "doc_id",
+        F.expr("cast(size(tokens) as bigint)").alias("n_words"),
+        F.expr(
+            "cast(aggregate(tokens, 0L, (a, x) -> a + length(x)) * 1000 "
+            "div greatest(size(tokens), 1) as bigint)"
+        ).alias("mean_word_len_milli"),
+        F.expr(
+            "cast(size(filter(tokens, x -> x rlike '[a-z]')) * 10000 "
+            "div greatest(size(tokens), 1) as bigint)"
+        ).alias("alpha_frac_bp"),
+        F.expr(
+            f"cast(size(array_intersect(array_distinct(tokens), "
+            f"array({stop}))) as bigint)"
+        ).alias("n_stop_distinct"),
+    )
+    return m.select(
+        "*",
+        F.expr("cast(n_words between 50 and 100000 as bigint)")
+        .alias("f_word_count"),
+        F.expr("cast(mean_word_len_milli between 3000 and 10000 as bigint)")
+        .alias("f_mean_word_len"),
+        F.expr("cast(alpha_frac_bp >= 8000 as bigint)").alias("f_alpha_words"),
+        F.expr("cast(n_stop_distinct >= 2 as bigint)").alias("f_stopwords"),
+        F.expr(
+            "cast(n_words between 50 and 100000 "
+            "and mean_word_len_milli between 3000 and 10000 "
+            "and alpha_frac_bp >= 8000 and n_stop_distinct >= 2 as bigint)"
+        ).alias("keep"),
+    )
+
+
+#: multi-epoch mixture plan constants: budget = 2x corpus, repeat cap =
+#: 4 epochs (Muennighoff et al. 2023: value of repeated data decays fast
+#: past ~4 epochs)
+_MIX_BUDGET_X = 2
+_MIX_MAX_EPOCHS = 4
+
+
+@register(
+    "sample_mixture_epochs",
+    _TOK_CTE
+    + f"""
+, per_src AS (
+  SELECT d.source, CAST(sum(len(t.tokens)) AS BIGINT) AS n_tokens
+  FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+  GROUP BY 1
+), c AS (
+  SELECT CAST({_MIX_BUDGET_X} * sum(n_tokens) AS BIGINT) AS budget,
+         CAST(count(*) AS BIGINT) AS n_src
+  FROM per_src
+), base AS (
+  SELECT p.source, p.n_tokens,
+         CAST(c.budget // c.n_src AS BIGINT) AS base_target,
+         CAST({_MIX_MAX_EPOCHS} * p.n_tokens AS BIGINT) AS cap_tokens
+  FROM per_src p, c
+), pool AS (
+  SELECT CAST(COALESCE(sum(CASE WHEN base_target > cap_tokens
+                        THEN base_target - cap_tokens END), 0) AS BIGINT)
+           AS surplus,
+         CAST(COALESCE(sum(CASE WHEN base_target <= cap_tokens
+                        THEN n_tokens END), 0) AS BIGINT) AS uncapped_tokens
+  FROM base
+), planned AS (
+  SELECT b.source, b.n_tokens, b.base_target, b.cap_tokens,
+         CAST(CASE WHEN b.base_target > b.cap_tokens THEN b.cap_tokens
+              ELSE least(b.base_target
+                         + p.surplus * b.n_tokens
+                           // greatest(p.uncapped_tokens, 1),
+                         b.cap_tokens) END AS BIGINT) AS planned_tokens
+  FROM base b, pool p
+)
+SELECT source, n_tokens, base_target, planned_tokens,
+       CAST(planned_tokens * 1000 // n_tokens AS BIGINT) AS epochs_milli,
+       CAST(planned_tokens * 10000
+            // (SELECT sum(planned_tokens) FROM planned) AS BIGINT)
+         AS share_bp
+FROM planned
+""",
+    doc="Multi-epoch mixture planning under a global token budget "
+        "(Muennighoff et al. 2023, 'Scaling Data-Constrained Language "
+        f"Models'): budget = {_MIX_BUDGET_X}x corpus tokens split "
+        "uniformly across sources; any source whose uniform share "
+        f"exceeds {_MIX_MAX_EPOCHS} epochs of its own data is capped "
+        "there, and ONE waterfill round redistributes the surplus to "
+        "uncapped sources proportional to their token mass (still "
+        "cap-clamped; single-round by design — documented, both engines "
+        "identical). Emits per-source planned tokens, epochs (milli) and "
+        "final share (bp), all floored int64. One token-count scan + a "
+        "sources-sized table with two scalar aggregates — the plan table "
+        "is broadcast-sized at any corpus scale",
+)
+def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        tx.with_tokens(docs)
+        .groupBy("source")
+        .agg(F.sum(F.expr("size(tokens)")).cast("bigint").alias("n_tokens"))
+    )
+    c = per_src.agg(
+        (F.lit(_MIX_BUDGET_X) * F.sum("n_tokens")).cast("bigint")
+        .alias("budget"),
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+    )
+    base = per_src.crossJoin(F.broadcast(c)).select(
+        "source", "n_tokens",
+        F.expr("budget div n_src").cast("bigint").alias("base_target"),
+        (F.lit(_MIX_MAX_EPOCHS) * F.col("n_tokens")).cast("bigint")
+        .alias("cap_tokens"),
+    )
+    pool = base.agg(
+        F.expr(
+            "cast(coalesce(sum(case when base_target > cap_tokens "
+            "then base_target - cap_tokens end), 0) as bigint)"
+        ).alias("surplus"),
+        F.expr(
+            "cast(coalesce(sum(case when base_target <= cap_tokens "
+            "then n_tokens end), 0) as bigint)"
+        ).alias("uncapped_tokens"),
+    )
+    planned = base.crossJoin(F.broadcast(pool)).select(
+        "source", "n_tokens", "base_target",
+        F.expr(
+            "cast(case when base_target > cap_tokens then cap_tokens "
+            "else least(base_target + surplus * n_tokens "
+            "div greatest(uncapped_tokens, 1), cap_tokens) end as bigint)"
+        ).alias("planned_tokens"),
+    )
+    tot = planned.agg(F.sum("planned_tokens").alias("t_planned"))
+    return planned.crossJoin(F.broadcast(tot)).select(
+        "source", "n_tokens", "base_target", "planned_tokens",
+        F.expr("planned_tokens * 1000 div n_tokens").cast("bigint")
+        .alias("epochs_milli"),
+        F.expr("planned_tokens * 10000 div t_planned").cast("bigint")
+        .alias("share_bp"),
+    )
