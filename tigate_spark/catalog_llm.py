@@ -2665,3 +2665,81 @@ def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("planned_tokens * 10000 div t_planned").cast("bigint")
         .alias("share_bp"),
     )
+
+
+@register(
+    "dedup_paragraph_fraction",
+    _TOK_CTE
+    + """
+, par AS (
+  SELECT doc_id,
+         md5(array_to_string(tokens[g.i*32+1:g.i*32+32], ' ')) AS ph
+  FROM tok, unnest(range(0, (len(tokens) - 1) // 32 + 1)) AS g(i)
+  WHERE len(tokens) >= 1
+), dup AS (
+  SELECT ph FROM par GROUP BY ph HAVING count(DISTINCT doc_id) >= 2
+), per_doc AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_paragraphs,
+         CAST(count(d.ph) AS BIGINT) AS n_dup_paragraphs
+  FROM par p LEFT JOIN dup d ON p.ph = d.ph
+  GROUP BY 1
+)
+SELECT doc_id, n_paragraphs, n_dup_paragraphs,
+       CAST(n_dup_paragraphs * 10000 // n_paragraphs AS BIGINT)
+         AS dup_frac_bp,
+       CAST(CAST(n_dup_paragraphs * 10000 // n_paragraphs <= 3000 AS INT)
+            AS BIGINT) AS keep
+FROM per_doc
+""",
+    doc="Cross-corpus paragraph-dedup signal (the CCNet / MassiveText "
+        "paragraph pass, Wenzek et al. 2020): documents are cut into "
+        "non-overlapping 32-token paragraphs, each md5-fingerprinted (a "
+        "fixed-width shuffle key — at 100 TB you never shuffle paragraph "
+        "TEXT, only 32-byte digests); a paragraph is duplicated when it "
+        "occurs in >= 2 distinct documents. Per doc: paragraph counts, "
+        "duplicated-paragraph fraction (bp), and keep = frac <= 30%. "
+        "Complements text_repetition_score (within-doc) and "
+        "dedup_substring_spans (5-gram spans): this is the coarse "
+        "cross-doc boilerplate detector. One posexplode scan, one "
+        "digest-keyed agg, one digest join back — all shuffle keys are "
+        "digests, work linear in corpus size",
+)
+def dedup_paragraph_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    par = (
+        tx.with_tokens(docs)
+        .filter(F.expr("size(tokens) >= 1"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, (size(tokens) - 1) div 32), "
+                    "i -> md5(concat_ws(' ', slice(tokens, i*32 + 1, 32))))"
+                )
+            ).alias("ph"),
+        )
+    )
+    dup = (
+        par.groupBy("ph")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ph")
+    )
+    per_doc = (
+        par.join(dup.withColumn("is_dup", F.lit(1)), "ph", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),
+            F.count("is_dup").cast("bigint").alias("n_dup_paragraphs"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_paragraphs", "n_dup_paragraphs",
+        F.expr("cast(n_dup_paragraphs * 10000 div n_paragraphs as bigint)")
+        .alias("dup_frac_bp"),
+        F.expr(
+            "cast(n_dup_paragraphs * 10000 div n_paragraphs <= 3000 "
+            "as bigint)"
+        ).alias("keep"),
+    )

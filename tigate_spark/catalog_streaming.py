@@ -1238,3 +1238,79 @@ def engine_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_FLUSH_C = 64    # keep in sync with operators/txn.py FLUSH_MAX_ROWS
+_FLUSH_LANES = 4
+
+
+@register(
+    "sink_txn_flush_batches",
+    ORACLE_CHANGES_CTE + f"""
+SELECT lane, batch_seq, n_txns, n_rows, first_commit_ts, last_commit_ts,
+       n_start_ts
+FROM (
+  WITH RECURSIVE txn AS (
+    SELECT table_id % {_FLUSH_LANES} AS lane, table_id, start_ts, commit_ts,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM changes GROUP BY 1, 2, 3, 4
+  ), ord AS (
+    SELECT lane, table_id, start_ts, commit_ts, n_rows,
+           CAST(row_number() OVER (
+             PARTITION BY lane ORDER BY commit_ts, start_ts, table_id)
+             AS BIGINT) AS rn,
+           CAST(sum(n_rows) OVER (
+             PARTITION BY lane ORDER BY commit_ts, start_ts, table_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS ps
+    FROM txn
+  ), mx AS (SELECT lane, max(rn) AS max_rn FROM ord GROUP BY 1
+  ), bnd AS (
+    SELECT s.lane, s.rn AS start_rn,
+           CAST(COALESCE(min(e.rn), m.max_rn) AS BIGINT) AS end_rn
+    FROM ord s JOIN mx m ON m.lane = s.lane
+    LEFT JOIN ord e ON e.lane = s.lane AND e.rn >= s.rn
+         AND e.rn <= s.rn + {_FLUSH_C}
+         AND e.ps - (s.ps - s.n_rows) > {_FLUSH_C}
+    GROUP BY s.lane, s.rn, m.max_rn
+  ), rec AS (
+    SELECT lane, CAST(1 AS BIGINT) AS batch_seq, start_rn, end_rn
+    FROM bnd WHERE start_rn = 1
+    UNION ALL
+    SELECT b.lane, r.batch_seq + 1, b.start_rn, b.end_rn
+    FROM rec r JOIN bnd b ON b.lane = r.lane AND b.start_rn = r.end_rn + 1
+  )
+  SELECT r.lane, r.batch_seq,
+         CAST(r.end_rn - r.start_rn + 1 AS BIGINT) AS n_txns,
+         CAST(e.ps - (s.ps - s.n_rows) AS BIGINT) AS n_rows,
+         s.commit_ts AS first_commit_ts,
+         e.commit_ts AS last_commit_ts,
+         (SELECT CAST(count(DISTINCT o.start_ts) AS BIGINT) FROM ord o
+          WHERE o.lane = r.lane AND o.rn BETWEEN r.start_rn AND r.end_rn)
+           AS n_start_ts
+  FROM rec r
+  JOIN ord s ON s.lane = r.lane AND s.rn = r.start_rn
+  JOIN ord e ON e.lane = r.lane AND e.rn = r.end_rn
+)
+""",
+    doc="K1 flush batching: the MySQL DML worker's accumulate-until-over-"
+        "threshold loop (mysql_worker.go:90-135 — rows += event.Len(); "
+        "rows > MaxTxnRow -> Flush, crossing txn included) over the txn-"
+        "grouped changefeed, 4 worker lanes keyed table_id % lanes, "
+        "MaxTxnRow scaled 256 -> 64 for small-SF corpora. Emits the per-"
+        "flush accounting prepareDMLs keeps (mysql_writer.go:670-726): "
+        "txn/row counts, commit span, distinct startTs count. Engine "
+        "side: applyInPandas greedy walk per lane — a lane IS the "
+        "reference's sequential worker, so parallelism = lane count by "
+        "semantics. Oracle: exact greedy via minimal-prefix boundaries "
+        "(banded self-join — each txn has >= 1 row, so a boundary lies "
+        "within MaxTxnRow txns) chained by a recursive CTE",
+)
+def sink_txn_flush_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.operators.txn import flush_batches, txn_group
+    from tigate_spark.sources.changes import changes_stream
+
+    txns = txn_group(changes_stream(spark, sf_dir)).select(
+        "table_id", "start_ts", "commit_ts", "n_rows"
+    )
+    return flush_batches(txns, max_rows=_FLUSH_C, n_lanes=_FLUSH_LANES)

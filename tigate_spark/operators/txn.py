@@ -110,3 +110,71 @@ def match_prewrite_commit_streams(
         )
         .select("start_ts", "pk", "commit_ts", "value_cents", "event_type", "seq")
     )
+
+
+#: scaled-down MaxTxnRow (reference default 256, ``pkg/sink/mysql/
+#: config.go:39-51``) so small-SF corpora still produce multiple flush
+#: batches per lane
+FLUSH_MAX_ROWS = 64
+#: worker-lane count (the reference's MySQL DML worker pool size)
+FLUSH_LANES = 4
+
+
+def flush_batches(txns: DataFrame, max_rows: int = FLUSH_MAX_ROWS,
+                  n_lanes: int = FLUSH_LANES) -> DataFrame:
+    """K1 worker flush batching — the accumulate-until-over-threshold loop
+    of the reference's MySQL DML worker
+    (``downstreamadapter/worker/mysql_worker.go:90-135``: rows +=
+    event.Len(); rows > MaxTxnRow -> Flush, the crossing txn INCLUDED)
+    plus the per-flush accounting ``prepareDMLs`` keeps
+    (``pkg/sink/mysql/mysql_writer.go:670-726``: rowCount, startTs set).
+
+    Each batch is the minimal txn-run whose row sum EXCEEDS ``max_rows``
+    (the final batch per lane may be smaller). Lanes are the reference's
+    parallelism unit — a worker consumes its event channel sequentially,
+    so per-lane sequential processing is the semantics, not a
+    compromise: ``applyInPandas`` groups by lane and runs the greedy
+    walk per lane, giving exactly n_lanes-way parallelism at any scale
+    (in production n_lanes = worker-count config, hundreds). Input must
+    carry (table_id, start_ts, commit_ts, n_rows); ordering inside a
+    lane is (commit_ts, start_ts, table_id) — the commit-order the
+    dispatcher feeds workers.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("lane", LongType()),
+        StructField("batch_seq", LongType()),
+        StructField("n_txns", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("first_commit_ts", LongType()),
+        StructField("last_commit_ts", LongType()),
+        StructField("n_start_ts", LongType()),
+    ])
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["commit_ts", "start_ts", "table_id"])
+        lane = int(pdf["lane"].iloc[0])
+        out = []
+        seq, cum, ntxn, first, last, sts = 1, 0, 0, 0, 0, set()
+        for commit_ts, start_ts, nr in zip(
+            pdf["commit_ts"], pdf["start_ts"], pdf["n_rows"]
+        ):
+            if ntxn == 0:
+                first = int(commit_ts)
+            cum += int(nr)
+            ntxn += 1
+            last = int(commit_ts)
+            sts.add(int(start_ts))
+            if cum > max_rows:
+                out.append((lane, seq, ntxn, cum, first, last, len(sts)))
+                seq, cum, ntxn, sts = seq + 1, 0, 0, set()
+        if ntxn:
+            out.append((lane, seq, ntxn, cum, first, last, len(sts)))
+        return pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    lanes = txns.withColumn(
+        "lane", (F.col("table_id") % F.lit(n_lanes)).cast("bigint")
+    ).select("lane", "table_id", "start_ts", "commit_ts", "n_rows")
+    return lanes.groupBy("lane").applyInPandas(walk, schema)
