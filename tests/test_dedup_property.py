@@ -128,3 +128,59 @@ def test_jaccard_accepts_int_doc_ids(spark_prop):
     rows = dd.ngram_jaccard_pairs(df, df_cap=None).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(0, 1)}
     assert rows[0]["jaccard_bp"] == 10000
+
+
+def _bpe_train_model(texts, rounds):
+    """Direct K-round BPE trainer: argmax pair (count desc, lexicographic
+    tie-break), LTR non-overlap rewrite, merged symbol = 'w1 w2'."""
+    toks = [[t for t in txt.lower().split(" ") if t] for txt in texts]
+    out = []
+    for r in range(rounds):
+        counts: dict[tuple, int] = {}
+        for ts in toks:
+            for a, b in zip(ts, ts[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (w1, w2), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        nxt, total = [], 0
+        for ts in toks:
+            nt, i = [], 0
+            while i < len(ts):
+                if i + 1 < len(ts) and ts[i] == w1 and ts[i + 1] == w2:
+                    nt.append(w1 + " " + w2)
+                    i += 2
+                else:
+                    nt.append(ts[i])
+                    i += 1
+            nxt.append(nt)
+            total += len(nt)
+        toks = nxt
+        out.append((r + 1, w1, w2, c, total))
+    return out
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c"]), min_size=0,
+                         max_size=14).map(" ".join),
+                min_size=1, max_size=6))
+def test_bpe_trainer_matches_direct_simulation(spark_prop, tmp_path_factory,
+                                               texts):
+    import os
+
+    from tigate_spark.catalog_llm import _BPE_ROUNDS, bpe_train_merges
+
+    work = tmp_path_factory.mktemp("bpetrain")
+    df = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    df.write.mode("overwrite").parquet(
+        os.path.join(str(work), "documents.parquet"))
+    got = [
+        (r["merge_rank"], r["w1"], r["w2"], r["pair_count"],
+         r["corpus_tokens_after"])
+        for r in sorted(bpe_train_merges(spark_prop, str(work)).collect(),
+                        key=lambda r: r["merge_rank"])
+    ]
+    assert got == _bpe_train_model(texts, _BPE_ROUNDS)

@@ -2743,3 +2743,169 @@ def dedup_paragraph_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "as bigint)"
         ).alias("keep"),
     )
+
+
+#: BPE training rounds for bpe_train_merges (codebook-sized output; each
+#: round is a full-corpus rewrite, so K is a constant, not data-driven)
+_BPE_ROUNDS = 3
+
+
+def _bpe_train_oracle() -> str:
+    """Generate the K-round nested-CTE oracle: round r consumes tok{r},
+    picks top{r} (count desc, w1, w2 tie-break), marks LTR non-overlap
+    merge starts via gaps-and-islands (odd positions within each run of
+    consecutive matches), and rebuilds tok{r+1} positionally (merge
+    starts render 'w1 w2', consumed successors drop)."""
+    parts = [_TOK_CTE, ", tok0 AS (SELECT doc_id, tokens FROM tok)"]
+    for r in range(_BPE_ROUNDS):
+        parts.append(f"""
+, bg{r} AS (
+  SELECT t.doc_id, CAST(g.i AS BIGINT) AS i,
+         t.tokens[g.i] AS w1, t.tokens[g.i + 1] AS w2
+  FROM tok{r} t, unnest(range(1, greatest(len(t.tokens), 1))) AS g(i)
+  WHERE len(t.tokens) >= 2
+), top{r} AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+  FROM bg{r} GROUP BY 1, 2
+  ORDER BY count(*) DESC, w1, w2 LIMIT 1
+), stt{r} AS (
+  SELECT doc_id, i FROM (
+    SELECT doc_id, i,
+           row_number() OVER (PARTITION BY doc_id, grp ORDER BY i) AS k
+    FROM (
+      SELECT b.doc_id, b.i,
+             b.i - row_number() OVER (PARTITION BY b.doc_id ORDER BY b.i)
+               AS grp
+      FROM bg{r} b JOIN top{r} t ON b.w1 = t.w1 AND b.w2 = t.w2
+    )
+  ) WHERE (k - 1) % 2 = 0
+), tok{r + 1} AS (
+  SELECT p.doc_id,
+         list(CASE WHEN s.i IS NOT NULL
+              THEN p.tok || ' ' || (SELECT w2 FROM top{r}) ELSE p.tok END
+              ORDER BY p.i) AS tokens
+  FROM (SELECT t.doc_id, CAST(g.i AS BIGINT) AS i, t.tokens[g.i] AS tok
+        FROM tok{r} t, unnest(range(1, len(t.tokens) + 1)) AS g(i)) p
+  LEFT JOIN stt{r} s ON p.doc_id = s.doc_id AND p.i = s.i
+  LEFT JOIN stt{r} c ON p.doc_id = c.doc_id AND p.i = c.i + 1
+  WHERE c.i IS NULL
+  GROUP BY p.doc_id
+)""")
+    rounds_sql = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r + 1} AS BIGINT) AS merge_rank, w1, w2,
+       cnt AS pair_count,
+       (SELECT CAST(sum(len(tokens)) AS BIGINT) FROM tok{r + 1})
+         AS corpus_tokens_after
+FROM top{r}"""
+        for r in range(_BPE_ROUNDS)
+    )
+    return "".join(parts) + "\n" + rounds_sql
+
+
+@register(
+    "bpe_train_merges",
+    _bpe_train_oracle(),
+    doc=f"BPE vocabulary training, {_BPE_ROUNDS} merge rounds (Sennrich "
+        "et al. 2016 — the iterative loop bpe_merge_apply runs ONE round "
+        "of): each round counts adjacent pairs over the CURRENT token "
+        "stream, picks the corpus argmax (count desc, then lexicographic "
+        "— resolved driver-side, a 1-row codebook-sized collect), and "
+        "rewrites every document left-to-right non-overlapping (merge "
+        "starts = odd positions within each run of consecutive matches, "
+        "the gaps-and-islands trick — no per-token iteration). The "
+        "rewritten corpus is localCheckpointed between rounds so round "
+        "r+1's two actions (argmax + token count) scan a materialized "
+        "frame, not a growing lineage. Output = the ranked merge table "
+        "a BPE trainer produces: (rank, pair, count at selection, corpus "
+        "tokens after) — merged tokens render as 'w1 w2', atomic in "
+        "later rounds exactly like real BPE symbols. Per round: one "
+        "pair-explode scan + one window pass + one positional rebuild "
+        "agg — linear in corpus size, rounds x that at any scale",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    docs = load_table(spark, sf_dir, "documents")
+    cur = tx.with_tokens(docs).select("doc_id", "tokens").localCheckpoint()
+    out = []
+    for r in range(_BPE_ROUNDS):
+        bg = (
+            cur.filter(F.expr("size(tokens) >= 2"))
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.expr(
+                        "transform(sequence(1, size(tokens) - 1), "
+                        "i -> struct(element_at(tokens, i) as w1, "
+                        "element_at(tokens, i + 1) as w2))"
+                    )
+                ).alias("i0", "p"),
+            )
+            .select(
+                "doc_id", (F.col("i0") + 1).cast("bigint").alias("i"),
+                F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
+            )
+        )
+        top = (
+            bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "w1", "w2").limit(1).collect()
+        )
+        if not top:
+            break
+        w1, w2, cnt = top[0]["w1"], top[0]["w2"], int(top[0]["n"])
+        matches = bg.filter((F.col("w1") == w1) & (F.col("w2") == w2)).select(
+            "doc_id", "i"
+        )
+        w_isl = Window.partitionBy("doc_id").orderBy("i")
+        mm = matches.withColumn(
+            "grp", F.col("i") - F.row_number().over(w_isl)
+        )
+        w_grp = Window.partitionBy("doc_id", "grp").orderBy("i")
+        starts = (
+            mm.withColumn("k", F.row_number().over(w_grp))
+            .filter((F.col("k") - 1) % 2 == 0)
+            .select("doc_id", "i")
+        )
+        pos = cur.select(
+            "doc_id",
+            F.posexplode("tokens").alias("i0", "tok"),
+        ).select(
+            "doc_id", (F.col("i0") + 1).cast("bigint").alias("i"), "tok"
+        )
+        s = starts.withColumn("is_start", F.lit(True))
+        c = starts.select(
+            "doc_id", (F.col("i") + 1).alias("i"), F.lit(True).alias("is_consumed")
+        )
+        reb = (
+            pos.join(s, ["doc_id", "i"], "left")
+            .join(c, ["doc_id", "i"], "left")
+            .filter(F.col("is_consumed").isNull())
+            .select(
+                "doc_id", "i",
+                F.when(
+                    F.col("is_start"),
+                    F.concat(F.col("tok"), F.lit(" " + w2)),
+                ).otherwise(F.col("tok")).alias("tok"),
+            )
+        )
+        cur = reb.groupBy("doc_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, tok))), "
+                "x -> x.tok)"
+            ).alias("tokens")
+        )
+        cur = cur.localCheckpoint()
+        n_after = cur.agg(
+            F.sum(F.expr("size(tokens)")).cast("bigint").alias("n")
+        ).collect()[0]["n"]
+        out.append((r + 1, w1, w2, cnt, int(n_after)))
+    schema = StructType([
+        StructField("merge_rank", LongType()),
+        StructField("w1", StringType()),
+        StructField("w2", StringType()),
+        StructField("pair_count", LongType()),
+        StructField("corpus_tokens_after", LongType()),
+    ])
+    return spark.createDataFrame(out, schema)
