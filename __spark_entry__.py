@@ -25,26 +25,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return cat["cdc_pipeline_e2e"].builder(spark, "/root/testdata/sf0.001")
 
 
-#: Run order for a driver that caps at ~50 entries per round. Round-6
-#: rotation (VERDICT r05 tasks 1+3): position 1 is ``pack_sequences`` —
-#: r05's only external failure, an oracle dtype bug (windowed
-#: sum(BIGINT) returned HUGEINT -> float64) now CAST to BIGINT; a green
-#: row restores 157/157 cumulative external pass. Positions 2-49 are
-#: the 48 entries with no external correctness row in rounds 1-5
-#: (computed from the CORRECTNESS_r0{1..5}.json key union vs the
-#: catalog): the craft/avro/open/canal wire + consumer-decoder family,
-#: the 8 never-driven streaming e2e (incl. ddl_barrier, syncpoint,
-#: minhash_dedup, blackhole — K3 and T10 get their first rows),
-#: the late-r05 LLM ops (DSIR, fuzzy decontamination, shuffle assign,
-#: BM25, PQ/ADC/IVF-PQ, PCA, audio energy), and seq_gap_resets.
-#: Position 50 is the NEW r06 entry engine_lifecycle_e2e (create →
-#: run → pause → backlog → exactly-once resume → remove, the §3.1
-#: surface previously unit-test-only — it takes the cdc_pipeline_e2e
-#: canary slot because entry() already smoke-runs that exact pipeline
-#: every round, the r05 precedent). After this window runs, every
-#: round-5 catalog entry has faced the external driver at least once
-#: (cumulative 205/205 + the new r06 additions).
+#: Run order for a driver that caps at ~50 entries per round. Round-7
+#: rotation: the r06 window ran 50/50 green, closing cumulative external
+#: coverage for every round-5 entry. Positions 1-6 are the six r06
+#: additions that window could not reach (their first external rows);
+#: positions 7-12 are the NEW round-7 operators (Gopher quality gate,
+#: mixture-epoch waterfill, paragraph-dedup fraction, MySQL worker
+#: flush batching, iterative BPE trainer, debezium->open bridge).
+#: Positions 13-50 start the re-verification backlog — oldest-verified
+#: catalog core first (cdc pipeline, multimodal kernels, r05 TPC-H
+#: additions, sink bookkeeping, streaming e2e), so every entry's
+#: external row stays fresh on a rolling basis.
 _PRIORITY = [
+    # --- never externally verified: round-6 additions ---
+    "dedup_substring_spans", "text_lm_score", "bpe_merge_apply",
+    "replica_chunk_checksums", "dedup_substring_excise",
+    "llm_curation_manifest_v2",
+    # --- never externally verified: round-7 additions ---
+    "text_gopher_quality_flags", "sample_mixture_epochs",
+    "dedup_paragraph_fraction", "sink_txn_flush_batches",
+    "bpe_train_merges", "convert_debezium_to_open",
+    # --- re-verification backlog (rolling) ---
     "pack_sequences", "agg_events_per_type_hour", "sample_importance_dsir",
     "decontaminate_fuzzy_minhash", "corpus_shuffle_assign", "seq_gap_resets",
     "streaming_incr_agg_e2e", "decoder_craft_framed",
@@ -67,11 +68,6 @@ _PRIORITY = [
     "encoder_craft_resolved", "encoder_open_resolved", "encoder_open_ddl",
     "sample_source_token_budget", "embed_label_outliers",
     "streaming_blackhole_e2e", "engine_lifecycle_e2e",
-    # --- end of the 50-entry round-6 window; re-verification backlog ---
-    # (new r06 ops lead the r07 queue)
-    "dedup_substring_spans", "text_lm_score", "bpe_merge_apply",
-    "replica_chunk_checksums", "dedup_substring_excise",
-    "llm_curation_manifest_v2",
     "cdc_pipeline_e2e", "multimodal_resize", "multimodal_resize_box", "apply_scd2_history",
     "apply_incremental_agg", "encoder_debezium", "decoder_debezium",
     "encoder_simple_protocol", "encoder_simple_ddl", "encoder_csv_rows",

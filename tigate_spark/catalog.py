@@ -3518,3 +3518,68 @@ def decoder_simple_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["preTableSchema"].isNotNull().cast("bigint")
         .alias("has_pre_table_schema"),
     )
+
+
+@register(
+    "convert_debezium_to_open",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq,
+  printf('{"ts":%d,"scm":"%s","tbl":"%s","t":1}', commit_ts, schema_name, table_name) AS key,
+  CASE WHEN op = 'U' THEN printf('{"u":%s,"p":%s}', after, before)
+       WHEN op = 'I' THEN printf('{"u":%s}', after)
+       ELSE printf('{"d":%s}', before) END AS value
+FROM changes
+""",
+    doc="Protocol conversion bridge #3: debezium envelopes fully decoded "
+        "(the converter's own from_json projection keeps user_id, which "
+        "the generic consumer decode drops — a consumer defines its own "
+        "schema, the convert_canal_to_avro precedent) and re-encoded as "
+        "open-protocol key/value. With canal->avro and open->canal this "
+        "closes the conversion matrix over the three JSON envelope "
+        "protocols; lossless for the shared fields, so the bridge output "
+        "equals direct open encoding of the stream (the oracle). Pure "
+        "JVM-side from_json/format_string column work, zero shuffle",
+)
+def convert_debezium_to_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import (
+        encode_debezium,
+        encode_open_protocol,
+    )
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    enc = encode_debezium(ch)
+    img = "STRUCT<pk: BIGINT, event_type: STRING, value_cents: BIGINT, user_id: BIGINT>"
+    schema = (
+        "STRUCT<payload: STRUCT<"
+        "source: STRUCT<db: STRING, `table`: STRING, commit_ts: BIGINT, "
+        "cluster_id: STRING>, "
+        f"ts_ms: BIGINT, op: STRING, before: {img}, after: {img}>>"
+    )
+    m = F.from_json(F.col("message"), schema)
+    dec = enc.select("seq", m.alias("m"))
+    op = (
+        F.when(F.col("m.payload.op") == "c", "I")
+        .when(F.col("m.payload.op") == "u", "U")
+        .otherwise(F.lit("D"))
+    )
+
+    def render(img_col: str):
+        return F.format_string(
+            '{"pk":%d,"event_type":"%s","value_cents":%d,"user_id":%d}',
+            F.col(f"{img_col}.pk"),
+            F.col(f"{img_col}.event_type"),
+            F.col(f"{img_col}.value_cents"),
+            F.col(f"{img_col}.user_id"),
+        )
+
+    mid = dec.select(
+        "seq",
+        F.col("m.payload.source.db").alias("schema_name"),
+        F.col("m.payload.source.table").alias("table_name"),
+        F.col("m.payload.source.commit_ts").alias("commit_ts"),
+        op.alias("op"),
+        F.when(op != "D", render("m.payload.after")).alias("after"),
+        F.when(op != "I", render("m.payload.before")).alias("before"),
+    )
+    return encode_open_protocol(mid).select("seq", "key", "value")
