@@ -464,3 +464,56 @@ def test_bpe_merge_match_is_filter_not_join(spark):
         # formatted detail section prints one "Join type:" per join node)
         assert plan.count("Join type:") == 1, plan
         assert_no_python_in_plan(df)
+
+
+def test_gopher_flags_zero_shuffle(spark):
+    """Gopher quality gate: pure per-row array math — the plan must carry
+    NO exchange at all (the flags run inside the scan stage) and no
+    Python."""
+    df = _df(spark, "text_gopher_quality_flags")
+    with no_auto_broadcast(spark):
+        assert count_exchanges(df) == 0
+        assert_no_python_in_plan(df)
+
+
+def test_mixture_plan_broadcasts_scalar_stats(spark):
+    """Mixture-epoch waterfill: the per-source table and its two scalar
+    aggregates are broadcast-sized at any corpus scale — every join in
+    the plan must be a broadcast, never a shuffle join of the stats."""
+    df = _df(spark, "sample_mixture_epochs")
+    with no_auto_broadcast(spark):
+        assert count_broadcast_exchanges(df) >= 3
+        assert "SortMergeJoin" not in df._jdf.queryExecution().executedPlan().toString()
+        assert_no_python_in_plan(df)
+
+
+def test_paragraph_fraction_digest_keyed(spark):
+    """Paragraph-dedup fraction: shuffle keys are md5 digests, pair
+    generation is absent (no flatten/transform pair arrays), and the
+    doc-level agg is map-side combined; all JVM-side."""
+    from tigate_spark.plans.audit import plan_of
+
+    df = _df(spark, "dedup_paragraph_fraction")
+    with no_auto_broadcast(spark):
+        plan = plan_of(df)
+        assert "flatten(transform(sequence" not in plan
+        assert_no_python_in_plan(df)
+
+
+def test_flush_batches_single_lane_exchange(spark):
+    """Flush batching: exactly one hash exchange on the lane key feeds
+    the per-lane greedy walk (FlatMapGroupsInPandas IS the operator —
+    the lane walk is sequential by the reference's worker semantics, so
+    Python here is the declared extension surface, not a leak); the
+    upstream txn grouping contributes its one agg exchange."""
+    from tigate_spark.plans.audit import plan_of
+
+    df = _df(spark, "sink_txn_flush_batches")
+    with no_auto_broadcast(spark):
+        plan = plan_of(df)
+        # one Arrow-grouped node (appears once in the tree and once in
+        # the detail section of the formatted plan), no row-at-a-time
+        # Python anywhere
+        assert plan.count("FlatMapGroupsInPandas") == 2, plan
+        assert "BatchEvalPython" not in plan
+        assert count_exchanges(df) <= 3, plan
