@@ -44,7 +44,7 @@ _PRIORITY = [
     # --- never externally verified: round-7 additions ---
     "text_gopher_quality_flags", "sample_mixture_epochs",
     "dedup_paragraph_fraction", "sink_txn_flush_batches",
-    "bpe_train_merges", "convert_debezium_to_open",
+    "bpe_train_merges", "bpe_vocab_apply", "convert_debezium_to_open",
     # --- re-verification backlog (rolling) ---
     "pack_sequences", "agg_events_per_type_hour", "sample_importance_dsir",
     "decontaminate_fuzzy_minhash", "corpus_shuffle_assign", "seq_gap_resets",

@@ -184,3 +184,27 @@ def test_bpe_trainer_matches_direct_simulation(spark_prop, tmp_path_factory,
                         key=lambda r: r["merge_rank"])
     ]
     assert got == _bpe_train_model(texts, _BPE_ROUNDS)
+
+
+def test_bpe_vocab_apply_cross_checks_trainer(spark_prop, tmp_path_factory):
+    """The apply entry's per-doc totals must equal the trainer's
+    corpus_tokens_after at the final rank (the two entries share the
+    rewrite machinery — this pins that they stay in lockstep)."""
+    import os
+
+    from tigate_spark.catalog_llm import bpe_train_merges, bpe_vocab_apply
+
+    texts = ["a b a b c", "b c b c b c", "a a a a", "c a b"]
+    work = tmp_path_factory.mktemp("bpexcheck")
+    df = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    df.write.mode("overwrite").parquet(
+        os.path.join(str(work), "documents.parquet"))
+    ranks = sorted(bpe_train_merges(spark_prop, str(work)).collect(),
+                   key=lambda r: r["merge_rank"])
+    per_doc = bpe_vocab_apply(spark_prop, str(work)).collect()
+    assert ranks, "trainer found no pairs on a corpus with repeats"
+    assert sum(r["n_tokens_after"] for r in per_doc) == \
+        ranks[-1]["corpus_tokens_after"]
+    assert all(r["n_tokens_after"] <= r["n_tokens_before"] for r in per_doc)

@@ -27,6 +27,11 @@ SENSITIVE = [
     "bpe_merge_apply",
     # r06: surprisal join + truncating per-doc average
     "text_lm_score",
+    # r07: per-round argmax collect + positional rebuild (sorted structs)
+    "bpe_train_merges",
+    # r07: per-lane pandas greedy walk must sort inside the group, never
+    # rely on arrival order of the grouped batch
+    "sink_txn_flush_batches",
 ]
 
 

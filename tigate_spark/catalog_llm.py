@@ -2750,8 +2750,9 @@ def dedup_paragraph_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 3
 
 
-def _bpe_train_oracle() -> str:
-    """Generate the K-round nested-CTE oracle: round r consumes tok{r},
+def _bpe_cte_chain() -> str:
+    """The K-round rewrite CTE chain (tok0 -> tok{K}), shared by the
+    trainer and the vocab-apply oracle: round r consumes tok{r},
     picks top{r} (count desc, w1, w2 tie-break), marks LTR non-overlap
     merge starts via gaps-and-islands (odd positions within each run of
     consecutive matches), and rebuilds tok{r+1} positionally (merge
@@ -2791,6 +2792,10 @@ def _bpe_train_oracle() -> str:
   WHERE c.i IS NULL
   GROUP BY p.doc_id
 )""")
+    return "".join(parts)
+
+
+def _bpe_train_oracle() -> str:
     rounds_sql = "\nUNION ALL\n".join(
         f"""SELECT CAST({r + 1} AS BIGINT) AS merge_rank, w1, w2,
        cnt AS pair_count,
@@ -2799,7 +2804,7 @@ def _bpe_train_oracle() -> str:
 FROM top{r}"""
         for r in range(_BPE_ROUNDS)
     )
-    return "".join(parts) + "\n" + rounds_sql
+    return _bpe_cte_chain() + "\n" + rounds_sql
 
 
 @register(
@@ -2909,3 +2914,110 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("corpus_tokens_after", LongType()),
     ])
     return spark.createDataFrame(out, schema)
+
+
+def _bpe_apply_oracle() -> str:
+    """Per-doc accounting after applying the full trained merge table:
+    reuse the trainer's nested round CTEs and join tok0 vs tokK sizes."""
+    k = _BPE_ROUNDS
+    return _bpe_cte_chain() + f"""
+SELECT t0.doc_id,
+       CAST(len(t0.tokens) AS BIGINT) AS n_tokens_before,
+       CAST(len(tk.tokens) AS BIGINT) AS n_tokens_after,
+       CAST(len(t0.tokens) - len(tk.tokens) AS BIGINT) AS n_merges_applied
+FROM tok0 t0 JOIN tok{k} tk ON t0.doc_id = tk.doc_id
+"""
+
+
+@register(
+    "bpe_vocab_apply",
+    _bpe_apply_oracle(),
+    doc=f"Tokenizer application: run the {_BPE_ROUNDS}-merge trained "
+        "vocabulary (bpe_train_merges) over the corpus and report per-"
+        "document before/after token counts — the 'encode with trained "
+        "vocab' API a data pipeline calls after training. Reuses the "
+        "trainer loop verbatim (same argmax + LTR rewrite each round); "
+        "the oracle reuses the trainer's templated round CTEs and joins "
+        "initial vs final token arrays, so the two entries cross-check "
+        "each other's corpus rewrite end to end. Per-doc token counts "
+        "shrink monotonically; total matches the trainer's "
+        "corpus_tokens_after at rank K by construction",
+)
+def bpe_vocab_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tx.with_tokens(docs).select("doc_id", "tokens").localCheckpoint()
+    before = base.select(
+        "doc_id", F.expr("cast(size(tokens) as bigint)").alias("n_tokens_before")
+    )
+    cur = base
+    for _ in range(_BPE_ROUNDS):
+        bg = (
+            cur.filter(F.expr("size(tokens) >= 2"))
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.expr(
+                        "transform(sequence(1, size(tokens) - 1), "
+                        "i -> struct(element_at(tokens, i) as w1, "
+                        "element_at(tokens, i + 1) as w2))"
+                    )
+                ).alias("i0", "p"),
+            )
+            .select(
+                "doc_id", (F.col("i0") + 1).cast("bigint").alias("i"),
+                F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
+            )
+        )
+        top = (
+            bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "w1", "w2").limit(1).collect()
+        )
+        if not top:
+            break
+        w1, w2 = top[0]["w1"], top[0]["w2"]
+        matches = bg.filter((F.col("w1") == w1) & (F.col("w2") == w2)).select(
+            "doc_id", "i"
+        )
+        w_isl = Window.partitionBy("doc_id").orderBy("i")
+        mm = matches.withColumn("grp", F.col("i") - F.row_number().over(w_isl))
+        w_grp = Window.partitionBy("doc_id", "grp").orderBy("i")
+        starts = (
+            mm.withColumn("k", F.row_number().over(w_grp))
+            .filter((F.col("k") - 1) % 2 == 0)
+            .select("doc_id", "i")
+        )
+        pos = cur.select(
+            "doc_id", F.posexplode("tokens").alias("i0", "tok")
+        ).select("doc_id", (F.col("i0") + 1).cast("bigint").alias("i"), "tok")
+        s = starts.withColumn("is_start", F.lit(True))
+        c = starts.select(
+            "doc_id", (F.col("i") + 1).alias("i"),
+            F.lit(True).alias("is_consumed"),
+        )
+        reb = (
+            pos.join(s, ["doc_id", "i"], "left")
+            .join(c, ["doc_id", "i"], "left")
+            .filter(F.col("is_consumed").isNull())
+            .select(
+                "doc_id", "i",
+                F.when(
+                    F.col("is_start"), F.concat(F.col("tok"), F.lit(" " + w2))
+                ).otherwise(F.col("tok")).alias("tok"),
+            )
+        )
+        cur = reb.groupBy("doc_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, tok))), "
+                "x -> x.tok)"
+            ).alias("tokens")
+        ).localCheckpoint()
+    after = cur.select(
+        "doc_id", F.expr("cast(size(tokens) as bigint)").alias("n_tokens_after")
+    )
+    return before.join(after, "doc_id").select(
+        "doc_id", "n_tokens_before", "n_tokens_after",
+        (F.col("n_tokens_before") - F.col("n_tokens_after")).cast("bigint")
+        .alias("n_merges_applied"),
+    )

@@ -60,6 +60,11 @@ QUERIES = [
     # gaps-and-islands merge round, real BMP parse (Arrow mapInPandas)
     "dedup_substring_spans", "text_lm_score", "bpe_merge_apply",
     "multimodal_binary_meta",
+    # r07 additions: per-row rule gate, digest-keyed paragraph dedup,
+    # K-round trainer (corpus rewrite per round), lane-grouped greedy
+    # flush walk
+    "text_gopher_quality_flags", "dedup_paragraph_fraction",
+    "bpe_train_merges", "sink_txn_flush_batches",
 ]
 
 
