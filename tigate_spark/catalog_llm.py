@@ -2596,8 +2596,9 @@ _MIX_MAX_EPOCHS = 4
   SELECT b.source, b.n_tokens, b.base_target, b.cap_tokens,
          CAST(CASE WHEN b.base_target > b.cap_tokens THEN b.cap_tokens
               ELSE least(b.base_target
-                         + p.surplus * b.n_tokens
-                           // greatest(p.uncapped_tokens, 1),
+                         + b.n_tokens
+                           * (p.surplus * 10000
+                              // greatest(p.uncapped_tokens, 1)) // 10000,
                          b.cap_tokens) END AS BIGINT) AS planned_tokens
   FROM base b, pool p
 )
@@ -2616,7 +2617,12 @@ FROM planned
         "there, and ONE waterfill round redistributes the surplus to "
         "uncapped sources proportional to their token mass (still "
         "cap-clamped; single-round by design — documented, both engines "
-        "identical). Emits per-source planned tokens, epochs (milli) and "
+        "identical). The redistribution uses a x10000-scaled per-token "
+        "rate instead of the naive surplus*n_tokens product: the naive "
+        "product overflows int64 past ~3e9-token corpora, while every "
+        "intermediate here is bounded by 10000*surplus <= 20000*corpus "
+        "tokens — int64-safe to ~4.6e14 tokens (>> 100 TB of text). "
+        "Emits per-source planned tokens, epochs (milli) and "
         "final share (bp), all floored int64. One token-count scan + a "
         "sources-sized table with two scalar aggregates — the plan table "
         "is broadcast-sized at any corpus scale",
@@ -2653,8 +2659,9 @@ def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_tokens", "base_target",
         F.expr(
             "cast(case when base_target > cap_tokens then cap_tokens "
-            "else least(base_target + surplus * n_tokens "
-            "div greatest(uncapped_tokens, 1), cap_tokens) end as bigint)"
+            "else least(base_target + n_tokens * (surplus * 10000 "
+            "div greatest(uncapped_tokens, 1)) div 10000, cap_tokens) "
+            "end as bigint)"
         ).alias("planned_tokens"),
     )
     tot = planned.agg(F.sum("planned_tokens").alias("t_planned"))
