@@ -45,6 +45,7 @@ _PRIORITY = [
     "text_gopher_quality_flags", "sample_mixture_epochs",
     "dedup_paragraph_fraction", "sink_txn_flush_batches",
     "bpe_train_merges", "bpe_vocab_apply", "convert_debezium_to_open",
+    "streaming_flush_batches_e2e",
     # --- re-verification backlog (rolling) ---
     "pack_sequences", "agg_events_per_type_hour", "sample_importance_dsir",
     "decontaminate_fuzzy_minhash", "corpus_shuffle_assign", "seq_gap_resets",

@@ -1244,9 +1244,7 @@ _FLUSH_C = 64    # keep in sync with operators/txn.py FLUSH_MAX_ROWS
 _FLUSH_LANES = 4
 
 
-@register(
-    "sink_txn_flush_batches",
-    ORACLE_CHANGES_CTE + f"""
+_FLUSH_ORACLE = ORACLE_CHANGES_CTE + f"""
 SELECT lane, batch_seq, n_txns, n_rows, first_commit_ts, last_commit_ts,
        n_start_ts
 FROM (
@@ -1292,7 +1290,12 @@ FROM (
   JOIN ord s ON s.lane = r.lane AND s.rn = r.start_rn
   JOIN ord e ON e.lane = r.lane AND e.rn = r.end_rn
 )
-""",
+"""
+
+
+@register(
+    "sink_txn_flush_batches",
+    _FLUSH_ORACLE,
     doc="K1 flush batching: the MySQL DML worker's accumulate-until-over-"
         "threshold loop (mysql_worker.go:90-135 — rows += event.Len(); "
         "rows > MaxTxnRow -> Flush, crossing txn included) over the txn-"
@@ -1314,3 +1317,107 @@ def sink_txn_flush_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_id", "start_ts", "commit_ts", "n_rows"
     )
     return flush_batches(txns, max_rows=_FLUSH_C, n_lanes=_FLUSH_LANES)
+
+
+@register(
+    "streaming_flush_batches_e2e",
+    _FLUSH_ORACLE,
+    doc="Streaming flush batching end-to-end — the scale-honest form of "
+        "sink_txn_flush_batches: txns arrive as 4 commit-ordered micro-"
+        "batches (pinned-mtime part files) plus a sentinel file playing "
+        "the reference's 10 ms delay-timer flush; an "
+        "applyInPandasWithState operator keyed by worker lane carries "
+        "(cum, ntxn, commit span, batch_seq, open startTs set) across "
+        "micro-batches, so state is bounded by the OPEN batch "
+        "(<= MaxTxnRow+1 txns) — the worker loop's O(1) footprint, while "
+        "the batch entry materializes whole lanes. The accumulated "
+        "batch stream hash-matches the exact greedy oracle (same "
+        "recursive-CTE oracle as the batch entry) because micro-batch "
+        "boundaries are commit ranges and greedy state is carried, "
+        "proving batch/stream equivalence for the K1 flush planner",
+)
+def streaming_flush_batches_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import time as _time
+
+    from tigate_spark.operators.txn import txn_group
+    from tigate_spark.sources.changes import changes_stream
+    from tigate_spark.streaming.stateful import flush_batch_accounting
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        txns = txn_group(changes_stream(spark, sf_dir)).select(
+            (F.col("table_id") % F.lit(_FLUSH_LANES)).cast("bigint")
+            .alias("lane"),
+            "table_id", "start_ts", "commit_ts", "n_rows",
+        )
+        n = txns.count()
+        per = max(n // 4, 1)
+        ranked = txns.withColumn(
+            "part",
+            F.expr(
+                "least(cast((row_number() over "
+                "(order by commit_ts, start_ts, table_id) - 1) "
+                f"div {per} as int), 3)"
+            ),
+        )
+        parts_dir = os.path.join(work, "parts")
+        ranked.write.partitionBy("part").parquet(parts_dir)
+        # sentinel part: one zero-row txn per lane at max commit — the
+        # delay-timer flush that closes each lane's trailing batch
+        mx = txns.agg(F.max("commit_ts").alias("m")).collect()[0]["m"] or 0
+        sentinels = txns.select("lane").distinct().select(
+            "lane", F.lit(-1).cast("bigint").alias("table_id"),
+            F.lit(-1).cast("bigint").alias("start_ts"),
+            F.lit(int(mx) + 1).cast("bigint").alias("commit_ts"),
+            F.lit(0).cast("bigint").alias("n_rows"),
+        )
+        flat = os.path.join(work, "flat")
+        os.makedirs(flat)
+        now = _time.time()
+        for k in range(4):
+            files = sorted(
+                _glob.glob(os.path.join(parts_dir, f"part={k}", "*.parquet"))
+            )
+            for j, f in enumerate(files):
+                dst = os.path.join(flat, f"{k:02d}-{j}.parquet")
+                os.link(f, dst)
+                os.utime(dst, (now + k, now + k))
+        sent_dir = os.path.join(work, "sent")
+        sentinels.coalesce(1).write.parquet(sent_dir)
+        sf = sorted(_glob.glob(os.path.join(sent_dir, "*.parquet")))
+        for j, f in enumerate(sf):
+            dst = os.path.join(flat, f"99-{j}.parquet")
+            os.link(f, dst)
+            os.utime(dst, (now + 9, now + 9))
+        schema = sentinels.schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(flat)
+        )
+        out_dir, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+        q = (
+            flush_batch_accounting(raw, max_rows=_FLUSH_C)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        n_batches = (
+            spark.read.json(os.path.join(ckpt, "offsets")).count()
+            if os.path.isdir(os.path.join(ckpt, "offsets"))
+            else 0
+        )
+        if n > 4 and n_batches < 2:
+            raise RuntimeError(
+                f"expected a multi-batch run, got {n_batches} micro-batches"
+            )
+        return _materialize(spark.read.parquet(out_dir))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

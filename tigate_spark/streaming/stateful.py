@@ -138,3 +138,74 @@ def lsh_incremental_pairs(bands_df: DataFrame, cap: int = 100) -> DataFrame:
     return keyed.groupBy("bucket").applyInPandasWithState(
         fn, LSH_INC_OUT, LSH_INC_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+FLUSH_ACC_OUT = ("lane long, batch_seq long, n_txns long, n_rows long, "
+                 "first_commit_ts long, last_commit_ts long, n_start_ts long")
+#: carried worker state: accumulation counters + the open batch's distinct
+#: startTs set (bounded: a batch holds <= max_rows+1 txns since each txn
+#: has >= 1 row, so the comma-joined set never exceeds that)
+FLUSH_ACC_STATE = ("cum long, ntxn long, first_ts long, last_ts long, "
+                   "seq long, sts string")
+
+
+def flush_batch_accounting(txns: DataFrame,
+                           max_rows: int = 64) -> DataFrame:
+    """Streaming form of :func:`tigate_spark.operators.txn.flush_batches`
+    — the scale-honest one: the batch form materializes a whole lane in
+    one Arrow group, while the reference worker streams its channel with
+    O(1) memory (``mysql_worker.go:90-135``). Here GroupState per lane
+    carries (cum, ntxn, first/last commit, batch_seq, open startTs set)
+    across micro-batches, so memory is bounded by the OPEN batch
+    (<= max_rows+1 txns), not the lane — exactly the worker loop's
+    footprint. A sentinel row (``n_rows == 0``, max commit_ts) plays the
+    reference's 10 ms delay-timer flush: it closes the trailing partial
+    batch at end of stream.
+
+    Exactness requires commit-ordered delivery: micro-batches must be
+    commit-ts ranges in order (pinned-mtime part files, the established
+    multi-batch harness); rows are re-sorted inside each micro-batch.
+    """
+
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        lane = int(key[0])
+        if state.exists:
+            cum, ntxn, first, last, seq, sts_s = state.get
+            sts = {int(x) for x in sts_s.split(",") if x}
+            cum, ntxn, first, last, seq = (
+                int(cum), int(ntxn), int(first), int(last), int(seq))
+        else:
+            cum, ntxn, first, last, seq, sts = 0, 0, 0, 0, 1, set()
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["commit_ts", "start_ts", "table_id"])
+        out = []
+        for commit_ts, start_ts, nr in zip(
+            pdf["commit_ts"], pdf["start_ts"], pdf["n_rows"]
+        ):
+            if int(nr) == 0:
+                # sentinel: the delay-timer flush — close the open batch
+                if ntxn:
+                    out.append((lane, seq, ntxn, cum, first, last, len(sts)))
+                    seq, cum, ntxn, sts = seq + 1, 0, 0, set()
+                continue
+            if ntxn == 0:
+                first = int(commit_ts)
+            cum += int(nr)
+            ntxn += 1
+            last = int(commit_ts)
+            sts.add(int(start_ts))
+            if cum > max_rows:
+                out.append((lane, seq, ntxn, cum, first, last, len(sts)))
+                seq, cum, ntxn, sts = seq + 1, 0, 0, set()
+        state.update((cum, ntxn, first, last, seq,
+                      ",".join(str(x) for x in sorted(sts))))
+        yield pd.DataFrame(
+            out, columns=["lane", "batch_seq", "n_txns", "n_rows",
+                          "first_commit_ts", "last_commit_ts", "n_start_ts"]
+        )
+
+    return txns.groupBy("lane").applyInPandasWithState(
+        fn, FLUSH_ACC_OUT, FLUSH_ACC_STATE, "append",
+        GroupStateTimeout.NoTimeout,
+    )
