@@ -68,3 +68,69 @@ def test_oversized_txn_is_its_own_batch(spark_prop):
     rows = sorted(flush_batches(df, max_rows=64, n_lanes=1).collect(),
                   key=lambda r: r["batch_seq"])
     assert [(r["n_txns"], r["n_rows"]) for r in rows] == [(1, 500), (2, 2)]
+
+
+def test_streaming_flush_matches_batch_on_variable_sizes(
+        spark_prop, tmp_path_factory):
+    """Cross-micro-batch state carry with VARIABLE txn sizes: a batch
+    boundary landing mid-flush-batch must not split it — the streamed
+    result equals the batch operator's on the same txns (the catalog
+    corpus is all 1-row txns, so only this test exercises size variance
+    through the stateful path)."""
+    import glob
+    import os
+    import time
+
+    from tigate_spark.operators.txn import flush_batches
+    from tigate_spark.streaming.stateful import flush_batch_accounting
+
+    rows = [(i % 2, 10 + i, 100 + i, (i * 7) % 23 + 1) for i in range(40)]
+    df = spark_prop.createDataFrame(
+        rows, "table_id long, start_ts long, commit_ts long, n_rows long"
+    )
+    want = sorted(
+        map(tuple, flush_batches(df, max_rows=25, n_lanes=2).collect())
+    )
+
+    work = tmp_path_factory.mktemp("flushstream")
+    lanes = df.selectExpr("cast(table_id % 2 as long) lane", "table_id",
+                          "start_ts", "commit_ts", "n_rows")
+    from pyspark.sql import functions as F
+    ranked = lanes.withColumn(
+        "part",
+        F.expr("least(cast((row_number() over (order by commit_ts) - 1) "
+               "div 14 as int), 2)"),
+    )
+    parts_dir = os.path.join(str(work), "parts")
+    ranked.write.partitionBy("part").parquet(parts_dir)
+    sent = lanes.select("lane").distinct().selectExpr(
+        "lane", "cast(-1 as long) table_id", "cast(-1 as long) start_ts",
+        "cast(1000 as long) commit_ts", "cast(0 as long) n_rows")
+    sent_dir = os.path.join(str(work), "sent")
+    sent.coalesce(1).write.parquet(sent_dir)
+    flat = os.path.join(str(work), "flat")
+    os.makedirs(flat)
+    now = time.time()
+    for k in range(3):
+        for j, f in enumerate(sorted(
+                glob.glob(os.path.join(parts_dir, f"part={k}", "*.parquet")))):
+            dst = os.path.join(flat, f"{k:02d}-{j}.parquet")
+            os.link(f, dst)
+            os.utime(dst, (now + k, now + k))
+    for j, f in enumerate(sorted(glob.glob(os.path.join(sent_dir, "*.parquet")))):
+        dst = os.path.join(flat, f"99-{j}.parquet")
+        os.link(f, dst)
+        os.utime(dst, (now + 9, now + 9))
+    raw = (spark_prop.readStream.schema(sent.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "*.parquet").parquet(flat))
+    out_dir = os.path.join(str(work), "out")
+    ckpt = os.path.join(str(work), "ckpt")
+    q = (flush_batch_accounting(raw, max_rows=25)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+    got = sorted(map(tuple, spark_prop.read.parquet(out_dir).collect()))
+    assert got == want
