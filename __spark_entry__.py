@@ -29,10 +29,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: rotation: the r06 window ran 50/50 green, closing cumulative external
 #: coverage for every round-5 entry. Positions 1-6 are the six r06
 #: additions that window could not reach (their first external rows);
-#: positions 7-12 are the NEW round-7 operators (Gopher quality gate,
+#: positions 7-14 are the NEW round-7 operators (Gopher quality gate,
 #: mixture-epoch waterfill, paragraph-dedup fraction, MySQL worker
-#: flush batching, iterative BPE trainer, debezium->open bridge).
-#: Positions 13-50 start the re-verification backlog — oldest-verified
+#: flush batching + its GroupState streaming twin, iterative BPE
+#: trainer + trained-vocab apply, debezium->open bridge).
+#: Positions 15-50 start the re-verification backlog — oldest-verified
 #: catalog core first (cdc pipeline, multimodal kernels, r05 TPC-H
 #: additions, sink bookkeeping, streaming e2e), so every entry's
 #: external row stays fresh on a rolling basis.

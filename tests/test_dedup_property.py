@@ -208,3 +208,33 @@ def test_bpe_vocab_apply_cross_checks_trainer(spark_prop, tmp_path_factory):
     assert sum(r["n_tokens_after"] for r in per_doc) == \
         ranks[-1]["corpus_tokens_after"]
     assert all(r["n_tokens_after"] <= r["n_tokens_before"] for r in per_doc)
+
+
+def test_bpe_vocab_apply_pairless_corpus_matches_oracle(spark_prop,
+                                                        tmp_path_factory):
+    """Early-break parity: a corpus where round 1 finds NO pair (all docs
+    <= 1 token) plus a 0-token doc — the builder must drop the empty doc
+    exactly like the oracle's positional rebuild does, and report the
+    single-token docs unchanged."""
+    import os
+
+    import duckdb
+
+    from tigate_spark.catalog import get_catalog
+
+    texts = ["", "hello", "world"]
+    work = tmp_path_factory.mktemp("bpepairless")
+    spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(
+        os.path.join(str(work), "documents.parquet"))
+    spec = get_catalog()["bpe_vocab_apply"]
+    got = sorted(map(tuple, spec.builder(spark_prop, str(work)).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{work}/documents.parquet/*.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(spec.oracle).fetchall()))
+    con.close()
+    assert got == want == [(1, 1, 1, 0), (2, 1, 1, 0)]

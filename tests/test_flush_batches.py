@@ -81,6 +81,7 @@ def test_streaming_flush_matches_batch_on_variable_sizes(
     import os
     import time
 
+    from tigate_spark.catalog_streaming import split_df_in_order
     from tigate_spark.operators.txn import flush_batches
     from tigate_spark.streaming.stateful import flush_batch_accounting
 
@@ -95,28 +96,16 @@ def test_streaming_flush_matches_batch_on_variable_sizes(
     work = tmp_path_factory.mktemp("flushstream")
     lanes = df.selectExpr("cast(table_id % 2 as long) lane", "table_id",
                           "start_ts", "commit_ts", "n_rows")
-    from pyspark.sql import functions as F
-    ranked = lanes.withColumn(
-        "part",
-        F.expr("least(cast((row_number() over (order by commit_ts) - 1) "
-               "div 14 as int), 2)"),
+    flat, land = split_df_in_order(
+        spark_prop, lanes, str(work), 3, "commit_ts, start_ts, table_id"
     )
-    parts_dir = os.path.join(str(work), "parts")
-    ranked.write.partitionBy("part").parquet(parts_dir)
+    assert sum(land(k) for k in range(3)) == 40
     sent = lanes.select("lane").distinct().selectExpr(
         "lane", "cast(-1 as long) table_id", "cast(-1 as long) start_ts",
         "cast(1000 as long) commit_ts", "cast(0 as long) n_rows")
     sent_dir = os.path.join(str(work), "sent")
     sent.coalesce(1).write.parquet(sent_dir)
-    flat = os.path.join(str(work), "flat")
-    os.makedirs(flat)
     now = time.time()
-    for k in range(3):
-        for j, f in enumerate(sorted(
-                glob.glob(os.path.join(parts_dir, f"part={k}", "*.parquet")))):
-            dst = os.path.join(flat, f"{k:02d}-{j}.parquet")
-            os.link(f, dst)
-            os.utime(dst, (now + k, now + k))
     for j, f in enumerate(sorted(glob.glob(os.path.join(sent_dir, "*.parquet")))):
         dst = os.path.join(flat, f"99-{j}.parquet")
         os.link(f, dst)

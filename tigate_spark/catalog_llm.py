@@ -2528,7 +2528,6 @@ FROM m
 )
 def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    stop = ", ".join(f"'{w}'" for w in tx.EN_STOPWORDS)
     m = tx.with_tokens(docs).select(
         "doc_id",
         F.expr("cast(size(tokens) as bigint)").alias("n_words"),
@@ -2542,7 +2541,7 @@ def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("alpha_frac_bp"),
         F.expr(
             f"cast(size(array_intersect(array_distinct(tokens), "
-            f"array({stop}))) as bigint)"
+            f"array({_GOPHER_STOP}))) as bigint)"
         ).alias("n_stop_distinct"),
     )
     return m.select(
@@ -2814,6 +2813,81 @@ FROM top{r}"""
     return _bpe_cte_chain() + "\n" + rounds_sql
 
 
+def _bpe_rewrite_round(cur):
+    """One BPE merge round over a (doc_id, tokens) frame: corpus argmax
+    pair (count desc, lexicographic tie-break; driver-side 1-row collect
+    — the codebook precedent) and the LTR non-overlap rewrite via
+    gaps-and-islands. Returns ``(top_row | None, new_cur)``; the rewritten
+    frame is localCheckpointed so the caller's next actions scan a
+    materialized frame. Shared by the trainer and the vocab-apply entry
+    so their corpus rewrites cannot drift."""
+    from pyspark.sql import Window
+
+    bg = (
+        cur.filter(F.expr("size(tokens) >= 2"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(tokens) - 1), "
+                    "i -> struct(element_at(tokens, i) as w1, "
+                    "element_at(tokens, i + 1) as w2))"
+                )
+            ).alias("i0", "p"),
+        )
+        .select(
+            "doc_id", (F.col("i0") + 1).cast("bigint").alias("i"),
+            F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
+        )
+    )
+    top = (
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w1", "w2").limit(1).collect()
+    )
+    if not top:
+        return None, cur
+    w1, w2 = top[0]["w1"], top[0]["w2"]
+    matches = bg.filter((F.col("w1") == w1) & (F.col("w2") == w2)).select(
+        "doc_id", "i"
+    )
+    w_isl = Window.partitionBy("doc_id").orderBy("i")
+    mm = matches.withColumn("grp", F.col("i") - F.row_number().over(w_isl))
+    w_grp = Window.partitionBy("doc_id", "grp").orderBy("i")
+    starts = (
+        mm.withColumn("k", F.row_number().over(w_grp))
+        .filter((F.col("k") - 1) % 2 == 0)
+        .select("doc_id", "i")
+    )
+    pos = cur.select(
+        "doc_id", F.posexplode("tokens").alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).cast("bigint").alias("i"), "tok")
+    s = starts.withColumn("is_start", F.lit(True))
+    c = starts.select(
+        "doc_id", (F.col("i") + 1).alias("i"),
+        F.lit(True).alias("is_consumed"),
+    )
+    reb = (
+        pos.join(s, ["doc_id", "i"], "left")
+        .join(c, ["doc_id", "i"], "left")
+        .filter(F.col("is_consumed").isNull())
+        .select(
+            "doc_id", "i",
+            F.when(
+                F.col("is_start"), F.concat(F.col("tok"), F.lit(" " + w2))
+            ).otherwise(F.col("tok")).alias("tok"),
+        )
+    )
+    new_cur = reb.groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, tok))), "
+            "x -> x.tok)"
+        ).alias("tokens")
+    ).localCheckpoint()
+    return top[0], new_cur
+
+
+
+
 @register(
     "bpe_train_merges",
     _bpe_train_oracle(),
@@ -2835,7 +2909,6 @@ FROM top{r}"""
         "agg — linear in corpus size, rounds x that at any scale",
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
 
@@ -2843,76 +2916,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = tx.with_tokens(docs).select("doc_id", "tokens").localCheckpoint()
     out = []
     for r in range(_BPE_ROUNDS):
-        bg = (
-            cur.filter(F.expr("size(tokens) >= 2"))
-            .select(
-                "doc_id",
-                F.posexplode(
-                    F.expr(
-                        "transform(sequence(1, size(tokens) - 1), "
-                        "i -> struct(element_at(tokens, i) as w1, "
-                        "element_at(tokens, i + 1) as w2))"
-                    )
-                ).alias("i0", "p"),
-            )
-            .select(
-                "doc_id", (F.col("i0") + 1).cast("bigint").alias("i"),
-                F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
-            )
-        )
-        top = (
-            bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.col("n").desc(), "w1", "w2").limit(1).collect()
-        )
-        if not top:
+        top, cur = _bpe_rewrite_round(cur)
+        if top is None:
             break
-        w1, w2, cnt = top[0]["w1"], top[0]["w2"], int(top[0]["n"])
-        matches = bg.filter((F.col("w1") == w1) & (F.col("w2") == w2)).select(
-            "doc_id", "i"
-        )
-        w_isl = Window.partitionBy("doc_id").orderBy("i")
-        mm = matches.withColumn(
-            "grp", F.col("i") - F.row_number().over(w_isl)
-        )
-        w_grp = Window.partitionBy("doc_id", "grp").orderBy("i")
-        starts = (
-            mm.withColumn("k", F.row_number().over(w_grp))
-            .filter((F.col("k") - 1) % 2 == 0)
-            .select("doc_id", "i")
-        )
-        pos = cur.select(
-            "doc_id",
-            F.posexplode("tokens").alias("i0", "tok"),
-        ).select(
-            "doc_id", (F.col("i0") + 1).cast("bigint").alias("i"), "tok"
-        )
-        s = starts.withColumn("is_start", F.lit(True))
-        c = starts.select(
-            "doc_id", (F.col("i") + 1).alias("i"), F.lit(True).alias("is_consumed")
-        )
-        reb = (
-            pos.join(s, ["doc_id", "i"], "left")
-            .join(c, ["doc_id", "i"], "left")
-            .filter(F.col("is_consumed").isNull())
-            .select(
-                "doc_id", "i",
-                F.when(
-                    F.col("is_start"),
-                    F.concat(F.col("tok"), F.lit(" " + w2)),
-                ).otherwise(F.col("tok")).alias("tok"),
-            )
-        )
-        cur = reb.groupBy("doc_id").agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(i, tok))), "
-                "x -> x.tok)"
-            ).alias("tokens")
-        )
-        cur = cur.localCheckpoint()
         n_after = cur.agg(
             F.sum(F.expr("size(tokens)")).cast("bigint").alias("n")
         ).collect()[0]["n"]
-        out.append((r + 1, w1, w2, cnt, int(n_after)))
+        out.append((r + 1, top["w1"], top["w2"], int(top["n"]),
+                    int(n_after)))
     schema = StructType([
         StructField("merge_rank", LongType()),
         StructField("w1", StringType()),
@@ -2942,8 +2953,9 @@ FROM tok0 t0 JOIN tok{k} tk ON t0.doc_id = tk.doc_id
     doc=f"Tokenizer application: run the {_BPE_ROUNDS}-merge trained "
         "vocabulary (bpe_train_merges) over the corpus and report per-"
         "document before/after token counts — the 'encode with trained "
-        "vocab' API a data pipeline calls after training. Reuses the "
-        "trainer loop verbatim (same argmax + LTR rewrite each round); "
+        "vocab' API a data pipeline calls after training. Shares the "
+        "trainer's _bpe_rewrite_round helper (one argmax + LTR rewrite "
+        "per round — a single implementation, so the two cannot drift); "
         "the oracle reuses the trainer's templated round CTEs and joins "
         "initial vs final token arrays, so the two entries cross-check "
         "each other's corpus rewrite end to end. Per-doc token counts "
@@ -2951,75 +2963,25 @@ FROM tok0 t0 JOIN tok{k} tk ON t0.doc_id = tk.doc_id
         "corpus_tokens_after at rank K by construction",
 )
 def bpe_vocab_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    base = tx.with_tokens(docs).select("doc_id", "tokens").localCheckpoint()
+    # size >= 1: the oracle's positional rebuild (unnest over range(1,
+    # len+1)) drops 0-token docs from tok1 onward, so they can never
+    # appear in its final tok0 JOIN tokK — mirror that up front (the
+    # engine's early-break path would otherwise keep them when round 1
+    # finds no pair at all)
+    base = (
+        tx.with_tokens(docs).select("doc_id", "tokens")
+        .filter(F.expr("size(tokens) >= 1"))
+        .localCheckpoint()
+    )
     before = base.select(
         "doc_id", F.expr("cast(size(tokens) as bigint)").alias("n_tokens_before")
     )
     cur = base
     for _ in range(_BPE_ROUNDS):
-        bg = (
-            cur.filter(F.expr("size(tokens) >= 2"))
-            .select(
-                "doc_id",
-                F.posexplode(
-                    F.expr(
-                        "transform(sequence(1, size(tokens) - 1), "
-                        "i -> struct(element_at(tokens, i) as w1, "
-                        "element_at(tokens, i + 1) as w2))"
-                    )
-                ).alias("i0", "p"),
-            )
-            .select(
-                "doc_id", (F.col("i0") + 1).cast("bigint").alias("i"),
-                F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
-            )
-        )
-        top = (
-            bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.col("n").desc(), "w1", "w2").limit(1).collect()
-        )
-        if not top:
+        top, cur = _bpe_rewrite_round(cur)
+        if top is None:
             break
-        w1, w2 = top[0]["w1"], top[0]["w2"]
-        matches = bg.filter((F.col("w1") == w1) & (F.col("w2") == w2)).select(
-            "doc_id", "i"
-        )
-        w_isl = Window.partitionBy("doc_id").orderBy("i")
-        mm = matches.withColumn("grp", F.col("i") - F.row_number().over(w_isl))
-        w_grp = Window.partitionBy("doc_id", "grp").orderBy("i")
-        starts = (
-            mm.withColumn("k", F.row_number().over(w_grp))
-            .filter((F.col("k") - 1) % 2 == 0)
-            .select("doc_id", "i")
-        )
-        pos = cur.select(
-            "doc_id", F.posexplode("tokens").alias("i0", "tok")
-        ).select("doc_id", (F.col("i0") + 1).cast("bigint").alias("i"), "tok")
-        s = starts.withColumn("is_start", F.lit(True))
-        c = starts.select(
-            "doc_id", (F.col("i") + 1).alias("i"),
-            F.lit(True).alias("is_consumed"),
-        )
-        reb = (
-            pos.join(s, ["doc_id", "i"], "left")
-            .join(c, ["doc_id", "i"], "left")
-            .filter(F.col("is_consumed").isNull())
-            .select(
-                "doc_id", "i",
-                F.when(
-                    F.col("is_start"), F.concat(F.col("tok"), F.lit(" " + w2))
-                ).otherwise(F.col("tok")).alias("tok"),
-            )
-        )
-        cur = reb.groupBy("doc_id").agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(i, tok))), "
-                "x -> x.tok)"
-            ).alias("tokens")
-        ).localCheckpoint()
     after = cur.select(
         "doc_id", F.expr("cast(size(tokens) as bigint)").alias("n_tokens_after")
     )

@@ -1147,24 +1147,23 @@ def streaming_window_append_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def split_commit_order(spark: SparkSession, src: str, work: str,
-                       n_parts: int):
-    """Split an events file into ``n_parts`` by commit order and return
+def split_df_in_order(spark: SparkSession, base: DataFrame, work: str,
+                      n_parts: int, order_sql: str):
+    """Split a DataFrame into ``n_parts`` by ``order_sql`` and return
     ``(flat_dir, land)``: ``land(k)`` hard-links part k's files into
     ``flat_dir`` with a pinned increasing mtime (the file source orders
     batches by modification time) and returns the part's row count.
-    Shared by the lifecycle entry and its exactly-once unit test so the
+    Shared by the lifecycle + flush entries and their unit tests so the
     batching scheme can't silently diverge between them."""
     import glob as _glob
     import time as _time
 
-    base = spark.read.parquet(src)
     n = base.count()
     per = max(n // n_parts, 1)
     ranked = base.withColumn(
         "part",
         F.expr(
-            "least(cast((row_number() over (order by ts, event_id) - 1) "
+            f"least(cast((row_number() over (order by {order_sql}) - 1) "
             f"div {per} as int), {n_parts - 1})"
         ),
     )
@@ -1187,6 +1186,15 @@ def split_commit_order(spark: SparkSession, src: str, work: str,
         return total
 
     return flat, land
+
+
+def split_commit_order(spark: SparkSession, src: str, work: str,
+                       n_parts: int):
+    """Events-file form of :func:`split_df_in_order` (commit order =
+    (ts, event_id))."""
+    return split_df_in_order(
+        spark, spark.read.parquet(src), work, n_parts, "ts, event_id"
+    )
 
 
 
@@ -1240,8 +1248,11 @@ def engine_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-_FLUSH_C = 64    # keep in sync with operators/txn.py FLUSH_MAX_ROWS
-_FLUSH_LANES = 4
+# the oracle template and the streaming twin share the engine's constants
+from tigate_spark.operators.txn import (  # noqa: E402
+    FLUSH_LANES as _FLUSH_LANES,
+    FLUSH_MAX_ROWS as _FLUSH_C,
+)
 
 
 _FLUSH_ORACLE = ORACLE_CHANGES_CTE + f"""
@@ -1346,23 +1357,18 @@ def streaming_flush_batches_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="tigate-stream-")
     try:
+        # one materialization feeds the split's count/write AND the
+        # sentinel aggregates below (4 actions otherwise re-run the
+        # event scan + txn shuffle each)
         txns = txn_group(changes_stream(spark, sf_dir)).select(
             (F.col("table_id") % F.lit(_FLUSH_LANES)).cast("bigint")
             .alias("lane"),
             "table_id", "start_ts", "commit_ts", "n_rows",
+        ).localCheckpoint()
+        flat, land = split_df_in_order(
+            spark, txns, work, 4, "commit_ts, start_ts, table_id"
         )
-        n = txns.count()
-        per = max(n // 4, 1)
-        ranked = txns.withColumn(
-            "part",
-            F.expr(
-                "least(cast((row_number() over "
-                "(order by commit_ts, start_ts, table_id) - 1) "
-                f"div {per} as int), 3)"
-            ),
-        )
-        parts_dir = os.path.join(work, "parts")
-        ranked.write.partitionBy("part").parquet(parts_dir)
+        n = sum(land(k) for k in range(4))
         # sentinel part: one zero-row txn per lane at max commit — the
         # delay-timer flush that closes each lane's trailing batch
         mx = txns.agg(F.max("commit_ts").alias("m")).collect()[0]["m"] or 0
@@ -1372,19 +1378,9 @@ def streaming_flush_batches_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(int(mx) + 1).cast("bigint").alias("commit_ts"),
             F.lit(0).cast("bigint").alias("n_rows"),
         )
-        flat = os.path.join(work, "flat")
-        os.makedirs(flat)
-        now = _time.time()
-        for k in range(4):
-            files = sorted(
-                _glob.glob(os.path.join(parts_dir, f"part={k}", "*.parquet"))
-            )
-            for j, f in enumerate(files):
-                dst = os.path.join(flat, f"{k:02d}-{j}.parquet")
-                os.link(f, dst)
-                os.utime(dst, (now + k, now + k))
         sent_dir = os.path.join(work, "sent")
         sentinels.coalesce(1).write.parquet(sent_dir)
+        now = _time.time()
         sf = sorted(_glob.glob(os.path.join(sent_dir, "*.parquet")))
         for j, f in enumerate(sf):
             dst = os.path.join(flat, f"99-{j}.parquet")
