@@ -1,0 +1,95 @@
+"""Execute the engine's generated MySQL SQL on a REAL SQL engine.
+
+The sandbox has no MySQL, but SQLite (stdlib) accepts the generated
+dialect (backtick quoting, REPLACE INTO, UPDATE/DELETE ... LIMIT 1 when
+compiled with the limit extension): replaying the SAFE-MODE statement
+stream (`encoder_mysql_sql_safe_mode` — REPLACE + update split, the
+idempotent form) in commit order must converge to exactly the engine's
+last-writer-wins materialization (`apply_materialize`), row for row.
+This is the executable twin of the reference's MySQL apply path
+(mysql_writer.go prepareDMLs -> execDML), as close as the environment
+allows to a live JDBC round trip."""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+
+SF_DIR = os.environ.get("TIGATE_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _limit_supported(cur) -> bool:
+    try:
+        cur.execute("CREATE TEMP TABLE _probe(x INTEGER)")
+        cur.execute("UPDATE _probe SET x = 1 LIMIT 1")
+        return True
+    except sqlite3.OperationalError:
+        return False
+
+
+def test_safe_mode_sql_replays_to_lww_state(spark):
+    from pyspark.sql import functions as F
+
+    from tigate_spark.catalog import get_catalog
+
+    cat = get_catalog()
+    enc = cat["encoder_mysql_sql_safe_mode"].builder(spark, SF_DIR)
+    from tigate_spark.sources.changes import changes_stream
+
+    keys = changes_stream(spark, SF_DIR).select(
+        "seq", "commit_ts", "start_ts", "op", "table_id"
+    )
+    # replay order = the LWW oracle's tie-break ascending: commit, start,
+    # D < U < I on the ORIGINAL op, seq; piece_no orders a split U's
+    # delete before its replace
+    stmts = (
+        enc.join(keys, "seq")
+        .withColumn(
+            "opr",
+            F.expr("case op when 'D' then 1 when 'U' then 2 else 3 end"),
+        )
+        .orderBy("commit_ts", "start_ts", "opr", "seq", "piece_no")
+        .select("sql", "args")
+        .collect()
+    )
+    assert len(stmts) > 1000
+
+    con = sqlite3.connect(":memory:")
+    cur = con.cursor()
+    strip_limit = not _limit_supported(cur)
+    made: set[tuple[str, str]] = set()
+    n_exec = 0
+    for r in stmts:
+        sql = r["sql"]
+        if strip_limit:
+            sql = sql.replace(" LIMIT 1", "")
+        # `schema`.`table` appears in both statement shapes
+        head = sql.split("`")
+        schema, table = head[1], head[3]
+        if (schema, table) not in made:
+            if not any(s == schema for s, _ in made):
+                cur.execute(f"ATTACH ':memory:' AS `{schema}`")
+            cur.execute(
+                f"CREATE TABLE `{schema}`.`{table}` "
+                "(pk INTEGER PRIMARY KEY, event_type TEXT, "
+                "value_cents INTEGER)"
+            )
+            made.add((schema, table))
+        cur.execute(sql, json.loads(r["args"]))   # no IntegrityError: REPLACE
+        n_exec += 1
+    assert n_exec == len(stmts)
+
+    want = {
+        (m["table_id"], m["pk"]): (m["event_type"], m["value_cents"])
+        for m in cat["apply_materialize"].builder(spark, SF_DIR).collect()
+    }
+    got = {}
+    for schema, table in made:
+        tid = int(table.lstrip("t"))
+        for pk, et, vc in cur.execute(
+            f"SELECT pk, event_type, value_cents FROM `{schema}`.`{table}`"
+        ):
+            got[(tid, pk)] = (et, vc)
+    con.close()
+    assert got == want

@@ -2411,31 +2411,53 @@ FROM changes
         "pure format_string, whole-stage codegen",
 )
 def encoder_mysql_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ch = changes_stream(spark, sf_dir)
-    qual = (F.col("schema_name"), F.col("table_name"))
-    insert_sql = F.format_string(
-        "INSERT INTO `%s`.`%s` (`pk`,`event_type`,`value_cents`) VALUES (?,?,?)", *qual)
-    replace_sql = F.format_string(
-        "REPLACE INTO `%s`.`%s` (`pk`,`event_type`,`value_cents`) VALUES (?,?,?)", *qual)
-    update_sql = F.format_string(
-        "UPDATE `%s`.`%s` SET `event_type` = ?, `value_cents` = ? WHERE `pk` = ? LIMIT 1", *qual)
-    delete_sql = F.format_string(
-        "DELETE FROM `%s`.`%s` WHERE `pk` = ? LIMIT 1", *qual)
-    vc = F.coalesce(F.col("value_cents").cast("string"), F.lit("null"))
-    sql = (
-        F.when((F.col("op") == "I") & (F.col("commit_ts") > _REPLICATING_TS_US), insert_sql)
-        .when(F.col("op") == "I", replace_sql)
-        .when(F.col("op") == "U", update_sql)
-        .otherwise(delete_sql)
+    from tigate_spark.functions.encoders import encode_mysql_sql
+
+    return encode_mysql_sql(changes_stream(spark, sf_dir), _REPLICATING_TS_US)
+
+
+@register(
+    "encoder_mysql_sql_safe_mode",
+    ORACLE_CHANGES_CTE
+    + """
+, p AS (
+  SELECT seq, schema_name, table_name, pk, event_type, value_cents,
+         CAST(1 AS BIGINT) AS piece_no, 'D' AS kind
+  FROM changes WHERE op IN ('U', 'D')
+  UNION ALL
+  SELECT seq, schema_name, table_name, pk, event_type, value_cents,
+         CAST(CASE WHEN op = 'U' THEN 2 ELSE 1 END AS BIGINT) AS piece_no,
+         'R' AS kind
+  FROM changes WHERE op IN ('U', 'I')
+)
+SELECT seq, piece_no,
+  CASE kind
+    WHEN 'D' THEN printf('DELETE FROM `%s`.`%s` WHERE `pk` = ? LIMIT 1', schema_name, table_name)
+    ELSE printf('REPLACE INTO `%s`.`%s` (`pk`,`event_type`,`value_cents`) VALUES (?,?,?)', schema_name, table_name)
+  END AS sql,
+  CASE kind
+    WHEN 'D' THEN printf('[%d]', pk)
+    ELSE printf('[%d,"%s",%s]', pk, event_type, coalesce(CAST(value_cents AS VARCHAR), 'null'))
+  END AS args
+FROM p
+""",
+    doc="K1: safe-mode SQL rendering — the fully idempotent replay form "
+        "(safe mode forces REPLACE, mysql_writer.go:686-691, and the P6 "
+        "update split turns U into DELETE piece 1 + REPLACE piece 2, "
+        "sql_builder.go + format.go:78-85 key order), so replaying ANY "
+        "prefix-consistent stream on a real SQL engine converges to "
+        "last-writer-wins state regardless of pre-existing rows — "
+        "tests/test_mysql_sql_executes.py proves it by executing these "
+        "statements on SQLite and diffing against apply_materialize. "
+        "Pure format_string + one posexplode, whole-stage codegen",
+)
+def encoder_mysql_sql_safe_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_mysql_sql
+
+    return encode_mysql_sql(
+        changes_stream(spark, sf_dir), _REPLICATING_TS_US,
+        safe_mode_split=True,
     )
-    args = (
-        F.when(F.col("op") == "I",
-               F.format_string('[%d,"%s",%s]', F.col("pk"), F.col("event_type"), vc))
-        .when(F.col("op") == "U",
-              F.format_string('["%s",%s,%d]', F.col("event_type"), vc, F.col("pk")))
-        .otherwise(F.format_string("[%d]", F.col("pk")))
-    )
-    return ch.select("seq", sql.alias("sql"), args.alias("args"))
 
 
 @register(

@@ -793,3 +793,71 @@ def encode_open_ddl(df: DataFrame) -> DataFrame:
         "value_hex",
         F.expr("concat(lpad(hex(octet_length(v)), 16, '0'), hex(v))"),
     ).drop("k", "v")
+
+
+def encode_mysql_sql(df: DataFrame, replicating_ts: int,
+                     safe_mode_split: bool = False) -> DataFrame:
+    """K1: the MySQL sink's prepareDMLs SQL text surface
+    (``pkg/sink/mysql/sql_builder.go:56-205``; the INSERT/REPLACE
+    translate boundary ``mysql_writer.go:686-691``).
+
+    Default form — one statement per change: INSERT for inserts past the
+    replicating boundary, REPLACE before it, ``UPDATE ... WHERE pk LIMIT
+    1`` / ``DELETE ... WHERE pk LIMIT 1`` otherwise; returns (seq, sql,
+    args) with the arg vector as JSON.
+
+    ``safe_mode_split=True`` — the fully idempotent replay form the
+    reference uses when the upstream may repeat or reorder (safe mode +
+    the P6 update split): every insert renders REPLACE and every update
+    splits into DELETE (piece 1) + REPLACE (piece 2), so replaying ANY
+    prefix-consistent stream converges to last-writer-wins state on a
+    real SQL engine regardless of pre-existing rows; returns (seq,
+    piece_no, sql, args). ``tests/test_mysql_sql_executes.py`` executes
+    this form on SQLite and asserts the final state equals the engine's
+    LWW materialization.
+    """
+    qual = (F.col("schema_name"), F.col("table_name"))
+    replace_sql = F.format_string(
+        "REPLACE INTO `%s`.`%s` (`pk`,`event_type`,`value_cents`) "
+        "VALUES (?,?,?)", *qual)
+    delete_sql = F.format_string(
+        "DELETE FROM `%s`.`%s` WHERE `pk` = ? LIMIT 1", *qual)
+    vc = F.coalesce(F.col("value_cents").cast("string"), F.lit("null"))
+    row_args = F.format_string(
+        '[%d,"%s",%s]', F.col("pk"), F.col("event_type"), vc)
+    pk_args = F.format_string("[%d]", F.col("pk"))
+    if not safe_mode_split:
+        insert_sql = F.format_string(
+            "INSERT INTO `%s`.`%s` (`pk`,`event_type`,`value_cents`) "
+            "VALUES (?,?,?)", *qual)
+        update_sql = F.format_string(
+            "UPDATE `%s`.`%s` SET `event_type` = ?, `value_cents` = ? "
+            "WHERE `pk` = ? LIMIT 1", *qual)
+        sql = (
+            F.when((F.col("op") == "I")
+                   & (F.col("commit_ts") > replicating_ts), insert_sql)
+            .when(F.col("op") == "I", replace_sql)
+            .when(F.col("op") == "U", update_sql)
+            .otherwise(delete_sql)
+        )
+        args = (
+            F.when(F.col("op") == "I", row_args)
+            .when(F.col("op") == "U",
+                  F.format_string('["%s",%s,%d]', F.col("event_type"), vc,
+                                  F.col("pk")))
+            .otherwise(pk_args)
+        )
+        return df.select("seq", sql.alias("sql"), args.alias("args"))
+    pieces = (
+        F.when(F.col("op") == "U", F.array(F.lit("D"), F.lit("R")))
+        .when(F.col("op") == "D", F.array(F.lit("D")))
+        .otherwise(F.array(F.lit("R")))
+    )
+    ex = df.select(
+        "*", F.posexplode(pieces).alias("piece0", "kind")
+    ).withColumn("piece_no", (F.col("piece0") + 1).cast("bigint"))
+    sql = F.when(F.col("kind") == "D", delete_sql).otherwise(replace_sql)
+    args = F.when(F.col("kind") == "D", pk_args).otherwise(row_args)
+    return ex.select(
+        "seq", "piece_no", sql.alias("sql"), args.alias("args")
+    )
