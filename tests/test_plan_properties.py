@@ -517,3 +517,13 @@ def test_flush_batches_single_lane_exchange(spark):
         assert plan.count("FlatMapGroupsInPandas") == 2, plan
         assert "BatchEvalPython" not in plan
         assert count_exchanges(df) <= 3, plan
+
+
+def test_safe_mode_sql_and_bridge_stay_jvm_side(spark):
+    """Round-7 codec additions — the safe-mode SQL renderer (format_string
+    + one posexplode) and the debezium->open bridge (from_json +
+    format_string) — carry zero Python and zero exchanges."""
+    for name in ("encoder_mysql_sql_safe_mode", "convert_debezium_to_open"):
+        df = _df(spark, name)
+        assert_no_python_in_plan(df)
+        assert count_exchanges(df) == 0
