@@ -117,6 +117,54 @@ def changes_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOURCE_FMT_ORACLE = ORACLE_CHANGES_CTE + """
+SELECT schema_name, table_name, table_id, op, start_ts, commit_ts, seq, pk,
+       event_type, value_cents, before, after
+FROM changes
+"""
+
+
+def _source_format_changes(spark: SparkSession, sf_dir: str,
+                           fmt: str) -> DataFrame:
+    from tigate_spark.sources.changes import normalize_events
+    from tigate_spark.sources.formats import export_events, read_events
+
+    path = export_events(spark, sf_dir, fmt)
+    ev = read_events(spark, path, fmt)
+    return normalize_events(ev, with_images=True).select(
+        *_CORE_COLS, "before", "after"
+    )
+
+
+@register(
+    "source_csv_changes",
+    _SOURCE_FMT_ORACLE,
+    doc="S1 source connector, CSV: the events table exported to CSV and "
+        "re-ingested through a SCHEMA-EXPLICIT csv reader (inference on "
+        "text sources is an extra full scan and drift-prone at 100 TB — "
+        "the schema is the contract; timestamps travel as epoch-us "
+        "integers so no text timezone parsing is in the loop), then "
+        "through the SAME normalize_events plan as parquet — the oracle "
+        "is the parquet path's oracle verbatim, proving format-agnostic "
+        "ingestion (sources/formats.py)",
+)
+def source_csv_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _source_format_changes(spark, sf_dir, "csv")
+
+
+@register(
+    "source_jsonl_changes",
+    _SOURCE_FMT_ORACLE,
+    doc="S1 source connector, JSON-lines: same contract as "
+        "source_csv_changes over newline-delimited JSON (the changelog "
+        "interchange format Kafka consumers actually emit) — "
+        "schema-explicit read, identical normalize_events plan, parquet "
+        "path's oracle verbatim",
+)
+def source_jsonl_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _source_format_changes(spark, sf_dir, "jsonl")
+
+
 # ==========================================================================
 # Filters F1–F6
 # ==========================================================================
