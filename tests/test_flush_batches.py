@@ -119,7 +119,7 @@ def test_streaming_flush_matches_batch_on_variable_sizes(
          .writeStream.format("parquet").option("path", out_dir)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "query still running at timeout"
     assert q.exception() is None, q.exception()
     got = sorted(map(tuple, spark_prop.read.parquet(out_dir).collect()))
     assert got == want

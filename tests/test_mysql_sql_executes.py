@@ -38,7 +38,7 @@ def test_safe_mode_sql_replays_to_lww_state(spark):
     from tigate_spark.sources.changes import changes_stream
 
     keys = changes_stream(spark, SF_DIR).select(
-        "seq", "commit_ts", "start_ts", "op", "table_id"
+        "seq", "commit_ts", "start_ts", "op"
     )
     # replay order = the LWW oracle's tie-break ascending: commit, start,
     # D < U < I on the ORIGINAL op, seq; piece_no orders a split U's
@@ -54,6 +54,8 @@ def test_safe_mode_sql_replays_to_lww_state(spark):
         .collect()
     )
     assert len(stmts) > 1000
+    assert all(r["sql"] is not None and r["args"] is not None
+               for r in stmts), "NULL statement rendered"
 
     con = sqlite3.connect(":memory:")
     cur = con.cursor()
@@ -93,3 +95,23 @@ def test_safe_mode_sql_replays_to_lww_state(spark):
             got[(tid, pk)] = (et, vc)
     con.close()
     assert got == want
+
+
+def test_args_escape_hostile_event_types(spark):
+    """A quote/backslash/newline in event_type must survive the JSON arg
+    vector (json_escape on the engine side, mirrored in the oracles) —
+    json.loads must round-trip the original string."""
+    from tigate_spark.functions.encoders import encode_mysql_sql
+
+    hostile = 'a"b\\c\nd'
+    df = spark.createDataFrame(
+        [(1, "app", "t0", "I", 10, 20, 7, hostile, 5)],
+        "seq long, schema_name string, table_name string, op string, "
+        "start_ts long, commit_ts long, pk long, event_type string, "
+        "value_cents long",
+    )
+    r = encode_mysql_sql(df, replicating_ts=0).first()
+    assert json.loads(r["args"]) == [7, hostile, 5]
+    r2 = [x for x in encode_mysql_sql(
+        df, replicating_ts=0, safe_mode_split=True).collect()]
+    assert json.loads(r2[0]["args"]) == [7, hostile, 5]

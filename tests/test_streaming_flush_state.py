@@ -30,7 +30,7 @@ def _run(spark, schema, src_dir, out_dir, ckpt):
         .option("path", out_dir).option("checkpointLocation", ckpt)
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "query still running at timeout"
     assert q.exception() is None
 
 

@@ -101,14 +101,16 @@ def cdc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f_ops.apply_filter_config(ch, cfg).select(*_CORE_COLS)
 
 
-@register(
-    "changes_normalize",
-    ORACLE_CHANGES_CTE
-    + """
+_SOURCE_FMT_ORACLE = ORACLE_CHANGES_CTE + """
 SELECT schema_name, table_name, table_id, op, start_ts, commit_ts, seq, pk,
        event_type, value_cents, before, after
 FROM changes
-""",
+"""
+
+
+@register(
+    "changes_normalize",
+    _SOURCE_FMT_ORACLE,
     doc="S1/S3: raw source → canonical change-event rows with before/after images",
 )
 def changes_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,11 +119,6 @@ def changes_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SOURCE_FMT_ORACLE = ORACLE_CHANGES_CTE + """
-SELECT schema_name, table_name, table_id, op, start_ts, commit_ts, seq, pk,
-       event_type, value_cents, before, after
-FROM changes
-"""
 
 
 def _source_format_changes(spark: SparkSession, sf_dir: str,
@@ -2446,8 +2443,8 @@ SELECT seq,
     ELSE printf('DELETE FROM `%%s`.`%%s` WHERE `pk` = ? LIMIT 1', schema_name, table_name)
   END AS sql,
   CASE op
-    WHEN 'I' THEN printf('[%%d,"%%s",%%s]', pk, event_type, coalesce(CAST(value_cents AS VARCHAR), 'null'))
-    WHEN 'U' THEN printf('["%%s",%%s,%%d]', event_type, coalesce(CAST(value_cents AS VARCHAR), 'null'), pk)
+    WHEN 'I' THEN printf('[%%d,"%%s",%%s]', pk, replace(replace(replace(replace(replace(event_type, '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t'), coalesce(CAST(value_cents AS VARCHAR), 'null'))
+    WHEN 'U' THEN printf('["%%s",%%s,%%d]', replace(replace(replace(replace(replace(event_type, '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t'), coalesce(CAST(value_cents AS VARCHAR), 'null'), pk)
     ELSE printf('[%%d]', pk)
   END AS args
 FROM changes
@@ -2485,7 +2482,7 @@ SELECT seq, piece_no,
   END AS sql,
   CASE kind
     WHEN 'D' THEN printf('[%d]', pk)
-    ELSE printf('[%d,"%s",%s]', pk, event_type, coalesce(CAST(value_cents AS VARCHAR), 'null'))
+    ELSE printf('[%d,"%s",%s]', pk, replace(replace(replace(replace(replace(event_type, '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t'), coalesce(CAST(value_cents AS VARCHAR), 'null'))
   END AS args
 FROM p
 """,

@@ -823,8 +823,11 @@ def encode_mysql_sql(df: DataFrame, replicating_ts: int,
     delete_sql = F.format_string(
         "DELETE FROM `%s`.`%s` WHERE `pk` = ? LIMIT 1", *qual)
     vc = F.coalesce(F.col("value_cents").cast("string"), F.lit("null"))
-    row_args = F.format_string(
-        '[%d,"%s",%s]', F.col("pk"), F.col("event_type"), vc)
+    # args render as a JSON array — escape the one free-form string field
+    # so a quote/backslash in event_type cannot break the vector (the
+    # SQLite replay test json.loads()-es these); oracles mirror the chain
+    et = json_escape(F.col("event_type"))
+    row_args = F.format_string('[%d,"%s",%s]', F.col("pk"), et, vc)
     pk_args = F.format_string("[%d]", F.col("pk"))
     if not safe_mode_split:
         insert_sql = F.format_string(
@@ -843,8 +846,7 @@ def encode_mysql_sql(df: DataFrame, replicating_ts: int,
         args = (
             F.when(F.col("op") == "I", row_args)
             .when(F.col("op") == "U",
-                  F.format_string('["%s",%s,%d]', F.col("event_type"), vc,
-                                  F.col("pk")))
+                  F.format_string('["%s",%s,%d]', et, vc, F.col("pk")))
             .otherwise(pk_args)
         )
         return df.select("seq", sql.alias("sql"), args.alias("args"))

@@ -57,7 +57,8 @@ def export_events(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     if _EXPORT_ROOT is None:
         _EXPORT_ROOT = tempfile.mkdtemp(prefix="tigate-src-formats-")
         atexit.register(shutil.rmtree, _EXPORT_ROOT, ignore_errors=True)
-    out = os.path.join(_EXPORT_ROOT, f"{fmt}-{abs(hash(sf_dir)) % 10**8}")
+    safe = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    out = os.path.join(_EXPORT_ROOT, f"{fmt}-{safe}")
     flat = _flat_events(spark, sf_dir)
     if fmt == "csv":
         flat.write.mode("overwrite").option("header", "true").csv(out)
@@ -74,8 +75,11 @@ def read_events(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     parquet `load_table(..., 'events')` frame column-for-column, so
     `normalize_events` consumes it unchanged."""
     if fmt == "csv":
+        # multiLine: a quoted newline inside props must not split the
+        # record — the writer quotes it, the reader must honor it
         df = (spark.read.schema(EVENTS_FLAT_SCHEMA)
-              .option("header", "true").csv(path))
+              .option("header", "true").option("multiLine", "true")
+              .csv(path))
     elif fmt == "jsonl":
         df = spark.read.schema(EVENTS_FLAT_SCHEMA).json(path)
     else:
