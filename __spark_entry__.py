@@ -29,12 +29,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: rotation: the r06 window ran 50/50 green, closing cumulative external
 #: coverage for every round-5 entry. Positions 1-6 are the six r06
 #: additions that window could not reach (their first external rows);
-#: positions 7-17 are the NEW round-7 operators (Gopher quality gate,
+#: positions 7-18 are the NEW round-7 operators (Gopher quality gate,
 #: mixture-epoch waterfill, paragraph-dedup fraction, MySQL worker
 #: flush batching + its GroupState streaming twin, iterative BPE
 #: trainer + trained-vocab apply, debezium->open bridge, safe-mode
 #: SQL rendering — SQLite-replay-proven, CSV/JSONL source
-#: connectors). Positions 18-50 start the re-verification backlog — oldest-verified
+#: connectors incl. a JSONL streaming-changefeed e2e).
+#: Positions 19-50 start the re-verification backlog — oldest-verified
 #: catalog core first (cdc pipeline, multimodal kernels, r05 TPC-H
 #: additions, sink bookkeeping, streaming e2e), so every entry's
 #: external row stays fresh on a rolling basis.
@@ -49,6 +50,7 @@ _PRIORITY = [
     "bpe_train_merges", "bpe_vocab_apply", "convert_debezium_to_open",
     "streaming_flush_batches_e2e", "encoder_mysql_sql_safe_mode",
     "source_csv_changes", "source_jsonl_changes",
+    "streaming_jsonl_replica_e2e",
     # --- re-verification backlog (rolling) ---
     "pack_sequences", "agg_events_per_type_hour", "sample_importance_dsir",
     "decontaminate_fuzzy_minhash", "corpus_shuffle_assign", "seq_gap_resets",

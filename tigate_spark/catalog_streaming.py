@@ -1417,3 +1417,38 @@ def streaming_flush_batches_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark.read.parquet(out_dir))
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_jsonl_replica_e2e",
+    _STREAM_ORACLE,
+    doc="Source-format-agnostic streaming changefeed: the SAME replica "
+        "run as streaming_replica_e2e but ingesting a JSON-lines export "
+        "of the events table (readStream.json with the explicit flat "
+        "schema — no inference on file streams; ts travels as epoch-us "
+        "integers, rebuilt via timestamp_micros under the pinned UTC "
+        "session) — identical LWW oracle, proving the streaming engine "
+        "does not care what file format the changelog arrives in "
+        "(sources/formats.py + config.source_format)",
+)
+def streaming_jsonl_replica_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.sources.formats import export_events
+    from tigate_spark.streaming.changefeed import Changefeed
+    from tigate_spark.streaming.sinks import read_replica
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = export_events(spark, sf_dir, "jsonl")
+        cfg = ChangefeedConfig(
+            changefeed_id="jsonl-e2e", sink_uri="replica://",
+            source_format="jsonl",
+        )
+        cf = Changefeed(spark, cfg, src, work)
+        cf.run_to_completion()
+        replica = read_replica(spark, cf.sink.state_dir).select(
+            "table_id", "pk", F.col("commit_ts").alias("last_commit_ts"),
+            "event_type", "value_cents",
+        )
+        return _materialize(replica)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -86,6 +86,11 @@ class ChangefeedConfig:
     #: (reference: MemoryQuota ``changefeed.go:21-38`` + dynstream pause/
     #: resume; Spark-native form is bounding batch size at the source)
     max_files_per_trigger: int = 1
+    #: source file format: parquet (default) | jsonl | csv — the text
+    #: formats read with the explicit flat-events schema
+    #: (sources/formats.py), proving the changefeed is source-format
+    #: agnostic end to end
+    source_format: str = "parquet"
 
 
 def _build(cls, data: dict):

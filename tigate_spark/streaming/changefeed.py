@@ -70,6 +70,12 @@ class Changefeed:
         return self.source_dir, None
 
     def _events_schema(self):
+        if self.cfg.source_format != "parquet":
+            # text formats carry no embedded schema — the explicit flat
+            # contract is the schema (sources/formats.py)
+            from tigate_spark.sources.formats import EVENTS_FLAT_SCHEMA
+
+            return EVENTS_FLAT_SCHEMA
         # one driver-side footer read; the streaming source needs an
         # explicit schema (no inference on file streams)
         return self.spark.read.parquet(self.source_dir).schema
@@ -84,7 +90,22 @@ class Changefeed:
         )
         if glob_filter:
             reader = reader.option("pathGlobFilter", glob_filter)
-        return reader.parquet(path)
+        fmt = self.cfg.source_format
+        if fmt == "parquet":
+            return reader.parquet(path)
+        if fmt == "jsonl":
+            raw = reader.json(path)
+        elif fmt == "csv":
+            raw = reader.option("header", "true").option(
+                "multiLine", "true").csv(path)
+        else:
+            raise ValueError(f"unsupported source_format: {fmt}")
+        # rebuild the events shape (ts from epoch-us) — identical plan to
+        # the batch readers in sources/formats.read_events
+        return raw.select(
+            "event_id", F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
 
     # -- transform (F1-F4, P1, T2) ----------------------------------------
     def transform(self, raw: DataFrame) -> DataFrame:
