@@ -527,3 +527,33 @@ def test_safe_mode_sql_and_bridge_stay_jvm_side(spark):
         df = _df(spark, name)
         assert_no_python_in_plan(df)
         assert count_exchanges(df) == 0
+
+
+def test_storage_tree_partition_prunes(spark, tmp_path):
+    """The cloud-storage sink's dated tree (schema_name/table_name/dt
+    directories) must behave like a partitioned table on read-back: a
+    table_name filter becomes a PartitionFilter on the scan — directory
+    pruning, zero data files touched for other tables. At 100 TB the
+    dated tree IS the replica's query interface, so losing this is
+    losing partition pruning on every consumer query."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pyspark.sql.functions as F
+
+    from tigate_spark.config import ChangefeedConfig
+    from tigate_spark.streaming.changefeed import Changefeed
+    from tigate_spark.streaming.sinks import read_storage
+
+    cfg = ChangefeedConfig(changefeed_id="prune", sink_uri="file://out")
+    cf = Changefeed(spark, cfg, os.path.join(SF_DIR, "events.parquet"),
+                    str(tmp_path))
+    cf.run_to_completion()
+    flt = read_storage(spark, cf.sink.out_dir).filter(
+        F.col("table_name") == "t1")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        flt.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "table_name" in pf[0], plan
