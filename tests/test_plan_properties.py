@@ -285,16 +285,32 @@ def test_quantize_zero_shuffle(spark):
 def test_kmeans_centroid_update_is_partial_agg(spark):
     """Lloyd update must go through posexplode → (cell, dim) partial sums
     (shuffle payload: 64 rows per cell) — never collect_list of whole
-    vectors per cell, which would funnel a 100 TB cell through one task."""
-    from tigate_spark.plans.audit import plan_of
+    vectors per cell, which would funnel a 100 TB cell through one task.
+    Since r07 the trained codebook is localCheckpointed per round (deep-
+    lineage fix), so the TRAINING round's plan is audited directly; the
+    consumer plan is separately checked to broadcast the codebook."""
+    import pyspark.sql.functions as F
 
-    df = _df(spark, "embed_kmeans_clusters")
-    plan = plan_of(df)
-    assert "posexplode" in plan or "Generate" in plan, plan
-    # codebooks broadcast to the assignment step; the corpus never
-    # shuffles for assignment (only the 64-rows-per-cell update does)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
-    assert "collect_list(q" not in plan
+    from tigate_spark.functions import similarity as sim
+    from tigate_spark.plans.audit import plan_of
+    from tigate_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = sim.with_quantized(emb).select("vec_id", "q", "norm_sq")
+    cents = (
+        base.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"))
+    )
+    round_plan = plan_of(sim._recompute_centroids(
+        sim._assign_cells(base, cents)))
+    assert "posexplode" in round_plan or "Generate" in round_plan, round_plan
+    assert "collect_list(q" not in round_plan
+    # consumer side: the materialized codebook must still broadcast to
+    # the assignment step — the corpus never shuffles for assignment
+    consumer = plan_of(_df(spark, "embed_kmeans_clusters"))
+    assert ("BroadcastNestedLoopJoin" in consumer
+            or "BroadcastExchange" in consumer), consumer
+    assert "collect_list(q" not in consumer
 
 
 def test_chunking_zero_shuffle(spark):

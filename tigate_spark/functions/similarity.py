@@ -345,7 +345,13 @@ def kmeans_train(df: DataFrame, k: int = 8, iters: int = 2,
         .select(F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"))
     )
     for _ in range(iters):
-        cents = _recompute_centroids(_assign_cells(train, cents))
+        # materialize the codebook each round (it is k rows): without
+        # this the rounds NEST lazily and the final consumer plan embeds
+        # iters copies of the training scan — deep-lineage recompute the
+        # planner cannot always dedup, and a real hazard at corpus scale
+        cents = _recompute_centroids(
+            _assign_cells(train, cents)
+        ).localCheckpoint()
     return cents
 
 
@@ -736,6 +742,8 @@ def _pq_train_subs(sub: DataFrame, iters: int = 2) -> DataFrame:
                 ).alias("cq")
             )
             .select("s", F.col("cell").alias("cent_id"), "cq")
+            # codebook-sized: materialize per round (see kmeans_train)
+            .localCheckpoint()
         )
     return cents
 
@@ -762,6 +770,11 @@ def ivfpq_topk(df: DataFrame, k_cents: int = 8, km_iters: int = 2,
             "vec_id", "cell",
             F.expr("zip_with(q, cq, (x, y) -> x - y)").alias("q"),
         )
+        # the residual frame feeds FOUR downstream branches (PQ training,
+        # assignment, query split, query cells) of one final plan —
+        # materialize it once instead of re-deriving base->assign->join
+        # per branch; an ANN index is a materialized artifact at scale
+        .localCheckpoint()
     )
     sub = _pq_split(res.select("vec_id", "q"))
     cents = _pq_train_subs(sub, pq_iters)
