@@ -572,3 +572,34 @@ def test_mid_stream_compaction_preserves_state(spark, sf_dir, chunked_source, tm
     # the compacted run really did checkpoint: few live version dirs
     n_vers = len(glob.glob(os.path.join(str(tmp_path / "a"), "data", "v=*")))
     assert n_vers < 4
+
+
+def test_csv_source_format_changefeed(spark, sf_dir, tmp_path):
+    """config.source_format='csv': the changefeed ingests a CSV export of
+    the events table and materializes the same replica as the parquet
+    path (the jsonl twin is oracle-checked as a catalog entry; this pins
+    the csv branch of the format-aware reader)."""
+    from tigate_spark.sources.formats import export_events
+    from tigate_spark.streaming.sinks import read_replica
+
+    src = export_events(spark, sf_dir, "csv")
+    cfg = ChangefeedConfig(changefeed_id="csv-e2e", sink_uri="replica://",
+                           source_format="csv")
+    cf = Changefeed(spark, cfg, src, str(tmp_path / "csv"))
+    cf.run_to_completion()
+    got = sorted(
+        (r["table_id"], r["pk"], r["commit_ts"], r["event_type"],
+         r["value_cents"])
+        for r in read_replica(spark, cf.sink.state_dir).collect()
+    )
+
+    cfg2 = ChangefeedConfig(changefeed_id="pq-e2e", sink_uri="replica://")
+    cf2 = Changefeed(spark, cfg2, os.path.join(sf_dir, "events.parquet"),
+                     str(tmp_path / "pq"))
+    cf2.run_to_completion()
+    want = sorted(
+        (r["table_id"], r["pk"], r["commit_ts"], r["event_type"],
+         r["value_cents"])
+        for r in read_replica(spark, cf2.sink.state_dir).collect()
+    )
+    assert got == want and len(got) > 0
