@@ -115,3 +115,41 @@ def test_args_escape_hostile_event_types(spark):
     r2 = [x for x in encode_mysql_sql(
         df, replicating_ts=0, safe_mode_split=True).collect()]
     assert json.loads(r2[0]["args"]) == [7, hostile, 5]
+
+
+def test_oracle_escape_parity_hostile_event_types(spark):
+    """The DuckDB oracles for encoder_mysql_sql / _safe_mode must escape
+    event_type EXACTLY like the engine's json_escape — built from the
+    double-escaped _json_esc_sql helper, never an inlined chain (Python
+    string-escape processing mangles an inline chain into no-op replaces;
+    ADVICE r7). Drives both escapes over hostile payloads and compares
+    character-for-character."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from tigate_spark.catalog import _json_esc_sql, get_catalog
+    from tigate_spark.functions.encoders import json_escape
+
+    hostiles = ['a"b\\c\nd', "tab\there", "cr\rx", "\\n not a newline",
+                'end with backslash\\', '"', ""]
+    df = spark.createDataFrame([(h,) for h in hostiles],
+                               "event_type string")
+    engine = [r["e"] for r in
+              df.select(json_escape(F.col("event_type")).alias("e"))
+              .collect()]
+    con = duckdb.connect()
+    oracle = [
+        con.execute(
+            f"SELECT {_json_esc_sql('event_type')} FROM "
+            "(SELECT ? AS event_type)", [h]
+        ).fetchone()[0]
+        for h in hostiles
+    ]
+    con.close()
+    assert engine == oracle
+
+    # and the registered oracles actually embed the helper's chain
+    cat = get_catalog()
+    chain = _json_esc_sql("event_type")
+    assert chain in cat["encoder_mysql_sql"].oracle
+    assert chain in cat["encoder_mysql_sql_safe_mode"].oracle

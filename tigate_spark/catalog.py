@@ -2433,7 +2433,7 @@ _REPLICATING_TS_US = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC
 @register(
     "encoder_mysql_sql",
     ORACLE_CHANGES_CTE
-    + """
+    + ("""
 SELECT seq,
   CASE op
     WHEN 'I' THEN CASE WHEN commit_ts > %d
@@ -2443,12 +2443,16 @@ SELECT seq,
     ELSE printf('DELETE FROM `%%s`.`%%s` WHERE `pk` = ? LIMIT 1', schema_name, table_name)
   END AS sql,
   CASE op
-    WHEN 'I' THEN printf('[%%d,"%%s",%%s]', pk, replace(replace(replace(replace(replace(event_type, '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t'), coalesce(CAST(value_cents AS VARCHAR), 'null'))
-    WHEN 'U' THEN printf('["%%s",%%s,%%d]', replace(replace(replace(replace(replace(event_type, '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t'), coalesce(CAST(value_cents AS VARCHAR), 'null'), pk)
+    WHEN 'I' THEN printf('[%%d,"%%s",%%s]', pk, __ESC_ET__, coalesce(CAST(value_cents AS VARCHAR), 'null'))
+    WHEN 'U' THEN printf('["%%s",%%s,%%d]', __ESC_ET__, coalesce(CAST(value_cents AS VARCHAR), 'null'), pk)
     ELSE printf('[%%d]', pk)
   END AS args
 FROM changes
-""" % (_REPLICATING_TS_US, ),
+""" % (_REPLICATING_TS_US, ))
+    # oracle escape = the SAME double-escaped helper the canal/open
+    # oracles use — NEVER inline the chain (Python string-escape
+    # processing mangles it into no-op replaces; ADVICE r7)
+    .replace("__ESC_ET__", _json_esc_sql("event_type")),
     doc="K1: the MySQL sink's prepareDMLs SQL text surface — parametric "
         "INSERT/REPLACE (safe-mode translate boundary mysql_writer.go:"
         "686-691), UPDATE ... WHERE pk LIMIT 1, DELETE ... WHERE pk "
@@ -2482,10 +2486,10 @@ SELECT seq, piece_no,
   END AS sql,
   CASE kind
     WHEN 'D' THEN printf('[%d]', pk)
-    ELSE printf('[%d,"%s",%s]', pk, replace(replace(replace(replace(replace(event_type, '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t'), coalesce(CAST(value_cents AS VARCHAR), 'null'))
+    ELSE printf('[%d,"%s",%s]', pk, __ESC_ET__, coalesce(CAST(value_cents AS VARCHAR), 'null'))
   END AS args
 FROM p
-""",
+""".replace("__ESC_ET__", _json_esc_sql("event_type")),
     doc="K1: safe-mode SQL rendering — the fully idempotent replay form "
         "(safe mode forces REPLACE, mysql_writer.go:686-691, and the P6 "
         "update split turns U into DELETE piece 1 + REPLACE piece 2, "

@@ -96,8 +96,17 @@ class Changefeed:
         if fmt == "jsonl":
             raw = reader.json(path)
         elif fmt == "csv":
-            raw = reader.option("header", "true").option(
-                "multiLine", "true").csv(path)
+            # splittable by the export contract (no physical newline in a
+            # record — sources/formats.csv_escape_text); multiLine stays
+            # false so big files chunk by maxPartitionBytes
+            from tigate_spark.sources.formats import (
+                CSV_READ_OPTIONS,
+                decode_csv_events,
+            )
+
+            for k, v in CSV_READ_OPTIONS.items():
+                reader = reader.option(k, v)
+            return decode_csv_events(reader.csv(path))
         else:
             raise ValueError(f"unsupported source_format: {fmt}")
         # rebuild the events shape (ts from epoch-us) — identical plan to
