@@ -1248,6 +1248,194 @@ def engine_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "streaming_sqlite_apply_e2e",
+    ORACLE_CHANGES_CTE + """
+, ordered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY table_id, pk
+    ORDER BY commit_ts DESC, start_ts DESC,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC, seq DESC
+  ) AS rn
+  FROM changes
+)
+SELECT table_id, pk, event_type, value_cents
+FROM ordered WHERE rn = 1 AND op <> 'D'
+""",
+    doc="K1 executable sink: the changefeed drives a REAL writer loop — "
+        "foreachBatch renders the safe-mode statement stream "
+        "(encoder_mysql_sql_safe_mode, the SQLite-replay-proven SQL "
+        "surface) and foreachPartition EXECUTES it on live SQLite files, "
+        "one sequential connection per worker lane (table_id % lanes, "
+        "hash-repartitioned so a lane never spans partitions — "
+        "mysql_worker.go:90-135), explicit txns bounded by row count AND "
+        "arg bytes (the maxAllowedPacket boundary, mysql_writer.go:"
+        "727-755), busy-retry with backoff. Micro-batches split on the "
+        "full LWW tie-break order so per-key statement order is globally "
+        "correct; safe-mode idempotence makes batch replay converge "
+        "(the exactly-once story). Final downstream state (union of "
+        "lane DBs) hash-matches the LWW oracle — as close to a live "
+        "JDBC round trip as a MySQL-less sandbox allows",
+)
+def streaming_sqlite_apply_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.sources.changes import normalize_events
+    from tigate_spark.streaming.sqlite_apply import SqliteApplySink
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        base = spark.read.parquet(src)
+        # micro-batch boundaries respect the LWW replay tie-break
+        # (commit_ts, start_ts, D<U<I, seq) spelled over raw events
+        # columns, so equal-commit-ts ties never straddle batches out
+        # of order
+        order_sql = (
+            "ts, -(event_id % 97), "
+            "case when event_id % 10 >= 9 then 1 "
+            "when event_id % 10 >= 6 then 2 else 3 end, event_id"
+        )
+        flat, land = split_df_in_order(spark, base, work, 3, order_sql)
+        for k in range(3):
+            land(k)
+        raw = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(flat)
+        )
+        sink = SqliteApplySink(os.path.join(work, "db"))
+        ckpt = os.path.join(work, "ckpt")
+        q = (
+            normalize_events(raw)
+            .writeStream.foreachBatch(sink.process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        off = os.path.join(ckpt, "offsets")
+        n_batches = len(os.listdir(off)) if os.path.isdir(off) else 0
+        if n_batches < 2:
+            raise RuntimeError(f"expected multi-batch run, got {n_batches}")
+        return _materialize(sink.read_state(spark))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_MULTIFEED_ORACLE = ORACLE_CHANGES_CTE + """
+, a_ordered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY table_id, pk
+    ORDER BY commit_ts DESC, start_ts DESC,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC, seq DESC
+  ) AS rn
+  FROM changes WHERE table_name IN ('t0', 't1')
+)
+SELECT 'a' AS feed,
+       CAST(table_id AS VARCHAR) || ':' || CAST(pk AS VARCHAR) AS k,
+       CAST(commit_ts AS VARCHAR) || '|' || event_type || '|' ||
+       coalesce(CAST(value_cents AS VARCHAR), 'null') AS v
+FROM a_ordered WHERE rn = 1 AND op <> 'D'
+UNION ALL
+SELECT 'b' AS feed, CAST(seq AS VARCHAR) AS k,
+       topic || '|' || CAST(partition AS VARCHAR) || '|' || message AS v
+FROM (""" + _CHANGELOG_ORACLE + """
+) WHERE topic IN ('app_t2', 'app_t3')
+"""
+
+
+@register(
+    "engine_multifeed_e2e",
+    _MULTIFEED_ORACLE,
+    doc="Multi-changefeed coordinator twin (the reference runs MANY "
+        "feeds per cluster — coordinator/coordinator.go:68, >1M-table "
+        "goal; here the Spark driver IS the coordinator): TWO concurrent "
+        "changefeeds off ONE source directory — feed a: replica:// with "
+        "an F1 table filter (app.t0/t1); feed b: changelog:// (canal-"
+        "json encode + topic/partition routing) filtered to app.t2/t3 — "
+        "run through overlapping lifecycle: both started concurrently "
+        "(two availableNow queries sharing the session), both paused, "
+        "backlog lands while paused, both resumed together. Each feed's "
+        "checkpoint replays NOTHING on resume (asserted: the resumed "
+        "drain adds exactly the backlog's micro-batches to the offset "
+        "log; the append-only changelog would double rows on any "
+        "replay, so the hash match IS the exactly-once proof for b). "
+        "Result = both downstream states as (feed, key, value) rows "
+        "vs the filtered LWW + filtered changelog oracles",
+)
+def engine_multifeed_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.config import FilterConfig
+    from tigate_spark.engine import Engine
+    from tigate_spark.streaming.sinks import read_replica
+
+    def _await(*queries):
+        for q in queries:
+            try:
+                q.awaitTermination(300)
+            finally:
+                if q.isActive:
+                    q.stop()
+            if q.exception() is not None:
+                raise RuntimeError(str(q.exception()))
+
+    def _n_batches(eng, cid):
+        d = os.path.join(
+            eng._get(cid).changefeed.checkpoint_dir, "offsets")
+        return len(os.listdir(d)) if os.path.isdir(d) else 0
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        flat, land = split_commit_order(spark, src, work, 2)
+        land(0)
+        eng = Engine(spark, flat, work)
+        a = eng.create(ChangefeedConfig(
+            changefeed_id="multi-a", sink_uri="replica://",
+            filter=FilterConfig(rules=["app.t0", "app.t1"]),
+        ))
+        b = eng.create(ChangefeedConfig(
+            changefeed_id="multi-b", sink_uri="changelog://",
+            filter=FilterConfig(rules=["app.t2", "app.t3"]),
+        ))
+        _await(eng.start(a), eng.start(b))  # concurrent first drain
+        eng.pause(a)
+        eng.pause(b)
+        na0, nb0 = _n_batches(eng, a), _n_batches(eng, b)
+        n_backlog = land(1)  # backlog arrives while both are paused
+        _await(eng.resume(a), eng.resume(b))  # overlapping resumed drain
+        na1, nb1 = _n_batches(eng, a), _n_batches(eng, b)
+        if n_backlog > 0 and not (na1 > na0 and nb1 > nb0):
+            raise RuntimeError(
+                f"resume drained no backlog: a {na0}->{na1}, b {nb0}->{nb1}")
+        replica = read_replica(spark, eng.state_dir(a)).select(
+            F.lit("a").alias("feed"),
+            F.concat_ws(":", F.col("table_id"), F.col("pk")).alias("k"),
+            F.concat(
+                F.col("commit_ts").cast("string"), F.lit("|"),
+                F.col("event_type"), F.lit("|"),
+                F.coalesce(F.col("value_cents").cast("string"),
+                           F.lit("null")),
+            ).alias("v"),
+        )
+        log = spark.read.parquet(eng.state_dir(b)).select(
+            F.lit("b").alias("feed"),
+            F.col("seq").cast("string").alias("k"),
+            F.concat(
+                F.col("topic"), F.lit("|"),
+                F.col("partition").cast("string"), F.lit("|"),
+                F.col("message"),
+            ).alias("v"),
+        )
+        out = _materialize(replica.unionByName(log))
+        eng.remove(a, drop_state=True)
+        eng.remove(b, drop_state=True)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # the oracle template and the streaming twin share the engine's constants
 from tigate_spark.operators.txn import (  # noqa: E402
     FLUSH_LANES as _FLUSH_LANES,
