@@ -2906,7 +2906,16 @@ def _bpe_rewrite_round(cur):
         "tokens after) — merged tokens render as 'w1 w2', atomic in "
         "later rounds exactly like real BPE symbols. Per round: one "
         "pair-explode scan + one window pass + one positional rebuild "
-        "agg — linear in corpus size, rounds x that at any scale",
+        "agg — linear in corpus size, rounds x that at any scale. "
+        "PRODUCTION SHAPE NOTE: rounds are sequential driver round-trips "
+        "(argmax collect + rewrite per round) — exact and fine at the "
+        f"demo K={_BPE_ROUNDS}, but a real 32k-merge vocab must NOT "
+        "scale K as-is: select a top-M batch of non-interacting merges "
+        "per round instead (pairs sharing no symbol merge "
+        "order-independently, so M merges apply in ONE rewrite pass — "
+        "~K/M driver round-trips; the standard trick in distributed BPE "
+        "trainers). The per-round plan shape is unchanged; only the "
+        "selection widens from argmax to top-M + conflict filter",
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import (LongType, StringType, StructField,

@@ -1620,16 +1620,21 @@ def streaming_flush_batches_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(sources/formats.py + config.source_format)",
 )
 def streaming_jsonl_replica_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text_format_replica_e2e(spark, sf_dir, "jsonl")
+
+
+def _text_format_replica_e2e(spark: SparkSession, sf_dir: str,
+                             fmt: str) -> DataFrame:
     from tigate_spark.sources.formats import export_events
     from tigate_spark.streaming.changefeed import Changefeed
     from tigate_spark.streaming.sinks import read_replica
 
     work = tempfile.mkdtemp(prefix="tigate-stream-")
     try:
-        src = export_events(spark, sf_dir, "jsonl")
+        src = export_events(spark, sf_dir, fmt)
         cfg = ChangefeedConfig(
-            changefeed_id="jsonl-e2e", sink_uri="replica://",
-            source_format="jsonl",
+            changefeed_id=f"{fmt}-e2e", sink_uri="replica://",
+            source_format=fmt,
         )
         cf = Changefeed(spark, cfg, src, work)
         cf.run_to_completion()
@@ -1640,3 +1645,20 @@ def streaming_jsonl_replica_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(replica)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_csv_replica_e2e",
+    _STREAM_ORACLE,
+    doc="The changefeed's CSV branch end-to-end under the round-8 "
+        "SPLITTABLE contract: the export escapes newlines/CRs out of "
+        "free-form columns (sources/formats.csv_escape_text) so the "
+        "streaming reader runs multiLine=false — each micro-batch's scan "
+        "chunks by maxPartitionBytes instead of one task per file (the "
+        "100 TB posture) — with pinned nullValue/emptyValue so null vs "
+        "'' survives; csv_unescape_text restores exact bytes before "
+        "normalize_events. Same LWW replica oracle as the parquet and "
+        "JSONL runs — three source formats, one changefeed, one oracle",
+)
+def streaming_csv_replica_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text_format_replica_e2e(spark, sf_dir, "csv")

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Streaming 10x scale probe: per-micro-batch wall-clock FLATNESS.
+
+bench_streaming.py pins end-to-end rows/s at 1M changes; this tool pins
+the claim behind the replica sink's 100 TB posture — per-batch driver
+work is O(touched tables), so per-micro-batch wall-clock must stay FLAT
+as the stream gets 10x longer (40 micro-batches instead of 4 at the
+SAME per-batch row count). A growing per-batch curve would mean
+accumulated state or lineage leaks into every batch (the failure mode
+the manifest-versioned ReplicaSink design explicitly avoids: each batch
+writes only touched tables' winners into a fresh v=<n> dir + O(touched)
+manifest rows — streaming/sinks.py:159-204).
+
+Drives the FULL changefeed (source → normalize/filter → replica merge)
+at 1M changes / 4 batches and 10M changes / 40 batches, ~250k rows per
+batch in both runs, and reports per-batch durations from the streaming
+progress log. Prints one JSON line per scale:
+
+  {"scale": "10M", "batches": 40, "rows": 10000000, "sec": ...,
+   "rows_per_sec": ..., "batch_ms": [...], "head_mean_ms": ...,
+   "tail_mean_ms": ..., "flatness": tail/head}
+
+flatness ~1.0 = per-batch cost independent of stream position. Not
+driver-run (bench.py is the contract); this pins the BASELINE.md
+streaming-scale row reproducibly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tigate_spark.config import ChangefeedConfig  # noqa: E402
+from tigate_spark.session import get_spark  # noqa: E402
+from tigate_spark.streaming.changefeed import Changefeed  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_source(spark, out_dir: str, copies: int, n_files: int) -> int:
+    """sf0.1 events replicated with disjoint event_id ranges; n_files
+    parquet files → n_files micro-batches at maxFilesPerTrigger=1."""
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    n = ev.count()
+    big = ev
+    for i in range(1, copies):
+        big = big.unionByName(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * n))
+        )
+    big.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    return n * copies
+
+
+def run_scale(spark, label: str, copies: int, n_files: int) -> dict:
+    src = tempfile.mkdtemp(prefix=f"tigate-sscale-src-{label}-")
+    work = tempfile.mkdtemp(prefix=f"tigate-sscale-work-{label}-")
+    try:
+        total = build_source(spark, src, copies, n_files)
+        cfg = ChangefeedConfig(changefeed_id=f"sscale-{label}",
+                               sink_uri="replica://")
+        cf = Changefeed(spark, cfg, src, work)
+        t0 = time.monotonic()
+        q = cf.start(available_now=True)
+        progresses: list[dict] = []
+        try:
+            while q.isActive:
+                q.awaitTermination(1)
+                for p in q.recentProgress[len(progresses):]:
+                    progresses.append(p)
+        finally:
+            if q.isActive:
+                q.stop()
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        dt = time.monotonic() - t0
+        for p in q.recentProgress[len(progresses):]:
+            progresses.append(p)
+        batch_ms = [
+            int(p["durationMs"]["triggerExecution"])
+            for p in progresses if p.get("numInputRows", 0) > 0
+        ]
+        k = max(3, len(batch_ms) // 10)
+        head = sum(batch_ms[:k]) / k if batch_ms else 0
+        tail = sum(batch_ms[-k:]) / k if batch_ms else 0
+        return {
+            "scale": label,
+            "batches": len(batch_ms),
+            "rows": total,
+            "sec": round(dt, 2),
+            "rows_per_sec": int(total / dt),
+            "batch_ms": batch_ms,
+            "head_mean_ms": round(head),
+            "tail_mean_ms": round(tail),
+            "flatness": round(tail / head, 2) if head else None,
+        }
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    spark = get_spark("tigate-streaming-scale")
+    try:
+        for label, copies, n_files in (("1M", 10, 4), ("10M", 100, 40)):
+            print(json.dumps(run_scale(spark, label, copies, n_files)),
+                  flush=True)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
