@@ -26,9 +26,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Run order for a driver that caps at ~50 entries per round. Round-8
-#: rotation: positions 1-3 are the three NEW round-8 entries (multi-
-#: changefeed coordinator e2e, the live SQLite writer-loop sink e2e,
-#: the splittable-CSV streaming changefeed e2e); 4-6 are entries whose
+#: rotation: positions 1-4 are the four NEW round-8 entries (batched
+#: top-M BPE trainer, multi-changefeed coordinator e2e, the live SQLite
+#: writer-loop sink e2e,
+#: the splittable-CSV streaming changefeed e2e); next are entries whose
 #: engine code or oracle changed in round 8 (splittable CSV source;
 #: the mysql-SQL oracles now escape via _json_esc_sql); 7-20 are the
 #: state-heaviest entries not re-verified in the r7 window (streaming
@@ -37,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: stopped, so every entry's external row stays fresh on the rolling
 #: clock (r7 ran 50/50 green; cumulative coverage is 224/224).
 _PRIORITY = [
+    "bpe_train_merges_batched",
     "engine_multifeed_e2e", "streaming_sqlite_apply_e2e",
     "streaming_csv_replica_e2e", "source_csv_changes", "encoder_mysql_sql",
     "encoder_mysql_sql_safe_mode", "streaming_replica_e2e",

@@ -2813,17 +2813,11 @@ FROM top{r}"""
     return _bpe_cte_chain() + "\n" + rounds_sql
 
 
-def _bpe_rewrite_round(cur):
-    """One BPE merge round over a (doc_id, tokens) frame: corpus argmax
-    pair (count desc, lexicographic tie-break; driver-side 1-row collect
-    — the codebook precedent) and the LTR non-overlap rewrite via
-    gaps-and-islands. Returns ``(top_row | None, new_cur)``; the rewritten
-    frame is localCheckpointed so the caller's next actions scan a
-    materialized frame. Shared by the trainer and the vocab-apply entry
-    so their corpus rewrites cannot drift."""
-    from pyspark.sql import Window
-
-    bg = (
+def _bpe_bigrams(cur):
+    """Adjacent-pair frame (doc_id, i, w1, w2) over a (doc_id, tokens)
+    frame — one posexplode scan, shared by the argmax trainer and the
+    batched top-M trainer so their pair counting cannot drift."""
+    return (
         cur.filter(F.expr("size(tokens) >= 2"))
         .select(
             "doc_id",
@@ -2840,6 +2834,19 @@ def _bpe_rewrite_round(cur):
             F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
         )
     )
+
+
+def _bpe_rewrite_round(cur):
+    """One BPE merge round over a (doc_id, tokens) frame: corpus argmax
+    pair (count desc, lexicographic tie-break; driver-side 1-row collect
+    — the codebook precedent) and the LTR non-overlap rewrite via
+    gaps-and-islands. Returns ``(top_row | None, new_cur)``; the rewritten
+    frame is localCheckpointed so the caller's next actions scan a
+    materialized frame. Shared by the trainer and the vocab-apply entry
+    so their corpus rewrites cannot drift."""
+    from pyspark.sql import Window
+
+    bg = _bpe_bigrams(cur)
     top = (
         bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "w1", "w2").limit(1).collect()
@@ -2999,3 +3006,210 @@ def bpe_vocab_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens_before") - F.col("n_tokens_after")).cast("bigint")
         .alias("n_merges_applied"),
     )
+
+
+# --- batched top-M BPE training (the production merge-selection shape) ---
+
+#: Batched trainer constants: per round, rank the top C candidate pairs
+#: by (count desc, w1, w2), greedily keep up to M that share no symbol
+#: with any earlier-kept pair, and apply ALL kept merges in one rewrite
+#: pass.  Symbol-disjoint pairs can never produce overlapping matches
+#: (a match of (a,b) at position i occupies tokens i,i+1; a match of a
+#: different selected pair at i-1 or i+1 would need one of a/b as its
+#: own symbol), so the single-pass rewrite is exact.
+_BPE_BATCH_ROUNDS = 2
+_BPE_BATCH_M = 3
+_BPE_BATCH_C = 12
+
+
+def _bpe_batched_cte_chain() -> str:
+    """The batched-round rewrite chain (tok0 -> tok{R}): per round,
+    cand = top-C ranked pairs, greedy = a recursive rank-order walk
+    carrying the accumulated symbol set (picked iff neither symbol seen
+    in an earlier pick), sel = first M picks, stt = per-pair LTR merge
+    starts (gaps-and-islands partitioned by doc AND pair), tok{r+1} =
+    one positional rebuild applying every selected merge at once."""
+    c, m = _BPE_BATCH_C, _BPE_BATCH_M
+    parts = [_TOK_CTE.replace("WITH ", "WITH RECURSIVE ", 1),
+             ", tok0 AS (SELECT doc_id, tokens FROM tok)"]
+    for r in range(_BPE_BATCH_ROUNDS):
+        parts.append(f"""
+, bg{r} AS (
+  SELECT t.doc_id, CAST(g.i AS BIGINT) AS i,
+         t.tokens[g.i] AS w1, t.tokens[g.i + 1] AS w2
+  FROM tok{r} t, unnest(range(1, greatest(len(t.tokens), 1))) AS g(i)
+  WHERE len(t.tokens) >= 2
+), cand{r} AS (
+  SELECT w1, w2, cnt, rn FROM (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt,
+           row_number() OVER (ORDER BY count(*) DESC, w1, w2) AS rn
+    FROM bg{r} GROUP BY 1, 2
+  ) WHERE rn <= {c}
+), greedy{r} AS (
+  SELECT rn, w1, w2, cnt, TRUE AS picked, [w1, w2] AS syms
+  FROM cand{r} WHERE rn = 1
+  UNION ALL
+  SELECT nxt.rn, nxt.w1, nxt.w2, nxt.cnt,
+         NOT list_contains(g.syms, nxt.w1)
+           AND NOT list_contains(g.syms, nxt.w2) AS picked,
+         CASE WHEN NOT list_contains(g.syms, nxt.w1)
+                   AND NOT list_contains(g.syms, nxt.w2)
+              THEN list_concat(g.syms, [nxt.w1, nxt.w2])
+              ELSE g.syms END AS syms
+  FROM greedy{r} g JOIN cand{r} nxt ON nxt.rn = g.rn + 1
+), sel{r} AS (
+  SELECT w1, w2, cnt, CAST(row_number() OVER (ORDER BY rn) AS BIGINT) AS m
+  FROM (SELECT * FROM greedy{r} WHERE picked ORDER BY rn LIMIT {m})
+), stt{r} AS (
+  SELECT doc_id, i, w2 FROM (
+    SELECT doc_id, i, w2,
+           row_number() OVER (PARTITION BY doc_id, w1, w2, grp
+                              ORDER BY i) AS k
+    FROM (
+      SELECT b.doc_id, b.i, b.w1, b.w2,
+             b.i - row_number() OVER (PARTITION BY b.doc_id, b.w1, b.w2
+                                      ORDER BY b.i) AS grp
+      FROM bg{r} b JOIN sel{r} s ON b.w1 = s.w1 AND b.w2 = s.w2
+    )
+  ) WHERE (k - 1) % 2 = 0
+), tok{r + 1} AS (
+  SELECT p.doc_id,
+         list(CASE WHEN s.i IS NOT NULL THEN p.tok || ' ' || s.w2
+              ELSE p.tok END ORDER BY p.i) AS tokens
+  FROM (SELECT t.doc_id, CAST(g.i AS BIGINT) AS i, t.tokens[g.i] AS tok
+        FROM tok{r} t, unnest(range(1, len(t.tokens) + 1)) AS g(i)) p
+  LEFT JOIN stt{r} s ON p.doc_id = s.doc_id AND p.i = s.i
+  LEFT JOIN (SELECT doc_id, i + 1 AS i FROM stt{r}) con
+    ON p.doc_id = con.doc_id AND p.i = con.i
+  WHERE con.i IS NULL
+  GROUP BY p.doc_id
+)""")
+    return "".join(parts)
+
+
+def _bpe_batched_train_oracle() -> str:
+    rounds_sql = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r + 1} AS BIGINT) AS merge_round, m AS merge_seq,
+       w1, w2, cnt AS pair_count,
+       (SELECT CAST(sum(len(tokens)) AS BIGINT) FROM tok{r + 1})
+         AS corpus_tokens_after
+FROM sel{r}"""
+        for r in range(_BPE_BATCH_ROUNDS)
+    )
+    return _bpe_batched_cte_chain() + "\n" + rounds_sql
+
+
+def _bpe_greedy_select(cands, m):
+    """Greedy conflict-free pick over ranked (w1, w2, cnt) candidates:
+    keep a pair iff neither symbol appeared in an earlier keep; stop at
+    m keeps. Driver-side over a C-row codebook-sized list."""
+    sel, syms = [], set()
+    for row in cands:
+        if row["w1"] in syms or row["w2"] in syms:
+            continue
+        sel.append(row)
+        syms.update((row["w1"], row["w2"]))
+        if len(sel) >= m:
+            break
+    return sel
+
+
+@register(
+    "bpe_train_merges_batched",
+    _bpe_batched_train_oracle(),
+    doc=f"BPE training, batched top-M merge selection — the production "
+        "shape bpe_train_merges' docstring prescribes (the standard "
+        "distributed-BPE trick: symbol-disjoint merges apply order-"
+        f"independently). Per round: ONE driver collect of the top "
+        f"C={_BPE_BATCH_C} ranked candidate pairs (count desc, w1, w2 "
+        "— a codebook-sized list), a driver-side greedy conflict filter "
+        f"keeping up to M={_BPE_BATCH_M} pairs that share no symbol "
+        "with an earlier keep, then ONE distributed rewrite pass "
+        "applying all kept merges (per-pair gaps-and-islands LTR "
+        "starts; cross-pair matches cannot overlap because symbols are "
+        "disjoint). ~K/M driver round-trips for a K-merge vocab vs K "
+        "in the argmax trainer; per-round plan shape unchanged (one "
+        "pair-explode scan + window pass + positional rebuild, corpus "
+        "localCheckpointed between rounds). The oracle reproduces the "
+        "greedy walk exactly via a recursive rank-order CTE carrying "
+        "the accumulated symbol set. Output = (round, seq) -> merge "
+        "with selection-time count and corpus size after the batch",
+)
+def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    docs = load_table(spark, sf_dir, "documents")
+    cur = tx.with_tokens(docs).select("doc_id", "tokens").localCheckpoint()
+    out = []
+    for r in range(_BPE_BATCH_ROUNDS):
+        bg = _bpe_bigrams(cur)
+        cands = (
+            bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "w1", "w2")
+            .limit(_BPE_BATCH_C).collect()
+        )
+        sel = _bpe_greedy_select(cands, _BPE_BATCH_M)
+        if not sel:
+            break
+        sel_df = spark.createDataFrame(
+            [(s["w1"], s["w2"]) for s in sel],
+            StructType([StructField("w1", StringType()),
+                        StructField("w2", StringType())]),
+        )
+        matches = bg.join(F.broadcast(sel_df), ["w1", "w2"]).select(
+            "doc_id", "i", "w1", "w2"
+        )
+        w_isl = Window.partitionBy("doc_id", "w1", "w2").orderBy("i")
+        mm = matches.withColumn(
+            "grp", F.col("i") - F.row_number().over(w_isl)
+        )
+        w_grp = Window.partitionBy("doc_id", "w1", "w2", "grp").orderBy("i")
+        starts = (
+            mm.withColumn("k", F.row_number().over(w_grp))
+            .filter((F.col("k") - 1) % 2 == 0)
+            .select("doc_id", "i", F.col("w2").alias("mw2"))
+        )
+        pos = cur.select(
+            "doc_id", F.posexplode("tokens").alias("i0", "tok")
+        ).select(
+            "doc_id", (F.col("i0") + 1).cast("bigint").alias("i"), "tok"
+        )
+        consumed = starts.select(
+            "doc_id", (F.col("i") + 1).alias("i"),
+            F.lit(True).alias("is_consumed"),
+        )
+        reb = (
+            pos.join(starts, ["doc_id", "i"], "left")
+            .join(consumed, ["doc_id", "i"], "left")
+            .filter(F.col("is_consumed").isNull())
+            .select(
+                "doc_id", "i",
+                F.when(
+                    F.col("mw2").isNotNull(),
+                    F.concat(F.col("tok"), F.lit(" "), F.col("mw2")),
+                ).otherwise(F.col("tok")).alias("tok"),
+            )
+        )
+        cur = reb.groupBy("doc_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, tok))), "
+                "x -> x.tok)"
+            ).alias("tokens")
+        ).localCheckpoint()
+        n_after = cur.agg(
+            F.sum(F.expr("size(tokens)")).cast("bigint").alias("n")
+        ).collect()[0]["n"]
+        for seq, s in enumerate(sel, start=1):
+            out.append((r + 1, seq, s["w1"], s["w2"], int(s["cnt"]),
+                        int(n_after)))
+    schema = StructType([
+        StructField("merge_round", LongType()),
+        StructField("merge_seq", LongType()),
+        StructField("w1", StringType()),
+        StructField("w2", StringType()),
+        StructField("pair_count", LongType()),
+        StructField("corpus_tokens_after", LongType()),
+    ])
+    return spark.createDataFrame(out, schema)
