@@ -1,0 +1,146 @@
+"""FileSchemaRegistry semantics + registry-resolved decode round trip.
+
+The registry must reproduce the Confluent server behaviors the reference
+client relies on (confluent_schema_registry.go): global content-dedup'd
+ids, per-subject versions, idempotent re-registration, id lookup — and
+survive concurrent registrations from separate processes (fcntl lock).
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing
+import os
+
+import pytest
+
+from tigate_spark.functions.confluent_registry import (
+    EVENTS_KEY_SCHEMA,
+    EVENTS_VALUE_V1,
+    EVENTS_VALUE_V2,
+    EXPECTED_KEY_ID,
+    EXPECTED_V1_ID,
+    EXPECTED_V2_ID,
+    FileSchemaRegistry,
+    canonical_schema,
+)
+
+
+@pytest.fixture()
+def reg(tmp_path):
+    return FileSchemaRegistry(str(tmp_path / "registry.json"))
+
+
+def test_fresh_allocation_order(reg):
+    assert reg.register("events-key", EVENTS_KEY_SCHEMA) == EXPECTED_KEY_ID
+    assert reg.register("events-value", EVENTS_VALUE_V1) == EXPECTED_V1_ID
+    assert reg.register("events-value", EVENTS_VALUE_V2) == EXPECTED_V2_ID
+
+
+def test_idempotent_reregistration(reg):
+    a = reg.register("s", EVENTS_VALUE_V1)
+    b = reg.register("s", EVENTS_VALUE_V1)
+    assert a == b
+    assert reg.versions("s") == [1]
+    # whitespace / key order must not mint a new id (content canonical)
+    shuffled = json.dumps(json.loads(EVENTS_VALUE_V1), indent=2)
+    assert reg.register("s", shuffled) == a
+
+
+def test_cross_subject_content_dedup(reg):
+    a = reg.register("t1-value", EVENTS_VALUE_V1)
+    b = reg.register("t2-value", EVENTS_VALUE_V1)
+    assert a == b, "Confluent allocates ids per unique schema, not subject"
+    assert reg.versions("t1-value") == [1]
+    assert reg.versions("t2-value") == [1]
+
+
+def test_subject_versions_and_latest(reg):
+    reg.register("ev", EVENTS_VALUE_V1)
+    vid2 = reg.register("ev", EVENTS_VALUE_V2)
+    assert reg.versions("ev") == [1, 2]
+    latest = reg.latest("ev")
+    assert latest["version"] == 2
+    assert latest["schema_id"] == vid2
+    assert "props" in latest["schema"]
+    assert reg.get_by_id(vid2) == canonical_schema(EVENTS_VALUE_V2)
+    with pytest.raises(KeyError):
+        reg.get_by_id(999)
+    with pytest.raises(KeyError):
+        reg.latest("nope")
+
+
+def _register_batch(args):
+    path, proc = args
+    reg = FileSchemaRegistry(path)
+    out = []
+    for k in range(5):
+        schema = json.dumps({"type": "record", "name": f"r{proc}_{k}",
+                             "fields": []})
+        out.append(reg.register(f"sub{proc}", schema))
+    return out
+
+
+def test_concurrent_process_allocation(tmp_path):
+    """4 processes x 5 distinct schemas: every id unique, 1..20 with no
+    gaps — the fcntl read-modify-write serializes allocation."""
+    path = str(tmp_path / "registry.json")
+    with multiprocessing.Pool(4) as pool:
+        got = pool.map(_register_batch, [(path, p) for p in range(4)])
+    ids = sorted(i for batch in got for i in batch)
+    assert ids == list(range(1, 21))
+
+
+def test_registry_resolved_decode_round_trip(spark, sf_dir):
+    """Consumer side: resolve each framed message's schema id against the
+    registry and parse v1 vs v2 accordingly (v2 = trailing union-string
+    props). Proves the per-row id actually selects the right body."""
+    from tigate_spark.catalog import get_catalog
+    from tigate_spark.functions.avro_wire import (
+        avro_long,
+        avro_string,
+        decode_avro_value,
+    )
+
+    df = get_catalog()["encoder_avro_registry_evolution"].builder(
+        spark, sf_dir
+    )
+    live = df.filter("value_hex is not null")
+    rows = (live.orderBy("schema_id", "seq").limit(100).collect()
+            + live.orderBy(live.schema_id.desc(), "seq").limit(100).collect())
+    assert rows
+    reg = FileSchemaRegistry(
+        "/tmp/tigate-avro-registry-"
+        + __import__("hashlib").md5(sf_dir.encode()).hexdigest()[:12]
+        + ".json"
+    )
+    seen = set()
+    for r in rows:
+        raw = bytes.fromhex(r["value_hex"])
+        sid = int.from_bytes(raw[1:5], "big")
+        assert sid == r["schema_id"]
+        schema = json.loads(reg.get_by_id(sid))
+        has_props = any(f["name"] == "props" for f in schema["fields"])
+        seen.add(has_props)
+        if not has_props:
+            decode_avro_value(raw)  # v1 parser must consume exactly
+        else:
+            body = raw[5:]
+            # v1 prefix: pk, 3 unions, op, commit_ts, phys — then props
+            i = 0
+            pk, i = avro_long(body, i)
+            for _ in range(3):
+                br, i = avro_long(body, i)
+                assert br == 1
+                val, i = (avro_string(body, i) if _ == 0
+                          else avro_long(body, i))
+            _, i = avro_string(body, i)   # op
+            _, i = avro_long(body, i)     # commit_ts
+            _, i = avro_long(body, i)     # phys
+            br, i = avro_long(body, i)    # props union branch
+            if br == 1:
+                _, i = avro_string(body, i)
+            else:
+                assert br == 0
+            assert i == len(body), "v2 body must consume exactly"
+    assert seen == {True, False}, "expected both schema versions in window"

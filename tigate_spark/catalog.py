@@ -1344,6 +1344,85 @@ def encoder_avro_confluent_framed(spark: SparkSession, sf_dir: str) -> DataFrame
     return encode_avro_confluent(ch).select("seq", "key_hex", "value_hex")
 
 
+def _avro_evolution_oracle() -> str:
+    from tigate_spark.functions.avro_wire import avro_evolution_oracle_suffix
+    from tigate_spark.functions.confluent_registry import (
+        EXPECTED_KEY_ID,
+        EXPECTED_V1_ID,
+        EXPECTED_V2_ID,
+    )
+
+    mid_sql = "(SELECT (min(commit_ts) + max(commit_ts)) // 2 FROM avro_in)"
+    return (
+        ORACLE_CHANGES_CTE
+        + """
+, avro_in AS (
+  SELECT seq, op, pk, event_type, value_cents, user_id, commit_ts, props
+  FROM changes
+)"""
+        + avro_evolution_oracle_suffix(
+            EXPECTED_KEY_ID, EXPECTED_V1_ID, EXPECTED_V2_ID, mid_sql
+        )
+        + "\nSELECT seq, schema_id, key_hex, value_hex FROM avro_evo"
+    )
+
+
+@register(
+    "encoder_avro_registry_evolution",
+    _avro_evolution_oracle(),
+    doc="Schema-registry round trip driving the Confluent wire framing "
+        "across a schema evolution (confluent_schema_registry.go:198-263 "
+        "Register + 400-408 framing; the HTTP server's allocation "
+        "semantics live in functions/confluent_registry.py over a local "
+        "fcntl-locked JSON file — global content-deduplicated ids, "
+        "per-subject versions, idempotent re-registration). The entry "
+        "registers key/value-v1/value-v2 (v2 = v1 + nullable props, the "
+        "post-DDL add-column shape) against a FRESH registry, asserts "
+        "idempotency and cross-subject content dedup, then frames every "
+        "row with its REGISTRY-RETURNED id: v1 body before the corpus-"
+        "midpoint commit-ts boundary, v2 body (+ union-string props "
+        "tail) after. The oracle templates the ids a fresh Confluent "
+        "registry must hand this order (1/2/3) — an allocator drift "
+        "would flip the framed bytes and fail the hash. One 1-row agg "
+        "collect for the boundary (codebook precedent); framing is pure "
+        "column expressions in both engines",
+)
+def encoder_avro_registry_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tigate_spark.functions.avro_wire import encode_avro_evolution
+    from tigate_spark.functions.confluent_registry import (
+        EVENTS_KEY_SCHEMA,
+        EVENTS_VALUE_V1,
+        EVENTS_VALUE_V2,
+        FileSchemaRegistry,
+    )
+
+    path = ("/tmp/tigate-avro-registry-"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12] + ".json")
+    if os.path.exists(path):
+        os.remove(path)  # fresh deterministic allocation per run
+    reg = FileSchemaRegistry(path)
+    key_id = reg.register("events-key", EVENTS_KEY_SCHEMA)
+    v1_id = reg.register("events-value", EVENTS_VALUE_V1)
+    if reg.register("events-value", EVENTS_VALUE_V1) != v1_id:
+        raise AssertionError("registry re-registration must be idempotent")
+    v2_id = reg.register("events-value", EVENTS_VALUE_V2)
+    if reg.register("events_compat-value", EVENTS_VALUE_V2) != v2_id:
+        raise AssertionError("registry must dedup schema content globally")
+    if reg.versions("events-value") != [1, 2]:
+        raise AssertionError("subject must carry two versions post-evolution")
+    ch = changes_stream(spark, sf_dir)
+    b = ch.agg(F.min("commit_ts").alias("mn"),
+               F.max("commit_ts").alias("mx")).collect()[0]
+    mid = (int(b["mn"]) + int(b["mx"])) // 2
+    out = encode_avro_evolution(ch, key_id, v1_id, v2_id, mid)
+    return out.select("seq", "schema_id", "key_hex", "value_hex")
+
+
 @register(
     "encoder_csv_rows",
     ORACLE_CHANGES_CTE

@@ -110,6 +110,66 @@ def avro_wire_oracle_suffix() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Schema-evolution framing: per-row schema id resolved from the registry
+# (v1 before the evolution boundary, v2 — which appends a nullable props
+# field — after it). The id literals come from FileSchemaRegistry
+# registrations, so the framed bytes prove the allocator's behavior.
+# ---------------------------------------------------------------------------
+def avro_evolution_steps(d_name: str, key_id: int, v1_id: int, v2_id: int,
+                         mid_sql: str) -> list[tuple[str, str]]:
+    """Ordered (column, SQL) steps: v1 body for ``commit_ts <= mid``,
+    v2 body (v1 + Avro union-string props tail) after. Expects the
+    avro_wire_steps columns plus ``props``."""
+    d = _dialect(d_name)
+    steps = avro_wire_steps(d_name)[:3]  # et_h, op_h, value_body_h
+    k_hdr = f"00{key_id:08X}"
+    v1_hdr = f"00{v1_id:08X}"
+    v2_hdr = f"00{v2_id:08X}"
+    steps.append((
+        "props_h",
+        f"CASE WHEN props IS NULL THEN '00' ELSE '{_UNION1}' || "
+        f"{_vhex(d['slen']('props'), d, 3)} || hex(props) END",
+    ))
+    steps.append((
+        "schema_id",
+        f"CAST(CASE WHEN commit_ts <= {mid_sql} THEN {v1_id} "
+        f"ELSE {v2_id} END AS BIGINT)",
+    ))
+    steps.append(("key_hex", f"'{k_hdr}' || {_vhex('pk', d)}"))
+    steps.append((
+        "value_hex",
+        f"CASE WHEN op <> 'D' THEN CASE WHEN commit_ts <= {mid_sql} "
+        f"THEN '{v1_hdr}' || value_body_h "
+        f"ELSE '{v2_hdr}' || value_body_h || props_h END END",
+    ))
+    return steps
+
+
+def encode_avro_evolution(df: DataFrame, key_id: int, v1_id: int,
+                          v2_id: int, mid: int) -> DataFrame:
+    """Frame each change row with the registry-resolved schema id and the
+    matching record body (v2 appends the union-string props field).
+    Pure column expressions — whole-stage codegen, no Python."""
+    steps = avro_evolution_steps("spark", key_id, v1_id, v2_id, str(int(mid)))
+    out = df.selectExpr("*", *[f"{sql} AS {name}" for name, sql in steps])
+    return out.drop("et_h", "op_h", "value_body_h", "props_h")
+
+
+def avro_evolution_oracle_suffix(key_id: int, v1_id: int, v2_id: int,
+                                 mid_sql: str) -> str:
+    """DuckDB mirror: chained CTEs over ``avro_in`` ending in
+    ``avro_evo``."""
+    steps = avro_evolution_steps("duckdb", key_id, v1_id, v2_id, mid_sql)
+    sql = []
+    prev = "avro_in"
+    for i, (name, expr) in enumerate(steps):
+        cte = "avro_evo" if i == len(steps) - 1 else f"ave{i}"
+        sql.append(f", {cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cte
+    return "".join(sql)
+
+
+# ---------------------------------------------------------------------------
 # Consumer-side decoder (E7 for the Confluent Avro wire format) — an
 # independent Python implementation of Avro binary decoding (spec §binary
 # encoding) + the 5-byte Confluent header, run over Arrow mapInPandas.
