@@ -39,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: clock (r7 ran 50/50 green; cumulative coverage is 224/224).
 _PRIORITY = [
     "bpe_train_merges_batched", "encoder_avro_registry_evolution",
+    "dedup_c4_span_excise",
     "engine_multifeed_e2e", "streaming_sqlite_apply_e2e",
     "streaming_csv_replica_e2e", "source_csv_changes", "encoder_mysql_sql",
     "encoder_mysql_sql_safe_mode", "streaming_replica_e2e",

@@ -32,6 +32,11 @@ SENSITIVE = [
     # r07: per-lane pandas greedy walk must sort inside the group, never
     # rely on arrival order of the grouped batch
     "sink_txn_flush_batches",
+    # r08: per-round top-C collect + driver greedy conflict filter — the
+    # candidate ranking must tie-break on the pair, not arrival order
+    "bpe_train_merges_batched",
+    # r08: global keep-first by (doc_id, pos) via row_number per digest
+    "dedup_c4_span_excise",
 ]
 
 

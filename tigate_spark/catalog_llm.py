@@ -2751,6 +2751,143 @@ def dedup_paragraph_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: C4 span-dedup unit size (tokens per "sentence" unit) and window (units
+#: per span). The testdata corpus is a word stream with no sentence
+#: punctuation, so the unit segmenter is a fixed 8-token chunker; on
+#: natural text swap it for a punctuation splitter — every downstream
+#: step (window, keep-first, excision) is segmenter-agnostic.
+_C4_UNIT = 8
+_C4_WIN = 3
+
+
+@register(
+    "dedup_c4_span_excise",
+    f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tokens
+  FROM documents
+), base AS (
+  SELECT doc_id, tokens,
+         CAST((len(tokens) - 1) // {_C4_UNIT} + 1 AS BIGINT) AS n_units
+  FROM tok WHERE len(tokens) >= 1
+), spans AS (
+  SELECT doc_id, CAST(g.j AS BIGINT) AS j,
+         md5(array_to_string(
+           tokens[(g.j - 1) * {_C4_UNIT} + 1 :
+                  (g.j - 1) * {_C4_UNIT} + {_C4_UNIT * _C4_WIN}],
+           ' ')) AS h
+  FROM base, unnest(range(1, n_units - {_C4_WIN - 2})) AS g(j)
+  WHERE n_units >= {_C4_WIN}
+), occ AS (
+  SELECT doc_id, j,
+         count(*) OVER (PARTITION BY h) AS n_occ,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, j) AS rn
+  FROM spans
+), removed AS (
+  SELECT doc_id, j FROM occ WHERE n_occ > 1 AND rn > 1
+), removed_units AS (
+  SELECT DISTINCT doc_id, j + d.k AS u
+  FROM removed, unnest(range(0, {_C4_WIN})) AS d(k)
+)
+SELECT b.doc_id, b.n_units,
+       CAST(greatest(b.n_units - {_C4_WIN - 1}, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(r.n_rm, 0) AS BIGINT) AS n_removed_spans,
+       CAST(coalesce(ru.n_ru, 0) AS BIGINT) AS n_removed_units,
+       CAST(b.n_units - coalesce(ru.n_ru, 0) AS BIGINT) AS n_kept_units
+FROM base b
+LEFT JOIN (SELECT doc_id, count(*) AS n_rm FROM removed GROUP BY 1) r
+  USING (doc_id)
+LEFT JOIN (SELECT doc_id, count(*) AS n_ru FROM removed_units GROUP BY 1) ru
+  USING (doc_id)
+""",
+    doc="C4 duplicate-span excision (Raffel et al. 2020 §2.2: 'we "
+        "discarded any duplicate three-sentence span, keeping one "
+        f"occurrence'): documents segment into {_C4_UNIT}-token units "
+        "(the corpus is a word stream with no sentence punctuation, so "
+        "the unit segmenter is a fixed chunker — on natural text swap "
+        "in a punctuation splitter; window/keep-first/excision are "
+        f"segmenter-agnostic), overlapping {_C4_WIN}-unit sliding "
+        "windows md5-fingerprinted, GLOBAL keep-first by (doc_id, "
+        "position): every later occurrence of a repeated span is "
+        "dropped and the units it covers excised (distinct per doc — "
+        "overlapping removed spans don't double-count). Distinct from "
+        "dedup_paragraph_fraction (non-overlapping blocks, distinct-DOC "
+        "fraction signal, no keep rule) and dedup_substring_spans "
+        "(5-gram match spans): this is the exact C4 keep-one-occurrence "
+        "excision. Scale: only (digest, doc_id, pos) ever shuffles — "
+        "span TEXT stays in the scan stage; one window per digest + "
+        "digest-keyed joins, linear in corpus size",
+)
+def dedup_c4_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u, w = _C4_UNIT, _C4_WIN
+    base = (
+        tx.with_tokens(docs)
+        .filter(F.expr("size(tokens) >= 1"))
+        .select(
+            "doc_id", "tokens",
+            F.expr(f"cast((size(tokens) - 1) div {u} + 1 as bigint)")
+            .alias("n_units"),
+        )
+    )
+    spans = (
+        base.filter(F.col("n_units") >= w)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, n_units - {w - 1}), "
+                    f"j -> md5(concat_ws(' ', "
+                    f"slice(tokens, (j - 1) * {u} + 1, {u * w}))))"
+                )
+            ).alias("j0", "h"),
+        )
+        .select(
+            "doc_id", (F.col("j0") + 1).cast("bigint").alias("j"), "h"
+        )
+    )
+    w_cnt = Window.partitionBy("h")
+    w_rn = Window.partitionBy("h").orderBy("doc_id", "j")
+    removed = (
+        spans.select(
+            "doc_id", "j",
+            F.count(F.lit(1)).over(w_cnt).alias("n_occ"),
+            F.row_number().over(w_rn).alias("rn"),
+        )
+        .filter("n_occ > 1 and rn > 1")
+        .select("doc_id", "j")
+    )
+    removed_units = removed.select(
+        "doc_id",
+        F.explode(F.expr(f"transform(sequence(0, {w - 1}), k -> j + k)"))
+        .alias("u"),
+    ).distinct()
+    n_rm = removed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_removed_spans")
+    )
+    n_ru = removed_units.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_removed_units")
+    )
+    return (
+        base.join(n_rm, "doc_id", "left")
+        .join(n_ru, "doc_id", "left")
+        .select(
+            "doc_id", "n_units",
+            F.expr(f"cast(greatest(n_units - {w - 1}, 0) as bigint)")
+            .alias("n_spans"),
+            F.coalesce("n_removed_spans", F.lit(0)).cast("bigint")
+            .alias("n_removed_spans"),
+            F.coalesce("n_removed_units", F.lit(0)).cast("bigint")
+            .alias("n_removed_units"),
+            F.expr("cast(n_units - coalesce(n_removed_units, 0) as bigint)")
+            .alias("n_kept_units"),
+        )
+    )
+
+
 #: BPE training rounds for bpe_train_merges (codebook-sized output; each
 #: round is a full-corpus rewrite, so K is a constant, not data-driven)
 _BPE_ROUNDS = 3
