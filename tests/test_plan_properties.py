@@ -573,3 +573,53 @@ def test_storage_tree_partition_prunes(spark, tmp_path):
     plan = buf.getvalue()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "table_name" in pf[0], plan
+
+
+def test_c4_span_shuffle_payload_is_digests(spark):
+    """C4 span excision: every hash-partitioned exchange keys on the span
+    digest / doc position — document TEXT and token arrays must be pruned
+    out before any shuffle (at 100 TB the span text staying in the scan
+    stage is the whole scale story)."""
+    from tigate_spark.plans.audit import plan_of
+
+    df = _df(spark, "dedup_c4_span_excise")
+    plan = plan_of(df)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line and "tokens#" not in line, line
+    # window-per-digest + distinct + 2 per-doc aggs + 2 joins back
+    assert count_exchanges(df) <= 8
+
+
+def test_avro_evolution_is_pure_column_expressions(spark):
+    """Registry-evolution framing: per-row map over the change scan —
+    no Python on the path, no data shuffle (the 1-row boundary agg runs
+    at build time, not in the returned plan)."""
+    df = _df(spark, "encoder_avro_registry_evolution")
+    assert_no_python_in_plan(df)
+    assert count_exchanges(df) == 0
+
+
+def test_bpe_batched_round_uses_broadcast_merge_set(spark):
+    """Batched BPE round: the selected-merge set joins against the bigram
+    frame via an explicit broadcast (codebook-sized M rows) — a shuffle
+    join here would re-partition the full corpus bigram table per round."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from tigate_spark.catalog_llm import _bpe_bigrams
+    from tigate_spark.functions import text as tx
+    from tigate_spark.plans.audit import count_broadcast_exchanges
+    from tigate_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    cur = tx.with_tokens(docs).select("doc_id", "tokens")
+    bg = _bpe_bigrams(cur)
+    sel_df = spark.createDataFrame(
+        [("a", "b")],
+        StructType([StructField("w1", StringType()),
+                    StructField("w2", StringType())]),
+    )
+    joined = bg.join(F.broadcast(sel_df), ["w1", "w2"])
+    with no_auto_broadcast(spark):
+        assert count_broadcast_exchanges(joined) >= 1

@@ -65,6 +65,11 @@ QUERIES = [
     # flush walk
     "text_gopher_quality_flags", "dedup_paragraph_fraction",
     "bpe_train_merges", "sink_txn_flush_batches",
+    # r08 additions: batched top-M trainer (one collect + one rewrite
+    # per round), digest-window keep-first excision, registry-framed
+    # evolution encode (pure column expressions)
+    "bpe_train_merges_batched", "dedup_c4_span_excise",
+    "encoder_avro_registry_evolution",
 ]
 
 
@@ -101,7 +106,10 @@ def main() -> None:
 
     cat = get_catalog()
     results = {}
-    for name in QUERIES:
+    names = QUERIES
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        names = sys.argv[2].split(",")
+    for name in names:
         fn = cat[name].builder
         fn(spark, SRC).write.format("noop").mode("overwrite").save()  # warm
         t0 = time.time(); fn(spark, SRC).write.format("noop").mode("overwrite").save()
