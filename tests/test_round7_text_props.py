@@ -96,3 +96,72 @@ def test_paragraph_fraction_matches_model(spark_prop, tmp_path_factory,
         for r in dedup_paragraph_fraction(spark_prop, d).collect()
     }
     assert got == _paragraph_model(texts)
+
+
+# --- r08: C4 duplicate-span excision vs direct model ---------------------
+
+def _c4_model(texts, unit=8, win=3):
+    """Direct Python spec of dedup_c4_span_excise: fixed-unit segmentation,
+    overlapping win-unit spans, global keep-first by (doc_id, position),
+    covered-unit excision with distinct-per-doc accounting."""
+    import collections
+
+    docs = {i: [w for w in t.lower().split(" ") if w]
+            for i, t in enumerate(texts)}
+    docs = {i: t for i, t in docs.items() if t}
+    spans = []
+    for i in sorted(docs):
+        toks = docs[i]
+        nu = (len(toks) - 1) // unit + 1
+        for j in range(1, nu - win + 2):
+            key = " ".join(toks[(j - 1) * unit:(j - 1) * unit + unit * win])
+            spans.append((i, j, key))
+    cnt = collections.Counter(k for _, _, k in spans)
+    first = {}
+    for i, j, k in sorted(spans):
+        first.setdefault(k, (i, j))
+    removed = [(i, j) for i, j, k in spans
+               if cnt[k] > 1 and first[k] != (i, j)]
+    rm_units = collections.defaultdict(set)
+    for i, j in removed:
+        rm_units[i].update(range(j, j + win))
+    out = {}
+    for i, toks in docs.items():
+        nu = (len(toks) - 1) // unit + 1
+        n_rm = sum(1 for a, _ in removed if a == i)
+        n_ru = len(rm_units.get(i, ()))
+        out[i] = (nu, max(nu - (win - 1), 0), n_rm, n_ru, nu - n_ru)
+    return out
+
+
+#: docs assembled from a small pool of 8-word blocks so 24-token spans
+#: genuinely repeat within and across documents
+_block = st.lists(word, min_size=8, max_size=8)
+
+
+@st.composite
+def _blocky_corpus(draw):
+    pool = draw(st.lists(_block, min_size=2, max_size=4))
+    n_docs = draw(st.integers(min_value=1, max_value=6))
+    texts = []
+    for _ in range(n_docs):
+        picks = draw(st.lists(
+            st.integers(min_value=0, max_value=len(pool) - 1),
+            min_size=1, max_size=6))
+        texts.append(" ".join(w for p in picks for w in pool[p]))
+    return texts
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_blocky_corpus())
+def test_c4_span_excise_matches_model(spark_prop, tmp_path_factory, texts):
+    from tigate_spark.catalog_llm import dedup_c4_span_excise
+
+    d = _corpus_dir(spark_prop, tmp_path_factory, texts, "c4span")
+    got = {
+        r["doc_id"]: (r["n_units"], r["n_spans"], r["n_removed_spans"],
+                      r["n_removed_units"], r["n_kept_units"])
+        for r in dedup_c4_span_excise(spark_prop, d).collect()
+    }
+    assert got == _c4_model(texts)
