@@ -55,7 +55,7 @@ class DispatchRule:
 
 @dataclass
 class SinkConfig:
-    protocol: str = "canal-json"  # canal-json | open-protocol | csv (storage)
+    protocol: str = "canal-json"  # canal-json | open-protocol | avro (changelog) | csv (storage)
     #: storage-sink directory date layer: none | year | month | day
     #: (`csv_storage_basic/conf/changefeed.toml:6`)
     date_separator: str = "day"

@@ -202,6 +202,18 @@ class Changefeed:
             batch = batch.repartition(F.col("topic"), F.col("partition"))
             if self.cfg.sink.protocol == "open-protocol":
                 batch = encode_open_protocol(batch)
+            elif self.cfg.sink.protocol == "avro":
+                # Confluent wire framing (magic + schema id + Avro binary)
+                # as hex key/value — byte-exact vs the batch encoder entry
+                from tigate_spark.functions.avro_wire import (
+                    encode_avro_confluent,
+                )
+
+                batch = (
+                    encode_avro_confluent(batch)
+                    .withColumn("key", F.col("key_hex"))
+                    .withColumn("value", F.col("value_hex"))
+                )
             else:
                 batch = encode_canal_json(batch)
             if self.cfg.sink.large_message_handle == "claim-check":
