@@ -579,7 +579,11 @@ def test_c4_span_shuffle_payload_is_digests(spark):
     """C4 span excision: every hash-partitioned exchange keys on the span
     digest / doc position — document TEXT and token arrays must be pruned
     out before any shuffle (at 100 TB the span text staying in the scan
-    stage is the whole scale story)."""
+    stage is the whole scale story). Keep-first must be the skew-safe
+    partial-aggregable groupBy(h) min-struct, NOT a window partitioned by
+    the digest: a boilerplate span duplicated 10^8x (exactly the data
+    this operator exists to remove) would land every occurrence in one
+    task under a per-digest window."""
     from tigate_spark.plans.audit import plan_of
 
     df = _df(spark, "dedup_c4_span_excise")
@@ -587,8 +591,13 @@ def test_c4_span_shuffle_payload_is_digests(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line and "tokens#" not in line, line
-    # window-per-digest + distinct + 2 per-doc aggs + 2 joins back
+        # no Window node anywhere on the digest path — keep-first is an agg
+        assert "Window" not in line, line
+    # digest agg + join back + distinct + 2 per-doc aggs + 2 joins back
     assert count_exchanges(df) <= 8
+    # the hot-digest reduction happens map-side: partial min/count before
+    # the h-keyed exchange
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan
 
 
 def test_avro_evolution_is_pure_column_expressions(spark):

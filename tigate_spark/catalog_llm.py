@@ -2816,12 +2816,13 @@ LEFT JOIN (SELECT doc_id, count(*) AS n_ru FROM removed_units GROUP BY 1) ru
         "fraction signal, no keep rule) and dedup_substring_spans "
         "(5-gram match spans): this is the exact C4 keep-one-occurrence "
         "excision. Scale: only (digest, doc_id, pos) ever shuffles — "
-        "span TEXT stays in the scan stage; one window per digest + "
-        "digest-keyed joins, linear in corpus size",
+        "span TEXT stays in the scan stage; keep-first is a "
+        "partial-aggregable groupBy(h) min-struct+count (NO window "
+        "partitioned by digest — a boilerplate span duplicated 10^8x "
+        "map-side-combines instead of landing in one task) joined back "
+        "on h, linear in corpus size",
 )
 def dedup_c4_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     u, w = _C4_UNIT, _C4_WIN
     base = (
@@ -2849,15 +2850,28 @@ def dedup_c4_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", (F.col("j0") + 1).cast("bigint").alias("j"), "h"
         )
     )
-    w_cnt = Window.partitionBy("h")
-    w_rn = Window.partitionBy("h").orderBy("doc_id", "j")
-    removed = (
-        spans.select(
-            "doc_id", "j",
-            F.count(F.lit(1)).over(w_cnt).alias("n_occ"),
-            F.row_number().over(w_rn).alias("rn"),
+    # Keep-first as ONE partial-aggregable groupBy (skew-safe): a window
+    # partitioned by h would route every occurrence of one span digest to
+    # a single task, and boilerplate spans (cookie banners, license
+    # headers — exactly what C4 excision targets) duplicate 10^6-10^8x in
+    # real web corpora. min(struct(doc_id, j)) is lexicographic on the
+    # fields, so it IS row_number(... ORDER BY doc_id, j) == 1 — the
+    # keep-first result is bit-identical. Map-side combine collapses a
+    # hot digest to one row per map task before the shuffle; the join
+    # back on h has exactly one build row per digest, so AQE skew-join
+    # splits any hot probe partition cleanly.
+    firsts = (
+        spans.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc_id", "j")).alias("first"),
         )
-        .filter("n_occ > 1 and rn > 1")
+        .filter("n_occ > 1")
+        .select("h", "first")
+    )
+    removed = (
+        spans.join(firsts, "h")
+        .filter("NOT (doc_id = first.doc_id AND j = first.j)")
         .select("doc_id", "j")
     )
     removed_units = removed.select(
