@@ -1324,6 +1324,163 @@ def streaming_sqlite_apply_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "streaming_sqlite_ddl_apply_e2e",
+    ORACLE_CHANGES_CTE + """
+, ordered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY table_id, pk
+    ORDER BY commit_ts DESC, start_ts DESC,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC, seq DESC
+  ) AS rn
+  FROM changes
+), pos AS (
+  SELECT commit_ts, row_number() OVER (ORDER BY commit_ts, seq) AS rnk,
+         count(*) OVER () AS n
+  FROM changes
+), anchor AS (
+  SELECT min(commit_ts) AS ddl_ts FROM changes
+  WHERE commit_ts > (SELECT commit_ts FROM pos WHERE rnk = n // 2)
+)
+SELECT table_id, pk, event_type, value_cents,
+       CAST(CASE WHEN table_id = 1 THEN
+         CASE WHEN commit_ts >= (SELECT ddl_ts FROM anchor)
+              THEN abs(coalesce(value_cents, 0)) % 1000 ELSE 0 END
+       END AS BIGINT) AS extra_cents
+FROM ordered WHERE rn = 1 AND op <> 'D'
+""",
+    doc="DDL EXECUTED through the executable sink (T8 barrier x K1 "
+        "writer loop — the reference's execDDL path, mysql_writer.go:"
+        "600-668): the changefeed splits each micro-batch at the DDL "
+        "barrier (split_batch_at_ddl), the pre-DDL sub-batch applies on "
+        "live SQLite lanes, then the barrier's ALTER TABLE app.t1 ADD "
+        "COLUMN runs on the owning lane DB in its OWN transaction with "
+        "the USE-db schema rename, bounded retry, and the ignorable-"
+        "error class (pkg/apperror/util.go:36-55) — the entry REPLAYS "
+        "the DDL deliberately and asserts the duplicate-column error is "
+        "ignored as an already-applied replay — then post-DDL DML "
+        "renders the evolved 4-column statement form (the mounted "
+        "post-DDL after-image, synthesized deterministically as "
+        "abs(value_cents) %% 1000 since the testdata stream predates "
+        "the DDL). Final downstream state: pre-DDL survivors carry the "
+        "ALTER backfill default 0, post-DDL writers the mounted value, "
+        "other tables NULL (column absent) — hash-matched against the "
+        "LWW oracle with the same anchor arithmetic. Sub-batches fence "
+        "per (batch, sub) so barrier replay converges",
+)
+def streaming_sqlite_ddl_apply_e2e(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from tigate_spark.sources.changes import normalize_events
+    from tigate_spark.streaming.ddl import DDLEvent, split_batch_at_ddl
+    from tigate_spark.streaming.sqlite_apply import SqliteApplySink
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        base = spark.read.parquet(src)
+        order_sql = (
+            "ts, -(event_id % 97), "
+            "case when event_id % 10 >= 9 then 1 "
+            "when event_id % 10 >= 6 then 2 else 3 end, event_id"
+        )
+        norm = normalize_events(base)
+        n = norm.count()
+        # DDL anchored at the first commit_ts strictly above the median
+        # row's ts: every row at ddl_ts sorts at/after the anchor in the
+        # split order, so equal-ts rows can never leak into a pre-DDL
+        # batch (the oracle mirrors this arithmetic exactly)
+        mid_ts = (
+            norm.withColumn(
+                "rnk", F.expr("row_number() over (order by commit_ts, seq)")
+            )
+            .filter(F.col("rnk") == n // 2)
+            .select("commit_ts")
+            .collect()[0][0]
+        )
+        ddl_ts = norm.filter(F.col("commit_ts") > mid_ts).agg(
+            F.min("commit_ts")
+        ).collect()[0][0]
+        if ddl_ts is None:
+            raise RuntimeError("degenerate ts distribution: no DDL anchor")
+        anchor_seq = (
+            norm.filter(F.col("commit_ts") >= ddl_ts)
+            .withColumn(
+                "opr",
+                F.expr("case op when 'D' then 1 when 'U' then 2 else 3 end"),
+            )
+            .orderBy("commit_ts", "start_ts", "opr", "seq")
+            .select("seq")
+            .limit(1)
+            .collect()[0][0]
+        )
+        ddl = DDLEvent(
+            commit_ts=int(ddl_ts), table_id=1,
+            query="ALTER TABLE `app`.`t1` ADD COLUMN `extra_cents` "
+                  "INTEGER DEFAULT 0",
+            schema_tag="v1",
+        )
+        flat, land = split_df_in_order(spark, base, work, 3, order_sql)
+        for k in range(3):
+            land(k)
+        raw = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(flat)
+        )
+        sink = SqliteApplySink(os.path.join(work, "db"))
+        ckpt = os.path.join(work, "ckpt")
+        evolved: set[int] = set()
+        ddl_log: list[tuple[str, str]] = []
+
+        def run(batch_df: DataFrame, batch_id: int) -> None:
+            has_anchor = (
+                batch_df.filter(F.col("seq") == anchor_seq).count() > 0
+            )
+
+            def apply_dml(part_df: DataFrame, sub: int) -> None:
+                sink.process_batch(
+                    part_df, batch_id, fence=f"b{batch_id}.s{sub}",
+                    extra_tables=frozenset(evolved),
+                )
+
+            def apply_ddl(d: DDLEvent) -> None:
+                first = sink.exec_ddl(d.query, "app", "t1", 1)
+                replay = sink.exec_ddl(d.query, "app", "t1", 1)
+                ddl_log.append((first, replay))
+                evolved.add(1)
+
+            split_batch_at_ddl(
+                batch_df, [ddl] if has_anchor else [], apply_dml, apply_ddl
+            )
+
+        q = (
+            normalize_events(raw)
+            .writeStream.foreachBatch(run)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        if ddl_log != [("applied", "ignored")]:
+            raise RuntimeError(f"DDL exec/replay outcome wrong: {ddl_log}")
+        off = os.path.join(ckpt, "offsets")
+        n_batches = len(os.listdir(off)) if os.path.isdir(off) else 0
+        if n_batches < 2:
+            raise RuntimeError(f"expected multi-batch run, got {n_batches}")
+        state = sink.read_state(spark, extra_cols=("extra_cents",))
+        n_evolved = state.filter(
+            "table_id = 1 and extra_cents is not null and extra_cents > 0"
+        ).count()
+        if n_evolved == 0:
+            raise RuntimeError("no post-DDL mounted values downstream")
+        return _materialize(state)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _MULTIFEED_ORACLE = ORACLE_CHANGES_CTE + """
 , a_ordered AS (
   SELECT *, row_number() OVER (

@@ -29,6 +29,26 @@ socket is the reference's MySQL sink shape
   commit and checkpoint commit) converges to the same last-writer-wins
   state — the same exactly-once story the reference's safe mode gives a
   non-transactional downstream.
+- **Zombie-attempt fence** (r9): a retried or speculative executor task
+  could otherwise run concurrently with a lagging zombie attempt on the
+  same lane DB and commit an OLDER statement after a newer one (SQLite
+  serializes individual writers, not whole replays). Each lane
+  application holds an exclusive ``flock`` on ``<db>.lock`` for its full
+  duration — attempts serialize, never interleave — and records a
+  ``_applied(fence)`` marker in the lane DB's final commit, so a zombie
+  that acquires the lock AFTER the winner finished sees the marker and
+  skips. A sequential full replay (crash before the marker committed)
+  still converges by safe-mode idempotence; ``tests/test_sqlite_apply.py``
+  drives both paths.
+- **DDL execution** (r9, ``mysql_writer.go:600-668`` execDDL): DDL runs
+  in its OWN transaction on the owning lane, with the reference's
+  ignorable-error class (``pkg/apperror/util.go:36-55`` — duplicate
+  column / existing table / existing index = an already-applied replay,
+  ignored) and bounded retry. The ``USE db`` switch
+  (``mysql_writer.go:607``) maps to the schema-qualified local rename
+  (SQLite has one namespace per file, so ``schema.table`` becomes the
+  ``schema__table`` physical name — the same translation the DML path
+  uses).
 
 Ordering: statements are sorted within each lane partition by the LWW
 tie-break ``(commit_ts, start_ts, D<U<I on the original op, seq,
@@ -38,7 +58,8 @@ so per-key statement order is globally correct.
 Scale posture: the writer loop is per-partition imperative by necessity
 (it drives a socket protocol, not a computation); all rendering stays
 declarative JVM-side. At 100 TB the same class pointed at a JDBC URL is
-the real MySQL sink — only the ``connect()`` line changes.
+the real MySQL sink — only the ``connect()`` line changes (the flock
+fence becomes the server's own serialization plus the marker table).
 """
 
 from __future__ import annotations
@@ -53,88 +74,242 @@ from pyspark.sql import functions as F
 #: default worker-lane count (mirrors operators.txn.FLUSH_LANES spirit)
 DEFAULT_LANES = 4
 
+#: SQLite spellings of the reference's ignorable MySQL DDL error class
+#: (pkg/apperror/util.go:36-55): replaying an already-applied DDL must
+#: be a no-op, not a failure.
+_IGNORABLE_DDL = (
+    "duplicate column name",   # ErrColumnExists (ADD COLUMN replay)
+    "already exists",          # ErrTableExists / ErrIndexExists
+    "no such column",          # ErrColumnNotExists (DROP COLUMN replay)
+    "no such index",           # ErrKeyNotExists (DROP INDEX replay)
+)
+
 
 def render_safe_mode_statements(changes: DataFrame,
-                                n_lanes: int = DEFAULT_LANES) -> DataFrame:
+                                n_lanes: int = DEFAULT_LANES,
+                                extra_tables: frozenset[int] | set[int]
+                                = frozenset()) -> DataFrame:
     """Changes → ordered, lane-keyed safe-mode statement stream:
-    (lane, commit_ts, start_ts, opr, seq, piece_no, sql, args)."""
+    (lane, table_id, schema_name, table_name, commit_ts, start_ts, opr,
+    seq, piece_no, sql, args). Identity columns ride along so the writer
+    never re-parses them out of the SQL text (an identifier containing a
+    backtick would misroute otherwise).
+
+    ``extra_tables``: table_ids whose post-DDL schema carries the
+    ``extra_cents`` column — their REPLACE statements render the 4-column
+    form with a deterministic derivation of the column value standing in
+    for the mounted post-DDL after-image (the testdata change stream
+    predates the DDL, so the image is synthesized; a real changefeed
+    mounts it from the new schema version, T3 semantics).
+    """
     from tigate_spark.functions.encoders import encode_mysql_sql
 
     enc = encode_mysql_sql(changes, replicating_ts=0, safe_mode_split=True)
     keys = changes.select(
-        "seq", "commit_ts", "start_ts",
+        "seq", "commit_ts", "start_ts", "table_id",
+        "schema_name", "table_name",
         F.expr("case op when 'D' then 1 when 'U' then 2 else 3 end")
         .alias("opr"),
         (F.col("table_id") % F.lit(n_lanes)).cast("bigint").alias("lane"),
     )
-    return enc.join(keys, "seq").select(
-        "lane", "commit_ts", "start_ts", "opr", "seq", "piece_no",
-        "sql", "args",
+    out = enc.join(keys, "seq")
+    if extra_tables:
+        ids = ", ".join(str(int(t)) for t in sorted(extra_tables))
+        is_extra = F.expr(
+            f"table_id in ({ids}) and sql like 'REPLACE INTO %'")
+        vals = changes.select(
+            "seq", F.col("value_cents").alias("_vc"))
+        out = (
+            out.join(vals, "seq")
+            .withColumn(
+                "sql",
+                F.when(
+                    is_extra,
+                    F.expr(
+                        "replace(replace(sql, '`value_cents`', "
+                        "'`value_cents`,`extra_cents`'), "
+                        "'(?,?,?)', '(?,?,?,?)')"
+                    ),
+                ).otherwise(F.col("sql")),
+            )
+            .withColumn(
+                "args",
+                F.when(
+                    is_extra,
+                    F.concat(
+                        F.expr("substring(args, 1, length(args) - 1)"),
+                        F.lit(","),
+                        F.expr(
+                            "cast(abs(coalesce(_vc, 0)) % 1000 as string)"),
+                        F.lit("]"),
+                    ),
+                ).otherwise(F.col("args")),
+            )
+            .drop("_vc")
+        )
+    return out.select(
+        "lane", "table_id", "schema_name", "table_name",
+        "commit_ts", "start_ts", "opr", "seq", "piece_no", "sql", "args",
     )
 
 
+def _local_name(schema: str, table: str) -> str:
+    """The SQLite physical name for ``schema``.``table`` (one namespace
+    per lane file — the ``USE db`` equivalent)."""
+    return f"{schema}__{table}"
+
+
+def _ensure_meta(cur) -> None:
+    cur.execute(
+        "CREATE TABLE IF NOT EXISTS _tables "
+        "(name TEXT PRIMARY KEY, table_id INTEGER)")
+    cur.execute(
+        "CREATE TABLE IF NOT EXISTS _applied (fence TEXT PRIMARY KEY)")
+
+
+class _LaneLock:
+    """Exclusive advisory lock serializing whole lane applications, so a
+    zombie task attempt can never interleave commits with its retry."""
+
+    def __init__(self, db_path: str):
+        self._fd = os.open(db_path + ".lock",
+                           os.O_CREAT | os.O_RDWR, 0o644)
+
+    def __enter__(self):
+        import fcntl
+        fcntl.flock(self._fd, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+        fcntl.flock(self._fd, fcntl.LOCK_UN)
+        os.close(self._fd)
+        return False
+
+
 def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
-               retries: int = 5) -> None:
+               retries: int = 5, fence: str | None = None) -> None:
     """Sequential writer for ONE lane: explicit txns of <= txn_rows
     statements / <= max_packet arg bytes, retry-with-backoff on
-    transient busy errors. ``stmts`` is an iterable of (sql, args_json)
-    already in apply order."""
+    transient busy errors. ``stmts`` is an iterable of
+    (schema, table, table_id, sql, args_json) already in apply order.
+    ``fence`` names this lane application; the whole run holds the lane
+    flock, and a fence already present in ``_applied`` (the winner
+    finished) makes the call a no-op.
+    """
     import json
 
-    con = sqlite3.connect(db_path, timeout=30)
-    cur = con.cursor()
-    # probe the LIMIT extension once per connection (MySQL always has it)
-    try:
-        cur.execute("CREATE TEMP TABLE _probe(x INTEGER)")
-        cur.execute("UPDATE _probe SET x = 1 LIMIT 1")
-        strip_limit = False
-    except sqlite3.OperationalError:
-        strip_limit = True
-    cur.execute("DROP TABLE IF EXISTS _probe")
-    made: set[str] = set()
-    pending: list[tuple[str, list]] = []
-    pending_bytes = 0
-
-    def flush() -> None:
-        nonlocal pending, pending_bytes
-        if not pending:
+    with _LaneLock(db_path):
+        con = sqlite3.connect(db_path, timeout=30)
+        cur = con.cursor()
+        _ensure_meta(cur)
+        con.commit()
+        if fence is not None and list(cur.execute(
+                "SELECT 1 FROM _applied WHERE fence = ?", (fence,))):
+            con.close()
             return
+        # probe the LIMIT extension once per connection (MySQL has it)
+        try:
+            cur.execute("CREATE TEMP TABLE _probe(x INTEGER)")
+            cur.execute("UPDATE _probe SET x = 1 LIMIT 1")
+            strip_limit = False
+        except sqlite3.OperationalError:
+            strip_limit = True
+        cur.execute("DROP TABLE IF EXISTS _probe")
+        con.commit()  # close the probe UPDATE's implicit transaction
+        made = {name for (name,) in cur.execute("SELECT name FROM _tables")}
+        pending: list[tuple[str, list]] = []
+        pending_bytes = 0
+
+        def flush(mark: bool = False) -> None:
+            nonlocal pending, pending_bytes
+            if not pending and not mark:
+                return
+            for attempt in range(retries):
+                try:
+                    cur.execute("BEGIN")
+                    for s, a in pending:
+                        cur.execute(s, a)
+                    if mark and fence is not None:
+                        cur.execute(
+                            "INSERT OR IGNORE INTO _applied VALUES (?)",
+                            (fence,))
+                    con.commit()
+                    pending, pending_bytes = [], 0
+                    return
+                except sqlite3.OperationalError as e:  # locked/busy: retry
+                    con.rollback()
+                    if attempt == retries - 1 or "lock" not in str(e).lower():
+                        raise
+                    time.sleep(0.05 * (2 ** attempt))
+
+        for schema, table, table_id, sql, args_json in stmts:
+            tbl = _local_name(schema, table)
+            if tbl not in made:
+                flush()  # implicit CREATE outside the DML txn
+                cur.execute(
+                    f"CREATE TABLE IF NOT EXISTS `{tbl}` "
+                    "(pk INTEGER PRIMARY KEY, event_type TEXT, "
+                    "value_cents INTEGER)"
+                )
+                cur.execute(
+                    "INSERT OR IGNORE INTO _tables VALUES (?, ?)",
+                    (tbl, int(table_id)))
+                con.commit()
+                made.add(tbl)
+            sql = sql.replace(f"`{schema}`.`{table}`", f"`{tbl}`")
+            if strip_limit:
+                sql = sql.replace(" LIMIT 1", "")
+            pending.append((sql, json.loads(args_json)))
+            pending_bytes += len(args_json)
+            if len(pending) >= txn_rows or pending_bytes >= max_packet:
+                flush()
+        flush(mark=True)
+        con.close()
+
+
+def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
+                     table_id: int, retries: int = 5) -> str:
+    """Execute one DDL on a lane DB the way the reference's MySQL writer
+    does (``mysql_writer.go:600-668``): its OWN transaction, the ``USE
+    db`` switch (here: the schema-qualified local rename), bounded retry,
+    and the ignorable-error class treated as an already-applied replay.
+    Returns 'applied' | 'ignored'.
+    """
+    with _LaneLock(db_path):
+        con = sqlite3.connect(db_path, timeout=30)
+        cur = con.cursor()
+        _ensure_meta(cur)
+        tbl = _local_name(schema, table)
+        # DDL may precede any DML for the table (schema-first changefeed
+        # start) — materialize the base table like the DML path would
+        cur.execute(
+            f"CREATE TABLE IF NOT EXISTS `{tbl}` "
+            "(pk INTEGER PRIMARY KEY, event_type TEXT, "
+            "value_cents INTEGER)")
+        cur.execute("INSERT OR IGNORE INTO _tables VALUES (?, ?)",
+                    (tbl, int(table_id)))
+        con.commit()
+        local = query.replace(f"`{schema}`.`{table}`", f"`{tbl}`")
+        outcome = "applied"
         for attempt in range(retries):
             try:
                 cur.execute("BEGIN")
-                for s, a in pending:
-                    cur.execute(s, a)
+                cur.execute(local)
                 con.commit()
-                pending, pending_bytes = [], 0
-                return
-            except sqlite3.OperationalError as e:  # locked/busy: retry
+                break
+            except sqlite3.OperationalError as e:
                 con.rollback()
-                if attempt == retries - 1 or "lock" not in str(e).lower():
+                msg = str(e).lower()
+                if any(p in msg for p in _IGNORABLE_DDL):
+                    # already-applied replay: ignore, like the reference
+                    outcome = "ignored"
+                    break
+                if attempt == retries - 1 or "lock" not in msg:
                     raise
                 time.sleep(0.05 * (2 ** attempt))
-
-    for sql, args_json in stmts:
-        head = sql.split("`")
-        schema, table = head[1], head[3]
-        tbl = f"{schema}__{table}"
-        if tbl not in made:
-            flush()  # DDL outside the DML txn, like the reference
-            cur.execute(
-                f"CREATE TABLE IF NOT EXISTS `{tbl}` "
-                "(pk INTEGER PRIMARY KEY, event_type TEXT, "
-                "value_cents INTEGER)"
-            )
-            con.commit()
-            made.add(tbl)
-        sql = sql.replace(f"`{schema}`.`{table}`", f"`{tbl}`")
-        if strip_limit:
-            sql = sql.replace(" LIMIT 1", "")
-        pending.append((sql, json.loads(args_json)))
-        pending_bytes += len(args_json)
-        if len(pending) >= txn_rows or pending_bytes >= max_packet:
-            flush()
-    flush()
-    con.close()
+        con.close()
+        return outcome
 
 
 class SqliteApplySink:
@@ -149,10 +324,19 @@ class SqliteApplySink:
         self.max_packet = max_packet
         os.makedirs(db_dir, exist_ok=True)
 
-    def process_batch(self, changes: DataFrame, batch_id: int) -> None:
-        stmts = render_safe_mode_statements(changes, self.n_lanes)
+    def process_batch(self, changes: DataFrame, batch_id: int,
+                      fence: str | None = None,
+                      extra_tables: frozenset[int] | set[int]
+                      = frozenset()) -> None:
+        """Apply one micro-batch (or one DDL-barrier sub-batch — pass a
+        distinct ``fence`` per sub-batch then). The default fence is the
+        micro-batch id, so a full replay after a crash between sink
+        commit and checkpoint commit short-circuits on the marker."""
+        stmts = render_safe_mode_statements(
+            changes, self.n_lanes, extra_tables)
         db_dir, txn_rows, max_packet = \
             self.db_dir, self.txn_rows, self.max_packet
+        fence = f"b{batch_id}" if fence is None else fence
 
         def run_partition(rows) -> None:
             # a hash partition may hold several whole lanes; each lane
@@ -165,35 +349,53 @@ class SqliteApplySink:
                                        r["opr"], r["seq"], r["piece_no"]))
                 _exec_lane(
                     os.path.join(db_dir, f"lane-{lane}.db"),
-                    ((r["sql"], r["args"]) for r in rs),
+                    ((r["schema_name"], r["table_name"], r["table_id"],
+                      r["sql"], r["args"]) for r in rs),
                     txn_rows, max_packet,
+                    fence=f"{fence}.l{lane}",
                 )
 
         (stmts.repartition(self.n_lanes, "lane")
               .foreachPartition(run_partition))
 
-    def read_state(self, spark) -> DataFrame:
+    def exec_ddl(self, query: str, schema: str, table: str,
+                 table_id: int) -> str:
+        """Run a DDL between barrier sub-batches on the owning lane
+        (driver-side, like the reference's elected DDL writer —
+        ``maintainer/barrier.go:36`` one writer per DDL)."""
+        lane = int(table_id) % self.n_lanes
+        return exec_ddl_on_lane(
+            os.path.join(self.db_dir, f"lane-{lane}.db"),
+            query, schema, table, int(table_id))
+
+    def read_state(self, spark, extra_cols: tuple[str, ...] = ()
+                   ) -> DataFrame:
         """Union of all lane DBs as (table_id, pk, event_type,
-        value_cents) — the downstream's live state. Driver-side read of
-        a bounded replica (the verification surface; a real deployment
-        scans back through a JDBC source instead)."""
+        value_cents[, *extra_cols]) — the downstream's live state.
+        ``extra_cols`` are post-DDL columns: NULL for tables that never
+        saw the DDL. Driver-side read of a bounded replica (the
+        verification surface; a real deployment scans back through a
+        JDBC source instead)."""
         rows = []
         for f in sorted(os.listdir(self.db_dir)):
             if not f.endswith(".db"):
                 continue
             con = sqlite3.connect(os.path.join(self.db_dir, f))
             cur = con.cursor()
-            tables = [t for (t,) in cur.execute(
-                "SELECT name FROM sqlite_master WHERE type='table' "
-                "AND name LIKE '%__t%'")]
-            for t in tables:
-                tid = int(t.rsplit("__t", 1)[1])
-                for pk, et, vc in cur.execute(
-                        f"SELECT pk, event_type, value_cents FROM `{t}`"):
-                    rows.append((tid, pk, et, vc))
+            for t, tid in list(cur.execute(
+                    "SELECT name, table_id FROM _tables")):
+                have = {c[1] for c in cur.execute(
+                    f"PRAGMA table_info(`{t}`)")}
+                sel = ", ".join(
+                    f"`{c}`" if c in have else "NULL"
+                    for c in ("pk", "event_type", "value_cents",
+                              *extra_cols))
+                for row in cur.execute(f"SELECT {sel} FROM `{t}`"):
+                    rows.append((int(tid), *row))
             con.close()
+        extra_schema = "".join(f", {c} bigint" for c in extra_cols)
         return spark.createDataFrame(
             rows,
             "table_id bigint, pk bigint, event_type string, "
-            "value_cents bigint",
+            "value_cents bigint" + extra_schema,
         )
