@@ -144,3 +144,72 @@ def test_registry_resolved_decode_round_trip(spark, sf_dir):
                 assert br == 0
             assert i == len(body), "v2 body must consume exactly"
     assert seen == {True, False}, "expected both schema versions in window"
+
+
+# --- r9: concurrent multi-feed registration race -------------------------
+
+def _race_worker(args):
+    """One 'changefeed driver' process registering an evolving schema
+    sequence against the SHARED registry file — its own subject plus a
+    contended shared subject."""
+    import json as _json
+
+    from tigate_spark.functions.confluent_registry import FileSchemaRegistry
+
+    path, feed, n_schemas = args
+    reg = FileSchemaRegistry(path)
+    ids = {}
+    for k in range(n_schemas):
+        schema = _json.dumps({
+            "type": "record", "name": f"race_{k}",
+            "fields": [{"name": f"f{j}", "type": "long"}
+                       for j in range(k + 1)],
+        })
+        a = reg.register(f"feed{feed}-value", schema)
+        b = reg.register("shared-value", schema)
+        # re-register must be idempotent even mid-race
+        assert reg.register(f"feed{feed}-value", schema) == a
+        assert a == b, "same content must get ONE global id"
+        ids[k] = a
+    return ids
+
+
+def test_concurrent_feeds_share_one_registry(tmp_path):
+    """The fcntl-lock claim, tested ACROSS PROCESSES: four concurrent
+    changefeed drivers registering the same evolving schema family
+    against ONE registry file must allocate collision-free contiguous
+    ids, agree on every content→id mapping, and keep per-subject
+    version lists dense — and the framed wire bytes each feed would
+    emit (magic 0 + big-endian id) must resolve back to the right
+    schema content."""
+    import json as _json
+    import multiprocessing as mp
+
+    from tigate_spark.functions.confluent_registry import FileSchemaRegistry
+
+    path = str(tmp_path / "registry.json")
+    n_feeds, n_schemas = 4, 8
+    ctx = mp.get_context("fork")
+    with ctx.Pool(n_feeds) as pool:
+        results = pool.map(
+            _race_worker, [(path, f, n_schemas) for f in range(n_feeds)])
+
+    # every feed agrees on the content→id map
+    for r in results[1:]:
+        assert r == results[0]
+    # ids are exactly 1..n_schemas: no collisions, no gaps, no doubles
+    assert sorted(results[0].values()) == list(range(1, n_schemas + 1))
+
+    reg = FileSchemaRegistry(path)
+    # per-subject versions stayed dense under contention
+    assert reg.versions("shared-value") == list(range(1, n_schemas + 1))
+    for f in range(n_feeds):
+        assert reg.versions(f"feed{f}-value") == \
+            list(range(1, n_schemas + 1))
+    # framed-byte correctness: the id each feed would frame resolves to
+    # the exact registered content
+    for k, sid in results[0].items():
+        frame = b"\x00" + sid.to_bytes(4, "big")
+        assert int.from_bytes(frame[1:5], "big") == sid
+        schema = _json.loads(reg.get_by_id(sid))
+        assert len(schema["fields"]) == k + 1

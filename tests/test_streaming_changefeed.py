@@ -603,3 +603,28 @@ def test_csv_source_format_changefeed(spark, sf_dir, tmp_path):
         for r in read_replica(spark, cf2.sink.state_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_large_message_handle_rejected_for_avro(spark, tmp_path):
+    """pkg/config/large_message.go:65-77 parity: large-message-handle is
+    only defined for the open/canal protocol families — avro's Confluent
+    framing has no message column for claim-check to operate on, so the
+    combination must fail config validation, not mis-encode at runtime."""
+    from tigate_spark.config import ChangefeedConfig, SinkConfig
+    from tigate_spark.streaming.changefeed import Changefeed
+
+    for handle in ("claim-check", "handle-key-only"):
+        cfg = ChangefeedConfig(
+            changefeed_id="bad", sink_uri="changelog://",
+            sink=SinkConfig(protocol="avro", large_message_handle=handle),
+        )
+        with pytest.raises(ValueError, match="not supported"):
+            Changefeed(spark, cfg, str(tmp_path), str(tmp_path))
+    # the supported families still construct
+    for proto in ("canal-json", "open-protocol"):
+        cfg = ChangefeedConfig(
+            changefeed_id="ok", sink_uri="changelog://",
+            sink=SinkConfig(protocol=proto,
+                            large_message_handle="claim-check"),
+        )
+        Changefeed(spark, cfg, str(tmp_path), str(tmp_path))

@@ -1388,8 +1388,9 @@ def _avro_evolution_oracle() -> str:
         "column expressions in both engines",
 )
 def encoder_avro_registry_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
+    import shutil
+    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -1401,11 +1402,27 @@ def encoder_avro_registry_evolution(spark: SparkSession, sf_dir: str) -> DataFra
         FileSchemaRegistry,
     )
 
-    path = ("/tmp/tigate-avro-registry-"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12] + ".json")
-    if os.path.exists(path):
-        os.remove(path)  # fresh deterministic allocation per run
+    # run-scoped private dir (not a fixed predictable /tmp name):
+    # concurrent runs can't interleave remove/register and drift the
+    # allocated ids, and there is no symlink-followable shared path
+    work = tempfile.mkdtemp(prefix="tigate-avro-registry-")
+    path = os.path.join(work, "registry.json")
     reg = FileSchemaRegistry(path)
+    try:
+        return _avro_registry_evolution_body(spark, sf_dir, reg)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _avro_registry_evolution_body(spark, sf_dir, reg) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tigate_spark.functions.avro_wire import encode_avro_evolution
+    from tigate_spark.functions.confluent_registry import (
+        EVENTS_KEY_SCHEMA,
+        EVENTS_VALUE_V1,
+        EVENTS_VALUE_V2,
+    )
     key_id = reg.register("events-key", EVENTS_KEY_SCHEMA)
     v1_id = reg.register("events-value", EVENTS_VALUE_V1)
     if reg.register("events-value", EVENTS_VALUE_V1) != v1_id:

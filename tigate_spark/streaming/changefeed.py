@@ -49,6 +49,17 @@ class Changefeed:
                  source_dir: str, work_dir: str):
         if not cfg.sink_uri:
             raise ValueError("sink_uri is required")  # changefeed.go:62 parity
+        if (cfg.sink.large_message_handle
+                and cfg.sink.protocol not in
+                ("canal-json", "open-protocol")):
+            # pkg/config/large_message.go:65-77 AdjustAndValidate parity:
+            # large-message-handle is only defined for the open/canal
+            # families — avro's Confluent framing has no `message` column
+            # for claim-check/handle-key-only to operate on
+            raise ValueError(
+                f"large message handle is set to "
+                f"{cfg.sink.large_message_handle}, protocol is "
+                f"{cfg.sink.protocol}, it's not supported")
         self.spark = ensure_confs(spark)
         self.cfg = cfg
         self.source_dir = source_dir
