@@ -2173,16 +2173,52 @@ SELECT l_orderkey, l_linenumber,
   printf('%.2f', l_quantity) AS quantity_str,
   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
   CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2 ELSE 3 END AS returnflag_enum,
-  l_linenumber & 1 AS line_bit
+  l_linenumber & 1 AS line_bit,
+  CAST(CAST(l_orderkey AS DECIMAL(20,0)) + 9223372036854775807 AS VARCHAR)
+    AS ubig_dec20_str,
+  CAST(strftime(l_shipdate, '%Y') AS BIGINT) AS ship_year,
+  printf('%02d:%02d:%02d',
+         (l_partkey % 86400) // 3600,
+         ((l_partkey % 86400) % 3600) // 60,
+         (l_partkey % 86400) % 60) AS dur_time_str,
+  CAST(l_suppkey % 8 AS BIGINT) AS set_mask,
+  concat_ws(',',
+    CASE WHEN l_suppkey % 2 = 1 THEN 'AIR' END,
+    CASE WHEN l_suppkey % 4 >= 2 THEN 'MAIL' END,
+    CASE WHEN l_suppkey % 8 >= 4 THEN 'SHIP' END) AS set_names,
+  lower(hex(encode(l_returnflag || l_linestatus))) AS varbin_hex,
+  rpad(lower(hex(encode(l_returnflag || l_linestatus))), 16, '0')
+    AS bin8_hex,
+  CAST(4294967295 - l_linenumber AS BIGINT) AS uint_render,
+  CAST(CAST(l_extendedprice AS DECIMAL(15,2)) AS VARCHAR)
+    AS price_dec15_2_str,
+  CASE WHEN isnan(CASE WHEN l_linenumber = 7 THEN CAST('nan' AS REAL)
+                       ELSE CAST(l_discount AS REAL) END) THEN NULL
+       ELSE CAST(round(CAST(CASE WHEN l_linenumber = 7
+                                 THEN CAST('nan' AS REAL)
+                                 ELSE CAST(l_discount AS REAL) END
+                            AS DOUBLE) * 100) AS BIGINT)
+  END AS float_cents_sanitized
 FROM lineitem
 """,
-    doc="P4: sink-boundary type rendering — date/datetime→string, "
-        "double→fixed-dp string, money→int cents, enum→ordinal, bit mask "
-        "(FormatColVal, pkg/common/helper.go:19-80; the 45-type fixture "
-        "sql_builder_test.go:169 spirit)",
+    doc="P4: sink-boundary type rendering across the reference's full "
+        "45-column fixture families (FormatColVal, pkg/common/helper.go:"
+        "19-80; sql_builder_test.go:169): date/datetime→string, "
+        "double→fixed-dp string, money→int cents, enum→ordinal, bit "
+        "mask, unsigned bigint→DECIMAL(20,0) digits (beyond int64 "
+        "range), YEAR→int, TIME/duration→'HH:MM:SS', SET→uint "
+        "multi-flag mask AND comma-joined member names, "
+        "varbinary→hex, BINARY(8)→zero-padded hex, unsigned "
+        "int→bigint, DECIMAL(15,2)→exact 2-dp string, and float32 "
+        "NaN sanitization to NULL (helper.go:63-69) with a forced-NaN "
+        "lane proving the guard fires",
 )
 def projection_type_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    f32 = F.expr(
+        "case when l_linenumber = 7 then cast('NaN' as float) "
+        "else cast(l_discount as float) end"
+    )
     return li.select(
         "l_orderkey", "l_linenumber",
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date_str"),
@@ -2193,6 +2229,45 @@ def projection_type_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("l_returnflag") == "N", 2)
         .otherwise(3).alias("returnflag_enum"),
         F.expr("l_linenumber & 1").alias("line_bit"),
+        F.expr(
+            "cast(cast(l_orderkey as decimal(20,0)) "
+            "+ 9223372036854775807 as string)"
+        ).alias("ubig_dec20_str"),
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        F.format_string(
+            "%02d:%02d:%02d",
+            F.expr("(l_partkey % 86400) div 3600"),
+            F.expr("((l_partkey % 86400) % 3600) div 60"),
+            F.expr("(l_partkey % 86400) % 60"),
+        ).alias("dur_time_str"),
+        F.expr("cast(l_suppkey % 8 as bigint)").alias("set_mask"),
+        F.concat_ws(
+            ",",
+            F.expr("case when l_suppkey % 2 = 1 then 'AIR' end"),
+            F.expr("case when l_suppkey % 4 >= 2 then 'MAIL' end"),
+            F.expr("case when l_suppkey % 8 >= 4 then 'SHIP' end"),
+        ).alias("set_names"),
+        F.expr(
+            "lower(hex(cast(concat(l_returnflag, l_linestatus) as binary)))"
+        ).alias("varbin_hex"),
+        F.expr(
+            "rpad(lower(hex(cast(concat(l_returnflag, l_linestatus) "
+            "as binary))), 16, '0')"
+        ).alias("bin8_hex"),
+        F.expr("cast(4294967295 - l_linenumber as bigint)").alias("uint_render"),
+        F.expr(
+            "cast(cast(l_extendedprice as decimal(15,2)) as string)"
+        ).alias("price_dec15_2_str"),
+        F.when(F.isnan(f32), F.lit(None).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "cast(round(cast(case when l_linenumber = 7 "
+                "then cast('NaN' as float) "
+                "else cast(l_discount as float) end as double) * 100) "
+                "as bigint)"
+            )
+        )
+        .alias("float_cents_sanitized"),
     )
 
 
