@@ -26,30 +26,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Run order for a driver that caps at ~50 entries per round. Round-9
-#: rotation: position 1 is the NEW r9 entry (DDL executed through the
-#: live SQLite writer loop); 2-5 are entries whose engine code or oracle
-#: changed in round 9 (C4 keep-first rewritten as the skew-safe
-#: min-struct agg; the SQLite apply sink gained the zombie fence +
-#: carried-identity columns; the avro registry entry moved to a
-#: run-scoped tmpdir; the type-render fixture grew to the full 45-column
-#: family breadth); positions 6+ drain the oldest-first backlog — the 59
-#: entries whose latest external green row still dates from r1/r3
-#: (VERDICT r8 "What's wrong" #3) come first, then everything else in
-#: freshness-ascending order so any window overflow keeps draining
-#: oldest-first on the rolling clock (r8 ran 50/50 green; cumulative
-#: coverage 230/230).
+#: rotation: positions 1-3 are the NEW r9 entries (DDL executed through
+#: the live SQLite writer loop; schema evolution through the parquet
+#: replica; the leakage-safe cluster-aware train/val/test split); 4-11
+#: are entries whose engine code or oracle changed in round 9 (C4
+#: keep-first rewritten as the skew-safe min-struct agg; the SQLite
+#: apply sink gained the zombie fence + carried-identity columns; the
+#: avro registry entry moved to a run-scoped tmpdir; the type-render
+#: fixture grew to the full 45-column family breadth; the ReplicaSink
+#: merge is schema-evolving now, so the replica-backed e2es re-verify);
+#: positions 12+ drain the oldest-first backlog — the entries whose
+#: latest external green row still dates from r1/r3 (VERDICT r8 "What's
+#: wrong" #3) come first, then everything else freshness-ascending so
+#: any window overflow keeps draining oldest-first on the rolling clock.
 _PRIORITY = [
-    "streaming_sqlite_ddl_apply_e2e", "dedup_c4_span_excise",
-    "streaming_sqlite_apply_e2e", "encoder_avro_registry_evolution",
-    "projection_type_render", "filter_event_type", "filter_expr_values",
-    "ddl_allowlist", "ddl_split_multistatement",
-    "projection_column_selector", "projection_handle_key_only",
-    "projection_checksum", "range_scan", "stale_event_drop",
-    "table_progress", "changefeed_checkpoint", "dml_ddl_merge",
-    "apply_materialize", "encoder_open_protocol", "encoder_claim_check",
-    "txn_match_prewrite_commit", "decoder_open_protocol",
-    "ddl_action_classify", "ddl_barrier_subbatches", "apply_composite_key",
-    "force_replicate_rowkey", "encoder_open_batch",
+    "streaming_sqlite_ddl_apply_e2e",
+    "streaming_replica_schema_evolution_e2e", "split_leakage_safe",
+    "dedup_c4_span_excise", "streaming_sqlite_apply_e2e",
+    "encoder_avro_registry_evolution", "projection_type_render",
+    "streaming_replica_e2e", "engine_multifeed_e2e",
+    "streaming_time_travel_e2e", "dedup_duplicate_clusters",
+    "filter_event_type", "filter_expr_values", "ddl_allowlist",
+    "ddl_split_multistatement", "projection_column_selector",
+    "projection_handle_key_only", "projection_checksum", "range_scan",
+    "stale_event_drop", "table_progress", "changefeed_checkpoint",
+    "dml_ddl_merge", "apply_materialize", "encoder_open_protocol",
+    "encoder_claim_check", "txn_match_prewrite_commit",
+    "decoder_open_protocol", "ddl_action_classify", "ddl_barrier_subbatches",
+    "apply_composite_key", "force_replicate_rowkey", "encoder_open_batch",
     "schema_evolution_typed_view", "partition_table_logical",
     "agg_session_windows", "filter_ddl_sql_regex", "agg_unpivot_measures",
     "schema_asof_join_grouped", "audit_image_chain", "decoder_dead_letter",
@@ -59,17 +63,16 @@ _PRIORITY = [
     "dedup_minhash_lsh", "dedup_simhash", "sim_cosine_topk",
     "sim_ann_lsh_topk", "multimodal_binary_meta", "dedup_embedding_cosine",
     "sim_ivf_topk", "multimodal_frame_sample", "llm_clean_corpus",
-    "dedup_duplicate_clusters", "tpch_q1_pricing_summary",
-    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
-    "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
-    "window_topn_orders_per_customer", "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_cnt", "changes_normalize", "filter_table_rule",
-    "filter_start_ts", "projection_update_split", "route_topic_partition",
-    "order_apply_seq", "txn_grouping", "syncpoint_ticks", "schema_asof_join",
-    "apply_merge_to_base", "encoder_canal_json", "decoder_canal_json",
-    "encoder_simple_bootstrap", "decoder_simple_bootstrap",
-    "encoder_simple_bootstrap_versioned", "encoder_avro_json",
-    "decoder_avro_json", "projection_updated_columns",
+    "tpch_q1_pricing_summary", "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier", "window_topn_orders_per_customer",
+    "tpch_q14_promo_revenue", "tpch_q16_supplier_cnt", "changes_normalize",
+    "filter_table_rule", "filter_start_ts", "projection_update_split",
+    "route_topic_partition", "order_apply_seq", "txn_grouping",
+    "syncpoint_ticks", "schema_asof_join", "apply_merge_to_base",
+    "encoder_canal_json", "decoder_canal_json", "encoder_simple_bootstrap",
+    "decoder_simple_bootstrap", "encoder_simple_bootstrap_versioned",
+    "encoder_avro_json", "decoder_avro_json", "projection_updated_columns",
     "agg_salted_skew_safe", "join_skew_split_salted",
     "encoder_open_batch_framed", "agg_pivot_event_types",
     "agg_cube_table_op", "window_running_balance", "agg_rollup_schema_table",
@@ -111,13 +114,12 @@ _PRIORITY = [
     "text_gopher_quality_flags", "sample_mixture_epochs",
     "dedup_paragraph_fraction", "bpe_train_merges", "bpe_vocab_apply",
     "agg_events_per_type_hour", "streaming_incr_agg_e2e",
-    "streaming_ddl_barrier_e2e", "streaming_time_travel_e2e",
-    "streaming_filtered_replica_e2e", "streaming_syncpoint_e2e",
-    "streaming_window_append_e2e", "sink_txn_flush_batches",
-    "streaming_flush_batches_e2e", "streaming_jsonl_replica_e2e",
-    "cdc_pipeline_e2e", "source_csv_changes", "apply_scd2_history",
-    "apply_incremental_agg", "apply_incremental_join", "encoder_debezium",
-    "encoder_simple_protocol", "encoder_simple_ddl",
+    "streaming_ddl_barrier_e2e", "streaming_filtered_replica_e2e",
+    "streaming_syncpoint_e2e", "streaming_window_append_e2e",
+    "sink_txn_flush_batches", "streaming_flush_batches_e2e",
+    "streaming_jsonl_replica_e2e", "cdc_pipeline_e2e", "source_csv_changes",
+    "apply_scd2_history", "apply_incremental_agg", "apply_incremental_join",
+    "encoder_debezium", "encoder_simple_protocol", "encoder_simple_ddl",
     "encoder_avro_confluent_framed", "encoder_csv_rows",
     "decoder_open_batch", "convert_canal_to_avro", "encoder_mysql_sql",
     "encoder_mysql_sql_safe_mode", "decoder_debezium", "decoder_csv_rows",
@@ -128,12 +130,11 @@ _PRIORITY = [
     "dedup_keep_best_quality", "text_search_bm25_topk", "embed_pq_encode",
     "sim_pq_adc_topk", "corpus_bigram_counts", "sim_ivfpq_topk",
     "sim_ann_recall_report", "llm_curation_manifest",
-    "bpe_train_merges_batched", "streaming_replica_e2e",
-    "streaming_changelog_e2e", "streaming_first_seen_e2e",
-    "streaming_window_counts_e2e", "streaming_storage_e2e",
-    "streaming_txn_match_e2e", "streaming_sessions_e2e",
-    "streaming_blackhole_e2e", "streaming_minhash_dedup_e2e",
-    "engine_lifecycle_e2e", "engine_multifeed_e2e",
+    "bpe_train_merges_batched", "streaming_changelog_e2e",
+    "streaming_first_seen_e2e", "streaming_window_counts_e2e",
+    "streaming_storage_e2e", "streaming_txn_match_e2e",
+    "streaming_sessions_e2e", "streaming_blackhole_e2e",
+    "streaming_minhash_dedup_e2e", "engine_lifecycle_e2e",
     "streaming_csv_replica_e2e",
 ]
 

@@ -724,10 +724,10 @@ _LSH_PAIRS_CTES = _SHINGLE_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1) + f"
 """
 
 
-@register(
-    "dedup_duplicate_clusters",
-    _LSH_PAIRS_CTES
-    + """
+#: Connected components over the LSH pair graph (shared by the cluster
+#: report and the leakage-safe splitter): recursive min-label
+#: reachability, `comp` = (doc_id, cluster_id).
+_COMPONENTS_CTES = _LSH_PAIRS_CTES + """
 , edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL
@@ -740,6 +740,13 @@ _LSH_PAIRS_CTES = _SHINGLE_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1) + f"
 ), comp AS (
   SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
 )
+"""
+
+
+@register(
+    "dedup_duplicate_clusters",
+    _COMPONENTS_CTES
+    + """
 SELECT doc_id, cluster_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
 FROM comp
@@ -794,6 +801,57 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         "cluster_id",
         F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    )
+
+
+_SPLIT_REP = "coalesce(c.cluster_id, d.doc_id)"
+
+
+@register(
+    "split_leakage_safe",
+    _COMPONENTS_CTES + f"""
+SELECT d.doc_id,
+       CAST({_SPLIT_REP} AS BIGINT) AS rep_id,
+       CAST({h32_sql(_SPLIT_REP)} % 100 AS BIGINT) AS bucket,
+       CASE WHEN {h32_sql(_SPLIT_REP)} % 100 < 90 THEN 'train'
+            WHEN {h32_sql(_SPLIT_REP)} % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+""",
+    doc="Leakage-safe train/val/test split (the eval-contamination guard "
+        "a training pipeline needs BEFORE any random split: if two "
+        "near-duplicate documents land in different splits, the held-out "
+        "set leaks into training — Lee et al. 2022 'Deduplicating "
+        "Training Data Makes Language Models Better' documents exactly "
+        "this val-set inflation): every doc's split is decided by the "
+        "md5 hash-bucket of its near-dup CLUSTER representative "
+        "(connected components over the MinHash-LSH pair graph; "
+        "singletons represent themselves), so an entire duplicate "
+        "cluster always lands in one split by construction — 90/5/5 "
+        "via the same deterministic h32 bucketing as sample_hash_bucket "
+        "(replayable, no RNG). Scale: components run on the PAIR graph "
+        "only (near-dup components are shallow; bucket-capped pairs), "
+        "the split itself is a broadcast-join + scan-filter over the "
+        "corpus — no corpus-sized shuffle",
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.phash import h32
+
+    comp = dedup_duplicate_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = docs.alias("d").join(
+        comp.alias("c"), F.col("d.doc_id") == F.col("c.doc_id"), "left")
+    rep = F.expr("coalesce(c.cluster_id, d.doc_id)").cast("bigint")
+    bucket = (h32(rep) % 100).cast("bigint")
+    return out.select(
+        F.col("d.doc_id").alias("doc_id"),
+        rep.alias("rep_id"),
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
     )
 
 

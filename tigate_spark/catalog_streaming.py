@@ -1481,6 +1481,174 @@ def streaming_sqlite_ddl_apply_e2e(spark: SparkSession,
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "streaming_replica_schema_evolution_e2e",
+    ORACLE_CHANGES_CTE + """
+, ordered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY table_id, pk
+    ORDER BY commit_ts DESC, start_ts DESC,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC, seq DESC
+  ) AS rn
+  FROM changes
+), pos AS (
+  SELECT commit_ts, row_number() OVER (ORDER BY commit_ts, seq) AS rnk,
+         count(*) OVER () AS n
+  FROM changes
+), anchor AS (
+  SELECT min(commit_ts) AS ddl_ts FROM changes
+  WHERE commit_ts > (SELECT commit_ts FROM pos WHERE rnk = (9 * n) // 10)
+)
+SELECT table_id, pk, event_type, value_cents,
+       CAST(CASE WHEN table_id = 1
+                  AND commit_ts >= (SELECT ddl_ts FROM anchor)
+                 THEN abs(coalesce(value_cents, 0)) % 1000
+       END AS BIGINT) AS extra_cents
+FROM ordered WHERE rn = 1 AND op <> 'D'
+""",
+    doc="Schema evolution through the PARQUET replica (K1's Spark-native "
+        "twin of the executable-sink DDL entry): the DDL barrier splits "
+        "micro-batches, the registry appends the new version, and "
+        "post-DDL sub-batches carry the evolved extra_cents payload "
+        "column — the ReplicaSink's merge unions evolved and pre-DDL "
+        "state by NAME (allowMissingColumns) and the state read "
+        "footer-merges version dirs written under either schema, so the "
+        "new column appears downstream with NULL for rows whose last "
+        "writer predates the DDL (parquet ADD COLUMN semantics: no "
+        "backfill, unlike the SQLite DEFAULT) and the mounted value for "
+        "post-DDL winners. LWW oracle mirrors the anchor arithmetic; "
+        "contrast with streaming_sqlite_ddl_apply_e2e where the same "
+        "barrier DRIVES ALTER TABLE on a live SQL engine",
+)
+def streaming_replica_schema_evolution_e2e(spark: SparkSession,
+                                           sf_dir: str) -> DataFrame:
+    from tigate_spark.sources.changes import normalize_events
+    from tigate_spark.streaming.ddl import (
+        DDLEvent,
+        SchemaRegistry,
+        split_batch_at_ddl,
+    )
+    from tigate_spark.streaming.changefeed import PAYLOAD_COLS
+    from tigate_spark.streaming.sinks import ReplicaSink
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        base = spark.read.parquet(src)
+        order_sql = (
+            "ts, -(event_id % 97), "
+            "case when event_id % 10 >= 9 then 1 "
+            "when event_id % 10 >= 6 then 2 else 3 end, event_id"
+        )
+        norm = normalize_events(base)
+        n = norm.count()
+        mid_ts = (
+            norm.withColumn(
+                "rnk", F.expr("row_number() over (order by commit_ts, seq)")
+            )
+            .filter(F.col("rnk") == 9 * n // 10)
+            .select("commit_ts")
+            .collect()[0][0]
+        )
+        ddl_ts = norm.filter(F.col("commit_ts") > mid_ts).agg(
+            F.min("commit_ts")
+        ).collect()[0][0]
+        if ddl_ts is None:
+            raise RuntimeError("degenerate ts distribution: no DDL anchor")
+        anchor_seq = (
+            norm.filter(F.col("commit_ts") >= ddl_ts)
+            .withColumn(
+                "opr",
+                F.expr("case op when 'D' then 1 when 'U' then 2 else 3 end"),
+            )
+            .orderBy("commit_ts", "start_ts", "opr", "seq")
+            .select("seq")
+            .limit(1)
+            .collect()[0][0]
+        )
+        ddl = DDLEvent(
+            commit_ts=int(ddl_ts), table_id=1,
+            query="ALTER TABLE `app`.`t1` ADD COLUMN `extra_cents` BIGINT",
+            schema_tag="v1",
+        )
+        flat, land = split_df_in_order(spark, base, work, 3, order_sql)
+        for k in range(3):
+            land(k)
+        raw = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(flat)
+        )
+        sink = ReplicaSink(
+            os.path.join(work, "state"),
+            [*PAYLOAD_COLS, "extra_cents"],
+        )
+        registry = SchemaRegistry(os.path.join(work, "registry"))
+        ckpt = os.path.join(work, "ckpt")
+        evolved: set[int] = set()
+
+        def run(batch_df: DataFrame, batch_id: int) -> None:
+            has_anchor = (
+                batch_df.filter(F.col("seq") == anchor_seq).count() > 0
+            )
+
+            def apply_dml(part_df: DataFrame, sub: int) -> None:
+                if evolved:
+                    part_df = part_df.withColumn(
+                        "extra_cents",
+                        F.expr(
+                            "case when table_id = 1 then "
+                            "abs(coalesce(value_cents, 0)) % 1000 end"
+                        ).cast("bigint"),
+                    )
+                sink.process_batch(part_df, batch_id)
+
+            def apply_ddl(d: DDLEvent) -> None:
+                registry.append(spark, d, n_tables=4)
+                evolved.add(1)
+
+            split_batch_at_ddl(
+                batch_df, [ddl] if has_anchor else [], apply_dml, apply_ddl
+            )
+
+        q = (
+            normalize_events(raw)
+            .writeStream.foreachBatch(run)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        off = os.path.join(ckpt, "offsets")
+        n_batches = len(os.listdir(off)) if os.path.isdir(off) else 0
+        if n_batches < 2:
+            raise RuntimeError(f"expected multi-batch run, got {n_batches}")
+        if registry.versions(spark).count() == 0:
+            raise RuntimeError("registry did not record the DDL version")
+        from tigate_spark.streaming.sinks import read_replica
+
+        state = read_replica(spark, sink.state_dir).select(
+            "table_id", "pk", "event_type", "value_cents", "extra_cents"
+        )
+        n_evolved = state.filter(
+            "table_id = 1 and extra_cents is not null"
+        ).count()
+        n_pre = state.filter(
+            "table_id = 1 and extra_cents is null"
+        ).count()
+        if n_evolved == 0 or n_pre == 0:
+            raise RuntimeError(
+                f"evolution signal trivial: {n_evolved} evolved / "
+                f"{n_pre} pre-DDL winners"
+            )
+        return _materialize(state)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _MULTIFEED_ORACLE = ORACLE_CHANGES_CTE + """
 , a_ordered AS (
   SELECT *, row_number() OVER (

@@ -78,7 +78,14 @@ def _resolve_state(spark: SparkSession, state_dir: str,
     a crash left without a manifest row) drop out of the version match —
     no driver-side listing, linking, or renames anywhere on this path."""
     data = (
-        spark.read.parquet(_data_dir(state_dir))
+        # mergeSchema: version dirs written before a DDL lack the
+        # evolved payload columns — the union schema NULL-fills them
+        # (the parquet replica's ALTER ... ADD COLUMN semantics). A
+        # production deployment carries the schema in the manifest (or
+        # uses Delta/Iceberg metadata) instead of footer-merging; here
+        # the compact cycle keeps the file population bounded.
+        spark.read.option("mergeSchema", "true")
+        .parquet(_data_dir(state_dir))
         .withColumn("table_id", F.col("table_id").cast("bigint"))
         .withColumn("v", F.col("v").cast("bigint"))
     )
@@ -217,10 +224,21 @@ class ReplicaSink:
                 F.count_distinct("version").alias("nv"),
             ).first()
             next_ver, n_versions = int(info["mx"]) + 1, int(info["nv"])
-            prev = _resolve_state(spark, self.state_dir, man).join(
+            prev_all = _resolve_state(spark, self.state_dir, man).join(
                 F.broadcast(touched), "table_id", "left_semi"
-            ).select(*cols)
-            merged_src = incoming.unionByName(prev)
+            )
+            # schema evolution across the DDL barrier: a payload column
+            # may exist on only one side (post-DDL batch into pre-DDL
+            # state, or a replayed pre-DDL batch into evolved state) —
+            # union by name NULL-fills the missing side, and the winner
+            # struct below re-derives from the union schema
+            prev = prev_all.select(
+                "table_id", "pk", "op", "commit_ts", "start_ts", "seq",
+                *[c for c in self.payload_cols if c in prev_all.columns],
+            )
+            merged_src = incoming.unionByName(
+                prev, allowMissingColumns=True)
+            cols = merged_src.columns
         # one shuffle: max_by over the exact total order (commit_ts,
         # start_ts, D<U<I, seq) — the winner keeps its full order key so
         # cross-batch ties at the same commit_ts still resolve correctly

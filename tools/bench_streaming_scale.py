@@ -59,13 +59,21 @@ def build_source(spark, out_dir: str, copies: int, n_files: int) -> int:
     return n * copies
 
 
-def run_scale(spark, label: str, copies: int, n_files: int) -> dict:
+def run_scale(spark, label: str, copies: int, n_files: int,
+              sink: str = "replica") -> dict:
+    """sink: replica | changelog | file. changelog pins the canal-json
+    encode + routing path; file pins the K7 dated-tree storage sink,
+    where per-batch FILE-COUNT growth (not state) is the flatness risk."""
+    from tigate_spark.config import SinkConfig
+
     src = tempfile.mkdtemp(prefix=f"tigate-sscale-src-{label}-")
     work = tempfile.mkdtemp(prefix=f"tigate-sscale-work-{label}-")
     try:
         total = build_source(spark, src, copies, n_files)
-        cfg = ChangefeedConfig(changefeed_id=f"sscale-{label}",
-                               sink_uri="replica://")
+        sink_cfg = SinkConfig(protocol="csv") if sink == "file" \
+            else SinkConfig()
+        cfg = ChangefeedConfig(changefeed_id=f"sscale-{sink}-{label}",
+                               sink_uri=f"{sink}://", sink=sink_cfg)
         cf = Changefeed(spark, cfg, src, work)
         t0 = time.monotonic()
         q = cf.start(available_now=True)
@@ -91,6 +99,7 @@ def run_scale(spark, label: str, copies: int, n_files: int) -> dict:
         head = sum(batch_ms[:k]) / k if batch_ms else 0
         tail = sum(batch_ms[-k:]) / k if batch_ms else 0
         return {
+            "sink": sink,
             "scale": label,
             "batches": len(batch_ms),
             "rows": total,
@@ -107,11 +116,22 @@ def run_scale(spark, label: str, copies: int, n_files: int) -> dict:
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sinks", default="replica",
+                    help="comma list: replica,changelog,file")
+    ap.add_argument("--scales", default="1M,10M")
+    args = ap.parse_args()
+    scales = {"1M": (10, 4), "10M": (100, 40)}
     spark = get_spark("tigate-streaming-scale")
     try:
-        for label, copies, n_files in (("1M", 10, 4), ("10M", 100, 40)):
-            print(json.dumps(run_scale(spark, label, copies, n_files)),
-                  flush=True)
+        for sink in args.sinks.split(","):
+            for label in args.scales.split(","):
+                copies, n_files = scales[label]
+                print(json.dumps(
+                    run_scale(spark, label, copies, n_files, sink=sink)),
+                    flush=True)
     finally:
         spark.stop()
 
