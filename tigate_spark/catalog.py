@@ -1375,7 +1375,11 @@ def _avro_evolution_oracle() -> str:
         "Register + 400-408 framing; the HTTP server's allocation "
         "semantics live in functions/confluent_registry.py over a local "
         "fcntl-locked JSON file — global content-deduplicated ids, "
-        "per-subject versions, idempotent re-registration). The entry "
+        "per-subject versions, idempotent re-registration; the "
+        "concurrent-feed race is proven cross-process in tests/"
+        "test_confluent_registry.py::test_concurrent_feeds_share_one_"
+        "registry — four driver processes allocate contiguous "
+        "collision-free ids against ONE file). The entry "
         "registers key/value-v1/value-v2 (v2 = v1 + nullable props, the "
         "post-DDL add-column shape) against a FRESH registry, asserts "
         "idempotency and cross-subject content dedup, then frames every "
