@@ -628,3 +628,25 @@ def test_large_message_handle_rejected_for_avro(spark, tmp_path):
                             large_message_handle="claim-check"),
         )
         Changefeed(spark, cfg, str(tmp_path), str(tmp_path))
+
+
+def test_sqlite_sink_scheme_equivalence(spark, sf_dir, chunked_source,
+                                        tmp_path):
+    """sink_uri='sqlite://' wires the executable writer loop as a
+    first-class sink: the changefeed renders + EXECUTES safe-mode SQL on
+    per-lane SQLite files, and the downstream live state equals the
+    replica LWW materialization (minus tombstones, which a SQL engine
+    deletes physically)."""
+    cfg = ChangefeedConfig(changefeed_id="cf-sqlite", sink_uri="sqlite://")
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    cf.run_to_completion()
+    got = cf.sink.read_state(spark).select(
+        "table_id", "pk", "event_type", "value_cents")
+    exp = (
+        _expected_replica(spark, sf_dir, cfg)
+        .filter(F.col("op") != "D")
+        .select("table_id", "pk", "event_type", "value_cents")
+    )
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0

@@ -170,6 +170,16 @@ class Changefeed:
                 date_separator=self.cfg.sink.date_separator,
                 bookkeeping=self.bookkeeping,
             )
+        if scheme == "sqlite":
+            # the executable writer loop (K1's live-SQL form): renders
+            # safe-mode statements and EXECUTES them on per-lane SQLite
+            # files — the MySQL sink with only connect() swapped
+            # (mysql_writer.go:727-755; streaming/sqlite_apply.py)
+            from tigate_spark.streaming.sqlite_apply import SqliteApplySink
+
+            return SqliteApplySink(
+                os.path.join(self.work_dir, "sqlite", self.cfg.changefeed_id)
+            )
         if scheme in ("noop", "blackhole"):
             return NoopSink(self.bookkeeping)
         raise ValueError(f"unsupported sink scheme: {scheme}")  # sink.go:41-56
