@@ -637,6 +637,15 @@ def test_sqlite_sink_scheme_equivalence(spark, sf_dir, chunked_source,
     per-lane SQLite files, and the downstream live state equals the
     replica LWW materialization (minus tombstones, which a SQL engine
     deletes physically)."""
+    # precondition on the testdata vintage: chunked_source splits by
+    # event_id while the writer applies cross-batch in arrival order —
+    # equivalent to LWW only while commit timestamps are unique. If the
+    # driver regenerates data with ties, fail HERE with a clear message
+    # (re-split in LWW order like the catalog e2e) instead of a
+    # confusing exceptAll diff below.
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    assert ev.count() == ev.select("ts").distinct().count(), \
+        "testdata has commit-ts ties: re-split chunked_source in LWW order"
     cfg = ChangefeedConfig(changefeed_id="cf-sqlite", sink_uri="sqlite://")
     cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
     cf.run_to_completion()

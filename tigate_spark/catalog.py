@@ -1396,15 +1396,7 @@ def encoder_avro_registry_evolution(spark: SparkSession, sf_dir: str) -> DataFra
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
-
-    from tigate_spark.functions.avro_wire import encode_avro_evolution
-    from tigate_spark.functions.confluent_registry import (
-        EVENTS_KEY_SCHEMA,
-        EVENTS_VALUE_V1,
-        EVENTS_VALUE_V2,
-        FileSchemaRegistry,
-    )
+    from tigate_spark.functions.confluent_registry import FileSchemaRegistry
 
     # run-scoped private dir (not a fixed predictable /tmp name):
     # concurrent runs can't interleave remove/register and drift the

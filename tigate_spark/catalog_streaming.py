@@ -1324,6 +1324,59 @@ def streaming_sqlite_apply_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+
+#: Shared by the two DDL-barrier sink entries (SQLite apply + parquet
+#: replica evolution): the DDL anchors at the first commit_ts strictly
+#: above the num/den-percentile row, so every row at ddl_ts sorts
+#: at/after the anchor in the split order and equal-ts rows can never
+#: leak into a pre-DDL batch. Keep the Spark arithmetic and the oracle
+#: CTE below in lockstep — they are one spec, rendered twice.
+def _ddl_anchor(norm: DataFrame, num: int, den: int) -> tuple[int, int]:
+    """(ddl_ts, anchor_seq) for a DDL at the num/den percentile of the
+    commit order; anchor_seq is the first row at/after ddl_ts in the
+    LWW split order (commit_ts, start_ts, D<U<I, seq)."""
+    n = norm.count()
+    pct_ts = (
+        norm.withColumn(
+            "rnk", F.expr("row_number() over (order by commit_ts, seq)")
+        )
+        .filter(F.col("rnk") == num * n // den)
+        .select("commit_ts")
+        .collect()[0][0]
+    )
+    ddl_ts = norm.filter(F.col("commit_ts") > pct_ts).agg(
+        F.min("commit_ts")
+    ).collect()[0][0]
+    if ddl_ts is None:
+        raise RuntimeError("degenerate ts distribution: no DDL anchor")
+    anchor_seq = (
+        norm.filter(F.col("commit_ts") >= ddl_ts)
+        .withColumn(
+            "opr",
+            F.expr("case op when 'D' then 1 when 'U' then 2 else 3 end"),
+        )
+        .orderBy("commit_ts", "start_ts", "opr", "seq")
+        .select("seq")
+        .limit(1)
+        .collect()[0][0]
+    )
+    return int(ddl_ts), anchor_seq
+
+
+def _ddl_anchor_oracle(num: int, den: int) -> str:
+    """DuckDB rendering of :func:`_ddl_anchor`'s ddl_ts (CTEs pos +
+    anchor; appended after a `changes`-producing CTE chain)."""
+    return f"""
+, pos AS (
+  SELECT commit_ts, row_number() OVER (ORDER BY commit_ts, seq) AS rnk,
+         count(*) OVER () AS n
+  FROM changes
+), anchor AS (
+  SELECT min(commit_ts) AS ddl_ts FROM changes
+  WHERE commit_ts > (SELECT commit_ts FROM pos WHERE rnk = ({num} * n) // {den})
+)"""
+
+
 @register(
     "streaming_sqlite_ddl_apply_e2e",
     ORACLE_CHANGES_CTE + """
@@ -1334,14 +1387,7 @@ def streaming_sqlite_apply_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC, seq DESC
   ) AS rn
   FROM changes
-), pos AS (
-  SELECT commit_ts, row_number() OVER (ORDER BY commit_ts, seq) AS rnk,
-         count(*) OVER () AS n
-  FROM changes
-), anchor AS (
-  SELECT min(commit_ts) AS ddl_ts FROM changes
-  WHERE commit_ts > (SELECT commit_ts FROM pos WHERE rnk = n // 2)
-)
+)""" + _ddl_anchor_oracle(1, 2) + """
 SELECT table_id, pk, event_type, value_cents,
        CAST(CASE WHEN table_id = 1 THEN
          CASE WHEN commit_ts >= (SELECT ddl_ts FROM anchor)
@@ -1384,35 +1430,7 @@ def streaming_sqlite_ddl_apply_e2e(spark: SparkSession,
             "when event_id % 10 >= 6 then 2 else 3 end, event_id"
         )
         norm = normalize_events(base)
-        n = norm.count()
-        # DDL anchored at the first commit_ts strictly above the median
-        # row's ts: every row at ddl_ts sorts at/after the anchor in the
-        # split order, so equal-ts rows can never leak into a pre-DDL
-        # batch (the oracle mirrors this arithmetic exactly)
-        mid_ts = (
-            norm.withColumn(
-                "rnk", F.expr("row_number() over (order by commit_ts, seq)")
-            )
-            .filter(F.col("rnk") == n // 2)
-            .select("commit_ts")
-            .collect()[0][0]
-        )
-        ddl_ts = norm.filter(F.col("commit_ts") > mid_ts).agg(
-            F.min("commit_ts")
-        ).collect()[0][0]
-        if ddl_ts is None:
-            raise RuntimeError("degenerate ts distribution: no DDL anchor")
-        anchor_seq = (
-            norm.filter(F.col("commit_ts") >= ddl_ts)
-            .withColumn(
-                "opr",
-                F.expr("case op when 'D' then 1 when 'U' then 2 else 3 end"),
-            )
-            .orderBy("commit_ts", "start_ts", "opr", "seq")
-            .select("seq")
-            .limit(1)
-            .collect()[0][0]
-        )
+        ddl_ts, anchor_seq = _ddl_anchor(norm, 1, 2)
         ddl = DDLEvent(
             commit_ts=int(ddl_ts), table_id=1,
             query="ALTER TABLE `app`.`t1` ADD COLUMN `extra_cents` "
@@ -1491,14 +1509,7 @@ def streaming_sqlite_ddl_apply_e2e(spark: SparkSession,
              CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC, seq DESC
   ) AS rn
   FROM changes
-), pos AS (
-  SELECT commit_ts, row_number() OVER (ORDER BY commit_ts, seq) AS rnk,
-         count(*) OVER () AS n
-  FROM changes
-), anchor AS (
-  SELECT min(commit_ts) AS ddl_ts FROM changes
-  WHERE commit_ts > (SELECT commit_ts FROM pos WHERE rnk = (9 * n) // 10)
-)
+)""" + _ddl_anchor_oracle(9, 10) + """
 SELECT table_id, pk, event_type, value_cents,
        CAST(CASE WHEN table_id = 1
                   AND commit_ts >= (SELECT ddl_ts FROM anchor)
@@ -1541,31 +1552,7 @@ def streaming_replica_schema_evolution_e2e(spark: SparkSession,
             "when event_id % 10 >= 6 then 2 else 3 end, event_id"
         )
         norm = normalize_events(base)
-        n = norm.count()
-        mid_ts = (
-            norm.withColumn(
-                "rnk", F.expr("row_number() over (order by commit_ts, seq)")
-            )
-            .filter(F.col("rnk") == 9 * n // 10)
-            .select("commit_ts")
-            .collect()[0][0]
-        )
-        ddl_ts = norm.filter(F.col("commit_ts") > mid_ts).agg(
-            F.min("commit_ts")
-        ).collect()[0][0]
-        if ddl_ts is None:
-            raise RuntimeError("degenerate ts distribution: no DDL anchor")
-        anchor_seq = (
-            norm.filter(F.col("commit_ts") >= ddl_ts)
-            .withColumn(
-                "opr",
-                F.expr("case op when 'D' then 1 when 'U' then 2 else 3 end"),
-            )
-            .orderBy("commit_ts", "start_ts", "opr", "seq")
-            .select("seq")
-            .limit(1)
-            .collect()[0][0]
-        )
+        ddl_ts, anchor_seq = _ddl_anchor(norm, 9, 10)
         ddl = DDLEvent(
             commit_ts=int(ddl_ts), table_id=1,
             query="ALTER TABLE `app`.`t1` ADD COLUMN `extra_cents` BIGINT",

@@ -178,7 +178,8 @@ class Changefeed:
             from tigate_spark.streaming.sqlite_apply import SqliteApplySink
 
             return SqliteApplySink(
-                os.path.join(self.work_dir, "sqlite", self.cfg.changefeed_id)
+                os.path.join(self.work_dir, "sqlite", self.cfg.changefeed_id),
+                bookkeeping=self.bookkeeping,
             )
         if scheme in ("noop", "blackhole"):
             return NoopSink(self.bookkeeping)

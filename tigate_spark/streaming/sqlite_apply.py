@@ -85,22 +85,32 @@ _IGNORABLE_DDL = (
 )
 
 
+#: default synthesized post-DDL after-image: the testdata change stream
+#: predates any DDL, so the mounted value of an evolved column is derived
+#: deterministically from the row (a real changefeed mounts it from the
+#: new schema version, T3 semantics)
+DEFAULT_EXTRA_EXPR = "abs(coalesce(value_cents, 0)) % 1000"
+
+
 def render_safe_mode_statements(changes: DataFrame,
                                 n_lanes: int = DEFAULT_LANES,
                                 extra_tables: frozenset[int] | set[int]
-                                = frozenset()) -> DataFrame:
+                                = frozenset(),
+                                extra_col: str = "extra_cents",
+                                extra_expr: str = DEFAULT_EXTRA_EXPR
+                                ) -> DataFrame:
     """Changes → ordered, lane-keyed safe-mode statement stream:
     (lane, table_id, schema_name, table_name, commit_ts, start_ts, opr,
     seq, piece_no, sql, args). Identity columns ride along so the writer
     never re-parses them out of the SQL text (an identifier containing a
     backtick would misroute otherwise).
 
-    ``extra_tables``: table_ids whose post-DDL schema carries the
-    ``extra_cents`` column — their REPLACE statements render the 4-column
-    form with a deterministic derivation of the column value standing in
-    for the mounted post-DDL after-image (the testdata change stream
-    predates the DDL, so the image is synthesized; a real changefeed
-    mounts it from the new schema version, T3 semantics).
+    ``extra_tables``: table_ids whose post-DDL schema carries the evolved
+    ``extra_col`` — their REPLACE statements render the widened form with
+    ``extra_expr`` (a SQL expression over the change row) as the mounted
+    after-image. The widening rebuilds the statement from its parts (no
+    text surgery on the VALUES arity), so a future change to the base
+    REPLACE shape cannot silently desynchronize SQL and args.
     """
     from tigate_spark.functions.encoders import encode_mysql_sql
 
@@ -118,19 +128,16 @@ def render_safe_mode_statements(changes: DataFrame,
         is_extra = F.expr(
             f"table_id in ({ids}) and sql like 'REPLACE INTO %'")
         vals = changes.select(
-            "seq", F.col("value_cents").alias("_vc"))
+            "seq", F.expr(extra_expr).cast("bigint").alias("_extra"))
+        wide_sql = F.format_string(
+            "REPLACE INTO `%s`.`%s` (`pk`,`event_type`,`value_cents`,"
+            f"`{extra_col}`) VALUES (?,?,?,?)",
+            F.col("schema_name"), F.col("table_name"),
+        )
         out = (
             out.join(vals, "seq")
             .withColumn(
-                "sql",
-                F.when(
-                    is_extra,
-                    F.expr(
-                        "replace(replace(sql, '`value_cents`', "
-                        "'`value_cents`,`extra_cents`'), "
-                        "'(?,?,?)', '(?,?,?,?)')"
-                    ),
-                ).otherwise(F.col("sql")),
+                "sql", F.when(is_extra, wide_sql).otherwise(F.col("sql")),
             )
             .withColumn(
                 "args",
@@ -139,13 +146,12 @@ def render_safe_mode_statements(changes: DataFrame,
                     F.concat(
                         F.expr("substring(args, 1, length(args) - 1)"),
                         F.lit(","),
-                        F.expr(
-                            "cast(abs(coalesce(_vc, 0)) % 1000 as string)"),
+                        F.expr("cast(_extra as string)"),
                         F.lit("]"),
                     ),
                 ).otherwise(F.col("args")),
             )
-            .drop("_vc")
+            .drop("_extra")
         )
     return out.select(
         "lane", "table_id", "schema_name", "table_name",
@@ -234,6 +240,14 @@ def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
                         cur.execute(
                             "INSERT OR IGNORE INTO _applied VALUES (?)",
                             (fence,))
+                        # retention: a marker only fences replays of
+                        # recent batches (Spark retries the CURRENT
+                        # micro-batch); keep a bounded window so a
+                        # long-lived changefeed's lane DBs don't
+                        # accumulate one row per batch forever
+                        cur.execute(
+                            "DELETE FROM _applied WHERE rowid < "
+                            "(SELECT max(rowid) FROM _applied) - 64")
                     con.commit()
                     pending, pending_bytes = [], 0
                     return
@@ -317,11 +331,13 @@ class SqliteApplySink:
     per-lane SQLite files via foreachPartition."""
 
     def __init__(self, db_dir: str, n_lanes: int = DEFAULT_LANES,
-                 txn_rows: int = 256, max_packet: int = 64 * 1024):
+                 txn_rows: int = 256, max_packet: int = 64 * 1024,
+                 bookkeeping=None):
         self.db_dir = db_dir
         self.n_lanes = n_lanes
         self.txn_rows = txn_rows
         self.max_packet = max_packet
+        self.bookkeeping = bookkeeping
         os.makedirs(db_dir, exist_ok=True)
 
     def process_batch(self, changes: DataFrame, batch_id: int,
@@ -357,6 +373,10 @@ class SqliteApplySink:
 
         (stmts.repartition(self.n_lanes, "lane")
               .foreachPartition(run_partition))
+        if self.bookkeeping:
+            # table-progress + syncpoint recording (T5/T7/T11), same as
+            # every other sink scheme
+            self.bookkeeping.record(changes, batch_id)
 
     def exec_ddl(self, query: str, schema: str, table: str,
                  table_id: int) -> str:
