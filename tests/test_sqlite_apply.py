@@ -271,3 +271,53 @@ def test_render_extra_tables_widens_replace_only(spark, sf_dir):
             assert args[3] == abs(args[2] or 0) % 1000
         else:
             assert not wide
+
+
+def test_exec_ddl_drop_column_and_replay(tmp_path):
+    """DROP COLUMN executes; replaying it hits 'no such column' — the
+    ErrColumnNotExists ignorable class — and is ignored."""
+    from tigate_spark.streaming.sqlite_apply import exec_ddl_on_lane
+
+    db = str(tmp_path / "lane-g.db")
+    add = ("ALTER TABLE `app`.`t0` ADD COLUMN `extra_cents` INTEGER "
+           "DEFAULT 0")
+    drop = "ALTER TABLE `app`.`t0` DROP COLUMN `extra_cents`"
+    assert exec_ddl_on_lane(db, add, "app", "t0", 0) == "applied"
+    assert exec_ddl_on_lane(db, drop, "app", "t0", 0) == "applied"
+    assert exec_ddl_on_lane(db, drop, "app", "t0", 0) == "ignored"
+    con = sqlite3.connect(db)
+    cols = [c[1] for c in con.execute("PRAGMA table_info(`app__t0`)")]
+    con.close()
+    assert "extra_cents" not in cols
+
+
+def test_exec_ddl_create_index_and_replay(tmp_path):
+    """CREATE INDEX executes; replay hits 'already exists' — the
+    ErrIndexExists/ErrDupKeyName ignorable class."""
+    from tigate_spark.streaming.sqlite_apply import exec_ddl_on_lane
+
+    db = str(tmp_path / "lane-h.db")
+    idx = "CREATE INDEX `ix_et` ON `app`.`t0` (`event_type`)"
+    # SQLite index DDL names the table bare (no schema qual) — rewrite
+    # like the writer would: the local-name swap applies to the table ref
+    local = idx.replace("`app`.`t0`", "`app`.`t0`")
+    assert exec_ddl_on_lane(db, local, "app", "t0", 0) == "applied"
+    assert exec_ddl_on_lane(db, local, "app", "t0", 0) == "ignored"
+
+
+def test_applied_fence_retention_is_bounded(tmp_path):
+    """The fence-marker table keeps a bounded window (retention prunes
+    below max rowid - 64) so a long-lived changefeed's lane DBs don't
+    grow one row per batch forever."""
+    from tigate_spark.streaming.sqlite_apply import _exec_lane
+
+    db = str(tmp_path / "lane-i.db")
+    for i in range(200):
+        _exec_lane(db, _stmts(1, start=i), txn_rows=10,
+                   max_packet=1 << 20, fence=f"b{i}")
+    con = sqlite3.connect(db)
+    n = con.execute("SELECT count(*) FROM _applied").fetchone()[0]
+    fences = {f for (f,) in con.execute("SELECT fence FROM _applied")}
+    con.close()
+    assert n <= 66
+    assert "b199" in fences  # the most recent marker always survives
