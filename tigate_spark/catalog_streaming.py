@@ -1331,16 +1331,24 @@ def streaming_sqlite_apply_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: at/after the anchor in the split order and equal-ts rows can never
 #: leak into a pre-DDL batch. Keep the Spark arithmetic and the oracle
 #: CTE below in lockstep — they are one spec, rendered twice.
-def _ddl_anchor(norm: DataFrame, num: int, den: int) -> tuple[int, int]:
+def _ddl_anchor(norm: DataFrame, num: int, den: int,
+                max_tail: int | None = None) -> tuple[int, int]:
     """(ddl_ts, anchor_seq) for a DDL at the num/den percentile of the
     commit order; anchor_seq is the first row at/after ddl_ts in the
-    LWW split order (commit_ts, start_ts, D<U<I, seq)."""
+    LWW split order (commit_ts, start_ts, D<U<I, seq). ``max_tail``
+    caps the post-anchor row count at a fixed number — with a fixed
+    pk-space (pk = event_id %% 200) a fixed FRACTION of a big-SF stream
+    rewrites every key and the pre-DDL lane vanishes; a fixed tail keeps
+    both lanes populated at every SF."""
     n = norm.count()
+    rank = num * n // den
+    if max_tail is not None:
+        rank = max(rank, n - max_tail)
     pct_ts = (
         norm.withColumn(
             "rnk", F.expr("row_number() over (order by commit_ts, seq)")
         )
-        .filter(F.col("rnk") == num * n // den)
+        .filter(F.col("rnk") == rank)
         .select("commit_ts")
         .collect()[0][0]
     )
@@ -1363,9 +1371,13 @@ def _ddl_anchor(norm: DataFrame, num: int, den: int) -> tuple[int, int]:
     return int(ddl_ts), anchor_seq
 
 
-def _ddl_anchor_oracle(num: int, den: int) -> str:
+def _ddl_anchor_oracle(num: int, den: int,
+                       max_tail: int | None = None) -> str:
     """DuckDB rendering of :func:`_ddl_anchor`'s ddl_ts (CTEs pos +
     anchor; appended after a `changes`-producing CTE chain)."""
+    rank = f"({num} * n) // {den}"
+    if max_tail is not None:
+        rank = f"greatest({rank}, n - {max_tail})"
     return f"""
 , pos AS (
   SELECT commit_ts, row_number() OVER (ORDER BY commit_ts, seq) AS rnk,
@@ -1373,7 +1385,7 @@ def _ddl_anchor_oracle(num: int, den: int) -> str:
   FROM changes
 ), anchor AS (
   SELECT min(commit_ts) AS ddl_ts FROM changes
-  WHERE commit_ts > (SELECT commit_ts FROM pos WHERE rnk = ({num} * n) // {den})
+  WHERE commit_ts > (SELECT commit_ts FROM pos WHERE rnk = {rank})
 )"""
 
 
@@ -1509,7 +1521,7 @@ def streaming_sqlite_ddl_apply_e2e(spark: SparkSession,
              CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC, seq DESC
   ) AS rn
   FROM changes
-)""" + _ddl_anchor_oracle(9, 10) + """
+)""" + _ddl_anchor_oracle(9, 10, 400) + """
 SELECT table_id, pk, event_type, value_cents,
        CAST(CASE WHEN table_id = 1
                   AND commit_ts >= (SELECT ddl_ts FROM anchor)
@@ -1552,7 +1564,7 @@ def streaming_replica_schema_evolution_e2e(spark: SparkSession,
             "when event_id % 10 >= 6 then 2 else 3 end, event_id"
         )
         norm = normalize_events(base)
-        ddl_ts, anchor_seq = _ddl_anchor(norm, 9, 10)
+        ddl_ts, anchor_seq = _ddl_anchor(norm, 9, 10, max_tail=400)
         ddl = DDLEvent(
             commit_ts=int(ddl_ts), table_id=1,
             query="ALTER TABLE `app`.`t1` ADD COLUMN `extra_cents` BIGINT",
