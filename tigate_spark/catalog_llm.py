@@ -804,6 +804,76 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: truth threshold for the LSH quality report: pairs with (df-capped)
+#: n-gram Jaccard >= 0.5 are "true" near-dups (b=4 x r=2 gives
+#: P(candidate) = 1-(1-j^2)^4 ~ 0.68 at j=0.5, ~0.98 at j=0.8)
+_LSH_QUALITY_TAU_BP = 5000
+
+
+def _lsh_quality_oracle() -> str:
+    from tigate_spark.catalog import CATALOG
+
+    jac = CATALOG["dedup_ngram_jaccard"].oracle
+    lsh = CATALOG["dedup_minhash_lsh"].oracle
+    return f"""
+WITH truth AS (
+  SELECT doc_a, doc_b FROM ({jac}) WHERE jaccard_bp >= {_LSH_QUALITY_TAU_BP}
+), cand AS (
+  SELECT doc_a, doc_b FROM ({lsh})
+), hits AS (
+  SELECT t.doc_a FROM truth t JOIN cand c USING (doc_a, doc_b)
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+       CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+       CAST((SELECT count(*) FROM hits) * 10000
+            // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
+         AS recall_bp,
+       CAST((SELECT count(*) FROM hits) * 10000
+            // greatest((SELECT count(*) FROM cand), 1) AS BIGINT)
+         AS precision_bp
+"""
+
+
+@register(
+    "dedup_lsh_quality_report",
+    _lsh_quality_oracle(),
+    doc="Dedup-stack quality gate (the sim_ann_recall_report twin for "
+        "the fuzzy-dedup family): MinHash-LSH candidate pairs evaluated "
+        "against the exact df-capped n-gram Jaccard truth at "
+        "tau=0.5 — recall (true near-dup pairs LSH surfaced) and "
+        "precision (candidates that are real) in basis points, "
+        "composed by REUSING both stages' oracles as subqueries so the "
+        "measurement itself is hash-verified. A pipeline operator, not "
+        "a test: real curation runs ship this report next to the dedup "
+        "output so a banding/threshold misconfiguration is visible "
+        "before training. Scale: both inputs are the already-bounded "
+        "pair aggregates (bucket-capped); the report is three counts",
+)
+def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    truth = (
+        dd.ngram_jaccard_pairs(docs)
+        .filter(F.col("jaccard_bp") >= _LSH_QUALITY_TAU_BP)
+        .select("doc_a", "doc_b")
+    )
+    cand = dd.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    hits = truth.join(cand, ["doc_a", "doc_b"])
+    t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        t.crossJoin(c).crossJoin(h)
+        .select(
+            "n_true", "n_cand", "n_hits",
+            F.expr("n_hits * 10000 div greatest(n_true, 1)")
+            .alias("recall_bp"),
+            F.expr("n_hits * 10000 div greatest(n_cand, 1)")
+            .alias("precision_bp"),
+        )
+    )
+
+
 _SPLIT_REP = "coalesce(c.cluster_id, d.doc_id)"
 
 
