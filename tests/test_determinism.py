@@ -35,8 +35,13 @@ SENSITIVE = [
     # r08: per-round top-C collect + driver greedy conflict filter — the
     # candidate ranking must tie-break on the pair, not arrival order
     "bpe_train_merges_batched",
-    # r08: global keep-first by (doc_id, pos) via row_number per digest
+    # r08: global keep-first by (doc_id, pos) via row_number per digest;
+    # r09: rewritten as min(struct(doc_id, j)) per digest — the
+    # lexicographic struct-min must be partition-order independent
     "dedup_c4_span_excise",
+    # r09: component fixpoint (iterative min-label propagation) + hash
+    # bucket — split assignment must not depend on propagation order
+    "split_leakage_safe",
 ]
 
 
