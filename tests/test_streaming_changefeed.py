@@ -659,3 +659,62 @@ def test_sqlite_sink_scheme_equivalence(spark, sf_dir, chunked_source,
     assert got.count() == exp.count() > 0
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+def test_changefeed_first_class_ddl_barrier_sqlite(spark, sf_dir,
+                                                   chunked_source,
+                                                   tmp_path):
+    """DDL barrier as an ENGINE feature, not an entry harness: a
+    Changefeed configured with DDLEvents splits micro-batches at the
+    barrier, records the schema version in its multi-version registry,
+    and — on the executing sqlite:// sink — runs the ALTER TABLE live
+    on the owning lane; a second feed replaying the same DDL converges
+    via registry idempotence + the ignorable-error class."""
+    import sqlite3 as _sql
+
+    from tigate_spark.streaming.ddl import DDLEvent
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    assert ev.count() == ev.select("ts").distinct().count(), \
+        "testdata has commit-ts ties: anchor DDL at a tie-free ts"
+    # anchor mid-stream: strictly above the median event ts
+    mid = ev.selectExpr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.5) p").collect()[0][0]
+    ddl = DDLEvent(
+        commit_ts=int(mid), table_id=1,
+        query="ALTER TABLE `app`.`t1` ADD COLUMN `extra_cents` INTEGER "
+              "DEFAULT 7",
+        schema_tag="v1", schema_name="app", table_name="t1",
+    )
+    cfg = ChangefeedConfig(changefeed_id="cf-ddl", sink_uri="sqlite://")
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path),
+                    ddl_events=[ddl])
+    cf.run_to_completion()
+    # registry recorded exactly one version row for t1
+    reg = cf.registry.versions(spark)
+    assert reg.count() == 1
+    assert reg.first()["table_id"] == 1
+    # the DDL executed: the lane table has the column, default backfilled
+    lane = os.path.join(cf.sink.db_dir, f"lane-{1 % cf.sink.n_lanes}.db")
+    con = _sql.connect(lane)
+    cols = [c[1] for c in con.execute("PRAGMA table_info(`app__t1`)")]
+    vals = {r[0] for r in con.execute(
+        "SELECT DISTINCT extra_cents FROM `app__t1`")}
+    con.close()
+    assert "extra_cents" in cols
+    assert vals == {7}  # backfill + unnamed-column default
+    # replay: a fresh feed over the same work dir (lost driver state)
+    # re-encounters the DDL — registry append is idempotent, the
+    # duplicate-column error is ignorable, state converges
+    cf2 = Changefeed(spark, cfg, chunked_source, str(tmp_path),
+                     ddl_events=[ddl])
+    cf2.run_to_completion()
+    assert cf2.registry.versions(spark).count() == 1
+    got = cf2.sink.read_state(spark).select(
+        "table_id", "pk", "event_type", "value_cents")
+    exp = (
+        _expected_replica(spark, sf_dir, cfg)
+        .filter(F.col("op") != "D")
+        .select("table_id", "pk", "event_type", "value_cents")
+    )
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() == 0

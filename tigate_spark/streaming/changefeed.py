@@ -46,7 +46,8 @@ class Changefeed:
     """One replication job = one Structured Streaming query."""
 
     def __init__(self, spark: SparkSession, cfg: ChangefeedConfig,
-                 source_dir: str, work_dir: str):
+                 source_dir: str, work_dir: str,
+                 ddl_events: list | None = None):
         if not cfg.sink_uri:
             raise ValueError("sink_uri is required")  # changefeed.go:62 parity
         if (cfg.sink.large_message_handle
@@ -71,6 +72,16 @@ class Changefeed:
             if cfg.enable_sync_point else None,
         )
         self.sink = self._build_sink()
+        #: first-class DDL barrier (T8): DDLEvents interleave with the
+        #: change stream at their commit_ts; each micro-batch splits at
+        #: the due barriers, the multi-version registry records the
+        #: schema version, and an executing sink runs the DDL live
+        self.ddl_events = list(ddl_events or [])
+        self._ddl_applied: set[int] = set()
+        from tigate_spark.streaming.ddl import SchemaRegistry
+
+        self.registry = SchemaRegistry(
+            os.path.join(work_dir, "registry", cfg.changefeed_id))
 
     # -- source ------------------------------------------------------------
     def _source(self) -> tuple[str, str | None]:
@@ -248,6 +259,53 @@ class Changefeed:
         return batch
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if not self.ddl_events:
+            self._apply_batch(batch_df, batch_id)
+            return
+        # first-class DDL barrier (T8): a configured DDL is due in the
+        # first micro-batch whose commit range reaches its ts; the batch
+        # splits at each due barrier (split_batch_at_ddl), the schema
+        # registry records the version between sub-batches, and a sink
+        # that can EXECUTE DDL (the SQLite writer loop) runs it on the
+        # owning lane. Exactly-once across restart: the in-memory
+        # applied-set is lost, but a replayed barrier converges — the
+        # registry append is idempotent and the executing sink treats
+        # the duplicate-DDL error class as already-applied
+        # (pkg/apperror/util.go:36-55), the reference's own replay story.
+        from tigate_spark.streaming.ddl import split_batch_at_ddl
+
+        mx_row = batch_df.agg(F.max("commit_ts")).collect()[0]
+        mx = mx_row[0]
+        due = sorted(
+            (
+                d for d in self.ddl_events
+                if d.commit_ts not in self._ddl_applied
+                and mx is not None and mx >= d.commit_ts
+            ),
+            key=lambda d: d.commit_ts,
+        )
+        if not due:
+            self._apply_batch(batch_df, batch_id)
+            return
+
+        def apply_dml(part_df: DataFrame, sub: int) -> None:
+            self._apply_batch(part_df, batch_id, fence_sub=sub)
+
+        def apply_ddl(d) -> None:
+            self.registry.append(self.spark, d, idempotent=True)
+            from tigate_spark.streaming.sqlite_apply import SqliteApplySink
+
+            if (isinstance(self.sink, SqliteApplySink)
+                    and d.schema_name and d.table_name
+                    and d.table_id is not None):
+                self.sink.exec_ddl(
+                    d.query, d.schema_name, d.table_name, d.table_id)
+            self._ddl_applied.add(d.commit_ts)
+
+        split_batch_at_ddl(batch_df, due, apply_dml, apply_ddl)
+
+    def _apply_batch(self, batch_df: DataFrame, batch_id: int,
+                     fence_sub: int | None = None) -> None:
         # every sink runs several actions per batch (data write,
         # bookkeeping, checkpoint) — cache the batch once so the source is
         # scanned once, not once per action. The replica merge keys on
@@ -259,6 +317,15 @@ class Changefeed:
             batch_df = batch_df.repartition(F.col("table_id"), F.col("pk"))
         prepared = self._prepare_for_sink(batch_df).persist()
         try:
+            if fence_sub is not None:
+                from tigate_spark.streaming.sqlite_apply import SqliteApplySink
+
+                if isinstance(self.sink, SqliteApplySink):
+                    # barrier sub-batches fence per (batch, sub) so a
+                    # replayed barrier converges per sub-batch
+                    self.sink.process_batch(
+                        prepared, batch_id, fence=f"b{batch_id}.s{fence_sub}")
+                    return
             self.sink.process_batch(prepared, batch_id)
         finally:
             prepared.unpersist()

@@ -29,12 +29,18 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class DDLEvent:
     """Driver-side DDL record (``pkg/common/event/ddl_event.go:179-193``
-    reduced to what the barrier needs: ts + scope + the schema effect)."""
+    reduced to what the barrier needs: ts + scope + the schema effect).
+
+    ``schema_name``/``table_name`` carry the qualified identifier for
+    sinks that EXECUTE the DDL (the SQLite writer loop) — passed as
+    fields, never re-parsed out of the query text."""
 
     commit_ts: int
     table_id: int | None  # None → all-tables scope (InfluencedTables: All)
     query: str
     schema_tag: str
+    schema_name: str | None = None
+    table_name: str | None = None
 
 
 class SchemaRegistry:
@@ -43,8 +49,33 @@ class SchemaRegistry:
     def __init__(self, path: str):
         self.path = path
 
-    def append(self, spark: SparkSession, ddl: DDLEvent, n_tables: int) -> None:
-        tables = list(range(n_tables)) if ddl.table_id is None else [ddl.table_id]
+    def append(self, spark: SparkSession, ddl: DDLEvent,
+               n_tables: int | None = None,
+               idempotent: bool = False) -> None:
+        """Record a schema version. ``n_tables`` expands an all-tables
+        DDL to explicit per-table rows (entry-style); ``n_tables=None``
+        records the sentinel ``table_id=-1`` instead (engine-style,
+        table population unknown at barrier time). ``idempotent=True``
+        makes a replayed barrier (restart between registry append and
+        checkpoint commit) a no-op instead of a duplicate version row."""
+        if idempotent and os.path.isdir(self.path):
+            dup = (
+                spark.read.parquet(self.path)
+                .filter(
+                    (F.col("version_ts") == ddl.commit_ts)
+                    & (F.col("schema_tag") == ddl.schema_tag)
+                )
+                .limit(1)
+                .count()
+            )
+            if dup:
+                return
+        if ddl.table_id is not None:
+            tables = [ddl.table_id]
+        elif n_tables is not None:
+            tables = list(range(n_tables))
+        else:
+            tables = [-1]
         rows = [(int(t), int(ddl.commit_ts), ddl.schema_tag, ddl.query) for t in tables]
         df = spark.createDataFrame(
             rows, "table_id BIGINT, version_ts BIGINT, schema_tag STRING, query STRING"
