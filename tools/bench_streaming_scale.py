@@ -61,9 +61,12 @@ def build_source(spark, out_dir: str, copies: int, n_files: int) -> int:
 
 def run_scale(spark, label: str, copies: int, n_files: int,
               sink: str = "replica") -> dict:
-    """sink: replica | changelog | file. changelog pins the canal-json
-    encode + routing path; file pins the K7 dated-tree storage sink,
-    where per-batch FILE-COUNT growth (not state) is the flatness risk."""
+    """sink: replica | changelog | file | sqlite. changelog pins the
+    canal-json encode + routing path; file pins the K7 dated-tree storage
+    sink, where per-batch FILE-COUNT growth (not state) is the flatness
+    risk; sqlite pins the executable writer loop, where accumulated
+    downstream DB size is the risk (REPLACE INTO against a 2.5M-row lane
+    DB at batch 40 must cost what it does against an empty one)."""
     from tigate_spark.config import SinkConfig
 
     src = tempfile.mkdtemp(prefix=f"tigate-sscale-src-{label}-")
@@ -120,7 +123,7 @@ def main() -> None:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--sinks", default="replica",
-                    help="comma list: replica,changelog,file")
+                    help="comma list: replica,changelog,file,sqlite")
     ap.add_argument("--scales", default="1M,10M")
     args = ap.parse_args()
     scales = {"1M": (10, 4), "10M": (100, 40)}
