@@ -298,11 +298,8 @@ def test_exec_ddl_create_index_and_replay(tmp_path):
 
     db = str(tmp_path / "lane-h.db")
     idx = "CREATE INDEX `ix_et` ON `app`.`t0` (`event_type`)"
-    # SQLite index DDL names the table bare (no schema qual) — rewrite
-    # like the writer would: the local-name swap applies to the table ref
-    local = idx.replace("`app`.`t0`", "`app`.`t0`")
-    assert exec_ddl_on_lane(db, local, "app", "t0", 0) == "applied"
-    assert exec_ddl_on_lane(db, local, "app", "t0", 0) == "ignored"
+    assert exec_ddl_on_lane(db, idx, "app", "t0", 0) == "applied"
+    assert exec_ddl_on_lane(db, idx, "app", "t0", 0) == "ignored"
 
 
 def test_applied_fence_retention_is_bounded(tmp_path):

@@ -12,6 +12,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 
 import pytest
 from pyspark.sql import functions as F
@@ -704,7 +705,12 @@ def test_changefeed_first_class_ddl_barrier_sqlite(spark, sf_dir,
     assert vals == {7}  # backfill + unnamed-column default
     # replay: a fresh feed over the same work dir (lost driver state)
     # re-encounters the DDL — registry append is idempotent, the
-    # duplicate-column error is ignorable, state converges
+    # duplicate-column error is ignorable, state converges. Deleting
+    # ONLY the streaming checkpoint (keeping registry + lane DBs) forces
+    # every micro-batch — and the barrier — to actually re-run; with the
+    # checkpoint intact availableNow would process nothing and the
+    # replay would be vacuous.
+    shutil.rmtree(cf.checkpoint_dir)
     cf2 = Changefeed(spark, cfg, chunked_source, str(tmp_path),
                      ddl_events=[ddl])
     cf2.run_to_completion()
@@ -718,3 +724,56 @@ def test_changefeed_first_class_ddl_barrier_sqlite(spark, sf_dir,
     )
     assert got.count() == exp.count() > 0
     assert got.exceptAll(exp).count() == 0
+
+
+def test_schema_registry_idempotent_append_is_table_scoped(spark, tmp_path):
+    """Two DDLs at the SAME commit_ts with the SAME schema_tag on
+    DIFFERENT tables are distinct versions — the idempotence dedup key
+    includes the table scope, so the second append must not be swallowed
+    as a replay of the first (while a true replay still is)."""
+    from tigate_spark.streaming.ddl import DDLEvent, SchemaRegistry
+
+    reg = SchemaRegistry(str(tmp_path / "reg"))
+    d1 = DDLEvent(commit_ts=100, table_id=1,
+                  query="ALTER TABLE t1 ADD COLUMN x INT", schema_tag="v2")
+    d2 = DDLEvent(commit_ts=100, table_id=2,
+                  query="ALTER TABLE t2 ADD COLUMN x INT", schema_tag="v2")
+    reg.append(spark, d1, idempotent=True)
+    reg.append(spark, d2, idempotent=True)  # different table: must land
+    reg.append(spark, d1, idempotent=True)  # true replay: must dedupe
+    v = reg.versions(spark)
+    assert v.count() == 2
+    assert {r["table_id"] for r in v.collect()} == {1, 2}
+
+
+def test_ddl_barrier_bookkeeping_once_per_batch(spark, sf_dir,
+                                                chunked_source, tmp_path):
+    """Bookkeeping is a per-MICRO-BATCH contract even when a DDL barrier
+    splits the batch: one K4 progress row per (table_id, batch_id) and
+    globally unique K5 primary_ts ticks. Sub-batches overlap in commit
+    range (unaffected tables span the whole batch; the blocked table's
+    tail starts at the DDL ts), so per-sub-batch recording would emit
+    duplicate rows/ticks."""
+    from tigate_spark.streaming.ddl import DDLEvent
+
+    ev = changes_stream(spark, sf_dir)
+    mid = ev.selectExpr("percentile_approx(commit_ts, 0.5) p").first()[0]
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-ddl-bk", sink_uri="noop://",
+        enable_sync_point=True, sync_point_interval_s=3600,
+    )
+    ddl = DDLEvent(commit_ts=int(mid), table_id=1,
+                   query="ALTER TABLE t1 ADD COLUMN x INT", schema_tag="v1")
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path),
+                    ddl_events=[ddl])
+    cf.run_to_completion()
+    assert cf.registry.versions(spark).count() == 1  # barrier did fire
+    progress = spark.read.parquet(cf.bookkeeping.progress_dir)
+    dup_progress = (
+        progress.groupBy("table_id", "batch_id").count()
+        .filter(F.col("count") > 1)
+    )
+    assert dup_progress.count() == 0
+    ticks = spark.read.parquet(cf.bookkeeping.syncpoint_dir)
+    assert ticks.count() > 0
+    assert ticks.count() == ticks.select("primary_ts").distinct().count()

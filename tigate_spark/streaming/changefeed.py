@@ -259,7 +259,11 @@ class Changefeed:
         return batch
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        if not self.ddl_events:
+        # once every configured DDL has been applied, the feed pays zero
+        # barrier overhead — no extra max(commit_ts) job per batch
+        pending = [d for d in self.ddl_events
+                   if d.commit_ts not in self._ddl_applied]
+        if not pending:
             self._apply_batch(batch_df, batch_id)
             return
         # first-class DDL barrier (T8): a configured DDL is due in the
@@ -277,11 +281,7 @@ class Changefeed:
         mx_row = batch_df.agg(F.max("commit_ts")).collect()[0]
         mx = mx_row[0]
         due = sorted(
-            (
-                d for d in self.ddl_events
-                if d.commit_ts not in self._ddl_applied
-                and mx is not None and mx >= d.commit_ts
-            ),
+            (d for d in pending if mx is not None and mx >= d.commit_ts),
             key=lambda d: d.commit_ts,
         )
         if not due:
@@ -302,7 +302,23 @@ class Changefeed:
                     d.query, d.schema_name, d.table_name, d.table_id)
             self._ddl_applied.add(d.commit_ts)
 
-        split_batch_at_ddl(batch_df, due, apply_dml, apply_ddl)
+        # bookkeeping (K4 progress + K5 syncpoint ticks) is a per-MICRO-
+        # BATCH contract — one progress row per touched table and one
+        # aligned tick range per batch, same as the barrier-less path.
+        # Sub-batches each run the sink's process_batch, so detach the
+        # sink's bookkeeping for the split and record ONCE over the full
+        # batch; otherwise the affected table gets a progress row per
+        # sub-batch and overlapping sub-ranges emit duplicate primary_ts
+        # ticks into the ts-map (whose syncpoint_v1 contract has unique
+        # primary_ts rows).
+        bk = getattr(self.sink, "bookkeeping", None)
+        self.sink.bookkeeping = None
+        try:
+            split_batch_at_ddl(batch_df, due, apply_dml, apply_ddl)
+        finally:
+            self.sink.bookkeeping = bk
+        if bk is not None:
+            bk.record(batch_df, batch_id)
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int,
                      fence_sub: int | None = None) -> None:

@@ -58,24 +58,28 @@ class SchemaRegistry:
         table population unknown at barrier time). ``idempotent=True``
         makes a replayed barrier (restart between registry append and
         checkpoint commit) a no-op instead of a duplicate version row."""
-        if idempotent and os.path.isdir(self.path):
-            dup = (
-                spark.read.parquet(self.path)
-                .filter(
-                    (F.col("version_ts") == ddl.commit_ts)
-                    & (F.col("schema_tag") == ddl.schema_tag)
-                )
-                .limit(1)
-                .count()
-            )
-            if dup:
-                return
         if ddl.table_id is not None:
             tables = [ddl.table_id]
         elif n_tables is not None:
             tables = list(range(n_tables))
         else:
             tables = [-1]
+        if idempotent and os.path.isdir(self.path):
+            # dedup key includes the table scope: two DDLs at the same
+            # commit_ts with the same schema_tag on DIFFERENT tables are
+            # distinct versions, not a replay of each other
+            dup = (
+                spark.read.parquet(self.path)
+                .filter(
+                    (F.col("version_ts") == ddl.commit_ts)
+                    & (F.col("schema_tag") == ddl.schema_tag)
+                    & F.col("table_id").isin([int(t) for t in tables])
+                )
+                .limit(1)
+                .count()
+            )
+            if dup:
+                return
         rows = [(int(t), int(ddl.commit_ts), ddl.schema_tag, ddl.query) for t in tables]
         df = spark.createDataFrame(
             rows, "table_id BIGINT, version_ts BIGINT, schema_tag STRING, query STRING"
