@@ -1512,6 +1512,86 @@ def streaming_sqlite_ddl_apply_e2e(spark: SparkSession,
 
 
 @register(
+    "engine_ddl_barrier_e2e",
+    ORACLE_CHANGES_CTE + """
+, ordered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY table_id, pk
+    ORDER BY commit_ts DESC, start_ts DESC,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC, seq DESC
+  ) AS rn
+  FROM changes
+)
+SELECT table_id, pk, event_type, value_cents,
+       CAST(CASE WHEN table_id = 1 THEN 7 END AS BIGINT) AS extra_cents
+FROM ordered WHERE rn = 1 AND op <> 'D'
+""",
+    doc="First-class DDL barrier through the PUBLIC engine API (T8 as a "
+        "Changefeed feature, not an entry harness): Engine.create(cfg, "
+        "ddl_events=[DDLEvent(...)]) -> run_to_completion drives the "
+        "whole pipeline — the feed splits the barrier micro-batch at the "
+        "due ts (split_batch_at_ddl), the multi-version SchemaRegistry "
+        "records the version (idempotent append), bookkeeping records "
+        "ONCE per micro-batch across the sub-batches, and the sqlite:// "
+        "executing sink runs the ALTER TABLE on the owning lane between "
+        "fenced sub-batches (mysql_writer.go:600-668 execDDL in its own "
+        "txn). Downstream: every surviving app.t1 row carries the ALTER "
+        "backfill DEFAULT 7 (post-DDL safe-mode REPLACE re-inserts the "
+        "3-column form, so replaced rows re-take the column default — "
+        "MySQL REPLACE semantics), other tables NULL (column absent); "
+        "the builder additionally asserts the registry recorded exactly "
+        "the t1 version before returning the hash-checked LWW state",
+)
+def engine_ddl_barrier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.engine import Engine
+    from tigate_spark.sources.changes import normalize_events
+    from tigate_spark.streaming.ddl import DDLEvent
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        base = spark.read.parquet(src)
+        # micro-batch boundaries respect the LWW replay tie-break (same
+        # split as the other executable-sink entries)
+        order_sql = (
+            "ts, -(event_id % 97), "
+            "case when event_id % 10 >= 9 then 1 "
+            "when event_id % 10 >= 6 then 2 else 3 end, event_id"
+        )
+        norm = normalize_events(base)
+        ddl_ts, _ = _ddl_anchor(norm, 1, 2)
+        ddl = DDLEvent(
+            commit_ts=int(ddl_ts), table_id=1,
+            query="ALTER TABLE `app`.`t1` ADD COLUMN `extra_cents` "
+                  "INTEGER DEFAULT 7",
+            schema_tag="v1", schema_name="app", table_name="t1",
+        )
+        flat, land = split_df_in_order(spark, base, work, 3, order_sql)
+        for k in range(3):
+            land(k)
+        eng = Engine(spark, flat, work)
+        cid = eng.create(
+            ChangefeedConfig(changefeed_id="engine-ddl-barrier",
+                             sink_uri="sqlite://"),
+            ddl_events=[ddl],
+        )
+        eng.run_to_completion(cid)
+        cf = eng.changefeed(cid)
+        reg = cf.registry.versions(spark).collect()
+        if len(reg) != 1 or reg[0]["table_id"] != 1:
+            raise RuntimeError(f"registry version rows wrong: {reg}")
+        state = cf.sink.read_state(spark, extra_cols=("extra_cents",))
+        bad = state.filter(
+            "table_id = 1 and (extra_cents is null or extra_cents <> 7)"
+        ).count()
+        if bad:
+            raise RuntimeError(f"{bad} t1 rows missing the ALTER backfill")
+        return _materialize(state)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "streaming_replica_schema_evolution_e2e",
     ORACLE_CHANGES_CTE + """
 , ordered AS (

@@ -51,14 +51,20 @@ class Engine:
         self.work_dir = work_dir
         self._feeds: dict[str, _Feed] = {}
 
-    def create(self, cfg: ChangefeedConfig) -> str:
-        """Validate + register a changefeed (does not start it)."""
+    def create(self, cfg: ChangefeedConfig,
+               ddl_events: list | None = None) -> str:
+        """Validate + register a changefeed (does not start it).
+
+        ``ddl_events`` configures first-class DDL barriers (T8): the
+        feed splits micro-batches at each due barrier, records the
+        schema version, and executing sinks run the DDL live."""
         if not _ID_RE.match(cfg.changefeed_id):
             raise ValueError(f"invalid changefeed id: {cfg.changefeed_id!r}")
         if cfg.changefeed_id in self._feeds and \
                 self._feeds[cfg.changefeed_id].state != "removed":
             raise ValueError(f"changefeed exists: {cfg.changefeed_id}")
-        cf = Changefeed(self.spark, cfg, self.source_dir, self.work_dir)
+        cf = Changefeed(self.spark, cfg, self.source_dir, self.work_dir,
+                        ddl_events=ddl_events)
         self._feeds[cfg.changefeed_id] = _Feed(cfg=cfg, changefeed=cf)
         return cfg.changefeed_id
 
@@ -108,6 +114,12 @@ class Engine:
             {"id": cid, "state": f.state, "sink_uri": f.cfg.sink_uri}
             for cid, f in self._feeds.items()
         ]
+
+    def changefeed(self, changefeed_id: str) -> Changefeed:
+        """The underlying :class:`Changefeed` — sink, schema registry,
+        checkpoint paths — for callers that inspect feed internals (the
+        GET /api/v2/changefeeds/{id} detail view's moral equivalent)."""
+        return self._get(changefeed_id).changefeed
 
     def state_dir(self, changefeed_id: str) -> str:
         """Filesystem location of the changefeed's materialized sink state
