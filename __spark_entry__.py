@@ -44,7 +44,8 @@ _PRIORITY = [
     "streaming_replica_schema_evolution_e2e", "split_leakage_safe",
     "dedup_lsh_quality_report",
     "dedup_c4_span_excise", "streaming_sqlite_apply_e2e",
-    "encoder_avro_registry_evolution", "projection_type_render",
+    "encoder_avro_registry_evolution", "encoder_avro_registry_http",
+    "projection_type_render",
     "streaming_replica_e2e", "engine_multifeed_e2e",
     "streaming_time_travel_e2e", "dedup_duplicate_clusters",
     "filter_event_type", "filter_expr_values", "ddl_allowlist",

@@ -213,3 +213,128 @@ def test_concurrent_feeds_share_one_registry(tmp_path):
         assert int.from_bytes(frame[1:5], "big") == sid
         schema = _json.loads(reg.get_by_id(sid))
         assert len(schema["fields"]) == k + 1
+
+
+# ---------------------------------------------------------------------------
+# HTTP transport: the reference client's actual REST round trip
+# (confluent_schema_registry.go:141-154, 219-228, 356-364) over a real
+# localhost ThreadingHTTPServer backed by the same file allocator.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def http_reg(tmp_path):
+    from tigate_spark.functions.registry_http import (
+        HTTPSchemaRegistry,
+        RegistryHTTPServer,
+    )
+
+    with RegistryHTTPServer(str(tmp_path / "registry.json")) as srv:
+        yield HTTPSchemaRegistry(srv.base_url)
+
+
+def test_http_allocation_matches_file_semantics(http_reg):
+    """The HTTP round trip allocates exactly what the file client would:
+    fresh-order ids, idempotent re-register, cross-subject dedup."""
+    assert http_reg.register("events-key", EVENTS_KEY_SCHEMA) == EXPECTED_KEY_ID
+    assert http_reg.register("events-value", EVENTS_VALUE_V1) == EXPECTED_V1_ID
+    assert http_reg.register("events-value", EVENTS_VALUE_V2) == EXPECTED_V2_ID
+    # idempotent POST: same id, version list unchanged
+    assert http_reg.register("events-value", EVENTS_VALUE_V1) == EXPECTED_V1_ID
+    assert http_reg.versions("events-value") == [1, 2]
+    # content dedup across subjects: same schema, same global id
+    assert http_reg.register("other-value", EVENTS_VALUE_V1) == EXPECTED_V1_ID
+    assert http_reg.subjects() == ["events-key", "events-value", "other-value"]
+
+
+def test_http_lookup_and_errors(http_reg):
+    sid = http_reg.register("s", EVENTS_VALUE_V1)
+    assert http_reg.get_by_id(sid) == canonical_schema(EVENTS_VALUE_V1)
+    latest = http_reg.latest("s")
+    assert latest["schema_id"] == sid and latest["version"] == 1
+    # Confluent error mapping: 40403 unknown id, 40401 unknown subject
+    with pytest.raises(KeyError):
+        http_reg.get_by_id(999)
+    with pytest.raises(KeyError):
+        http_reg.latest("nope")
+    with pytest.raises(KeyError):
+        http_reg.versions("nope")
+
+
+def test_http_delete_subject_keeps_global_ids(http_reg):
+    sid = http_reg.register("s", EVENTS_VALUE_V1)
+    http_reg.register("s", EVENTS_VALUE_V2)
+    assert http_reg.delete_subject("s") == [1, 2]
+    assert "s" not in http_reg.subjects()
+    with pytest.raises(KeyError):
+        http_reg.delete_subject("s")
+    # ids are global + content-addressed: re-register returns the SAME id
+    assert http_reg.register("s", EVENTS_VALUE_V1) == sid
+    assert http_reg.versions("s") == [1]
+
+
+def test_http_concurrent_registrations(tmp_path):
+    """N threads hammer the server with a mix of identical and distinct
+    schemas: identical content converges on one id, distinct content gets
+    distinct ids, no id is double-allocated (the fcntl-serialized store
+    behind the threading server)."""
+    import threading
+
+    from tigate_spark.functions.registry_http import (
+        HTTPSchemaRegistry,
+        RegistryHTTPServer,
+    )
+
+    with RegistryHTTPServer(str(tmp_path / "registry.json")) as srv:
+        results: dict[int, list[int]] = {}
+
+        def worker(k: int) -> None:
+            cli = HTTPSchemaRegistry(srv.base_url)
+            ids = []
+            for i in range(6):
+                schema = json.dumps({
+                    "type": "record", "name": f"r{i % 3}",
+                    "fields": [{"name": "x", "type": "long"}],
+                })
+                ids.append(cli.register(f"subj-{k % 2}", schema))
+            results[k] = ids
+
+        threads = [threading.Thread(target=worker, args=(k,))
+                   for k in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # 3 distinct schema contents overall -> exactly ids {1, 2, 3}
+        seen = {i for ids in results.values() for i in ids}
+        assert seen == {1, 2, 3}
+        # same content -> same id in EVERY thread (i%3 cycle repeats)
+        for ids in results.values():
+            assert ids[:3] == ids[3:]
+        cli = HTTPSchemaRegistry(srv.base_url)
+        assert cli.versions("subj-0") == [1, 2, 3]
+        assert cli.versions("subj-1") == [1, 2, 3]
+
+
+def test_http_framing_parity_with_file_path(tmp_path):
+    """Confluent wire framing built from HTTP-returned ids is byte-equal
+    to framing built from the file client's ids — the transport changes
+    nothing about the bytes on the wire."""
+    from tigate_spark.functions.registry_http import (
+        HTTPSchemaRegistry,
+        RegistryHTTPServer,
+    )
+
+    file_reg = FileSchemaRegistry(str(tmp_path / "file.json"))
+    with RegistryHTTPServer(str(tmp_path / "http.json")) as srv:
+        http_reg = HTTPSchemaRegistry(srv.base_url)
+        frames = {}
+        for name, reg in (("file", file_reg), ("http", http_reg)):
+            kid = reg.register("events-key", EVENTS_KEY_SCHEMA)
+            vid = reg.register("events-value", EVENTS_VALUE_V1)
+            # the 5-byte Confluent frame: magic 0x00 + big-endian id
+            frames[name] = (
+                b"\x00" + kid.to_bytes(4, "big"),
+                b"\x00" + vid.to_bytes(4, "big"),
+            )
+        assert frames["file"] == frames["http"]

@@ -1410,6 +1410,44 @@ def encoder_avro_registry_evolution(spark: SparkSession, sf_dir: str) -> DataFra
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "encoder_avro_registry_http",
+    _avro_evolution_oracle(),
+    doc="The registry evolution round trip over a REAL HTTP transport — "
+        "the last unmodeled piece of the Confluent story: a localhost "
+        "ThreadingHTTPServer (functions/registry_http.py) serves the "
+        "reference client's REST surface (POST /subjects/<s>/versions, "
+        "GET /schemas/ids/<id>, vnd.schemaregistry.v1+json content type, "
+        "Confluent 40401/40403 error mapping — confluent_schema_registry"
+        ".go:141-154,219-228) over the fcntl-locked file allocator, and "
+        "the urllib client (same method surface as the file client, "
+        "bounded retry like the reference's httpRetry :416+) drives the "
+        "IDENTICAL evolution framing body as encoder_avro_registry_"
+        "evolution — every byte on the wire comes from ids that made a "
+        "real socket round trip. Same oracle: the framed hex must hash-"
+        "match the fresh-registry id template regardless of transport. "
+        "Registration traffic is driver-side and O(schema versions), "
+        "never per-row — at 100 TB only base_url changes",
+)
+def encoder_avro_registry_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from tigate_spark.functions.registry_http import (
+        HTTPSchemaRegistry,
+        RegistryHTTPServer,
+    )
+
+    work = tempfile.mkdtemp(prefix="tigate-avro-registry-http-")
+    try:
+        with RegistryHTTPServer(os.path.join(work, "registry.json")) as srv:
+            reg = HTTPSchemaRegistry(srv.base_url)
+            return _avro_registry_evolution_body(spark, sf_dir, reg)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _avro_registry_evolution_body(spark, sf_dir, reg) -> DataFrame:
     from pyspark.sql import functions as F
 

@@ -132,6 +132,29 @@ class FileSchemaRegistry:
             f.close()
         return sorted(state["subjects"])
 
+    def delete_subject(self, subject: str) -> list[int]:
+        """DELETE /subjects/<subject> → the deleted version numbers.
+
+        Drops the subject's version list; schema ids stay allocated
+        (Confluent keeps ids global and content-addressed, so a
+        re-register of the same content after a delete returns the SAME
+        id — the reference relies on this when tests recycle subjects,
+        ``confluent_schema_registry.go:356-364``)."""
+        f = self._locked()
+        try:
+            state = self._read(f)
+            versions = state["subjects"].pop(subject, None)
+            if versions is None:
+                raise KeyError(f"subject {subject} not registered")
+            f.seek(0)
+            f.truncate()
+            json.dump(state, f)
+            f.flush()
+            return [v["version"] for v in versions]
+        finally:
+            fcntl.lockf(f, fcntl.LOCK_UN)
+            f.close()
+
 
 # ---------------------------------------------------------------------------
 # The events-table Avro schemas the wire entries register (arvo.go's
