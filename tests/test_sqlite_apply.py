@@ -318,3 +318,28 @@ def test_applied_fence_retention_is_bounded(tmp_path):
     con.close()
     assert n <= 66
     assert "b199" in fences  # the most recent marker always survives
+
+
+def test_sink_uri_query_options(spark, tmp_path):
+    """Reference parity: the MySQL sink's tuning rides on the sink-URI
+    query string (pkg/sink/mysql/config.go:37-55 worker-count /
+    max-txn-row with caps). Defaults, explicit values, caps, and the
+    invalid-value error all map."""
+    from tigate_spark.config import ChangefeedConfig
+    from tigate_spark.streaming.changefeed import Changefeed
+
+    def build(uri, cid):
+        cfg = ChangefeedConfig(changefeed_id=cid, sink_uri=uri)
+        return Changefeed(spark, cfg, str(tmp_path), str(tmp_path)).sink
+
+    s = build("sqlite://", "q-default")
+    assert (s.n_lanes, s.txn_rows, s.max_packet) == (4, 256, 64 * 1024)
+    s = build("sqlite://?worker-count=8&max-txn-row=512&max-packet=1024",
+              "q-set")
+    assert (s.n_lanes, s.txn_rows, s.max_packet) == (8, 512, 1024)
+    s = build("sqlite://?worker-count=99999&max-txn-row=99999", "q-cap")
+    assert (s.n_lanes, s.txn_rows) == (1024, 2048)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build("sqlite://?worker-count=0", "q-bad")

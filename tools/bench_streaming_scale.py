@@ -73,10 +73,15 @@ def run_scale(spark, label: str, copies: int, n_files: int,
     work = tempfile.mkdtemp(prefix=f"tigate-sscale-work-{label}-")
     try:
         total = build_source(spark, src, copies, n_files)
-        sink_cfg = SinkConfig(protocol="csv") if sink == "file" \
+        # a sink token may carry URI query tuning, e.g.
+        # "sqlite?worker-count=8" -> sqlite://?worker-count=8
+        scheme, _, query = sink.partition("?")
+        uri = f"{scheme}://" + (f"?{query}" if query else "")
+        sink_cfg = SinkConfig(protocol="csv") if scheme == "file" \
             else SinkConfig()
-        cfg = ChangefeedConfig(changefeed_id=f"sscale-{sink}-{label}",
-                               sink_uri=f"{sink}://", sink=sink_cfg)
+        cid = f"sscale-{scheme}-{label}"
+        cfg = ChangefeedConfig(changefeed_id=cid,
+                               sink_uri=uri, sink=sink_cfg)
         cf = Changefeed(spark, cfg, src, work)
         t0 = time.monotonic()
         q = cf.start(available_now=True)
