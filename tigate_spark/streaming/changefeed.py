@@ -42,6 +42,52 @@ from tigate_spark.streaming.sinks import (
 PAYLOAD_COLS = ["event_type", "value_cents", "user_id"]
 
 
+def _apply_sink_uri_options(cfg: ChangefeedConfig) -> None:
+    """Overlay sink-URI query parameters onto ``cfg.sink`` — the
+    reference configures sinks through the URI exactly like this
+    (kafka ``options.go:102-105`` ``partition-num``/``max-message-bytes``
+    form tags; storage/config ``sink.go:136,149`` ``protocol``/
+    ``date-separator``). URI params take precedence over the config
+    object, matching the reference's URI-first merge; absent params
+    leave the config untouched, so programmatic configs are unaffected.
+    (The sqlite scheme's writer-loop tuning — worker-count/max-txn-row/
+    max-packet, mysql ``config.go:37-55`` — is parsed in
+    ``_build_sink`` where the writer is constructed.)"""
+    from urllib.parse import parse_qs, urlparse
+
+    q = parse_qs(urlparse(cfg.sink_uri).query)
+    if not q:
+        return
+    if "protocol" in q:
+        cfg.sink.protocol = q["protocol"][0]
+    if "partition-num" in q:
+        n = int(q["partition-num"][0])
+        if n <= 0:
+            raise ValueError(
+                f"invalid partition-num={q['partition-num'][0]!r} "
+                "in sink-uri")  # options.go:200-207 parity
+        cfg.sink.num_partitions = n
+    if "max-message-bytes" in q:
+        n = int(q["max-message-bytes"][0])
+        if n <= 0:
+            raise ValueError(
+                f"invalid max-message-bytes={q['max-message-bytes'][0]!r} "
+                "in sink-uri")
+        # the frame limit claim-check/handle-key-only triggers on
+        # (large_message.go: a message is "large" past max-message-bytes)
+        cfg.sink.large_message_threshold = n
+    if "date-separator" in q:
+        sep = q["date-separator"][0]
+        if sep not in ("none", "year", "month", "day"):
+            raise ValueError(
+                f"invalid date-separator={sep!r} in sink-uri")
+        cfg.sink.date_separator = sep
+    if "large-message-handle" in q:
+        cfg.sink.large_message_handle = q["large-message-handle"][0]
+    if "safe-mode" in q:
+        cfg.sink.safe_mode = q["safe-mode"][0].lower() in ("true", "1")
+
+
 class Changefeed:
     """One replication job = one Structured Streaming query."""
 
@@ -50,6 +96,7 @@ class Changefeed:
                  ddl_events: list | None = None):
         if not cfg.sink_uri:
             raise ValueError("sink_uri is required")  # changefeed.go:62 parity
+        _apply_sink_uri_options(cfg)
         if (cfg.sink.large_message_handle
                 and cfg.sink.protocol not in
                 ("canal-json", "open-protocol")):
