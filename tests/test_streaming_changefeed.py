@@ -823,3 +823,29 @@ def test_storage_sink_configured_by_uri_only(spark, sf_dir, chunked_source,
     assert tree.count() == changes_stream(spark, sf_dir).count()
     assert glob.glob(os.path.join(
         cf.sink.out_dir, "schema_name=*", "table_name=*", "dt=*"))
+
+
+def test_kafka_uri_path_is_default_topic(spark, sf_dir, chunked_source,
+                                         tmp_path):
+    """The sink-URI path is the default topic (event_router.go:36,72,89:
+    the URI topic is every generator's no-match answer): unruled rows
+    land there, dispatch rules still win for their matchers."""
+    from tigate_spark.config import DispatchRule
+
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-uri-topic",
+        sink_uri="kafka://broker:9092/all-events?partition-num=4",
+    )
+    cfg.sink.dispatch_rules = [
+        DispatchRule(matcher=["app.t1"], topic="t1-only",
+                     partition="table"),
+    ]
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    cf.run_to_completion()
+    log = spark.read.parquet(cf.sink.out_dir)
+    assert cfg.sink.num_partitions == 4  # partition-num came from the URI
+    topics = {r["table_id"]: r["topic"] for r in
+              log.select("table_id", "topic").distinct().collect()}
+    assert topics[1] == "t1-only"
+    assert all(t == "all-events" for tid, t in topics.items() if tid != 1)
+    assert log.filter(F.col("partition") >= 4).count() == 0

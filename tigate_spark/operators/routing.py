@@ -69,14 +69,17 @@ def worker_lane(n_workers: int, table_id_col: str = "table_id") -> Column:
     return (F.col(table_id_col) % 31) % n_workers
 
 
-def route(df: DataFrame, rules: list[DispatchRule], n_partitions: int) -> DataFrame:
+def route(df: DataFrame, rules: list[DispatchRule], n_partitions: int,
+          default_topic: str | None = None) -> DataFrame:
     """R1: first matching rule assigns topic + partition columns.
 
-    Rows matching no rule fall back to the default ``{schema}_{table}``
-    topic and index-value partitioning, mirroring the reference router's
-    always-present default (``eventrouter/event_router.go:78-137`` — the
-    router appends a catch-all ``['*','*']`` rule), so no row ever carries
-    a NULL topic into a partitioned sink.
+    Rows matching no rule fall back to ``default_topic`` (the Kafka
+    sink-URI path in the reference — ``eventrouter/event_router.go:36,
+    72,89`` threads it into every generator as the no-match answer) or,
+    absent one, the ``{schema}_{table}`` convention; partitioning falls
+    back to index-value. The router always has this catch-all
+    (``event_router.go:78-137`` appends a ``['*','*']`` rule), so no row
+    ever carries a NULL topic into a partitioned sink.
     """
     topic: Column = F.lit(None).cast("string")
     part: Column = F.lit(None).cast("bigint")
@@ -97,6 +100,6 @@ def route(df: DataFrame, rules: list[DispatchRule], n_partitions: int) -> DataFr
         topic = F.when(m, t).otherwise(topic)
         part = F.when(m, p).otherwise(part)
         assigned = assigned | _matcher_cond(rule.matcher, "schema_name", "table_name")
-    topic = F.coalesce(topic, topic_expr("{schema}_{table}"))
+    topic = F.coalesce(topic, topic_expr(default_topic or "{schema}_{table}"))
     part = F.coalesce(part, partition_by_index_value(n_partitions))
     return df.withColumn("topic", topic).withColumn("partition", part.cast("bigint"))

@@ -281,15 +281,24 @@ class Changefeed:
             from tigate_spark.operators.routing import route
 
             rules = self.cfg.sink.dispatch_rules or []
+            # the Kafka sink-URI path is the default topic for rows no
+            # dispatch rule claims (eventrouter/event_router.go:36,72,89
+            # threads the URI topic into every generator); no path keeps
+            # the {schema}_{table} convention
+            from urllib.parse import urlparse
+
+            default_topic = urlparse(
+                self.cfg.sink_uri).path.strip("/") or None
             if rules:
-                batch = route(batch, rules, self.cfg.sink.num_partitions)
+                batch = route(batch, rules, self.cfg.sink.num_partitions,
+                              default_topic=default_topic)
             else:
                 from tigate_spark.operators.routing import (
                     partition_by_index_value,
                     topic_expr,
                 )
                 batch = batch.withColumn(
-                    "topic", topic_expr("{schema}_{table}")
+                    "topic", topic_expr(default_topic or "{schema}_{table}")
                 ).withColumn(
                     "partition",
                     partition_by_index_value(self.cfg.sink.num_partitions).cast("bigint"),
