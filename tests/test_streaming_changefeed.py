@@ -849,3 +849,45 @@ def test_kafka_uri_path_is_default_topic(spark, sf_dir, chunked_source,
     assert topics[1] == "t1-only"
     assert all(t == "all-events" for tid, t in topics.items() if tid != 1)
     assert log.filter(F.col("partition") >= 4).count() == 0
+
+
+def test_syncpoint_retention_prunes_expired_buckets(spark, sf_dir, tmp_path):
+    """Reference ts-map cleanup (mysql_writer.go:215-238, SyncPointRetention
+    default 24h): with retention set, expired ticks vanish bucket-wise
+    while the newest ticks survive; pruning is a driver-side listdir of
+    ~5 live bucket dirs (no Spark job, no rewrite of surviving rows)."""
+    from tigate_spark.catalog_streaming import split_commit_order
+
+    src = os.path.join(sf_dir, "events.parquet")
+    ch = changes_stream(spark, sf_dir)
+    lo, hi = ch.agg(F.min("commit_ts"), F.max("commit_ts")).first()
+    span = hi - lo
+    iv_s = max(span // 50 // 1_000_000, 1)
+    retention_s = max(span // 5 // 1_000_000, 1)
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-sync-ret", sink_uri="noop://",
+        enable_sync_point=True, sync_point_interval_s=iv_s,
+        sync_point_retention_s=retention_s,
+    )
+    work = str(tmp_path)
+    flat, land = split_commit_order(spark, src, work + "/split", 4)
+    for k in range(4):
+        land(k)
+    cf = Changefeed(spark, cfg, flat, work)
+    cf.run_to_completion()
+    ticks = spark.read.parquet(cf.bookkeeping.syncpoint_dir)
+    iv = iv_s * 1_000_000
+    retention = retention_s * 1_000_000
+    bucket = retention // 4
+    tick_lo, tick_hi = ticks.agg(
+        F.min("primary_ts"), F.max("primary_ts")).first()
+    # the newest tick survived and is the last aligned boundary
+    assert tick_hi == (hi // iv) * iv
+    # everything older than retention (plus one bucket of slack) is gone
+    assert tick_lo >= tick_hi - retention - bucket
+    # early-stream ticks existed (interval << span) and were pruned
+    assert tick_lo > (lo // iv + 1) * iv
+    # live bucket dirs stay bounded at ~5 regardless of stream length
+    dirs = [d for d in os.listdir(cf.bookkeeping.syncpoint_dir)
+            if d.startswith("sp_epoch=")]
+    assert 0 < len(dirs) <= 6

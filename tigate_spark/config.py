@@ -81,6 +81,11 @@ class ChangefeedConfig:
     sink: SinkConfig = field(default_factory=SinkConfig)
     enable_sync_point: bool = False
     sync_point_interval_s: int = 3600
+    #: ts-map retention (changefeed.go:36 SyncPointRetention, reference
+    #: default 24h): expired ticks are pruned bucket-wise (sinks.py
+    #: Bookkeeping). None keeps every tick — safe here because the
+    #: ts-map is replayable parquet, not a shared downstream table
+    sync_point_retention_s: int | None = None
     force_replicate: bool = False
     #: source rate limit per micro-batch — the engine's backpressure knob
     #: (reference: MemoryQuota ``changefeed.go:21-38`` + dynstream pause/

@@ -117,6 +117,9 @@ class Changefeed:
             os.path.join(work_dir, "bookkeeping", cfg.changefeed_id),
             sync_point_us=cfg.sync_point_interval_s * 1_000_000
             if cfg.enable_sync_point else None,
+            sync_point_retention_us=cfg.sync_point_retention_s * 1_000_000
+            if cfg.enable_sync_point and cfg.sync_point_retention_s
+            else None,
         )
         self.sink = self._build_sink()
         #: first-class DDL barrier (T8): DDLEvents interleave with the

@@ -126,12 +126,49 @@ def read_state_as_of(spark: SparkSession, state_dir: str,
 
 
 class Bookkeeping:
-    """K4/K5/T11 side tables appended per micro-batch."""
+    """K4/K5/T11 side tables appended per micro-batch.
 
-    def __init__(self, base_dir: str, sync_point_us: int | None = None):
+    ``sync_point_retention_us`` enables the reference's ts-map cleanup
+    (``mysql_writer.go:215-238``: DELETE rows older than
+    SyncPointRetention, default 24h, throttled to once per interval).
+    The Spark-native form keeps the pruning O(live buckets), never
+    O(accumulated ticks): ticks land under a coarse ``sp_epoch=<n>``
+    partition dir (bucket = retention/4 of EVENT time — the stream's
+    clock here, where the reference uses the downstream wall clock) and
+    expired buckets are dropped driver-side by directory name alone —
+    a listdir of the ~5 live buckets, zero Spark jobs, no rewrite of
+    surviving rows. Default None keeps every tick: the engine's ts-map
+    is replayable parquet, not a shared downstream table, so unbounded
+    retention is safe where the reference's MySQL table is not — set it
+    to get the reference behavior."""
+
+    def __init__(self, base_dir: str, sync_point_us: int | None = None,
+                 sync_point_retention_us: int | None = None):
         self.progress_dir = os.path.join(base_dir, "table_progress")
         self.syncpoint_dir = os.path.join(base_dir, "syncpoint")
         self.sync_point_us = sync_point_us
+        self.sync_point_retention_us = sync_point_retention_us
+
+    def _prune_syncpoint(self) -> None:
+        """Drop sp_epoch buckets entirely below newest - retention."""
+        try:
+            buckets = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(self.syncpoint_dir)
+                if d.startswith("sp_epoch=")
+            )
+        except FileNotFoundError:
+            return
+        if not buckets:
+            return
+        # bucket = retention/4: a bucket is expired once 4 newer buckets
+        # exist (every tick in it is > retention older than the newest)
+        for b in buckets:
+            if b < buckets[-1] - 4:
+                shutil.rmtree(
+                    os.path.join(self.syncpoint_dir, f"sp_epoch={b}"),
+                    ignore_errors=True,
+                )
 
     def record(self, batch_df: DataFrame, batch_id: int) -> None:
         progress = batch_df.groupBy("table_id").agg(
@@ -160,7 +197,16 @@ class Bookkeeping:
                 ).alias("primary_ts"),
                 F.col("hi").alias("secondary_ts"),
             ).withColumn("batch_id", F.lit(batch_id))
-            ticks.write.mode("append").parquet(self.syncpoint_dir)
+            if self.sync_point_retention_us:
+                bucket = max(self.sync_point_retention_us // 4, 1)
+                ticks = ticks.withColumn(
+                    "sp_epoch",
+                    F.expr(f"primary_ts div {bucket}"))
+                (ticks.write.partitionBy("sp_epoch")
+                 .mode("append").parquet(self.syncpoint_dir))
+                self._prune_syncpoint()
+            else:
+                ticks.write.mode("append").parquet(self.syncpoint_dir)
 
 
 class ReplicaSink:
