@@ -891,3 +891,41 @@ def test_syncpoint_retention_prunes_expired_buckets(spark, sf_dir, tmp_path):
     dirs = [d for d in os.listdir(cf.bookkeeping.syncpoint_dir)
             if d.startswith("sp_epoch=")]
     assert 0 < len(dirs) <= 6
+
+
+def test_storage_dated_tree_respects_timezone(spark, sf_dir,
+                                              chunked_source, tmp_path):
+    """changefeed.go:27 timezone parity: the dated storage tree renders
+    date paths in the configured zone. A +14h zone must shift SOME rows
+    across a midnight boundary relative to UTC while total row count is
+    identical."""
+    from tigate_spark.streaming.sinks import read_storage
+
+    def run(cid, uri):
+        cfg = ChangefeedConfig(changefeed_id=cid, sink_uri=uri)
+        cf = Changefeed(spark, cfg, chunked_source,
+                        str(tmp_path / cid))
+        cf.run_to_completion()
+        return read_storage(spark, cf.sink.out_dir)
+
+    utc = run("cf-tz-utc", "file://out?protocol=csv")
+    kir = run("cf-tz-kir",
+              "file://out?protocol=csv&time-zone=Pacific/Kiritimati")
+    assert utc.count() == kir.count()
+    u = {r["dt"]: r["n"] for r in
+         utc.groupBy("dt").agg(F.count("*").alias("n")).collect()}
+    k = {r["dt"]: r["n"] for r in
+         kir.groupBy("dt").agg(F.count("*").alias("n")).collect()}
+    assert u != k, "a +14h zone must move rows across date boundaries"
+    # every shifted date is the UTC date or the day after (+14h forward)
+    import datetime as _dt
+
+    def _day(d):
+        return d if isinstance(d, _dt.date) else \
+            _dt.date.fromisoformat(str(d))
+
+    udays = {_day(d) for d in u}
+    assert all(
+        _day(d) in udays or _day(d) - _dt.timedelta(days=1) in udays
+        for d in k
+    )

@@ -79,6 +79,10 @@ class ChangefeedConfig:
     target_ts: int | None = None
     filter: FilterConfig = field(default_factory=FilterConfig)
     sink: SinkConfig = field(default_factory=SinkConfig)
+    #: dated-path / render timezone (changefeed.go:27 `timezone`,
+    #: default "system"; mysql sink URI `time-zone`). None = the
+    #: engine's UTC time base
+    timezone: str | None = None
     enable_sync_point: bool = False
     sync_point_interval_s: int = 3600
     #: ts-map retention (changefeed.go:36 SyncPointRetention, reference

@@ -84,6 +84,10 @@ def _apply_sink_uri_options(cfg: ChangefeedConfig) -> None:
         cfg.sink.date_separator = sep
     if "large-message-handle" in q:
         cfg.sink.large_message_handle = q["large-message-handle"][0]
+    if "time-zone" in q:
+        # mysql sink URI spelling (config.go Timezone); validated by
+        # Spark's zone registry when the first dated path renders
+        cfg.timezone = q["time-zone"][0]
     if "safe-mode" in q:
         cfg.sink.safe_mode = q["safe-mode"][0].lower() in ("true", "1")
 
@@ -229,6 +233,7 @@ class Changefeed:
                 os.path.join(self.work_dir, "storage", self.cfg.changefeed_id),
                 protocol=self.cfg.sink.protocol,
                 date_separator=self.cfg.sink.date_separator,
+                timezone=self.cfg.timezone,
                 bookkeeping=self.bookkeeping,
             )
         if scheme == "sqlite":

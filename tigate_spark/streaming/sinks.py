@@ -457,7 +457,8 @@ class StorageSink:
     def __init__(self, out_dir: str, protocol: str = "csv",
                  date_separator: str = "day",
                  bookkeeping: Bookkeeping | None = None,
-                 files_per_leaf: int = 4):
+                 files_per_leaf: int = 4,
+                 timezone: str | None = None):
         if date_separator not in _DATE_SEPARATOR_FMT:
             raise ValueError(f"unsupported date-separator: {date_separator}")
         if protocol not in ("csv", "canal-json"):
@@ -465,6 +466,10 @@ class StorageSink:
         self.out_dir = out_dir
         self.protocol = protocol
         self.date_separator = date_separator
+        #: date-path timezone (changefeed.go:27 `timezone`, mysql sink
+        #: `time-zone`): the reference renders dated paths in the
+        #: configured zone; None keeps the engine's UTC time base
+        self.timezone = timezone
         self.bookkeeping = bookkeeping
         #: writer fan-out per leaf dir — a hot table's daily partition is
         #: written by up to this many tasks instead of funneling through one
@@ -485,10 +490,14 @@ class StorageSink:
         pre = batch_df
         fmt = _DATE_SEPARATOR_FMT[self.date_separator]
         if fmt:
-            # commit_ts is µs since epoch (engine time base)
-            pre = pre.withColumn(
-                "dt", F.date_format(F.timestamp_micros("commit_ts"), fmt)
-            )
+            # commit_ts is µs since epoch (engine time base); the date
+            # path renders in the configured timezone (UTC by default —
+            # the session tz is pinned UTC, so from_utc_timestamp is the
+            # only zone shift in the plan)
+            ts = F.timestamp_micros("commit_ts")
+            if self.timezone:
+                ts = F.from_utc_timestamp(ts, self.timezone)
+            pre = pre.withColumn("dt", F.date_format(ts, fmt))
             parts.append("dt")
         # Shuffle BEFORE the protocol encode: a micro-batch often arrives
         # on a handful of source-read tasks, and an encode below the
