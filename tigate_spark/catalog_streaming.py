@@ -1512,6 +1512,60 @@ def streaming_sqlite_ddl_apply_e2e(spark: SparkSession,
 
 
 @register(
+    "streaming_bdr_loop_prevention_e2e",
+    ORACLE_CHANGES_CTE + """
+, ordered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY table_id, pk
+    ORDER BY commit_ts DESC, start_ts DESC,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC, seq DESC
+  ) AS rn
+  FROM changes
+  WHERE seq % 2 = 1
+)
+SELECT table_id, pk, commit_ts AS last_commit_ts, event_type, value_cents
+FROM ordered WHERE rn = 1 AND op <> 'D'
+""",
+    doc="BDR-mode loop prevention end to end (replica_config.go:148 "
+        "bdr-mode; mysql helper.go:334-343 SetWriteSource): the source "
+        "stream carries write-source attribution — even-seq rows tagged "
+        "as another CDC's applies (source 7), odd-seq rows as "
+        "application writes (source 0) — and the BDR changefeed "
+        "replicates ONLY the application writes, so a bidirectional "
+        "pair cannot ping-pong each other's applies. The filter is one "
+        "declarative predicate ahead of the sink (pushes into the "
+        "micro-batch parquet scan); the oracle is the LWW materialize "
+        "over the odd-seq half. The write-source TAGGING side is pinned "
+        "by tests/test_bdr_mode.py (every sqlite lane DB records the "
+        "feed's source id; DDL role gating primary-only)",
+)
+def streaming_bdr_loop_prevention_e2e(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    from tigate_spark.streaming.changefeed import Changefeed
+    from tigate_spark.streaming.sinks import read_replica
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        src = os.path.join(work, "tagged")
+        ev.withColumn(
+            "_source_id",
+            F.when(F.col("event_id") % 2 == 0, F.lit(7)).otherwise(F.lit(0)),
+        ).coalesce(1).write.parquet(src)
+        cfg = ChangefeedConfig(changefeed_id="bdr-e2e",
+                               sink_uri="replica://", bdr_mode=True)
+        cf = Changefeed(spark, cfg, src, work)
+        cf.run_to_completion()
+        rep = read_replica(spark, cf.sink.state_dir).select(
+            "table_id", "pk", F.col("commit_ts").alias("last_commit_ts"),
+            "event_type", "value_cents",
+        )
+        return _materialize(rep)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "engine_ddl_barrier_e2e",
     ORACLE_CHANGES_CTE + """
 , ordered AS (

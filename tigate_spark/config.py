@@ -83,6 +83,14 @@ class ChangefeedConfig:
     #: default "system"; mysql sink URI `time-zone`). None = the
     #: engine's UTC time base
     timezone: str | None = None
+    #: bidirectional-replication mode (replica_config.go:148 `bdr-mode`):
+    #: a BDR feed replicates only application writes (source_id == 0 —
+    #: rows written by any CDC carry a nonzero write source, the
+    #: tidb_cdc_write_source tag) and only PRIMARY-role DDLs
+    bdr_mode: bool = False
+    #: this feed's write-source id, tagged onto every executable-sink
+    #: txn (mysql helper.go:334-343 SetWriteSource; default SourceID 1)
+    source_id: int = 1
     enable_sync_point: bool = False
     sync_point_interval_s: int = 3600
     #: ts-map retention (changefeed.go:36 SyncPointRetention, reference

@@ -88,6 +88,12 @@ def normalize_events(ev: DataFrame, with_images: bool = False) -> DataFrame:
         F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
         F.col("user_id"),
         F.col("props"),
+        # write-source attribution (tidb_cdc_write_source): rows applied
+        # by a CDC carry its nonzero source id; application writes are 0.
+        # Only exposed when the upstream provides it, so the canonical
+        # schema is unchanged for plain event streams.
+        *([F.coalesce(F.col("_source_id"), F.lit(0)).cast("bigint")
+           .alias("source_id")] if "_source_id" in ev.columns else []),
     )
     if with_images:
         after = F.format_string(

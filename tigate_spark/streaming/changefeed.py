@@ -200,6 +200,12 @@ class Changefeed:
             and self.cfg.sink.protocol == "canal-json"
         )
         ch = normalize_events(raw, with_images=with_images)
+        if self.cfg.bdr_mode and "source_id" in ch.columns:
+            # BDR loop prevention (replica_config.go:148): replicate only
+            # application writes — txns another CDC applied carry its
+            # nonzero write source (the tidb_cdc_write_source tag,
+            # helper.go:334-343) and must not ping-pong back
+            ch = ch.filter(F.col("source_id") == 0)
         if self.cfg.start_ts:
             ch = ch.filter(F.col("commit_ts") > self.cfg.start_ts)
         if self.cfg.target_ts:
@@ -275,6 +281,7 @@ class Changefeed:
                 txn_rows=_opt("max-txn-row", 256, 2048),
                 max_packet=_opt("max-packet", 64 * 1024, 1 << 30),
                 bookkeeping=self.bookkeeping,
+                write_source=self.cfg.source_id,
             )
         if scheme in ("noop", "blackhole"):
             return NoopSink(self.bookkeeping)
@@ -353,9 +360,15 @@ class Changefeed:
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # once every configured DDL has been applied, the feed pays zero
-        # barrier overhead — no extra max(commit_ts) job per batch
+        # barrier overhead — no extra max(commit_ts) job per batch.
+        # In BDR mode only PRIMARY-role DDLs replicate (DDL events carry
+        # their cluster's bdr_role, persist_storage.go:808; the secondary
+        # cluster's DDLs arrive via the primary's replication stream, so
+        # applying them here would double-apply)
         pending = [d for d in self.ddl_events
-                   if d.commit_ts not in self._ddl_applied]
+                   if d.commit_ts not in self._ddl_applied
+                   and (not self.cfg.bdr_mode
+                        or getattr(d, "bdr_role", "") == "primary")]
         if not pending:
             self._apply_batch(batch_df, batch_id)
             return

@@ -41,6 +41,9 @@ class DDLEvent:
     schema_tag: str
     schema_name: str | None = None
     table_name: str | None = None
+    #: originating cluster's BDR role (persist_storage.go:808 BDRRole);
+    #: a bdr_mode changefeed applies only "primary"-role DDLs
+    bdr_role: str = ""
 
 
 class SchemaRegistry:

@@ -171,6 +171,13 @@ def _ensure_meta(cur) -> None:
         "(name TEXT PRIMARY KEY, table_id INTEGER)")
     cur.execute(
         "CREATE TABLE IF NOT EXISTS _applied (fence TEXT PRIMARY KEY)")
+    # write-source attribution (SET SESSION tidb_cdc_write_source,
+    # mysql helper.go:334-343): the downstream records WHO wrote, so a
+    # capture reading this replica back tags the changes with a nonzero
+    # source id and a BDR-mode feed can break the replication loop
+    cur.execute(
+        "CREATE TABLE IF NOT EXISTS _write_source "
+        "(k INTEGER PRIMARY KEY CHECK (k = 1), source_id INTEGER)")
 
 
 class _LaneLock:
@@ -194,7 +201,8 @@ class _LaneLock:
 
 
 def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
-               retries: int = 5, fence: str | None = None) -> None:
+               retries: int = 5, fence: str | None = None,
+               write_source: int | None = None) -> None:
     """Sequential writer for ONE lane: explicit txns of <= txn_rows
     statements / <= max_packet arg bytes, retry-with-backoff on
     transient busy errors. ``stmts`` is an iterable of
@@ -214,6 +222,15 @@ def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
                 "SELECT 1 FROM _applied WHERE fence = ?", (fence,))):
             con.close()
             return
+        if write_source is not None:
+            # session-scoped in the reference (SET SESSION
+            # tidb_cdc_write_source, set per txn at mysql_writer.go:778);
+            # one connection serves this whole lane application, so one
+            # recording covers every txn it commits
+            cur.execute(
+                "INSERT OR REPLACE INTO _write_source VALUES (1, ?)",
+                (int(write_source),))
+            con.commit()
         # probe the LIMIT extension once per connection (MySQL has it)
         try:
             cur.execute("CREATE TEMP TABLE _probe(x INTEGER)")
@@ -283,10 +300,12 @@ def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
 
 
 def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
-                     table_id: int, retries: int = 5) -> str:
+                     table_id: int, retries: int = 5,
+                     write_source: int | None = None) -> str:
     """Execute one DDL on a lane DB the way the reference's MySQL writer
     does (``mysql_writer.go:600-668``): its OWN transaction, the ``USE
-    db`` switch (here: the schema-qualified local rename), bounded retry,
+    db`` switch (here: the schema-qualified local rename), the write-
+    source tag (``:619`` SetWriteSource in the DDL txn), bounded retry,
     and the ignorable-error class treated as an already-applied replay.
     Returns 'applied' | 'ignored'.
     """
@@ -294,6 +313,10 @@ def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
         con = sqlite3.connect(db_path, timeout=30)
         cur = con.cursor()
         _ensure_meta(cur)
+        if write_source is not None:
+            cur.execute(
+                "INSERT OR REPLACE INTO _write_source VALUES (1, ?)",
+                (int(write_source),))
         tbl = _local_name(schema, table)
         # DDL may precede any DML for the table (schema-first changefeed
         # start) — materialize the base table like the DML path would
@@ -332,12 +355,14 @@ class SqliteApplySink:
 
     def __init__(self, db_dir: str, n_lanes: int = DEFAULT_LANES,
                  txn_rows: int = 256, max_packet: int = 64 * 1024,
-                 bookkeeping=None):
+                 bookkeeping=None, write_source: int | None = None):
         self.db_dir = db_dir
         self.n_lanes = n_lanes
         self.txn_rows = txn_rows
         self.max_packet = max_packet
         self.bookkeeping = bookkeeping
+        #: this writer's tidb_cdc_write_source twin (helper.go:334-343)
+        self.write_source = write_source
         os.makedirs(db_dir, exist_ok=True)
 
     def process_batch(self, changes: DataFrame, batch_id: int,
@@ -352,6 +377,7 @@ class SqliteApplySink:
             changes, self.n_lanes, extra_tables)
         db_dir, txn_rows, max_packet = \
             self.db_dir, self.txn_rows, self.max_packet
+        write_source = self.write_source
         fence = f"b{batch_id}" if fence is None else fence
 
         def run_partition(rows) -> None:
@@ -369,6 +395,7 @@ class SqliteApplySink:
                       r["sql"], r["args"]) for r in rs),
                     txn_rows, max_packet,
                     fence=f"{fence}.l{lane}",
+                    write_source=write_source,
                 )
 
         (stmts.repartition(self.n_lanes, "lane")
@@ -386,7 +413,8 @@ class SqliteApplySink:
         lane = int(table_id) % self.n_lanes
         return exec_ddl_on_lane(
             os.path.join(self.db_dir, f"lane-{lane}.db"),
-            query, schema, table, int(table_id))
+            query, schema, table, int(table_id),
+            write_source=self.write_source)
 
     def read_state(self, spark, extra_cols: tuple[str, ...] = ()
                    ) -> DataFrame:
