@@ -129,8 +129,15 @@ class Changefeed:
         #: first-class DDL barrier (T8): DDLEvents interleave with the
         #: change stream at their commit_ts; each micro-batch splits at
         #: the due barriers, the multi-version registry records the
-        #: schema version, and an executing sink runs the DDL live
-        self.ddl_events = list(ddl_events or [])
+        #: schema version, and an executing sink runs the DDL live.
+        #: In BDR mode only PRIMARY-role DDLs replicate (events carry
+        #: their cluster's bdr_role, persist_storage.go:808; the
+        #: secondary's DDLs arrive via the primary's stream, so applying
+        #: them here would double-apply) — gated once at config time
+        self.ddl_events = [
+            d for d in (ddl_events or [])
+            if not cfg.bdr_mode or getattr(d, "bdr_role", "") == "primary"
+        ]
         self._ddl_applied: set[int] = set()
         from tigate_spark.streaming.ddl import SchemaRegistry
 
@@ -360,15 +367,9 @@ class Changefeed:
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # once every configured DDL has been applied, the feed pays zero
-        # barrier overhead — no extra max(commit_ts) job per batch.
-        # In BDR mode only PRIMARY-role DDLs replicate (DDL events carry
-        # their cluster's bdr_role, persist_storage.go:808; the secondary
-        # cluster's DDLs arrive via the primary's replication stream, so
-        # applying them here would double-apply)
+        # barrier overhead — no extra max(commit_ts) job per batch
         pending = [d for d in self.ddl_events
-                   if d.commit_ts not in self._ddl_applied
-                   and (not self.cfg.bdr_mode
-                        or getattr(d, "bdr_role", "") == "primary")]
+                   if d.commit_ts not in self._ddl_applied]
         if not pending:
             self._apply_batch(batch_df, batch_id)
             return
