@@ -110,3 +110,16 @@ def test_write_source_recorded_on_lanes(spark, sf_dir, tmp_path,
         src = list(con.execute("SELECT source_id FROM _write_source"))
         con.close()
         assert src == [(7,)]
+
+
+def test_bdr_mode_rejects_roleless_ddl(spark, tmp_path, tagged_source):
+    """A role-less DDLEvent under bdr_mode is a misconfiguration that
+    must fail loudly at create time — silently dropping it would leave
+    the downstream schema un-evolved with a clean run."""
+    cfg = ChangefeedConfig(changefeed_id="bdr-bad", sink_uri="noop://",
+                           bdr_mode=True)
+    with pytest.raises(ValueError, match="bdr_role"):
+        Changefeed(spark, cfg, tagged_source, str(tmp_path / "bdr-bad"),
+                   ddl_events=[DDLEvent(commit_ts=1, table_id=1,
+                                        query="ALTER TABLE t1 ADD x INT",
+                                        schema_tag="v1")])

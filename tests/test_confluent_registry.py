@@ -338,3 +338,25 @@ def test_http_framing_parity_with_file_path(tmp_path):
                 b"\x00" + vid.to_bytes(4, "big"),
             )
         assert frames["file"] == frames["http"]
+
+
+def test_versions_unknown_subject_parity(reg, http_reg):
+    """Both clients answer an unknown subject the Confluent way (40401
+    -> KeyError) — drop-in parity, no []-vs-raise divergence."""
+    with pytest.raises(KeyError):
+        reg.versions("nope")
+    with pytest.raises(KeyError):
+        http_reg.versions("nope")
+
+
+def test_http_server_answers_malformed_requests(http_reg):
+    """Malformed requests get JSON error responses, never a dead handler
+    thread that burns the client's retries: non-numeric schema id maps
+    to the 40403 class, a body without 'schema' to a 400."""
+    with pytest.raises(KeyError):
+        http_reg._call("GET", "/schemas/ids/not-a-number")
+    with pytest.raises(KeyError):
+        http_reg._call("POST", "/subjects/s/versions", {"nope": 1})
+    # and the server is still alive afterwards
+    sid = http_reg.register("s", EVENTS_VALUE_V1)
+    assert http_reg.get_by_id(sid) == canonical_schema(EVENTS_VALUE_V1)

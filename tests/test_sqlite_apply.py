@@ -343,3 +343,20 @@ def test_sink_uri_query_options(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         build("sqlite://?worker-count=0", "q-bad")
+
+
+def test_lane_count_pinned_per_db_dir(tmp_path):
+    """lane = table_id % n_lanes names persistent files: restarting a
+    sink dir with a different worker-count would strand a table's old
+    rows in the previous lane DB while new writes go to another —
+    read_state would union stale and current. The count is pinned on
+    first use; a mismatch refuses loudly."""
+    from tigate_spark.streaming.sqlite_apply import SqliteApplySink
+
+    d = str(tmp_path / "db")
+    SqliteApplySink(d, n_lanes=4)
+    SqliteApplySink(d, n_lanes=4)  # same count: fine
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="worker-count"):
+        SqliteApplySink(d, n_lanes=8)

@@ -929,3 +929,18 @@ def test_storage_dated_tree_respects_timezone(spark, sf_dir,
         _day(d) in udays or _day(d) - _dt.timedelta(days=1) in udays
         for d in k
     )
+
+
+def test_sink_uri_time_zone_validates_eagerly(spark, tmp_path):
+    """A typo'd zone fails at create time (changefeed.go:27 validates
+    the timezone at creation), not mid-stream on the first dated
+    render."""
+    with pytest.raises(ValueError, match="time-zone"):
+        Changefeed(
+            spark,
+            ChangefeedConfig(
+                changefeed_id="tz-bad",
+                sink_uri="file://out?protocol=csv&time-zone=America/NewYork",
+            ),
+            str(tmp_path), str(tmp_path),
+        )

@@ -115,13 +115,18 @@ class FileSchemaRegistry:
         }
 
     def versions(self, subject: str) -> list[int]:
+        """GET /subjects/<subject>/versions. Unknown subject raises
+        KeyError — Confluent answers 40401, and the HTTP client surfaces
+        that as KeyError, so both clients agree (drop-in parity)."""
         f = self._locked()
         try:
             state = self._read(f)
         finally:
             fcntl.lockf(f, fcntl.LOCK_UN)
             f.close()
-        return [v["version"] for v in state["subjects"].get(subject, [])]
+        if subject not in state["subjects"]:
+            raise KeyError(f"subject {subject} not registered")
+        return [v["version"] for v in state["subjects"][subject]]
 
     def subjects(self) -> list[str]:
         f = self._locked()

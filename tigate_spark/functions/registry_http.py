@@ -68,7 +68,12 @@ class _Handler(BaseHTTPRequestHandler):
                  for p in self.path.strip("/").split("/")]
         try:
             if parts[:2] == ["schemas", "ids"] and len(parts) == 3:
-                self._send(200, {"schema": self._reg.get_by_id(int(parts[2]))})
+                try:
+                    sid = int(parts[2])
+                except ValueError:
+                    raise KeyError(f"schema id {parts[2]!r} is not a "
+                                   "number") from None
+                self._send(200, {"schema": self._reg.get_by_id(sid)})
             elif parts == ["subjects"]:
                 self._send(200, self._reg.subjects())
             elif (len(parts) == 4 and parts[0] == "subjects"
@@ -80,40 +85,49 @@ class _Handler(BaseHTTPRequestHandler):
                                  "schema": v["schema"]})
             elif (len(parts) == 3 and parts[0] == "subjects"
                   and parts[2] == "versions"):
-                versions = self._reg.versions(parts[1])
-                if not versions:
-                    raise KeyError(f"subject {parts[1]} not registered")
-                self._send(200, versions)
+                self._send(200, self._reg.versions(parts[1]))
             else:
                 self._not_found(404, f"unknown path {self.path}")
         except KeyError as e:
             code = 40403 if parts[:2] == ["schemas", "ids"] else 40401
             self._not_found(code, str(e))
+        except Exception as e:  # noqa: BLE001 — a handler must answer
+            self._send(500, {"error_code": 500, "message": str(e)})
 
     def do_POST(self) -> None:  # noqa: N802
         parts = [urllib.parse.unquote(p)
                  for p in self.path.strip("/").split("/")]
-        if not (len(parts) == 3 and parts[0] == "subjects"
-                and parts[2] == "versions"):
-            self._not_found(404, f"unknown path {self.path}")
-            return
-        n = int(self.headers.get("Content-Length", "0"))
-        payload = json.loads(self.rfile.read(n) or b"{}")
-        sid = self._reg.register(parts[1], payload["schema"])
-        self._send(200, {"id": sid})
+        try:
+            if not (len(parts) == 3 and parts[0] == "subjects"
+                    and parts[2] == "versions"):
+                self._not_found(404, f"unknown path {self.path}")
+                return
+            n = int(self.headers.get("Content-Length", "0"))
+            try:
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                schema = payload["schema"]
+            except (ValueError, KeyError, TypeError):
+                self._send(400, {"error_code": 42201,
+                                 "message": "body must be JSON with a "
+                                            "'schema' field"})
+                return
+            sid = self._reg.register(parts[1], schema)
+            self._send(200, {"id": sid})
+        except Exception as e:  # noqa: BLE001 — a handler must answer
+            self._send(500, {"error_code": 500, "message": str(e)})
 
     def do_DELETE(self) -> None:  # noqa: N802
         parts = [urllib.parse.unquote(p)
                  for p in self.path.strip("/").split("/")]
-        if len(parts) == 2 and parts[0] == "subjects":
-            try:
-                dropped = self._reg.delete_subject(parts[1])
-            except KeyError as e:
-                self._not_found(40401, str(e))
-                return
-            self._send(200, dropped)
-        else:
-            self._not_found(404, f"unknown path {self.path}")
+        try:
+            if len(parts) == 2 and parts[0] == "subjects":
+                self._send(200, self._reg.delete_subject(parts[1]))
+            else:
+                self._not_found(404, f"unknown path {self.path}")
+        except KeyError as e:
+            self._not_found(40401, str(e))
+        except Exception as e:  # noqa: BLE001 — a handler must answer
+            self._send(500, {"error_code": 500, "message": str(e)})
 
 
 class _LockedRegistry:
@@ -198,9 +212,20 @@ class HTTPSchemaRegistry:
                 with urllib.request.urlopen(req, timeout=10) as resp:
                     return json.loads(resp.read())
             except urllib.error.HTTPError as e:
-                # HTTP-level errors are authoritative, not transient
-                err = json.loads(e.read() or b"{}")
-                raise KeyError(err.get("message", str(e))) from None
+                raw = e.read() or b""
+                try:
+                    msg = json.loads(raw).get("message", str(e))
+                except ValueError:
+                    # proxies / stdlib error pages emit HTML, not JSON
+                    msg = f"{e.code} {raw[:200]!r}"
+                if e.code >= 500:
+                    # server faults are transient to the reference's
+                    # httpRetry loop (:416+), not authoritative answers
+                    last = RuntimeError(f"registry 5xx: {msg}")
+                    time.sleep(self.backoff_s * (attempt + 1))
+                    continue
+                # 4xx is authoritative (40401/40403 → not registered)
+                raise KeyError(msg) from None
             except urllib.error.URLError as e:
                 last = e
                 time.sleep(self.backoff_s * (attempt + 1))

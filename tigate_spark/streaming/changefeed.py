@@ -42,7 +42,7 @@ from tigate_spark.streaming.sinks import (
 PAYLOAD_COLS = ["event_type", "value_cents", "user_id"]
 
 
-def _apply_sink_uri_options(cfg: ChangefeedConfig) -> None:
+def _apply_sink_uri_options(cfg: ChangefeedConfig) -> dict:
     """Overlay sink-URI query parameters onto ``cfg.sink`` — the
     reference configures sinks through the URI exactly like this
     (kafka ``options.go:102-105`` ``partition-num``/``max-message-bytes``
@@ -57,7 +57,7 @@ def _apply_sink_uri_options(cfg: ChangefeedConfig) -> None:
 
     q = parse_qs(urlparse(cfg.sink_uri).query)
     if not q:
-        return
+        return q
     if "protocol" in q:
         cfg.sink.protocol = q["protocol"][0]
     if "partition-num" in q:
@@ -85,11 +85,23 @@ def _apply_sink_uri_options(cfg: ChangefeedConfig) -> None:
     if "large-message-handle" in q:
         cfg.sink.large_message_handle = q["large-message-handle"][0]
     if "time-zone" in q:
-        # mysql sink URI spelling (config.go Timezone); validated by
-        # Spark's zone registry when the first dated path renders
-        cfg.timezone = q["time-zone"][0]
+        # mysql sink URI spelling (config.go Timezone). Validate eagerly
+        # like the neighboring params — the reference validates the
+        # changefeed timezone at creation (changefeed.go:27), and a typo
+        # failing mid-stream on the first dated render is much harder to
+        # diagnose than a create-time error
+        tz = q["time-zone"][0]
+        import zoneinfo
+
+        try:
+            zoneinfo.ZoneInfo(tz)
+        except (zoneinfo.ZoneInfoNotFoundError, ValueError, KeyError):
+            raise ValueError(
+                f"invalid time-zone={tz!r} in sink-uri") from None
+        cfg.timezone = tz
     if "safe-mode" in q:
         cfg.sink.safe_mode = q["safe-mode"][0].lower() in ("true", "1")
+    return q
 
 
 class Changefeed:
@@ -100,7 +112,12 @@ class Changefeed:
                  ddl_events: list | None = None):
         if not cfg.sink_uri:
             raise ValueError("sink_uri is required")  # changefeed.go:62 parity
-        _apply_sink_uri_options(cfg)
+        from urllib.parse import urlparse
+
+        #: parsed ONCE: the query overlay, the sqlite writer options in
+        #: _build_sink, and the per-batch default topic all read these
+        self._sink_query = _apply_sink_uri_options(cfg)
+        self._default_topic = urlparse(cfg.sink_uri).path.strip("/") or None
         if (cfg.sink.large_message_handle
                 and cfg.sink.protocol not in
                 ("canal-json", "open-protocol")):
@@ -133,7 +150,20 @@ class Changefeed:
         #: In BDR mode only PRIMARY-role DDLs replicate (events carry
         #: their cluster's bdr_role, persist_storage.go:808; the
         #: secondary's DDLs arrive via the primary's stream, so applying
-        #: them here would double-apply) — gated once at config time
+        #: them here would double-apply) — gated once at config time.
+        #: A role-less DDL under BDR is a misconfiguration, not a skip:
+        #: silently dropping it would leave the downstream schema
+        #: un-evolved with a clean run_to_completion
+        if cfg.bdr_mode:
+            bad = [d for d in (ddl_events or [])
+                   if getattr(d, "bdr_role", "")
+                   not in ("primary", "secondary")]
+            if bad:
+                raise ValueError(
+                    "bdr_mode requires every DDLEvent to declare "
+                    "bdr_role='primary'|'secondary'; got role "
+                    f"{getattr(bad[0], 'bdr_role', '')!r} at commit_ts "
+                    f"{bad[0].commit_ts}")
         self.ddl_events = [
             d for d in (ddl_events or [])
             if not cfg.bdr_mode or getattr(d, "bdr_role", "") == "primary"
@@ -266,11 +296,9 @@ class Changefeed:
             # effective parallelism is min(worker-count, distinct
             # tables) — measured flat 4->16 lanes on the 4-table
             # testdata stream, exactly as that dispatch predicts.
-            from urllib.parse import parse_qs, urlparse
-
             from tigate_spark.streaming.sqlite_apply import SqliteApplySink
 
-            q = parse_qs(urlparse(self.cfg.sink_uri).query)
+            q = self._sink_query
 
             def _opt(name: str, default: int, cap: int) -> int:
                 raw = q.get(name, [None])[0]
@@ -307,10 +335,7 @@ class Changefeed:
             # dispatch rule claims (eventrouter/event_router.go:36,72,89
             # threads the URI topic into every generator); no path keeps
             # the {schema}_{table} convention
-            from urllib.parse import urlparse
-
-            default_topic = urlparse(
-                self.cfg.sink_uri).path.strip("/") or None
+            default_topic = self._default_topic
             if rules:
                 batch = route(batch, rules, self.cfg.sink.num_partitions,
                               default_topic=default_topic)
@@ -385,47 +410,56 @@ class Changefeed:
         # (pkg/apperror/util.go:36-55), the reference's own replay story.
         from tigate_spark.streaming.ddl import split_batch_at_ddl
 
-        mx_row = batch_df.agg(F.max("commit_ts")).collect()[0]
-        mx = mx_row[0]
-        due = sorted(
-            (d for d in pending if mx is not None and mx >= d.commit_ts),
-            key=lambda d: d.commit_ts,
-        )
-        if not due:
-            self._apply_batch(batch_df, batch_id)
-            return
-
-        def apply_dml(part_df: DataFrame, sub: int) -> None:
-            self._apply_batch(part_df, batch_id, fence_sub=sub)
-
-        def apply_ddl(d) -> None:
-            self.registry.append(self.spark, d, idempotent=True)
-            from tigate_spark.streaming.sqlite_apply import SqliteApplySink
-
-            if (isinstance(self.sink, SqliteApplySink)
-                    and d.schema_name and d.table_name
-                    and d.table_id is not None):
-                self.sink.exec_ddl(
-                    d.query, d.schema_name, d.table_name, d.table_id)
-            self._ddl_applied.add(d.commit_ts)
-
-        # bookkeeping (K4 progress + K5 syncpoint ticks) is a per-MICRO-
-        # BATCH contract — one progress row per touched table and one
-        # aligned tick range per batch, same as the barrier-less path.
-        # Sub-batches each run the sink's process_batch, so detach the
-        # sink's bookkeeping for the split and record ONCE over the full
-        # batch; otherwise the affected table gets a progress row per
-        # sub-batch and overlapping sub-ranges emit duplicate primary_ts
-        # ticks into the ts-map (whose syncpoint_v1 contract has unique
-        # primary_ts rows).
-        bk = getattr(self.sink, "bookkeeping", None)
-        self.sink.bookkeeping = None
+        # one cache serves the due-check agg, every sub-batch filter,
+        # and the once-per-batch bookkeeping below — split_batch_at_ddl
+        # sees the batch already persisted and leaves the cache alone
+        batch_df.persist()
         try:
-            split_batch_at_ddl(batch_df, due, apply_dml, apply_ddl)
+            mx = batch_df.agg(F.max("commit_ts")).collect()[0][0]
+            due = sorted(
+                (d for d in pending
+                 if mx is not None and mx >= d.commit_ts),
+                key=lambda d: d.commit_ts,
+            )
+            if not due:
+                self._apply_batch(batch_df, batch_id)
+                return
+
+            def apply_dml(part_df: DataFrame, sub: int) -> None:
+                self._apply_batch(part_df, batch_id, fence_sub=sub)
+
+            def apply_ddl(d) -> None:
+                self.registry.append(self.spark, d, idempotent=True)
+                from tigate_spark.streaming.sqlite_apply import (
+                    SqliteApplySink,
+                )
+
+                if (isinstance(self.sink, SqliteApplySink)
+                        and d.schema_name and d.table_name
+                        and d.table_id is not None):
+                    self.sink.exec_ddl(
+                        d.query, d.schema_name, d.table_name, d.table_id)
+                self._ddl_applied.add(d.commit_ts)
+
+            # bookkeeping (K4 progress + K5 syncpoint ticks) is a per-
+            # MICRO-BATCH contract — one progress row per touched table
+            # and one aligned tick range per batch, same as the barrier-
+            # less path. Sub-batches each run the sink's process_batch,
+            # so detach the sink's bookkeeping for the split and record
+            # ONCE over the full batch; otherwise the affected table gets
+            # a progress row per sub-batch and overlapping sub-ranges
+            # emit duplicate primary_ts ticks into the ts-map (whose
+            # syncpoint_v1 contract has unique primary_ts rows).
+            bk = getattr(self.sink, "bookkeeping", None)
+            self.sink.bookkeeping = None
+            try:
+                split_batch_at_ddl(batch_df, due, apply_dml, apply_ddl)
+            finally:
+                self.sink.bookkeeping = bk
+            if bk is not None:
+                bk.record(batch_df, batch_id)
         finally:
-            self.sink.bookkeeping = bk
-        if bk is not None:
-            bk.record(batch_df, batch_id)
+            batch_df.unpersist()
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int,
                      fence_sub: int | None = None) -> None:

@@ -117,7 +117,15 @@ def split_batch_at_ddl(
             cond = cond & (F.col("table_id") == ddl.table_id)
         return cond
 
-    batch_df.persist()
+    # a caller that wants to reuse the cache AFTER the split (e.g. the
+    # changefeed's once-per-batch bookkeeping) persists the batch itself;
+    # only own the cache when nobody else does — unpersist() has no
+    # refcount, so dropping a caller's cache here would force them to
+    # recompute the whole micro-batch
+    own_cache = batch_df.storageLevel.useMemory is False \
+        and batch_df.storageLevel.useDisk is False
+    if own_cache:
+        batch_df.persist()
     try:
         applied = F.lit(False)
         for k, ddl in enumerate(relevant):
@@ -145,7 +153,8 @@ def split_batch_at_ddl(
             audit.append({"kind": "dml", "sub": len(relevant), "rows": n,
                           "barrier_ts": None})
     finally:
-        batch_df.unpersist()
+        if own_cache:
+            batch_df.unpersist()
     return audit
 
 

@@ -364,6 +364,23 @@ class SqliteApplySink:
         #: this writer's tidb_cdc_write_source twin (helper.go:334-343)
         self.write_source = write_source
         os.makedirs(db_dir, exist_ok=True)
+        # lane = table_id % n_lanes names PERSISTENT files: restarting a
+        # feed over an existing db_dir with a different worker-count
+        # would route a table to a fresh lane DB while its old rows stay
+        # in the previous one — read_state would then union stale and
+        # current rows. Pin the count on first use, refuse a mismatch.
+        marker = os.path.join(db_dir, "_lanes")
+        if os.path.exists(marker):
+            pinned = int(open(marker).read().strip())
+            if pinned != n_lanes:
+                raise ValueError(
+                    f"db_dir {db_dir} was written with worker-count="
+                    f"{pinned}; restarting with {n_lanes} would split "
+                    "tables across lane files — keep the original value "
+                    "or start a fresh sink dir")
+        else:
+            with open(marker, "w") as f:
+                f.write(str(n_lanes))
 
     def process_batch(self, changes: DataFrame, batch_id: int,
                       fence: str | None = None,
