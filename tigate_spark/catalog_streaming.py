@@ -1512,6 +1512,77 @@ def streaming_sqlite_ddl_apply_e2e(spark: SparkSession,
 
 
 @register(
+    "consumer_changelog_apply_e2e",
+    _STREAM_ORACLE,
+    doc="The kafka-consumer binary's pipeline end to end (the reference "
+        "ships cdc_kafka_consumer, driven by every kafka integration "
+        "test: consume encoded messages from the topic, DECODE them, "
+        "apply to the downstream with safe-mode semantics). Producer "
+        "half: a real changefeed encodes canal-json + routes into the "
+        "changelog (Kafka-shaped) sink. Consumer half: a second "
+        "Structured Streaming query reads the topic back, reconstructs "
+        "the canonical change columns FROM THE MESSAGE BYTES alone "
+        "(decode_canal_for_apply — table_id re-derived from the table "
+        "name, op from the canal type, commit ts from _tidb.commitTs; "
+        "start_ts is not on the wire, so the entry first asserts the "
+        "corpus is commit-ts tie-free, the same precondition a real "
+        "canal consumer's LWW correctness rests on), and merges into a "
+        "replica through the SAME ReplicaSink the direct path uses. "
+        "Final consumer-side replica hash-matches the direct LWW oracle "
+        "— encode, route, decode, and apply compose to the identity",
+)
+def consumer_changelog_apply_e2e(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import decode_canal_for_apply
+    from tigate_spark.streaming.changefeed import Changefeed
+    from tigate_spark.streaming.sinks import ReplicaSink, read_replica
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        ev = spark.read.parquet(src)
+        if ev.count() != ev.select("ts").distinct().count():
+            raise RuntimeError(
+                "canal-json carries no start_ts: consumer LWW needs a "
+                "commit-ts tie-free corpus")
+        flat, land = split_commit_order(spark, src, os.path.join(work, "p"), 3)
+        for k in range(3):
+            land(k)
+        cfg = ChangefeedConfig(changefeed_id="producer",
+                               sink_uri="changelog://")
+        cfp = Changefeed(spark, cfg, flat, os.path.join(work, "pw"))
+        cfp.run_to_completion()
+        topic = cfp.sink.out_dir
+        # consumer: only the message bytes + the per-partition offset
+        # (seq) cross over — everything else is reconstructed by decode
+        raw = (
+            spark.readStream.schema(spark.read.parquet(topic).schema)
+            .option("maxFilesPerTrigger", "8")
+            .parquet(topic)
+            .select("message", "seq")
+        )
+        sink = ReplicaSink(os.path.join(work, "replica"),
+                           ["event_type", "value_cents"])
+        q = (
+            decode_canal_for_apply(raw)
+            .writeStream.foreachBatch(sink.process_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        rep = read_replica(spark, sink.state_dir).select(
+            "table_id", "pk", F.col("commit_ts").alias("last_commit_ts"),
+            "event_type", "value_cents",
+        )
+        return _materialize(rep)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "streaming_bdr_loop_prevention_e2e",
     ORACLE_CHANGES_CTE + """
 , ordered AS (

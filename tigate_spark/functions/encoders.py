@@ -155,6 +155,46 @@ def decode_canal_json(df: DataFrame, msg_col: str = "message") -> DataFrame:
     )
 
 
+def decode_canal_for_apply(df: DataFrame, msg_col: str = "message",
+                           offset_col: str = "seq") -> DataFrame:
+    """Consumer-side decode into the APPLY shape — the kafka-consumer
+    binary's pipeline (``cmd_kafka_consumer`` in the reference's
+    integration tests: decode canal-json from the topic, apply to the
+    downstream with safe-mode): message bytes → the canonical change
+    columns a sink merges on.
+
+    What the protocol carries vs what apply needs:
+
+    - ``table_id`` is re-derived from the table NAME (the consumer's
+      name→table mapping; upstream numeric ids are internal and never
+      cross the wire) — here ``t<N>`` encodes it directly;
+    - ``start_ts`` is NOT in canal-json — emitted as 0. Ordering then
+      rests on ``_tidb.commitTs`` (+ the per-partition offset), exactly
+      the real consumer's guarantee: canal-json consumers cannot break
+      equal-commit-ts ties, which is why callers assert a tie-free
+      corpus before relying on LWW equivalence;
+    - ``offset_col`` plays the Kafka offset (per-partition apply order);
+    - D rows carry the BEFORE image in ``data`` (canal semantics) — the
+      pk routes the delete; payload fields are never read for a D.
+    """
+    parsed = df.withColumn("m", F.from_json(F.col(msg_col), _CANAL_MSG_SCHEMA))
+    return parsed.select(
+        F.col("m.database").alias("schema_name"),
+        F.col("m.table").alias("table_name"),
+        F.expr("cast(substring(m.table, 2) as bigint)").alias("table_id"),
+        F.when(F.col("m.type") == "INSERT", "I")
+        .when(F.col("m.type") == "UPDATE", "U")
+        .otherwise("D").alias("op"),
+        F.lit(0).cast("bigint").alias("start_ts"),
+        F.col("m._tidb.commitTs").alias("commit_ts"),
+        F.col(offset_col).cast("bigint").alias("seq"),
+        F.expr("m.data[0].pk").alias("pk"),
+        F.expr("m.data[0].event_type").alias("event_type"),
+        F.expr("m.data[0].value_cents").alias("value_cents"),
+        F.expr("m.data[0].user_id").alias("user_id"),
+    )
+
+
 #: claim-check pointer layout (pkg/sink/kafka/claimcheck/claim_check.go —
 #: the MQ message is replaced by a location pointer; the payload goes to
 #: object storage)
