@@ -42,6 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     "streaming_sqlite_ddl_apply_e2e", "engine_ddl_barrier_e2e",
     "streaming_bdr_loop_prevention_e2e", "consumer_changelog_apply_e2e",
+    "redo_disaster_recovery_e2e",
     "streaming_replica_schema_evolution_e2e", "split_leakage_safe",
     "dedup_lsh_quality_report",
     "dedup_c4_span_excise", "streaming_sqlite_apply_e2e",

@@ -1512,6 +1512,57 @@ def streaming_sqlite_ddl_apply_e2e(spark: SparkSession,
 
 
 @register(
+    "redo_disaster_recovery_e2e",
+    _STREAM_ORACLE,
+    doc="Consistent replication / disaster recovery end to end "
+        "(pkg/config/consistent.go:28-67; behavior pinned by the "
+        "reference's consistent_replicate_* integration tests): a "
+        "changefeed with consistent.level='eventual' write-ahead-logs "
+        "every micro-batch to redo storage BEFORE the replica sink "
+        "applies it (per-batch overwrite-mode log dirs, so a replayed "
+        "batch rewrites its own logs idempotently; meta tracks "
+        "checkpoint_ts <= resolved_ts via atomic tmp+rename swaps). The "
+        "entry then DESTROYS the replica — the downstream is lost — and "
+        "redo_apply (the cdc-redo-apply binary's job) reconstructs the "
+        "state from the logs alone: every logged change with commit_ts "
+        "<= meta.resolved_ts through the engine's own LWW materialize. "
+        "The recovered state hash-matches the direct oracle. Scale "
+        "posture: the WAL is one extra parquet write per micro-batch "
+        "(O(batch), no state), recovery is one scan + one shuffle over "
+        "a log volume bounded by the retention/outage window; the "
+        "crash-window semantics (checkpoint < resolved, recovery lands "
+        "at resolved) are pinned by tests/test_redo.py",
+)
+def redo_disaster_recovery_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.config import ConsistentConfig
+    from tigate_spark.streaming.changefeed import Changefeed
+    from tigate_spark.streaming.redo import redo_apply
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        flat, land = split_commit_order(spark, src, os.path.join(work, "p"), 3)
+        for k in range(3):
+            land(k)
+        redo_dir = os.path.join(work, "redo")
+        cfg = ChangefeedConfig(
+            changefeed_id="redo-e2e", sink_uri="replica://",
+            consistent=ConsistentConfig(level="eventual", storage=redo_dir),
+        )
+        cf = Changefeed(spark, cfg, flat, work)
+        cf.run_to_completion()
+        meta = cf.redo.meta()
+        if not (0 < meta["checkpoint_ts"] == meta["resolved_ts"]):
+            raise RuntimeError(f"redo meta did not converge: {meta}")
+        shutil.rmtree(cf.sink.state_dir)  # the downstream is LOST
+        got = redo_apply(spark, redo_dir, ["event_type", "value_cents"])
+        return _materialize(got.select(
+            "table_id", "pk", "last_commit_ts", "event_type", "value_cents"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "consumer_changelog_apply_e2e",
     _STREAM_ORACLE,
     doc="The kafka-consumer binary's pipeline end to end (the reference "

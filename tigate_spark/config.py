@@ -70,6 +70,36 @@ class SinkConfig:
 
 
 @dataclass
+class ConsistentConfig:
+    """Redo-log / consistent-replication config
+    (``pkg/config/consistent.go:28-67``): ``level='eventual'`` enables
+    the write-ahead redo log so a lost downstream can be restored to a
+    consistent resolved-ts point (``cdc redo apply``)."""
+
+    level: str = "none"  # none | eventual
+    storage: str = ""  # redo storage path (the storage URI)
+    compression: str = ""  # '' | none | lz4 (consistent.go:56-59)
+
+    def enabled(self) -> bool:
+        return self.level == "eventual"
+
+    def validate(self) -> None:
+        """ValidateAndAdjust parity (consistent.go:77-120)."""
+        if self.level not in ("none", "eventual"):
+            raise ValueError(
+                f"consistent.level must be none|eventual, got {self.level!r}")
+        if not self.enabled():
+            return
+        if self.compression not in ("", "none", "lz4"):
+            raise ValueError(
+                f"consistent.compression must be 'none' or 'lz4', got "
+                f"{self.compression!r}")
+        if not self.storage:
+            raise ValueError("consistent.storage is required when "
+                             "level='eventual'")
+
+
+@dataclass
 class ChangefeedConfig:
     """``pkg/config/changefeed.go:21-38`` equivalent."""
 
@@ -83,6 +113,10 @@ class ChangefeedConfig:
     #: default "system"; mysql sink URI `time-zone`). None = the
     #: engine's UTC time base
     timezone: str | None = None
+    #: redo log (consistent replication, pkg/config/consistent.go):
+    #: level='eventual' write-ahead-logs every micro-batch before the
+    #: sink applies it, so redo_apply can restore a lost downstream
+    consistent: ConsistentConfig = field(default_factory=ConsistentConfig)
     #: bidirectional-replication mode (replica_config.go:148 `bdr-mode`):
     #: a BDR feed replicates only application writes (source_id == 0 —
     #: rows written by any CDC carry a nonzero write source, the
@@ -124,6 +158,8 @@ def _build(cls, data: dict):
             v = _build(FilterConfig, v)
         elif f.name == "sink" and isinstance(v, dict):
             v = _build(SinkConfig, v)
+        elif f.name == "consistent" and isinstance(v, dict):
+            v = _build(ConsistentConfig, v)
         elif f.name == "event_filters":
             v = [_build(EventFilterRule, x) if isinstance(x, dict) else x for x in v]
         elif f.name == "column_selectors":

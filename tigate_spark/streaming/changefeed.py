@@ -173,6 +173,16 @@ class Changefeed:
 
         self.registry = SchemaRegistry(
             os.path.join(work_dir, "registry", cfg.changefeed_id))
+        #: redo log (consistent replication, pkg/config/consistent.go):
+        #: WAL every micro-batch before the sink applies it
+        cfg.consistent.validate()
+        if cfg.consistent.enabled():
+            from tigate_spark.streaming.redo import RedoLog
+
+            self.redo = RedoLog(cfg.consistent.storage,
+                                compression=cfg.consistent.compression)
+        else:
+            self.redo = None
 
     # -- source ------------------------------------------------------------
     def _source(self) -> tuple[str, str | None]:
@@ -391,6 +401,25 @@ class Changefeed:
         return batch
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.redo is None:
+            self._foreach_batch_inner(batch_df, batch_id)
+            return
+        # consistent replication: WAL the batch BEFORE any sink action
+        # (log-flush-then-apply — 'nothing is resolved that is not
+        # durably logged'); the per-batch log dir is overwrite-mode, so
+        # a replayed micro-batch rewrites its own logs idempotently.
+        # checkpoint_ts advances only after the sink committed.
+        batch_df.persist()
+        try:
+            hi = self.redo.log_batch(batch_df, batch_id)
+            self._foreach_batch_inner(batch_df, batch_id)
+            if hi is not None:
+                self.redo.mark_applied(batch_id, hi)
+        finally:
+            batch_df.unpersist()
+
+    def _foreach_batch_inner(self, batch_df: DataFrame,
+                             batch_id: int) -> None:
         # once every configured DDL has been applied, the feed pays zero
         # barrier overhead — no extra max(commit_ts) job per batch
         pending = [d for d in self.ddl_events

@@ -1,0 +1,103 @@
+"""Redo log — consistent replication / disaster recovery.
+
+The reference's redo feature (config surface
+``pkg/config/consistent.go:28-67``; behavior pinned by the
+``consistent_replicate_*`` integration tests): with
+``consistent.level = 'eventual'`` the changefeed write-ahead-logs every
+row change to external storage BEFORE the sink applies it and keeps a
+meta file of (checkpoint_ts, resolved_ts); if the downstream is lost,
+``cdc redo apply`` replays the logs up to the recorded resolved-ts,
+restoring a transactionally-consistent downstream.
+
+Spark-native shape:
+
+- :class:`RedoLog` — one parquet dir per micro-batch under
+  ``storage/row/batch=<id>/`` written with ``mode('overwrite')``, so a
+  REPLAYED micro-batch (crash between redo flush and checkpoint commit)
+  rewrites its own logs instead of duplicating them — the WAL is
+  idempotent by layout. The meta file is swapped atomically
+  (tmp + rename): ``resolved_ts`` advances when a batch's logs are
+  durably down (the reference's log-flush-then-advance ordering),
+  ``checkpoint_ts`` when the sink finished applying it, so
+  ``checkpoint_ts <= resolved_ts`` always — the recovery window is
+  exactly the gap.
+- :func:`redo_apply` — the ``cdc redo apply`` binary's job: read meta,
+  replay every logged row with ``commit_ts <= resolved_ts`` through the
+  same LWW materialize the engine's direct path uses, yielding the
+  consistent downstream state. One scan + one shuffle; log volume is
+  bounded by the outage window, not the stream's lifetime.
+
+Log content is the canonical change columns (the sink-input schema), so
+the recovered state is byte-comparable with the direct path's replica.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class RedoLog:
+    def __init__(self, storage: str, compression: str = ""):
+        self.storage = storage
+        self.row_dir = os.path.join(storage, "row")
+        self.meta_path = os.path.join(storage, "meta.json")
+        #: consistent.go:56-59 — none|lz4 (parquet codec here)
+        self.codec = "lz4" if compression == "lz4" else None
+        os.makedirs(self.storage, exist_ok=True)
+
+    # -- writer side --------------------------------------------------------
+    def log_batch(self, batch_df: DataFrame, batch_id: int) -> int | None:
+        """WAL one micro-batch, then advance resolved_ts. Must run
+        BEFORE the sink applies the batch — the invariant recovery rests
+        on is 'nothing is resolved that is not durably logged'. Returns
+        the batch's max commit_ts (the caller's checkpoint_ts once the
+        sink commits)."""
+        w = batch_df.write.mode("overwrite")
+        if self.codec:
+            w = w.option("compression", self.codec)
+        w.parquet(os.path.join(self.row_dir, f"batch={batch_id}"))
+        hi = batch_df.agg(F.max("commit_ts")).first()[0]
+        if hi is not None:
+            self._update_meta(resolved_ts=int(hi))
+        return None if hi is None else int(hi)
+
+    def mark_applied(self, batch_id: int, checkpoint_ts: int) -> None:
+        """Advance checkpoint_ts after the sink committed the batch."""
+        self._update_meta(checkpoint_ts=int(checkpoint_ts))
+
+    def _update_meta(self, resolved_ts: int | None = None,
+                     checkpoint_ts: int | None = None) -> None:
+        m = self.meta()
+        if resolved_ts is not None:
+            m["resolved_ts"] = max(m["resolved_ts"], resolved_ts)
+        if checkpoint_ts is not None:
+            m["checkpoint_ts"] = max(m["checkpoint_ts"], checkpoint_ts)
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self.meta_path)  # atomic swap
+
+    def meta(self) -> dict:
+        if not os.path.exists(self.meta_path):
+            return {"resolved_ts": 0, "checkpoint_ts": 0}
+        with open(self.meta_path) as f:
+            return json.load(f)
+
+
+def redo_apply(spark: SparkSession, storage: str,
+               payload_cols: list[str]) -> DataFrame:
+    """``cdc redo apply``: reconstruct the consistent downstream state
+    from the logs — every logged change with
+    ``commit_ts <= meta.resolved_ts`` through the engine's own LWW
+    materialize. Returns (table_id, pk, last_commit_ts, op-free payload)."""
+    from tigate_spark.operators.apply import materialize
+
+    log = RedoLog(storage)
+    m = log.meta()
+    rows = spark.read.parquet(log.row_dir)
+    rows = rows.filter(F.col("commit_ts") <= m["resolved_ts"])
+    return materialize(rows, payload_cols)
