@@ -171,3 +171,54 @@ def test_resume_processes_only_backlog(spark, sf_dir, tmp_path):
     )
     assert resumed_rows == n2, (resumed_rows, n2)
     eng.remove(cid, drop_state=True)
+
+
+def test_resume_with_overwritten_checkpoint_ts(spark, sf_dir, tmp_path):
+    """POST .../resume with overwrite_checkpoint_ts (api/v2/model.go:82,
+    changefeed.go:457-458): discard the saved progress and REPLAY from
+    the given ts onto the existing downstream — converges by LWW
+    idempotence, and the replayed input is exactly the tail."""
+    from tigate_spark.catalog_streaming import split_commit_order
+    from tigate_spark.operators.apply import materialize
+    from tigate_spark.streaming.changefeed import PAYLOAD_COLS
+
+    flat, land = split_commit_order(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        str(tmp_path / "src"), 4)
+    for k in range(4):
+        land(k)
+    eng = Engine(spark, flat, str(tmp_path / "work"))
+    cid = eng.create(
+        ChangefeedConfig(changefeed_id="cf-ovw", sink_uri="replica://"))
+    eng.run_to_completion(cid)
+    cf1 = eng.changefeed(cid)
+    progress_dir = cf1.bookkeeping.progress_dir
+    n_progress_1 = spark.read.parquet(progress_dir).count()
+
+    ch = changes_stream(spark, sf_dir)
+    mid = int(ch.selectExpr(
+        "percentile_approx(commit_ts, 0.5)").first()[0])
+    q = eng.resume(cid, overwrite_checkpoint_ts=mid)
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    assert q.exception() is None
+    # the replay actually ran: new progress rows, covering ONLY the tail
+    prog = spark.read.parquet(progress_dir)
+    assert prog.count() > n_progress_1
+    replayed = prog.orderBy(F.desc("batch_id")).limit(
+        prog.count() - n_progress_1)
+    tail_events = int(
+        prog.agg(F.sum("n_events")).first()[0]
+    ) - int(ch.count())  # everything beyond one full pass is the replay
+    assert tail_events == ch.filter(F.col("commit_ts") > mid).count()
+    # the replica converged to the same full LWW state
+    got = read_replica(spark, eng.state_dir(cid)).select(
+        "table_id", "pk", "commit_ts", *PAYLOAD_COLS)
+    exp = materialize(ch, PAYLOAD_COLS).select(
+        "table_id", "pk",
+        F.col("last_commit_ts").alias("commit_ts"), *PAYLOAD_COLS)
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0

@@ -88,9 +88,29 @@ class Engine:
             feed.query.stop()
         feed.state = "paused"
 
-    def resume(self, changefeed_id: str, available_now: bool = True):
-        """Restart from the committed checkpoint — no reprocessing."""
+    def resume(self, changefeed_id: str, available_now: bool = True,
+               overwrite_checkpoint_ts: int | None = None):
+        """Restart from the committed checkpoint — no reprocessing.
+
+        ``overwrite_checkpoint_ts`` (POST .../resume body field,
+        ``api/v2/model.go:82``, applied at ``changefeed.go:457-458``)
+        discards the saved progress and replays from the given ts
+        instead: the Spark checkpoint is dropped and the feed re-reads
+        the source with ``start_ts`` pinned, re-applying the overlap
+        onto the existing sink state — safe because every sink merge is
+        last-writer-wins / safe-mode idempotent, the same reason the
+        reference allows rewinding onto a written downstream."""
         feed = self._get(changefeed_id)
+        if overwrite_checkpoint_ts is not None:
+            shutil.rmtree(feed.changefeed.checkpoint_dir,
+                          ignore_errors=True)
+            from dataclasses import replace
+
+            cfg = replace(feed.cfg, start_ts=int(overwrite_checkpoint_ts))
+            feed.cfg = cfg
+            feed.changefeed = Changefeed(
+                self.spark, cfg, self.source_dir, self.work_dir,
+                ddl_events=feed.changefeed.ddl_events)
         q = feed.changefeed.start(available_now=available_now)
         feed.query = q
         feed.state = "running"
