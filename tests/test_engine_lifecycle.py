@@ -222,3 +222,82 @@ def test_resume_with_overwritten_checkpoint_ts(spark, sf_dir, tmp_path):
         F.col("last_commit_ts").alias("commit_ts"), *PAYLOAD_COLS)
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0
+
+
+def test_error_state_machine_retryable_recovers(spark, sf_dir, tmp_path):
+    """changefeed_error parity: a transient sink failure puts the feed
+    in warning and restarts it from the checkpoint — the failed batch
+    replays exactly-once, the feed converges, and last_warning survives
+    the recovery (model.go:1305)."""
+    from tigate_spark.catalog_streaming import split_commit_order
+    from tigate_spark.operators.apply import materialize
+    from tigate_spark.sources.changes import changes_stream
+    from tigate_spark.streaming.changefeed import PAYLOAD_COLS
+
+    flat, land = split_commit_order(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        str(tmp_path / "src"), 3)
+    for k in range(3):
+        land(k)
+    eng = Engine(spark, flat, str(tmp_path / "work"))
+    cid = eng.create(
+        ChangefeedConfig(changefeed_id="cf-flaky", sink_uri="replica://"))
+    cf = eng.changefeed(cid)
+    orig = cf.sink.process_batch
+    trip = {"done": False, "batches": 0}
+
+    def flaky(batch_df, batch_id, **kw):
+        if trip["batches"] == 1 and not trip["done"]:
+            trip["done"] = True
+            raise RuntimeError("transient sink hiccup")
+        trip["batches"] += 1
+        return orig(batch_df, batch_id, **kw)
+
+    cf.sink.process_batch = flaky
+    eng.run_to_completion(cid)
+    assert trip["done"], "the injected failure never fired"
+    feed_info = {f["id"]: f for f in eng.list()}[cid]
+    assert feed_info["state"] == "stopped"
+    lw = eng._get(cid).meta["last_warning"]
+    assert lw["retryable"] and "transient sink hiccup" in lw["message"]
+    # the replayed batch converged: full LWW state
+    ch = changes_stream(spark, sf_dir)
+    got = read_replica(spark, eng.state_dir(cid)).select(
+        "table_id", "pk", "commit_ts", *PAYLOAD_COLS)
+    exp = materialize(ch, PAYLOAD_COLS).select(
+        "table_id", "pk",
+        F.col("last_commit_ts").alias("commit_ts"), *PAYLOAD_COLS)
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+
+
+def test_error_state_machine_unretryable_fast_fails(spark, sf_dir,
+                                                    tmp_path):
+    """changefeed_fast_fail parity: an unretryable error fails the feed
+    on the FIRST attempt — no retry loop — and the state records it."""
+    from tigate_spark.catalog_streaming import split_commit_order
+    from tigate_spark.engine import ChangefeedUnretryableError
+
+    flat, land = split_commit_order(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        str(tmp_path / "src"), 2)
+    for k in range(2):
+        land(k)
+    eng = Engine(spark, flat, str(tmp_path / "work"))
+    cid = eng.create(
+        ChangefeedConfig(changefeed_id="cf-fatal", sink_uri="replica://"))
+    cf = eng.changefeed(cid)
+    attempts = {"n": 0}
+
+    def fatal(batch_df, batch_id, **kw):
+        attempts["n"] += 1
+        raise ChangefeedUnretryableError("ErrChangefeedUnretryable: bad")
+
+    cf.sink.process_batch = fatal
+    # foreachBatch errors surface as a JVM StreamingQueryException
+    with pytest.raises(Exception, match="Unretryable"):
+        eng.run_to_completion(cid)
+    assert attempts["n"] == 1  # fast fail: no retry
+    feed = eng._get(cid)
+    assert feed.state == "failed"
+    assert not feed.meta["error"]["retryable"]

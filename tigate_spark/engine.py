@@ -35,6 +35,32 @@ from tigate_spark.streaming.changefeed import Changefeed
 _ID_RE = re.compile(r"^[a-zA-Z0-9](?:[a-zA-Z0-9\-_.]{0,126}[a-zA-Z0-9])?$")
 
 
+class ChangefeedUnretryableError(RuntimeError):
+    """The ErrChangefeedUnretryable class
+    (``pkg/apperror/errors.go:123-142``) — config/expression/GC errors
+    that no retry can fix; the feed fast-fails instead of looping."""
+
+
+#: message fragments marking the unretryable class. The engine's own
+#: config errors spell these ("invalid partition-num", "unsupported sink
+#: scheme", "is required", the pinned worker-count mismatch) — matched by
+#: substring over the foreachBatch → JVM → Python exception chain, the
+#: same way the reference matches RFC codes inside error strings
+#: (``errors.go:157-159`` strings.Contains). Transient classes (locked/
+#: busy/IO) contain none of them.
+_UNRETRYABLE_PATTERNS = (
+    "ChangefeedUnretryable", "invalid", "unsupported", "worker-count",
+    "is required", "must be",
+)
+
+
+def _is_unretryable(exc: Exception) -> bool:
+    if isinstance(exc, (ChangefeedUnretryableError, ValueError)):
+        return True
+    msg = str(exc)
+    return any(p in msg for p in _UNRETRYABLE_PATTERNS)
+
+
 @dataclass
 class _Feed:
     cfg: ChangefeedConfig
@@ -74,13 +100,40 @@ class Engine:
         feed.state = "running"
         return feed.query
 
-    def run_to_completion(self, changefeed_id: str, timeout_s: int = 300) -> None:
+    def run_to_completion(self, changefeed_id: str, timeout_s: int = 300,
+                          max_retries: int = 2) -> None:
+        """Run the feed, with the reference's error-state machine
+        (``changefeed_error`` / ``changefeed_fast_fail`` integration
+        tests; states per ``api/v2/model.go``): a retryable failure puts
+        the feed in **warning** and restarts it from the committed
+        checkpoint (the failed micro-batch replays exactly-once); an
+        unretryable failure — the ErrChangefeedUnretryable class — or
+        exhausted retries puts it in **failed** and re-raises. The last
+        retryable error is kept as ``meta['last_warning']`` even after a
+        successful recovery (the reference's ``last_warning`` field,
+        ``model.go:1305``)."""
         feed = self._get(changefeed_id)
-        feed.state = "running"
-        try:
-            feed.changefeed.run_to_completion(timeout_s)
-        finally:
-            feed.state = "stopped"
+        attempt = 0
+        while True:
+            feed.state = "running"
+            try:
+                feed.changefeed.run_to_completion(timeout_s)
+                feed.state = "stopped"
+                feed.meta.pop("error", None)
+                return
+            except Exception as e:  # noqa: BLE001 — classified below
+                # foreachBatch failures arrive wrapped in a JVM
+                # StreamingQueryException whose root cause sits deep in
+                # the embedded traceback — keep enough of it
+                err = {"message": str(e)[:4000], "attempt": attempt,
+                       "retryable": not _is_unretryable(e)}
+                feed.meta["error"] = err
+                if _is_unretryable(e) or attempt >= max_retries:
+                    feed.state = "failed"
+                    raise
+                feed.meta["last_warning"] = err
+                feed.state = "warning"
+                attempt += 1
 
     def pause(self, changefeed_id: str) -> None:
         feed = self._get(changefeed_id)
