@@ -301,3 +301,28 @@ def test_error_state_machine_unretryable_fast_fails(spark, sf_dir,
     feed = eng._get(cid)
     assert feed.state == "failed"
     assert not feed.meta["error"]["retryable"]
+
+
+def test_synced_status_tracks_source_frontier(spark, sf_dir, tmp_path):
+    """GET .../synced parity (synced_status tests): not synced while
+    landed-but-unprocessed data exists; synced once the feed drains it."""
+    from tigate_spark.catalog_streaming import split_commit_order
+
+    flat, land = split_commit_order(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        str(tmp_path / "src"), 2)
+    land(0)
+    eng = Engine(spark, flat, str(tmp_path / "work"))
+    cid = eng.create(
+        ChangefeedConfig(changefeed_id="cf-sync-st", sink_uri="replica://"))
+    eng.run_to_completion(cid)
+    assert eng.synced(cid)["synced"] is True  # drained what exists
+    land(1)  # new upstream data the feed hasn't seen
+    st = eng.synced(cid)
+    assert st["synced"] is False
+    assert st["puller_resolved_ts"] > st["sink_checkpoint_ts"]
+    assert "not finished" in st["info"]
+    eng.run_to_completion(cid)
+    st = eng.synced(cid)
+    assert st["synced"] is True
+    assert st["sink_checkpoint_ts"] == st["puller_resolved_ts"]

@@ -944,3 +944,53 @@ def test_sink_uri_time_zone_validates_eagerly(spark, tmp_path):
             ),
             str(tmp_path), str(tmp_path),
         )
+
+
+def test_storage_file_expiration_prunes_old_dates(spark, sf_dir,
+                                                  chunked_source,
+                                                  tmp_path):
+    """storage_cleanup parity (sink.go:694 file-expiration-days): dt=
+    partitions older than N days behind the newest date are pruned;
+    newer dates and the metadata checkpoint survive."""
+    import datetime as _dt
+
+    from tigate_spark.streaming.sinks import read_storage
+
+    ch = changes_stream(spark, sf_dir)
+    span_days = (
+        ch.selectExpr(
+            "datediff(to_date(timestamp_micros(max(commit_ts))), "
+            "to_date(timestamp_micros(min(commit_ts))))"
+        ).first()[0]
+    )
+    assert span_days >= 2, "testdata must span several days for this test"
+    keep = max(span_days // 2, 1)
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-expire",
+        sink_uri=f"file://out?protocol=csv&file-expiration-days={keep}",
+    )
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    cf.run_to_completion()
+    leaf = glob.glob(os.path.join(
+        cf.sink.out_dir, "schema_name=*", "table_name=*", "dt=*"))
+    dates = sorted({os.path.basename(d)[3:] for d in leaf})
+    newest = _dt.date.fromisoformat(dates[-1])
+    cutoff = (newest - _dt.timedelta(days=keep)).isoformat()
+    assert dates[0] >= cutoff, f"expired date {dates[0]} survived"
+    # the kept window is intact and readable
+    tree = read_storage(spark, cf.sink.out_dir)
+    exp = ch.filter(
+        F.expr(f"to_date(timestamp_micros(commit_ts)) >= '{cutoff}'")
+    ).count()
+    assert tree.count() == exp > 0
+    # validation: expiration needs the day separator
+    with pytest.raises(ValueError, match="date-separator"):
+        Changefeed(
+            spark,
+            ChangefeedConfig(
+                changefeed_id="cf-exp-bad",
+                sink_uri="file://out?protocol=csv&date-separator=month"
+                         "&file-expiration-days=2",
+            ),
+            chunked_source, str(tmp_path / "bad"),
+        )

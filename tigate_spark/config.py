@@ -67,6 +67,10 @@ class SinkConfig:
     dispatch_rules: list[DispatchRule] = field(default_factory=list)
     safe_mode: bool = False
     num_partitions: int = 16
+    #: storage-sink dated-file retention (sink.go:694
+    #: `file-expiration-days`): dt= partitions older than this many days
+    #: behind the newest are pruned; None keeps everything
+    file_expiration_days: int | None = None
 
 
 @dataclass

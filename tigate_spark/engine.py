@@ -194,6 +194,43 @@ class Engine:
         GET /api/v2/changefeeds/{id} detail view's moral equivalent)."""
         return self._get(changefeed_id).changefeed
 
+    def synced(self, changefeed_id: str) -> dict:
+        """GET /api/v2/changefeeds/{id}/synced twin (the synced_status
+        integration tests; SyncedStatusConfig at ``api/v2/model.go:
+        105-111``): compare the sink's committed position — the max
+        resolved_ts the bookkeeping recorded — against the source's
+        available frontier (max commit ts upstream). ``synced`` means
+        every change the source currently holds has been applied; the
+        reference adds wall-clock lag thresholds because its upstream
+        never drains — a file source does, so position equality IS the
+        synced condition here."""
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from tigate_spark.sources.changes import normalize_events
+
+        feed = self._get(changefeed_id)
+        cf = feed.changefeed
+        frontier = normalize_events(
+            self.spark.read.parquet(self.source_dir)
+        ).agg(F.max("commit_ts")).first()[0] or 0
+        checkpoint = 0
+        if _os.path.isdir(cf.bookkeeping.progress_dir):
+            checkpoint = (
+                self.spark.read.parquet(cf.bookkeeping.progress_dir)
+                .agg(F.max("resolved_ts")).first()[0] or 0
+            )
+        ok = checkpoint >= frontier
+        return {
+            "synced": ok,
+            "sink_checkpoint_ts": int(checkpoint),
+            "puller_resolved_ts": int(frontier),
+            "info": "Data syncing is finished" if ok else
+                    f"The data syncing is not finished, please wait "
+                    f"(lag: {int(frontier) - int(checkpoint)} us)",
+        }
+
     def state_dir(self, changefeed_id: str) -> str:
         """Filesystem location of the changefeed's materialized sink state
         (the replica table for ``replica://``, the output tree otherwise)

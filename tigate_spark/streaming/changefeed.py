@@ -82,6 +82,13 @@ def _apply_sink_uri_options(cfg: ChangefeedConfig) -> dict:
             raise ValueError(
                 f"invalid date-separator={sep!r} in sink-uri")
         cfg.sink.date_separator = sep
+    if "file-expiration-days" in q:
+        n = int(q["file-expiration-days"][0])
+        if n <= 0:
+            raise ValueError(
+                f"invalid file-expiration-days="
+                f"{q['file-expiration-days'][0]!r} in sink-uri")
+        cfg.sink.file_expiration_days = n
     if "large-message-handle" in q:
         cfg.sink.large_message_handle = q["large-message-handle"][0]
     if "time-zone" in q:
@@ -288,6 +295,7 @@ class Changefeed:
                 date_separator=self.cfg.sink.date_separator,
                 timezone=self.cfg.timezone,
                 bookkeeping=self.bookkeeping,
+                file_expiration_days=self.cfg.sink.file_expiration_days,
             )
         if scheme == "sqlite":
             # the executable writer loop (K1's live-SQL form): renders

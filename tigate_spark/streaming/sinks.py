@@ -458,11 +458,15 @@ class StorageSink:
                  date_separator: str = "day",
                  bookkeeping: Bookkeeping | None = None,
                  files_per_leaf: int = 4,
-                 timezone: str | None = None):
+                 timezone: str | None = None,
+                 file_expiration_days: int | None = None):
         if date_separator not in _DATE_SEPARATOR_FMT:
             raise ValueError(f"unsupported date-separator: {date_separator}")
         if protocol not in ("csv", "canal-json"):
             raise ValueError(f"unsupported storage protocol: {protocol}")
+        if file_expiration_days is not None and date_separator != "day":
+            raise ValueError(
+                "file-expiration-days requires date-separator=day")
         self.out_dir = out_dir
         self.protocol = protocol
         self.date_separator = date_separator
@@ -474,6 +478,14 @@ class StorageSink:
         #: writer fan-out per leaf dir — a hot table's daily partition is
         #: written by up to this many tasks instead of funneling through one
         self.files_per_leaf = max(1, files_per_leaf)
+        #: dated-file retention (sink.go:694 file-expiration-days; the
+        #: storage_cleanup integration test): dt= partitions older than
+        #: this many days behind the NEWEST date are pruned. Stream time,
+        #: where the reference's cron uses the wall clock. Pruning is
+        #: driver-side directory removal, throttled to once per new max
+        #: date, so steady state costs nothing per batch.
+        self.file_expiration_days = file_expiration_days
+        self._last_cleaned_date: str | None = None
 
     def _encode(self, batch_df: DataFrame) -> DataFrame:
         from tigate_spark.functions.encoders import (
@@ -531,8 +543,31 @@ class StorageSink:
             with open(tmp, "w") as f:
                 f.write('{"checkpoint-ts":%d}' % ckpt)
             os.replace(tmp, meta_path)
+        if self.file_expiration_days is not None:
+            self._prune_expired()
         if self.bookkeeping:
             self.bookkeeping.record(batch_df, batch_id)
+
+    def _prune_expired(self) -> None:
+        """Drop dt= partitions older than file_expiration_days behind
+        the newest date on disk (sink.go:694; storage_cleanup test).
+        Throttled: a no-op unless the max date advanced since the last
+        prune."""
+        import datetime as _dt
+
+        leaf_dirs = glob.glob(os.path.join(
+            self.out_dir, "schema_name=*", "table_name=*", "dt=*"))
+        dates = sorted({os.path.basename(d)[3:] for d in leaf_dirs})
+        if not dates or dates[-1] == self._last_cleaned_date:
+            return
+        cutoff = (
+            _dt.date.fromisoformat(dates[-1])
+            - _dt.timedelta(days=self.file_expiration_days)
+        ).isoformat()
+        for d in leaf_dirs:
+            if os.path.basename(d)[3:] < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        self._last_cleaned_date = dates[-1]
 
 
 def read_storage(spark: SparkSession, out_dir: str) -> DataFrame:
