@@ -2232,7 +2232,11 @@ SELECT l_orderkey, l_linenumber,
                                  THEN CAST('nan' AS REAL)
                                  ELSE CAST(l_discount AS REAL) END
                             AS DOUBLE) * 100) AS BIGINT)
-  END AS float_cents_sanitized
+  END AS float_cents_sanitized,
+  CASE WHEN l_linenumber = 6 THEN NULL ELSE
+    '[' || CAST(l_partkey % 10 AS VARCHAR) || ',' ||
+           CAST(l_suppkey % 10 AS VARCHAR) || ',' ||
+           CAST(l_linenumber AS VARCHAR) || ']' END AS vector_literal
 FROM lineitem
 """,
     doc="P4: sink-boundary type rendering across the reference's full "
@@ -2245,7 +2249,9 @@ FROM lineitem
         "varbinary→hex, BINARY(8)→zero-padded hex, unsigned "
         "int→bigint, DECIMAL(15,2)→exact 2-dp string, and float32 "
         "NaN sanitization to NULL (helper.go:63-69) with a forced-NaN "
-        "lane proving the guard fires",
+        "lane proving the guard fires, plus VECTOR(N) bracket-literal "
+        "passthrough with a NULL lane (the vector integration test's "
+        "replication contract)",
 )
 def projection_type_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -2302,6 +2308,16 @@ def projection_type_render(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("float_cents_sanitized"),
+        # VECTOR(N): TiDB serializes the value as its bracket literal
+        # ('[1,2,3]') and the sink passes the string through (the
+        # reference's vector integration test pins exactly this
+        # passthrough); NULL lane included
+        F.expr(
+            "case when l_linenumber = 6 then null else "
+            "concat('[', cast(l_partkey % 10 as string), ',', "
+            "cast(l_suppkey % 10 as string), ',', "
+            "cast(l_linenumber as string), ']') end"
+        ).alias("vector_literal"),
     )
 
 
