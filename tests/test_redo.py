@@ -118,3 +118,37 @@ def test_consistent_config_validation(spark, tmp_path):
                          compression="zstd").validate()
     with pytest.raises(ValueError, match="level"):
         ConsistentConfig(level="exact").validate()
+
+
+def test_redo_logs_ddl_before_execution(spark, sf_dir, chunked_source,
+                                        tmp_path):
+    """consistent_replicate_ddl parity: a redo-enabled feed with a DDL
+    barrier logs the DDL (append-once by commit_ts) so recovery can
+    re-run schema changes, and the row WAL still recovers the full
+    state."""
+    from tigate_spark.streaming.ddl import DDLEvent
+
+    ch = changes_stream(spark, sf_dir)
+    mid = int(ch.selectExpr("percentile_approx(commit_ts, 0.5)").first()[0])
+    ddl = DDLEvent(commit_ts=mid, table_id=1,
+                   query="ALTER TABLE `app`.`t1` ADD COLUMN `x` INT",
+                   schema_tag="v1", schema_name="app", table_name="t1")
+    redo_dir = str(tmp_path / "redo")
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-redo-ddl", sink_uri="replica://",
+        consistent=ConsistentConfig(level="eventual", storage=redo_dir),
+    )
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path),
+                    ddl_events=[ddl])
+    cf.run_to_completion()
+    ddls = cf.redo.ddls()
+    assert [d["commit_ts"] for d in ddls] == [mid]
+    assert ddls[0]["query"].startswith("ALTER TABLE")
+    cf.redo.log_ddl(ddl)  # replayed barrier: append-once
+    assert len(cf.redo.ddls()) == 1
+    # rows recovered in full alongside the schema log
+    got = redo_apply(spark, redo_dir,
+                     ["event_type", "value_cents"]).select(*_OUT)
+    exp = _expected(spark, sf_dir)
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() == 0

@@ -466,6 +466,10 @@ class Changefeed:
                 self._apply_batch(part_df, batch_id, fence_sub=sub)
 
             def apply_ddl(d) -> None:
+                if self.redo is not None:
+                    # consistent_replicate_ddl: the DDL is logged before
+                    # it executes, so recovery re-runs schema changes too
+                    self.redo.log_ddl(d)
                 self.registry.append(self.spark, d, idempotent=True)
                 from tigate_spark.streaming.sqlite_apply import (
                     SqliteApplySink,

@@ -69,6 +69,36 @@ class RedoLog:
         """Advance checkpoint_ts after the sink committed the batch."""
         self._update_meta(checkpoint_ts=int(checkpoint_ts))
 
+    def log_ddl(self, ddl) -> None:
+        """WAL a DDL barrier BEFORE it executes (the
+        consistent_replicate_ddl contract: recovery must re-run the
+        schema changes, not just the rows). Append-once by commit_ts —
+        a replayed barrier is a no-op here like everywhere else."""
+        path = os.path.join(self.storage, "ddl.jsonl")
+        rec = {"commit_ts": int(ddl.commit_ts),
+               "table_id": ddl.table_id, "query": ddl.query,
+               "schema_tag": ddl.schema_tag,
+               "schema_name": ddl.schema_name,
+               "table_name": ddl.table_name}
+        if os.path.exists(path):
+            with open(path) as f:
+                if any(json.loads(ln)["commit_ts"] == rec["commit_ts"]
+                       for ln in f if ln.strip()):
+                    return
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def ddls(self) -> list[dict]:
+        """The logged DDLs in commit order — the recovering side
+        re-executes these against the restored downstream (the redo
+        applier's DDL pass)."""
+        path = os.path.join(self.storage, "ddl.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            recs = [json.loads(ln) for ln in f if ln.strip()]
+        return sorted(recs, key=lambda r: r["commit_ts"])
+
     def _update_meta(self, resolved_ts: int | None = None,
                      checkpoint_ts: int | None = None) -> None:
         m = self.meta()

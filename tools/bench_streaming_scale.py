@@ -74,14 +74,24 @@ def run_scale(spark, label: str, copies: int, n_files: int,
     try:
         total = build_source(spark, src, copies, n_files)
         # a sink token may carry URI query tuning, e.g.
-        # "sqlite?worker-count=8" -> sqlite://?worker-count=8
+        # "sqlite?worker-count=8" -> sqlite://?worker-count=8; the
+        # special token "redo" = replica with the consistent-level WAL
+        # on, for measuring the redo log's per-batch overhead
         scheme, _, query = sink.partition("?")
+        redo = scheme == "redo"
+        if redo:
+            scheme = "replica"
         uri = f"{scheme}://" + (f"?{query}" if query else "")
         sink_cfg = SinkConfig(protocol="csv") if scheme == "file" \
             else SinkConfig()
         cid = f"sscale-{scheme}-{label}"
         cfg = ChangefeedConfig(changefeed_id=cid,
                                sink_uri=uri, sink=sink_cfg)
+        if redo:
+            from tigate_spark.config import ConsistentConfig
+
+            cfg.consistent = ConsistentConfig(
+                level="eventual", storage=os.path.join(work, "redo"))
         cf = Changefeed(spark, cfg, src, work)
         t0 = time.monotonic()
         q = cf.start(available_now=True)
