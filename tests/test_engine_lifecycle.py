@@ -326,3 +326,25 @@ def test_synced_status_tracks_source_frontier(spark, sf_dir, tmp_path):
     st = eng.synced(cid)
     assert st["synced"] is True
     assert st["sink_checkpoint_ts"] == st["puller_resolved_ts"]
+
+
+def test_synced_status_with_redo(spark, sf_dir, tmp_path):
+    """synced_status_with_redo parity: with the WAL on, synced also
+    requires the redo log drained (checkpoint == resolved)."""
+    from tigate_spark.config import ConsistentConfig
+
+    eng = Engine(spark, os.path.join(sf_dir, "events.parquet"),
+                 str(tmp_path))
+    cid = eng.create(ChangefeedConfig(
+        changefeed_id="cf-sync-redo", sink_uri="replica://",
+        consistent=ConsistentConfig(
+            level="eventual", storage=str(tmp_path / "redo")),
+    ))
+    eng.run_to_completion(cid)
+    st = eng.synced(cid)
+    assert st["synced"] is True
+    assert st["redo"]["checkpoint_ts"] == st["redo"]["resolved_ts"] > 0
+    # simulate the crash window: redo ahead of the sink -> not synced
+    eng.changefeed(cid).redo._update_meta(
+        resolved_ts=st["redo"]["resolved_ts"] + 1)
+    assert eng.synced(cid)["synced"] is False

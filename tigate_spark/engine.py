@@ -222,7 +222,7 @@ class Engine:
                 .agg(F.max("resolved_ts")).first()[0] or 0
             )
         ok = checkpoint >= frontier
-        return {
+        out = {
             "synced": ok,
             "sink_checkpoint_ts": int(checkpoint),
             "puller_resolved_ts": int(frontier),
@@ -230,6 +230,14 @@ class Engine:
                     f"The data syncing is not finished, please wait "
                     f"(lag: {int(frontier) - int(checkpoint)} us)",
         }
+        if cf.redo is not None:
+            # synced_status_with_redo: with the WAL on, synced also
+            # requires the redo log drained to the sink position
+            m = cf.redo.meta()
+            out["redo"] = {"resolved_ts": m["resolved_ts"],
+                           "checkpoint_ts": m["checkpoint_ts"]}
+            out["synced"] = ok and m["checkpoint_ts"] >= m["resolved_ts"]
+        return out
 
     def state_dir(self, changefeed_id: str) -> str:
         """Filesystem location of the changefeed's materialized sink state
