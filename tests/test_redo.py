@@ -152,3 +152,40 @@ def test_redo_logs_ddl_before_execution(spark, sf_dir, chunked_source,
     exp = _expected(spark, sf_dir)
     assert got.count() == exp.count() > 0
     assert got.exceptAll(exp).count() == 0
+
+
+def test_redo_survives_resume_with_overwrite(spark, sf_dir,
+                                             chunked_source, tmp_path):
+    """A rewind (resume overwrite_checkpoint_ts) restarts Spark batch
+    ids at 0 — the WAL's epoch namespace keeps the first life's batch
+    dirs intact, so recovery after the rewind still holds EVERY row."""
+    from tigate_spark.engine import Engine
+
+    redo_dir = str(tmp_path / "redo")
+    eng = Engine(spark, chunked_source, str(tmp_path / "work"))
+    cid = eng.create(ChangefeedConfig(
+        changefeed_id="cf-redo-ovw", sink_uri="replica://",
+        consistent=ConsistentConfig(level="eventual", storage=redo_dir),
+    ))
+    eng.run_to_completion(cid)
+    ch = changes_stream(spark, sf_dir)
+    mid = int(ch.selectExpr("percentile_approx(commit_ts, 0.5)").first()[0])
+    q = eng.resume(cid, overwrite_checkpoint_ts=mid)
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    assert q.exception() is None
+    # two epochs on disk: the first life and the rewind
+    epochs = sorted(
+        d for d in os.listdir(os.path.join(redo_dir, "row"))
+        if d.startswith("epoch="))
+    assert len(epochs) == 2
+    # recovery still reconstructs the FULL state — the replayed epoch's
+    # batch=0 did not clobber the original early rows
+    got = redo_apply(spark, redo_dir,
+                     ["event_type", "value_cents"]).select(*_OUT)
+    exp = _expected(spark, sf_dir)
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() == 0

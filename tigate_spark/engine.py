@@ -48,8 +48,11 @@ class ChangefeedUnretryableError(RuntimeError):
 #: same way the reference matches RFC codes inside error strings
 #: (``errors.go:157-159`` strings.Contains). Transient classes (locked/
 #: busy/IO) contain none of them.
+#: "invalid " keeps its trailing space: Spark's transient
+#: file-changed message says "explicitly invalidate the cache" —
+#: exactly the class the retry loop exists to save — and must not match
 _UNRETRYABLE_PATTERNS = (
-    "ChangefeedUnretryable", "invalid", "unsupported", "worker-count",
+    "ChangefeedUnretryable", "invalid ", "unsupported", "worker-count",
     "is required", "must be",
 )
 
@@ -154,6 +157,12 @@ class Engine:
         last-writer-wins / safe-mode idempotent, the same reason the
         reference allows rewinding onto a written downstream."""
         feed = self._get(changefeed_id)
+        if feed.query is not None and feed.query.isActive:
+            # the reference rejects resume on a non-paused feed; deleting
+            # a LIVE query's checkpointLocation would corrupt its offset
+            # log and race two writers on one sink
+            raise ValueError(
+                f"changefeed {changefeed_id} is running; pause it first")
         if overwrite_checkpoint_ts is not None:
             shutil.rmtree(feed.changefeed.checkpoint_dir,
                           ignore_errors=True)
@@ -208,13 +217,22 @@ class Engine:
 
         from pyspark.sql import functions as F
 
-        from tigate_spark.sources.changes import normalize_events
-
         feed = self._get(changefeed_id)
         cf = feed.changefeed
-        frontier = normalize_events(
-            self.spark.read.parquet(self.source_dir)
-        ).agg(F.max("commit_ts")).first()[0] or 0
+        # the frontier is what the FEED would replicate: read the source
+        # with the feed's own format and run the feed's own transform,
+        # so target_ts / filter rules / bdr_mode don't leave the
+        # endpoint reporting permanent lag on rows the feed is
+        # configured to drop
+        if feed.cfg.source_format == "parquet":
+            raw = self.spark.read.parquet(self.source_dir)
+        else:
+            from tigate_spark.sources.formats import read_events
+
+            raw = read_events(self.spark, self.source_dir,
+                              feed.cfg.source_format)
+        frontier = cf.transform(raw).agg(
+            F.max("commit_ts")).first()[0] or 0
         checkpoint = 0
         if _os.path.isdir(cf.bookkeeping.progress_dir):
             checkpoint = (

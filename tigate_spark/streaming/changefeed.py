@@ -186,8 +186,12 @@ class Changefeed:
         if cfg.consistent.enabled():
             from tigate_spark.streaming.redo import RedoLog
 
+            # epoch = start_ts: a rewind (resume overwrite_checkpoint_ts
+            # rebuilds the feed with start_ts pinned) writes a fresh WAL
+            # namespace instead of clobbering the first life's batch dirs
             self.redo = RedoLog(cfg.consistent.storage,
-                                compression=cfg.consistent.compression)
+                                compression=cfg.consistent.compression,
+                                epoch=cfg.start_ts)
         else:
             self.redo = None
 
@@ -416,13 +420,22 @@ class Changefeed:
         # (log-flush-then-apply — 'nothing is resolved that is not
         # durably logged'); the per-batch log dir is overwrite-mode, so
         # a replayed micro-batch rewrites its own logs idempotently.
+        # Due DDL barriers are logged BEFORE resolved_ts advances past
+        # them — a crash in between must leave a redo log whose DDL pass
+        # covers everything below resolved_ts (consistent_replicate_ddl).
         # checkpoint_ts advances only after the sink committed.
         batch_df.persist()
         try:
-            hi = self.redo.log_batch(batch_df, batch_id)
+            hi = batch_df.agg(F.max("commit_ts")).first()[0]
+            if hi is not None:
+                for d in self.ddl_events:
+                    if (d.commit_ts <= hi
+                            and d.commit_ts not in self._ddl_applied):
+                        self.redo.log_ddl(d)
+            self.redo.log_batch(batch_df, batch_id, hi=hi)
             self._foreach_batch_inner(batch_df, batch_id)
             if hi is not None:
-                self.redo.mark_applied(batch_id, hi)
+                self.redo.mark_applied(batch_id, int(hi))
         finally:
             batch_df.unpersist()
 
@@ -466,10 +479,8 @@ class Changefeed:
                 self._apply_batch(part_df, batch_id, fence_sub=sub)
 
             def apply_ddl(d) -> None:
-                if self.redo is not None:
-                    # consistent_replicate_ddl: the DDL is logged before
-                    # it executes, so recovery re-runs schema changes too
-                    self.redo.log_ddl(d)
+                # (redo feeds already WAL'd this DDL in _foreach_batch,
+                # before resolved_ts advanced past it)
                 self.registry.append(self.spark, d, idempotent=True)
                 from tigate_spark.streaming.sqlite_apply import (
                     SqliteApplySink,

@@ -41,26 +41,41 @@ from pyspark.sql import functions as F
 
 
 class RedoLog:
-    def __init__(self, storage: str, compression: str = ""):
+    def __init__(self, storage: str, compression: str = "",
+                 epoch: int = 0):
         self.storage = storage
         self.row_dir = os.path.join(storage, "row")
         self.meta_path = os.path.join(storage, "meta.json")
         #: consistent.go:56-59 — none|lz4 (parquet codec here)
         self.codec = "lz4" if compression == "lz4" else None
+        #: WAL epoch: Spark batch ids restart at 0 whenever the
+        #: streaming checkpoint is rebuilt (resume with
+        #: overwrite_checkpoint_ts), and a restarted batch=0 must NOT
+        #: clobber the original run's batch=0 logs. The changefeed
+        #: passes cfg.start_ts as the epoch — 0 for a feed's first life,
+        #: the overwrite ts after a rewind — so each checkpoint lineage
+        #: writes its own epoch=<n>/batch=<id> namespace while a
+        #: replayed batch WITHIN one lineage still overwrites itself.
+        #: redo_apply reads every epoch; overlapping rows are identical
+        #: by construction and collapse in the LWW materialize.
+        self.epoch = int(epoch)
         os.makedirs(self.storage, exist_ok=True)
 
     # -- writer side --------------------------------------------------------
-    def log_batch(self, batch_df: DataFrame, batch_id: int) -> int | None:
+    def log_batch(self, batch_df: DataFrame, batch_id: int,
+                  hi: int | None = None) -> int | None:
         """WAL one micro-batch, then advance resolved_ts. Must run
         BEFORE the sink applies the batch — the invariant recovery rests
         on is 'nothing is resolved that is not durably logged'. Returns
         the batch's max commit_ts (the caller's checkpoint_ts once the
-        sink commits)."""
+        sink commits); pass ``hi`` if already computed to skip the agg."""
         w = batch_df.write.mode("overwrite")
         if self.codec:
             w = w.option("compression", self.codec)
-        w.parquet(os.path.join(self.row_dir, f"batch={batch_id}"))
-        hi = batch_df.agg(F.max("commit_ts")).first()[0]
+        w.parquet(os.path.join(
+            self.row_dir, f"epoch={self.epoch}", f"batch={batch_id}"))
+        if hi is None:
+            hi = batch_df.agg(F.max("commit_ts")).first()[0]
         if hi is not None:
             self._update_meta(resolved_ts=int(hi))
         return None if hi is None else int(hi)

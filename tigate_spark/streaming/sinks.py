@@ -543,22 +543,34 @@ class StorageSink:
             with open(tmp, "w") as f:
                 f.write('{"checkpoint-ts":%d}' % ckpt)
             os.replace(tmp, meta_path)
-        if self.file_expiration_days is not None:
-            self._prune_expired()
+        if self.file_expiration_days is not None and row["ts"] is not None:
+            self._prune_expired(batch_max_ts=int(row["ts"]))
         if self.bookkeeping:
             self.bookkeeping.record(batch_df, batch_id)
 
-    def _prune_expired(self) -> None:
+    def _prune_expired(self, batch_max_ts: int) -> None:
         """Drop dt= partitions older than file_expiration_days behind
-        the newest date on disk (sink.go:694; storage_cleanup test).
-        Throttled: a no-op unless the max date advanced since the last
-        prune."""
+        the newest date (sink.go:694; storage_cleanup test). The batch's
+        own max date — derived from the checkpoint ts the caller already
+        collected, zero extra jobs — gates the scan: the tree glob
+        (O(tables x dates) driver-side at the >1M-table design point)
+        runs only on the batch that ADVANCES the date, so steady state
+        within a day costs nothing per batch."""
         import datetime as _dt
+        from zoneinfo import ZoneInfo
 
+        batch_date = _dt.datetime.fromtimestamp(
+            batch_max_ts / 1_000_000,
+            tz=ZoneInfo(self.timezone) if self.timezone
+            else _dt.timezone.utc,
+        ).date().isoformat()
+        if self._last_cleaned_date is not None \
+                and batch_date <= self._last_cleaned_date:
+            return
         leaf_dirs = glob.glob(os.path.join(
             self.out_dir, "schema_name=*", "table_name=*", "dt=*"))
         dates = sorted({os.path.basename(d)[3:] for d in leaf_dirs})
-        if not dates or dates[-1] == self._last_cleaned_date:
+        if not dates:
             return
         cutoff = (
             _dt.date.fromisoformat(dates[-1])
@@ -567,7 +579,7 @@ class StorageSink:
         for d in leaf_dirs:
             if os.path.basename(d)[3:] < cutoff:
                 shutil.rmtree(d, ignore_errors=True)
-        self._last_cleaned_date = dates[-1]
+        self._last_cleaned_date = max(dates[-1], batch_date)
 
 
 def read_storage(spark: SparkSession, out_dir: str) -> DataFrame:
