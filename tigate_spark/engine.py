@@ -5,11 +5,20 @@ Reference parity — the v2 HTTP API surface (``api/v2/api.go:51-58``,
 
 | reference                        | here                          |
 |---------------------------------|-------------------------------|
-| POST /api/v2/changefeeds        | ``Engine.create(cfg)``        |
+| POST /api/v2/changefeeds        | ``Engine.create(cfg[, ddl_events])`` |
 | GET  /api/v2/changefeeds        | ``Engine.list()``             |
+| GET  .../{id}                   | ``Engine.get(id)`` / ``Engine.changefeed(id)`` |
 | POST .../{id}/pause             | ``Engine.pause(id)``          |
-| POST .../{id}/resume            | ``Engine.resume(id)``         |
+| POST .../{id}/resume (+``overwrite_checkpoint_ts``) | ``Engine.resume(id[, overwrite_checkpoint_ts])`` |
+| GET  .../{id}/synced            | ``Engine.synced(id)``         |
+| PUT  .../{id}                   | ``Engine.update(id, cfg)``    |
+| POST /api/v2/verify_table       | ``Engine.verify_table(filter)`` |
 | DELETE .../{id}                 | ``Engine.remove(id)``         |
+
+Error-state machine (``changefeed_error`` family): ``run_to_completion``
+retries retryable failures from the checkpoint (state ``warning``,
+``meta['last_warning']`` kept) and fast-fails the
+ErrChangefeedUnretryable class (state ``failed``).
 
 Pause/resume ride on Spark's ``checkpointLocation``: pausing stops the
 query; resuming restarts it from the committed offsets (the reference
