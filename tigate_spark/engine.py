@@ -53,24 +53,48 @@ class ChangefeedUnretryableError(RuntimeError):
 #: message fragments marking the unretryable class. The engine's own
 #: config errors spell these ("invalid partition-num", "unsupported sink
 #: scheme", "is required", the pinned worker-count mismatch) — matched by
-#: substring over the foreachBatch → JVM → Python exception chain, the
-#: same way the reference matches RFC codes inside error strings
-#: (``errors.go:157-159`` strings.Contains). Transient classes (locked/
-#: busy/IO) contain none of them.
+#: substring over the ROOT-CAUSE message only, the same way the reference
+#: matches RFC codes inside error strings (``errors.go:157-159``
+#: strings.Contains). Transient classes (locked/busy/IO) contain none of
+#: them. The sentinel class name is matched over the full chain (it is
+#: unique to our own raises); the generic fragments are NOT — a JVM
+#: StreamingQueryException embeds whole tracebacks whose incidental text
+#: ("must be", "invalid ") would otherwise misclassify a transient
+#: failure as unretryable and fast-fail a feed a retry would have saved.
 #: "invalid " keeps its trailing space: Spark's transient
 #: file-changed message says "explicitly invalidate the cache" —
 #: exactly the class the retry loop exists to save — and must not match
 _UNRETRYABLE_PATTERNS = (
-    "ChangefeedUnretryable", "invalid ", "unsupported", "worker-count",
-    "is required", "must be",
+    "invalid ", "unsupported", "worker-count", "is required", "must be",
 )
+
+#: a line that *opens* an exception message in an embedded Python/JVM
+#: traceback, e.g. ``ValueError: invalid partition-num`` or
+#: ``org.apache.spark.SparkException: Job aborted``
+_EXC_LINE_RE = re.compile(
+    r"^\s*(?:Caused by:\s*)?(?:[A-Za-z_][\w.$]*\.)?"
+    r"[A-Z]\w*(?:Error|Exception)\d*:\s?.*$")
+
+
+def _root_cause_message(exc: Exception) -> str:
+    """The deepest exception-message line inside the (possibly
+    traceback-laden) exception text — JVM ``Caused by:`` chains and
+    embedded Python tracebacks both put the root cause LAST."""
+    text = str(exc)
+    last = None
+    for ln in text.splitlines():
+        if _EXC_LINE_RE.match(ln):
+            last = ln
+    return last if last is not None else text
 
 
 def _is_unretryable(exc: Exception) -> bool:
     if isinstance(exc, (ChangefeedUnretryableError, ValueError)):
         return True
-    msg = str(exc)
-    return any(p in msg for p in _UNRETRYABLE_PATTERNS)
+    if "ChangefeedUnretryable" in str(exc):  # unique sentinel: full chain
+        return True
+    root = _root_cause_message(exc)
+    return any(p in root for p in _UNRETRYABLE_PATTERNS)
 
 
 @dataclass
@@ -305,12 +329,23 @@ class Engine:
             "target_ts": feed.cfg.target_ts,
         }
 
-    def update(self, changefeed_id: str, cfg: ChangefeedConfig) -> None:
+    #: sentinel distinguishing "caller passed nothing" from an explicit
+    #: ``ddl_events=None`` (= drop the barriers) in :meth:`update`
+    _KEEP = object()
+
+    def update(self, changefeed_id: str, cfg: ChangefeedConfig,
+               ddl_events: list | None | object = _KEEP) -> None:
         """Replace a paused/stopped changefeed's config — the reference's
         ``PUT /api/v2/changefeeds/{id}`` (update requires the feed not be
         running, ``api/v2/changefeed.go`` updateChangefeed). The rebuilt
         Changefeed keeps the same work_dir, so the checkpoint carries over
-        and resume continues from committed offsets under the new config."""
+        and resume continues from committed offsets under the new config.
+
+        ``ddl_events`` defaults to the feed's EXISTING barriers (like
+        resume): an update that doesn't mention DDL must not silently
+        drop configured schema changes — the downstream would never
+        evolve while the feed completes cleanly. Pass an explicit list
+        (or ``None`` to clear) to change them."""
         feed = self._get(changefeed_id)
         if feed.state == "running":
             raise ValueError(
@@ -318,9 +353,12 @@ class Engine:
             )
         if cfg.changefeed_id != changefeed_id:
             raise ValueError("changefeed id is immutable")
+        if ddl_events is Engine._KEEP:
+            ddl_events = feed.changefeed.ddl_events
         feed.cfg = cfg
         feed.changefeed = Changefeed(
-            self.spark, cfg, self.source_dir, self.work_dir
+            self.spark, cfg, self.source_dir, self.work_dir,
+            ddl_events=ddl_events,
         )
 
     def verify_table(self, filter_cfg) -> dict:

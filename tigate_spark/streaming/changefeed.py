@@ -126,10 +126,13 @@ class Changefeed:
         self._sink_query = _apply_sink_uri_options(cfg)
         self._default_topic = urlparse(cfg.sink_uri).path.strip("/") or None
         if (cfg.sink.large_message_handle
+                and cfg.sink.large_message_handle != "none"
                 and cfg.sink.protocol not in
-                ("canal-json", "open-protocol")):
-            # pkg/config/large_message.go:65-77 AdjustAndValidate parity:
-            # large-message-handle is only defined for the open/canal
+                ("canal-json", "open-protocol", "simple")):
+            # pkg/config/large_message.go:61-77 AdjustAndValidate parity:
+            # '' / 'none' (LargeMessageHandleOptionNone, large_message.go:
+            # 48-61) means DISABLED and validates for every protocol;
+            # an enabled handle is only defined for the open/simple/canal
             # families — avro's Confluent framing has no `message` column
             # for claim-check/handle-key-only to operate on
             raise ValueError(
@@ -426,13 +429,14 @@ class Changefeed:
         # checkpoint_ts advances only after the sink committed.
         batch_df.persist()
         try:
-            hi = batch_df.agg(F.max("commit_ts")).first()[0]
+            lo, hi = batch_df.agg(
+                F.min("commit_ts"), F.max("commit_ts")).first()
             if hi is not None:
                 for d in self.ddl_events:
                     if (d.commit_ts <= hi
                             and d.commit_ts not in self._ddl_applied):
                         self.redo.log_ddl(d)
-            self.redo.log_batch(batch_df, batch_id, hi=hi)
+            self.redo.log_batch(batch_df, batch_id, hi=hi, lo=lo)
             self._foreach_batch_inner(batch_df, batch_id)
             if hi is not None:
                 self.redo.mark_applied(batch_id, int(hi))

@@ -60,24 +60,49 @@ class RedoLog:
         #: by construction and collapse in the LWW materialize.
         self.epoch = int(epoch)
         os.makedirs(self.storage, exist_ok=True)
+        #: commit_ts set of already-logged DDL barriers, hydrated ONCE
+        #: from ddl.jsonl so log_ddl's append-once check is O(1) instead
+        #: of re-reading the file per barrier
+        self._ddl_seen: set[int] = {r["commit_ts"] for r in self.ddls()}
 
     # -- writer side --------------------------------------------------------
     def log_batch(self, batch_df: DataFrame, batch_id: int,
-                  hi: int | None = None) -> int | None:
+                  hi: int | None = None,
+                  lo: int | None = None) -> int | None:
         """WAL one micro-batch, then advance resolved_ts. Must run
         BEFORE the sink applies the batch — the invariant recovery rests
         on is 'nothing is resolved that is not durably logged'. Returns
         the batch's max commit_ts (the caller's checkpoint_ts once the
-        sink commits); pass ``hi`` if already computed to skip the agg."""
+        sink commits); pass ``hi``/``lo`` if already computed to skip the
+        agg.
+
+        resolved_ts advance contract: micro-batches must arrive in
+        commit order (the engine's file source scans a commit-ordered
+        landing dir, and foreachBatch is sequential) — the reference
+        advances resolved only via the flushed-event watermark for the
+        same reason. The guard below ENFORCES it: a batch reaching below
+        the current resolved_ts that also extends above it is
+        out-of-order delivery, not a replay (a replayed batch's rows are
+        identical, so its hi never exceeds resolved) — advancing then
+        would claim consistency at a ts whose lower rows might still sit
+        in an unlogged future batch. Such a batch is logged but resolved
+        does NOT advance, and the anomaly is recorded in meta for the
+        recovery tooling to surface."""
         w = batch_df.write.mode("overwrite")
         if self.codec:
             w = w.option("compression", self.codec)
         w.parquet(os.path.join(
             self.row_dir, f"epoch={self.epoch}", f"batch={batch_id}"))
-        if hi is None:
-            hi = batch_df.agg(F.max("commit_ts")).first()[0]
+        if hi is None or lo is None:
+            row = batch_df.agg(F.min("commit_ts"), F.max("commit_ts")).first()
+            lo = row[0] if lo is None else lo
+            hi = row[1] if hi is None else hi
         if hi is not None:
-            self._update_meta(resolved_ts=int(hi))
+            resolved = self.meta()["resolved_ts"]
+            if lo is not None and lo < resolved and hi > resolved:
+                self._update_meta(out_of_order_batch=int(batch_id))
+            else:
+                self._update_meta(resolved_ts=int(hi))
         return None if hi is None else int(hi)
 
     def mark_applied(self, batch_id: int, checkpoint_ts: int) -> None:
@@ -89,19 +114,17 @@ class RedoLog:
         consistent_replicate_ddl contract: recovery must re-run the
         schema changes, not just the rows). Append-once by commit_ts —
         a replayed barrier is a no-op here like everywhere else."""
+        if int(ddl.commit_ts) in self._ddl_seen:
+            return
         path = os.path.join(self.storage, "ddl.jsonl")
         rec = {"commit_ts": int(ddl.commit_ts),
                "table_id": ddl.table_id, "query": ddl.query,
                "schema_tag": ddl.schema_tag,
                "schema_name": ddl.schema_name,
                "table_name": ddl.table_name}
-        if os.path.exists(path):
-            with open(path) as f:
-                if any(json.loads(ln)["commit_ts"] == rec["commit_ts"]
-                       for ln in f if ln.strip()):
-                    return
         with open(path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        self._ddl_seen.add(rec["commit_ts"])
 
     def ddls(self) -> list[dict]:
         """The logged DDLs in commit order — the recovering side
@@ -115,12 +138,17 @@ class RedoLog:
         return sorted(recs, key=lambda r: r["commit_ts"])
 
     def _update_meta(self, resolved_ts: int | None = None,
-                     checkpoint_ts: int | None = None) -> None:
+                     checkpoint_ts: int | None = None,
+                     out_of_order_batch: int | None = None) -> None:
         m = self.meta()
         if resolved_ts is not None:
             m["resolved_ts"] = max(m["resolved_ts"], resolved_ts)
         if checkpoint_ts is not None:
             m["checkpoint_ts"] = max(m["checkpoint_ts"], checkpoint_ts)
+        if out_of_order_batch is not None:
+            m.setdefault("out_of_order_batches", [])
+            if out_of_order_batch not in m["out_of_order_batches"]:
+                m["out_of_order_batches"].append(out_of_order_batch)
         tmp = self.meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f)

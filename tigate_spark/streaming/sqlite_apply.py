@@ -146,7 +146,10 @@ def render_safe_mode_statements(changes: DataFrame,
                     F.concat(
                         F.expr("substring(args, 1, length(args) - 1)"),
                         F.lit(","),
-                        F.expr("cast(_extra as string)"),
+                        # a NULL after-image must render as JSON null —
+                        # bare concat(NULL) would null the whole args
+                        # vector and crash the writer in json.loads
+                        F.expr("coalesce(cast(_extra as string), 'null')"),
                         F.lit("]"),
                     ),
                 ).otherwise(F.col("args")),
