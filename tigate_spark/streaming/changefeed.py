@@ -279,7 +279,7 @@ class Changefeed:
     # -- sink --------------------------------------------------------------
     def _build_sink(self):
         scheme = self.cfg.sink_uri.split("://", 1)[0]
-        if scheme in ("mysql", "tidb", "replica"):
+        if scheme == "replica":
             return ReplicaSink(
                 os.path.join(self.work_dir, "replica", self.cfg.changefeed_id),
                 PAYLOAD_COLS, self.bookkeeping,
@@ -304,11 +304,13 @@ class Changefeed:
                 bookkeeping=self.bookkeeping,
                 file_expiration_days=self.cfg.sink.file_expiration_days,
             )
-        if scheme == "sqlite":
+        if scheme in ("sqlite", "mysql", "tidb"):
             # the executable writer loop (K1's live-SQL form): renders
-            # safe-mode statements and EXECUTES them on per-lane SQLite
-            # files — the MySQL sink with only connect() swapped
-            # (mysql_writer.go:727-755; streaming/sqlite_apply.py).
+            # safe-mode statements and EXECUTES them through a DBAPI
+            # driver (streaming/dbapi.py) — sqlite:// on per-lane SQLite
+            # files (the sandbox's live engine), mysql://tidb:// through
+            # a registered MySQL DBAPI driver classifying by server
+            # error CODE (mysql_writer.go:727-755, apperror/util.go).
             # Tuning rides on the sink-URI query string exactly like the
             # reference's MySQL sink (pkg/sink/mysql/config.go:37-55:
             # worker-count default 16 cap 1024, max-txn-row default 256
@@ -335,6 +337,8 @@ class Changefeed:
                         f"invalid {name}={raw!r} in sink-uri")
                 return min(v, cap)
 
+            from tigate_spark.streaming.dbapi import get_driver
+
             return SqliteApplySink(
                 os.path.join(self.work_dir, "sqlite", self.cfg.changefeed_id),
                 n_lanes=_opt("worker-count", 4, 1024),
@@ -342,6 +346,7 @@ class Changefeed:
                 max_packet=_opt("max-packet", 64 * 1024, 1 << 30),
                 bookkeeping=self.bookkeeping,
                 write_source=self.cfg.source_id,
+                driver=get_driver(scheme),
             )
         if scheme in ("noop", "blackhole"):
             return NoopSink(self.bookkeeping)

@@ -1,0 +1,156 @@
+"""DBAPI driver seam for the executable apply sink.
+
+The reference's MySQL writer classifies downstream errors three ways
+(``pkg/sink/mysql/mysql_writer.go:646-668,727-764``,
+``pkg/apperror/util.go:36-55``):
+
+- **transient** — lock-wait timeout (1205), deadlock (1213), connection
+  drops: roll back, back off, retry the txn batch.
+- **ignorable DDL** — duplicate column (1060), table exists (1050),
+  dup key name (1061), can't-drop-absent (1091/1054), database
+  exists/drop-absent (1007/1008), multiple pk (1068), partition dup/
+  drop-absent (1517/1507): an already-applied replay, treated as success
+  (``apperror.IsIgnorableMySQLDDLError``).
+- **fallback** — duplicate entry (1062) on a plain INSERT falls back to
+  the safe-mode (REPLACE) form; a too-big packet (1153 server-side /
+  4031 class) falls back from the multi-statement txn to
+  one-statement-per-txn (``mysql_writer.go`` multiStmtFallback).
+
+This module factors the connection + classifier out of the writer loop
+(``streaming/sqlite_apply.py``) so sqlite:// (the sandbox's live engine)
+and mysql:// (a real server, or a fake DBAPI driver injecting server
+error CODES in tests) share one loop — only ``connect()`` and
+``classify()`` differ.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+#: classification labels the writer loop dispatches on
+TRANSIENT = "transient"
+IGNORABLE_DDL = "ignorable_ddl"
+DUP_ENTRY = "dup_entry"
+PACKET_OVERFLOW = "packet_overflow"
+FATAL = "fatal"
+
+
+class SqliteDriver:
+    """Default driver: stdlib sqlite3, message-substring classification
+    (SQLite reports no stable numeric codes through the DBAPI)."""
+
+    scheme = "sqlite"
+    #: exception types the writer loop catches and classifies; anything
+    #: else propagates unclassified
+    error_class = (sqlite3.OperationalError, sqlite3.IntegrityError)
+
+    #: SQLite spellings of the reference's ignorable MySQL DDL class
+    _IGNORABLE_DDL_MSGS = (
+        "duplicate column name",   # ErrColumnExists (ADD COLUMN replay)
+        "already exists",          # ErrTableExists / ErrIndexExists
+        "no such column",          # ErrColumnNotExists (DROP COLUMN replay)
+        "no such index",           # ErrKeyNotExists (DROP INDEX replay)
+    )
+
+    def connect(self, dsn: str):
+        return sqlite3.connect(dsn, timeout=30)
+
+    def classify(self, exc: BaseException) -> str:
+        msg = str(exc).lower()
+        if isinstance(exc, sqlite3.IntegrityError):
+            return DUP_ENTRY if "unique" in msg else FATAL
+        if any(p in msg for p in self._IGNORABLE_DDL_MSGS):
+            return IGNORABLE_DDL
+        if "lock" in msg or "busy" in msg:
+            return TRANSIENT
+        return FATAL
+
+
+#: MySQL server error codes per class (the reference's taxonomy).
+#: transient: ER_LOCK_WAIT_TIMEOUT, ER_LOCK_DEADLOCK + client-side
+#: connection-loss codes (CR_CONN_HOST_ERROR, CR_SERVER_GONE_ERROR,
+#: CR_SERVER_LOST) the go driver retries through dmretry.
+MYSQL_TRANSIENT = frozenset({1205, 1213, 2003, 2006, 2013})
+#: apperror.IsIgnorableMySQLDDLError's switch (util.go:44-55):
+#: ErrDatabaseExists(1007), ErrDatabaseDropExists(1008),
+#: ErrTableExists(1050), ErrTableDropExists(1051), ErrColumnExists(1060),
+#: ErrDupKeyName(1061), ErrColumnNotExists/unknown column(1054),
+#: ErrCantDropFieldOrKey(1091), ErrMultiplePriKey(1068),
+#: ErrSameNamePartition(1517), ErrDropPartitionNonExistent(1507),
+#: ErrKeyDoesNotExist(1176)
+MYSQL_IGNORABLE_DDL = frozenset(
+    {1007, 1008, 1050, 1051, 1054, 1060, 1061, 1068, 1091, 1176,
+     1507, 1517})
+#: ER_DUP_ENTRY — safe-mode fallback (mysql_writer.go:764 re-prepares
+#: the batch in safe mode)
+MYSQL_DUP_ENTRY = frozenset({1062})
+#: ER_NET_PACKET_TOO_LARGE(1153) / the 4031 class — the multi-statement
+#: txn exceeded max_allowed_packet; fall back to single-statement txns
+MYSQL_PACKET = frozenset({1153, 4031})
+
+
+def mysql_errno(exc: BaseException) -> int | None:
+    """Server error code off a DBAPI exception: pymysql/MySQLdb carry it
+    as ``args[0]``; mysql-connector as ``.errno``."""
+    n = getattr(exc, "errno", None)
+    if isinstance(n, int):
+        return n
+    args = getattr(exc, "args", ())
+    if args and isinstance(args[0], int):
+        return args[0]
+    return None
+
+
+class MySQLDriver:
+    """Classify by server error code, the way the reference does
+    (``go-sql-driver mysql.MySQLError.Number``). ``connect`` needs a
+    DBAPI module (pymysql / MySQLdb); the sandbox has neither, so tests
+    register fakes via :func:`register_driver` — the classifier (the
+    part with reference semantics) is exercised either way."""
+
+    scheme = "mysql"
+    error_class = (Exception,)  # DBAPI base varies by module; code-gated
+
+    def connect(self, dsn: str):
+        for mod in ("pymysql", "MySQLdb"):
+            try:
+                m = __import__(mod)
+            except ImportError:
+                continue
+            return m.connect(dsn)
+        raise RuntimeError(
+            "mysql:// sink needs a DBAPI driver (pymysql or MySQLdb) "
+            "or a registered fake (tigate_spark.streaming.dbapi."
+            "register_driver)")
+
+    def classify(self, exc: BaseException) -> str:
+        n = mysql_errno(exc)
+        if n in MYSQL_TRANSIENT:
+            return TRANSIENT
+        if n in MYSQL_IGNORABLE_DDL:
+            return IGNORABLE_DDL
+        if n in MYSQL_DUP_ENTRY:
+            return DUP_ENTRY
+        if n in MYSQL_PACKET:
+            return PACKET_OVERFLOW
+        return FATAL
+
+
+_DRIVERS: dict[str, object] = {}
+
+
+def register_driver(scheme: str, driver) -> None:
+    """Install a driver for a sink-URI scheme (tests inject fake-MySQL
+    drivers here; a production deployment registers a real JDBC/DBAPI
+    wrapper)."""
+    _DRIVERS[scheme] = driver
+
+
+def get_driver(scheme: str):
+    if scheme in _DRIVERS:
+        return _DRIVERS[scheme]
+    if scheme == "sqlite":
+        return SqliteDriver()
+    if scheme in ("mysql", "tidb"):
+        return MySQLDriver()
+    raise ValueError(f"no DBAPI driver for scheme {scheme!r}")

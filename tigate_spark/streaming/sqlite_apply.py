@@ -65,24 +65,15 @@ fence becomes the server's own serialization plus the marker table).
 from __future__ import annotations
 
 import os
-import sqlite3
 import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tigate_spark.streaming import dbapi
+
 #: default worker-lane count (mirrors operators.txn.FLUSH_LANES spirit)
 DEFAULT_LANES = 4
-
-#: SQLite spellings of the reference's ignorable MySQL DDL error class
-#: (pkg/apperror/util.go:36-55): replaying an already-applied DDL must
-#: be a no-op, not a failure.
-_IGNORABLE_DDL = (
-    "duplicate column name",   # ErrColumnExists (ADD COLUMN replay)
-    "already exists",          # ErrTableExists / ErrIndexExists
-    "no such column",          # ErrColumnNotExists (DROP COLUMN replay)
-    "no such index",           # ErrKeyNotExists (DROP INDEX replay)
-)
 
 
 #: default synthesized post-DDL after-image: the testdata change stream
@@ -205,19 +196,24 @@ class _LaneLock:
 
 def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
                retries: int = 5, fence: str | None = None,
-               write_source: int | None = None) -> None:
+               write_source: int | None = None, driver=None) -> None:
     """Sequential writer for ONE lane: explicit txns of <= txn_rows
-    statements / <= max_packet arg bytes, retry-with-backoff on
-    transient busy errors. ``stmts`` is an iterable of
-    (schema, table, table_id, sql, args_json) already in apply order.
+    statements / <= max_packet arg bytes, with the reference's error
+    classes (``driver.classify``): transient → rollback + backoff retry;
+    duplicate-entry → re-render the txn's INSERTs as safe-mode REPLACEs
+    and retry (``mysql_writer.go`` translateToInsert=false form);
+    packet-overflow → fall back to one-statement-per-txn
+    (``mysql_writer.go:766`` fallbackToSeqWay). ``stmts`` is an iterable
+    of (schema, table, table_id, sql, args_json) already in apply order.
     ``fence`` names this lane application; the whole run holds the lane
     flock, and a fence already present in ``_applied`` (the winner
     finished) makes the call a no-op.
     """
     import json
 
+    driver = driver or dbapi.SqliteDriver()
     with _LaneLock(db_path):
-        con = sqlite3.connect(db_path, timeout=30)
+        con = driver.connect(db_path)
         cur = con.cursor()
         _ensure_meta(cur)
         con.commit()
@@ -239,7 +235,7 @@ def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
             cur.execute("CREATE TEMP TABLE _probe(x INTEGER)")
             cur.execute("UPDATE _probe SET x = 1 LIMIT 1")
             strip_limit = False
-        except sqlite3.OperationalError:
+        except driver.error_class:
             strip_limit = True
         cur.execute("DROP TABLE IF EXISTS _probe")
         con.commit()  # close the probe UPDATE's implicit transaction
@@ -247,35 +243,71 @@ def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
         pending: list[tuple[str, list]] = []
         pending_bytes = 0
 
+        def mark_fence() -> None:
+            cur.execute(
+                "INSERT OR IGNORE INTO _applied VALUES (?)", (fence,))
+            # retention: a marker only fences replays of recent batches
+            # (Spark retries the CURRENT micro-batch); keep a bounded
+            # window so a long-lived changefeed's lane DBs don't
+            # accumulate one row per batch forever
+            cur.execute(
+                "DELETE FROM _applied WHERE rowid < "
+                "(SELECT max(rowid) FROM _applied) - 64")
+
         def flush(mark: bool = False) -> None:
             nonlocal pending, pending_bytes
             if not pending and not mark:
                 return
+            seq_way = False  # packet-overflow fallback: 1 stmt per txn
             for attempt in range(retries):
                 try:
+                    if seq_way:
+                        # fallbackToSeqWay (mysql_writer.go:766): each
+                        # statement in its own txn keeps every packet
+                        # minimal; safe-mode statements stay idempotent
+                        # so the partial progress of a failed multi-txn
+                        # attempt is harmless
+                        for s, a in pending:
+                            cur.execute("BEGIN")
+                            cur.execute(s, a)
+                            con.commit()
+                        if mark and fence is not None:
+                            cur.execute("BEGIN")
+                            mark_fence()
+                            con.commit()
+                        pending, pending_bytes = [], 0
+                        return
                     cur.execute("BEGIN")
                     for s, a in pending:
                         cur.execute(s, a)
                     if mark and fence is not None:
-                        cur.execute(
-                            "INSERT OR IGNORE INTO _applied VALUES (?)",
-                            (fence,))
-                        # retention: a marker only fences replays of
-                        # recent batches (Spark retries the CURRENT
-                        # micro-batch); keep a bounded window so a
-                        # long-lived changefeed's lane DBs don't
-                        # accumulate one row per batch forever
-                        cur.execute(
-                            "DELETE FROM _applied WHERE rowid < "
-                            "(SELECT max(rowid) FROM _applied) - 64")
+                        mark_fence()
                     con.commit()
                     pending, pending_bytes = [], 0
                     return
-                except sqlite3.OperationalError as e:  # locked/busy: retry
+                except driver.error_class as e:
                     con.rollback()
-                    if attempt == retries - 1 or "lock" not in str(e).lower():
+                    kind = driver.classify(e)
+                    if kind == dbapi.TRANSIENT:  # locked/busy/deadlock
+                        if attempt == retries - 1:
+                            raise
+                        time.sleep(0.05 * (2 ** attempt))
+                    elif kind == dbapi.DUP_ENTRY:
+                        # safe-mode fallback: re-render the txn's plain
+                        # INSERTs as REPLACEs (idempotent form) and retry
+                        if attempt == retries - 1:
+                            raise
+                        pending = [
+                            ("REPLACE INTO" + s[len("INSERT INTO"):]
+                             if s.startswith("INSERT INTO") else s, a)
+                            for s, a in pending
+                        ]
+                    elif kind == dbapi.PACKET_OVERFLOW:
+                        if attempt == retries - 1:
+                            raise
+                        seq_way = True
+                    else:
                         raise
-                    time.sleep(0.05 * (2 ** attempt))
 
         for schema, table, table_id, sql, args_json in stmts:
             tbl = _local_name(schema, table)
@@ -304,16 +336,18 @@ def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
 
 def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
                      table_id: int, retries: int = 5,
-                     write_source: int | None = None) -> str:
+                     write_source: int | None = None, driver=None) -> str:
     """Execute one DDL on a lane DB the way the reference's MySQL writer
     does (``mysql_writer.go:600-668``): its OWN transaction, the ``USE
     db`` switch (here: the schema-qualified local rename), the write-
     source tag (``:619`` SetWriteSource in the DDL txn), bounded retry,
-    and the ignorable-error class treated as an already-applied replay.
-    Returns 'applied' | 'ignored'.
+    and the ignorable-error class treated as an already-applied replay
+    (``driver.classify`` — error CODES for mysql, message substrings for
+    sqlite). Returns 'applied' | 'ignored'.
     """
+    driver = driver or dbapi.SqliteDriver()
     with _LaneLock(db_path):
-        con = sqlite3.connect(db_path, timeout=30)
+        con = driver.connect(db_path)
         cur = con.cursor()
         _ensure_meta(cur)
         if write_source is not None:
@@ -338,14 +372,14 @@ def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
                 cur.execute(local)
                 con.commit()
                 break
-            except sqlite3.OperationalError as e:
+            except driver.error_class as e:
                 con.rollback()
-                msg = str(e).lower()
-                if any(p in msg for p in _IGNORABLE_DDL):
+                kind = driver.classify(e)
+                if kind == dbapi.IGNORABLE_DDL:
                     # already-applied replay: ignore, like the reference
                     outcome = "ignored"
                     break
-                if attempt == retries - 1 or "lock" not in msg:
+                if kind != dbapi.TRANSIENT or attempt == retries - 1:
                     raise
                 time.sleep(0.05 * (2 ** attempt))
         con.close()
@@ -358,7 +392,8 @@ class SqliteApplySink:
 
     def __init__(self, db_dir: str, n_lanes: int = DEFAULT_LANES,
                  txn_rows: int = 256, max_packet: int = 64 * 1024,
-                 bookkeeping=None, write_source: int | None = None):
+                 bookkeeping=None, write_source: int | None = None,
+                 driver=None):
         self.db_dir = db_dir
         self.n_lanes = n_lanes
         self.txn_rows = txn_rows
@@ -366,6 +401,10 @@ class SqliteApplySink:
         self.bookkeeping = bookkeeping
         #: this writer's tidb_cdc_write_source twin (helper.go:334-343)
         self.write_source = write_source
+        #: DBAPI seam (streaming/dbapi.py): connect factory + error
+        #: classifier; shipped to executors inside the foreachPartition
+        #: closure, so it must be picklable
+        self.driver = driver or dbapi.SqliteDriver()
         os.makedirs(db_dir, exist_ok=True)
         # lane = table_id % n_lanes names PERSISTENT files: restarting a
         # feed over an existing db_dir with a different worker-count
@@ -397,7 +436,7 @@ class SqliteApplySink:
             changes, self.n_lanes, extra_tables)
         db_dir, txn_rows, max_packet = \
             self.db_dir, self.txn_rows, self.max_packet
-        write_source = self.write_source
+        write_source, driver = self.write_source, self.driver
         fence = f"b{batch_id}" if fence is None else fence
 
         def run_partition(rows) -> None:
@@ -416,6 +455,7 @@ class SqliteApplySink:
                     txn_rows, max_packet,
                     fence=f"{fence}.l{lane}",
                     write_source=write_source,
+                    driver=driver,
                 )
 
         (stmts.repartition(self.n_lanes, "lane")
@@ -434,7 +474,7 @@ class SqliteApplySink:
         return exec_ddl_on_lane(
             os.path.join(self.db_dir, f"lane-{lane}.db"),
             query, schema, table, int(table_id),
-            write_source=self.write_source)
+            write_source=self.write_source, driver=self.driver)
 
     def read_state(self, spark, extra_cols: tuple[str, ...] = ()
                    ) -> DataFrame:
@@ -448,7 +488,7 @@ class SqliteApplySink:
         for f in sorted(os.listdir(self.db_dir)):
             if not f.endswith(".db"):
                 continue
-            con = sqlite3.connect(os.path.join(self.db_dir, f))
+            con = self.driver.connect(os.path.join(self.db_dir, f))
             cur = con.cursor()
             for t, tid in list(cur.execute(
                     "SELECT name, table_id FROM _tables")):
