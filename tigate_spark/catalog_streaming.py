@@ -1634,6 +1634,73 @@ def consumer_changelog_apply_e2e(spark: SparkSession,
 
 
 @register(
+    "consumer_openprotocol_apply_e2e",
+    _STREAM_ORACLE,
+    doc="The kafka-consumer pipeline for the OPEN protocol — the "
+        "reference's consumer decodes every protocol its sink encodes, "
+        "so the canal-only consume→decode→apply loop "
+        "(consumer_changelog_apply_e2e) gets its open-protocol twin. "
+        "Producer half: a changefeed with protocol=open-protocol on the "
+        "sink URI encodes key/value wire messages into the changelog "
+        "sink. Consumer half: a second streaming query reads ONLY "
+        "(key, value, seq) back, infers the op from which u/p/d images "
+        "the value carries (decode_open_for_apply), re-derives table_id "
+        "from the key's table name, and merges through the same "
+        "ReplicaSink. Open protocol carries no start_ts either, so the "
+        "entry asserts the commit-ts tie-free precondition; the final "
+        "replica hash-matches the direct-path LWW oracle",
+)
+def consumer_openprotocol_apply_e2e(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import decode_open_for_apply
+    from tigate_spark.streaming.changefeed import Changefeed
+    from tigate_spark.streaming.sinks import ReplicaSink, read_replica
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        ev = spark.read.parquet(src)
+        if ev.count() != ev.select("ts").distinct().count():
+            raise RuntimeError(
+                "open-protocol carries no start_ts: consumer LWW needs "
+                "a commit-ts tie-free corpus")
+        flat, land = split_commit_order(spark, src, os.path.join(work, "p"), 3)
+        for k in range(3):
+            land(k)
+        cfg = ChangefeedConfig(
+            changefeed_id="producer-open",
+            sink_uri="changelog://?protocol=open-protocol")
+        cfp = Changefeed(spark, cfg, flat, os.path.join(work, "pw"))
+        cfp.run_to_completion()
+        topic = cfp.sink.out_dir
+        raw = (
+            spark.readStream.schema(spark.read.parquet(topic).schema)
+            .option("maxFilesPerTrigger", "8")
+            .parquet(topic)
+            .select("key", "value", "seq")
+        )
+        sink = ReplicaSink(os.path.join(work, "replica"),
+                           ["event_type", "value_cents"])
+        q = (
+            decode_open_for_apply(raw)
+            .writeStream.foreachBatch(sink.process_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        rep = read_replica(spark, sink.state_dir).select(
+            "table_id", "pk", F.col("commit_ts").alias("last_commit_ts"),
+            "event_type", "value_cents",
+        )
+        return _materialize(rep)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "streaming_bdr_loop_prevention_e2e",
     ORACLE_CHANGES_CTE + """
 , ordered AS (

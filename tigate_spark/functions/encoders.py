@@ -195,6 +195,47 @@ def decode_canal_for_apply(df: DataFrame, msg_col: str = "message",
     )
 
 
+def decode_open_for_apply(df: DataFrame, key_col: str = "key",
+                          value_col: str = "value",
+                          offset_col: str = "seq") -> DataFrame:
+    """Consumer-side decode of OPEN-PROTOCOL key/value messages into the
+    apply shape — the kafka-consumer binary wired for ProtocolOpen (the
+    reference's consumer decodes every protocol its sink encodes). The
+    op is inferred from which images the value carries (the open codec's
+    own convention, ``pkg/sink/codec/open``): u+p → UPDATE, u alone →
+    INSERT, d alone → DELETE. Like canal-json, start_ts is not on the
+    wire (emitted 0) — LWW correctness rests on a commit-ts tie-free
+    corpus, the same precondition callers assert for the canal consumer.
+    table_id is re-derived from the table NAME in the key (consumer-side
+    name→id mapping); D rows surface the before image's payload fields
+    (only the pk routes a delete)."""
+    img = ("STRUCT<pk BIGINT, event_type STRING, value_cents BIGINT, "
+           "user_id BIGINT>")
+    k = F.from_json(F.col(key_col),
+                    "ts BIGINT, scm STRING, tbl STRING, t BIGINT")
+    v = F.from_json(F.col(value_col), f"u {img}, p {img}, d {img}")
+    parsed = df.select(F.col(offset_col), k.alias("k"), v.alias("v"))
+    op = (
+        F.when(F.col("v.u").isNotNull() & F.col("v.p").isNotNull(), "U")
+        .when(F.col("v.u").isNotNull(), "I")
+        .otherwise("D")
+    )
+    live = F.when(op == "D", F.col("v.d")).otherwise(F.col("v.u"))
+    return parsed.select(
+        F.col("k.scm").alias("schema_name"),
+        F.col("k.tbl").alias("table_name"),
+        F.expr("cast(substring(k.tbl, 2) as bigint)").alias("table_id"),
+        op.alias("op"),
+        F.lit(0).cast("bigint").alias("start_ts"),
+        F.col("k.ts").alias("commit_ts"),
+        F.col(offset_col).cast("bigint").alias("seq"),
+        live.getField("pk").alias("pk"),
+        live.getField("event_type").alias("event_type"),
+        live.getField("value_cents").alias("value_cents"),
+        live.getField("user_id").alias("user_id"),
+    )
+
+
 #: claim-check pointer layout (pkg/sink/kafka/claimcheck/claim_check.go —
 #: the MQ message is replaced by a location pointer; the payload goes to
 #: object storage)
