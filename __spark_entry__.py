@@ -25,121 +25,117 @@ def entry(spark: SparkSession) -> DataFrame:
     return cat["cdc_pipeline_e2e"].builder(spark, "/root/testdata/sf0.001")
 
 
-#: Run order for a driver that caps at ~50 entries per round. Round-9
-#: rotation: positions 1-3 are the NEW r9 entries (DDL executed through
-#: the live SQLite writer loop; schema evolution through the parquet
-#: replica; the leakage-safe cluster-aware train/val/test split); 4-11
-#: are entries whose engine code or oracle changed in round 9 (C4
-#: keep-first rewritten as the skew-safe min-struct agg; the SQLite
-#: apply sink gained the zombie fence + carried-identity columns; the
-#: avro registry entry moved to a run-scoped tmpdir; the type-render
-#: fixture grew to the full 45-column family breadth; the ReplicaSink
-#: merge is schema-evolving now, so the replica-backed e2es re-verify);
-#: positions 12+ drain the oldest-first backlog — the entries whose
-#: latest external green row still dates from r1/r3 (VERDICT r8 "What's
-#: wrong" #3) come first, then everything else freshness-ascending so
-#: any window overflow keeps draining oldest-first on the rolling clock.
+#: Run order for a driver that caps at ~50 entries per round. Round-10
+#: rotation: position 1 is the NEW r10 entry (the open-protocol
+#: consumer apply e2e); positions 2-9 are entries whose engine code
+#: changed in round 10 (the executable sink refactored over the DBAPI
+#: driver seam incl. the seq-way/dup-entry fallbacks; redo gained the
+#: resolved-ts ordering guard + O(1) DDL dedup; Engine.update keeps DDL
+#: barriers and the unretryable match is root-cause-only); positions
+#: 10+ are the ENTIRE catalog freshness-ascending by latest external
+#: green round (computed from CORRECTNESS_r0*.json): the 24 r3-vintage
+#: entries first (VERDICT r9 "What's wrong" #1 — the TPC-H headliners,
+#: the dedup/sim families, text/multimodal), then the r4 cohort, so the
+#: ~50-slot window drains all of r3 plus the oldest r4 entries and any
+#: overflow keeps draining oldest-first on the rolling clock.
 _PRIORITY = [
-    "streaming_sqlite_ddl_apply_e2e", "engine_ddl_barrier_e2e",
-    "streaming_bdr_loop_prevention_e2e", "consumer_changelog_apply_e2e",
-    "redo_disaster_recovery_e2e",
-    "streaming_replica_schema_evolution_e2e", "split_leakage_safe",
-    "dedup_lsh_quality_report",
-    "dedup_c4_span_excise", "streaming_sqlite_apply_e2e",
-    "encoder_avro_registry_evolution", "encoder_avro_registry_http",
-    "projection_type_render",
-    "streaming_replica_e2e", "engine_multifeed_e2e",
-    "streaming_time_travel_e2e", "dedup_duplicate_clusters",
-    "filter_event_type", "filter_expr_values", "ddl_allowlist",
-    "ddl_split_multistatement", "projection_column_selector",
-    "projection_handle_key_only", "projection_checksum", "range_scan",
-    "stale_event_drop", "table_progress", "changefeed_checkpoint",
-    "dml_ddl_merge", "apply_materialize", "encoder_open_protocol",
-    "encoder_claim_check", "txn_match_prewrite_commit",
-    "decoder_open_protocol", "ddl_action_classify", "ddl_barrier_subbatches",
-    "apply_composite_key", "force_replicate_rowkey", "encoder_open_batch",
-    "schema_evolution_typed_view", "partition_table_logical",
-    "agg_session_windows", "filter_ddl_sql_regex", "agg_unpivot_measures",
-    "schema_asof_join_grouped", "audit_image_chain", "decoder_dead_letter",
-    "setop_intersect_keys", "sample_hash_bucket", "sample_stratified_hash",
-    "approx_order_value_quantiles", "text_token_count", "text_quality_score",
-    "text_lang_id", "text_fingerprint", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "sim_cosine_topk",
-    "sim_ann_lsh_topk", "multimodal_binary_meta", "dedup_embedding_cosine",
-    "sim_ivf_topk", "multimodal_frame_sample", "llm_clean_corpus",
-    "tpch_q1_pricing_summary", "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier", "window_topn_orders_per_customer",
-    "tpch_q14_promo_revenue", "tpch_q16_supplier_cnt", "changes_normalize",
-    "filter_table_rule", "filter_start_ts", "projection_update_split",
-    "route_topic_partition", "order_apply_seq", "txn_grouping",
-    "syncpoint_ticks", "schema_asof_join", "apply_merge_to_base",
-    "encoder_canal_json", "decoder_canal_json", "encoder_simple_bootstrap",
-    "decoder_simple_bootstrap", "encoder_simple_bootstrap_versioned",
-    "encoder_avro_json", "decoder_avro_json", "projection_updated_columns",
-    "agg_salted_skew_safe", "join_skew_split_salted",
-    "encoder_open_batch_framed", "agg_pivot_event_types",
-    "agg_cube_table_op", "window_running_balance", "agg_rollup_schema_table",
-    "ddl_action_classify_full", "encoder_message_batches",
-    "encoder_canal_json_typed", "decoder_simple_protocol",
-    "window_lag_interarrival", "window_range_1h_sum",
-    "approx_distinct_users", "join_interval_broadcast",
-    "gc_eligible_tombstones", "embed_kmeans_clusters", "corpus_top_tokens",
-    "embed_int8_quantize", "tpch_q8_market_share",
-    "tpch_q13_customer_distribution", "tpch_q17_small_quantity_revenue",
-    "tpch_q21_waiting_suppliers", "setop_except_keys", "join_semi_anti_keys",
-    "window_ntile_rank", "text_chunk_documents", "dedup_minhash_signature",
-    "dedup_simhash_pairs", "dedup_embedding_exact", "sim_lsh_bucket",
-    "sim_ivf_trained_topk", "decontaminate_vs_eval", "text_mask_pii",
-    "text_repetition_score", "sample_quality_weighted", "corpus_mix_stats",
-    "embed_dim_stats", "corpus_length_histogram", "corpus_dup_rate_summary",
-    "dedup_semantic_semdedup", "setop_distinct_segments",
-    "tpch_q10_returned_items", "tpch_q12_priority_by_status",
-    "tpch_q18_large_volume_orders", "tpch_q19_disjunctive_filter",
-    "tpch_q22_idle_customers", "tpch_q2_top_supplier_per_part",
-    "tpch_q7_nation_volume", "tpch_q9_product_profit",
-    "tpch_q11_important_stock", "tpch_q15_top_supplier",
-    "tpch_q20_part_promotion", "sink_checkpoint_messages",
-    "sink_batch_progress", "source_jsonl_changes", "seq_gap_resets",
-    "replica_chunk_checksums", "convert_open_to_canal",
-    "decoder_craft_framed", "decoder_avro_confluent",
-    "decoder_craft_dead_letter", "decoder_craft_batch_framed",
-    "agg_props_json_profile", "claim_check_round_trip",
-    "encoder_canal_json_ddl", "encoder_canal_resolved",
-    "encoder_canal_handle_key_only", "encoder_canal_claim_check",
-    "decoder_canal_large_message", "encoder_open_handle_key_only",
-    "encoder_open_claim_check", "decoder_open_wire_frames",
-    "decoder_open_ddl_frames", "decoder_simple_ddl",
-    "convert_debezium_to_open", "pack_sequences", "sample_importance_dsir",
-    "decontaminate_fuzzy_minhash", "corpus_shuffle_assign",
-    "multimodal_audio_energy", "embed_pca_project", "sample_temperature_mix",
-    "dedup_substring_spans", "text_lm_score", "bpe_merge_apply",
-    "dedup_substring_excise", "llm_curation_manifest_v2",
-    "text_gopher_quality_flags", "sample_mixture_epochs",
-    "dedup_paragraph_fraction", "bpe_train_merges", "bpe_vocab_apply",
-    "agg_events_per_type_hour", "streaming_incr_agg_e2e",
-    "streaming_ddl_barrier_e2e", "streaming_filtered_replica_e2e",
-    "streaming_syncpoint_e2e", "streaming_window_append_e2e",
-    "sink_txn_flush_batches", "streaming_flush_batches_e2e",
-    "streaming_jsonl_replica_e2e", "cdc_pipeline_e2e", "source_csv_changes",
-    "apply_scd2_history", "apply_incremental_agg", "apply_incremental_join",
-    "encoder_debezium", "encoder_simple_protocol", "encoder_simple_ddl",
-    "encoder_avro_confluent_framed", "encoder_csv_rows",
-    "decoder_open_batch", "convert_canal_to_avro", "encoder_mysql_sql",
-    "encoder_mysql_sql_safe_mode", "decoder_debezium", "decoder_csv_rows",
-    "encoder_craft_framed", "encoder_craft_batch_framed",
-    "encoder_craft_resolved", "encoder_open_ddl", "encoder_open_resolved",
-    "multimodal_resize", "sample_source_token_budget",
-    "embed_label_outliers", "multimodal_resize_box", "dedup_exact_canonical",
-    "dedup_keep_best_quality", "text_search_bm25_topk", "embed_pq_encode",
-    "sim_pq_adc_topk", "corpus_bigram_counts", "sim_ivfpq_topk",
-    "sim_ann_recall_report", "llm_curation_manifest",
-    "bpe_train_merges_batched", "streaming_changelog_e2e",
-    "streaming_first_seen_e2e", "streaming_window_counts_e2e",
-    "streaming_storage_e2e", "streaming_txn_match_e2e",
-    "streaming_sessions_e2e", "streaming_blackhole_e2e",
-    "streaming_minhash_dedup_e2e", "engine_lifecycle_e2e",
-    "streaming_csv_replica_e2e",
+    'consumer_openprotocol_apply_e2e', 'streaming_sqlite_apply_e2e',
+    'streaming_sqlite_ddl_apply_e2e', 'engine_ddl_barrier_e2e',
+    'streaming_bdr_loop_prevention_e2e', 'redo_disaster_recovery_e2e',
+    'consumer_changelog_apply_e2e', 'engine_lifecycle_e2e',
+    'engine_multifeed_e2e', 'approx_order_value_quantiles',
+    'dedup_embedding_cosine', 'dedup_exact', 'dedup_minhash_lsh',
+    'dedup_ngram_jaccard', 'dedup_simhash', 'llm_clean_corpus',
+    'multimodal_binary_meta', 'multimodal_frame_sample', 'sim_ann_lsh_topk',
+    'sim_cosine_topk', 'sim_ivf_topk', 'text_fingerprint', 'text_lang_id',
+    'text_quality_score', 'text_token_count', 'tpch_q14_promo_revenue',
+    'tpch_q16_supplier_cnt', 'tpch_q1_pricing_summary',
+    'tpch_q3_shipping_priority', 'tpch_q4_order_priority',
+    'tpch_q5_local_supplier', 'tpch_q6_forecast_revenue',
+    'window_topn_orders_per_customer', 'agg_cube_table_op',
+    'agg_pivot_event_types', 'agg_rollup_schema_table',
+    'agg_salted_skew_safe', 'apply_merge_to_base', 'approx_distinct_users',
+    'changes_normalize', 'corpus_top_tokens', 'ddl_action_classify_full',
+    'decoder_avro_json', 'decoder_canal_json', 'decoder_simple_bootstrap',
+    'decoder_simple_protocol', 'embed_int8_quantize', 'embed_kmeans_clusters',
+    'encoder_avro_json', 'encoder_canal_json', 'encoder_canal_json_typed',
+    'encoder_message_batches', 'encoder_open_batch_framed',
+    'encoder_simple_bootstrap', 'encoder_simple_bootstrap_versioned',
+    'filter_start_ts', 'filter_table_rule', 'gc_eligible_tombstones',
+    'join_interval_broadcast', 'join_skew_split_salted', 'order_apply_seq',
+    'projection_update_split', 'projection_updated_columns',
+    'route_topic_partition', 'schema_asof_join', 'syncpoint_ticks',
+    'tpch_q13_customer_distribution', 'tpch_q17_small_quantity_revenue',
+    'tpch_q21_waiting_suppliers', 'tpch_q8_market_share', 'txn_grouping',
+    'window_lag_interarrival', 'window_range_1h_sum',
+    'window_running_balance', 'corpus_dup_rate_summary',
+    'corpus_length_histogram', 'corpus_mix_stats', 'decontaminate_vs_eval',
+    'dedup_embedding_exact', 'dedup_minhash_signature',
+    'dedup_semantic_semdedup', 'dedup_simhash_pairs', 'embed_dim_stats',
+    'join_semi_anti_keys', 'sample_quality_weighted',
+    'setop_distinct_segments', 'setop_except_keys', 'sim_ivf_trained_topk',
+    'sim_lsh_bucket', 'sink_batch_progress', 'sink_checkpoint_messages',
+    'text_chunk_documents', 'text_mask_pii', 'text_repetition_score',
+    'tpch_q10_returned_items', 'tpch_q11_important_stock',
+    'tpch_q12_priority_by_status', 'tpch_q15_top_supplier',
+    'tpch_q18_large_volume_orders', 'tpch_q19_disjunctive_filter',
+    'tpch_q20_part_promotion', 'tpch_q22_idle_customers',
+    'tpch_q2_top_supplier_per_part', 'tpch_q7_nation_volume',
+    'tpch_q9_product_profit', 'window_ntile_rank', 'agg_events_per_type_hour',
+    'agg_props_json_profile', 'bpe_merge_apply', 'bpe_train_merges',
+    'bpe_vocab_apply', 'claim_check_round_trip', 'convert_debezium_to_open',
+    'convert_open_to_canal', 'corpus_shuffle_assign',
+    'decoder_avro_confluent', 'decoder_canal_large_message',
+    'decoder_craft_batch_framed', 'decoder_craft_dead_letter',
+    'decoder_craft_framed', 'decoder_open_ddl_frames',
+    'decoder_open_wire_frames', 'decoder_simple_ddl',
+    'decontaminate_fuzzy_minhash', 'dedup_paragraph_fraction',
+    'dedup_substring_excise', 'dedup_substring_spans', 'embed_pca_project',
+    'encoder_canal_claim_check', 'encoder_canal_handle_key_only',
+    'encoder_canal_json_ddl', 'encoder_canal_resolved',
+    'encoder_open_claim_check', 'encoder_open_handle_key_only',
+    'llm_curation_manifest_v2', 'multimodal_audio_energy', 'pack_sequences',
+    'replica_chunk_checksums', 'sample_importance_dsir',
+    'sample_mixture_epochs', 'sample_temperature_mix', 'seq_gap_resets',
+    'sink_txn_flush_batches', 'source_jsonl_changes',
+    'streaming_ddl_barrier_e2e', 'streaming_filtered_replica_e2e',
+    'streaming_flush_batches_e2e', 'streaming_incr_agg_e2e',
+    'streaming_jsonl_replica_e2e', 'streaming_syncpoint_e2e',
+    'streaming_window_append_e2e', 'text_gopher_quality_flags',
+    'text_lm_score', 'apply_incremental_agg', 'apply_incremental_join',
+    'apply_scd2_history', 'bpe_train_merges_batched', 'cdc_pipeline_e2e',
+    'convert_canal_to_avro', 'corpus_bigram_counts', 'decoder_csv_rows',
+    'decoder_debezium', 'decoder_open_batch', 'dedup_exact_canonical',
+    'dedup_keep_best_quality', 'embed_label_outliers', 'embed_pq_encode',
+    'encoder_avro_confluent_framed', 'encoder_craft_batch_framed',
+    'encoder_craft_framed', 'encoder_craft_resolved', 'encoder_csv_rows',
+    'encoder_debezium', 'encoder_mysql_sql', 'encoder_mysql_sql_safe_mode',
+    'encoder_open_ddl', 'encoder_open_resolved', 'encoder_simple_ddl',
+    'encoder_simple_protocol', 'llm_curation_manifest', 'multimodal_resize',
+    'multimodal_resize_box', 'sample_source_token_budget',
+    'sim_ann_recall_report', 'sim_ivfpq_topk', 'sim_pq_adc_topk',
+    'source_csv_changes', 'streaming_blackhole_e2e',
+    'streaming_changelog_e2e', 'streaming_csv_replica_e2e',
+    'streaming_first_seen_e2e', 'streaming_minhash_dedup_e2e',
+    'streaming_sessions_e2e', 'streaming_storage_e2e',
+    'streaming_txn_match_e2e', 'streaming_window_counts_e2e',
+    'text_search_bm25_topk', 'agg_session_windows', 'agg_unpivot_measures',
+    'apply_composite_key', 'apply_materialize', 'audit_image_chain',
+    'changefeed_checkpoint', 'ddl_action_classify', 'ddl_allowlist',
+    'ddl_barrier_subbatches', 'ddl_split_multistatement',
+    'decoder_dead_letter', 'decoder_open_protocol', 'dedup_c4_span_excise',
+    'dedup_duplicate_clusters', 'dedup_lsh_quality_report', 'dml_ddl_merge',
+    'encoder_avro_registry_evolution', 'encoder_avro_registry_http',
+    'encoder_claim_check', 'encoder_open_batch', 'encoder_open_protocol',
+    'filter_ddl_sql_regex', 'filter_event_type', 'filter_expr_values',
+    'force_replicate_rowkey', 'partition_table_logical',
+    'projection_checksum', 'projection_column_selector',
+    'projection_handle_key_only', 'projection_type_render', 'range_scan',
+    'sample_hash_bucket', 'sample_stratified_hash',
+    'schema_asof_join_grouped', 'schema_evolution_typed_view',
+    'setop_intersect_keys', 'split_leakage_safe', 'stale_event_drop',
+    'streaming_replica_e2e', 'streaming_replica_schema_evolution_e2e',
+    'streaming_time_travel_e2e', 'table_progress', 'txn_match_prewrite_commit'
 ]
 
 

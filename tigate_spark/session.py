@@ -65,8 +65,12 @@ def ensure_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def get_spark(app_name: str = "tigate_spark", cpus: int | None = None) -> SparkSession:
-    """Build a local session sized like the bench/test environment."""
+def get_spark(app_name: str = "tigate_spark", cpus: int | None = None,
+              extra_confs: dict | None = None) -> SparkSession:
+    """Build a local session sized like the bench/test environment.
+    ``extra_confs`` overlays startup-only confs (e.g. the scale-probe
+    tools enable ``spark.ui.enabled`` to read shuffle metrics off the
+    REST status API)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = (
@@ -77,6 +81,8 @@ def get_spark(app_name: str = "tigate_spark", cpus: int | None = None) -> SparkS
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

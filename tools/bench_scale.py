@@ -73,14 +73,28 @@ QUERIES = [
 ]
 
 
+#: subset of OFFSETS tables to actually replicate (comma list); others
+#: are copied flat — lets the 100x document-family probe skip building
+#: a 60M-row lineitem it never reads
+TABLES = set((os.environ.get("SCALE_TABLES")
+              or ",".join(OFFSETS)).split(","))
+
+
 def build(spark) -> None:
-    if os.path.isdir(DST) and os.path.exists(os.path.join(DST, "_BUILT")):
+    stamp = f"copies={COPIES};tables={','.join(sorted(TABLES))}"
+    marker = os.path.join(DST, "_BUILT")
+    if os.path.isdir(DST) and os.path.exists(marker) \
+            and open(marker).read() == stamp:
         return
     shutil.rmtree(DST, ignore_errors=True)
     os.makedirs(DST)
     for t in DIMS:
         shutil.copy(os.path.join(SRC, f"{t}.parquet"), os.path.join(DST, f"{t}.parquet"))
     for t, keys in OFFSETS.items():
+        if t not in TABLES:
+            shutil.copy(os.path.join(SRC, f"{t}.parquet"),
+                        os.path.join(DST, f"{t}.parquet"))
+            continue
         df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
         parts = []
         for i in range(COPIES):
@@ -95,11 +109,68 @@ def build(spark) -> None:
         out.coalesce(max(1, COPIES // 2)).write.mode("overwrite").parquet(
             os.path.join(DST, f"{t}.parquet")
         )
-    open(os.path.join(DST, "_BUILT"), "w").write("ok")
+    open(marker, "w").write(stamp)
+
+
+def _stages(spark) -> list:
+    """Completed stages off the REST status API (needs spark.ui.enabled)."""
+    import urllib.request
+
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return []
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+                f"{url}/api/v1/applications/{app}/stages") as r:
+            return json.load(r)
+    except Exception:
+        return []
+
+
+def _max_stage_id(spark) -> int:
+    return max((s["stageId"] for s in _stages(spark)), default=-1)
+
+
+def _shuffle_stats(spark, since_stage: int) -> dict:
+    """Peak/total shuffle volume across stages newer than ``since_stage``
+    — the 'where would a hidden quadratic or hot key surface' number the
+    100x probe exists to pin."""
+    new = [s for s in _stages(spark) if s["stageId"] > since_stage]
+    if not new:
+        return {}
+    mb = 1e6
+    return {
+        "peak_stage_shuffle_write_mb": round(
+            max(s.get("shuffleWriteBytes", 0) for s in new) / mb, 1),
+        "total_shuffle_write_mb": round(
+            sum(s.get("shuffleWriteBytes", 0) for s in new) / mb, 1),
+        "peak_stage_shuffle_read_mb": round(
+            max(s.get("shuffleReadBytes", 0) for s in new) / mb, 1),
+    }
+
+
+def _join_classes(df) -> dict:
+    """BHJ/SMJ counts in the initial physical plan — the size-class
+    statement the 100x probe records (a dim that outgrows the broadcast
+    threshold at 100x shows up as BHJ→SMJ here)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
+    }
 
 
 def main() -> None:
-    spark = get_spark(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    want_shuffle = os.environ.get("SCALE_SHUFFLE_METRICS") == "1"
+    warm = os.environ.get("SCALE_WARM", "1") == "1"
+    spark = get_spark(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        extra_confs={"spark.ui.enabled": "true",
+                     "spark.ui.retainedStages": "5000"}
+        if want_shuffle else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     build(spark)
     from tigate_spark.catalog import get_catalog
@@ -111,17 +182,30 @@ def main() -> None:
         names = sys.argv[2].split(",")
     for name in names:
         fn = cat[name].builder
-        fn(spark, SRC).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.time(); fn(spark, SRC).write.format("noop").mode("overwrite").save()
-        base = time.time() - t0
-        fn(spark, DST).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.time(); fn(spark, DST).write.format("noop").mode("overwrite").save()
-        scaled = time.time() - t0
+
+        def measure(sf_path):
+            if warm:
+                fn(spark, sf_path).write.format("noop").mode("overwrite").save()
+            before = _max_stage_id(spark) if want_shuffle else -1
+            t0 = time.time()
+            df = fn(spark, sf_path)
+            df.write.format("noop").mode("overwrite").save()
+            sec = time.time() - t0
+            extra = _shuffle_stats(spark, before) if want_shuffle else {}
+            if want_shuffle:
+                extra["joins"] = _join_classes(fn(spark, sf_path))
+            return sec, extra
+
+        base, base_extra = measure(SRC)
+        scaled, scaled_extra = measure(DST)
         results[name] = {
             "sf0.1_sec": round(base, 2),
             f"{COPIES}x_sec": round(scaled, 2),
             "time_ratio": round(scaled / base, 1) if base > 0 else None,
         }
+        if base_extra:
+            results[name]["sf0.1"] = base_extra
+            results[name][f"{COPIES}x"] = scaled_extra
         print(json.dumps({name: results[name]}), flush=True)
     print(json.dumps({"metric": "scale_probe", "copies": COPIES, "results": results}))
 

@@ -93,6 +93,27 @@ def run_scale(spark, label: str, copies: int, n_files: int,
             cfg.consistent = ConsistentConfig(
                 level="eventual", storage=os.path.join(work, "redo"))
         cf = Changefeed(spark, cfg, src, work)
+        # replica disk curve: the compaction claim is that superseded
+        # v=<n> dirs are actually reclaimed, so on-disk state PLATEAUS
+        # as the stream gets longer instead of growing one version per
+        # batch. Record state-dir bytes after every micro-batch.
+        state_mb: list[float] = []
+        state_dir = getattr(cf.sink, "state_dir", None)
+        if scheme == "replica" and state_dir:
+            orig_pb = cf.sink.process_batch
+
+            def sized_pb(batch_df, batch_id):
+                orig_pb(batch_df, batch_id)
+                total = 0
+                for root, _dirs, files in os.walk(state_dir):
+                    for fn in files:
+                        try:
+                            total += os.path.getsize(os.path.join(root, fn))
+                        except OSError:
+                            pass
+                state_mb.append(round(total / 1e6, 1))
+
+            cf.sink.process_batch = sized_pb
         t0 = time.monotonic()
         q = cf.start(available_now=True)
         progresses: list[dict] = []
@@ -116,7 +137,7 @@ def run_scale(spark, label: str, copies: int, n_files: int,
         k = max(3, len(batch_ms) // 10)
         head = sum(batch_ms[:k]) / k if batch_ms else 0
         tail = sum(batch_ms[-k:]) / k if batch_ms else 0
-        return {
+        out = {
             "sink": sink,
             "scale": label,
             "batches": len(batch_ms),
@@ -128,6 +149,19 @@ def run_scale(spark, label: str, copies: int, n_files: int,
             "tail_mean_ms": round(tail),
             "flatness": round(tail / head, 2) if head else None,
         }
+        if state_mb:
+            out["state_mb"] = state_mb
+            # disk-plateau signal: growth over the last quarter of the
+            # stream relative to its start — ~1.0 means compaction keeps
+            # reclaiming superseded versions (key-space is fixed, so a
+            # leak shows as monotone growth past the first full cycle)
+            q4 = max(1, len(state_mb) // 4)
+            out["state_mb_final"] = state_mb[-1]
+            out["state_mb_peak"] = max(state_mb)
+            if len(state_mb) > q4:
+                out["disk_plateau_ratio"] = round(
+                    state_mb[-1] / max(state_mb[-q4 - 1], 0.1), 2)
+        return out
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(work, ignore_errors=True)
