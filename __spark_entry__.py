@@ -26,8 +26,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Run order for a driver that caps at ~50 entries per round. Round-10
-#: rotation: position 1 is the NEW r10 entry (the open-protocol
-#: consumer apply e2e); positions 2-9 are entries whose engine code
+#: rotation: positions 1-2 are the NEW r10 entries (the open-protocol
+#: and storage-csv consumer apply e2es — with canal, all three
+#: consumer families now compose to identity); positions 3-10 are
+#: entries whose engine code
 #: changed in round 10 (the executable sink refactored over the DBAPI
 #: driver seam incl. the seq-way/dup-entry fallbacks; redo gained the
 #: resolved-ts ordering guard + O(1) DDL dedup; Engine.update keeps DDL
@@ -39,7 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: ~50-slot window drains all of r3 plus the oldest r4 entries and any
 #: overflow keeps draining oldest-first on the rolling clock.
 _PRIORITY = [
-    'consumer_openprotocol_apply_e2e', 'streaming_sqlite_apply_e2e',
+    'consumer_openprotocol_apply_e2e', 'consumer_storage_apply_e2e',
+    'streaming_sqlite_apply_e2e',
     'streaming_sqlite_ddl_apply_e2e', 'engine_ddl_barrier_e2e',
     'streaming_bdr_loop_prevention_e2e', 'redo_disaster_recovery_e2e',
     'consumer_changelog_apply_e2e', 'engine_lifecycle_e2e',

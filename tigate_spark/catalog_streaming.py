@@ -1701,6 +1701,87 @@ def consumer_openprotocol_apply_e2e(spark: SparkSession,
 
 
 @register(
+    "consumer_storage_apply_e2e",
+    _STREAM_ORACLE,
+    doc="The STORAGE consumer pipeline end to end — the reference's "
+        "run_storage_consumer binary (driven by every csv_storage_* "
+        "integration test: tail the dated file tree the storage sink "
+        "writes, decode the csv lines, apply downstream; "
+        "csv_storage_basic/run.sh:26). Producer half: a file://-scheme "
+        "changefeed writes the {schema}/{table}/{date} csv tree + the "
+        "root metadata checkpoint. Consumer half: a second streaming "
+        "query tails the tree (recursive text source, part-* glob — the "
+        "metadata file is excluded like the consumer's own listing "
+        "does), decodes lines via decode_csv_for_apply, gates on the "
+        "metadata checkpoint-ts (only rows the producer declared "
+        "complete), and merges through the same ReplicaSink. The csv "
+        "line carries no start_ts or offset, so the entry asserts the "
+        "commit-ts tie-free precondition; final replica hash-matches "
+        "the direct-path LWW oracle — the third consumer family "
+        "(MQ canal, MQ open, storage csv) all compose to identity",
+)
+def consumer_storage_apply_e2e(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    import json
+
+    from tigate_spark.functions.encoders import decode_csv_for_apply
+    from tigate_spark.streaming.changefeed import Changefeed
+    from tigate_spark.streaming.sinks import ReplicaSink, read_replica
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        ev = spark.read.parquet(src)
+        if ev.count() != ev.select("ts").distinct().count():
+            raise RuntimeError(
+                "storage csv carries no start_ts: consumer LWW needs a "
+                "commit-ts tie-free corpus")
+        flat, land = split_commit_order(spark, src, os.path.join(work, "p"), 3)
+        for k in range(3):
+            land(k)
+        from tigate_spark.config import SinkConfig
+
+        cfg = ChangefeedConfig(
+            changefeed_id="producer-storage", sink_uri="file://",
+            sink=SinkConfig(protocol="csv"))
+        cfp = Changefeed(spark, cfg, flat, os.path.join(work, "pw"))
+        cfp.run_to_completion()
+        tree = cfp.sink.out_dir
+        with open(os.path.join(tree, "metadata")) as f:
+            ckpt = int(json.load(f)["checkpoint-ts"])
+        if ckpt <= 0:
+            raise RuntimeError("producer metadata checkpoint missing")
+        raw = (
+            spark.readStream
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", "8")
+            .text(tree)
+            .withColumnRenamed("value", "line")
+        )
+        sink = ReplicaSink(os.path.join(work, "replica"),
+                           ["event_type", "value_cents"])
+        q = (
+            decode_csv_for_apply(raw)
+            .filter(F.col("commit_ts") <= ckpt)
+            .writeStream.foreachBatch(sink.process_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        rep = read_replica(spark, sink.state_dir).select(
+            "table_id", "pk", F.col("commit_ts").alias("last_commit_ts"),
+            "event_type", "value_cents",
+        )
+        return _materialize(rep)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "streaming_bdr_loop_prevention_e2e",
     ORACLE_CHANGES_CTE + """
 , ordered AS (

@@ -467,6 +467,28 @@ def decode_csv_rows(df: DataFrame, line_col: str = "line") -> DataFrame:
     )
 
 
+def decode_csv_for_apply(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Consumer-side decode of storage-sink CSV lines into the APPLY
+    shape — the ``run_storage_consumer`` pipeline (the reference's
+    storage consumer binary, driven by every csv_storage_* integration
+    test: tail the dated file tree, decode lines, apply downstream).
+    Same reconstruction contract as the MQ consumers: ``table_id``
+    re-derived from the table name, ``start_ts`` not on the wire
+    (emitted 0 — LWW needs the commit-ts tie-free precondition), and the
+    file tree carries no per-row offset, so ``seq`` is 0 (ties within a
+    commit ts are exactly what the precondition excludes)."""
+    base = decode_csv_rows(df, line_col=line_col)
+    return base.select(
+        "schema_name", "table_name",
+        F.expr("cast(substring(table_name, 2) as bigint)").alias("table_id"),
+        "op",
+        F.lit(0).cast("bigint").alias("start_ts"),
+        "commit_ts",
+        F.lit(0).cast("bigint").alias("seq"),
+        "pk", "event_type", "value_cents",
+    )
+
+
 _SIMPLE_MSG_SCHEMA = (
     "STRUCT<version: INT, `database`: STRING, `table`: STRING, tableID: BIGINT, "
     "type: STRING, commitTs: BIGINT, buildTs: BIGINT, schemaVersion: INT, "
