@@ -632,3 +632,30 @@ def test_bpe_batched_round_uses_broadcast_merge_set(spark):
     joined = bg.join(F.broadcast(sel_df), ["w1", "w2"])
     with no_auto_broadcast(spark):
         assert count_broadcast_exchanges(joined) >= 1
+
+
+def test_consumer_decoders_stay_jvm_side(spark):
+    """The r10 consumer decode paths (open-protocol key/value, storage
+    csv lines) are pure from_json/split column maps — zero Python on the
+    hot consume path (the apply loop already pays the writer; the decode
+    must stay whole-stage codegen)."""
+    from pyspark.sql import functions as F
+
+    from tigate_spark.functions.encoders import (
+        decode_csv_for_apply,
+        decode_open_for_apply,
+        encode_csv_rows,
+        encode_open_protocol,
+    )
+    from tigate_spark.sources.changes import changes_stream
+
+    ch = changes_stream(spark, SF_DIR, with_images=True)
+    open_wire = encode_open_protocol(
+        ch.withColumn("topic", F.lit("t")).withColumn(
+            "partition", F.lit(0)))
+    assert_no_python_in_plan(decode_open_for_apply(open_wire))
+    csv_wire = encode_csv_rows(ch, out_col="line").select("line")
+    assert_no_python_in_plan(decode_csv_for_apply(csv_wire))
+    # and decode is exchange-free: reconstruction is row-local
+    assert count_exchanges(decode_open_for_apply(open_wire)) == 0
+    assert count_exchanges(decode_csv_for_apply(csv_wire)) == 0

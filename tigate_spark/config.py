@@ -71,6 +71,10 @@ class SinkConfig:
     #: `file-expiration-days`): dt= partitions older than this many days
     #: behind the newest are pruned; None keeps everything
     file_expiration_days: int | None = None
+    #: transaction-atomicity (pkg/config/sink.go:39-49): 'none' (default,
+    #: ShouldSplitTxn=true) | 'table' (single-table upstream txns apply
+    #: atomically downstream; rejected on MQ schemes, sink.go:114-123)
+    txn_atomicity: str = "none"
 
 
 @dataclass

@@ -108,6 +108,8 @@ def _apply_sink_uri_options(cfg: ChangefeedConfig) -> dict:
         cfg.timezone = tz
     if "safe-mode" in q:
         cfg.sink.safe_mode = q["safe-mode"][0].lower() in ("true", "1")
+    if "transaction-atomicity" in q:
+        cfg.sink.txn_atomicity = q["transaction-atomicity"][0]
     return q
 
 
@@ -125,6 +127,20 @@ class Changefeed:
         #: _build_sink, and the per-batch default topic all read these
         self._sink_query = _apply_sink_uri_options(cfg)
         self._default_topic = urlparse(cfg.sink_uri).path.strip("/") or None
+        scheme = cfg.sink_uri.split("://", 1)[0]
+        if cfg.sink.txn_atomicity not in ("", "none", "table"):
+            # AtomicityLevel.validate (pkg/config/sink.go:114-129)
+            raise ValueError(
+                f"{cfg.sink.txn_atomicity} level atomicity is not "
+                f"supported by {scheme} scheme")
+        if (cfg.sink.txn_atomicity == "table"
+                and scheme in ("kafka", "changelog")):
+            # MQ sinks only support noneTxnAtomicity (sink.go:118-123):
+            # messages fan out across topic partitions, so a downstream
+            # txn boundary doesn't exist to preserve
+            raise ValueError(
+                f"table level atomicity is not supported by "
+                f"{scheme} scheme")
         if (cfg.sink.large_message_handle
                 and cfg.sink.large_message_handle != "none"
                 and cfg.sink.protocol not in
@@ -347,6 +363,7 @@ class Changefeed:
                 bookkeeping=self.bookkeeping,
                 write_source=self.cfg.source_id,
                 driver=get_driver(scheme),
+                split_txn=self.cfg.sink.txn_atomicity != "table",
             )
         if scheme in ("noop", "blackhole"):
             return NoopSink(self.bookkeeping)

@@ -196,27 +196,52 @@ class _LaneLock:
 
 def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
                retries: int = 5, fence: str | None = None,
-               write_source: int | None = None, driver=None) -> None:
+               write_source: int | None = None, driver=None,
+               split_txn: bool = True) -> None:
     """Sequential writer for ONE lane: explicit txns of <= txn_rows
     statements / <= max_packet arg bytes, with the reference's error
     classes (``driver.classify``): transient → rollback + backoff retry;
     duplicate-entry → re-render the txn's INSERTs as safe-mode REPLACEs
     and retry (``mysql_writer.go`` translateToInsert=false form);
-    packet-overflow → fall back to one-statement-per-txn
-    (``mysql_writer.go:766`` fallbackToSeqWay). ``stmts`` is an iterable
-    of (schema, table, table_id, sql, args_json) already in apply order.
-    ``fence`` names this lane application; the whole run holds the lane
-    flock, and a fence already present in ``_applied`` (the winner
-    finished) makes the call a no-op.
+    packet-overflow → fall back to sending statements individually in
+    minimal txns (``mysql_writer.go:766`` fallbackToSeqWay). ``stmts``
+    is an iterable of (schema, table, table_id, sql, args_json[,
+    txn_key]) already in apply order. ``fence`` names this lane
+    application; the whole run holds the lane flock, and a fence already
+    present in ``_applied`` (the winner finished) makes the call a no-op.
+
+    ``split_txn=False`` is the reference's
+    ``transaction-atomicity=table`` (``pkg/config/sink.go:48,106-112``
+    ShouldSplitTxn): a single-table upstream transaction — statements
+    sharing ``txn_key`` — is NEVER split across downstream commits, so
+    a crash can't leave a half-applied txn visible; ``txn_rows`` /
+    ``max_packet`` become soft bounds that flush only at txn-group
+    boundaries, and the seq-way fallback commits per upstream txn
+    instead of per statement.
     """
     import json
 
     driver = driver or dbapi.SqliteDriver()
+
+    def with_retry(fn) -> None:
+        """Transient-retry for the out-of-txn setup statements (write-
+        source recording, implicit CREATEs) — the reference retries its
+        whole tryExec including SetWriteSource (mysql_writer.go:778),
+        so a lock-wait on these must not fail the lane either."""
+        for attempt in range(retries):
+            try:
+                fn()
+                return
+            except driver.error_class as e:
+                if driver.classify(e) != dbapi.TRANSIENT \
+                        or attempt == retries - 1:
+                    raise
+                time.sleep(0.05 * (2 ** attempt))
+
     with _LaneLock(db_path):
         con = driver.connect(db_path)
         cur = con.cursor()
-        _ensure_meta(cur)
-        con.commit()
+        with_retry(lambda: (_ensure_meta(cur), con.commit()))
         if fence is not None and list(cur.execute(
                 "SELECT 1 FROM _applied WHERE fence = ?", (fence,))):
             con.close()
@@ -226,10 +251,13 @@ def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
             # tidb_cdc_write_source, set per txn at mysql_writer.go:778);
             # one connection serves this whole lane application, so one
             # recording covers every txn it commits
-            cur.execute(
-                "INSERT OR REPLACE INTO _write_source VALUES (1, ?)",
-                (int(write_source),))
-            con.commit()
+            def record_source():
+                cur.execute(
+                    "INSERT OR REPLACE INTO _write_source VALUES (1, ?)",
+                    (int(write_source),))
+                con.commit()
+
+            with_retry(record_source)
         # probe the LIMIT extension once per connection (MySQL has it)
         try:
             cur.execute("CREATE TEMP TABLE _probe(x INTEGER)")
@@ -258,19 +286,29 @@ def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
             nonlocal pending, pending_bytes
             if not pending and not mark:
                 return
-            seq_way = False  # packet-overflow fallback: 1 stmt per txn
+            seq_way = False  # packet-overflow fallback: minimal txns
             for attempt in range(retries):
                 try:
                     if seq_way:
-                        # fallbackToSeqWay (mysql_writer.go:766): each
-                        # statement in its own txn keeps every packet
-                        # minimal; safe-mode statements stay idempotent
-                        # so the partial progress of a failed multi-txn
-                        # attempt is harmless
-                        for s, a in pending:
+                        # fallbackToSeqWay (mysql_writer.go:766):
+                        # statements are sent individually in minimal
+                        # txns (per statement, or per upstream txn group
+                        # under transaction-atomicity=table — atomicity
+                        # survives the fallback); safe-mode statements
+                        # stay idempotent so the partial progress of a
+                        # failed multi-txn attempt is harmless
+                        i = 0
+                        while i < len(pending):
+                            j = i + 1
+                            if not split_txn:
+                                while (j < len(pending)
+                                       and pending[j][2] == pending[i][2]):
+                                    j += 1
                             cur.execute("BEGIN")
-                            cur.execute(s, a)
+                            for s, a, _k in pending[i:j]:
+                                cur.execute(s, a)
                             con.commit()
+                            i = j
                         if mark and fence is not None:
                             cur.execute("BEGIN")
                             mark_fence()
@@ -278,7 +316,7 @@ def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
                         pending, pending_bytes = [], 0
                         return
                     cur.execute("BEGIN")
-                    for s, a in pending:
+                    for s, a, _k in pending:
                         cur.execute(s, a)
                     if mark and fence is not None:
                         mark_fence()
@@ -299,8 +337,8 @@ def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
                             raise
                         pending = [
                             ("REPLACE INTO" + s[len("INSERT INTO"):]
-                             if s.startswith("INSERT INTO") else s, a)
-                            for s, a in pending
+                             if s.startswith("INSERT INTO") else s, a, k)
+                            for s, a, k in pending
                         ]
                     elif kind == dbapi.PACKET_OVERFLOW:
                         if attempt == retries - 1:
@@ -309,27 +347,39 @@ def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
                     else:
                         raise
 
-        for schema, table, table_id, sql, args_json in stmts:
+        cur_key = None
+        for schema, table, table_id, sql, args_json, *rest in stmts:
+            txn_key = rest[0] if rest else None
             tbl = _local_name(schema, table)
             if tbl not in made:
                 flush()  # implicit CREATE outside the DML txn
-                cur.execute(
-                    f"CREATE TABLE IF NOT EXISTS `{tbl}` "
-                    "(pk INTEGER PRIMARY KEY, event_type TEXT, "
-                    "value_cents INTEGER)"
-                )
-                cur.execute(
-                    "INSERT OR IGNORE INTO _tables VALUES (?, ?)",
-                    (tbl, int(table_id)))
-                con.commit()
+
+                def create_base(tbl=tbl, table_id=table_id):
+                    cur.execute(
+                        f"CREATE TABLE IF NOT EXISTS `{tbl}` "
+                        "(pk INTEGER PRIMARY KEY, event_type TEXT, "
+                        "value_cents INTEGER)"
+                    )
+                    cur.execute(
+                        "INSERT OR IGNORE INTO _tables VALUES (?, ?)",
+                        (tbl, int(table_id)))
+                    con.commit()
+
+                with_retry(create_base)
                 made.add(tbl)
             sql = sql.replace(f"`{schema}`.`{table}`", f"`{tbl}`")
             if strip_limit:
                 sql = sql.replace(" LIMIT 1", "")
-            pending.append((sql, json.loads(args_json)))
+            # flush BEFORE appending, and under atomicity=table only at
+            # an upstream-txn boundary — a txn group never splits across
+            # downstream commits
+            if pending and (len(pending) >= txn_rows
+                            or pending_bytes >= max_packet):
+                if split_txn or txn_key is None or txn_key != cur_key:
+                    flush()
+            pending.append((sql, json.loads(args_json), txn_key))
             pending_bytes += len(args_json)
-            if len(pending) >= txn_rows or pending_bytes >= max_packet:
-                flush()
+            cur_key = txn_key
         flush(mark=True)
         con.close()
 
@@ -393,7 +443,7 @@ class SqliteApplySink:
     def __init__(self, db_dir: str, n_lanes: int = DEFAULT_LANES,
                  txn_rows: int = 256, max_packet: int = 64 * 1024,
                  bookkeeping=None, write_source: int | None = None,
-                 driver=None):
+                 driver=None, split_txn: bool = True):
         self.db_dir = db_dir
         self.n_lanes = n_lanes
         self.txn_rows = txn_rows
@@ -405,6 +455,9 @@ class SqliteApplySink:
         #: classifier; shipped to executors inside the foreachPartition
         #: closure, so it must be picklable
         self.driver = driver or dbapi.SqliteDriver()
+        #: transaction-atomicity (sink.go:39-49): False = 'table' level —
+        #: single-table upstream txns apply atomically downstream
+        self.split_txn = split_txn
         os.makedirs(db_dir, exist_ok=True)
         # lane = table_id % n_lanes names PERSISTENT files: restarting a
         # feed over an existing db_dir with a different worker-count
@@ -437,6 +490,7 @@ class SqliteApplySink:
         db_dir, txn_rows, max_packet = \
             self.db_dir, self.txn_rows, self.max_packet
         write_source, driver = self.write_source, self.driver
+        split_txn = self.split_txn
         fence = f"b{batch_id}" if fence is None else fence
 
         def run_partition(rows) -> None:
@@ -451,11 +505,16 @@ class SqliteApplySink:
                 _exec_lane(
                     os.path.join(db_dir, f"lane-{lane}.db"),
                     ((r["schema_name"], r["table_name"], r["table_id"],
-                      r["sql"], r["args"]) for r in rs),
+                      r["sql"], r["args"],
+                      # upstream-txn identity: the reference's 'table'
+                      # atomicity is per single-TABLE transaction
+                      (r["table_id"], r["commit_ts"], r["start_ts"]))
+                     for r in rs),
                     txn_rows, max_packet,
                     fence=f"{fence}.l{lane}",
                     write_source=write_source,
                     driver=driver,
+                    split_txn=split_txn,
                 )
 
         (stmts.repartition(self.n_lanes, "lane")
