@@ -26,9 +26,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Run order for a driver that caps at ~50 entries per round. Round-10
-#: rotation: positions 1-2 are the NEW r10 entries (the open-protocol
+#: rotation: positions 1-4 are the NEW r10 entries (the open-protocol
 #: and storage-csv consumer apply e2es — with canal, all three
-#: consumer families now compose to identity); positions 3-10 are
+#: consumer families now compose to identity — and the CSVConfig
+#: dialect codec pair, byte-exact vs the univocity quoting rule);
+#: next are
 #: entries whose engine code
 #: changed in round 10 (the executable sink refactored over the DBAPI
 #: driver seam incl. the seq-way/dup-entry fallbacks; redo gained the
@@ -42,6 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: overflow keeps draining oldest-first on the rolling clock.
 _PRIORITY = [
     'consumer_openprotocol_apply_e2e', 'consumer_storage_apply_e2e',
+    'encoder_csv_configured', 'decoder_csv_configured',
     'streaming_sqlite_apply_e2e',
     'streaming_sqlite_ddl_apply_e2e', 'engine_ddl_barrier_e2e',
     'streaming_bdr_loop_prevention_e2e', 'redo_disaster_recovery_e2e',

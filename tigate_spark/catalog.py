@@ -1495,6 +1495,93 @@ def encoder_csv_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_csv_rows(ch).select("seq", "line")
 
 
+#: DuckDB mirror of the JVM csv writer's quoting rule (univocity, the
+#: engine behind F.to_csv): a field is quoted iff it contains the quote
+#: char, the delimiter, or a line break, or is the empty string; inside
+#: quotes, backslash (the escape char) and the quote char are
+#: backslash-escaped; NULL renders as the null token unquoted. Built
+#: from chr() literals so Python string escaping can't mangle it
+#: (SNIPPETS r7 lesson).
+def _csv_quoted_field_sql(f: str, sep: str) -> str:
+    bs, qt = "chr(92)", "chr(34)"
+    return (
+        f"CASE WHEN {f} IS NULL THEN chr(92) || 'N' "
+        f"WHEN contains({f}, '{sep}') OR contains({f}, chr(34)) "
+        f"OR contains({f}, chr(10)) OR contains({f}, chr(13)) "
+        f"OR {f} = '' "
+        f"THEN {qt} || replace(replace({f}, {bs}, {bs}||{bs}), "
+        f"chr(34), {bs}||chr(34)) || {qt} "
+        f"ELSE {f} END"
+    )
+
+
+_CSV_CFG_FIELDS = [
+    "op", "schema_name", "table_name", "CAST(commit_ts AS VARCHAR)",
+    "CAST(pk AS VARCHAR)", "event_type", "CAST(value_cents AS VARCHAR)",
+    "props",
+]
+
+
+@register(
+    "encoder_csv_configured",
+    ORACLE_CHANGES_CTE
+    + "SELECT seq, "
+    + " || '|' || ".join(_csv_quoted_field_sql(f, "|")
+                         for f in _CSV_CFG_FIELDS)
+    + " AS line FROM changes",
+    doc="CSV encoder under the reference's CSVConfig knobs "
+        "(pkg/config/sink.go:250-268: delimiter/quote/null/"
+        "include-commit-ts) — delimiter '|', quote '\"', null '\\N', "
+        "commit-ts on, plus the free-form props column, whose JSON "
+        "quotes force REAL quoting on every line. Spark-first: the "
+        "wire bytes come from F.to_csv (the JVM univocity writer), and "
+        "the oracle reproduces its quoting rule field by field — "
+        "quoted iff the field holds quote/delimiter/linebreak or is "
+        "empty, backslash-escaped inside quotes. Byte-exact hash match",
+)
+def encoder_csv_configured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.config import CSVConfig
+    from tigate_spark.functions.encoders import encode_csv_configured
+
+    cfg = CSVConfig(delimiter="|", quote='"', null_string="\\N",
+                    include_commit_ts=True)
+    ch = changes_stream(spark, sf_dir)
+    return encode_csv_configured(ch, cfg, extra_cols=("props",)).select(
+        "seq", "line")
+
+
+@register(
+    "decoder_csv_configured",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, op, schema_name, table_name, commit_ts, pk, event_type,
+       value_cents, props
+FROM changes
+""",
+    doc="Consumer-side inverse under the same CSVConfig: F.from_csv "
+        "with matching options parses the quoted '|'-delimited lines "
+        "back — a delimiter inside a quoted JSON field survives, which "
+        "a naive split cannot do. Full encode→decode round trip "
+        "hash-matches the pre-encode truth",
+)
+def decoder_csv_configured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.config import CSVConfig
+    from tigate_spark.functions.encoders import (
+        decode_csv_configured,
+        encode_csv_configured,
+    )
+
+    cfg = CSVConfig(delimiter="|", quote='"', null_string="\\N",
+                    include_commit_ts=True)
+    ch = changes_stream(spark, sf_dir)
+    enc = encode_csv_configured(ch, cfg, extra_cols=("props",)).select(
+        "seq", "line")  # seq rides OUTSIDE the line (the message offset)
+    return decode_csv_configured(
+        enc, cfg, extra_schema="props string"
+    ).select("seq", "op", "schema_name", "table_name", "commit_ts",
+             "pk", "event_type", "value_cents", "props")
+
+
 @register(
     "txn_match_prewrite_commit",
     ORACLE_CHANGES_CTE

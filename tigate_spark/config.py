@@ -54,6 +54,48 @@ class DispatchRule:
 
 
 @dataclass
+class CSVConfig:
+    """CSV codec config for the storage sink (``pkg/config/sink.go:
+    250-268`` CSVConfig; validation mirror of ``validateAndAdjust``
+    :270-325). ``output_old_value``/``output_handle_key`` are carried
+    for config parity; the line layout here is the fixed storage-row
+    shape (op, schema, table, [commit_ts,] cols...)."""
+
+    delimiter: str = ","
+    quote: str = '"'
+    null_string: str = "\\N"
+    include_commit_ts: bool = True
+    binary_encoding_method: str = "hex"  # hex | base64
+    output_old_value: bool = False
+    output_handle_key: bool = False
+
+    def validate(self) -> None:
+        cr, lf = "\r", "\n"
+        if len(self.quote) > 1:
+            raise ValueError(
+                "csv config quote contains more than one character")
+        if self.quote and self.quote in (cr, lf):
+            raise ValueError(
+                "csv config quote cannot be line break character")
+        if not self.delimiter:
+            raise ValueError("csv config delimiter cannot be empty")
+        if len(self.delimiter) > 3:
+            raise ValueError(
+                "csv config delimiter contains more than three characters")
+        if cr in self.delimiter or lf in self.delimiter:
+            raise ValueError(
+                "csv config delimiter contains line break characters")
+        if self.quote and any(ch in self.quote for ch in self.delimiter):
+            raise ValueError(
+                "csv config quote and delimiter has common characters "
+                "which is not allowed")
+        if self.binary_encoding_method not in ("hex", "base64"):
+            raise ValueError(
+                "csv config binary-encoding-method can only be hex "
+                "or base64")
+
+
+@dataclass
 class SinkConfig:
     protocol: str = "canal-json"  # canal-json | open-protocol | avro (changelog) | csv (storage)
     #: storage-sink directory date layer: none | year | month | day
@@ -75,6 +117,9 @@ class SinkConfig:
     #: ShouldSplitTxn=true) | 'table' (single-table upstream txns apply
     #: atomically downstream; rejected on MQ schemes, sink.go:114-123)
     txn_atomicity: str = "none"
+    #: csv codec tuning for the storage sink ([sink.csv] in the
+    #: reference's changefeed.toml); None keeps the default line format
+    csv: CSVConfig | None = None
 
 
 @dataclass
@@ -168,6 +213,8 @@ def _build(cls, data: dict):
             v = _build(SinkConfig, v)
         elif f.name == "consistent" and isinstance(v, dict):
             v = _build(ConsistentConfig, v)
+        elif f.name == "csv" and isinstance(v, dict):
+            v = _build(CSVConfig, v)
         elif f.name == "event_filters":
             v = [_build(EventFilterRule, x) if isinstance(x, dict) else x for x in v]
         elif f.name == "column_selectors":

@@ -467,6 +467,66 @@ def decode_csv_rows(df: DataFrame, line_col: str = "line") -> DataFrame:
     )
 
 
+#: storage csv row layout (public TiCDC csv format): op flag first,
+#: then the table identity, optionally the commit ts, then the columns
+_CSV_FIELDS = ("op", "schema_name", "table_name", "pk", "event_type",
+               "value_cents")
+
+
+def encode_csv_configured(df: DataFrame, cfg, out_col: str = "line",
+                          extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """CSV line encoder honoring the reference's CSVConfig knobs
+    (``pkg/config/sink.go:250-268``): ``delimiter`` / ``quote`` /
+    ``null`` / ``include-commit-ts`` / ``binary-encoding-method``.
+    Spark-first: ``F.to_csv`` with the matching writer options — the
+    JVM csv writer quotes exactly when a field contains the quote char,
+    the delimiter, or a line break (and backslash-escapes quote/escape
+    chars inside quoted fields), so the wire bytes are the engine's,
+    not a reimplementation. BinaryType columns in ``extra_cols`` are
+    rendered per ``binary_encoding_method`` before the csv assembly
+    (the codec's BLOB rule)."""
+    from pyspark.sql.types import BinaryType
+
+    cfg.validate()
+    cols = list(_CSV_FIELDS[:3])
+    if cfg.include_commit_ts:
+        cols.append("commit_ts")
+    cols += list(_CSV_FIELDS[3:]) + list(extra_cols)
+    rendered = []
+    for c in cols:
+        if isinstance(df.schema[c].dataType, BinaryType):
+            f = F.hex(F.col(c)) if cfg.binary_encoding_method == "hex" \
+                else F.base64(F.col(c))
+        else:
+            f = F.col(c).cast("string")
+        rendered.append(f.alias(c))
+    opts = {"sep": cfg.delimiter, "nullValue": cfg.null_string}
+    if cfg.quote:
+        opts["quote"] = cfg.quote
+    return df.withColumn(out_col, F.to_csv(F.struct(*rendered), opts))
+
+
+def decode_csv_configured(df: DataFrame, cfg,
+                          line_col: str = "line",
+                          extra_schema: str = "") -> DataFrame:
+    """Consumer-side inverse of :func:`encode_csv_configured` —
+    ``F.from_csv`` with the same options (quote-aware, so a delimiter
+    inside a quoted field survives, which a naive split cannot do)."""
+    cfg.validate()
+    fields = ["op string", "schema_name string", "table_name string"]
+    if cfg.include_commit_ts:
+        fields.append("commit_ts bigint")
+    fields += ["pk bigint", "event_type string", "value_cents bigint"]
+    if extra_schema:
+        fields.append(extra_schema)
+    opts = {"sep": cfg.delimiter, "nullValue": cfg.null_string}
+    if cfg.quote:
+        opts["quote"] = cfg.quote
+    m = F.from_csv(F.col(line_col), ", ".join(fields), opts)
+    keep = [c for c in df.columns if c != line_col]
+    return df.withColumn("m", m).select(*keep, "m.*")
+
+
 def decode_csv_for_apply(df: DataFrame, line_col: str = "line") -> DataFrame:
     """Consumer-side decode of storage-sink CSV lines into the APPLY
     shape — the ``run_storage_consumer`` pipeline (the reference's

@@ -319,6 +319,7 @@ class Changefeed:
                 timezone=self.cfg.timezone,
                 bookkeeping=self.bookkeeping,
                 file_expiration_days=self.cfg.sink.file_expiration_days,
+                csv_config=self.cfg.sink.csv,
             )
         if scheme in ("sqlite", "mysql", "tidb"):
             # the executable writer loop (K1's live-SQL form): renders

@@ -459,7 +459,8 @@ class StorageSink:
                  bookkeeping: Bookkeeping | None = None,
                  files_per_leaf: int = 4,
                  timezone: str | None = None,
-                 file_expiration_days: int | None = None):
+                 file_expiration_days: int | None = None,
+                 csv_config=None):
         if date_separator not in _DATE_SEPARATOR_FMT:
             raise ValueError(f"unsupported date-separator: {date_separator}")
         if protocol not in ("csv", "canal-json"):
@@ -486,6 +487,14 @@ class StorageSink:
         #: date, so steady state costs nothing per batch.
         self.file_expiration_days = file_expiration_days
         self._last_cleaned_date: str | None = None
+        #: [sink.csv] codec tuning (CSVConfig); validated eagerly like
+        #: every other sink option — a bad delimiter must fail create,
+        #: not the first micro-batch
+        self.csv_config = csv_config
+        if csv_config is not None:
+            if protocol != "csv":
+                raise ValueError("csv config requires protocol=csv")
+            csv_config.validate()
 
     def _encode(self, batch_df: DataFrame) -> DataFrame:
         from tigate_spark.functions.encoders import (
@@ -494,6 +503,13 @@ class StorageSink:
         )
 
         if self.protocol == "csv":
+            if self.csv_config is not None:
+                from tigate_spark.functions.encoders import (
+                    encode_csv_configured,
+                )
+
+                return encode_csv_configured(
+                    batch_df, self.csv_config, out_col="line")
             return encode_csv_rows(batch_df, out_col="line")
         return encode_canal_json(batch_df, out_col="line")
 
