@@ -107,11 +107,17 @@ class _Feed:
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, source_dir: str, work_dir: str):
+    def __init__(self, spark: SparkSession, source_dir: str, work_dir: str,
+                 gc_safepoint_ts: int = 0):
         self.spark = spark
         self.source_dir = source_dir
         self.work_dir = work_dir
         self._feeds: dict[str, _Feed] = {}
+        #: the GC service safepoint: events at/below this ts are already
+        #: vacuumed upstream (T12), so a changefeed cannot start there —
+        #: the reference pins it in PD per feed (gc.EnsureChangefeedStart
+        #: TsSafety, api/v2/changefeed.go:106-118)
+        self.gc_safepoint_ts = int(gc_safepoint_ts)
 
     def create(self, cfg: ChangefeedConfig,
                ddl_events: list | None = None) -> str:
@@ -122,6 +128,13 @@ class Engine:
         schema version, and executing sinks run the DDL live."""
         if not _ID_RE.match(cfg.changefeed_id):
             raise ValueError(f"invalid changefeed id: {cfg.changefeed_id!r}")
+        if cfg.start_ts and cfg.start_ts < self.gc_safepoint_ts:
+            # ErrStartTsBeforeGC (changefeed.go:106-118): the events
+            # below the safepoint no longer exist to replicate
+            raise ValueError(
+                f"invalid start-ts {cfg.start_ts}: fail to create "
+                f"changefeed because start-ts {cfg.start_ts} is earlier "
+                f"than or equal to GC safepoint at {self.gc_safepoint_ts}")
         if cfg.changefeed_id in self._feeds and \
                 self._feeds[cfg.changefeed_id].state != "removed":
             raise ValueError(f"changefeed exists: {cfg.changefeed_id}")

@@ -121,6 +121,11 @@ class Changefeed:
                  ddl_events: list | None = None):
         if not cfg.sink_uri:
             raise ValueError("sink_uri is required")  # changefeed.go:62 parity
+        if cfg.target_ts and cfg.start_ts and cfg.target_ts <= cfg.start_ts:
+            # ErrTargetTsBeforeStartTs (api/v2/changefeed.go:121-124)
+            raise ValueError(
+                f"invalid target-ts {cfg.target_ts}, target-ts must be "
+                f"after start-ts {cfg.start_ts}")
         from urllib.parse import urlparse
 
         #: parsed ONCE: the query overlay, the sqlite writer options in
@@ -436,6 +441,30 @@ class Changefeed:
                 batch = claim_check(
                     batch, self.cfg.sink.large_message_threshold
                 ).withColumn("message", F.col("wire_value"))
+            else:
+                # ErrMessageTooLarge (open/encoder.go:43-52, canal
+                # equivalent): a single encoded message over
+                # max-message-bytes with no claim-check offload cannot be
+                # produced — fail the feed (deterministic, so the engine
+                # classifies it unretryable). handle-key-only already
+                # reduced the payload; if the reduced form STILL exceeds,
+                # the reference errors too (encoder.go:70-76). Zero extra
+                # jobs: the check is a per-row conditional inside the
+                # existing encode projection.
+                limit = self.cfg.sink.large_message_threshold
+                guard_cols = ["message"] if "message" in batch.columns \
+                    else (["value"] if self.cfg.sink.protocol
+                          == "open-protocol" else [])
+                for c in guard_cols:
+                    batch = batch.withColumn(c, F.when(
+                        F.octet_length(F.col(c)) > limit,
+                        F.raise_error(F.format_string(
+                            "ErrMessageTooLarge: single message of %s "
+                            "bytes is larger than max-message-bytes="
+                            f"{limit}, unsupported without "
+                            "large-message-handle",
+                            F.octet_length(F.col(c)).cast("string"),
+                        ))).otherwise(F.col(c)))
         return batch
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
