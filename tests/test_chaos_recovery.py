@@ -180,3 +180,71 @@ def test_kill_mid_batch_then_lose_downstream(spark, sf_dir, chunked_source,
     got = recovered.select(*_OUT)
     assert got.exceptAll(exp_at_resolved).count() == 0
     assert exp_at_resolved.exceptAll(got).count() == 0
+
+
+def test_kill_between_ddl_exec_and_post_subbatch(spark, sf_dir,
+                                                 chunked_source, tmp_path):
+    """Third crash window — INSIDE the DDL barrier: the sink executed
+    the ALTER TABLE live, then the feed dies before the post-DDL
+    sub-batch (and the checkpoint) commit. On resume the whole
+    micro-batch replays: the barrier is re-detected (driver state is
+    gone), the registry append dedups, the DDL replay lands in the
+    ignorable class ('ignored', never double-applied), and the fenced
+    sub-batches converge to the evolved LWW state."""
+    from tigate_spark.streaming.ddl import DDLEvent
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    mid = ev.selectExpr(
+        "percentile_approx(unix_micros(cast(ts as timestamp)), 0.5) p"
+    ).collect()[0][0]
+    ddl = DDLEvent(
+        commit_ts=int(mid), table_id=1,
+        query="ALTER TABLE `app`.`t1` ADD COLUMN `extra_cents` INTEGER "
+              "DEFAULT 7",
+        schema_tag="v1", schema_name="app", table_name="t1",
+    )
+    work = str(tmp_path / "work")
+    cfg = ChangefeedConfig(changefeed_id="cf-ddl-chaos",
+                           sink_uri="sqlite://")
+    cf1 = Changefeed(spark, cfg, chunked_source, work, ddl_events=[ddl])
+    orig1 = cf1.sink.exec_ddl
+    first = {}
+
+    def crash_after_ddl(query, schema, table, table_id):
+        out = orig1(query, schema, table, table_id)
+        if not first:
+            first["outcome"] = out
+            raise RuntimeError(
+                "chaos kill: after DDL exec, before post-DDL sub-batch")
+        return out
+
+    cf1.sink.exec_ddl = crash_after_ddl
+    with pytest.raises(Exception, match="chaos kill"):
+        cf1.run_to_completion()
+    assert first["outcome"] == "applied"  # the DDL really ran downstream
+
+    cf2 = Changefeed(spark, cfg, chunked_source, work, ddl_events=[ddl])
+    orig2 = cf2.sink.exec_ddl
+    replays = []
+
+    def recording(query, schema, table, table_id):
+        out = orig2(query, schema, table, table_id)
+        replays.append(out)
+        return out
+
+    cf2.sink.exec_ddl = recording
+    cf2.run_to_completion()
+    # the replayed barrier hit the ignorable class, not a second apply
+    assert replays == ["ignored"]
+    assert cf2.registry.versions(spark).count() == 1
+    # converged: base columns match the LWW oracle; the evolved column
+    # is the DDL's DEFAULT on every surviving t1 row (safe-mode REPLACE
+    # re-takes column defaults)
+    got = cf2.sink.read_state(spark, extra_cols=("extra_cents",))
+    exp = _expected(spark, sf_dir)
+    base = got.select(*_OUT)
+    assert base.count() == exp.count() > 0
+    assert base.exceptAll(exp).count() == 0
+    t1 = got.filter(F.col("table_id") == 1)
+    assert t1.count() > 0
+    assert t1.filter(F.col("extra_cents") != 7).count() == 0

@@ -962,6 +962,36 @@ def encoder_canal_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "encoder_canal_json_no_extension",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, printf(
+  '{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,"type":"%s","es":%d,"ts":%d,"sql":"","data":%s,"old":%s}',
+  schema_name, table_name,
+  CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+  commit_ts // 1000, commit_ts // 1000,
+  '[' || coalesce(CASE WHEN op = 'D' THEN before ELSE after END, 'null') || ']',
+  CASE WHEN op = 'U' THEN '[' || before || ']' ELSE 'null' END
+  ) AS message
+FROM changes
+""",
+    doc="E1 with enable-tidb-extension=false (the sink DEFAULT — "
+        "pkg/config/sink.go:410; large_message.go gates canal "
+        "handle-key-only on the extension being ON): plain canal-json "
+        "with NO _tidb field — downstream canal consumers get only the "
+        "millisecond es clock, and resolved/watermark messages (the "
+        "extension's TYPE_TIDB_WATERMARK) cannot exist on this wire",
+)
+def encoder_canal_json_no_extension(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_canal_json
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    return encode_canal_json(ch, tidb_extension=False).select(
+        "seq", "message")
+
+
+@register(
     "encoder_open_protocol",
     ORACLE_CHANGES_CTE
     + """

@@ -75,18 +75,25 @@ def canal_type_col(op_col: str = "op") -> Column:
     )
 
 
-def encode_canal_json(df: DataFrame, out_col: str = "message") -> DataFrame:
+def encode_canal_json(df: DataFrame, out_col: str = "message",
+                      tidb_extension: bool = True) -> DataFrame:
     """E1: one canal-json message per change row.
 
     ``data``: after-image for I/U, before-image for D (canal semantics);
     ``old``: before-image for U, else null. ``es``/``ts`` are millisecond
     clocks (``canal_json_message.go:48-52``); ``_tidb.commitTs`` keeps the
     exact µs commit ts.
+
+    ``tidb_extension=False`` is the reference's
+    ``enable-tidb-extension=false`` (the sink default; config
+    ``sink.go:410``): the message is PLAIN canal-json — no ``_tidb``
+    field, consumers get only the millisecond ``es`` clock, and
+    watermark/resolved messages (which exist only as the extension's
+    TYPE_TIDB_WATERMARK) cannot be emitted.
     """
     data = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
     old = F.when(F.col("op") == "U", F.col("before"))
-    msg = F.format_string(
-        _CANAL_FMT,
+    args = [
         F.col("schema_name"),
         F.col("table_name"),
         canal_type_col(),
@@ -94,8 +101,13 @@ def encode_canal_json(df: DataFrame, out_col: str = "message") -> DataFrame:
         F.expr("commit_ts div 1000"),
         F.concat(F.lit("["), F.coalesce(data, F.lit("null")), F.lit("]")),
         F.when(old.isNotNull(), F.concat(F.lit("["), old, F.lit("]"))).otherwise(F.lit("null")),
-        F.col("commit_ts"),
-    )
+    ]
+    if tidb_extension:
+        fmt = _CANAL_FMT
+        args.append(F.col("commit_ts"))
+    else:
+        fmt = _CANAL_FMT.replace(',"_tidb":{"commitTs":%d}', "")
+    msg = F.format_string(fmt, *args)
     return df.withColumn(out_col, msg)
 
 
