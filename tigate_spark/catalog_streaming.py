@@ -1634,6 +1634,82 @@ def consumer_changelog_apply_e2e(spark: SparkSession,
 
 
 @register(
+    "engine_crash_resume_e2e",
+    _STREAM_ORACLE,
+    doc="Crash-recovery end to end under the external oracle: a "
+        "redo-enabled replica feed is HARD-KILLED inside micro-batch 1 "
+        "at the worst window — after the sink committed, before the "
+        "checkpoint commit (the reference's failover drills, "
+        "consistent_replicate_* / availability tests). The entry then "
+        "resumes with a fresh Changefeed over the same work dir: Spark "
+        "replays the uncommitted batch in full, idempotence (overwrite-"
+        "mode WAL dirs + LWW merge) absorbs the double-apply, and the "
+        "final replica hash-matches the direct-path LWW oracle with "
+        "redo meta converged (checkpoint_ts == resolved_ts). The "
+        "pytest chaos matrix (tests/test_chaos_recovery.py) covers "
+        "both windows x both sinks; this entry puts one window under "
+        "the driver's DuckDB value-hash gate",
+)
+def engine_crash_resume_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.config import ConsistentConfig
+    from tigate_spark.streaming.changefeed import Changefeed
+    from tigate_spark.streaming.sinks import read_replica
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        flat, land = split_commit_order(spark, src, os.path.join(work, "p"), 4)
+        for k in range(4):
+            land(k)
+
+        def mk():
+            cfg = ChangefeedConfig(
+                changefeed_id="cf-crash-resume", sink_uri="replica://",
+                consistent=ConsistentConfig(
+                    level="eventual",
+                    storage=os.path.join(work, "redo")),
+            )
+            return Changefeed(spark, cfg, flat, work)
+
+        cf1 = mk()
+        orig = cf1._foreach_batch
+        fired = {"done": False}
+
+        def crash_after_sink(batch_df, batch_id):
+            orig(batch_df, batch_id)
+            if batch_id == 1 and not fired["done"]:
+                fired["done"] = True
+                raise RuntimeError(
+                    "chaos kill: after sink commit, before checkpoint "
+                    "commit")
+
+        cf1._foreach_batch = crash_after_sink
+        try:
+            cf1.run_to_completion()
+        except Exception as e:  # noqa: BLE001 — the injected kill
+            if "chaos kill" not in str(e):
+                raise
+        if not fired["done"]:
+            raise RuntimeError("crash did not fire — vacuous entry")
+        meta = cf1.redo.meta()
+        if not meta["checkpoint_ts"] <= meta["resolved_ts"]:
+            raise RuntimeError(f"redo invariant broken at crash: {meta}")
+
+        cf2 = mk()
+        cf2.run_to_completion()
+        meta2 = cf2.redo.meta()
+        if not (0 < meta2["checkpoint_ts"] == meta2["resolved_ts"]):
+            raise RuntimeError(f"redo meta did not converge: {meta2}")
+        rep = read_replica(spark, cf2.sink.state_dir).select(
+            "table_id", "pk", F.col("commit_ts").alias("last_commit_ts"),
+            "event_type", "value_cents",
+        )
+        return _materialize(rep)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "consumer_openprotocol_apply_e2e",
     _STREAM_ORACLE,
     doc="The kafka-consumer pipeline for the OPEN protocol — the "
