@@ -177,3 +177,41 @@ def test_atomicity_uri_validation(spark, sf_dir, tmp_path, uri, ok):
     else:
         with pytest.raises(ValueError, match="atomicity is not supported"):
             Changefeed(spark, cfg, src, str(tmp_path))
+
+
+def test_table_atomicity_property_random_crash(tmp_path):
+    """Property: under atomicity=table, for ANY txn-size layout and ANY
+    crash statement, the visible rows are a prefix of WHOLE txns."""
+    import itertools
+
+    for case, (sizes, crash_at, txn_rows) in enumerate(
+            [([1, 4, 2, 7, 1], 5, 2), ([3, 3, 3], 4, 1),
+             ([6, 1, 1], 2, 4), ([2, 2, 2, 2], 7, 3),
+             ([5, 5], 9, 2)]):
+        stmts, g = [], 0
+        for t, n in enumerate(sizes):
+            for _ in range(n):
+                stmts.append((
+                    "app", "t0", 0,
+                    "REPLACE INTO `app`.`t0` "
+                    "(`pk`,`event_type`,`value_cents`) VALUES (?,?,?)",
+                    json.dumps([g, f"txn{t}", g]),
+                    (0, 1000 + t, 900 + t),
+                ))
+                g += 1
+        db = str(tmp_path / f"lane-prop{case}.db")
+        crash_pk = crash_at if crash_at < g else g - 1
+        with pytest.raises(FakeMySQLError):
+            _exec_lane(db, stmts, txn_rows=txn_rows, max_packet=1 << 20,
+                       driver=_ArgAwareDriver(crash_pk=crash_pk),
+                       split_txn=False)
+        got = _rows_per_txn(db)
+        # every visible txn is COMPLETE, and visibility is a prefix
+        starts = list(itertools.accumulate([0] + sizes))
+        crashed_txn = next(t for t in range(len(sizes))
+                           if starts[t] <= crash_pk < starts[t + 1])
+        for t, n in enumerate(sizes):
+            vis = got.get(f"txn{t}", 0)
+            assert vis in (0, n), (case, t, got)
+            if t >= crashed_txn:
+                assert vis == 0, (case, t, got)
