@@ -46,6 +46,7 @@ _PRIORITY = [
     'consumer_openprotocol_apply_e2e', 'consumer_storage_apply_e2e',
     'encoder_csv_configured', 'decoder_csv_configured',
     'encoder_canal_json_no_extension', 'engine_crash_resume_e2e',
+    'multimodal_png_decode',
     'streaming_sqlite_apply_e2e',
     'streaming_sqlite_ddl_apply_e2e', 'engine_ddl_barrier_e2e',
     'streaming_bdr_loop_prevention_e2e', 'redo_disaster_recovery_e2e',

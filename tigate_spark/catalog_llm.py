@@ -439,6 +439,81 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_bmp_meta(synth_bmp(docs))
 
 
+@register(
+    "multimodal_png_decode",
+    """
+WITH ids AS (
+  SELECT doc_id AS img_id FROM documents WHERE doc_id % 5 = 0
+), px AS (
+  SELECT i.img_id, x.range AS x, y.range AS y
+  FROM ids i CROSS JOIN range(24) x CROSS JOIN range(16) y
+), sums AS (
+  SELECT img_id,
+    CAST(SUM((img_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS s_r,
+    CAST(SUM((img_id * 31 + x * 7 + y * 13 + 17) % 256) AS BIGINT) AS s_g,
+    CAST(SUM((img_id * 31 + x * 7 + y * 13 + 34) % 256) AS BIGINT) AS s_b
+  FROM px GROUP BY img_id
+)
+SELECT img_id,
+  CAST(CASE WHEN img_id % 97 = 0 THEN NULL ELSE 24 END AS BIGINT) AS width,
+  CAST(CASE WHEN img_id % 97 = 0 THEN NULL ELSE 16 END AS BIGINT) AS height,
+  CAST(CASE WHEN img_id % 97 = 0 THEN NULL ELSE 3 END AS BIGINT)
+    AS channels,
+  CASE WHEN img_id % 97 = 0 THEN NULL ELSE s_r END AS sum_r,
+  CASE WHEN img_id % 97 = 0 THEN NULL ELSE s_g END AS sum_g,
+  CASE WHEN img_id % 97 = 0 THEN NULL ELSE s_b END AS sum_b,
+  CAST(CASE WHEN img_id % 97 = 0 THEN 0 ELSE 1 END AS BIGINT) AS decode_ok
+FROM sums
+""",
+    doc="REAL entropy-coded image decode — NO stub left on the "
+        "multimodal path: a valid 24x16 truecolor PNG per document is "
+        "synthesized on the EXECUTORS (chunk framing + CRC-32 + DEFLATE "
+        "via stdlib zlib, scanline filters varied y%5 so the decoder "
+        "must invert all five predictors: None/Sub/Up/Average/Paeth — "
+        "RFC 2083 / W3C PNG spec), then decoded by an independent "
+        "from-spec parser (functions/png.py) inside Arrow mapInPandas: "
+        "signature + per-chunk CRC validation, zlib inflate, full "
+        "unfiltering. Per-image channel sums must reproduce the known "
+        "pixel formula arithmetically (the oracle never sees bytes); "
+        "every 97th image is corrupted in transit and must land in the "
+        "dead-letter lane (decode_ok=0, null fields) via CRC mismatch, "
+        "not crash the task. Zero shuffle, 1 row in / 1 row out",
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.png import decode_png_features, png_encode
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").cast("bigint").alias("img_id"))
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for img_id in pdf["img_id"]:
+                d = int(img_id)
+                pixels = [
+                    [[(d * 31 + x * 7 + y * 13 + c * 17) % 256
+                      for c in range(3)] for x in range(24)]
+                    for y in range(16)
+                ]
+                data = png_encode(pixels)  # filters vary per row (y%5)
+                if d % 97 == 0:
+                    # corrupt ONE byte inside IHDR: the decoder's chunk
+                    # CRC check must catch it (dead-letter, not garbage)
+                    b = bytearray(data)
+                    b[25] ^= 0xFF
+                    data = bytes(b)
+                rows.append((d, data))
+            yield pd.DataFrame(rows, columns=["img_id", "data"])
+
+    imgs = ids.mapInPandas(gen, "img_id bigint, data binary")
+    return decode_png_features(imgs)
+
+
 # ===========================================================================
 # Embedding near-dup + IVF ANN (SURVEY §7 M6 extensions)
 # ===========================================================================

@@ -186,7 +186,12 @@ def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224,
     The real body is ``PIL.Image.open(io.BytesIO(b)).resize((w, h))``;
     STUBBED here (no PIL in env) with a deterministic fake that tiles the
     payload's md5 digest into a pseudo-thumbnail so tests pin the batch
-    shape + schema. The ``resized_md5`` digest hashes the thumbnail's
+    shape + schema. (This JPEG-family stub is the LAST fake on the
+    multimodal path: entropy-coded decode itself is REAL via the
+    from-spec PNG codec — chunk CRCs, DEFLATE, all five scanline
+    predictors — ``functions/png.py`` / ``multimodal_png_decode``;
+    numpy box-filter resize on decoded pixels is real too,
+    ``resize_box``.) The ``resized_md5`` digest hashes the thumbnail's
     HEX rendering (pure string arithmetic on both engines), which lets a
     DuckDB oracle reproduce it exactly — blob-typed md5 isn't portable.
     """
