@@ -26,22 +26,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Run order for a driver that caps at ~50 entries per round. Round-10
-#: rotation: positions 1-4 are the NEW r10 entries (the open-protocol
-#: and storage-csv consumer apply e2es — with canal, all three
-#: consumer families now compose to identity — and the CSVConfig
-#: dialect codec pair, byte-exact vs the univocity quoting rule);
-#: next are
-#: entries whose engine code
-#: changed in round 10 (the executable sink refactored over the DBAPI
-#: driver seam incl. the seq-way/dup-entry fallbacks; redo gained the
-#: resolved-ts ordering guard + O(1) DDL dedup; Engine.update keeps DDL
-#: barriers and the unretryable match is root-cause-only); positions
-#: 10+ are the ENTIRE catalog freshness-ascending by latest external
-#: green round (computed from CORRECTNESS_r0*.json): the 24 r3-vintage
-#: entries first (VERDICT r9 "What's wrong" #1 — the TPC-H headliners,
-#: the dedup/sim families, text/multimodal), then the r4 cohort, so the
-#: ~50-slot window drains all of r3 plus the oldest r4 entries and any
-#: overflow keeps draining oldest-first on the rolling clock.
+#: rotation: positions 1-7 are the NEW r10 entries — the open-protocol
+#: and storage-csv consumer apply e2es (with canal, all three consumer
+#: families now compose to identity), the CSVConfig dialect codec pair
+#: (byte-exact vs the univocity quoting rule), plain canal-json with
+#: enable-tidb-extension=false, the crash-resume recovery e2e, and the
+#: from-spec PNG entropy decode; positions 8-15 are entries whose
+#: engine code changed in round 10 (the executable sink refactored over
+#: the DBAPI driver seam incl. transaction-atomicity and the
+#: seq-way/dup-entry fallbacks; redo gained the resolved-ts ordering
+#: guard + O(1) DDL dedup; Engine.update keeps DDL barriers and the
+#: unretryable match is root-cause-only); positions 16+ are the ENTIRE
+#: catalog freshness-ascending by latest external green round (computed
+#: from CORRECTNESS_r0*.json): the 24 r3-vintage entries first (VERDICT
+#: r9 "What's wrong" #1 — the TPC-H headliners, the dedup/sim families,
+#: text/multimodal), then the r4 cohort, so the ~50-slot window drains
+#: all of r3 plus the oldest r4 entries and any overflow keeps draining
+#: oldest-first on the rolling clock.
 _PRIORITY = [
     'consumer_openprotocol_apply_e2e', 'consumer_storage_apply_e2e',
     'encoder_csv_configured', 'decoder_csv_configured',
