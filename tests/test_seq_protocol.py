@@ -53,3 +53,37 @@ def test_gap_semantics_match_reference_decision(spark, lanes):
         expect_start = 0 if first_gap == 1 else 1_000_000 + (first_gap - 1) * 10
         assert r["resend_start_ts"] == expect_start
         assert r["n_resent"] == 200 - (first_gap - 1)
+
+
+def test_open_protocol_decode_is_encode_inverse(spark, sf_dir):
+    """encode_open_protocol ∘ decode_open_for_apply reconstructs every
+    apply-relevant field (op inferred from image presence; payload from
+    the op's live image) — pytest twin of the consumer e2e, at the
+    function level over the full corpus."""
+    from pyspark.sql import functions as F
+
+    from tigate_spark.functions.encoders import (
+        decode_open_for_apply,
+        encode_open_protocol,
+    )
+    from tigate_spark.sources.changes import changes_stream
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    wire = encode_open_protocol(
+        ch.withColumn("topic", F.lit("t")).withColumn("partition", F.lit(0))
+    ).select("seq", "key", "value")
+    dec = decode_open_for_apply(wire)
+    cols = ["seq", "table_id", "op", "commit_ts", "pk"]
+    src = ch.select(*cols,
+                    F.col("event_type"), F.col("value_cents"))
+    # D rows surface the BEFORE image's payload (canal/open parity) —
+    # compare payload only on I/U, identity fields on everything
+    a = dec.select(*cols)
+    b = src.select(*cols)
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0
+    live = dec.filter(F.col("op") != "D").select(
+        "seq", "event_type", "value_cents")
+    live_src = src.filter(F.col("op") != "D").select(
+        "seq", "event_type", "value_cents")
+    assert live.exceptAll(live_src).count() == 0
