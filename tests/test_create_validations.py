@@ -32,14 +32,17 @@ def test_start_ts_before_gc_safepoint_rejected(spark, sf_dir, tmp_path):
     below the GC safepoint are vacuumed — nothing exists to replicate."""
     eng = Engine(spark, os.path.join(sf_dir, "events.parquet"),
                  str(tmp_path), gc_safepoint_ts=1_000)
-    with pytest.raises(ValueError, match="GC safepoint"):
-        eng.create(ChangefeedConfig(changefeed_id="cf-gc",
-                                    sink_uri="noop://", start_ts=999))
-    # at/after the safepoint is fine; start_ts=0 (from-beginning over a
-    # file source) bypasses the check like the reference's current-tso
-    # default path
+    # the boundary is INCLUSIVE (gc manager: error iff startTs - 1 <
+    # safepoint): events AT the safepoint are already vacuumed
+    for bad in (999, 1_000):
+        with pytest.raises(ValueError, match="GC safepoint"):
+            eng.create(ChangefeedConfig(changefeed_id=f"cf-gc-{bad}",
+                                        sink_uri="noop://", start_ts=bad))
+    # strictly after the safepoint is fine; start_ts=0 (from-beginning
+    # over a file source) bypasses the check like the reference's
+    # current-tso default path
     eng.create(ChangefeedConfig(changefeed_id="cf-gc-ok",
-                                sink_uri="noop://", start_ts=1_000))
+                                sink_uri="noop://", start_ts=1_001))
     eng.create(ChangefeedConfig(changefeed_id="cf-gc-zero",
                                 sink_uri="noop://"))
 
@@ -79,3 +82,62 @@ def test_claim_check_offloads_oversize_instead_of_failing(spark, sf_dir,
     assert out.filter(
         (F.octet_length("message") > 64)
         & ~F.col("message").contains("claimCheckLocation")).count() == 0
+
+
+def test_message_too_large_guards_avro_hex_bytes(spark, sf_dir, tmp_path):
+    """The avro lane's wire is hex strings (2 chars per byte): the
+    guard must measure BYTES (len/2), and must fire for avro at all —
+    the reference errors on every codec, and avro can't even use
+    claim-check (this repo's own validation rejects the combination)."""
+    eng = Engine(spark, os.path.join(sf_dir, "events.parquet"),
+                 str(tmp_path))
+    cid = eng.create(ChangefeedConfig(
+        changefeed_id="cf-avro-toolarge",
+        sink_uri="changelog://?protocol=avro&max-message-bytes=16"))
+    with pytest.raises(Exception, match="ErrMessageTooLarge"):
+        eng.run_to_completion(cid)
+    assert eng._feeds[cid].state == "failed"
+
+
+def test_unretryable_matches_any_exception_header_line():
+    """Python chaining prints the ROOT first ('During handling...'), so
+    classification must scan every exception-header line, not just the
+    last one — a deterministic config root wrapped by an incidental
+    cleanup error still fast-fails."""
+    from tigate_spark.engine import _is_unretryable
+
+    chained = RuntimeError(
+        "ValueError: invalid partition-num='0' in sink-uri\n"
+        "\n"
+        "During handling of the above exception, another exception "
+        "occurred:\n"
+        "\n"
+        "Traceback (most recent call last):\n"
+        '  File "x.py", line 2, in cleanup\n'
+        "OSError: failed to remove temp dir\n")
+    assert _is_unretryable(chained)
+    transient_chain = RuntimeError(
+        "java.io.IOException: connection reset\n"
+        "During handling of the above exception, another exception "
+        "occurred:\n"
+        "OSError: failed to remove temp dir\n")
+    assert not _is_unretryable(transient_chain)
+
+
+def test_update_rejected_config_leaves_feed_untouched(spark, sf_dir,
+                                                      tmp_path):
+    """PUT with an invalid config must be atomic: the feed keeps its
+    previous cfg AND changefeed when Changefeed validation rejects the
+    replacement."""
+    eng = Engine(spark, os.path.join(sf_dir, "events.parquet"),
+                 str(tmp_path))
+    cid = eng.create(ChangefeedConfig(changefeed_id="cf-upd-atomic",
+                                      sink_uri="replica://"))
+    before_cf = eng.changefeed(cid)
+    bad = ChangefeedConfig(
+        changefeed_id="cf-upd-atomic",
+        sink_uri="changelog://?transaction-atomicity=table")  # MQ rejects
+    with pytest.raises(ValueError, match="atomicity is not supported"):
+        eng.update(cid, bad)
+    assert eng._feeds[cid].cfg.sink_uri == "replica://"
+    assert eng.changefeed(cid) is before_cf

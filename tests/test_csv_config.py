@@ -95,3 +95,52 @@ def test_config_round_trip_with_csv():
     back = changefeed_config_from_dict(d)
     assert back.sink.csv == CSVConfig(delimiter="|")
     assert back.sink.txn_atomicity == "table"
+
+
+def test_quote_disabled_dialect_is_truly_unquoted(spark):
+    """CSVConfig(quote='') must put NO quote character on the wire —
+    not Spark's NUL-quote fallback — and the split-based decode must
+    invert it (the quote-less reference dialect)."""
+    from pyspark.sql import functions as F
+
+    from tigate_spark.functions.encoders import (
+        decode_csv_configured,
+        encode_csv_configured,
+    )
+
+    cfg = CSVConfig(delimiter="|", quote="", null_string="\\N")
+    df = spark.createDataFrame(
+        [("I", "app", "t1", 10, 1, 'has"quote', 5),
+         ("U", "app", "t2", 20, 2, None, None)],
+        "op string, schema_name string, table_name string, "
+        "commit_ts bigint, pk bigint, event_type string, "
+        "value_cents bigint")
+    enc = encode_csv_configured(df, cfg)
+    lines = {r["pk"]: r["line"] for r in enc.collect()}
+    assert lines[1] == 'I|app|t1|10|1|has"quote|5'  # raw quote, no wrap
+    assert lines[2] == "U|app|t2|20|2|\\N|\\N"
+    assert "\x00" not in lines[1]  # NOT the NUL-quote fallback
+    dec = decode_csv_configured(
+        enc.select(F.col("pk").alias("pk_in"), "line"), cfg)
+    back = {r["pk_in"]: r for r in dec.collect()}
+    assert back[1]["event_type"] == 'has"quote'
+    assert back[2]["event_type"] is None and back[2]["value_cents"] is None
+
+
+def test_mark_applied_clamped_to_resolved(spark, tmp_path):
+    """An out-of-order batch whose resolved advance was withheld must
+    not let the sink's checkpoint overtake the WAL's resolved frontier
+    (the checkpoint<=resolved invariant recovery rests on)."""
+    from tigate_spark.streaming.redo import RedoLog
+
+    log = RedoLog(str(tmp_path / "redo"))
+    df = spark.createDataFrame([(10, 0), (20, 1)], "commit_ts bigint, pk bigint")
+    log.log_batch(df, 0)
+    assert log.meta()["resolved_ts"] == 20
+    ooo = spark.createDataFrame([(5, 2), (25, 3)], "commit_ts bigint, pk bigint")
+    log.log_batch(ooo, 1)  # guard freezes resolved at 20
+    log.mark_applied(1, 25)  # sink applied through 25 anyway
+    m = log.meta()
+    assert m["resolved_ts"] == 20
+    assert m["checkpoint_ts"] == 20  # clamped, invariant holds
+    assert m["checkpoint_ts"] <= m["resolved_ts"]

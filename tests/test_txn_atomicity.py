@@ -215,3 +215,97 @@ def test_table_atomicity_property_random_crash(tmp_path):
             assert vis in (0, n), (case, t, got)
             if t >= crashed_txn:
                 assert vis == 0, (case, t, got)
+
+
+def test_table_atomicity_multi_table_same_lane(tmp_path):
+    """Two tables sharing a lane AND a (commit_ts, start_ts) txn: the
+    lane sort keeps each single-table slice CONTIGUOUS (table_id inside
+    the sort key), so a mid-stream crash exposes only whole single-table
+    slices — never an alternating half of one (the review repro: without
+    table_id in the sort the keys alternate and flush() splits both)."""
+    from tigate_spark.streaming.sqlite_apply import SqliteApplySink
+
+    # emulate run_partition's ordering contract directly: rows arrive
+    # pre-sorted the way process_batch sorts them
+    rows = []
+    for pk in range(3):
+        for tbl in ("a0", "a4"):  # both -> lane 0 with 4 lanes
+            rows.append({"schema_name": "app", "table_name": tbl,
+                         "table_id": 0 if tbl == "a0" else 4,
+                         "commit_ts": 1000, "start_ts": 900,
+                         "opr": 3, "seq": pk, "piece_no": 0,
+                         "sql": f"REPLACE INTO `app`.`{tbl}` "
+                                "(`pk`,`event_type`,`value_cents`) "
+                                "VALUES (?,?,?)",
+                         "args": json.dumps([pk, tbl, pk])})
+    rows.sort(key=lambda r: (r["commit_ts"], r["start_ts"],
+                             r["table_id"], r["opr"], r["seq"],
+                             r["piece_no"]))
+    # after the sort, each table's slice is contiguous
+    order = [r["table_name"] for r in rows]
+    assert order == ["a0"] * 3 + ["a4"] * 3
+    db = str(tmp_path / "lane-0.db")
+    stmts = [(r["schema_name"], r["table_name"], r["table_id"],
+              r["sql"], r["args"],
+              (r["table_id"], r["commit_ts"], r["start_ts"]))
+             for r in rows]
+    # crash when the a4 slice reaches its second statement
+    seen = {"n": 0}
+
+    class Drv(FakeMySQLDriver):
+        def connect(self, dsn):
+            inner = super().connect(dsn)
+            outer_cls = FakeMySQLError
+
+            class Cur:
+                def __init__(self, c):
+                    self._c = c
+
+                def execute(self, sql, args=()):
+                    if "`app__a4`" in sql and args:
+                        seen["n"] += 1
+                        if seen["n"] == 2:
+                            raise outer_cls(1146, "server died")
+                    return self._c.execute(sql, args)
+
+                def __iter__(self):
+                    return iter(self._c)
+
+                def fetchone(self):
+                    return self._c.fetchone()
+
+                def fetchall(self):
+                    return self._c.fetchall()
+
+            class Con:
+                def __init__(self, c):
+                    self._c = c
+
+                def cursor(self):
+                    return Cur(self._c.cursor())
+
+                def commit(self):
+                    self._c.commit()
+
+                def rollback(self):
+                    self._c.rollback()
+
+                def close(self):
+                    self._c.close()
+
+            return Con(inner)
+
+    with pytest.raises(FakeMySQLError):
+        _exec_lane(db, stmts, txn_rows=1, max_packet=1 << 20,
+                   driver=Drv(), split_txn=False)
+    con = sqlite3.connect(db)
+    a0 = {r[0] for r in con.execute("SELECT pk FROM `app__a0`")}
+    try:
+        a4 = {r[0] for r in con.execute("SELECT pk FROM `app__a4`")}
+    except sqlite3.OperationalError:
+        a4 = set()
+    con.close()
+    # a0's slice (its whole single-table txn) fully visible; a4's slice
+    # crashed mid-way and must be INVISIBLE, not half-applied
+    assert a0 == {0, 1, 2}
+    assert a4 == set()

@@ -76,16 +76,17 @@ _EXC_LINE_RE = re.compile(
     r"[A-Z]\w*(?:Error|Exception)\d*:\s?.*$")
 
 
-def _root_cause_message(exc: Exception) -> str:
-    """The deepest exception-message line inside the (possibly
-    traceback-laden) exception text — JVM ``Caused by:`` chains and
-    embedded Python tracebacks both put the root cause LAST."""
+def _exception_header_lines(exc: Exception) -> list[str]:
+    """Every exception-MESSAGE line inside the (possibly
+    traceback-laden) exception text. JVM ``Caused by:`` chains put the
+    root cause last, but Python's own chaining ('During handling of the
+    above exception...') prints the root FIRST — so classification
+    scans ALL header lines rather than guessing which one is the root:
+    still orders of magnitude narrower than matching the full text
+    (traceback bodies, source lines, comments never match)."""
     text = str(exc)
-    last = None
-    for ln in text.splitlines():
-        if _EXC_LINE_RE.match(ln):
-            last = ln
-    return last if last is not None else text
+    lines = [ln for ln in text.splitlines() if _EXC_LINE_RE.match(ln)]
+    return lines if lines else [text]
 
 
 def _is_unretryable(exc: Exception) -> bool:
@@ -93,8 +94,8 @@ def _is_unretryable(exc: Exception) -> bool:
         return True
     if "ChangefeedUnretryable" in str(exc):  # unique sentinel: full chain
         return True
-    root = _root_cause_message(exc)
-    return any(p in root for p in _UNRETRYABLE_PATTERNS)
+    return any(p in ln for ln in _exception_header_lines(exc)
+               for p in _UNRETRYABLE_PATTERNS)
 
 
 @dataclass
@@ -128,9 +129,11 @@ class Engine:
         schema version, and executing sinks run the DDL live."""
         if not _ID_RE.match(cfg.changefeed_id):
             raise ValueError(f"invalid changefeed id: {cfg.changefeed_id!r}")
-        if cfg.start_ts and cfg.start_ts < self.gc_safepoint_ts:
-            # ErrStartTsBeforeGC (changefeed.go:106-118): the events
-            # below the safepoint no longer exist to replicate
+        if cfg.start_ts and self.gc_safepoint_ts \
+                and cfg.start_ts <= self.gc_safepoint_ts:
+            # ErrStartTsBeforeGC (changefeed.go:106-118; the gc manager
+            # errors when startTs - 1 < safepoint, i.e. startTs <= it —
+            # events at/below the safepoint are already vacuumed)
             raise ValueError(
                 f"invalid start-ts {cfg.start_ts}: fail to create "
                 f"changefeed because start-ts {cfg.start_ts} is earlier "
@@ -368,11 +371,14 @@ class Engine:
             raise ValueError("changefeed id is immutable")
         if ddl_events is Engine._KEEP:
             ddl_events = feed.changefeed.ddl_events
-        feed.cfg = cfg
-        feed.changefeed = Changefeed(
+        # build (and validate) the new Changefeed BEFORE swapping any
+        # feed state — a rejected config must leave the feed untouched
+        new_cf = Changefeed(
             self.spark, cfg, self.source_dir, self.work_dir,
             ddl_events=ddl_events,
         )
+        feed.cfg = cfg
+        feed.changefeed = new_cf
 
     def verify_table(self, filter_cfg) -> dict:
         """``POST /api/v2/verify_table`` — which tables a filter config

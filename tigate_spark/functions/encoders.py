@@ -512,9 +512,21 @@ def encode_csv_configured(df: DataFrame, cfg, out_col: str = "line",
         else:
             f = F.col(c).cast("string")
         rendered.append(f.alias(c))
-    opts = {"sep": cfg.delimiter, "nullValue": cfg.null_string}
-    if cfg.quote:
-        opts["quote"] = cfg.quote
+    if not cfg.quote:
+        # quoting DISABLED (empty quote is a valid reference config):
+        # plain join, no quote char on the wire at all — a field
+        # containing the delimiter is unrepresentable in this dialect
+        # (the reference's quote-less csv has the same ambiguity).
+        # Spark's to_csv has no true off switch (quote='' maps to a
+        # NUL quote char that still wraps such fields), so this lane
+        # renders via concat explicitly.
+        parts = [F.coalesce(r, F.lit(cfg.null_string)) for r in rendered]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = F.concat(joined, F.lit(cfg.delimiter), p)
+        return df.withColumn(out_col, joined)
+    opts = {"sep": cfg.delimiter, "nullValue": cfg.null_string,
+            "quote": cfg.quote}
     return df.withColumn(out_col, F.to_csv(F.struct(*rendered), opts))
 
 
@@ -531,12 +543,28 @@ def decode_csv_configured(df: DataFrame, cfg,
     fields += ["pk bigint", "event_type string", "value_cents bigint"]
     if extra_schema:
         fields.append(extra_schema)
-    opts = {"sep": cfg.delimiter, "nullValue": cfg.null_string}
-    if cfg.quote:
-        opts["quote"] = cfg.quote
-    m = F.from_csv(F.col(line_col), ", ".join(fields), opts)
     keep = [c for c in df.columns if c != line_col]
+    if not cfg.quote:
+        # quote-less dialect: plain positional split (the encode lane's
+        # inverse; no quote char can appear on this wire)
+        parts = F.split(F.col(line_col), _regex_escape(cfg.delimiter))
+        outs = []
+        for i, fdef in enumerate(fields):
+            name, typ = fdef.split(" ", 1)
+            v = parts.getItem(i)
+            v = F.when(v == cfg.null_string, F.lit(None)).otherwise(v)
+            outs.append(v.cast(typ).alias(name))
+        return df.select(*keep, *outs)
+    opts = {"sep": cfg.delimiter, "nullValue": cfg.null_string,
+            "quote": cfg.quote}
+    m = F.from_csv(F.col(line_col), ", ".join(fields), opts)
     return df.withColumn("m", m).select(*keep, "m.*")
+
+
+def _regex_escape(s: str) -> str:
+    import re as _re
+
+    return _re.escape(s)
 
 
 def decode_csv_for_apply(df: DataFrame, line_col: str = "line") -> DataFrame:

@@ -181,10 +181,10 @@ def decode_png_features(df, data_col: str = "data", id_col: str = "img_id"):
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                img_id = int(r[id_col])
+            for raw_id, payload in zip(pdf[id_col], pdf[data_col]):
+                img_id = int(raw_id)
                 try:
-                    w, h, c, recon = png_decode(bytes(r[data_col]))
+                    w, h, c, recon = png_decode(bytes(payload))
                     sums = [0, 0, 0]
                     for ch in range(c):
                         sums[ch] = sum(recon[ch::c])

@@ -452,18 +452,25 @@ class Changefeed:
                 # jobs: the check is a per-row conditional inside the
                 # existing encode projection.
                 limit = self.cfg.sink.large_message_threshold
-                guard_cols = ["message"] if "message" in batch.columns \
-                    else (["value"] if self.cfg.sink.protocol
-                          == "open-protocol" else [])
-                for c in guard_cols:
+                if "message" in batch.columns:  # canal-json
+                    guards = [("message", F.octet_length(F.col("message")))]
+                elif self.cfg.sink.protocol == "avro":
+                    # Confluent framing rides as HEX strings: 2 chars/byte
+                    guards = [("value",
+                               F.octet_length(F.col("value")) / 2)]
+                elif self.cfg.sink.protocol == "open-protocol":
+                    guards = [("value", F.octet_length(F.col("value")))]
+                else:
+                    guards = []
+                for c, size in guards:
                     batch = batch.withColumn(c, F.when(
-                        F.octet_length(F.col(c)) > limit,
+                        size > limit,
                         F.raise_error(F.format_string(
                             "ErrMessageTooLarge: single message of %s "
                             "bytes is larger than max-message-bytes="
                             f"{limit}, unsupported without "
                             "large-message-handle",
-                            F.octet_length(F.col(c)).cast("string"),
+                            size.cast("bigint").cast("string"),
                         ))).otherwise(F.col(c)))
         return batch
 

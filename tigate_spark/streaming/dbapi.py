@@ -103,25 +103,28 @@ def mysql_errno(exc: BaseException) -> int | None:
 
 class MySQLDriver:
     """Classify by server error code, the way the reference does
-    (``go-sql-driver mysql.MySQLError.Number``). ``connect`` needs a
-    DBAPI module (pymysql / MySQLdb); the sandbox has neither, so tests
-    register fakes via :func:`register_driver` — the classifier (the
-    part with reference semantics) is exercised either way."""
+    (``go-sql-driver mysql.MySQLError.Number``). The classifier is the
+    production surface; ``connect`` is a deliberate deployment seam:
+    the writer loop hands it the LANE identity (the sqlite twin's
+    per-lane file path), and a real deployment must register a driver
+    (:func:`register_driver`) whose ``connect`` binds the sink URI's
+    server and treats the lane as a session — the sandbox has no MySQL
+    server nor DBAPI module, so this base class refuses loudly instead
+    of pretending a lane path is a DSN. Tests register
+    :class:`~tigate_spark.streaming.fake_mysql.FakeMySQLDriver`, which
+    keeps this classify() and fakes only the socket."""
 
     scheme = "mysql"
     error_class = (Exception,)  # DBAPI base varies by module; code-gated
 
     def connect(self, dsn: str):
-        for mod in ("pymysql", "MySQLdb"):
-            try:
-                m = __import__(mod)
-            except ImportError:
-                continue
-            return m.connect(dsn)
         raise RuntimeError(
-            "mysql:// sink needs a DBAPI driver (pymysql or MySQLdb) "
-            "or a registered fake (tigate_spark.streaming.dbapi."
-            "register_driver)")
+            "mysql:// sink has no connection binding in this "
+            "environment: register a driver via tigate_spark.streaming."
+            "dbapi.register_driver('mysql', ...) whose connect() opens "
+            "the server session for the given lane (tests use "
+            "fake_mysql.FakeMySQLDriver; a real deployment wraps "
+            "pymysql/MySQLdb with the sink URI's host credentials)")
 
     def classify(self, exc: BaseException) -> str:
         n = mysql_errno(exc)

@@ -106,8 +106,14 @@ class RedoLog:
         return None if hi is None else int(hi)
 
     def mark_applied(self, batch_id: int, checkpoint_ts: int) -> None:
-        """Advance checkpoint_ts after the sink committed the batch."""
-        self._update_meta(checkpoint_ts=int(checkpoint_ts))
+        """Advance checkpoint_ts after the sink committed the batch —
+        clamped to resolved_ts, so the ``checkpoint_ts <= resolved_ts``
+        invariant survives an out-of-order batch whose resolved advance
+        the guard withheld (the sink may have applied past the frozen
+        frontier, but the WAL can only vouch for what is resolved)."""
+        m = self.meta()
+        self._update_meta(
+            checkpoint_ts=min(int(checkpoint_ts), m["resolved_ts"]))
 
     def log_ddl(self, ddl) -> None:
         """WAL a DDL barrier BEFORE it executes (the

@@ -500,8 +500,15 @@ class SqliteApplySink:
             for r in rows:
                 by_lane.setdefault(r["lane"], []).append(r)
             for lane, rs in by_lane.items():
+                # table_id sits INSIDE the (commit_ts, start_ts) txn
+                # group: a multi-table upstream txn whose tables share a
+                # lane must keep each single-table slice CONTIGUOUS, or
+                # transaction-atomicity=table would see alternating
+                # txn_keys and flush mid-slice. Per-key order is
+                # unaffected — a key lives in exactly one table
                 rs.sort(key=lambda r: (r["commit_ts"], r["start_ts"],
-                                       r["opr"], r["seq"], r["piece_no"]))
+                                       r["table_id"], r["opr"],
+                                       r["seq"], r["piece_no"]))
                 _exec_lane(
                     os.path.join(db_dir, f"lane-{lane}.db"),
                     ((r["schema_name"], r["table_name"], r["table_id"],
