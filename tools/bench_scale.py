@@ -70,6 +70,9 @@ QUERIES = [
     # evolution encode (pure column expressions)
     "bpe_train_merges_batched", "dedup_c4_span_excise",
     "encoder_avro_registry_evolution",
+    # r10 additions: CSVConfig dialect encode (univocity quoting path),
+    # from-spec PNG decode (python-kernel mapInPandas hot path)
+    "encoder_csv_configured", "multimodal_png_decode",
 ]
 
 
