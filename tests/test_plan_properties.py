@@ -659,3 +659,43 @@ def test_consumer_decoders_stay_jvm_side(spark):
     # and decode is exchange-free: reconstruction is row-local
     assert count_exchanges(decode_open_for_apply(open_wire)) == 0
     assert count_exchanges(decode_csv_for_apply(csv_wire)) == 0
+
+
+def test_aqe_skew_join_resplits_hot_partition(spark):
+    """R9's built-in path: AQE detects a skewed SMJ partition at runtime
+    and re-splits it (`skew=true` in the final adaptive plan) — the
+    engine's explicit salting ops (operators/skew.py) are the
+    deterministic twin for when the optimizer must not be trusted; this
+    gate proves the session confs leave the built-in path functional.
+    Thresholds are lowered ONLY inside this test so a 400k-row fixture
+    exhibits 'skew' — at production sizes the defaults fire the same
+    rule."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("payloadpayloadpayload"),
+                     F.col("id")).alias("v"))
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = left.join(right, "k").select(F.length("v").alias("n"))
+        j.collect()  # executes THIS dataset's QueryExecution under AQE
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
