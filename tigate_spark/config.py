@@ -104,7 +104,11 @@ class SinkConfig:
     only_output_updated_columns: bool = False
     delete_only_output_handle_key_columns: bool = False
     large_message_handle: str | None = None  # None | handle-key-only | claim-check
-    large_message_threshold: int = 1 << 20
+    #: max-message-bytes twin — default matches the reference's
+    #: DefaultMaxMessageBytes = 10 MiB (pkg/config/sink.go:35), so a
+    #: default-config feed delivers the same 1-10 MiB messages the
+    #: reference would rather than failing the ErrMessageTooLarge guard
+    large_message_threshold: int = 10 * 1024 * 1024
     column_selectors: list[ColumnSelector] = field(default_factory=list)
     dispatch_rules: list[DispatchRule] = field(default_factory=list)
     safe_mode: bool = False

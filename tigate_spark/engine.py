@@ -86,6 +86,14 @@ def _exception_header_lines(exc: Exception) -> list[str]:
     (traceback bodies, source lines, comments never match)."""
     text = str(exc)
     lines = [ln for ln in text.splitlines() if _EXC_LINE_RE.match(ln)]
+    # The FIRST line is always a message line even without a
+    # `ClassName:` prefix — Spark/Py4J often raise bare
+    # '[STREAM_FAILED] ...: invalid partition-num' headers that the
+    # header regex misses while an unrelated 'Caused by:' line deeper
+    # in the chain matches, which would otherwise shadow the real root.
+    first = text.splitlines()[0] if text else text
+    if first and first not in lines:
+        lines.insert(0, first)
     return lines if lines else [text]
 
 

@@ -64,22 +64,31 @@ def _translate(exc: BaseException) -> FakeMySQLError:
 
 
 class _FakeCursor:
-    def __init__(self, cur: sqlite3.Cursor, driver: "FakeMySQLDriver"):
+    def __init__(self, cur: sqlite3.Cursor, conn: "_FakeConnection",
+                 driver: "FakeMySQLDriver"):
         self._cur = cur
+        self._conn = conn
         self._driver = driver
-        self._txn_bytes = 0
 
     def execute(self, sql: str, args=()):
         self._driver._maybe_inject(sql)
         if sql.strip().upper() == "BEGIN":
-            self._txn_bytes = 0
-        elif args:
+            self._conn._in_txn = True
+            self._conn._txn_bytes = 0
+        elif args and self._conn._in_txn:
             # server-side max_allowed_packet twin: the accumulated
-            # packet for the open multi-statement txn
-            self._txn_bytes += len(repr(args))
+            # packet for the open multi-statement txn. Only bytes
+            # BETWEEN BEGIN and commit/rollback count — setup
+            # statements (_ensure_meta, write-source recording) run
+            # autocommit and must not pre-fill the packet, else a
+            # small server_max_packet fires 1153 inside with_retry()
+            # (TRANSIENT-only) instead of reaching the seq-way
+            # oversized-txn fallback.
+            self._conn._txn_bytes += len(repr(args))
             if (self._driver.server_max_packet is not None
-                    and self._txn_bytes > self._driver.server_max_packet):
-                self._txn_bytes = 0
+                    and self._conn._txn_bytes
+                    > self._driver.server_max_packet):
+                self._conn._txn_bytes = 0
                 raise FakeMySQLError(
                     1153, "Got a packet bigger than "
                     "'max_allowed_packet' bytes")
@@ -103,14 +112,20 @@ class _FakeConnection:
     def __init__(self, con: sqlite3.Connection, driver: "FakeMySQLDriver"):
         self._con = con
         self._driver = driver
+        self._in_txn = False
+        self._txn_bytes = 0
 
     def cursor(self):
-        return _FakeCursor(self._con.cursor(), self._driver)
+        return _FakeCursor(self._con.cursor(), self, self._driver)
 
     def commit(self):
+        self._in_txn = False
+        self._txn_bytes = 0
         self._con.commit()
 
     def rollback(self):
+        self._in_txn = False
+        self._txn_bytes = 0
         self._con.rollback()
 
     def close(self):
