@@ -395,6 +395,148 @@ def projection_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row_checksum(ch, ["table_id", "pk", "op", "value_cents"]).select("seq", "checksum")
 
 
+# --------------------------------------------------------------------------
+# P7 byte-exact form: DuckDB-side twins of the TiDB checksum encodings
+# (verify_checksum.go:92-229). The oracle rebuilds the exact byte string as
+# lowercase hex AND folds it through a from-scratch CRC-32/IEEE
+# (list_reduce over a 256-entry table CTE) — DuckDB has no crc32 built-in.
+# --------------------------------------------------------------------------
+
+def _crc32_table_cte() -> str:
+    """CTE body producing the 256-entry CRC-32/IEEE table as one list
+    (8 unrolled rounds of c = c&1 ? 0xEDB88320 ^ (c>>1) : c>>1)."""
+    inner = "SELECT n, CAST(n AS BIGINT) AS r0 FROM range(256) s(n)"
+    for k in range(8):
+        inner = (
+            f"SELECT n, CASE WHEN r{k} & 1 = 1 THEN xor(3988292384, r{k} >> 1) "
+            f"ELSE r{k} >> 1 END AS r{k + 1} FROM ({inner}) q{k}")
+    return f"SELECT list(r8 ORDER BY n) AS t FROM ({inner}) f"
+
+
+def _ck_le_hex_sql(expr: str, n_bytes: int) -> str:
+    """hex of `expr` (bigint) as n little-endian bytes — arithmetic `>>`
+    keeps sign bits, so `& 255` extracts correct two's-complement bytes."""
+    return " || ".join(
+        f"printf('%02x', (({expr}) >> {8 * i}) & 255)" for i in range(n_bytes))
+
+
+def _ck_len_bytes_hex_sql(expr: str) -> str:
+    """appendLengthValue twin: LE uint32 byte length + UTF-8 bytes, hex."""
+    return (f"{_ck_le_hex_sql(f'octet_length(encode({expr}))', 4)}"
+            f" || lower(hex(encode({expr})))")
+
+
+def _ck_null_guard(src: str, enc_hex: str) -> str:
+    return f"CASE WHEN {src} IS NULL THEN '' ELSE {enc_hex} END"
+
+
+_CRC32_FOLD_SQL = """
+xor(list_reduce(
+  list_prepend(4294967295, list_transform(range(length(row_bytes) // 2),
+    i -> (strpos('0123456789abcdef', substr(row_bytes, CAST(i AS INT) * 2 + 1, 1)) - 1) * 16
+       + strpos('0123456789abcdef', substr(row_bytes, CAST(i AS INT) * 2 + 2, 1)) - 1)),
+  (acc, b) -> xor(t[CAST(xor(acc, b) & 255 AS INT) + 1], acc >> 8)), 4294967295)
+"""
+
+#: the mock MySQL table over `orders`, in column-id order — one lane per
+#: buildChecksumBytes branch: Longlong, Long, String, Double (IEEE-754
+#: bits), Datetime, Date, nullable Varchar (NULL appends nothing),
+#: NewDecimal (decimalHandlingMode=string), Enum (index), Bit (uint64)
+_CK_ENUM_SQL = ("CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 "
+                "ELSE 3 END")
+_CK_LANES_SQL = " || ".join([
+    _ck_le_hex_sql("o_orderkey", 8),
+    _ck_le_hex_sql("o_custkey", 8),
+    _ck_len_bytes_hex_sql("o_orderstatus"),
+    _ck_le_hex_sql("fbits", 8),
+    _ck_len_bytes_hex_sql("strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"),
+    _ck_len_bytes_hex_sql("strftime(o_orderdate, '%Y-%m-%d')"),
+    _ck_null_guard(
+        "NULLIF(o_orderpriority, '1-URGENT')",
+        _ck_len_bytes_hex_sql("NULLIF(o_orderpriority, '1-URGENT')")),
+    _ck_len_bytes_hex_sql(
+        "CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR)"),
+    _ck_le_hex_sql(_CK_ENUM_SQL, 8),
+    _ck_le_hex_sql("o_orderkey % 2", 8),
+])
+
+_CK_ORACLE = f"""
+WITH crc_tbl AS ({_crc32_table_cte()}),
+-- math.Float64bits with exact arithmetic: corrected floor(log2), then
+-- mantissa = (|v|/2^e - 1) * 2^52 (exact power-of-two scaling; DuckDB's
+-- rounding CAST is safe because the double is exactly integral)
+d0 AS (
+  SELECT *, abs(o_totalprice) AS fa,
+         CAST(floor(log2(abs(o_totalprice))) AS BIGINT) AS fe0
+  FROM orders
+),
+d1 AS (
+  SELECT *, CASE WHEN fa < power(2, fe0) THEN fe0 - 1
+                 WHEN fa >= power(2, fe0 + 1) THEN fe0 + 1
+                 ELSE fe0 END AS fe
+  FROM d0
+),
+d2 AS (
+  SELECT *, CASE
+    WHEN isnan(o_totalprice) OR isinf(o_totalprice) THEN 0
+    WHEN fa = 0 THEN CASE WHEN CAST(o_totalprice AS VARCHAR) = '-0.0'
+                          THEN -9223372036854775808 ELSE 0 END
+    WHEN fa < power(2, -1022) THEN
+      CAST(fa * power(2, 537) * power(2, 537) AS BIGINT)
+      + CASE WHEN o_totalprice < 0 THEN -9223372036854775808 ELSE 0 END
+    ELSE (fe + 1023) * 4503599627370496
+      + CAST((fa / power(2, fe) - 1) * 4503599627370496.0 AS BIGINT)
+      + CASE WHEN o_totalprice < 0 THEN -9223372036854775808 ELSE 0 END
+    END AS fbits
+  FROM d1
+),
+enc AS (SELECT o_orderkey AS pk, {_CK_LANES_SQL} AS row_bytes FROM d2)
+SELECT pk, row_bytes, CAST({_CRC32_FOLD_SQL} AS BIGINT) AS checksum
+FROM enc, crc_tbl
+"""
+
+
+@register(
+    "projection_checksum_tidb",
+    _CK_ORACLE,
+    doc="P7 byte-exact: TiDB row checksum — CRC-32/IEEE over MySQL-typed "
+        "column byte encodings in column-id order "
+        "(verify_checksum.go:92-229 calculateChecksum/buildChecksumBytes); "
+        "oracle rebuilds the bytes AND the CRC fold from scratch",
+)
+def projection_checksum_tidb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.operators.projections import (
+        float64_bits,
+        tidb_row_checksum,
+        tidb_row_checksum_bytes,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = F.col
+    lanes = [
+        (c("o_orderkey"), "int"),                      # TypeLonglong
+        (c("o_custkey"), "int"),                       # TypeLong
+        (c("o_orderstatus"), "string"),                # TypeString
+        (float64_bits(c("o_totalprice")), "int"),      # TypeDouble (bits)
+        (F.date_format(c("o_orderdate"),
+                       "yyyy-MM-dd HH:mm:ss"), "datetime"),
+        (F.date_format(c("o_orderdate"), "yyyy-MM-dd"), "datetime"),  # Date
+        (F.nullif(c("o_orderpriority"),
+                  F.lit("1-URGENT")), "string"),       # NULL appends nothing
+        (c("o_totalprice").cast("decimal(15,2)")
+           .cast("string"), "decimal"),                # TypeNewDecimal
+        (F.when(c("o_orderstatus") == "F", 1)
+           .when(c("o_orderstatus") == "O", 2)
+           .otherwise(3), "enum"),                     # TypeEnum index
+        (c("o_orderkey") % 2, "bit"),                  # TypeBit uint64
+    ]
+    return o.select(
+        c("o_orderkey").alias("pk"),
+        tidb_row_checksum_bytes(lanes).alias("row_bytes"),
+        tidb_row_checksum(lanes).alias("checksum"),
+    )
+
+
 # ==========================================================================
 # Routing R1–R8
 # ==========================================================================

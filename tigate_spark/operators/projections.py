@@ -87,6 +87,109 @@ def row_checksum(df: DataFrame, cols: list[str], out_col: str = "checksum") -> D
     return df.withColumn(out_col, F.md5(F.concat_ws("\x01", *parts)))
 
 
+# --------------------------------------------------------------------------
+# P7 byte-exact TiDB row checksum
+# (``pkg/sink/codec/common/verify_checksum.go:92-229``): columns ordered by
+# column id, each value appended to a byte buffer per its MySQL type —
+# integers/enum/set/bit as little-endian uint64, float/double as the LE
+# uint64 of the IEEE-754 float64 bits (NaN/Inf normalized to 0),
+# string/blob/datetime/date/duration/decimal/json as LE uint32 length +
+# UTF-8 bytes, NULL contributing nothing — folded through a running
+# CRC-32/IEEE (``crc32.Update`` over per-column bufs == crc32 of the
+# concatenation, so the whole row reduces to one JVM-side
+# ``F.crc32(F.concat(...))``; zero Python in the path).
+# --------------------------------------------------------------------------
+
+def _le_binary(hex_be, n_bytes: int):
+    """binary: a 2*n_bytes-char big-endian hex string, byte-reversed into
+    little-endian order (`binary.LittleEndian.AppendUintXX`)."""
+    pairs = [F.substring(hex_be, 2 * i + 1, 2) for i in reversed(range(n_bytes))]
+    return F.unhex(F.concat(*pairs))
+
+
+def checksum_le64(col) -> "F.Column":
+    """LE uint64 of a (signed) bigint — `hex()` renders two's complement
+    for negatives, so lpad-to-16 + byte reversal is the exact Go encoding."""
+    return _le_binary(F.lpad(F.hex(col.cast("bigint")), 16, "0"), 8)
+
+
+def checksum_len_bytes(col) -> "F.Column":
+    """LE uint32 byte-length prefix + UTF-8 bytes (`appendLengthValue`)."""
+    s = col.cast("string")
+    return F.concat(
+        _le_binary(F.lpad(F.hex(F.octet_length(s).cast("bigint")), 8, "0"), 4),
+        F.encode(s, "UTF-8"),
+    )
+
+
+def float64_bits(col) -> "F.Column":
+    """bigint: the IEEE-754 bit pattern of a double (`math.Float64bits`),
+    derived with EXACT arithmetic only — floor(log2) is corrected by
+    power-of-two comparisons, then mantissa = (|v|/2^e - 1) * 2^52 which
+    involves only exact power-of-two scaling and a Sterbenz subtraction.
+    NaN/±Inf normalize to 0 per the reference; subnormals scale by
+    2^537 twice (2^1074 overflows a double literal)."""
+    v = col.cast("double")
+    a = F.abs(v)
+    e0 = F.floor(F.log2(a)).cast("bigint")
+    e = (
+        F.when(a < F.pow(F.lit(2.0), e0.cast("double")), e0 - 1)
+        .when(a >= F.pow(F.lit(2.0), (e0 + 1).cast("double")), e0 + 1)
+        .otherwise(e0)
+    )
+    mant = ((a / F.pow(F.lit(2.0), e.cast("double")) - 1.0)
+            * F.lit(4503599627370496.0)).cast("bigint")
+    normal = (e + F.lit(1023)).cast("bigint") * F.lit(4503599627370496) + mant
+    sub = (a * F.pow(F.lit(2.0), F.lit(537.0))
+           * F.pow(F.lit(2.0), F.lit(537.0))).cast("bigint")
+    sign_off = F.when(v < 0, F.lit(-9223372036854775808)).otherwise(F.lit(0))
+    return (
+        F.when(F.isnan(v) | (a == F.lit(float("inf"))), F.lit(0))
+        # -0.0: v < 0 is false, so detect via the string render (both
+        # engines print '-0.0') — Float64bits(-0.0) is the sign bit alone
+        .when(a == 0.0, F.when(v.cast("string") == "-0.0",
+                               F.lit(-9223372036854775808)).otherwise(F.lit(0)))
+        .when(a < F.pow(F.lit(2.0), F.lit(-1022.0)), sub + sign_off)
+        .otherwise(normal + sign_off)
+    ).cast("bigint")
+
+
+#: MySQL type classes → encoder (the `buildChecksumBytes` switch). The
+#: `timestamp` lane expects an already-UTC-rendered string: the engine's
+#: sessions pin UTC, subsuming the reference's ConvertTimezone(ts, location).
+_CHECKSUM_ENCODERS = {
+    "int": checksum_le64,            # Tiny/Short/Int24/Long/Longlong/Year
+    "enum": checksum_le64,           # Enum/Set: converted to index upstream
+    "bit": checksum_le64,            # Bit: uint64 form
+    "double": lambda c: checksum_le64(float64_bits(c)),  # Float/Double
+    "string": checksum_len_bytes,    # Varchar/VarString/String/*Blob
+    "datetime": checksum_len_bytes,  # Datetime/Date/Duration/NewDate
+    "timestamp": checksum_len_bytes,
+    "decimal": checksum_len_bytes,   # NewDecimal (decimalHandlingMode=string)
+    "json": checksum_len_bytes,
+}
+
+
+def build_checksum_bytes(col, mysql_type: str) -> "F.Column":
+    """binary: one column's checksum contribution; NULL appends nothing
+    (`buildChecksumBytes` returns the buf unchanged for nil values)."""
+    enc = _CHECKSUM_ENCODERS[mysql_type]
+    return F.when(col.isNull(), F.lit(b"")).otherwise(enc(col))
+
+
+def tidb_row_checksum(lanes: list[tuple["F.Column", str]]) -> "F.Column":
+    """bigint: `calculateChecksum` — CRC-32/IEEE over the per-column byte
+    encodings in column-id order (the order of `lanes`)."""
+    return F.crc32(F.concat(*[build_checksum_bytes(c, t) for c, t in lanes]))
+
+
+def tidb_row_checksum_bytes(lanes: list[tuple["F.Column", str]]) -> "F.Column":
+    """string: the concatenated checksum input bytes as lowercase hex —
+    the byte-exactness witness next to the folded CRC."""
+    return F.lower(F.hex(
+        F.concat(*[build_checksum_bytes(c, t) for c, t in lanes])))
+
+
 #: payload image schema for the canonical synthetic images
 IMG_MAP = "map<string,string>"
 
