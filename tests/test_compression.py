@@ -1,0 +1,136 @@
+"""E6 message compression: the seam (tiflow pkg/compression twin), the
+open-protocol wire under compression (open/codec.go:85,120), and the
+streaming changefeed round trip with compression=gzip."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import zlib
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tigate_spark.config import ChangefeedConfig
+from tigate_spark.functions.compress import (
+    compress_bytes,
+    compress_col,
+    decompress_col,
+    ensure_supported,
+    supported,
+)
+from tigate_spark.sources.changes import changes_stream
+from tigate_spark.streaming.changefeed import Changefeed
+
+
+@pytest.fixture(scope="module")
+def chunked_source(spark, sf_dir, tmp_path_factory):
+    """events split into 4 files ordered by commit_ts → 4 micro-batches
+    (same shape as test_streaming_changefeed's fixture)."""
+    src = str(tmp_path_factory.mktemp("events_src"))
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    qs = ev.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    for i in range(4):
+        part = ev.filter((F.col("event_id") > bounds[i])
+                         & (F.col("event_id") <= bounds[i + 1]))
+        part.coalesce(1).write.parquet(os.path.join(src, f"chunk-{i:02d}"))
+    flat = str(tmp_path_factory.mktemp("events_flat"))
+    n = 0
+    for i in range(4):
+        for f in sorted(glob.glob(
+                os.path.join(src, f"chunk-{i:02d}", "part-*.parquet"))):
+            os.link(f, os.path.join(flat, f"{i:02d}-{os.path.basename(f)}"))
+            n += 1
+    assert n == 4
+    return flat
+
+
+def test_codec_seam_roundtrip_and_determinism():
+    data = b'{"u":{"pk":1,"value_cents":12345}}' * 20
+    for cc in ("none", "gzip", "zlib"):
+        assert supported(cc)
+        wire = compress_bytes(cc, data)
+        if cc != "none":
+            assert wire != data and len(wire) < len(data)
+        # deterministic across calls (gzip pins mtime=0)
+        assert compress_bytes(cc, data) == wire
+    # the wire is REAL gzip/zlib, not an opaque stand-in
+    assert gzip.decompress(compress_bytes("gzip", data)) == data
+    assert zlib.decompress(compress_bytes("zlib", data)) == data
+
+
+def test_unsupported_codec_rejected():
+    with pytest.raises(ValueError, match="not supported"):
+        ensure_supported("snappy")
+
+
+def test_compressed_feed_requires_open_protocol(spark, tmp_path, sf_dir,
+                                                chunked_source):
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-badcc",
+        sink_uri="changelog://?compression=gzip")  # default canal-json
+    with pytest.raises(ValueError, match="not supported by protocol"):
+        Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    cfg2 = ChangefeedConfig(
+        changefeed_id="cf-badcc2",
+        sink_uri="changelog://?protocol=open-protocol&compression=snappy")
+    with pytest.raises(ValueError, match="not supported"):
+        Changefeed(spark, cfg2, chunked_source, str(tmp_path))
+
+
+def test_changelog_compressed_wire_roundtrip(spark, sf_dir, chunked_source,
+                                             tmp_path):
+    """Full feed with compression=gzip: every changelog value is real
+    gzip (hex), and decompressing recovers exactly the plain feed's
+    messages per (topic, partition, pk) lane."""
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-gz",
+        sink_uri="changelog://?protocol=open-protocol&compression=gzip")
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    cf.run_to_completion()
+    log = spark.read.parquet(cf.sink.out_dir)
+    ch = changes_stream(spark, sf_dir)
+    assert log.count() == ch.count()
+    rows = log.select("key", "value").limit(200).collect()
+    for r in rows:
+        raw = gzip.decompress(bytes.fromhex(r["value"]))
+        msg = json.loads(raw)
+        assert set(msg) <= {"u", "p", "d"} and msg
+        json.loads(r["key"])  # key stays plain JSON
+    # distributed decompress agrees with the plain encoding of the source
+    back = log.select(
+        "key",
+        F.decode(decompress_col(F.unhex(F.col("value")), "gzip"),
+                 "UTF-8").alias("value"))
+    plain_cfg = ChangefeedConfig(
+        changefeed_id="cf-plain",
+        sink_uri="changelog://?protocol=open-protocol")
+    cf2 = Changefeed(spark, plain_cfg, chunked_source,
+                     str(tmp_path / "plain"))
+    cf2.run_to_completion()
+    plain = spark.read.parquet(cf2.sink.out_dir).select("key", "value")
+    assert back.exceptAll(plain).count() == 0
+    assert plain.exceptAll(back).count() == 0
+
+
+def test_compression_ratio_measured(spark):
+    """The metric the reference observes (compress.go:30-33): on
+    repetitive JSON the gzip wire must actually shrink (ratio > 1)."""
+    # per-message compression only pays past the ~18B gzip header —
+    # use a payload the size of a real wide row image
+    df = spark.range(500).select(
+        F.to_json(F.struct(
+            F.col("id").alias("pk"),
+            F.lit("click_" * 40).alias("event_type"),
+            F.lit("x" * 200).alias("props"),
+            (F.col("id") * 100).alias("value_cents"))).alias("v"))
+    sizes = df.select(
+        F.octet_length(F.col("v")).alias("plain"),
+        F.octet_length(compress_col(F.encode(F.col("v"), "UTF-8"),
+                                    "gzip")).alias("wire"),
+    ).agg(F.sum("plain").alias("p"), F.sum("wire").alias("w")).first()
+    assert sizes.p / sizes.w > 1.0

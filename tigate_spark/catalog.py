@@ -2168,6 +2168,106 @@ def decoder_open_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "encoder_open_compressed",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq,
+  printf('{"ts":%d,"scm":"%s","tbl":"%s","t":1}', commit_ts, schema_name, table_name) AS key,
+  CASE WHEN op = 'U' THEN printf('{"u":%s,"p":%s}', after, before)
+       WHEN op = 'I' THEN printf('{"u":%s}', after)
+       ELSE printf('{"d":%s}', before) END AS value
+FROM changes
+""",
+    doc="E6 as an oracle entry: open-protocol VALUE compression "
+        "(open/codec.go:85 via common/compress.go Compress/Decompress; "
+        "key stays plain) — the emitted value is the compress→decompress "
+        "round trip, hash-matched against the independent PLAIN oracle, "
+        "proving byte-lossless wire compression",
+)
+def encoder_open_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.compress import compress_col, decompress_col
+    from tigate_spark.functions.encoders import encode_open_protocol
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    enc = encode_open_protocol(ch)
+    wire = compress_col(F.encode(F.col("value"), "UTF-8"), "zlib")
+    back = F.decode(decompress_col(wire, "zlib"), "UTF-8")
+    return enc.select("seq", "key", back.alias("value"))
+
+
+@register(
+    "decoder_open_compressed",
+    ORACLE_CHANGES_CTE
+    + f"""
+, msgs AS (
+  SELECT seq,
+    'app_' || table_name AS topic,
+    {h32_sql('pk')} % 16 AS partition,
+    commit_ts, schema_name, table_name, op,
+    CASE WHEN op = 'D' THEN before ELSE after END AS live
+  FROM changes
+), lanes AS (
+  SELECT *, (row_number() OVER (PARTITION BY topic, partition ORDER BY seq) - 1)
+            // 1024 AS batch_seq
+  FROM msgs
+)
+SELECT topic, partition, batch_seq, commit_ts, schema_name, table_name, op,
+  CAST(json_extract(live, '$.pk') AS BIGINT) AS pk,
+  json_extract_string(live, '$.event_type') AS event_type,
+  CAST(json_extract(live, '$.value_cents') AS BIGINT) AS value_cents,
+  CAST(json_extract(live, '$.user_id') AS BIGINT) AS user_id
+FROM lanes
+""",
+    doc="E6/E7: the full compressed open-protocol wire — per-value gzip "
+        "BEFORE framing (open/codec.go:85: the 8B length prefix counts "
+        "COMPRESSED bytes), framed batches parsed back by the consumer "
+        "(decode_open_batch_framed), values decompressed, decoded to the "
+        "apply shape; oracle rebuilds the corpus from the plain stream",
+)
+def decoder_open_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.compress import compress_col, decompress_col
+    from tigate_spark.functions.encoders import (
+        decode_open_batch_framed,
+        encode_open_batch_framed,
+        encode_open_protocol,
+    )
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    enc = encode_open_protocol(ch).withColumn(
+        "topic", F.format_string("app_%s", F.col("table_name"))
+    ).withColumn("partition", (h32(F.col("pk")) % 16))
+    enc = enc.withColumn(
+        "value", F.hex(compress_col(F.encode(F.col("value"), "UTF-8"), "gzip"))
+    )
+    framed = encode_open_batch_framed(enc, value_is_hex=True)
+    msgs = decode_open_batch_framed(framed)
+    plain = F.decode(
+        decompress_col(F.unhex(F.col("value_hex")), "gzip"), "UTF-8")
+    img = "STRUCT<pk BIGINT, event_type STRING, value_cents BIGINT, user_id BIGINT>"
+    k = F.from_json(F.col("key"), "ts BIGINT, scm STRING, tbl STRING, t BIGINT")
+    v = F.from_json(plain, f"u {img}, p {img}, d {img}")
+    parsed = msgs.select("topic", "partition", "batch_seq",
+                         k.alias("k"), v.alias("v"))
+    op = (
+        F.when(F.col("v.u").isNotNull() & F.col("v.p").isNotNull(), "U")
+        .when(F.col("v.u").isNotNull(), "I")
+        .otherwise("D")
+    )
+    live = F.when(op == "D", F.col("v.d")).otherwise(F.col("v.u"))
+    return parsed.select(
+        "topic", "partition", "batch_seq",
+        F.col("k.ts").alias("commit_ts"),
+        F.col("k.scm").alias("schema_name"),
+        F.col("k.tbl").alias("table_name"),
+        op.alias("op"),
+        live.getField("pk").alias("pk"),
+        live.getField("event_type").alias("event_type"),
+        live.getField("value_cents").alias("value_cents"),
+        live.getField("user_id").alias("user_id"),
+    )
+
+
+@register(
     "convert_canal_to_avro",
     ORACLE_CHANGES_CTE
     + """

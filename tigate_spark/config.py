@@ -124,6 +124,11 @@ class SinkConfig:
     #: csv codec tuning for the storage sink ([sink.csv] in the
     #: reference's changefeed.toml); None keeps the default line format
     csv: CSVConfig | None = None
+    #: per-message VALUE compression, applied by the open codec before
+    #: framing (open/codec.go:85,120 via common/compress.go; configured
+    #: as large-message-handle-compression, large_message.go:33).
+    #: none|gzip|zlib executable here; lz4/zstd behind import-gates
+    compression: str = "none"
 
 
 @dataclass

@@ -1,0 +1,132 @@
+"""Message compression seam — the tiflow ``pkg/compression``
+``Encode``/``Decode`` twin the open codec applies per message VALUE
+(``pkg/sink/codec/open/codec.go:85,120`` via
+``pkg/sink/codec/common/compress.go:23-41``), validated at config time
+(``pkg/config/large_message.go:52-59`` ``compression.Supported``).
+
+Codecs: ``none`` (identity), ``gzip``/``zlib`` (stdlib, always on),
+``lz4``/``zstd`` behind import-gates (the reference supports lz4+snappy;
+the libs aren't in this container — the seam raises the reference's
+"compression is not supported" error when absent). The gzip wire pins
+``mtime=0`` so compressed bytes are deterministic across executors.
+
+Column forms are Arrow-batched pandas UDFs (binary → binary): there is
+no JVM-side SQL compress function, and per-value DEFLATE is exactly the
+genuinely-non-expressible case the Pandas-UDF lane exists for. Identity
+(``none``) stays zero-Python.
+"""
+
+from __future__ import annotations
+
+import functools
+import gzip
+import zlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _lz4_mod():
+    try:
+        import lz4.frame  # type: ignore
+
+        return lz4.frame
+    except ImportError:
+        return None
+
+
+def _zstd_mod():
+    try:
+        import zstandard  # type: ignore
+
+        return zstandard
+    except ImportError:
+        return None
+
+
+#: codecs the seam knows about (reference list: none/lz4/snappy; gzip and
+#: zlib are the stdlib-available stand-ins this environment can execute)
+KNOWN = ("none", "gzip", "zlib", "lz4", "zstd")
+
+
+def supported(cc: str) -> bool:
+    """``compression.Supported`` twin — known AND executable here."""
+    if cc in ("none", "gzip", "zlib"):
+        return True
+    if cc == "lz4":
+        return _lz4_mod() is not None
+    if cc == "zstd":
+        return _zstd_mod() is not None
+    return False
+
+
+def ensure_supported(cc: str) -> None:
+    """Config-time guard (large_message.go:57-59) — unretryable wording."""
+    if not supported(cc):
+        raise ValueError(
+            f"compression is not supported, got {cc!r} "
+            f"(executable here: none/gzip/zlib)")
+
+
+def compress_bytes(cc: str, data: bytes) -> bytes:
+    if cc == "none":
+        return data
+    if cc == "gzip":
+        return gzip.compress(data, mtime=0)
+    if cc == "zlib":
+        return zlib.compress(data, 6)
+    if cc == "lz4":
+        mod = _lz4_mod()
+        if mod is not None:
+            return mod.compress(data)
+    if cc == "zstd":
+        mod = _zstd_mod()
+        if mod is not None:
+            return mod.ZstdCompressor().compress(data)
+    raise ValueError(f"compression is not supported, got {cc!r}")
+
+
+def decompress_bytes(cc: str, data: bytes) -> bytes:
+    if cc == "none":
+        return data
+    if cc == "gzip":
+        return gzip.decompress(data)
+    if cc == "zlib":
+        return zlib.decompress(data)
+    if cc == "lz4":
+        mod = _lz4_mod()
+        if mod is not None:
+            return mod.decompress(data)
+    if cc == "zstd":
+        mod = _zstd_mod()
+        if mod is not None:
+            return mod.ZstdDecompressor().decompress(data)
+    raise ValueError(f"compression is not supported, got {cc!r}")
+
+
+def _series_codec(fn):
+    def inner(s):
+        return s.map(lambda b: None if b is None else fn(bytes(b)))
+
+    return inner
+
+
+def compress_col(col: Column, cc: str) -> Column:
+    """binary → binary: per-value compress (Arrow-batched; `none` = no-op
+    column, keeping the default path pure JVM)."""
+    ensure_supported(cc)
+    if cc == "none":
+        return col
+    udf = F.pandas_udf(
+        _series_codec(functools.partial(compress_bytes, cc)), "binary")
+    return udf(col)
+
+
+def decompress_col(col: Column, cc: str) -> Column:
+    """binary → binary: per-value decompress (consumer side)."""
+    ensure_supported(cc)
+    if cc == "none":
+        return col
+    udf = F.pandas_udf(
+        _series_codec(functools.partial(decompress_bytes, cc)), "binary")
+    return udf(col)

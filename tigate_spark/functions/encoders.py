@@ -801,7 +801,8 @@ def decode_avro_json(df: DataFrame, key_col: str = "key",
 
 
 def encode_open_batch_framed(df: DataFrame,
-                             max_batch_size: int = OPEN_MAX_BATCH_SIZE) -> DataFrame:
+                             max_batch_size: int = OPEN_MAX_BATCH_SIZE,
+                             value_is_hex: bool = False) -> DataFrame:
     """E2 binary batch framing — the open-protocol wire format
     (``pkg/sink/codec/open/encoder.go:113-152``):
 
@@ -816,6 +817,11 @@ def encode_open_batch_framed(df: DataFrame,
     the byte payload a Kafka producer would send) — length prefixes use
     octet_length, so non-ASCII payloads frame correctly. Expects columns
     (topic, partition, seq, key, value).
+
+    ``value_is_hex=True`` means the value column already holds HEX of raw
+    bytes (e.g. a compressed value, ``open/codec.go:85`` — compression
+    runs BEFORE framing, so the length prefix counts compressed bytes);
+    the frame embeds it verbatim with length = len/2.
     """
     grouped = _with_batch_seq(df, max_batch_size).groupBy(
         "topic", "partition", "batch_seq"
@@ -826,10 +832,16 @@ def encode_open_batch_framed(df: DataFrame,
         "concat('0000000000000001', array_join(transform(ms, m -> "
         "concat(lpad(hex(octet_length(m.key)), 16, '0'), hex(m.key))), ''))"
     )
-    value_hex = F.expr(
-        "array_join(transform(ms, m -> "
-        "concat(lpad(hex(octet_length(m.value)), 16, '0'), hex(m.value))), '')"
-    )
+    if value_is_hex:
+        value_hex = F.expr(
+            "array_join(transform(ms, m -> "
+            "concat(lpad(hex(length(m.value) div 2), 16, '0'), m.value)), '')"
+        )
+    else:
+        value_hex = F.expr(
+            "array_join(transform(ms, m -> "
+            "concat(lpad(hex(octet_length(m.value)), 16, '0'), hex(m.value))), '')"
+        )
     return grouped.select(
         "topic",
         "partition",
@@ -838,6 +850,49 @@ def encode_open_batch_framed(df: DataFrame,
         value_hex.alias("batch_value_hex"),
         F.expr("cast(size(ms) as bigint)").alias("n_messages"),
         F.expr("element_at(transform(ms, m -> m.seq), -1)").alias("max_seq"),
+    )
+
+
+def _hex_frames_expr(col: str, n_col: str, skip_version: bool) -> str:
+    """SQL: fold the length-prefixed hex frame stream into an array of
+    per-message payload-hex strings — a single JVM `aggregate` walking
+    (offset, acc); no Python, no quadratic re-scan."""
+    off0 = 17 if skip_version else 1  # 1-based; key stream leads with 8B version
+    ln = f"cast(conv(substr({col}, s.off, 16), 16, 10) as int)"
+    return (
+        f"aggregate(sequence(1, cast({n_col} as int)), "
+        f"struct(cast({off0} as int) as off, "
+        f"cast(array() as array<string>) as acc), "
+        f"(s, i) -> struct(cast(s.off + 16 + 2 * {ln} as int) as off, "
+        f"array_append(s.acc, substr({col}, s.off + 16, 2 * {ln}))), "
+        f"s -> s.acc)"
+    )
+
+
+def decode_open_batch_framed(df: DataFrame,
+                             key_col: str = "batch_key_hex",
+                             value_col: str = "batch_value_hex",
+                             n_col: str = "n_messages") -> DataFrame:
+    """Consumer-side inverse of :func:`encode_open_batch_framed` — the
+    open-protocol wire parser (``open/decoder.go``: read 8B BE version,
+    then per message [8B BE keyLen][key] / [8B BE valueLen][value]).
+    Emits one row per message: (topic, partition, batch_seq, idx,
+    key STRING, value_hex) — the value stays hex so a compressed wire
+    (``decompress_col``) or a plain one (``unhex`` → string) can both
+    feed :func:`decode_open_for_apply`."""
+    out = (
+        df.withColumn("_keys", F.expr(_hex_frames_expr(key_col, n_col, True)))
+        .withColumn("_vals", F.expr(_hex_frames_expr(value_col, n_col, False)))
+        .select(
+            "topic", "partition", "batch_seq",
+            F.posexplode(F.arrays_zip("_keys", "_vals")).alias("idx", "kv"),
+        )
+    )
+    return out.select(
+        "topic", "partition", "batch_seq",
+        F.col("idx").cast("bigint").alias("idx"),
+        F.decode(F.unhex(F.col("kv._keys")), "UTF-8").alias("key"),
+        F.col("kv._vals").alias("value_hex"),
     )
 
 

@@ -110,6 +110,10 @@ def _apply_sink_uri_options(cfg: ChangefeedConfig) -> dict:
         cfg.sink.safe_mode = q["safe-mode"][0].lower() in ("true", "1")
     if "transaction-atomicity" in q:
         cfg.sink.txn_atomicity = q["transaction-atomicity"][0]
+    if "compression" in q:
+        # large-message-handle-compression (large_message.go:33); the
+        # URI spelling mirrors the kafka sink's compression param
+        cfg.sink.compression = q["compression"][0]
     return q
 
 
@@ -160,6 +164,19 @@ class Changefeed:
                 f"large message handle is set to "
                 f"{cfg.sink.large_message_handle}, protocol is "
                 f"{cfg.sink.protocol}, it's not supported")
+        if cfg.sink.compression not in ("", "none"):
+            # compression.Supported (large_message.go:57-59) — create-time
+            from tigate_spark.functions.compress import ensure_supported
+
+            ensure_supported(cfg.sink.compression)
+            if cfg.sink.protocol != "open-protocol":
+                # only the open codec applies value compression
+                # (open/codec.go:85,120); other protocols would silently
+                # ignore the setting — reject like the reference's
+                # per-protocol option validation
+                raise ValueError(
+                    f"compression {cfg.sink.compression} is not "
+                    f"supported by protocol {cfg.sink.protocol}")
         self.spark = ensure_confs(spark)
         self.cfg = cfg
         self.source_dir = source_dir
@@ -420,6 +437,18 @@ class Changefeed:
             batch = batch.repartition(F.col("topic"), F.col("partition"))
             if self.cfg.sink.protocol == "open-protocol":
                 batch = encode_open_protocol(batch)
+                if self.cfg.sink.compression not in ("", "none"):
+                    # VALUE compressed before framing/size checks
+                    # (open/codec.go:85: the wire length counts
+                    # compressed bytes); rides as hex like the avro
+                    # Confluent framing — key stays plain JSON
+                    from tigate_spark.functions.compress import compress_col
+
+                    batch = batch.withColumn(
+                        "value",
+                        F.hex(compress_col(
+                            F.encode(F.col("value"), "UTF-8"),
+                            self.cfg.sink.compression)))
             elif self.cfg.sink.protocol == "avro":
                 # Confluent wire framing (magic + schema id + Avro binary)
                 # as hex key/value — byte-exact vs the batch encoder entry
@@ -459,7 +488,13 @@ class Changefeed:
                     guards = [("value",
                                F.octet_length(F.col("value")) / 2)]
                 elif self.cfg.sink.protocol == "open-protocol":
-                    guards = [("value", F.octet_length(F.col("value")))]
+                    # a compressed value rides as hex: 2 chars/byte, and
+                    # the reference sizes the COMPRESSED wire
+                    if self.cfg.sink.compression not in ("", "none"):
+                        guards = [("value",
+                                   F.octet_length(F.col("value")) / 2)]
+                    else:
+                        guards = [("value", F.octet_length(F.col("value")))]
                 else:
                     guards = []
                 for c, size in guards:
