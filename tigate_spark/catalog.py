@@ -4039,6 +4039,70 @@ def encoder_open_claim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decoder_open_large_message",
+    ORACLE_CHANGES_CTE
+    + f"""
+SELECT seq,
+  CAST(CASE WHEN octet_length(encode({_OPEN_FULL_VAL_SQL})) > 120
+       THEN 1 ELSE 0 END AS BIGINT) AS only_handle_key,
+  CAST(CASE WHEN octet_length(encode({_OPEN_FULL_VAL_SQL})) > 120
+       THEN 1 ELSE 0 END AS BIGINT) AS ccl_present,
+  {_OPEN_FULL_VAL_SQL} AS value
+FROM changes
+""",
+    doc="Open-protocol degraded-message consumer (decoder twin of "
+        "encoder_open_claim_check; open/codec.go:36-72): detect the "
+        "shrunken pk-only image (the handle-key-only form carries no "
+        "wire flag — the consumer recognizes degradation by the image "
+        "shape), read the key's ccl pointer, and fetch the offloaded "
+        "full payload from the content-addressed claim-check store "
+        "(encoder.go:54-66 WriteMessage/enhancedKeyValue) — every row "
+        "hash-matches the full plain encoding after recovery. The store "
+        "side is only the oversized payloads (deduped by address), so "
+        "the fetch join broadcasts at any corpus scale",
+)
+def decoder_open_large_message(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_open_protocol
+
+    wire = encoder_open_claim_check(spark, sf_dir)
+    # the claim-check store: the producer offloaded (key, full value)
+    # under the content address before degrading the MQ message
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    full = encode_open_protocol(ch)
+    store = (
+        full.filter(F.octet_length(F.col("value")) > 120)
+        .select(F.md5(F.col("value")).alias("addr"),
+                F.col("value").alias("stored_value"))
+        .distinct()  # content-addressed: identical payloads share one object
+    )
+    img = "STRUCT<pk BIGINT, event_type STRING, value_cents BIGINT, user_id BIGINT>"
+    k = F.from_json(
+        F.col("key"),
+        "ts BIGINT, scm STRING, tbl STRING, t BIGINT, ohk BOOLEAN, ccl STRING")
+    v = F.from_json(F.col("value"), f"u {img}, p {img}, d {img}")
+    live = F.coalesce(F.col("v.u"), F.col("v.d"))
+    # shrunken-image detection: a degraded image carries ONLY the handle
+    # key — pk present, every payload field absent
+    shrunken = (live.getField("pk").isNotNull()
+                & live.getField("event_type").isNull()
+                & live.getField("value_cents").isNull())
+    parsed = wire.select("seq", "value", k.alias("k"), v.alias("v")).select(
+        "seq", "value",
+        F.regexp_extract(F.col("k.ccl"), r"claim-check/(.*)\.json", 1)
+        .alias("addr"),
+        shrunken.alias("shrunken"),
+        F.col("k.ccl").isNotNull().alias("has_ccl"),
+    )
+    rec = parsed.join(F.broadcast(store), "addr", "left")
+    return rec.select(
+        "seq",
+        F.col("shrunken").cast("bigint").alias("only_handle_key"),
+        F.col("has_ccl").cast("bigint").alias("ccl_present"),
+        F.coalesce(F.col("stored_value"), F.col("value")).alias("value"),
+    )
+
+
+@register(
     "decoder_open_wire_frames",
     _RESOLVED_CTE
     + """
