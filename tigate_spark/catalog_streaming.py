@@ -1992,6 +1992,127 @@ def engine_ddl_barrier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sqlite_bookkeeping_e2e",
+    ORACLE_CHANGES_CTE + """
+, ordered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY table_id, pk
+    ORDER BY commit_ts DESC, start_ts DESC,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC, seq DESC
+  ) AS rn
+  FROM changes
+)""" + _ddl_anchor_oracle(1, 2) + """
+, split AS (
+  SELECT commit_ts, row_number() OVER (
+    ORDER BY commit_ts, start_ts,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END, seq
+  ) AS rn2, count(*) OVER () AS n
+  FROM changes
+), parts AS (
+  SELECT commit_ts, least((rn2 - 1) // greatest(n // 3, 1), 2) AS part
+  FROM split
+), ranges AS (
+  SELECT part, min(commit_ts) AS lo, max(commit_ts) AS hi
+  FROM parts GROUP BY 1
+), ticks AS (
+  SELECT part, t.primary_ts AS pts, hi AS sts
+  FROM ranges, unnest(range((lo // 3600000000 + 1) * 3600000000,
+                            (hi // 3600000000) * 3600000000 + 1,
+                            3600000000)) AS t(primary_ts)
+), tick1 AS (
+  SELECT pts, sts, row_number() OVER (PARTITION BY pts ORDER BY part) AS trn
+  FROM ticks
+)
+SELECT 'state' AS kind, table_id, pk, event_type, value_cents,
+       CAST(NULL AS BIGINT) AS ts_a, CAST(NULL AS BIGINT) AS ts_b
+FROM ordered WHERE rn = 1 AND op <> 'D'
+UNION ALL
+SELECT 'ddl_ts', CAST(1 AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       (SELECT CAST(ddl_ts AS BIGINT) FROM anchor), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'syncpoint', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(pts AS BIGINT), CAST(sts AS BIGINT)
+FROM tick1 WHERE trn = 1
+""",
+    doc="K4/K5 on the EXECUTABLE sink: the reference's MySQL writer "
+        "maintains tidb_cdc.ddl_ts_v1 (mysql_writer.go:280-340, "
+        "ON DUPLICATE KEY UPDATE per table) and tidb_cdc.syncpoint_v1 "
+        "(mysql_writer.go:154-200, insert ignore per aligned tick) as "
+        "real downstream SQL tables — the surface the syncpoint / "
+        "ddl_only_block_related_table integration tests read. One feed "
+        "(Engine + sqlite:// + enable_sync_point + a CREATE INDEX DDL "
+        "barrier) must leave all three downstream artifacts correct at "
+        "once: the LWW replica state, the ddl_ts watermark row for the "
+        "barrier's table, and exactly the tick rows each micro-batch "
+        "crossed (first writer wins — insert-ignore keyed "
+        "(changefeed, primary_ts))",
+)
+def streaming_sqlite_bookkeeping_e2e(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    from tigate_spark.engine import Engine
+    from tigate_spark.sources.changes import normalize_events
+    from tigate_spark.streaming.ddl import DDLEvent
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        base = spark.read.parquet(src)
+        order_sql = (
+            "ts, -(event_id % 97), "
+            "case when event_id % 10 >= 9 then 1 "
+            "when event_id % 10 >= 6 then 2 else 3 end, event_id"
+        )
+        norm = normalize_events(base)
+        ddl_ts, _ = _ddl_anchor(norm, 1, 2)
+        ddl = DDLEvent(
+            commit_ts=int(ddl_ts), table_id=1,
+            query="CREATE INDEX `idx_bk_vc` ON `app`.`t1` (`value_cents`)",
+            schema_tag="v1", schema_name="app", table_name="t1",
+        )
+        flat, land = split_df_in_order(spark, base, work, 3, order_sql)
+        for k in range(3):
+            land(k)
+        eng = Engine(spark, flat, work)
+        cfg = ChangefeedConfig(
+            changefeed_id="bk-e2e", sink_uri="sqlite://",
+            enable_sync_point=True, sync_point_interval_s=3600,
+        )
+        cid = eng.create(cfg, ddl_events=[ddl])
+        eng.run_to_completion(cid)
+        sink = eng.changefeed(cid).sink
+        ddl_tbl = sink.read_cdc(spark, "ddl_ts_v1")
+        rows = ddl_tbl.collect()
+        if (len(rows) != 1 or rows[0]["ticdc_cluster_id"] != "default"
+                or rows[0]["changefeed"] != "bk-e2e"):
+            raise RuntimeError(f"ddl_ts_v1 contents wrong: {rows}")
+        sp_tbl = sink.read_cdc(spark, "syncpoint_v1")
+        if sp_tbl.count() == 0:
+            raise RuntimeError("syncpoint_v1 is empty")
+        nil_b = F.lit(None).cast("bigint")
+        nil_s = F.lit(None).cast("string")
+        state = sink.read_state(spark).select(
+            F.lit("state").alias("kind"), "table_id", "pk", "event_type",
+            "value_cents", nil_b.alias("ts_a"), nil_b.alias("ts_b"))
+        ddl_rows = ddl_tbl.select(
+            F.lit("ddl_ts").alias("kind"), F.col("table_id"),
+            nil_b.alias("pk"), nil_s.alias("event_type"),
+            nil_b.alias("value_cents"),
+            F.col("ddl_ts").cast("bigint").alias("ts_a"),
+            nil_b.alias("ts_b"))
+        sp_rows = sp_tbl.select(
+            F.lit("syncpoint").alias("kind"), nil_b.alias("table_id"),
+            nil_b.alias("pk"), nil_s.alias("event_type"),
+            nil_b.alias("value_cents"),
+            F.col("primary_ts").cast("bigint").alias("ts_a"),
+            F.col("secondary_ts").cast("bigint").alias("ts_b"))
+        return _materialize(state.unionAll(ddl_rows).unionAll(sp_rows))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "streaming_replica_schema_evolution_e2e",
     ORACLE_CHANGES_CTE + """
 , ordered AS (

@@ -387,6 +387,9 @@ class Changefeed:
                 write_source=self.cfg.source_id,
                 driver=get_driver(scheme),
                 split_txn=self.cfg.sink.txn_atomicity != "table",
+                changefeed=self.cfg.changefeed_id,
+                sync_point_us=self.cfg.sync_point_interval_s * 1_000_000
+                if self.cfg.enable_sync_point else None,
             )
         if scheme in ("noop", "blackhole"):
             return NoopSink(self.bookkeeping)
@@ -589,6 +592,14 @@ class Changefeed:
                         and d.table_id is not None):
                     self.sink.exec_ddl(
                         d.query, d.schema_name, d.table_name, d.table_id)
+                    # downstream ddl_ts_v1 watermark (mysql_writer.go:
+                    # 280-340): dropped tables lose their row, every
+                    # other DDL upserts it
+                    if d.query.strip().upper().startswith("DROP TABLE"):
+                        self.sink.record_ddl_ts(
+                            d.commit_ts, [], drop_table_ids=[d.table_id])
+                    else:
+                        self.sink.record_ddl_ts(d.commit_ts, [d.table_id])
                 self._ddl_applied.add(d.commit_ts)
 
             # bookkeeping (K4 progress + K5 syncpoint ticks) is a per-
@@ -608,6 +619,11 @@ class Changefeed:
                 self.sink.bookkeeping = bk
             if bk is not None:
                 bk.record(batch_df, batch_id)
+                if hasattr(self.sink, "mirror_syncpoint"):
+                    # sub-batches skipped their mirror (bookkeeping was
+                    # detached); record the downstream ticks ONCE over
+                    # the full micro-batch, same as bk.record above
+                    self.sink.mirror_syncpoint(batch_df)
         finally:
             batch_df.unpersist()
 

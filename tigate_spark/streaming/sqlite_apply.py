@@ -443,7 +443,9 @@ class SqliteApplySink:
     def __init__(self, db_dir: str, n_lanes: int = DEFAULT_LANES,
                  txn_rows: int = 256, max_packet: int = 64 * 1024,
                  bookkeeping=None, write_source: int | None = None,
-                 driver=None, split_txn: bool = True):
+                 driver=None, split_txn: bool = True,
+                 changefeed: str = "", cluster_id: str = "default",
+                 sync_point_us: int | None = None):
         self.db_dir = db_dir
         self.n_lanes = n_lanes
         self.txn_rows = txn_rows
@@ -451,6 +453,14 @@ class SqliteApplySink:
         self.bookkeeping = bookkeeping
         #: this writer's tidb_cdc_write_source twin (helper.go:334-343)
         self.write_source = write_source
+        #: identity columns of the downstream tidb_cdc bookkeeping tables
+        #: (mysql_writer.go: ticdc_cluster_id = GetGlobalServerConfig()
+        #: .ClusterID, default "default"; changefeed = the feed id)
+        self.changefeed = changefeed
+        self.cluster_id = cluster_id
+        #: when set, syncpoint ticks are ALSO written to the downstream
+        #: tidb_cdc__syncpoint_v1 table (K5 on the executable sink)
+        self.sync_point_us = sync_point_us
         #: DBAPI seam (streaming/dbapi.py): connect factory + error
         #: classifier; shipped to executors inside the foreachPartition
         #: closure, so it must be picklable
@@ -530,6 +540,120 @@ class SqliteApplySink:
             # table-progress + syncpoint recording (T5/T7/T11), same as
             # every other sink scheme
             self.bookkeeping.record(changes, batch_id)
+            # ...plus the DOWNSTREAM tidb_cdc.syncpoint_v1 rows a real
+            # MySQL-sink consumer reads (K5 on the executable sink).
+            # Gated on the attached bookkeeping so DDL-barrier sub-
+            # batches (which detach it) record once per micro-batch,
+            # via the caller's full-batch mirror_syncpoint call.
+            self.mirror_syncpoint(changes)
+
+    # -- tidb_cdc downstream bookkeeping tables ------------------------
+    # The reference's MySQL writer maintains `tidb_cdc`.`ddl_ts_v1`
+    # (mysql_writer.go:280-340: INSERT ... ON DUPLICATE KEY UPDATE
+    # ddl_ts per (cluster, changefeed, table_id); DELETE for dropped
+    # tables) and `tidb_cdc`.`syncpoint_v1` (mysql_writer.go:154-200:
+    # insert ignore (cluster, changefeed, primary_ts, secondary_ts)) as
+    # REAL downstream SQL tables — the surface the `syncpoint` /
+    # `ddl_only_block_related_table` integration tests read. Here they
+    # live in a dedicated tidb_cdc.db next to the lane DBs (one logical
+    # downstream database), rendered in the SQLite dialect the driver
+    # seam executes (ON CONFLICT ... DO UPDATE / INSERT OR IGNORE are
+    # the sqlite spellings of the MySQL forms above). Both tables are
+    # O(tables)+O(ticks), driver-side single-row work per barrier/batch.
+
+    def _cdc_connect(self):
+        con = self.driver.connect(os.path.join(self.db_dir, "tidb_cdc.db"))
+        cur = con.cursor()
+        _ensure_meta(cur)  # empty _tables so read_state skips this db
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS tidb_cdc__ddl_ts_v1 ("
+            "ticdc_cluster_id TEXT, changefeed TEXT, ddl_ts TEXT, "
+            "table_id INTEGER, "
+            "created_at TIMESTAMP NOT NULL DEFAULT CURRENT_TIMESTAMP, "
+            "PRIMARY KEY (ticdc_cluster_id, changefeed, table_id))")
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS tidb_cdc__syncpoint_v1 ("
+            "ticdc_cluster_id TEXT, changefeed TEXT, primary_ts TEXT, "
+            "secondary_ts TEXT, "
+            "created_at TIMESTAMP NOT NULL DEFAULT CURRENT_TIMESTAMP, "
+            "PRIMARY KEY (changefeed, primary_ts))")
+        con.commit()
+        return con, cur
+
+    def record_ddl_ts(self, ddl_ts: int, table_ids: list[int],
+                      drop_table_ids: list[int] | tuple = ()) -> None:
+        """FlushDDLTs twin: upsert the per-table ddl_ts watermark, drop
+        rows for tables the DDL removed (mysql_writer.go:280-340)."""
+        con, cur = self._cdc_connect()
+        try:
+            for tid in table_ids:
+                cur.execute(
+                    "INSERT INTO tidb_cdc__ddl_ts_v1 "
+                    "(ticdc_cluster_id, changefeed, ddl_ts, table_id) "
+                    "VALUES (?, ?, ?, ?) "
+                    "ON CONFLICT (ticdc_cluster_id, changefeed, table_id) "
+                    "DO UPDATE SET ddl_ts = excluded.ddl_ts, "
+                    "created_at = CURRENT_TIMESTAMP",
+                    (self.cluster_id, self.changefeed, str(ddl_ts),
+                     int(tid)))
+            for tid in drop_table_ids:
+                cur.execute(
+                    "DELETE FROM tidb_cdc__ddl_ts_v1 WHERE "
+                    "ticdc_cluster_id = ? AND changefeed = ? "
+                    "AND table_id = ?",
+                    (self.cluster_id, self.changefeed, int(tid)))
+            con.commit()
+        finally:
+            con.close()
+
+    def record_syncpoint(self, primary_ts: int, secondary_ts: int) -> None:
+        """SendSyncPointEvent twin: insert-ignore one ts-map row
+        (mysql_writer.go:154-200; secondary_ts = the downstream applied
+        position when the tick was written)."""
+        con, cur = self._cdc_connect()
+        try:
+            cur.execute(
+                "INSERT OR IGNORE INTO tidb_cdc__syncpoint_v1 "
+                "(ticdc_cluster_id, changefeed, primary_ts, secondary_ts) "
+                "VALUES (?, ?, ?, ?)",
+                (self.cluster_id, self.changefeed, str(int(primary_ts)),
+                 str(int(secondary_ts))))
+            con.commit()
+        finally:
+            con.close()
+
+    def mirror_syncpoint(self, batch_df: DataFrame) -> None:
+        """Write the aligned ticks this batch crossed into the downstream
+        syncpoint_v1 (same tick arithmetic as Bookkeeping.record; two
+        O(1) scalar aggregates on the already-persisted batch)."""
+        if not self.sync_point_us:
+            return
+        row = batch_df.agg(F.min("commit_ts").alias("lo"),
+                           F.max("commit_ts").alias("hi")).first()
+        if row is None or row["lo"] is None:
+            return
+        iv = self.sync_point_us
+        for t in range((row["lo"] // iv + 1) * iv,
+                       (row["hi"] // iv) * iv + 1, iv):
+            self.record_syncpoint(t, row["hi"])
+
+    def read_cdc(self, spark, name: str) -> DataFrame:
+        """One tidb_cdc table as a DataFrame (test/oracle surface)."""
+        con, cur = self._cdc_connect()
+        try:
+            rows = [tuple(r) for r in cur.execute(
+                f"SELECT ticdc_cluster_id, changefeed, "
+                f"{'ddl_ts, table_id' if name == 'ddl_ts_v1' else 'primary_ts, secondary_ts'} "
+                f"FROM tidb_cdc__{name}")]
+        finally:
+            con.close()
+        if name == "ddl_ts_v1":
+            schema = ("ticdc_cluster_id string, changefeed string, "
+                      "ddl_ts string, table_id bigint")
+        else:
+            schema = ("ticdc_cluster_id string, changefeed string, "
+                      "primary_ts string, secondary_ts string")
+        return spark.createDataFrame(rows, schema)
 
     def exec_ddl(self, query: str, schema: str, table: str,
                  table_id: int) -> str:
