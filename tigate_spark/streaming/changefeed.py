@@ -326,6 +326,7 @@ class Changefeed:
             return ChangelogSink(
                 os.path.join(self.work_dir, "changelog", self.cfg.changefeed_id),
                 self.bookkeeping,
+                num_partitions=self.cfg.sink.num_partitions,
             )
         if scheme in ("file", "s3", "storage"):
             # K7 cloud-storage sink (csv_storage_basic/run.sh:23 —

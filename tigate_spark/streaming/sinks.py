@@ -374,15 +374,57 @@ class ChangelogSink:
 
     Expects the batch already carries ``topic``/``partition``/``message``
     (or key/value) columns from the routing+encoding stages; partitions the
-    files by topic like Kafka partitions by topic."""
+    files by topic like Kafka partitions by topic.
 
-    def __init__(self, out_dir: str, bookkeeping: Bookkeeping | None = None):
+    ``producer`` is the Kafka transport seam (``streaming/kafka.py`` —
+    the DBAPI-seam pattern applied to the MQ side): None keeps the
+    default parquet write below; an injected producer instead routes
+    every message through ``produce_partition`` on the executors, with
+    admin topic-create/partition-count queries driver-side and
+    retriable produce errors resent (broker-side sequence dedup keeps
+    the resend duplicate-free — the idempotent-producer contract,
+    sarama_factory.go/admin.go)."""
+
+    def __init__(self, out_dir: str, bookkeeping: Bookkeeping | None = None,
+                 producer=None, num_partitions: int = 16):
         self.out_dir = out_dir
         #: K6: resolved-ts broadcast — one checkpoint message per topic per
         #: batch so consumers can advance without waiting for data
         #: (kafka_ddl_worker.go checkpoint loop; event_broker.go:579-606)
         self.checkpoint_dir = out_dir.rstrip("/") + "_checkpoint"
         self.bookkeeping = bookkeeping
+        self.producer = producer
+        self.num_partitions = num_partitions
+
+    def _produce_batch(self, df: DataFrame, batch_id: int) -> None:
+        from tigate_spark.streaming.kafka import produce_with_retry
+
+        producer = self.producer
+        # admin pass (driver-side, O(topics) like the reference's
+        # ClusterAdminClient): create-or-get each topic and route by the
+        # ACTUAL partition count (admin.go GetTopicPartitionNum)
+        topics = [r["topic"] for r in df.select("topic").distinct().collect()]
+        counts = {t: producer.ensure_topic(t, self.num_partitions)
+                  for t in topics}
+        msg_col = "message" if "message" in df.columns else "value"
+        key_col = "key" if "key" in df.columns else None
+
+        def run_partition(rows) -> None:
+            groups: dict[tuple, list] = {}
+            for r in rows:
+                eff = int(r["partition"]) % counts[r["topic"]]
+                groups.setdefault((r["topic"], eff), []).append({
+                    "seq": int(r["seq"]),
+                    "key": r["key"] if key_col else None,
+                    "value": r[msg_col],
+                })
+            for (t, p), recs in groups.items():
+                recs.sort(key=lambda x: x["seq"])
+                produce_with_retry(producer, t, p, recs)
+
+        df.repartition(F.col("topic"), F.col("partition")) \
+          .foreachPartition(run_partition)
+        producer.flush()
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # No repartition here: the changefeed places the (topic, partition)
@@ -403,10 +445,13 @@ class ChangelogSink:
         # 134k with lz4 at 100k-row batches; ~30% larger files). Kafka's
         # own wire compression is the cheap-codec family too — zstd stays
         # the right default for the read-heavy storage/event-store paths.
-        (batch_df.select(*out_cols)
-         .write.option("compression", "lz4")
-         .option("maxRecordsPerFile", 1_000_000)
-         .mode("append").partitionBy("topic").parquet(self.out_dir))
+        if self.producer is not None:
+            self._produce_batch(batch_df.select(*out_cols), batch_id)
+        else:
+            (batch_df.select(*out_cols)
+             .write.option("compression", "lz4")
+             .option("maxRecordsPerFile", 1_000_000)
+             .mode("append").partitionBy("topic").parquet(self.out_dir))
         ckpt = batch_df.groupBy("topic").agg(
             F.max("commit_ts").alias("resolved_ts")
         ).select(
