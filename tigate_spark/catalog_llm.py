@@ -514,6 +514,115 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_features(imgs)
 
 
+@register(
+    "multimodal_jpeg_decode",
+    """
+WITH ids AS (
+  SELECT doc_id AS img_id FROM documents WHERE doc_id % 7 = 0
+), mb AS (
+  SELECT i.img_id, mx.range AS mx, my.range AS my
+  FROM ids i CROSS JOIN range(2) mx CROSS JOIN range(2) my
+), rgb AS (
+  SELECT img_id, mx, my,
+    CAST((img_id * 37 + mx * 11 + my * 23) % 256 AS DOUBLE) AS r,
+    CAST((img_id * 37 + mx * 11 + my * 23 + 85) % 256 AS DOUBLE) AS g,
+    CAST((img_id * 37 + mx * 11 + my * 23 + 170) % 256 AS DOUBLE) AS b
+  FROM mb
+), ycc AS (
+  SELECT img_id,
+    least(255.0, greatest(0.0,
+      floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5))) AS y,
+    least(255.0, greatest(0.0,
+      floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5))) AS cb,
+    least(255.0, greatest(0.0,
+      floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5))) AS cr
+  FROM rgb
+), back AS (
+  SELECT img_id,
+    least(255.0, greatest(0.0,
+      floor(y + 1.402 * (cr - 128.0) + 0.5))) AS r2,
+    least(255.0, greatest(0.0,
+      floor(y - 0.344136 * (cb - 128.0)
+              - 0.714136 * (cr - 128.0) + 0.5))) AS g2,
+    least(255.0, greatest(0.0,
+      floor(y + 1.772 * (cb - 128.0) + 0.5))) AS b2
+  FROM ycc
+), sums AS (
+  SELECT img_id,
+    CAST(256 * SUM(r2) AS BIGINT) AS s_r,
+    CAST(256 * SUM(g2) AS BIGINT) AS s_g,
+    CAST(256 * SUM(b2) AS BIGINT) AS s_b
+  FROM back GROUP BY img_id
+)
+SELECT img_id,
+  CAST(CASE WHEN img_id % 97 = 0 THEN NULL ELSE 32 END AS BIGINT) AS width,
+  CAST(CASE WHEN img_id % 97 = 0 THEN NULL ELSE 32 END AS BIGINT) AS height,
+  CAST(CASE WHEN img_id % 97 = 0 THEN NULL ELSE 3 END AS BIGINT)
+    AS channels,
+  CASE WHEN img_id % 97 = 0 THEN NULL ELSE s_r END AS sum_r,
+  CASE WHEN img_id % 97 = 0 THEN NULL ELSE s_g END AS sum_g,
+  CASE WHEN img_id % 97 = 0 THEN NULL ELSE s_b END AS sum_b,
+  CAST(CASE WHEN img_id % 97 = 0 THEN 0 ELSE 1 END AS BIGINT) AS decode_ok
+FROM sums
+""",
+    doc="From-spec JPEG baseline decode (ITU-T T.81) — the PNG "
+        "precedent extended to the Huffman-entropy-coded format, "
+        "retiring the multimodal_resize stub note: a valid 32x32 4:2:0 "
+        "JFIF file per document is synthesized on the EXECUTORS by a "
+        "general FDCT+quantize+Huffman encoder, then decoded by the "
+        "independent from-spec parser (functions/jpeg.py: marker/DQT/"
+        "DHT/SOF0/SOS parse, canonical Huffman rebuild from the file's "
+        "BITS/HUFFVAL, byte unstuffing, DC prediction, AC run-length, "
+        "dezigzag, dequant, matrix IDCT, 4:2:0 upsample, YCbCr->RGB) "
+        "inside Arrow mapInPandas. Fixtures are flat 16x16 macroblocks "
+        "whose pipeline has a CLOSED FORM (DC quant step 8 makes the "
+        "DCT round trip exact), so per-image channel sums reproduce "
+        "pure color-conversion arithmetic in the oracle — the oracle "
+        "never sees bytes; non-flat AC content is covered by the "
+        "spec-accuracy pytest round trips. Every 97th image is "
+        "corrupted inside its DHT segment and must dead-letter "
+        "(decode_ok=0) via the BITS/HUFFVAL consistency check, not "
+        "crash the task. Zero shuffle, 1 row in / 1 row out",
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.jpeg import decode_jpeg_features, jpeg_encode
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(F.col("doc_id").cast("bigint").alias("img_id"))
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for img_id in pdf["img_id"]:
+                d = int(img_id)
+                img = np.zeros((32, 32, 3), dtype=np.int64)
+                for my in range(2):
+                    for mx in range(2):
+                        base = (d * 37 + mx * 11 + my * 23) % 256
+                        img[my * 16:(my + 1) * 16,
+                            mx * 16:(mx + 1) * 16] = [
+                            base, (base + 85) % 256, (base + 170) % 256]
+                data = jpeg_encode(img)
+                if d % 97 == 0:
+                    # corrupt a BITS byte inside the first DHT segment:
+                    # the decoder's canonical-table consistency check
+                    # must catch it (dead-letter, not garbage pixels)
+                    b = bytearray(data)
+                    b[data.index(b"\xff\xc4") + 5] ^= 0xFF
+                    data = bytes(b)
+                rows.append((d, data))
+            yield pd.DataFrame(rows, columns=["img_id", "data"])
+
+    imgs = ids.mapInPandas(gen, "img_id bigint, data binary")
+    return decode_jpeg_features(imgs)
+
+
 # ===========================================================================
 # Embedding near-dup + IVF ANN (SURVEY §7 M6 extensions)
 # ===========================================================================

@@ -186,9 +186,13 @@ def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224,
     The real body is ``PIL.Image.open(io.BytesIO(b)).resize((w, h))``;
     STUBBED here (no PIL in env) with a deterministic fake that tiles the
     payload's md5 digest into a pseudo-thumbnail so tests pin the batch
-    shape + schema. (This JPEG-family stub is the LAST fake on the
-    multimodal path: entropy-coded decode itself is REAL via the
-    from-spec PNG codec — chunk CRCs, DEFLATE, all five scanline
+    shape + schema. (The decode side of the JPEG family is no longer a
+    stub: ``functions/jpeg.py`` / ``multimodal_jpeg_decode`` implement
+    baseline JFIF from the spec — DQT/DHT/SOF0/SOS parse, canonical
+    Huffman decode, dequant, matrix IDCT, 4:2:0 upsample, YCbCr→RGB —
+    so this fake now covers only the generic many-format resize
+    convenience PIL would provide, and entropy-coded decode is REAL via
+    the from-spec PNG codec — chunk CRCs, DEFLATE, all five scanline
     predictors — ``functions/png.py`` / ``multimodal_png_decode``;
     numpy box-filter resize on decoded pixels is real too,
     ``resize_box``.) The ``resized_md5`` digest hashes the thumbnail's
