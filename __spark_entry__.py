@@ -25,126 +25,274 @@ def entry(spark: SparkSession) -> DataFrame:
     return cat["cdc_pipeline_e2e"].builder(spark, "/root/testdata/sf0.001")
 
 
-#: Run order for a driver that caps at ~50 entries per round. Round-10
-#: rotation: positions 1-7 are the NEW r10 entries — the open-protocol
-#: and storage-csv consumer apply e2es (with canal, all three consumer
-#: families now compose to identity), the CSVConfig dialect codec pair
-#: (byte-exact vs the univocity quoting rule), plain canal-json with
-#: enable-tidb-extension=false, the crash-resume recovery e2e, and the
-#: from-spec PNG entropy decode; positions 8-15 are entries whose
-#: engine code changed in round 10 (the executable sink refactored over
-#: the DBAPI driver seam incl. transaction-atomicity and the
-#: seq-way/dup-entry fallbacks; redo gained the resolved-ts ordering
-#: guard + O(1) DDL dedup; Engine.update keeps DDL barriers and the
-#: unretryable match is root-cause-only); positions 16+ are the ENTIRE
-#: catalog freshness-ascending by latest external green round (computed
-#: from CORRECTNESS_r0*.json): the 24 r3-vintage entries first (VERDICT
-#: r9 "What's wrong" #1 — the TPC-H headliners, the dedup/sim families,
-#: text/multimodal), then the r4 cohort, so the ~50-slot window drains
-#: all of r3 plus the oldest r4 entries and any overflow keeps draining
-#: oldest-first on the rolling clock.
+#: External-window priority (the driver runs the first ~50): positions
+#: 1-6 are the SIX new round-11 entries — the byte-exact TiDB row
+#: checksum (verify_checksum.go twin), the compressed open-protocol
+#: wire pair (compress.go seam), the degraded-message consumer with
+#: claim-check fetch-back, the tidb_cdc bookkeeping-tables e2e on the
+#: executable sink, and the from-spec JPEG baseline decode; positions
+#: 7-10 are entries whose engine code changed in round 11 (the batch
+#: framer gained the compressed-value lane; the sqlite sink grew the
+#: tidb_cdc tables + syncpoint mirror; the DDL-barrier path records
+#: ddl_ts_v1; the engine's unretryable match scans bare first-line
+#: headers); positions 11+ are the ENTIRE catalog freshness-ascending
+#: by latest external green round (computed from CORRECTNESS_r*.json):
+#: the full 30-entry r4 cohort first (VERDICT r10 task #1 — drain it),
+#: then the r5 cohort (the ~50-slot window covers all of r4 plus the
+#: oldest r5; the r5 overflow keeps draining oldest-first next round).
 _PRIORITY = [
-    'consumer_openprotocol_apply_e2e', 'consumer_storage_apply_e2e',
-    'encoder_csv_configured', 'decoder_csv_configured',
-    'encoder_canal_json_no_extension', 'engine_crash_resume_e2e',
-    'multimodal_png_decode',
+    'projection_checksum_tidb',
+    'encoder_open_compressed',
+    'decoder_open_compressed',
+    'decoder_open_large_message',
+    'streaming_sqlite_bookkeeping_e2e',
+    'multimodal_jpeg_decode',
+    'encoder_open_batch_framed',
     'streaming_sqlite_apply_e2e',
-    'streaming_sqlite_ddl_apply_e2e', 'engine_ddl_barrier_e2e',
-    'streaming_bdr_loop_prevention_e2e', 'redo_disaster_recovery_e2e',
-    'consumer_changelog_apply_e2e', 'engine_lifecycle_e2e',
-    'engine_multifeed_e2e', 'approx_order_value_quantiles',
-    'dedup_embedding_cosine', 'dedup_exact', 'dedup_minhash_lsh',
-    'dedup_ngram_jaccard', 'dedup_simhash', 'llm_clean_corpus',
-    'multimodal_binary_meta', 'multimodal_frame_sample', 'sim_ann_lsh_topk',
-    'sim_cosine_topk', 'sim_ivf_topk', 'text_fingerprint', 'text_lang_id',
-    'text_quality_score', 'text_token_count', 'tpch_q14_promo_revenue',
-    'tpch_q16_supplier_cnt', 'tpch_q1_pricing_summary',
-    'tpch_q3_shipping_priority', 'tpch_q4_order_priority',
-    'tpch_q5_local_supplier', 'tpch_q6_forecast_revenue',
-    'window_topn_orders_per_customer', 'agg_cube_table_op',
-    'agg_pivot_event_types', 'agg_rollup_schema_table',
-    'agg_salted_skew_safe', 'apply_merge_to_base', 'approx_distinct_users',
-    'changes_normalize', 'corpus_top_tokens', 'ddl_action_classify_full',
-    'decoder_avro_json', 'decoder_canal_json', 'decoder_simple_bootstrap',
-    'decoder_simple_protocol', 'embed_int8_quantize', 'embed_kmeans_clusters',
-    'encoder_avro_json', 'encoder_canal_json', 'encoder_canal_json_typed',
-    'encoder_message_batches', 'encoder_open_batch_framed',
-    'encoder_simple_bootstrap', 'encoder_simple_bootstrap_versioned',
-    'filter_start_ts', 'filter_table_rule', 'gc_eligible_tombstones',
-    'join_interval_broadcast', 'join_skew_split_salted', 'order_apply_seq',
-    'projection_update_split', 'projection_updated_columns',
-    'route_topic_partition', 'schema_asof_join', 'syncpoint_ticks',
-    'tpch_q13_customer_distribution', 'tpch_q17_small_quantity_revenue',
-    'tpch_q21_waiting_suppliers', 'tpch_q8_market_share', 'txn_grouping',
-    'window_lag_interarrival', 'window_range_1h_sum',
-    'window_running_balance', 'corpus_dup_rate_summary',
-    'corpus_length_histogram', 'corpus_mix_stats', 'decontaminate_vs_eval',
-    'dedup_embedding_exact', 'dedup_minhash_signature',
-    'dedup_semantic_semdedup', 'dedup_simhash_pairs', 'embed_dim_stats',
-    'join_semi_anti_keys', 'sample_quality_weighted',
-    'setop_distinct_segments', 'setop_except_keys', 'sim_ivf_trained_topk',
-    'sim_lsh_bucket', 'sink_batch_progress', 'sink_checkpoint_messages',
-    'text_chunk_documents', 'text_mask_pii', 'text_repetition_score',
-    'tpch_q10_returned_items', 'tpch_q11_important_stock',
-    'tpch_q12_priority_by_status', 'tpch_q15_top_supplier',
-    'tpch_q18_large_volume_orders', 'tpch_q19_disjunctive_filter',
-    'tpch_q20_part_promotion', 'tpch_q22_idle_customers',
-    'tpch_q2_top_supplier_per_part', 'tpch_q7_nation_volume',
-    'tpch_q9_product_profit', 'window_ntile_rank', 'agg_events_per_type_hour',
-    'agg_props_json_profile', 'bpe_merge_apply', 'bpe_train_merges',
-    'bpe_vocab_apply', 'claim_check_round_trip', 'convert_debezium_to_open',
-    'convert_open_to_canal', 'corpus_shuffle_assign',
-    'decoder_avro_confluent', 'decoder_canal_large_message',
-    'decoder_craft_batch_framed', 'decoder_craft_dead_letter',
-    'decoder_craft_framed', 'decoder_open_ddl_frames',
-    'decoder_open_wire_frames', 'decoder_simple_ddl',
-    'decontaminate_fuzzy_minhash', 'dedup_paragraph_fraction',
-    'dedup_substring_excise', 'dedup_substring_spans', 'embed_pca_project',
-    'encoder_canal_claim_check', 'encoder_canal_handle_key_only',
-    'encoder_canal_json_ddl', 'encoder_canal_resolved',
-    'encoder_open_claim_check', 'encoder_open_handle_key_only',
-    'llm_curation_manifest_v2', 'multimodal_audio_energy', 'pack_sequences',
-    'replica_chunk_checksums', 'sample_importance_dsir',
-    'sample_mixture_epochs', 'sample_temperature_mix', 'seq_gap_resets',
-    'sink_txn_flush_batches', 'source_jsonl_changes',
-    'streaming_ddl_barrier_e2e', 'streaming_filtered_replica_e2e',
-    'streaming_flush_batches_e2e', 'streaming_incr_agg_e2e',
-    'streaming_jsonl_replica_e2e', 'streaming_syncpoint_e2e',
-    'streaming_window_append_e2e', 'text_gopher_quality_flags',
-    'text_lm_score', 'apply_incremental_agg', 'apply_incremental_join',
-    'apply_scd2_history', 'bpe_train_merges_batched', 'cdc_pipeline_e2e',
-    'convert_canal_to_avro', 'corpus_bigram_counts', 'decoder_csv_rows',
-    'decoder_debezium', 'decoder_open_batch', 'dedup_exact_canonical',
-    'dedup_keep_best_quality', 'embed_label_outliers', 'embed_pq_encode',
-    'encoder_avro_confluent_framed', 'encoder_craft_batch_framed',
-    'encoder_craft_framed', 'encoder_craft_resolved', 'encoder_csv_rows',
-    'encoder_debezium', 'encoder_mysql_sql', 'encoder_mysql_sql_safe_mode',
-    'encoder_open_ddl', 'encoder_open_resolved', 'encoder_simple_ddl',
-    'encoder_simple_protocol', 'llm_curation_manifest', 'multimodal_resize',
-    'multimodal_resize_box', 'sample_source_token_budget',
-    'sim_ann_recall_report', 'sim_ivfpq_topk', 'sim_pq_adc_topk',
-    'source_csv_changes', 'streaming_blackhole_e2e',
-    'streaming_changelog_e2e', 'streaming_csv_replica_e2e',
-    'streaming_first_seen_e2e', 'streaming_minhash_dedup_e2e',
-    'streaming_sessions_e2e', 'streaming_storage_e2e',
-    'streaming_txn_match_e2e', 'streaming_window_counts_e2e',
-    'text_search_bm25_topk', 'agg_session_windows', 'agg_unpivot_measures',
-    'apply_composite_key', 'apply_materialize', 'audit_image_chain',
-    'changefeed_checkpoint', 'ddl_action_classify', 'ddl_allowlist',
-    'ddl_barrier_subbatches', 'ddl_split_multistatement',
-    'decoder_dead_letter', 'decoder_open_protocol', 'dedup_c4_span_excise',
-    'dedup_duplicate_clusters', 'dedup_lsh_quality_report', 'dml_ddl_merge',
-    'encoder_avro_registry_evolution', 'encoder_avro_registry_http',
-    'encoder_claim_check', 'encoder_open_batch', 'encoder_open_protocol',
-    'filter_ddl_sql_regex', 'filter_event_type', 'filter_expr_values',
-    'force_replicate_rowkey', 'partition_table_logical',
-    'projection_checksum', 'projection_column_selector',
-    'projection_handle_key_only', 'projection_type_render', 'range_scan',
-    'sample_hash_bucket', 'sample_stratified_hash',
-    'schema_asof_join_grouped', 'schema_evolution_typed_view',
-    'setop_intersect_keys', 'split_leakage_safe', 'stale_event_drop',
-    'streaming_replica_e2e', 'streaming_replica_schema_evolution_e2e',
-    'streaming_time_travel_e2e', 'table_progress', 'txn_match_prewrite_commit'
+    'engine_ddl_barrier_e2e',
+    'engine_crash_resume_e2e',
+    'decoder_simple_bootstrap',
+    'decoder_simple_protocol',
+    'embed_int8_quantize',
+    'embed_kmeans_clusters',
+    'encoder_avro_json',
+    'encoder_canal_json',
+    'encoder_canal_json_typed',
+    'encoder_message_batches',
+    'encoder_simple_bootstrap',
+    'encoder_simple_bootstrap_versioned',
+    'filter_start_ts',
+    'filter_table_rule',
+    'gc_eligible_tombstones',
+    'join_interval_broadcast',
+    'join_skew_split_salted',
+    'order_apply_seq',
+    'projection_update_split',
+    'projection_updated_columns',
+    'route_topic_partition',
+    'schema_asof_join',
+    'syncpoint_ticks',
+    'tpch_q13_customer_distribution',
+    'tpch_q17_small_quantity_revenue',
+    'tpch_q21_waiting_suppliers',
+    'tpch_q8_market_share',
+    'txn_grouping',
+    'window_lag_interarrival',
+    'window_range_1h_sum',
+    'window_running_balance',
+    'corpus_dup_rate_summary',
+    'corpus_length_histogram',
+    'corpus_mix_stats',
+    'decontaminate_vs_eval',
+    'dedup_embedding_exact',
+    'dedup_minhash_signature',
+    'dedup_semantic_semdedup',
+    'dedup_simhash_pairs',
+    'embed_dim_stats',
+    'join_semi_anti_keys',
+    'sample_quality_weighted',
+    'setop_distinct_segments',
+    'setop_except_keys',
+    'sim_ivf_trained_topk',
+    'sim_lsh_bucket',
+    'sink_batch_progress',
+    'sink_checkpoint_messages',
+    'text_chunk_documents',
+    'text_mask_pii',
+    'text_repetition_score',
+    'tpch_q10_returned_items',
+    'tpch_q11_important_stock',
+    'tpch_q12_priority_by_status',
+    'tpch_q15_top_supplier',
+    'tpch_q18_large_volume_orders',
+    'tpch_q19_disjunctive_filter',
+    'tpch_q20_part_promotion',
+    'tpch_q22_idle_customers',
+    'tpch_q2_top_supplier_per_part',
+    'tpch_q7_nation_volume',
+    'tpch_q9_product_profit',
+    'window_ntile_rank',
+    'agg_events_per_type_hour',
+    'agg_props_json_profile',
+    'bpe_merge_apply',
+    'bpe_train_merges',
+    'bpe_vocab_apply',
+    'claim_check_round_trip',
+    'convert_debezium_to_open',
+    'convert_open_to_canal',
+    'corpus_shuffle_assign',
+    'decoder_avro_confluent',
+    'decoder_canal_large_message',
+    'decoder_craft_batch_framed',
+    'decoder_craft_dead_letter',
+    'decoder_craft_framed',
+    'decoder_open_ddl_frames',
+    'decoder_open_wire_frames',
+    'decoder_simple_ddl',
+    'decontaminate_fuzzy_minhash',
+    'dedup_paragraph_fraction',
+    'dedup_substring_excise',
+    'dedup_substring_spans',
+    'embed_pca_project',
+    'encoder_canal_claim_check',
+    'encoder_canal_handle_key_only',
+    'encoder_canal_json_ddl',
+    'encoder_canal_resolved',
+    'encoder_open_claim_check',
+    'encoder_open_handle_key_only',
+    'llm_curation_manifest_v2',
+    'multimodal_audio_energy',
+    'pack_sequences',
+    'replica_chunk_checksums',
+    'sample_importance_dsir',
+    'sample_mixture_epochs',
+    'sample_temperature_mix',
+    'seq_gap_resets',
+    'sink_txn_flush_batches',
+    'source_jsonl_changes',
+    'streaming_ddl_barrier_e2e',
+    'streaming_filtered_replica_e2e',
+    'streaming_flush_batches_e2e',
+    'streaming_incr_agg_e2e',
+    'streaming_jsonl_replica_e2e',
+    'streaming_syncpoint_e2e',
+    'streaming_window_append_e2e',
+    'text_gopher_quality_flags',
+    'text_lm_score',
+    'apply_incremental_agg',
+    'apply_incremental_join',
+    'apply_scd2_history',
+    'bpe_train_merges_batched',
+    'cdc_pipeline_e2e',
+    'convert_canal_to_avro',
+    'corpus_bigram_counts',
+    'decoder_csv_rows',
+    'decoder_debezium',
+    'decoder_open_batch',
+    'dedup_exact_canonical',
+    'dedup_keep_best_quality',
+    'embed_label_outliers',
+    'embed_pq_encode',
+    'encoder_avro_confluent_framed',
+    'encoder_craft_batch_framed',
+    'encoder_craft_framed',
+    'encoder_craft_resolved',
+    'encoder_csv_rows',
+    'encoder_debezium',
+    'encoder_mysql_sql',
+    'encoder_mysql_sql_safe_mode',
+    'encoder_open_ddl',
+    'encoder_open_resolved',
+    'encoder_simple_ddl',
+    'encoder_simple_protocol',
+    'llm_curation_manifest',
+    'multimodal_resize',
+    'multimodal_resize_box',
+    'sample_source_token_budget',
+    'sim_ann_recall_report',
+    'sim_ivfpq_topk',
+    'sim_pq_adc_topk',
+    'source_csv_changes',
+    'streaming_blackhole_e2e',
+    'streaming_changelog_e2e',
+    'streaming_csv_replica_e2e',
+    'streaming_first_seen_e2e',
+    'streaming_minhash_dedup_e2e',
+    'streaming_sessions_e2e',
+    'streaming_storage_e2e',
+    'streaming_txn_match_e2e',
+    'streaming_window_counts_e2e',
+    'text_search_bm25_topk',
+    'agg_session_windows',
+    'agg_unpivot_measures',
+    'apply_composite_key',
+    'apply_materialize',
+    'audit_image_chain',
+    'changefeed_checkpoint',
+    'ddl_action_classify',
+    'ddl_allowlist',
+    'ddl_barrier_subbatches',
+    'ddl_split_multistatement',
+    'decoder_dead_letter',
+    'decoder_open_protocol',
+    'dedup_c4_span_excise',
+    'dedup_duplicate_clusters',
+    'dedup_lsh_quality_report',
+    'dml_ddl_merge',
+    'encoder_avro_registry_evolution',
+    'encoder_avro_registry_http',
+    'encoder_claim_check',
+    'encoder_open_batch',
+    'encoder_open_protocol',
+    'filter_ddl_sql_regex',
+    'filter_event_type',
+    'filter_expr_values',
+    'force_replicate_rowkey',
+    'partition_table_logical',
+    'projection_checksum',
+    'projection_column_selector',
+    'projection_handle_key_only',
+    'projection_type_render',
+    'range_scan',
+    'sample_hash_bucket',
+    'sample_stratified_hash',
+    'schema_asof_join_grouped',
+    'schema_evolution_typed_view',
+    'setop_intersect_keys',
+    'split_leakage_safe',
+    'stale_event_drop',
+    'streaming_replica_e2e',
+    'streaming_replica_schema_evolution_e2e',
+    'streaming_time_travel_e2e',
+    'table_progress',
+    'txn_match_prewrite_commit',
+    'agg_cube_table_op',
+    'agg_pivot_event_types',
+    'agg_rollup_schema_table',
+    'agg_salted_skew_safe',
+    'apply_merge_to_base',
+    'approx_distinct_users',
+    'approx_order_value_quantiles',
+    'changes_normalize',
+    'consumer_changelog_apply_e2e',
+    'consumer_openprotocol_apply_e2e',
+    'consumer_storage_apply_e2e',
+    'corpus_top_tokens',
+    'ddl_action_classify_full',
+    'decoder_avro_json',
+    'decoder_canal_json',
+    'decoder_csv_configured',
+    'dedup_embedding_cosine',
+    'dedup_exact',
+    'dedup_minhash_lsh',
+    'dedup_ngram_jaccard',
+    'dedup_simhash',
+    'encoder_canal_json_no_extension',
+    'encoder_csv_configured',
+    'engine_lifecycle_e2e',
+    'engine_multifeed_e2e',
+    'llm_clean_corpus',
+    'multimodal_binary_meta',
+    'multimodal_frame_sample',
+    'multimodal_png_decode',
+    'redo_disaster_recovery_e2e',
+    'sim_ann_lsh_topk',
+    'sim_cosine_topk',
+    'sim_ivf_topk',
+    'streaming_bdr_loop_prevention_e2e',
+    'streaming_sqlite_ddl_apply_e2e',
+    'text_fingerprint',
+    'text_lang_id',
+    'text_quality_score',
+    'text_token_count',
+    'tpch_q14_promo_revenue',
+    'tpch_q16_supplier_cnt',
+    'tpch_q1_pricing_summary',
+    'tpch_q3_shipping_priority',
+    'tpch_q4_order_priority',
+    'tpch_q5_local_supplier',
+    'tpch_q6_forecast_revenue',
+    'window_topn_orders_per_customer',
 ]
 
 

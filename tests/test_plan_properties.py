@@ -699,3 +699,37 @@ def test_aqe_skew_join_resplits_hot_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_tidb_checksum_zero_exchange_pure_jvm(spark):
+    """The byte-exact TiDB row checksum (r11) is one crc32-over-concat
+    projection: no Python, no shuffle — at 100 TB it rides inside the
+    scan stage like every other integrity column."""
+    df = _df(spark, "projection_checksum_tidb")
+    assert_no_python_in_plan(df)
+    assert count_exchanges(df) == 0
+
+
+def test_claim_check_fetch_join_broadcasts(spark):
+    """The degraded-message consumer's claim-check fetch (r11) joins the
+    wire against ONLY the oversized payload store — bounded by the
+    large-message fraction, so the fetch must be a broadcast join, never
+    a sort-merge over the corpus."""
+    from tigate_spark.plans.audit import plan_of
+
+    df = _df(spark, "decoder_open_large_message")
+    assert_broadcast_join(df, 1)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_compressed_wire_python_is_arrow_batched(spark):
+    """Compression is the one genuinely non-SQL step (per-value DEFLATE):
+    its Python must be Arrow-batched (ArrowEvalPython), never
+    row-at-a-time BatchEvalPython."""
+    from tigate_spark.plans.audit import plan_of
+
+    df = _df(spark, "encoder_open_compressed")
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan

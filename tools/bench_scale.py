@@ -73,6 +73,12 @@ QUERIES = [
     # r10 additions: CSVConfig dialect encode (univocity quoting path),
     # from-spec PNG decode (python-kernel mapInPandas hot path)
     "encoder_csv_configured", "multimodal_png_decode",
+    # r11 additions: byte-exact TiDB checksum (crc32-over-concat
+    # projection, zero exchange), compressed open wire (Arrow DEFLATE
+    # kernel), claim-check fetch-back (broadcast join vs offload store),
+    # from-spec JPEG decode (numpy-kernel mapInPandas)
+    "projection_checksum_tidb", "encoder_open_compressed",
+    "decoder_open_large_message", "multimodal_jpeg_decode",
 ]
 
 
