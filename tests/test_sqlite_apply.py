@@ -360,3 +360,39 @@ def test_lane_count_pinned_per_db_dir(tmp_path):
 
     with _pytest.raises(ValueError, match="worker-count"):
         SqliteApplySink(d, n_lanes=8)
+
+
+def test_tidb_cdc_ddl_ts_upsert_and_drop(tmp_path):
+    """ddl_ts_v1 semantics (mysql_writer.go:280-340): upsert per
+    (cluster, changefeed, table_id), later DDL overwrites the ts, a
+    DROP TABLE deletes the row; syncpoint_v1 insert-ignores duplicate
+    primary_ts (first writer wins)."""
+    from tigate_spark.streaming.sqlite_apply import SqliteApplySink
+
+    sink = SqliteApplySink(str(tmp_path / "db"), changefeed="cf-x")
+    sink.record_ddl_ts(100, [1, 2])
+    sink.record_ddl_ts(200, [1])          # upsert: t1 moves to 200
+    sink.record_ddl_ts(300, [], drop_table_ids=[2])   # t2 dropped
+    con, cur = sink._cdc_connect()
+    rows = sorted(cur.execute(
+        "SELECT table_id, ddl_ts FROM tidb_cdc__ddl_ts_v1"))
+    con.close()
+    assert rows == [(1, "200")]
+    sink.record_syncpoint(1000, 5)
+    sink.record_syncpoint(1000, 9)        # ignored: first writer wins
+    sink.record_syncpoint(2000, 9)
+    con, cur = sink._cdc_connect()
+    sp = sorted(cur.execute(
+        "SELECT primary_ts, secondary_ts FROM tidb_cdc__syncpoint_v1"))
+    con.close()
+    assert sp == [("1000", "5"), ("2000", "9")]
+
+
+def test_tidb_cdc_db_invisible_to_read_state(spark, tmp_path):
+    """The bookkeeping db must never leak into the replica state read
+    (it registers no tables in _tables)."""
+    from tigate_spark.streaming.sqlite_apply import SqliteApplySink
+
+    sink = SqliteApplySink(str(tmp_path / "db"), changefeed="cf-x")
+    sink.record_ddl_ts(100, [1])
+    assert sink.read_state(spark).count() == 0

@@ -506,9 +506,8 @@ FROM enc, crc_tbl
 )
 def projection_checksum_tidb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tigate_spark.operators.projections import (
+        build_checksum_bytes,
         float64_bits,
-        tidb_row_checksum,
-        tidb_row_checksum_bytes,
     )
 
     o = load_table(spark, sf_dir, "orders")
@@ -530,10 +529,15 @@ def projection_checksum_tidb(spark: SparkSession, sf_dir: str) -> DataFrame:
            .otherwise(3), "enum"),                     # TypeEnum index
         (c("o_orderkey") % 2, "bit"),                  # TypeBit uint64
     ]
-    return o.select(
-        c("o_orderkey").alias("pk"),
-        tidb_row_checksum_bytes(lanes).alias("row_bytes"),
-        tidb_row_checksum(lanes).alias("checksum"),
+    # one concat feeds BOTH outputs (hex witness + CRC) — building the
+    # byte string twice doubled the projection's expression tree and
+    # pushed it past whole-stage codegen's method budget
+    row_bin = F.concat(*[build_checksum_bytes(col, t) for col, t in lanes])
+    return o.select(c("o_orderkey").alias("pk"),
+                    row_bin.alias("row_bin")).select(
+        "pk",
+        F.lower(F.hex("row_bin")).alias("row_bytes"),
+        F.crc32("row_bin").alias("checksum"),
     )
 
 

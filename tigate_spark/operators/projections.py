@@ -100,24 +100,35 @@ def row_checksum(df: DataFrame, cols: list[str], out_col: str = "checksum") -> D
 # ``F.crc32(F.concat(...))``; zero Python in the path).
 # --------------------------------------------------------------------------
 
-def _le_binary(hex_be, n_bytes: int):
-    """binary: a 2*n_bytes-char big-endian hex string, byte-reversed into
-    little-endian order (`binary.LittleEndian.AppendUintXX`)."""
-    pairs = [F.substring(hex_be, 2 * i + 1, 2) for i in reversed(range(n_bytes))]
-    return F.unhex(F.concat(*pairs))
+def _byteswap(col, n_bytes: int):
+    """bigint whose big-endian rendering equals `col`'s low n_bytes in
+    LITTLE-endian order — pure shift/mask/or integer algebra (cheapest
+    whole-stage-codegen shape; `reverse()` on binary is NOT byte-safe
+    for non-UTF8 bytes, and per-byte substring concat was ~5x the
+    expression weight). Arithmetic `shiftright` keeps sign bits, but
+    `& 255` extracts the correct two's-complement byte regardless."""
+    v = col.cast("bigint")
+    out = None
+    for i in range(n_bytes):
+        b = F.shiftright(v, 8 * i).bitwiseAND(F.lit(255))
+        part = F.shiftleft(b, 8 * (n_bytes - 1 - i))
+        out = part if out is None else out.bitwiseOR(part)
+    return out
 
 
 def checksum_le64(col) -> "F.Column":
-    """LE uint64 of a (signed) bigint — `hex()` renders two's complement
-    for negatives, so lpad-to-16 + byte reversal is the exact Go encoding."""
-    return _le_binary(F.lpad(F.hex(col.cast("bigint")), 16, "0"), 8)
+    """LE uint64 of a (signed) bigint — the byte-swapped value's hex IS
+    the little-endian byte string (`binary.LittleEndian.AppendUint64`);
+    `hex()` renders two's complement for negatives, lpad-16 covers the
+    short positive renderings."""
+    return F.unhex(F.lpad(F.hex(_byteswap(col, 8)), 16, "0"))
 
 
 def checksum_len_bytes(col) -> "F.Column":
     """LE uint32 byte-length prefix + UTF-8 bytes (`appendLengthValue`)."""
     s = col.cast("string")
     return F.concat(
-        _le_binary(F.lpad(F.hex(F.octet_length(s).cast("bigint")), 8, "0"), 4),
+        F.unhex(F.lpad(F.hex(_byteswap(F.octet_length(s), 4)), 8, "0")),
         F.encode(s, "UTF-8"),
     )
 
