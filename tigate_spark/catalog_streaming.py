@@ -1777,6 +1777,67 @@ def consumer_openprotocol_apply_e2e(spark: SparkSession,
 
 
 @register(
+    "consumer_kafka_wire_apply_e2e",
+    _STREAM_ORACLE,
+    doc="The MQ transport SEAM under the external oracle — the r11 "
+        "Kafka producer interface (streaming/kafka.py: the DBAPI-seam "
+        "pattern applied to sarama_factory.go/admin.go) driven end to "
+        "end WITH a fault: the changefeed's changelog sink routes every "
+        "open-protocol message through FakeWireProducer.produce_partition "
+        "on the executors (admin topic-create + partition-count query "
+        "driver-side), and ONE retriable produce error is injected AFTER "
+        "the broker accepted a batch (the delivery-report-lost window) — "
+        "the worker resends, the broker's idempotent-producer sequence "
+        "dedup absorbs the duplicate, and the consumer half replays the "
+        "broker's jsonl partition logs through decode_open_for_apply + "
+        "LWW materialize. The final state hash-matches the direct-path "
+        "oracle: resend-without-duplication proven by value hash, not "
+        "just pytest",
+)
+def consumer_kafka_wire_apply_e2e(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import decode_open_for_apply
+    from tigate_spark.operators.apply import materialize
+    from tigate_spark.streaming.changefeed import Changefeed
+    from tigate_spark.streaming.kafka import FakeWireProducer
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        ev = spark.read.parquet(src)
+        if ev.count() != ev.select("ts").distinct().count():
+            raise RuntimeError(
+                "open-protocol carries no start_ts: consumer LWW needs "
+                "a commit-ts tie-free corpus")
+        flat, land = split_commit_order(spark, src, os.path.join(work, "p"), 3)
+        for k in range(3):
+            land(k)
+        cfg = ChangefeedConfig(
+            changefeed_id="producer-kafka-wire",
+            sink_uri="kafka:///?protocol=open-protocol&partition-num=8")
+        cf = Changefeed(spark, cfg, flat, os.path.join(work, "pw"))
+        cf.sink.producer = FakeWireProducer(
+            os.path.join(work, "broker"),
+            inject=[("retriable", "app_t1-")])
+        cf.run_to_completion()
+        got = cf.sink.producer.read_all()
+        seqs = [r["seq"] for r in got]
+        if len(set(seqs)) != len(seqs):
+            raise RuntimeError("broker log has duplicate sequences")
+        wire = spark.createDataFrame(
+            [(r["key"], r["value"], int(r["seq"])) for r in got],
+            "key string, value string, seq bigint")
+        state = materialize(
+            decode_open_for_apply(wire),
+            ["event_type", "value_cents"])
+        return _materialize(state.select(
+            "table_id", "pk", "last_commit_ts",
+            "event_type", "value_cents"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "consumer_storage_apply_e2e",
     _STREAM_ORACLE,
     doc="The STORAGE consumer pipeline end to end — the reference's "
