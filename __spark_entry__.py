@@ -48,6 +48,7 @@ _PRIORITY = [
     'streaming_sqlite_bookkeeping_e2e',
     'multimodal_jpeg_decode',
     'consumer_kafka_wire_apply_e2e',
+    'multimodal_adpcm_decode',
     'encoder_open_batch_framed',
     'streaming_sqlite_apply_e2e',
     'engine_ddl_barrier_e2e',

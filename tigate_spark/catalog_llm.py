@@ -623,6 +623,103 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_features(imgs)
 
 
+@register(
+    "multimodal_adpcm_decode",
+    """
+WITH RECURSIVE steps AS (SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767] AS stl),
+ids AS (SELECT doc_id AS clip FROM documents WHERE doc_id % 7 = 3),
+dec AS (
+  SELECT clip, 0 AS j,
+         CAST((clip * 211) % 65536 - 32768 AS BIGINT) AS pred,
+         CAST(clip % 89 AS BIGINT) AS idx,
+         CAST((clip * 211) % 65536 - 32768 AS BIGINT) AS s,
+         CAST((clip * 211) % 65536 - 32768 AS BIGINT) AS mn,
+         CAST((clip * 211) % 65536 - 32768 AS BIGINT) AS mx
+  FROM ids
+  UNION ALL
+  SELECT clip, j + 1, npred,
+         greatest(0, least(88, idx +
+           CASE code & 7 WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+                WHEN 7 THEN 8 ELSE -1 END)) AS idx,
+         s + npred, least(mn, npred), greatest(mx, npred)
+  FROM (
+    SELECT clip, j, idx, s, mn, mx, code,
+      greatest(-32768, least(32767,
+        CASE WHEN code & 8 = 8 THEN pred - diff ELSE pred + diff END)) AS npred
+    FROM (
+      SELECT clip, j, pred, idx, s, mn, mx, code,
+        (step >> 3)
+        + CASE WHEN code & 1 = 1 THEN step >> 2 ELSE 0 END
+        + CASE WHEN code & 2 = 2 THEN step >> 1 ELSE 0 END
+        + CASE WHEN code & 4 = 4 THEN step ELSE 0 END AS diff
+      FROM (
+        SELECT d.*, CAST((d.clip * 7 + d.j * 13) % 16 AS BIGINT) AS code,
+               stl[CAST(d.idx AS INT) + 1] AS step
+        FROM dec d, steps
+        WHERE d.j < 255
+      ) a
+    ) b
+  ) c
+)
+SELECT clip AS clip_id,
+  CAST(CASE WHEN clip % 97 = 0 THEN NULL ELSE 8000 END AS BIGINT)
+    AS sample_rate,
+  CAST(CASE WHEN clip % 97 = 0 THEN NULL ELSE 256 END AS BIGINT)
+    AS n_samples,
+  CASE WHEN clip % 97 = 0 THEN NULL ELSE s END AS sum_pcm,
+  CASE WHEN clip % 97 = 0 THEN NULL ELSE mn END AS min_pcm,
+  CASE WHEN clip % 97 = 0 THEN NULL ELSE mx END AS max_pcm,
+  CAST(CASE WHEN clip % 97 = 0 THEN 0 ELSE 1 END AS BIGINT) AS decode_ok
+FROM dec WHERE j = 255
+""",
+    doc="From-spec IMA ADPCM audio decode (WAV format tag 0x11) — the "
+        "audio member of the from-spec codec family (PNG r10, JPEG "
+        "r11): a valid one-block 256-sample mono WAV per document is "
+        "synthesized on the EXECUTORS (RIFF container + int16/index "
+        "state header + packed 4-bit nibbles), decoded by the "
+        "independent parser (functions/adpcm.py: chunk walk, block "
+        "geometry validation, the IMA step/index recurrence with int16 "
+        "clamping) inside Arrow mapInPandas. The recurrence is pure "
+        "integer arithmetic, so the oracle replays it bit-exactly in a "
+        "recursive CTE — every decoded sample depends on ALL prior "
+        "nibbles, making the aggregate a whole-stream integrity check. "
+        "Every 97th clip is corrupted in the RIFF magic and must "
+        "dead-letter (decode_ok=0). Zero shuffle, 1 row in / 1 row out",
+)
+def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.adpcm import (
+        decode_adpcm_features,
+        wav_ima_encode,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 3)
+        .select(F.col("doc_id").cast("bigint").alias("clip_id"))
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for clip_id in pdf["clip_id"]:
+                d = int(clip_id)
+                pred0 = ((d * 211) % 65536) - 32768
+                idx0 = d % 89
+                nibs = [(d * 7 + j * 13) % 16 for j in range(255)]
+                data = wav_ima_encode([(pred0, idx0, nibs)])
+                if d % 97 == 0:
+                    b = bytearray(data)
+                    b[9] ^= 0xFF  # inside 'WAVE': container magic breaks
+                    data = bytes(b)
+                rows.append((d, data))
+            yield pd.DataFrame(rows, columns=["clip_id", "data"])
+
+    clips = ids.mapInPandas(gen, "clip_id bigint, data binary")
+    return decode_adpcm_features(clips)
+
+
 # ===========================================================================
 # Embedding near-dup + IVF ANN (SURVEY §7 M6 extensions)
 # ===========================================================================
