@@ -49,6 +49,8 @@ _PRIORITY = [
     'multimodal_jpeg_decode',
     'consumer_kafka_wire_apply_e2e',
     'multimodal_adpcm_decode',
+    'encoder_simple_checksum',
+    'decoder_simple_checksum_verify',
     'encoder_open_batch_framed',
     'streaming_sqlite_apply_e2e',
     'engine_ddl_barrier_e2e',

@@ -430,13 +430,19 @@ def _ck_null_guard(src: str, enc_hex: str) -> str:
     return f"CASE WHEN {src} IS NULL THEN '' ELSE {enc_hex} END"
 
 
-_CRC32_FOLD_SQL = """
+def _crc32_fold_sql(col: str) -> str:
+    """CRC-32/IEEE of a lowercase-hex byte string column, as a
+    list_reduce over the crc_tbl CTE's table `t`."""
+    return f"""
 xor(list_reduce(
-  list_prepend(4294967295, list_transform(range(length(row_bytes) // 2),
-    i -> (strpos('0123456789abcdef', substr(row_bytes, CAST(i AS INT) * 2 + 1, 1)) - 1) * 16
-       + strpos('0123456789abcdef', substr(row_bytes, CAST(i AS INT) * 2 + 2, 1)) - 1)),
+  list_prepend(4294967295, list_transform(range(length({col}) // 2),
+    i -> (strpos('0123456789abcdef', substr({col}, CAST(i AS INT) * 2 + 1, 1)) - 1) * 16
+       + strpos('0123456789abcdef', substr({col}, CAST(i AS INT) * 2 + 2, 1)) - 1)),
   (acc, b) -> xor(t[CAST(xor(acc, b) & 255 AS INT) + 1], acc >> 8)), 4294967295)
 """
+
+
+_CRC32_FOLD_SQL = _crc32_fold_sql("row_bytes")
 
 #: the mock MySQL table over `orders`, in column-id order — one lane per
 #: buildChecksumBytes branch: Longlong, Long, String, Double (IEEE-754
@@ -538,6 +544,174 @@ def projection_checksum_tidb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pk",
         F.lower(F.hex("row_bin")).alias("row_bytes"),
         F.crc32("row_bin").alias("checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# integrity-enabled wire: the simple protocol carries the row checksum
+# (simple/message.go:495 `checksum` struct) and the consumer VERIFIES it
+# against a local recompute (message.go:386-405 → VerifyChecksum)
+# --------------------------------------------------------------------------
+
+#: image checksum lanes in column-id order: pk BIGINT, event_type
+#: STRING, value_cents BIGINT, user_id BIGINT
+def _img_ck_hex_sql(img: str) -> str:
+    pk = f"CAST(json_extract({img}, '$.pk') AS BIGINT)"
+    et = f"json_extract_string({img}, '$.event_type')"
+    vc = f"CAST(json_extract({img}, '$.value_cents') AS BIGINT)"
+    ui = f"CAST(json_extract({img}, '$.user_id') AS BIGINT)"
+    return " || ".join([
+        _ck_le_hex_sql(pk, 8),
+        _ck_len_bytes_hex_sql(et),
+        _ck_le_hex_sql(vc, 8),
+        _ck_le_hex_sql(ui, 8),
+    ])
+
+
+_SIMPLE_CK_PREFIX = (
+    '{"version":1,"database":"%s","table":"%s","tableID":%d,"type":"DML",'
+    '"commitTs":%d,"buildTs":%d,"schemaVersion":1,'
+    '"checksum":{"version":1,"corrupted":false,"current":%d,"previous":%d}'
+)
+
+def _simple_ck_oracle_ctes() -> str:
+    return ORACLE_CHANGES_CTE + f"""
+, crc_tbl AS ({_crc32_table_cte()})
+, enc AS (
+  SELECT seq, op, schema_name, table_name, table_id, commit_ts, after, before,
+    CASE WHEN op = 'D' THEN {_img_ck_hex_sql('before')}
+         ELSE {_img_ck_hex_sql('after')} END AS cur_b,
+    CASE WHEN op = 'U' THEN {_img_ck_hex_sql('before')} END AS prev_b
+  FROM changes
+), crcs AS (
+  SELECT seq, op, schema_name, table_name, table_id, commit_ts, after, before,
+    CAST({_crc32_fold_sql('cur_b')} AS BIGINT) AS cur,
+    CASE WHEN prev_b IS NULL THEN 0
+         ELSE CAST({_crc32_fold_sql('prev_b')} AS BIGINT) END AS prev
+  FROM enc, crc_tbl
+)
+"""
+
+
+_IMG_STRUCT = ("STRUCT<pk BIGINT, event_type STRING, value_cents BIGINT, "
+               "user_id BIGINT>")
+
+
+def _img_ck_lanes(s):
+    return [(s.getField("pk"), "int"),
+            (s.getField("event_type"), "string"),
+            (s.getField("value_cents"), "int"),
+            (s.getField("user_id"), "int")]
+
+
+def _simple_checksum_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.operators.projections import tidb_row_checksum
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    a = F.from_json(F.col("after"), _IMG_STRUCT)
+    b = F.from_json(F.col("before"), _IMG_STRUCT)
+    live = F.when(F.col("op") == "D", b).otherwise(a)
+    current = tidb_row_checksum(_img_ck_lanes(live))
+    previous = F.when(F.col("op") == "U",
+                      tidb_row_checksum(_img_ck_lanes(b))) \
+                .otherwise(F.lit(0)).cast("bigint")
+    prefix = F.format_string(
+        _SIMPLE_CK_PREFIX,
+        F.col("schema_name"), F.col("table_name"), F.col("table_id"),
+        F.col("commit_ts"), F.expr("commit_ts div 1000"),
+        current, previous,
+    )
+    tail = (
+        F.when(F.col("op") == "I",
+               F.format_string(',"data":%s}', F.col("after")))
+        .when(F.col("op") == "U",
+              F.format_string(',"data":%s,"old":%s}',
+                              F.col("after"), F.col("before")))
+        .otherwise(F.format_string(',"old":%s}', F.col("before")))
+    )
+    return ch.select("seq", F.concat(prefix, tail).alias("message"))
+
+
+@register(
+    "encoder_simple_checksum",
+    _simple_ck_oracle_ctes() + """
+SELECT seq,
+  printf('{"version":1,"database":"%s","table":"%s","tableID":%d,"type":"DML","commitTs":%d,"buildTs":%d,"schemaVersion":1,"checksum":{"version":1,"corrupted":false,"current":%d,"previous":%d}',
+         schema_name, table_name, table_id, commit_ts, commit_ts // 1000,
+         cur, prev)
+  || CASE op
+       WHEN 'I' THEN printf(',"data":%s}', after)
+       WHEN 'U' THEN printf(',"data":%s,"old":%s}', after, before)
+       ELSE printf(',"old":%s}', before)
+     END AS message
+FROM crcs
+""",
+    doc="Integrity-enabled wire (simple/message.go:495 + avro.go:273: "
+        "EnableRowChecksum feeds ship the checksum struct IN the "
+        "message): the simple DML message extended with "
+        "checksum{version,corrupted,current,previous} where current = "
+        "the byte-exact TiDB row checksum of the live image and "
+        "previous = the before image's for updates (0 otherwise) — the "
+        "r11 calculateChecksum twin composed into a wire encoder, all "
+        "JVM; oracle recomputes both CRC folds from the image JSON",
+)
+def encoder_simple_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simple_checksum_wire(spark, sf_dir)
+
+
+@register(
+    "decoder_simple_checksum_verify",
+    _simple_ck_oracle_ctes() + """
+SELECT seq,
+  CAST(CASE WHEN seq % 97 = 0 THEN 1 ELSE 0 END AS BIGINT) AS corrupted,
+  CASE WHEN seq % 97 = 0 THEN NULL
+       ELSE CASE WHEN op = 'D'
+                 THEN CAST(json_extract(before, '$.value_cents') AS BIGINT)
+                 ELSE CAST(json_extract(after, '$.value_cents') AS BIGINT)
+            END END AS value_cents,
+  cur AS wire_current
+FROM crcs
+""",
+    doc="VerifyChecksum at the consumer (simple/message.go:386-405: "
+        "decode, RECOMPUTE calculateChecksum over the decoded columns, "
+        "compare to the wire value; mismatch → corrupted, the row must "
+        "not apply): every 97th message is tampered in transit "
+        "(a digit prepended to value_cents inside the payload — the "
+        "delta stays under 2^24, which CRC-32 detects unconditionally), "
+        "the consumer flags exactly those rows corrupted and withholds "
+        "their payload; intact rows surface the verified value. The "
+        "wire checksum itself hash-matches the oracle's independent "
+        "fold, so detection isn't two sides sharing one bug",
+)
+def decoder_simple_checksum_verify(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from tigate_spark.operators.projections import tidb_row_checksum
+
+    wire = _simple_checksum_wire(spark, sf_dir)
+    tampered = F.when(
+        F.col("seq") % 97 == 0,
+        F.regexp_replace(F.col("message"), '"value_cents":',
+                         '"value_cents":9'),
+    ).otherwise(F.col("message"))
+    msg_schema = (
+        'version BIGINT, database STRING, `table` STRING, tableID BIGINT, '
+        'type STRING, commitTs BIGINT, buildTs BIGINT, '
+        'schemaVersion BIGINT, '
+        'checksum STRUCT<version BIGINT, corrupted BOOLEAN, '
+        'current BIGINT, previous BIGINT>, '
+        f'data {_IMG_STRUCT}, old {_IMG_STRUCT}')
+    m = F.from_json(tampered, msg_schema)
+    parsed = wire.select("seq", m.alias("m"))
+    live = F.when(F.col("m.data").isNull(), F.col("m.old")) \
+            .otherwise(F.col("m.data"))
+    recomputed = tidb_row_checksum(_img_ck_lanes(live))
+    corrupted = recomputed != F.col("m.checksum.current")
+    return parsed.select(
+        "seq",
+        corrupted.cast("bigint").alias("corrupted"),
+        F.when(~corrupted, live.getField("value_cents")).cast("bigint")
+         .alias("value_cents"),
+        F.col("m.checksum.current").alias("wire_current"),
     )
 
 
