@@ -51,6 +51,7 @@ _PRIORITY = [
     'multimodal_adpcm_decode',
     'encoder_simple_checksum',
     'decoder_simple_checksum_verify',
+    'multimodal_gif_decode',
     'encoder_open_batch_framed',
     'streaming_sqlite_apply_e2e',
     'engine_ddl_barrier_e2e',

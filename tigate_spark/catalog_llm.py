@@ -720,6 +720,76 @@ def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_adpcm_features(clips)
 
 
+@register(
+    "multimodal_gif_decode",
+    """
+WITH ids AS (
+  SELECT doc_id AS img_id FROM documents WHERE doc_id % 7 = 5
+), px AS (
+  SELECT i.img_id,
+         (i.img_id * 31 + x.range * 5 + y.range * 11) % 256 AS idx
+  FROM ids i CROSS JOIN range(24) x CROSS JOIN range(16) y
+), sums AS (
+  SELECT img_id,
+    CAST(SUM((idx * 7) % 256) AS BIGINT) AS s_r,
+    CAST(SUM((idx * 13) % 256) AS BIGINT) AS s_g,
+    CAST(SUM((idx * 29) % 256) AS BIGINT) AS s_b
+  FROM px GROUP BY img_id
+)
+SELECT img_id,
+  CAST(CASE WHEN img_id % 97 = 0 THEN NULL ELSE 24 END AS BIGINT) AS width,
+  CAST(CASE WHEN img_id % 97 = 0 THEN NULL ELSE 16 END AS BIGINT) AS height,
+  CAST(CASE WHEN img_id % 97 = 0 THEN NULL ELSE 3 END AS BIGINT)
+    AS channels,
+  CASE WHEN img_id % 97 = 0 THEN NULL ELSE s_r END AS sum_r,
+  CASE WHEN img_id % 97 = 0 THEN NULL ELSE s_g END AS sum_g,
+  CASE WHEN img_id % 97 = 0 THEN NULL ELSE s_b END AS sum_b,
+  CAST(CASE WHEN img_id % 97 = 0 THEN 0 ELSE 1 END AS BIGINT) AS decode_ok
+FROM sums
+""",
+    doc="From-spec GIF89a decode — the FOURTH from-spec codec family "
+        "on the multimodal path (PNG/DEFLATE r10, JPEG/Huffman+DCT "
+        "r11, ADPCM r11, now LZW): a valid 24x16 palettized GIF per "
+        "document is synthesized on the EXECUTORS by a REAL "
+        "dictionary-building LZW compressor (CLEAR/EOI codes, width "
+        "bumps, 12-bit cap re-CLEAR), then decoded by the independent "
+        "from-spec parser (functions/gif.py: LSD/color-table/image-"
+        "descriptor parse, variable-width LZW with the KwKwK case, "
+        "palette application) inside Arrow mapInPandas. GIF is "
+        "lossless, so per-image channel sums reproduce the pixel-index "
+        "formula + palette arithmetic exactly; every 97th image is "
+        "corrupted in the header magic and dead-letters. Zero shuffle",
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.gif import decode_gif_features, gif_encode
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 5)
+        .select(F.col("doc_id").cast("bigint").alias("img_id"))
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for img_id in pdf["img_id"]:
+                d = int(img_id)
+                idx = [[(d * 31 + x * 5 + y * 11) % 256
+                        for x in range(24)] for y in range(16)]
+                data = gif_encode(idx)
+                if d % 97 == 0:
+                    b = bytearray(data)
+                    b[0] ^= 0xFF  # header magic breaks
+                    data = bytes(b)
+                rows.append((d, data))
+            yield pd.DataFrame(rows, columns=["img_id", "data"])
+
+    imgs = ids.mapInPandas(gen, "img_id bigint, data binary")
+    return decode_gif_features(imgs)
+
+
 # ===========================================================================
 # Embedding near-dup + IVF ANN (SURVEY §7 M6 extensions)
 # ===========================================================================
