@@ -25,13 +25,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return cat["cdc_pipeline_e2e"].builder(spark, "/root/testdata/sf0.001")
 
 
-#: External-window priority (the driver runs the first ~50): positions
-#: 1-6 are the SIX new round-11 entries — the byte-exact TiDB row
+#: External-window priority (the driver runs the first ~50): the head
+#: holds the ELEVEN new round-11 entries — the byte-exact TiDB row
 #: checksum (verify_checksum.go twin), the compressed open-protocol
 #: wire pair (compress.go seam), the degraded-message consumer with
 #: claim-check fetch-back, the tidb_cdc bookkeeping-tables e2e on the
-#: executable sink, and the from-spec JPEG baseline decode; positions
-#: 7-10 are entries whose engine code changed in round 11 (the batch
+#: executable sink, the from-spec JPEG baseline decode, the Kafka
+#: wire-producer e2e (resend-dedup under the oracle), the from-spec
+#: ADPCM and GIF codecs, and the simple-protocol checksum wire pair
+#: (encoder + consumer VerifyChecksum twin); next are entries whose
+#: engine code changed in round 11 (the batch
 #: framer gained the compressed-value lane; the sqlite sink grew the
 #: tidb_cdc tables + syncpoint mirror; the DDL-barrier path records
 #: ddl_ts_v1; the engine's unretryable match scans bare first-line
