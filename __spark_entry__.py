@@ -55,6 +55,7 @@ _PRIORITY = [
     'encoder_simple_checksum',
     'decoder_simple_checksum_verify',
     'multimodal_gif_decode',
+    'dedup_image_ahash',
     'encoder_open_batch_framed',
     'streaming_sqlite_apply_e2e',
     'engine_ddl_barrier_e2e',

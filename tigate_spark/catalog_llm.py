@@ -790,6 +790,97 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_gif_features(imgs)
 
 
+@register(
+    "dedup_image_ahash",
+    """
+WITH ids AS (
+  SELECT doc_id AS img_id FROM documents WHERE doc_id % 7 = 1
+), px AS (
+  SELECT i.img_id, x.range AS x, y.range AS y,
+         ((i.img_id % 31) * 31 + x.range * 5 + y.range * 11) % 256 AS idx
+  FROM ids i CROSS JOIN range(24) x CROSS JOIN range(16) y
+), g AS (
+  SELECT img_id, x // 3 AS bx, y // 2 AS by,
+         299 * ((idx * 7) % 256) + 587 * ((idx * 13) % 256)
+         + 114 * ((idx * 29) % 256) AS gv
+  FROM px
+), blocks AS (
+  SELECT img_id, by, bx, CAST(SUM(gv) AS BIGINT) AS bsum
+  FROM g GROUP BY 1, 2, 3
+), tot AS (
+  SELECT img_id, CAST(SUM(bsum) AS BIGINT) AS total FROM blocks GROUP BY 1
+), bits AS (
+  SELECT b.img_id,
+    CAST(SUM(CASE WHEN by * 8 + bx < 32 AND 64 * bsum > total
+             THEN CAST(1 AS BIGINT) << CAST(31 - (by * 8 + bx) AS INT)
+             ELSE 0 END) AS BIGINT) AS hi,
+    CAST(SUM(CASE WHEN by * 8 + bx >= 32 AND 64 * bsum > total
+             THEN CAST(1 AS BIGINT) << CAST(63 - (by * 8 + bx) AS INT)
+             ELSE 0 END) AS BIGINT) AS lo
+  FROM blocks b JOIN tot t ON b.img_id = t.img_id
+  GROUP BY b.img_id
+), hashes AS (
+  SELECT img_id, printf('%08x%08x', hi, lo) AS ahash FROM bits
+)
+SELECT img_id, ahash,
+       CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_dups
+FROM hashes
+""",
+    doc="Image near-dup via perceptual average-hash over DECODED pixels "
+        "— the from-spec codec family composed with the dedup family in "
+        "one verified pipeline: each document's GIF is synthesized on "
+        "executors (content keyed by doc_id %% 31, so real duplicate "
+        "classes exist), LZW-decoded by functions/gif.py, and the "
+        "decoded RGB reduced to a 64-bit aHash (8x8 block luma means vs "
+        "the global mean, all INTEGER comparisons: 64*block_sum > total "
+        "— no float rounding to diverge between engines) in the same "
+        "Arrow batch; identical-hash groups counted with one hash agg. "
+        "The oracle recomputes the hash from the pixel formula alone — "
+        "matching proves the LZW decode and the kernel jointly exact. "
+        "At 100 TB the per-image work stays in the scan stage and only "
+        "(img_id, 16-char hash) rows shuffle — dedup_exact's profile",
+)
+def dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 1)
+        .select(F.col("doc_id").cast("bigint").alias("img_id"))
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from tigate_spark.functions.gif import gif_decode, gif_encode
+
+        for pdf in batches:
+            rows = []
+            for img_id in pdf["img_id"]:
+                d = int(img_id)
+                e = d % 31
+                idx = [[(e * 31 + x * 5 + y * 11) % 256
+                        for x in range(24)] for y in range(16)]
+                w, h, rgb = gif_decode(gif_encode(idx))
+                arr = np.array(rgb, dtype=np.int64).reshape(h, w, 3)
+                g = (299 * arr[:, :, 0] + 587 * arr[:, :, 1]
+                     + 114 * arr[:, :, 2])
+                total = int(g.sum())
+                bits = 0
+                for by in range(8):
+                    for bx in range(8):
+                        bsum = int(g[by * 2:(by + 1) * 2,
+                                     bx * 3:(bx + 1) * 3].sum())
+                        bits = (bits << 1) | (1 if 64 * bsum > total else 0)
+                rows.append(
+                    (d, f"{bits >> 32:08x}{bits & 0xFFFFFFFF:08x}"))
+            yield pd.DataFrame(rows, columns=["img_id", "ahash"])
+
+    hashed = ids.mapInPandas(gen, "img_id bigint, ahash string")
+    counts = hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_dups"))
+    return hashed.join(counts, "ahash").select("img_id", "ahash", "n_dups")
+
+
 # ===========================================================================
 # Embedding near-dup + IVF ANN (SURVEY §7 M6 extensions)
 # ===========================================================================
