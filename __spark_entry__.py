@@ -56,6 +56,7 @@ _PRIORITY = [
     'decoder_simple_checksum_verify',
     'multimodal_gif_decode',
     'dedup_image_ahash',
+    'consumer_compressed_apply_e2e',
     'encoder_open_batch_framed',
     'streaming_sqlite_apply_e2e',
     'engine_ddl_barrier_e2e',

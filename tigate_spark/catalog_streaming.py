@@ -1777,6 +1777,76 @@ def consumer_openprotocol_apply_e2e(spark: SparkSession,
 
 
 @register(
+    "consumer_compressed_apply_e2e",
+    _STREAM_ORACLE,
+    doc="The COMPRESSED MQ pipeline end to end (E6 at streaming grade): "
+        "a changefeed with compression=gzip on the sink URI gzips every "
+        "open-protocol VALUE before it lands in the changelog "
+        "(open/codec.go:85 via the compress.py seam; values ride as "
+        "hex, the key stays plain), and the consumer half decompresses "
+        "each value (Arrow-batched inflate), decodes, and merges "
+        "through the same ReplicaSink — the final replica hash-matches "
+        "the direct-path LWW oracle, proving the compressed wire is "
+        "byte-lossless through a real multi-batch streaming run, not "
+        "just the batch entries",
+)
+def consumer_compressed_apply_e2e(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.compress import decompress_col
+    from tigate_spark.functions.encoders import decode_open_for_apply
+    from tigate_spark.streaming.changefeed import Changefeed
+    from tigate_spark.streaming.sinks import ReplicaSink, read_replica
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        ev = spark.read.parquet(src)
+        if ev.count() != ev.select("ts").distinct().count():
+            raise RuntimeError(
+                "open-protocol carries no start_ts: consumer LWW needs "
+                "a commit-ts tie-free corpus")
+        flat, land = split_commit_order(spark, src, os.path.join(work, "p"), 3)
+        for k in range(3):
+            land(k)
+        cfg = ChangefeedConfig(
+            changefeed_id="producer-gz",
+            sink_uri="changelog://?protocol=open-protocol&compression=gzip")
+        cfp = Changefeed(spark, cfg, flat, os.path.join(work, "pw"))
+        cfp.run_to_completion()
+        topic = cfp.sink.out_dir
+        raw = (
+            spark.readStream.schema(spark.read.parquet(topic).schema)
+            .option("maxFilesPerTrigger", "8")
+            .parquet(topic)
+            .select(
+                "key",
+                F.decode(decompress_col(F.unhex(F.col("value")), "gzip"),
+                         "UTF-8").alias("value"),
+                "seq",
+            )
+        )
+        sink = ReplicaSink(os.path.join(work, "replica"),
+                           ["event_type", "value_cents"])
+        q = (
+            decode_open_for_apply(raw)
+            .writeStream.foreachBatch(sink.process_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        rep = read_replica(spark, sink.state_dir).select(
+            "table_id", "pk", F.col("commit_ts").alias("last_commit_ts"),
+            "event_type", "value_cents",
+        )
+        return _materialize(rep)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "consumer_kafka_wire_apply_e2e",
     _STREAM_ORACLE,
     doc="The MQ transport SEAM under the external oracle — the r11 "
