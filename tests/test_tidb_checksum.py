@@ -86,3 +86,37 @@ def test_checksum_plan_is_pure_jvm(spark):
         [(F.col("k"), "int"), (F.col("s"), "string")]).alias("ck"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_checksum_property_random_rows(spark):
+    """Property: arbitrary int64/string/double rows (including extremes,
+    NaN/Inf, empty and non-ASCII strings) checksum identically to the
+    struct.pack/zlib Go twin. One batched Spark job for the whole
+    sample, not one per case."""
+    import random
+
+    rng = random.Random(20260815)
+    specials_i = [0, 1, -1, 127, 128, -128, 2**31 - 1, -2**31,
+                  2**63 - 1, -2**63]
+    specials_d = [0.0, -0.0, 1.5, -1.5, float("nan"), float("inf"),
+                  float("-inf"), 5e-324, 1.7976931348623157e308]
+    specials_s = ["", "a", "x" * 300, "naïve-日本語", "\t\n"]
+    rows = []
+    for k in range(120):
+        rows.append((
+            k,
+            rng.choice(specials_i) if k % 3 == 0
+            else rng.randrange(-2**62, 2**62),
+            rng.choice(specials_s) if k % 4 == 0
+            else "s%d" % rng.randrange(10**6),
+            rng.choice(specials_d) if k % 5 == 0
+            else rng.uniform(-1e12, 1e12),
+        ))
+    df = spark.createDataFrame(rows, "k bigint, i bigint, s string, d double")
+    lanes = [(F.col("i"), "int"), (F.col("s"), "string"),
+             (F.col("d"), "double")]
+    got = {r.k: r.ck for r in
+           df.select("k", tidb_row_checksum(lanes).alias("ck")).collect()}
+    for k, i, s, d in rows:
+        exp = _go_checksum([(i, "int"), (s, "string"), (d, "double")])
+        assert got[k] == exp, (k, i, s, d)
