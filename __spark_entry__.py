@@ -57,6 +57,7 @@ _PRIORITY = [
     'multimodal_gif_decode',
     'dedup_image_ahash',
     'consumer_compressed_apply_e2e',
+    'dedup_audio_fingerprint',
     'encoder_open_batch_framed',
     'streaming_sqlite_apply_e2e',
     'engine_ddl_barrier_e2e',

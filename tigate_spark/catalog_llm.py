@@ -881,6 +881,118 @@ def dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.join(counts, "ahash").select("img_id", "ahash", "n_dups")
 
 
+@register(
+    "dedup_audio_fingerprint",
+    """
+WITH RECURSIVE steps AS (SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767] AS stl),
+ids AS (SELECT doc_id AS clip FROM documents WHERE doc_id % 7 = 2),
+dec AS (
+  SELECT clip, 0 AS j,
+         CAST(((clip % 29) * 211) % 65536 - 32768 AS BIGINT) AS pred,
+         CAST((clip % 29) % 89 AS BIGINT) AS idx
+  FROM ids
+  UNION ALL
+  SELECT clip, j + 1, npred,
+         greatest(0, least(88, idx +
+           CASE code & 7 WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+                WHEN 7 THEN 8 ELSE -1 END)) AS idx
+  FROM (
+    SELECT clip, j, idx, code,
+      greatest(-32768, least(32767,
+        CASE WHEN code & 8 = 8 THEN pred - diff ELSE pred + diff END)) AS npred
+    FROM (
+      SELECT clip, j, pred, idx, code,
+        (step >> 3)
+        + CASE WHEN code & 1 = 1 THEN step >> 2 ELSE 0 END
+        + CASE WHEN code & 2 = 2 THEN step >> 1 ELSE 0 END
+        + CASE WHEN code & 4 = 4 THEN step ELSE 0 END AS diff
+      FROM (
+        SELECT d.*,
+               CAST(((d.clip % 29) * 7 + d.j * 13) % 16 AS BIGINT) AS code,
+               stl[CAST(d.idx AS INT) + 1] AS step
+        FROM dec d, steps
+        WHERE d.j < 255
+      ) a
+    ) b
+  ) c
+),
+segs AS (
+  SELECT clip, j // 4 AS seg, CAST(SUM(abs(pred)) AS BIGINT) AS e
+  FROM dec GROUP BY 1, 2
+), tot AS (
+  SELECT clip, CAST(SUM(e) AS BIGINT) AS total FROM segs GROUP BY 1
+), bits AS (
+  SELECT s.clip,
+    CAST(SUM(CASE WHEN seg < 32 AND 64 * e > total
+         THEN CAST(1 AS BIGINT) << CAST(31 - seg AS INT)
+         ELSE 0 END) AS BIGINT) AS hi,
+    CAST(SUM(CASE WHEN seg >= 32 AND 64 * e > total
+         THEN CAST(1 AS BIGINT) << CAST(63 - seg AS INT)
+         ELSE 0 END) AS BIGINT) AS lo
+  FROM segs s JOIN tot t ON s.clip = t.clip GROUP BY s.clip
+), fps AS (
+  SELECT clip AS clip_id, printf('%08x%08x', hi, lo) AS fingerprint
+  FROM bits
+)
+SELECT clip_id, fingerprint,
+       CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_dups
+FROM fps
+""",
+    doc="Audio near-dup via energy fingerprint over DECODED PCM — the "
+        "audio twin of dedup_image_ahash, completing the modality "
+        "symmetry (text MinHash / image aHash / audio energy-bands): "
+        "each document's one-block IMA ADPCM WAV is synthesized on "
+        "executors (content keyed by doc_id %% 29 so duplicate classes "
+        "exist), decoded from-spec (functions/adpcm.py), and the PCM "
+        "reduced to a 64-bit fingerprint (64 segments of 4 samples, "
+        "|energy| vs the global mean, INTEGER comparisons 64*seg > "
+        "total) in the same Arrow batch; fingerprint-equal clips "
+        "counted with one hash agg. The oracle replays the decode "
+        "recurrence in a recursive CTE and folds the same bits — "
+        "matching proves decoder and kernel jointly bit-exact. Only "
+        "(clip_id, 16-char fingerprint) rows shuffle at any scale",
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 2)
+        .select(F.col("doc_id").cast("bigint").alias("clip_id"))
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from tigate_spark.functions.adpcm import (
+            wav_ima_decode,
+            wav_ima_encode,
+        )
+
+        for pdf in batches:
+            rows = []
+            for clip_id in pdf["clip_id"]:
+                d = int(clip_id)
+                e = d % 29
+                pred0 = ((e * 211) % 65536) - 32768
+                idx0 = e % 89
+                nibs = [(e * 7 + j * 13) % 16 for j in range(255)]
+                _, pcm = wav_ima_decode(
+                    wav_ima_encode([(pred0, idx0, nibs)]))
+                total = sum(abs(v) for v in pcm)
+                bits = 0
+                for s in range(64):
+                    seg = sum(abs(v) for v in pcm[s * 4:(s + 1) * 4])
+                    bits = (bits << 1) | (1 if 64 * seg > total else 0)
+                rows.append(
+                    (d, f"{bits >> 32:08x}{bits & 0xFFFFFFFF:08x}"))
+            yield pd.DataFrame(rows, columns=["clip_id", "fingerprint"])
+
+    fps = ids.mapInPandas(gen, "clip_id bigint, fingerprint string")
+    counts = fps.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_dups"))
+    return fps.join(counts, "fingerprint").select(
+        "clip_id", "fingerprint", "n_dups")
+
+
 # ===========================================================================
 # Embedding near-dup + IVF ANN (SURVEY §7 M6 extensions)
 # ===========================================================================
