@@ -79,6 +79,10 @@ QUERIES = [
     # from-spec JPEG decode (numpy-kernel mapInPandas)
     "projection_checksum_tidb", "encoder_open_compressed",
     "decoder_open_large_message", "multimodal_jpeg_decode",
+    # late-r11: LZW + ADPCM decodes and the codec+kernel+dedup
+    # composites (only (id, 16-char hash) rows shuffle)
+    "multimodal_gif_decode", "multimodal_adpcm_decode",
+    "dedup_image_ahash", "dedup_audio_fingerprint",
 ]
 
 
