@@ -58,6 +58,7 @@ _PRIORITY = [
     'dedup_image_ahash',
     'consumer_compressed_apply_e2e',
     'dedup_audio_fingerprint',
+    'multimodal_jpeg_resize',
     'encoder_open_batch_framed',
     'streaming_sqlite_apply_e2e',
     'engine_ddl_barrier_e2e',

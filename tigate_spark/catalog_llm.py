@@ -993,6 +993,131 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clip_id", "fingerprint", "n_dups")
 
 
+@register(
+    "multimodal_jpeg_resize",
+    """
+WITH ids AS (
+  SELECT doc_id AS img_id FROM documents WHERE doc_id % 7 = 6
+), rgb0 AS (
+  SELECT img_id,
+    CAST((img_id * 37) % 256 AS DOUBLE) AS r,
+    CAST((img_id * 37 + 85) % 256 AS DOUBLE) AS g,
+    CAST((img_id * 37 + 170) % 256 AS DOUBLE) AS b
+  FROM ids
+)
+, cc1_y AS (
+  SELECT img_id,
+    least(255.0, greatest(0.0,
+      floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5))) AS y,
+    least(255.0, greatest(0.0,
+      floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5))) AS cb,
+    least(255.0, greatest(0.0,
+      floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5))) AS cr
+  FROM rgb0
+), cc1 AS (
+  SELECT img_id,
+    least(255.0, greatest(0.0,
+      floor(y + 1.402 * (cr - 128.0) + 0.5))) AS r,
+    least(255.0, greatest(0.0,
+      floor(y - 0.344136 * (cb - 128.0)
+              - 0.714136 * (cr - 128.0) + 0.5))) AS g,
+    least(255.0, greatest(0.0,
+      floor(y + 1.772 * (cb - 128.0) + 0.5))) AS b
+  FROM cc1_y
+)
+, cc2_y AS (
+  SELECT img_id,
+    least(255.0, greatest(0.0,
+      floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5))) AS y,
+    least(255.0, greatest(0.0,
+      floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5))) AS cb,
+    least(255.0, greatest(0.0,
+      floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5))) AS cr
+  FROM cc1
+), cc2 AS (
+  SELECT img_id,
+    least(255.0, greatest(0.0,
+      floor(y + 1.402 * (cr - 128.0) + 0.5))) AS r,
+    least(255.0, greatest(0.0,
+      floor(y - 0.344136 * (cb - 128.0)
+              - 0.714136 * (cr - 128.0) + 0.5))) AS g,
+    least(255.0, greatest(0.0,
+      floor(y + 1.772 * (cb - 128.0) + 0.5))) AS b
+  FROM cc2_y
+)
+SELECT img_id,
+  CAST(CASE WHEN img_id % 97 = 0 THEN NULL ELSE 16 END AS BIGINT) AS width,
+  CAST(CASE WHEN img_id % 97 = 0 THEN NULL ELSE 16 END AS BIGINT) AS height,
+  CASE WHEN img_id % 97 = 0 THEN NULL
+       ELSE CAST(256 * r AS BIGINT) END AS sum_r,
+  CASE WHEN img_id % 97 = 0 THEN NULL
+       ELSE CAST(256 * g AS BIGINT) END AS sum_g,
+  CASE WHEN img_id % 97 = 0 THEN NULL
+       ELSE CAST(256 * b AS BIGINT) END AS sum_b,
+  CAST(CASE WHEN img_id % 97 = 0 THEN 0 ELSE 1 END AS BIGINT) AS decode_ok
+FROM cc2
+""",
+    doc="REAL image resize end to end through our OWN codec — the "
+        "resize step is no longer a PIL-stub anywhere on the JPEG "
+        "path: each document's 32x32 JPEG is synthesized on executors, "
+        "DECODED from-spec (functions/jpeg.py), box-resized 2x2 to "
+        "16x16 (exact integer means), RE-ENCODED as a baseline JPEG, "
+        "and decoded again — the full thumbnail pipeline a multimodal "
+        "training-data flow runs, with every entropy/DCT/color stage "
+        "real. Solid-color fixtures give the double color-roundtrip a "
+        "closed form the oracle reproduces arithmetically (non-flat "
+        "resize accuracy is bounded in the jpeg pytest); every 97th "
+        "payload is corrupted and dead-letters through the chain. "
+        "Zero shuffle, 1 row in / 1 row out",
+)
+def multimodal_jpeg_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 6)
+        .select(F.col("doc_id").cast("bigint").alias("img_id"))
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from tigate_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+        for pdf in batches:
+            rows = []
+            for img_id in pdf["img_id"]:
+                d = int(img_id)
+                img = np.full(
+                    (32, 32, 3),
+                    [(d * 37) % 256, (d * 37 + 85) % 256,
+                     (d * 37 + 170) % 256], dtype=np.int64)
+                data = jpeg_encode(img)
+                if d % 97 == 0:
+                    b = bytearray(data)
+                    b[data.index(b"\xff\xc4") + 5] ^= 0xFF
+                    data = bytes(b)
+                try:
+                    w, h, c, px = jpeg_decode(data)
+                    a1 = np.array(px, dtype=np.int64).reshape(h, w, 3)
+                    small = np.floor(
+                        a1.reshape(h // 2, 2, w // 2, 2, 3).mean((1, 3))
+                        + 0.5).astype(np.int64)
+                    _, _, _, px2 = jpeg_decode(jpeg_encode(small))
+                    a2 = np.array(px2, dtype=np.int64)
+                    rows.append((d, h // 2, w // 2,
+                                 int(a2[0::3].sum()), int(a2[1::3].sum()),
+                                 int(a2[2::3].sum()), 1))
+                except (ValueError, KeyError, IndexError):
+                    rows.append((d, None, None, None, None, None, 0))
+            yield pd.DataFrame(rows, columns=[
+                "img_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                "decode_ok"])
+
+    return ids.mapInPandas(
+        gen, "img_id bigint, width bigint, height bigint, sum_r bigint, "
+             "sum_g bigint, sum_b bigint, decode_ok bigint")
+
+
 # ===========================================================================
 # Embedding near-dup + IVF ANN (SURVEY §7 M6 extensions)
 # ===========================================================================
