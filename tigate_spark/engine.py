@@ -75,6 +75,11 @@ _EXC_LINE_RE = re.compile(
     r"^\s*(?:Caused by:\s*)?(?:[A-Za-z_][\w.$]*\.)?"
     r"[A-Z]\w*(?:Error|Exception)\d*:\s?.*$")
 
+#: a bare Spark error-class header, e.g. ``[STREAM_FAILED] Query ...`` —
+#: the one first-line shape that is a message line without a ClassName:
+#: prefix (Spark error framework codes are UPPER_SNAKE, dot-scoped)
+_SPARK_ERROR_CLASS_RE = re.compile(r"^\s*\[[A-Z][A-Z_0-9.]*\]")
+
 
 def _exception_header_lines(exc: Exception) -> list[str]:
     """Every exception-MESSAGE line inside the (possibly
@@ -86,13 +91,17 @@ def _exception_header_lines(exc: Exception) -> list[str]:
     (traceback bodies, source lines, comments never match)."""
     text = str(exc)
     lines = [ln for ln in text.splitlines() if _EXC_LINE_RE.match(ln)]
-    # The FIRST line is always a message line even without a
-    # `ClassName:` prefix — Spark/Py4J often raise bare
-    # '[STREAM_FAILED] ...: invalid partition-num' headers that the
-    # header regex misses while an unrelated 'Caused by:' line deeper
-    # in the chain matches, which would otherwise shadow the real root.
+    # Bare first lines: Spark/Py4J raise '[STREAM_FAILED] ...: invalid
+    # partition-num' headers without a `ClassName:` prefix that the
+    # header regex misses while an unrelated 'Caused by:' line deeper in
+    # the chain matches — shadowing the real root. But an UNCONDITIONAL
+    # prepend widens the substring match to arbitrary first-line text of
+    # transient failures, so the first line only joins the scan when no
+    # header line matched at all, or when it carries a bracketed Spark
+    # error class (the documented bare-header shape).
     first = text.splitlines()[0] if text else text
-    if first and first not in lines:
+    if first and first not in lines and (
+            not lines or _SPARK_ERROR_CLASS_RE.match(first)):
         lines.insert(0, first)
     return lines if lines else [text]
 

@@ -5,9 +5,13 @@
 (``pkg/config/large_message.go:52-59`` ``compression.Supported``).
 
 Codecs: ``none`` (identity), ``gzip``/``zlib`` (stdlib, always on),
-``lz4``/``zstd`` behind import-gates (the reference supports lz4+snappy;
-the libs aren't in this container — the seam raises the reference's
-"compression is not supported" error when absent). The gzip wire pins
+``lz4``/``snappy``/``zstd`` behind import-gates (the reference's set is
+none/lz4/snappy, ``pkg/compression/compression.go``; those libs aren't
+in this container — the seam raises the reference's "compression is not
+supported" error when absent). NOTE: gzip/zlib are ENGINE EXTENSIONS —
+a gzip/zlib wire is not readable by reference consumers, and the config
+error text flags them as non-reference-interoperable so an operator
+pointed at a reference consumer picks lz4/snappy. The gzip wire pins
 ``mtime=0`` so compressed bytes are deterministic across executors.
 
 Column forms are Arrow-batched pandas UDFs (binary → binary): there is
@@ -44,9 +48,24 @@ def _zstd_mod():
         return None
 
 
+def _snappy_mod():
+    # the reference's other wire codec (pkg/compression: none/lz4/snappy);
+    # python-snappy when present, else the seam reports unsupported
+    try:
+        import snappy  # type: ignore
+
+        return snappy
+    except ImportError:
+        return None
+
+
 #: codecs the seam knows about (reference list: none/lz4/snappy; gzip and
 #: zlib are the stdlib-available stand-ins this environment can execute)
-KNOWN = ("none", "gzip", "zlib", "lz4", "zstd")
+KNOWN = ("none", "gzip", "zlib", "lz4", "snappy", "zstd")
+
+#: codecs a REFERENCE consumer can decode (pkg/compression's set);
+#: gzip/zlib wires are engine-local extensions
+REFERENCE_INTEROP = ("none", "lz4", "snappy")
 
 
 def supported(cc: str) -> bool:
@@ -55,6 +74,8 @@ def supported(cc: str) -> bool:
         return True
     if cc == "lz4":
         return _lz4_mod() is not None
+    if cc == "snappy":
+        return _snappy_mod() is not None
     if cc == "zstd":
         return _zstd_mod() is not None
     return False
@@ -65,7 +86,10 @@ def ensure_supported(cc: str) -> None:
     if not supported(cc):
         raise ValueError(
             f"compression is not supported, got {cc!r} "
-            f"(executable here: none/gzip/zlib)")
+            f"(executable here: none/gzip/zlib; reference codecs "
+            f"lz4/snappy need their libs installed; gzip/zlib wires "
+            f"are engine extensions NOT readable by reference "
+            f"consumers)")
 
 
 def compress_bytes(cc: str, data: bytes) -> bytes:
@@ -77,6 +101,10 @@ def compress_bytes(cc: str, data: bytes) -> bytes:
         return zlib.compress(data, 6)
     if cc == "lz4":
         mod = _lz4_mod()
+        if mod is not None:
+            return mod.compress(data)
+    if cc == "snappy":
+        mod = _snappy_mod()
         if mod is not None:
             return mod.compress(data)
     if cc == "zstd":
@@ -95,6 +123,10 @@ def decompress_bytes(cc: str, data: bytes) -> bytes:
         return zlib.decompress(data)
     if cc == "lz4":
         mod = _lz4_mod()
+        if mod is not None:
+            return mod.decompress(data)
+    if cc == "snappy":
+        mod = _snappy_mod()
         if mod is not None:
             return mod.decompress(data)
     if cc == "zstd":

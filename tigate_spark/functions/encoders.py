@@ -255,12 +255,21 @@ _CLAIM_FMT = '{"claimCheckLocation":"s3://claim-check/%s.json"}'
 
 
 def claim_check(df: DataFrame, threshold: int,
-                msg_col: str = "message") -> DataFrame:
+                msg_col: str = "message",
+                value_is_hex: bool = False) -> DataFrame:
     """E5: large-message offload — messages over ``threshold`` bytes are
     replaced by a deterministic object-storage pointer (md5-addressed);
     the side-write of the payload itself is the sink's `foreachBatch`
-    job (here represented by the address column)."""
-    oversized = F.octet_length(F.col(msg_col)) > threshold
+    job (here represented by the address column).
+
+    ``value_is_hex``: a compressed open-protocol value rides as HEX
+    (2 chars/byte) — the reference sizes the COMPRESSED wire
+    (``open/codec.go:85``), so the threshold compares against
+    ``octet_length/2`` there, mirroring the ErrMessageTooLarge guard."""
+    size = F.octet_length(F.col(msg_col))
+    if value_is_hex:
+        size = size / 2
+    oversized = size > threshold
     return (
         df.withColumn("offloaded", oversized)
         .withColumn(
@@ -859,7 +868,7 @@ def _hex_frames_expr(col: str, n_col: str, skip_version: bool) -> str:
     (offset, acc); no Python, no quadratic re-scan."""
     off0 = 17 if skip_version else 1  # 1-based; key stream leads with 8B version
     ln = f"cast(conv(substr({col}, s.off, 16), 16, 10) as int)"
-    return (
+    fold = (
         f"aggregate(sequence(1, cast({n_col} as int)), "
         f"struct(cast({off0} as int) as off, "
         f"cast(array() as array<string>) as acc), "
@@ -867,6 +876,12 @@ def _hex_frames_expr(col: str, n_col: str, skip_version: bool) -> str:
         f"array_append(s.acc, substr({col}, s.off + 16, 2 * {ln}))), "
         f"s -> s.acc)"
     )
+    # n=0 guard: Spark's sequence(1, 0) is DESCENDING [1, 0] — an empty
+    # batch would perform two bogus frame reads instead of parsing zero
+    # (unreachable from encode_open_batch_framed, but this is the public
+    # consumer-side wire parser)
+    return (f"CASE WHEN cast({n_col} as int) <= 0 "
+            f"THEN cast(array() as array<string>) ELSE {fold} END")
 
 
 def decode_open_batch_framed(df: DataFrame,

@@ -471,9 +471,21 @@ class Changefeed:
                 # E5: oversized encoded messages become object-store pointers
                 from tigate_spark.functions.encoders import claim_check
 
-                batch = claim_check(
-                    batch, self.cfg.sink.large_message_threshold
-                ).withColumn("message", F.col("wire_value"))
+                if "message" in batch.columns:  # canal-json
+                    batch = claim_check(
+                        batch, self.cfg.sink.large_message_threshold
+                    ).withColumn("message", F.col("wire_value"))
+                else:
+                    # open-protocol (key/value pair): a compressed value
+                    # rides as hex — size the WIRE bytes (hex chars / 2,
+                    # open/codec.go:85 counts compressed bytes), exactly
+                    # like the ErrMessageTooLarge guard below; otherwise
+                    # offload would trigger at ~half the threshold
+                    is_hex = self.cfg.sink.compression not in ("", "none")
+                    batch = claim_check(
+                        batch, self.cfg.sink.large_message_threshold,
+                        msg_col="value", value_is_hex=is_hex,
+                    ).withColumn("value", F.col("wire_value"))
             else:
                 # ErrMessageTooLarge (open/encoder.go:43-52, canal
                 # equivalent): a single encoded message over
