@@ -3080,6 +3080,7 @@ def get_catalog() -> dict[str, QuerySpec]:
     import tigate_spark.catalog_analytics  # noqa: F401  (registers window/sample/sketch queries)
     import tigate_spark.catalog_llm  # noqa: F401  (registers LLM-pipeline queries)
     import tigate_spark.catalog_relational  # noqa: F401  (registers relational queries)
+    import tigate_spark.catalog_simple_avro  # noqa: F401  (registers simple-protocol Avro wire queries)
     import tigate_spark.catalog_streaming  # noqa: F401  (registers streaming-path queries)
 
     return CATALOG

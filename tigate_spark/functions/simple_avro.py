@@ -1,0 +1,591 @@
+"""Simple-protocol **Avro encoding format** — the reference's second
+simple-codec marshaller.
+
+The simple codec dispatches on ``EncodingFormat``
+(``pkg/sink/codec/simple/marshaller.go:50-56``): JSON (the engine's
+``encode_simple_*`` family) or **Avro binary** against the embedded
+``com.pingcap.simple.avro.*`` schema (``simple/message.json``; record
+shapes built in ``simple/avro.go:107-310`` — union-keyed
+``Message{type, payload}`` wrapper, ``DML``/``Watermark``/``Bootstrap``/
+``DDL`` payload records, per-column value union
+``[null, long, float, double, string, bytes, Timestamp,
+UnsignedBigint]`` chosen by ``encodeValue4Avro``
+(``simple/message.go:608-650``: TIMESTAMP columns → ``Timestamp{location,
+value}``, unsigned BIGINT → ``UnsignedBigint{value}``), checksum holder
+``avro.go:273-282``).
+
+Spark-first twin: the Avro **binary** wire (goavro ``BinaryFromNative``
+emits raw Avro binary — zigzag-varint longs/ints/enums/lengths/counts,
+length-prefixed UTF-8 strings, union branch indexes, block-counted
+maps/arrays closed by a 0 count) is generated as pure column
+expressions shared verbatim between the Spark builder and the DuckDB
+oracle via the craft codec's dual-dialect step pattern
+(:mod:`tigate_spark.functions.craft`). The consumer side decodes with an
+independent, schema-driven Python Avro reader
+(:func:`decode_simple_avro_rows`) — encoder and decoder meet only at the
+byte level, so the round trip proves the wire, not a shared bug.
+
+Determinism pins (documented divergences from wall-clock/runtime state):
+
+- ``buildTs`` is ``time.Now().UnixMilli()`` in the reference
+  (``avro.go:141``); pinned to the commit millisecond so messages are
+  replay-deterministic (same pin as the JSON family).
+- goavro iterates Go maps in randomized order, so the reference's own
+  ``data``/``old`` map bytes are NOT run-deterministic; the twin pins the
+  canonical schema column order (pk, event_type, value_cents, user_id,
+  updated_at).
+- column metadata (mysqlType/charset/length) is fixed by the engine's
+  canonical events schema: pk BIGINT primary, event_type VARCHAR(64),
+  value_cents BIGINT UNSIGNED (exercises the UnsignedBigint branch),
+  user_id BIGINT, updated_at TIMESTAMP (exercises the Timestamp branch,
+  location pinned ``UTC`` — the config timezone, ``message.go:617``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame
+
+from tigate_spark.functions.craft import _dialect, _uvhex
+
+# ---------------------------------------------------------------------------
+# python-side varint/literal helpers (constants baked into generated SQL)
+# ---------------------------------------------------------------------------
+
+
+def _py_uv(n: int) -> str:
+    """Protobuf-style uvarint as an uppercase hex string."""
+    out = []
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | 0x80 if n else b)
+        if not n:
+            return "".join(f"{x:02X}" for x in out)
+
+
+def _py_vz(n: int) -> str:
+    """Avro long: zigzag varint hex (non-negative n → uvarint(2n))."""
+    return _py_uv((n << 1) ^ (n >> 63))
+
+
+def _py_str(s: str) -> str:
+    """Avro string literal: zigzag(len) + UTF-8 bytes, hex."""
+    b = s.encode()
+    return _py_vz(len(b)) + b.hex().upper()
+
+
+def _py_bool(v: bool) -> str:
+    return "01" if v else "00"
+
+
+def _vz(expr: str, d: dict, nbytes: int = 10) -> str:
+    """Avro long/int/enum SQL: zigzag varint hex of ``expr``.
+
+    ``nbytes`` caps the CASE ladder (craft ``_uvhex``); values are
+    canonical-minimal as long as the true magnitude fits. Min 2: a
+    1-branch ladder would degenerate to a bare ``CASE ELSE``."""
+    zz = (f"(CASE WHEN ({expr}) >= 0 THEN 2 * ({expr}) "
+          f"ELSE -2 * ({expr}) - 1 END)")
+    return _uvhex(zz, d, max(nbytes, 2))
+
+
+def _strhex(expr: str, d: dict) -> str:
+    """Avro string SQL: zigzag(byte length) + UTF-8 hex of ``expr``."""
+    return f"{_vz(d['slen'](expr), d, 3)} || hex({expr})"
+
+
+def _ts_s(ts_expr: str, d_name: str) -> str:
+    """``yyyy-MM-dd HH:mm:ss`` wall-clock string of an epoch-µs column
+    (session tz pinned UTC; the MySQL TIMESTAMP rendering the reference
+    string-ifies before wrapping in ``Timestamp{location, value}``)."""
+    if d_name == "spark":
+        return (f"date_format(timestamp_micros({ts_expr}), "
+                f"'yyyy-MM-dd HH:mm:ss')")
+    return f"strftime(make_timestamp({ts_expr}), '%Y-%m-%d %H:%M:%S')"
+
+
+# ---------------------------------------------------------------------------
+# enum / union constants (symbol order = message.json declaration order)
+# ---------------------------------------------------------------------------
+
+#: MessageType enum indexes (WATERMARK, BOOTSTRAP, DDL, DML) — doubles as
+#: the payload union branch order (Watermark, Bootstrap, DDL, DML)
+MSG_WATERMARK, MSG_BOOTSTRAP, MSG_DDL, MSG_DML = 0, 1, 2, 3
+#: DMLType enum indexes
+DML_INSERT, DML_UPDATE, DML_DELETE = 0, 1, 2
+#: DDLType enum symbol order (getDDLType, simple/message.go:79-100)
+DDL_TYPES = ("CREATE", "ALTER", "ERASE", "RENAME", "TRUNCATE",
+             "CINDEX", "DINDEX", "QUERY")
+#: engine ddl_type → DDLType symbol (same mapping as the JSON family)
+DDL_TYPE_OF = {"create table": "CREATE", "add column": "ALTER",
+               "drop table": "ERASE", "truncate table": "TRUNCATE",
+               "rename table": "RENAME"}
+
+#: data/old map value union branch indexes
+#: [null, long, float, double, string, bytes, Timestamp, UnsignedBigint]
+U_NULL, U_LONG, U_FLOAT, U_DOUBLE, U_STRING, U_BYTES, U_TS, U_UBIG = range(8)
+
+_H = _py_vz  # shorthand for constant zigzag hex
+
+
+def _msg_head(kind: int) -> str:
+    """Message.type enum + payload union branch (same index both times)."""
+    return _H(kind) + _H(kind)
+
+
+# canonical column order for the data/old maps (determinism pin)
+_MAP_KEYS = ("pk", "event_type", "value_cents", "user_id", "updated_at")
+_MAP_COUNT_H = _H(len(_MAP_KEYS))
+
+
+def _map_hex(d: dict, d_name: str, vc_expr: str, ts_h_col: str) -> str:
+    """data/old map hex: block count, key/value pairs in canonical
+    order, 0-count terminator. Value unions: pk/user_id → long,
+    event_type → string, value_cents → UnsignedBigint{value},
+    updated_at → Timestamp{location='UTC', value}."""
+    return (
+        f"'{_MAP_COUNT_H}"
+        f"{_py_str('pk')}{_H(U_LONG)}' || {_vz('pk', d, 2)} || "
+        f"'{_py_str('event_type')}{_H(U_STRING)}' || sa_et_h || "
+        f"'{_py_str('value_cents')}{_H(U_UBIG)}' || {_vz(vc_expr, d)} || "
+        f"'{_py_str('user_id')}{_H(U_LONG)}' || {_vz('user_id', d)} || "
+        f"'{_py_str('updated_at')}{_H(U_TS)}{_py_str('UTC')}' || "
+        f"{ts_h_col} || '00'"
+    )
+
+
+def simple_avro_dml_steps(d_name: str,
+                          with_checksum: bool = False) -> list[tuple[str, str]]:
+    """Ordered (column, SQL) steps building ``message_hex`` — the Avro
+    binary of one ``Message{type: DML, payload: DML{...}}`` per change
+    row (``avro.go:246-310`` newDMLMessageMap; field order =
+    ``message.json`` DML declaration order). Shared by the Spark builder
+    and the DuckDB oracle. Expects the canonical change columns
+    (schema_name, table_name, table_id, op, commit_ts, pk, event_type,
+    value_cents, user_id); ``with_checksum`` additionally expects
+    ``cur``/``prev`` (the TiDB row checksum pair) and fills the
+    ``Checksum`` union holder (``avro.go:273-282``)."""
+    d = _dialect(d_name)
+    steps: list[tuple[str, str]] = [
+        ("sa_db_h", _strhex("schema_name", d)),
+        ("sa_tbl_h", _strhex("table_name", d)),
+        ("sa_et_h", _strhex("event_type", d)),
+        ("sa_tsa_s", _ts_s("commit_ts", d_name)),
+        ("sa_tsb_s", _ts_s("commit_ts - 1000000", d_name)),
+    ]
+    steps += [
+        ("sa_tsa_h", _strhex("sa_tsa_s", d)),
+        ("sa_tsb_h", _strhex("sa_tsb_s", d)),
+        # after image; before image = pre-update row (value_cents - 100,
+        # updated_at one second earlier — the same derivation the JSON
+        # images pin)
+        ("sa_map_a_h", _map_hex(d, d_name, "value_cents", "sa_tsa_h")),
+        ("sa_map_b_h", _map_hex(d, d_name, "value_cents - 100", "sa_tsb_h")),
+    ]
+    if with_checksum:
+        # union branch 1 + Checksum{version=1, corrupted=false,
+        # current, previous}
+        ck = f"'{_H(1)}{_H(1)}00' || {_vz('cur', d)} || {_vz('prev', d)}"
+    else:
+        ck = "'00'"
+    steps.append(("sa_ck_h", ck))
+    dml_type = (f"CASE op WHEN 'I' THEN '{_H(DML_INSERT)}' "
+                f"WHEN 'U' THEN '{_H(DML_UPDATE)}' "
+                f"ELSE '{_H(DML_DELETE)}' END")
+    steps.append((
+        "message_hex",
+        # Message head, then DML fields: version, database, table,
+        # tableID, type, commitTs, buildTs(pinned commit ms),
+        # schemaVersion=1, claimCheckLocation=null, handleKeyOnly=null,
+        # checksum, data union, old union
+        # varint widths: table_id<4 and pk<200 are engine-canonical
+        # constants (sources/changes.py N_TABLES/N_KEYS); epoch-µs fits 8
+        # zigzag bytes through year ~4000, epoch-ms 7 — tighter CASE
+        # ladders keep the canonical minimal encoding while shrinking the
+        # generated code
+        f"'{_msg_head(MSG_DML)}{_H(1)}' || sa_db_h || sa_tbl_h || "
+        f"{_vz('table_id', d, 1)} || {dml_type} || "
+        f"{_vz('commit_ts', d, 8)} || "
+        f"{_vz(d['idiv']('commit_ts', '1000'), d, 7)} || "
+        f"'{_H(1)}' || '00' || '00' || sa_ck_h || "
+        f"CASE WHEN op = 'D' THEN '00' "
+        f"ELSE '{_H(1)}' || sa_map_a_h END || "
+        f"CASE WHEN op = 'I' THEN '00' "
+        f"ELSE '{_H(1)}' || sa_map_b_h END",
+    ))
+    return steps
+
+
+# ---------------------------------------------------------------------------
+# Watermark / Bootstrap / DDL messages
+# ---------------------------------------------------------------------------
+
+
+def simple_avro_watermark_sql(d_name: str, ts_expr: str = "resolved_ts") -> str:
+    """One ``Message{type: WATERMARK}`` hex per resolved-ts tick
+    (``avro.go:136-155`` newResolvedMessageMap: Watermark{version,
+    commitTs, buildTs}); buildTs pinned to the tick millisecond."""
+    d = _dialect(d_name)
+    return (f"'{_msg_head(MSG_WATERMARK)}{_H(1)}' || "
+            f"{_vz(ts_expr, d, 8)} || "
+            f"{_vz(d['idiv'](ts_expr, '1000'), d, 7)}")
+
+
+#: fixed per-column metadata of the canonical table schema — constant
+#: ColumnSchema record hexes (name, DataType{mysqlType, charset, collate,
+#: length, decimal=null, elements=null, unsigned, zerofill}, nullable,
+#: default=null), shapes per newTableSchemaMap (avro.go:27-134: numeric
+#: types carry the unsigned/zerofill union holders, others leave them null)
+def _col_schema_hex(name: str, mysql_type: str, charset: str, collate: str,
+                    length: int, nullable: bool,
+                    unsigned: bool | None = None,
+                    zerofill: bool | None = None) -> str:
+    dt = (_py_str(mysql_type) + _py_str(charset) + _py_str(collate)
+          + _py_vz(length) + "00" + "00"
+          + ("00" if unsigned is None else _H(1) + _py_bool(unsigned))
+          + ("00" if zerofill is None else _H(1) + _py_bool(zerofill)))
+    return _py_str(name) + dt + _py_bool(nullable) + "00"
+
+
+_COLUMNS_HEX = "".join((
+    _col_schema_hex("pk", "bigint", "binary", "binary", 20, False,
+                    unsigned=False, zerofill=False),
+    _col_schema_hex("event_type", "varchar", "utf8mb4", "utf8mb4_bin",
+                    64, True),
+    _col_schema_hex("value_cents", "bigint", "binary", "binary", 20, True,
+                    unsigned=True, zerofill=False),
+    _col_schema_hex("user_id", "bigint", "binary", "binary", 20, True,
+                    unsigned=False, zerofill=False),
+    _col_schema_hex("updated_at", "timestamp", "binary", "binary", 19, True),
+))
+
+#: IndexSchema[] with the single primary index on pk
+_INDEXES_HEX = (_H(1) + _py_str("primary") + _py_bool(True) + _py_bool(True)
+                + _py_bool(False) + _H(1) + _py_str("pk") + "00" + "00")
+
+
+def _table_schema_hex(d: dict, version_expr: str) -> str:
+    """TableSchema record hex over (schema_name, table_name, table_id)
+    columns: database, table, tableID, version, columns[], indexes[]."""
+    return (f"sa_db_h || sa_tbl_h || {_vz('table_id', d, 1)} || "
+            f"{_vz(version_expr, d, 8)} || "
+            f"'{_H(len(_MAP_KEYS))}{_COLUMNS_HEX}00{_INDEXES_HEX}'")
+
+
+def simple_avro_bootstrap_steps(d_name: str) -> list[tuple[str, str]]:
+    """``Message{type: BOOTSTRAP, payload: Bootstrap{version, buildTs,
+    tableSchema}}`` hex per table (``avro.go:157-177``); expects
+    (schema_name, table_name, table_id, version_ts) where version_ts is
+    the table's first commit (the UpdateTS analog, same choice as the
+    JSON bootstrap family). buildTs pinned to version_ts ms."""
+    d = _dialect(d_name)
+    return [
+        ("sa_db_h", _strhex("schema_name", d)),
+        ("sa_tbl_h", _strhex("table_name", d)),
+        ("message_hex",
+         f"'{_msg_head(MSG_BOOTSTRAP)}{_H(1)}' || "
+         f"{_vz(d['idiv']('version_ts', '1000'), d, 7)} || "
+         f"{_table_schema_hex(d, 'version_ts')}"),
+    ]
+
+
+def simple_avro_ddl_steps(d_name: str) -> list[tuple[str, str]]:
+    """``Message{type: DDL, payload: DDL{version, type, sql, commitTs,
+    buildTs, tableSchema?, preTableSchema?}}`` hex per DDL event
+    (``avro.go:179-211``): tableSchema union absent for ERASE (table
+    gone), preTableSchema absent for CREATE (no prior schema) — the
+    presence rule the JSON family pins. Expects the engine DDL stream
+    (table_id, commit_ts, seq, ddl_type, query) plus schema_name /
+    table_name columns."""
+    d = _dialect(d_name)
+    ddl_enum = "CASE ddl_type " + " ".join(
+        f"WHEN '{k}' THEN '{_H(DDL_TYPES.index(v))}'"
+        for k, v in DDL_TYPE_OF.items()
+    ) + f" ELSE '{_H(DDL_TYPES.index('ALTER'))}' END"
+    ts_union = f"'{_H(1)}' || " + _table_schema_hex(d, "1")
+    return [
+        ("sa_db_h", _strhex("schema_name", d)),
+        ("sa_tbl_h", _strhex("table_name", d)),
+        ("sa_sql_h", _strhex("query", d)),
+        ("message_hex",
+         f"'{_msg_head(MSG_DDL)}{_H(1)}' || {ddl_enum} || sa_sql_h || "
+         f"{_vz('commit_ts', d, 8)} || "
+         f"{_vz(d['idiv']('commit_ts', '1000'), d, 7)} || "
+         f"CASE WHEN ddl_type = 'drop table' THEN '00' "
+         f"ELSE {ts_union} END || "
+         f"CASE WHEN ddl_type = 'create table' THEN '00' "
+         f"ELSE {ts_union} END"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Spark builders + DuckDB oracle suffixes (craft pattern)
+# ---------------------------------------------------------------------------
+
+
+def _apply_steps(df: DataFrame, steps: list[tuple[str, str]],
+                 out_col: str) -> DataFrame:
+    out = df.selectExpr("*", *[f"{sql} AS {name}" for name, sql in steps])
+    out = out.drop(*[n for n, _ in steps if n != "message_hex"])
+    if out_col != "message_hex":
+        out = out.withColumnRenamed("message_hex", out_col)
+    return out
+
+
+def encode_simple_avro(df: DataFrame, with_checksum: bool = False,
+                       out_col: str = "message_hex") -> DataFrame:
+    """Simple-protocol Avro DML wire per change row (hex string). Pure
+    column expressions — JVM-side, zero Python."""
+    return _apply_steps(df, simple_avro_dml_steps("spark", with_checksum),
+                        out_col)
+
+
+def encode_simple_avro_bootstrap(df: DataFrame,
+                                 out_col: str = "message_hex") -> DataFrame:
+    return _apply_steps(df, simple_avro_bootstrap_steps("spark"), out_col)
+
+
+def encode_simple_avro_ddl(df: DataFrame,
+                           out_col: str = "message_hex") -> DataFrame:
+    return _apply_steps(df, simple_avro_ddl_steps("spark"), out_col)
+
+
+def oracle_suffix(steps: list[tuple[str, str]], in_rel: str,
+                  out_rel: str = "sa_msg") -> str:
+    """Chained-CTE DuckDB mirror of a step list (craft_oracle_suffix
+    shape): ``in_rel`` → ... → ``out_rel`` with a message_hex column."""
+    sql, prev = [], in_rel
+    for i, (name, expr) in enumerate(steps):
+        cte = out_rel if i == len(steps) - 1 else f"sa{i}"
+        sql.append(f", {cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cte
+    return "".join(sql)
+
+
+# ---------------------------------------------------------------------------
+# independent schema-driven Avro binary reader (consumer side)
+# ---------------------------------------------------------------------------
+
+# The com.pingcap.simple.avro.* schema, restated (simple/message.json —
+# same named types / field order / union order, authored here as Python
+# structures). Field lists are (name, type) pairs; a str type is either
+# a primitive or a named-type reference.
+_DATA_TYPE = {"type": "record", "name": "DataType", "fields": [
+    ("mysqlType", "string"), ("charset", "string"), ("collate", "string"),
+    ("length", "long"), ("decimal", ["null", "int"]),
+    ("elements", ["null", {"type": "array", "items": "string"}]),
+    ("unsigned", ["null", "boolean"]), ("zerofill", ["null", "boolean"])]}
+_COLUMN_SCHEMA = {"type": "record", "name": "ColumnSchema", "fields": [
+    ("name", "string"), ("dataType", "DataType"), ("nullable", "boolean"),
+    ("default", ["null", "string"])]}
+_INDEX_SCHEMA = {"type": "record", "name": "IndexSchema", "fields": [
+    ("name", "string"), ("unique", "boolean"), ("primary", "boolean"),
+    ("nullable", "boolean"),
+    ("columns", {"type": "array", "items": "string"})]}
+_TABLE_SCHEMA = {"type": "record", "name": "TableSchema", "fields": [
+    ("database", "string"), ("table", "string"), ("tableID", "long"),
+    ("version", "long"),
+    ("columns", {"type": "array", "items": "ColumnSchema"}),
+    ("indexes", {"type": "array", "items": "IndexSchema"})]}
+_CHECKSUM = {"type": "record", "name": "Checksum", "fields": [
+    ("version", "int"), ("corrupted", "boolean"), ("current", "long"),
+    ("previous", "long")]}
+_WATERMARK = {"type": "record", "name": "Watermark", "fields": [
+    ("version", "int"), ("commitTs", "long"), ("buildTs", "long")]}
+_BOOTSTRAP = {"type": "record", "name": "Bootstrap", "fields": [
+    ("version", "int"), ("buildTs", "long"), ("tableSchema", "TableSchema")]}
+_TIMESTAMP = {"type": "record", "name": "Timestamp", "fields": [
+    ("location", "string"), ("value", "string")]}
+_UNSIGNED_BIGINT = {"type": "record", "name": "UnsignedBigint", "fields": [
+    ("value", "long")]}
+_VALUE_UNION = ["null", "long", "float", "double", "string", "bytes",
+                "Timestamp", "UnsignedBigint"]
+_DDL = {"type": "record", "name": "DDL", "fields": [
+    ("version", "int"),
+    ("type", {"type": "enum", "name": "DDLType", "symbols": list(DDL_TYPES)}),
+    ("sql", "string"), ("commitTs", "long"), ("buildTs", "long"),
+    ("tableSchema", ["null", "TableSchema"]),
+    ("preTableSchema", ["null", "TableSchema"])]}
+_DML_REC = {"type": "record", "name": "DML", "fields": [
+    ("version", "int"), ("database", "string"), ("table", "string"),
+    ("tableID", "long"),
+    ("type", {"type": "enum", "name": "DMLType",
+              "symbols": ["INSERT", "UPDATE", "DELETE"]}),
+    ("commitTs", "long"), ("buildTs", "long"), ("schemaVersion", "long"),
+    ("claimCheckLocation", ["null", "string"]),
+    ("handleKeyOnly", ["null", "boolean"]),
+    ("checksum", ["null", "Checksum"]),
+    ("data", ["null", {"type": "map", "values": _VALUE_UNION}]),
+    ("old", ["null", {"type": "map", "values": _VALUE_UNION}])]}
+MESSAGE_SCHEMA = {"type": "record", "name": "Message", "fields": [
+    ("type", {"type": "enum", "name": "MessageType",
+              "symbols": ["WATERMARK", "BOOTSTRAP", "DDL", "DML"]}),
+    ("payload", ["Watermark", "Bootstrap", "DDL", "DML"])]}
+
+_NAMED = {s["name"]: s for s in (
+    _DATA_TYPE, _COLUMN_SCHEMA, _INDEX_SCHEMA, _TABLE_SCHEMA, _CHECKSUM,
+    _WATERMARK, _BOOTSTRAP, _TIMESTAMP, _UNSIGNED_BIGINT, _DDL, _DML_REC,
+    MESSAGE_SCHEMA)}
+
+
+def _read_long(b: bytes, i: int) -> tuple[int, int]:
+    u, s = 0, 0
+    while True:
+        u |= (b[i] & 0x7F) << s
+        s += 7
+        i += 1
+        if not b[i - 1] & 0x80:
+            return (u >> 1) ^ -(u & 1), i
+
+
+def avro_read(schema, b: bytes, i: int = 0):
+    """Generic Avro binary reader for the schema subset the simple codec
+    uses (records, enums, unions, maps, arrays, primitives). Returns
+    (value, next_offset). Records → dicts; enums → symbol strings;
+    unions → the decoded branch value."""
+    if isinstance(schema, str):
+        if schema == "null":
+            return None, i
+        if schema == "boolean":
+            return b[i] != 0, i + 1
+        if schema in ("int", "long"):
+            return _read_long(b, i)
+        if schema == "float":
+            return struct.unpack("<f", b[i:i + 4])[0], i + 4
+        if schema == "double":
+            return struct.unpack("<d", b[i:i + 8])[0], i + 8
+        if schema in ("string", "bytes"):
+            n, i = _read_long(b, i)
+            raw = b[i:i + n]
+            return (raw.decode() if schema == "string" else bytes(raw)), i + n
+        return avro_read(_NAMED[schema], b, i)  # named-type reference
+    if isinstance(schema, list):  # union
+        idx, i = _read_long(b, i)
+        return avro_read(schema[idx], b, i)
+    t = schema["type"]
+    if t == "record":
+        out = {}
+        for name, ft in schema["fields"]:
+            out[name], i = avro_read(ft, b, i)
+        return out, i
+    if t == "enum":
+        idx, i = _read_long(b, i)
+        return schema["symbols"][idx], i
+    if t in ("array", "map"):
+        item = schema["items"] if t == "array" else schema["values"]
+        out = [] if t == "array" else {}
+        while True:
+            n, i = _read_long(b, i)
+            if n == 0:
+                return out, i
+            if n < 0:  # block with a byte-size prefix
+                _, i = _read_long(b, i)
+                n = -n
+            for _ in range(n):
+                if t == "array":
+                    v, i = avro_read(item, b, i)
+                    out.append(v)
+                else:
+                    k, i = avro_read("string", b, i)
+                    out[k], i = avro_read(item, b, i)
+    raise ValueError(f"unsupported schema: {schema!r}")
+
+
+def decode_message(raw: bytes) -> dict:
+    """One wire message → {'type': ..., 'payload': {...}} dict."""
+    msg, _ = avro_read(MESSAGE_SCHEMA, raw)
+    return msg
+
+
+# ---------------------------------------------------------------------------
+# Spark consumer surfaces (Arrow mapInPandas, like the craft decoder)
+# ---------------------------------------------------------------------------
+
+_DML_OUT_SCHEMA = (
+    "seq long, database string, table_name string, table_id long, "
+    "op string, commit_ts long, build_ts long, schema_version long, "
+    "pk long, event_type string, value_cents long, user_id long, "
+    "updated_at string")
+
+_OP_OF = {"INSERT": "I", "UPDATE": "U", "DELETE": "D"}
+
+
+def decode_simple_avro_rows(df: DataFrame, hex_col: str = "message_hex",
+                            seq_col: str = "seq") -> DataFrame:
+    """Consumer: parse DML wire messages back into typed change rows.
+    The surfaced image is the live one (data for INSERT/UPDATE, old for
+    DELETE — the reference consumer's apply semantics); value columns
+    unwrap their union records (UnsignedBigint.value, Timestamp.value)."""
+    import pandas as pd
+
+    def fn(it):
+        for pdf in it:
+            rows = []
+            for seq, hx in zip(pdf[seq_col], pdf[hex_col]):
+                m = decode_message(bytes.fromhex(hx))
+                p = m["payload"]
+                img = p["old"] if p["type"] == "DELETE" else p["data"]
+                rows.append({
+                    "seq": int(seq),
+                    "database": p["database"],
+                    "table_name": p["table"],
+                    "table_id": p["tableID"],
+                    "op": _OP_OF[p["type"]],
+                    "commit_ts": p["commitTs"],
+                    "build_ts": p["buildTs"],
+                    "schema_version": p["schemaVersion"],
+                    "pk": img["pk"],
+                    "event_type": img["event_type"],
+                    "value_cents": img["value_cents"]["value"],
+                    "user_id": img["user_id"],
+                    "updated_at": img["updated_at"]["value"],
+                })
+            yield pd.DataFrame(
+                rows, columns=[c.split()[0] for c in
+                               _DML_OUT_SCHEMA.split(", ")])
+
+    return df.mapInPandas(fn, _DML_OUT_SCHEMA)
+
+
+_BOOT_OUT_SCHEMA = (
+    "table_id long, database string, table_name string, "
+    "schema_version long, build_ts long, n_columns long, "
+    "col_names string, col_types string, pk_cols string")
+
+
+def decode_simple_avro_bootstrap(df: DataFrame,
+                                 hex_col: str = "message_hex") -> DataFrame:
+    """Consumer: parse Bootstrap wire messages back into table-schema
+    rows (newTableSchemaFromAvroNative's field walk, avro.go:385-467)."""
+    import pandas as pd
+
+    def fn(it):
+        for pdf in it:
+            rows = []
+            for hx in pdf[hex_col]:
+                m = decode_message(bytes.fromhex(hx))
+                p = m["payload"]
+                ts = p["tableSchema"]
+                primary = next(
+                    (ix for ix in ts["indexes"] if ix["primary"]), None)
+                rows.append({
+                    "table_id": ts["tableID"],
+                    "database": ts["database"],
+                    "table_name": ts["table"],
+                    "schema_version": ts["version"],
+                    "build_ts": p["buildTs"],
+                    "n_columns": len(ts["columns"]),
+                    "col_names": ",".join(
+                        c["name"] for c in ts["columns"]),
+                    "col_types": ",".join(
+                        c["dataType"]["mysqlType"] for c in ts["columns"]),
+                    "pk_cols": ",".join(
+                        primary["columns"]) if primary else "",
+                })
+            yield pd.DataFrame(
+                rows, columns=[c.split()[0] for c in
+                               _BOOT_OUT_SCHEMA.split(", ")])
+
+    return df.mapInPandas(fn, _BOOT_OUT_SCHEMA)
