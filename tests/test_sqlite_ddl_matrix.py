@@ -1,0 +1,162 @@
+"""Widened executable-DDL statement matrix on the live SQLite writer
+(r12): add/drop index, rename table, modify column, truncate, drop
+table — each action executes on a lane DB the way the reference's MySQL
+writer does (mysql_writer.go:600-668 execDDL) and each REPLAY lands in
+the per-action ignorable class (apperror.IsIgnorableMySQLDDLError,
+util.go:36-55) or state-based skip (the shouldExecDDLByTs analog)."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from tigate_spark.streaming.sqlite_apply import (
+    exec_ddl_on_lane,
+    translate_ddl_for_sqlite,
+)
+
+
+@pytest.fixture()
+def lane(tmp_path):
+    db = str(tmp_path / "lane-0.db")
+    # seed the base table through the DDL path itself (schema-first)
+    exec_ddl_on_lane(
+        db, "ALTER TABLE `app`.`t1` ADD COLUMN `extra` INTEGER DEFAULT 0",
+        "app", "t1", 1)
+    con = sqlite3.connect(db)
+    con.execute("INSERT INTO app__t1 (pk, event_type, value_cents, extra) "
+                "VALUES (1, 'click', 100, 0), (2, 'view', 200, 0)")
+    con.commit()
+    con.close()
+    return db
+
+
+def _master(db, typ):
+    con = sqlite3.connect(db)
+    rows = {r[0] for r in con.execute(
+        "SELECT name FROM sqlite_master WHERE type=?", (typ,))}
+    con.close()
+    return rows
+
+
+def _tables_map(db):
+    con = sqlite3.connect(db)
+    rows = dict(con.execute("SELECT name, table_id FROM _tables"))
+    con.close()
+    return rows
+
+
+def test_add_column_then_replay_ignored(lane):
+    out = exec_ddl_on_lane(
+        lane, "ALTER TABLE `app`.`t1` ADD COLUMN `extra` INTEGER DEFAULT 0",
+        "app", "t1", 1)
+    assert out == "ignored"  # ErrColumnExists(1060) analog
+
+
+@pytest.mark.parametrize("form", [
+    "ALTER TABLE `app`.`t1` ADD INDEX `by_et` (`event_type`)",
+    "CREATE INDEX `by_et` ON `app`.`t1` (`event_type`)",
+])
+def test_add_index_both_forms_and_replay(lane, form):
+    assert exec_ddl_on_lane(lane, form, "app", "t1", 1) == "applied"
+    assert "app__t1__by_et" in _master(lane, "index")
+    # replay → ErrDupKeyName(1061) analog, ignored
+    assert exec_ddl_on_lane(lane, form, "app", "t1", 1) == "ignored"
+
+
+@pytest.mark.parametrize("form", [
+    "ALTER TABLE `app`.`t1` DROP INDEX `by_et`",
+    "DROP INDEX `by_et` ON `app`.`t1`",
+])
+def test_drop_index_both_forms_and_replay(lane, form):
+    exec_ddl_on_lane(
+        lane, "CREATE INDEX `by_et` ON `app`.`t1` (`event_type`)",
+        "app", "t1", 1)
+    assert exec_ddl_on_lane(lane, form, "app", "t1", 1) == "applied"
+    assert "app__t1__by_et" not in _master(lane, "index")
+    # replay → ErrKeyDoesNotExist(1176)/ErrCantDropFieldOrKey(1091) analog
+    assert exec_ddl_on_lane(lane, form, "app", "t1", 1) == "ignored"
+
+
+@pytest.mark.parametrize("form", [
+    "RENAME TABLE `app`.`t1` TO `app`.`t1_archive`",
+    "ALTER TABLE `app`.`t1` RENAME TO `t1_archive`",
+])
+def test_rename_table_updates_mapping_and_replay(lane, form):
+    assert exec_ddl_on_lane(lane, form, "app", "t1", 1) == "applied"
+    assert "app__t1_archive" in _master(lane, "table")
+    assert "app__t1" not in _master(lane, "table")
+    # read_state resolves by table_id through _tables — mapping followed
+    assert _tables_map(lane) == {"app__t1_archive": 1}
+    con = sqlite3.connect(lane)
+    assert con.execute("SELECT count(*) FROM app__t1_archive") \
+        .fetchone()[0] == 2
+    con.close()
+    # replay: target exists → state-based skip (shouldExecDDLByTs analog)
+    assert exec_ddl_on_lane(lane, form, "app", "t1", 1) == "ignored"
+    assert _tables_map(lane) == {"app__t1_archive": 1}
+
+
+def test_modify_column_rebuild_preserves_rows_and_indexes(lane):
+    exec_ddl_on_lane(
+        lane, "CREATE INDEX `by_et` ON `app`.`t1` (`event_type`)",
+        "app", "t1", 1)
+    out = exec_ddl_on_lane(
+        lane, "ALTER TABLE `app`.`t1` MODIFY COLUMN `value_cents` "
+        "BIGINT UNSIGNED", "app", "t1", 1)
+    assert out == "applied"
+    con = sqlite3.connect(lane)
+    info = {r[1]: r[2] for r in con.execute("PRAGMA table_info(app__t1)")}
+    assert info["value_cents"] == "INTEGER"  # BIGINT → INTEGER affinity
+    rows = sorted(con.execute(
+        "SELECT pk, event_type, value_cents, extra FROM app__t1"))
+    assert rows == [(1, "click", 100, 0), (2, "view", 200, 0)]
+    # pk stays the primary key; indexes survive the rebuild
+    assert {r[1]: r[5] for r in
+            con.execute("PRAGMA table_info(app__t1)")}["pk"] == 1
+    con.close()
+    assert "app__t1__by_et" in _master(lane, "index")
+    # replay: the rebuild is naturally idempotent
+    assert exec_ddl_on_lane(
+        lane, "ALTER TABLE `app`.`t1` MODIFY COLUMN `value_cents` "
+        "BIGINT UNSIGNED", "app", "t1", 1) == "applied"
+
+
+def test_truncate_and_drop_table_with_replay(lane):
+    assert exec_ddl_on_lane(
+        lane, "TRUNCATE TABLE `app`.`t1`", "app", "t1", 1) == "applied"
+    con = sqlite3.connect(lane)
+    assert con.execute("SELECT count(*) FROM app__t1").fetchone()[0] == 0
+    con.close()
+    assert exec_ddl_on_lane(
+        lane, "DROP TABLE `app`.`t1`", "app", "t1", 1) == "applied"
+    assert "app__t1" not in _master(lane, "table")
+    assert _tables_map(lane) == {}
+    # replay: table gone → ErrTableDropExists(1051) analog, state skip
+    assert exec_ddl_on_lane(
+        lane, "DROP TABLE IF EXISTS `app`.`t1`", "app", "t1", 1) == "ignored"
+
+
+def test_unrecognized_ddl_falls_through_localized(lane):
+    action, stmts, _ = translate_ddl_for_sqlite(
+        "ALTER TABLE `app`.`t1` AUTO_INCREMENT = 5", "app", "t1")
+    assert action == "query"
+    assert stmts == ["ALTER TABLE `app__t1` AUTO_INCREMENT = 5"]
+
+
+def test_translate_matrix_shapes():
+    a, s, m = translate_ddl_for_sqlite(
+        "ALTER TABLE `app`.`t2` ADD UNIQUE INDEX `u1` (`pk`, `user_id`)",
+        "app", "t2")
+    assert a == "add-index" and "UNIQUE INDEX" in s[0]
+    a, s, m = translate_ddl_for_sqlite(
+        "ALTER TABLE `app`.`t2` MODIFY `note` VARCHAR(64)", "app", "t2")
+    assert a == "modify-column" and m == {"column": "note", "decl": "TEXT"}
+    a, s, m = translate_ddl_for_sqlite(
+        "TRUNCATE `app`.`t2`", "app", "t2")
+    assert a == "truncate-table" and s == ["DELETE FROM `app__t2`"]
+    # a statement for a DIFFERENT table is not misrouted
+    a, s, m = translate_ddl_for_sqlite(
+        "DROP TABLE `app`.`other`", "app", "t2")
+    assert a == "query"

@@ -2718,3 +2718,148 @@ def _text_format_replica_e2e(spark: SparkSession, sf_dir: str,
 )
 def streaming_csv_replica_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text_format_replica_e2e(spark, sf_dir, "csv")
+
+
+@register(
+    "streaming_sqlite_ddl_matrix_e2e",
+    ORACLE_CHANGES_CTE + """
+, ordered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY table_id, pk
+    ORDER BY commit_ts DESC, start_ts DESC,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC, seq DESC
+  ) AS rn
+  FROM changes
+)""" + _ddl_anchor_oracle(2, 3) + """
+SELECT table_id, pk, event_type, value_cents
+FROM ordered
+WHERE rn = 1 AND op <> 'D'
+  AND (table_id <> 2 OR commit_ts >= (SELECT ddl_ts FROM anchor))
+""",
+    doc="The r12 WIDENED executable-DDL statement matrix end to end "
+        "(persist_storage.go:812-939 action classes on the live writer, "
+        "mysql_writer.go:600-668 execDDL): in-stream barriers run ADD "
+        "INDEX (replayed once - ErrDupKeyName analog ignored) and "
+        "TRUNCATE TABLE on app.t2 (pre-barrier rows wiped downstream, "
+        "post-barrier DML re-applies - the oracle keeps only t2 rows at/"
+        "after the anchor); after the stream, MODIFY COLUMN rebuilds "
+        "app.t0 (SQLite 12-step-lite: shadow table, copy, index "
+        "re-create - state provably unchanged) and RENAME TABLE moves "
+        "app.t2 to t2_archive with the _tables mapping following so the "
+        "downstream read still resolves table_id 2 (replay skips via "
+        "the shouldExecDDLByTs-style state check). Every action's "
+        "exec/replay outcome is asserted; final state hash-matches the "
+        "LWW + truncation oracle",
+)
+def streaming_sqlite_ddl_matrix_e2e(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    import sqlite3
+
+    from tigate_spark.sources.changes import normalize_events
+    from tigate_spark.streaming.ddl import DDLEvent, split_batch_at_ddl
+    from tigate_spark.streaming.sqlite_apply import SqliteApplySink
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        base = spark.read.parquet(src)
+        order_sql = (
+            "ts, -(event_id % 97), "
+            "case when event_id % 10 >= 9 then 1 "
+            "when event_id % 10 >= 6 then 2 else 3 end, event_id"
+        )
+        norm = normalize_events(base)
+        idx_ts, idx_seq = _ddl_anchor(norm, 1, 3)
+        trunc_ts, trunc_seq = _ddl_anchor(norm, 2, 3)
+        ddls = [
+            (idx_seq, DDLEvent(
+                commit_ts=int(idx_ts), table_id=2,
+                query="CREATE INDEX `by_et` ON `app`.`t2` (`event_type`)",
+                schema_tag="v1")),
+            (trunc_seq, DDLEvent(
+                commit_ts=int(trunc_ts), table_id=2,
+                query="TRUNCATE TABLE `app`.`t2`", schema_tag="v2")),
+        ]
+        flat, land = split_df_in_order(spark, base, work, 3, order_sql)
+        for k in range(3):
+            land(k)
+        raw = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(flat)
+        )
+        sink = SqliteApplySink(os.path.join(work, "db"))
+        ckpt = os.path.join(work, "ckpt")
+        ddl_log: list[tuple[str, ...]] = []
+
+        def run(batch_df: DataFrame, batch_id: int) -> None:
+            due = [d for s, d in ddls
+                   if batch_df.filter(F.col("seq") == s).count() > 0]
+
+            def apply_dml(part_df: DataFrame, sub: int) -> None:
+                sink.process_batch(part_df, batch_id,
+                                   fence=f"b{batch_id}.s{sub}")
+
+            def apply_ddl(d: DDLEvent) -> None:
+                first = sink.exec_ddl(d.query, "app", "t2", 2)
+                if "INDEX" in d.query:
+                    # deliberate replay: ErrDupKeyName-analog ignored
+                    ddl_log.append((first, sink.exec_ddl(
+                        d.query, "app", "t2", 2)))
+                else:
+                    ddl_log.append((first,))
+
+            split_batch_at_ddl(batch_df, due, apply_dml, apply_ddl)
+
+        q = (
+            normalize_events(raw)
+            .writeStream.foreachBatch(run)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        if ddl_log != [("applied", "ignored"), ("applied",)]:
+            raise RuntimeError(f"barrier DDL outcomes wrong: {ddl_log}")
+        lane2 = os.path.join(work, "db", "lane-2.db")
+        con = sqlite3.connect(lane2)
+        idx = {r[0] for r in con.execute(
+            "SELECT name FROM sqlite_master WHERE type='index'")}
+        con.close()
+        if "app__t2__by_et" not in idx:
+            raise RuntimeError("barrier ADD INDEX not present downstream")
+        # post-stream actions: MODIFY COLUMN rebuild on t0 (state must
+        # not change), RENAME TABLE on t2 (mapping must follow)
+        before_t0 = sorted(
+            r[:4] for r in sink.read_state(spark)
+            .filter("table_id = 0").collect())
+        if sink.exec_ddl(
+                "ALTER TABLE `app`.`t0` MODIFY COLUMN `value_cents` "
+                "BIGINT UNSIGNED", "app", "t0", 0) != "applied":
+            raise RuntimeError("MODIFY COLUMN did not apply")
+        if sink.exec_ddl(
+                "ALTER TABLE `app`.`t0` MODIFY COLUMN `value_cents` "
+                "BIGINT UNSIGNED", "app", "t0", 0) != "applied":
+            raise RuntimeError("MODIFY COLUMN rebuild not idempotent")
+        out = sink.exec_ddl("RENAME TABLE `app`.`t2` TO `app`.`t2_archive`",
+                            "app", "t2", 2)
+        replay = sink.exec_ddl(
+            "RENAME TABLE `app`.`t2` TO `app`.`t2_archive`", "app", "t2", 2)
+        if (out, replay) != ("applied", "ignored"):
+            raise RuntimeError(f"RENAME exec/replay wrong: {out}, {replay}")
+        con = sqlite3.connect(lane2)
+        tabs = dict(con.execute("SELECT name, table_id FROM _tables"))
+        con.close()
+        if tabs.get("app__t2_archive") != 2 or "app__t2" in tabs:
+            raise RuntimeError(f"rename mapping did not follow: {tabs}")
+        state = sink.read_state(spark)
+        after_t0 = sorted(
+            r[:4] for r in state.filter("table_id = 0").collect())
+        if before_t0 != after_t0:
+            raise RuntimeError("MODIFY COLUMN rebuild changed t0 state")
+        return _materialize(state)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

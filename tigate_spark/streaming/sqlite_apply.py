@@ -384,6 +384,131 @@ def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
         con.close()
 
 
+# ---------------------------------------------------------------------------
+# MySQL → SQLite DDL translation (the executable writer's statement matrix)
+# ---------------------------------------------------------------------------
+
+_QI = r"`(?P<schema>[^`]+)`\s*\.\s*`(?P<table>[^`]+)`"
+
+#: recognizers for the reference's executable DDL action classes
+#: (logservice/schemastore/persist_storage.go:812-939 action switch;
+#: the writer executes the raw SQL, mysql_writer.go:600-668) — each maps
+#: a MySQL statement form onto SQLite's dialect
+_DDL_FORMS = [
+    ("add-index",
+     rf"ALTER\s+TABLE\s+{_QI}\s+ADD\s+(?P<unique>UNIQUE\s+)?"
+     rf"(?:INDEX|KEY)\s+`?(?P<name>\w+)`?\s*\((?P<cols>[^)]*)\)\s*$"),
+    ("add-index",
+     rf"CREATE\s+(?P<unique>UNIQUE\s+)?INDEX\s+`?(?P<name>\w+)`?\s+"
+     rf"ON\s+{_QI}\s*\((?P<cols>[^)]*)\)\s*$"),
+    ("drop-index",
+     rf"ALTER\s+TABLE\s+{_QI}\s+DROP\s+(?:INDEX|KEY)\s+`?(?P<name>\w+)`?\s*$"),
+    ("drop-index",
+     rf"DROP\s+INDEX\s+`?(?P<name>\w+)`?\s+ON\s+{_QI}\s*$"),
+    ("rename-table",
+     rf"RENAME\s+TABLE\s+{_QI}\s+TO\s+"
+     rf"(?:`(?P<schema2>[^`]+)`\s*\.\s*)?`?(?P<table2>\w+)`?\s*$"),
+    ("rename-table",
+     rf"ALTER\s+TABLE\s+{_QI}\s+RENAME\s+(?:TO\s+)?"
+     rf"(?:`(?P<schema2>[^`]+)`\s*\.\s*)?`?(?P<table2>\w+)`?\s*$"),
+    ("modify-column",
+     rf"ALTER\s+TABLE\s+{_QI}\s+MODIFY\s+(?:COLUMN\s+)?`?(?P<name>\w+)`?\s+"
+     rf"(?P<decl>.+?)\s*$"),
+    ("truncate-table", rf"TRUNCATE\s+(?:TABLE\s+)?{_QI}\s*$"),
+    ("drop-table", rf"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?{_QI}\s*$"),
+]
+
+#: MySQL column type → SQLite storage affinity (rebuild path)
+_AFFINITY = (("INT", "INTEGER"), ("BIGINT", "INTEGER"),
+             ("DECIMAL", "REAL"), ("DOUBLE", "REAL"), ("FLOAT", "REAL"),
+             ("CHAR", "TEXT"), ("TEXT", "TEXT"), ("BLOB", "BLOB"),
+             ("BINARY", "BLOB"), ("DATE", "TEXT"), ("TIME", "TEXT"))
+
+#: replay errors ignorable PER ACTION beyond the driver's global class —
+#: the SQLite spellings of the codes apperror.IsIgnorableMySQLDDLError
+#: covers for that action (drop-of-missing analogs 1008/1051/1091/1176)
+_ACTION_IGNORABLE = {
+    "rename-table": ("no such table", "already exists"),
+    "drop-table": ("no such table",),
+    "drop-index": ("no such index",),
+}
+
+
+def _sqlite_decl(mysql_decl: str) -> str:
+    """Column type for the rebuild: the MySQL decl's base type mapped to
+    a SQLite affinity (modifiers like UNSIGNED/NOT NULL are storage
+    no-ops in SQLite's dynamic typing and are dropped)."""
+    up = mysql_decl.upper()
+    for frag, aff in _AFFINITY:
+        if frag in up:
+            return aff
+    return "NUMERIC"
+
+
+def translate_ddl_for_sqlite(query: str, schema: str, table: str
+                             ) -> tuple[str, list[str], dict]:
+    """One MySQL DDL → (action, local SQLite statements, meta).
+
+    Statement matrix (widened r12): add/drop column (native), add/drop
+    index (CREATE/DROP INDEX with the index name prefixed into the lane
+    namespace), rename table (+ ``_tables`` mapping follow-up), modify
+    column (flagged for the rebuild path — SQLite has no MODIFY),
+    truncate (DELETE FROM), drop table. Anything unrecognized falls
+    through as the schema-qualified local rename the r9 path applied.
+    """
+    import re
+
+    tbl = _local_name(schema, table)
+    q = query.strip().rstrip(";")
+    for action, pat in _DDL_FORMS:
+        m = re.match(pat, q, re.IGNORECASE)
+        if not m or m.group("schema") != schema or m.group("table") != table:
+            continue
+        g = m.groupdict()
+        if action == "add-index":
+            uniq = "UNIQUE " if g.get("unique") else ""
+            return action, [
+                f"CREATE {uniq}INDEX `{tbl}__{g['name']}` "
+                f"ON `{tbl}` ({g['cols']})"], {"index": g["name"]}
+        if action == "drop-index":
+            return action, [f"DROP INDEX `{tbl}__{g['name']}`"], {
+                "index": g["name"]}
+        if action == "rename-table":
+            new = _local_name(g.get("schema2") or schema, g["table2"])
+            return action, [f"ALTER TABLE `{tbl}` RENAME TO `{new}`"], {
+                "rename_to": new}
+        if action == "modify-column":
+            return action, [], {"column": g["name"],
+                                "decl": _sqlite_decl(g["decl"])}
+        if action == "truncate-table":
+            return action, [f"DELETE FROM `{tbl}`"], {}
+        if action == "drop-table":
+            return action, [f"DROP TABLE `{tbl}`"], {}
+    return "query", [q.replace(f"`{schema}`.`{table}`", f"`{tbl}`")], {}
+
+
+def _rebuild_modify_column(cur, tbl: str, column: str, decl: str) -> None:
+    """MODIFY COLUMN via the documented SQLite rebuild (the lite form of
+    sqlite.org/lang_altertable.html §7): new-decl shadow table, copy,
+    drop, rename back, then re-create the table's indexes."""
+    cols = list(cur.execute(f"PRAGMA table_info(`{tbl}`)"))
+    defs = []
+    for _cid, name, ctype, _notnull, _dflt, pk in cols:
+        t = decl if name == column else (ctype or "NUMERIC")
+        defs.append(f"`{name}` {t}" + (" PRIMARY KEY" if pk else ""))
+    idx_sql = [r[0] for r in cur.execute(
+        "SELECT sql FROM sqlite_master WHERE type='index' "
+        "AND tbl_name=? AND sql IS NOT NULL", (tbl,))]
+    tmp = f"{tbl}__mod"
+    cur.execute(f"DROP TABLE IF EXISTS `{tmp}`")
+    cur.execute(f"CREATE TABLE `{tmp}` ({', '.join(defs)})")
+    cur.execute(f"INSERT INTO `{tmp}` SELECT * FROM `{tbl}`")
+    cur.execute(f"DROP TABLE `{tbl}`")
+    cur.execute(f"ALTER TABLE `{tmp}` RENAME TO `{tbl}`")
+    for s in idx_sql:
+        cur.execute(s)
+
+
 def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
                      table_id: int, retries: int = 5,
                      write_source: int | None = None, driver=None) -> str:
@@ -405,27 +530,57 @@ def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
                 "INSERT OR REPLACE INTO _write_source VALUES (1, ?)",
                 (int(write_source),))
         tbl = _local_name(schema, table)
-        # DDL may precede any DML for the table (schema-first changefeed
-        # start) — materialize the base table like the DML path would
-        cur.execute(
-            f"CREATE TABLE IF NOT EXISTS `{tbl}` "
-            "(pk INTEGER PRIMARY KEY, event_type TEXT, "
-            "value_cents INTEGER)")
-        cur.execute("INSERT OR IGNORE INTO _tables VALUES (?, ?)",
-                    (tbl, int(table_id)))
+        action, stmts, meta = translate_ddl_for_sqlite(query, schema, table)
+        have = {r[0] for r in cur.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'")}
+        # already-applied replay detection by downstream STATE (the
+        # shouldExecDDLByTs analog the ddl_ts_v1 table backs in the
+        # reference): a rename whose target exists / a drop whose table
+        # is gone re-arrived after the original applied
+        if action == "rename-table" and meta["rename_to"] in have:
+            con.close()
+            return "ignored"
+        if action == "drop-table" and tbl not in have:
+            con.close()
+            return "ignored"
+        if action != "drop-table":
+            # DDL may precede any DML for the table (schema-first
+            # changefeed start) — materialize the base table like the
+            # DML path would
+            cur.execute(
+                f"CREATE TABLE IF NOT EXISTS `{tbl}` "
+                "(pk INTEGER PRIMARY KEY, event_type TEXT, "
+                "value_cents INTEGER)")
+            cur.execute("INSERT OR IGNORE INTO _tables VALUES (?, ?)",
+                        (tbl, int(table_id)))
         con.commit()
-        local = query.replace(f"`{schema}`.`{table}`", f"`{tbl}`")
         outcome = "applied"
         for attempt in range(retries):
             try:
                 cur.execute("BEGIN")
-                cur.execute(local)
+                if action == "modify-column":
+                    _rebuild_modify_column(cur, tbl, meta["column"],
+                                           meta["decl"])
+                else:
+                    for s in stmts:
+                        cur.execute(s)
+                # _tables mapping follow-ups so read_state keeps
+                # resolving the table_id after the physical change
+                if action == "rename-table":
+                    cur.execute("DELETE FROM _tables WHERE name=?",
+                                (meta["rename_to"],))
+                    cur.execute("UPDATE _tables SET name=? WHERE name=?",
+                                (meta["rename_to"], tbl))
+                elif action == "drop-table":
+                    cur.execute("DELETE FROM _tables WHERE name=?", (tbl,))
                 con.commit()
                 break
             except driver.error_class as e:
                 con.rollback()
                 kind = driver.classify(e)
-                if kind == dbapi.IGNORABLE_DDL:
+                msg = str(e).lower()
+                if kind == dbapi.IGNORABLE_DDL or any(
+                        p in msg for p in _ACTION_IGNORABLE.get(action, ())):
                     # already-applied replay: ignore, like the reference
                     outcome = "ignored"
                     break
