@@ -26,74 +26,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: External-window priority (the driver runs the first ~50): the head
-#: holds the ELEVEN new round-11 entries — the byte-exact TiDB row
-#: checksum (verify_checksum.go twin), the compressed open-protocol
-#: wire pair (compress.go seam), the degraded-message consumer with
-#: claim-check fetch-back, the tidb_cdc bookkeeping-tables e2e on the
-#: executable sink, the from-spec JPEG baseline decode, the Kafka
-#: wire-producer e2e (resend-dedup under the oracle), the from-spec
-#: ADPCM and GIF codecs, and the simple-protocol checksum wire pair
-#: (encoder + consumer VerifyChecksum twin); next are entries whose
-#: engine code changed in round 11 (the batch
-#: framer gained the compressed-value lane; the sqlite sink grew the
-#: tidb_cdc tables + syncpoint mirror; the DDL-barrier path records
-#: ddl_ts_v1; the engine's unretryable match scans bare first-line
-#: headers); positions 11+ are the ENTIRE catalog freshness-ascending
-#: by latest external green round (computed from CORRECTNESS_r*.json):
-#: the full 30-entry r4 cohort first (VERDICT r10 task #1 — drain it),
-#: then the r5 cohort (the ~50-slot window covers all of r4 plus the
-#: oldest r5; the r5 overflow keeps draining oldest-first next round).
+#: holds the EIGHT new round-12 entries — the simple-protocol Avro
+#: encoding format family (marshaller.go EncodingFormat dispatch:
+#: DML wire + independent-reader consumer, checksum-holder variant,
+#: bootstrap TableSchema pair, watermark, DDL) and the widened
+#: executable-DDL matrix e2e (add-index/truncate through the barrier,
+#: modify-column rebuild, rename with mapping follow-up); next are the
+#: TWELVE entries whose engine code round 12 touched (the sqlite
+#: writer's translate-DDL path, the engine's narrowed unretryable
+#: scan, the claim-check hex sizing fix, the compress seam's snappy
+#: gate, the r12-audited frame parser and kafka/dbapi seams behind the
+#: new real-client adapters); positions 21-50 are the ENTIRE r5
+#: freshness cohort (VERDICT r11 task #1 — drain it: after this window
+#: no catalog entry's latest external green predates r7). The
+#: remainder is the full catalog freshness-ascending by latest
+#: external green round (computed from CORRECTNESS_r*.json).
 _PRIORITY = [
-    'projection_checksum_tidb',
-    'encoder_open_compressed',
-    'decoder_open_compressed',
-    'decoder_open_large_message',
-    'streaming_sqlite_bookkeeping_e2e',
-    'multimodal_jpeg_decode',
-    'consumer_kafka_wire_apply_e2e',
-    'multimodal_adpcm_decode',
-    'encoder_simple_checksum',
-    'decoder_simple_checksum_verify',
-    'multimodal_gif_decode',
-    'dedup_image_ahash',
-    'consumer_compressed_apply_e2e',
-    'dedup_audio_fingerprint',
-    'multimodal_jpeg_resize',
-    'encoder_open_batch_framed',
+    'encoder_simple_avro',
+    'decoder_simple_avro',
+    'encoder_simple_avro_checksum',
+    'encoder_simple_avro_bootstrap',
+    'decoder_simple_avro_bootstrap',
+    'encoder_simple_avro_watermark',
+    'encoder_simple_avro_ddl',
+    'streaming_sqlite_ddl_matrix_e2e',
+    'streaming_sqlite_ddl_apply_e2e',
     'streaming_sqlite_apply_e2e',
-    'engine_ddl_barrier_e2e',
+    'engine_lifecycle_e2e',
+    'engine_multifeed_e2e',
     'engine_crash_resume_e2e',
-    'decoder_simple_bootstrap',
-    'decoder_simple_protocol',
-    'embed_int8_quantize',
-    'embed_kmeans_clusters',
-    'encoder_avro_json',
-    'encoder_canal_json',
-    'encoder_canal_json_typed',
-    'encoder_message_batches',
-    'encoder_simple_bootstrap',
-    'encoder_simple_bootstrap_versioned',
-    'filter_start_ts',
-    'filter_table_rule',
-    'gc_eligible_tombstones',
-    'join_interval_broadcast',
-    'join_skew_split_salted',
-    'order_apply_seq',
-    'projection_update_split',
-    'projection_updated_columns',
-    'route_topic_partition',
-    'schema_asof_join',
-    'syncpoint_ticks',
-    'tpch_q13_customer_distribution',
-    'tpch_q17_small_quantity_revenue',
-    'tpch_q21_waiting_suppliers',
-    'tpch_q8_market_share',
-    'txn_grouping',
-    'window_lag_interarrival',
-    'window_range_1h_sum',
-    'window_running_balance',
-    'corpus_dup_rate_summary',
-    'corpus_length_histogram',
+    'claim_check_round_trip',
+    'encoder_claim_check',
+    'encoder_canal_claim_check',
+    'encoder_open_claim_check',
+    'decoder_open_compressed',
+    'consumer_compressed_apply_e2e',
+    'consumer_kafka_wire_apply_e2e',
     'corpus_mix_stats',
     'decontaminate_vs_eval',
     'dedup_embedding_exact',
@@ -129,7 +97,6 @@ _PRIORITY = [
     'bpe_merge_apply',
     'bpe_train_merges',
     'bpe_vocab_apply',
-    'claim_check_round_trip',
     'convert_debezium_to_open',
     'convert_open_to_canal',
     'corpus_shuffle_assign',
@@ -146,11 +113,9 @@ _PRIORITY = [
     'dedup_substring_excise',
     'dedup_substring_spans',
     'embed_pca_project',
-    'encoder_canal_claim_check',
     'encoder_canal_handle_key_only',
     'encoder_canal_json_ddl',
     'encoder_canal_resolved',
-    'encoder_open_claim_check',
     'encoder_open_handle_key_only',
     'llm_curation_manifest_v2',
     'multimodal_audio_energy',
@@ -233,7 +198,6 @@ _PRIORITY = [
     'dml_ddl_merge',
     'encoder_avro_registry_evolution',
     'encoder_avro_registry_http',
-    'encoder_claim_check',
     'encoder_open_batch',
     'encoder_open_protocol',
     'filter_ddl_sql_regex',
@@ -281,8 +245,6 @@ _PRIORITY = [
     'dedup_simhash',
     'encoder_canal_json_no_extension',
     'encoder_csv_configured',
-    'engine_lifecycle_e2e',
-    'engine_multifeed_e2e',
     'llm_clean_corpus',
     'multimodal_binary_meta',
     'multimodal_frame_sample',
@@ -292,7 +254,6 @@ _PRIORITY = [
     'sim_cosine_topk',
     'sim_ivf_topk',
     'streaming_bdr_loop_prevention_e2e',
-    'streaming_sqlite_ddl_apply_e2e',
     'text_fingerprint',
     'text_lang_id',
     'text_quality_score',
@@ -305,6 +266,51 @@ _PRIORITY = [
     'tpch_q5_local_supplier',
     'tpch_q6_forecast_revenue',
     'window_topn_orders_per_customer',
+    'corpus_dup_rate_summary',
+    'corpus_length_histogram',
+    'decoder_open_large_message',
+    'decoder_simple_bootstrap',
+    'decoder_simple_checksum_verify',
+    'decoder_simple_protocol',
+    'dedup_audio_fingerprint',
+    'dedup_image_ahash',
+    'embed_int8_quantize',
+    'embed_kmeans_clusters',
+    'encoder_avro_json',
+    'encoder_canal_json',
+    'encoder_canal_json_typed',
+    'encoder_message_batches',
+    'encoder_open_batch_framed',
+    'encoder_open_compressed',
+    'encoder_simple_bootstrap',
+    'encoder_simple_bootstrap_versioned',
+    'encoder_simple_checksum',
+    'engine_ddl_barrier_e2e',
+    'filter_start_ts',
+    'filter_table_rule',
+    'gc_eligible_tombstones',
+    'join_interval_broadcast',
+    'join_skew_split_salted',
+    'multimodal_adpcm_decode',
+    'multimodal_gif_decode',
+    'multimodal_jpeg_decode',
+    'multimodal_jpeg_resize',
+    'order_apply_seq',
+    'projection_checksum_tidb',
+    'projection_update_split',
+    'projection_updated_columns',
+    'route_topic_partition',
+    'schema_asof_join',
+    'streaming_sqlite_bookkeeping_e2e',
+    'syncpoint_ticks',
+    'tpch_q13_customer_distribution',
+    'tpch_q17_small_quantity_revenue',
+    'tpch_q21_waiting_suppliers',
+    'tpch_q8_market_share',
+    'txn_grouping',
+    'window_lag_interarrival',
+    'window_range_1h_sum',
+    'window_running_balance',
 ]
 
 
