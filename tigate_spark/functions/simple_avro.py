@@ -47,7 +47,7 @@ import struct
 
 from pyspark.sql import DataFrame
 
-from tigate_spark.functions.craft import _dialect, _uvhex
+from tigate_spark.functions.craft import _dialect
 
 # ---------------------------------------------------------------------------
 # python-side varint/literal helpers (constants baked into generated SQL)
@@ -81,14 +81,39 @@ def _py_bool(v: bool) -> str:
 
 
 def _vz(expr: str, d: dict, nbytes: int = 10) -> str:
-    """Avro long/int/enum SQL: zigzag varint hex of ``expr``.
+    """Avro long/int/enum SQL: zigzag varint hex of ``expr``, valid over
+    the FULL signed-64 domain.
 
-    ``nbytes`` caps the CASE ladder (craft ``_uvhex``); values are
-    canonical-minimal as long as the true magnitude fits. Min 2: a
-    1-branch ladder would degenerate to a bare ``CASE ELSE``."""
-    zz = (f"(CASE WHEN ({expr}) >= 0 THEN 2 * ({expr}) "
-          f"ELSE -2 * ({expr}) - 1 END)")
-    return _uvhex(zz, d, max(nbytes, 2))
+    zigzag(v) = 2v / -2v-1 does not fit int64 for |v| >= 2^62, and a
+    dialect either raises (DuckDB) or silently wraps (Spark non-ANSI) —
+    so the bytes are derived WITHOUT materializing zz: with
+    w = v >= 0 ? v : -v-1 (always representable, half the magnitude)
+    and lsb = the sign bit, byte 0 of zz is (w & 63)*2 + lsb and byte
+    i>=1 is (w >> (7i-1)) & 127; the length ladder tests w < 2^(7n-1).
+    ``nbytes`` caps the CASE ladder; values stay canonical-minimal as
+    long as the true magnitude fits."""
+    nbytes = max(nbytes, 2)
+    w = f"(CASE WHEN ({expr}) >= 0 THEN ({expr}) ELSE -({expr}) - 1 END)"
+    lsb = f"(CASE WHEN ({expr}) >= 0 THEN 0 ELSE 1 END)"
+
+    def byte(i: int, last: bool) -> str:
+        if i == 0:
+            b = f"(({w}) & 63) * 2 + {lsb}"
+        else:
+            b = f"({d['shr'](w, 7 * i - 1)}) & 127"
+        if not last:
+            b = f"(({b}) | 128)"
+        return f"lpad(hex({b}), 2, '0')"
+
+    cases = []
+    for n in range(1, nbytes + 1):
+        body = " || ".join(byte(i, last=(i == n - 1)) for i in range(n))
+        if n < nbytes and 7 * n - 1 < 63:
+            cases.append(f"WHEN ({w}) < {1 << (7 * n - 1)} THEN {body}")
+        else:
+            cases.append(f"ELSE {body}")
+            break
+    return "CASE " + " ".join(cases) + " END"
 
 
 def _strhex(expr: str, d: dict) -> str:
