@@ -733,3 +733,34 @@ def test_compressed_wire_python_is_arrow_batched(spark):
     plan = plan_of(df)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_simple_avro_encode_zero_exchange_pure_jvm(spark):
+    """The simple-Avro DML wire (r12) is one generated-expression
+    projection: no Python, no shuffle — the encode rides inside the
+    scan stage at any scale (file count supplies the parallelism,
+    exactly like the TiDB checksum projection)."""
+    df = _df(spark, "encoder_simple_avro")
+    assert_no_python_in_plan(df)
+    assert count_exchanges(df) == 0
+
+
+def test_simple_avro_checksum_encode_zero_exchange(spark):
+    """The checksum-holder variant composes the CRC fold into the same
+    projection — still zero-Exchange, still pure JVM."""
+    df = _df(spark, "encoder_simple_avro_checksum")
+    assert_no_python_in_plan(df)
+    assert count_exchanges(df) == 0
+
+
+def test_simple_avro_decoder_is_arrow_mapinpandas(spark):
+    """The consumer's independent Avro reader is the documented Python
+    extension lane: Arrow mapInPandas over the wire column, no
+    row-at-a-time eval, and no shuffle added beyond the encode side."""
+    from tigate_spark.plans.audit import plan_of
+
+    df = _df(spark, "decoder_simple_avro")
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert count_exchanges(df) == 0
