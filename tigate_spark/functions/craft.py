@@ -96,7 +96,13 @@ def _uvhex(expr: str, d: dict, nbytes: int = 10) -> str:
 
 
 def _vhex(expr: str, d: dict, nbytes: int = 10) -> str:
-    """Zigzag varint hex (``encodeVarint``): uvarint((v<<1)^(v>>63))."""
+    """Zigzag varint hex (``encodeVarint``): uvarint((v<<1)^(v>>63)).
+
+    Domain: |v| < 2^62 — the doubled zigzag value must fit int64 (every
+    craft lane is a commit-ts/delta/dictionary-id bounded far below
+    this). For a full-int64 generator see
+    :func:`tigate_spark.functions.simple_avro._vz`, which derives the
+    bytes without materializing 2v."""
     zz = f"(CASE WHEN ({expr}) >= 0 THEN 2 * ({expr}) ELSE -2 * ({expr}) - 1 END)"
     return _uvhex(zz, d, nbytes)
 
