@@ -862,18 +862,25 @@ def encode_open_batch_framed(df: DataFrame,
     )
 
 
-def _hex_frames_expr(col: str, n_col: str, skip_version: bool) -> str:
-    """SQL: fold the length-prefixed hex frame stream into an array of
-    per-message payload-hex strings — a single JVM `aggregate` walking
-    (offset, acc); no Python, no quadratic re-scan."""
-    off0 = 17 if skip_version else 1  # 1-based; key stream leads with 8B version
-    ln = f"cast(conv(substr({col}, s.off, 16), 16, 10) as int)"
+def _bin_frames_expr(col: str, n_col: str, skip_version: bool) -> str:
+    """SQL: fold a length-prefixed BINARY frame stream into an array of
+    per-message payload byte slices — a single JVM `aggregate` walking
+    (offset, acc); no Python.
+
+    The walk MUST run on BinaryType, not the hex string: ``substr`` on a
+    string walks characters from position 0 to find the start (O(offset)
+    per call → O(messages x batch_bytes) per batch — measured as
+    1000-second straggler tasks at the 100x probe tier), while a binary
+    slice is byte-addressed (O(slice) copy), keeping the whole parse
+    O(batch_bytes)."""
+    off0 = 9 if skip_version else 1  # 1-based; key stream leads with 8B version
+    ln = f"cast(conv(hex(substr({col}, s.off, 8)), 16, 10) as int)"
     fold = (
         f"aggregate(sequence(1, cast({n_col} as int)), "
         f"struct(cast({off0} as int) as off, "
-        f"cast(array() as array<string>) as acc), "
-        f"(s, i) -> struct(cast(s.off + 16 + 2 * {ln} as int) as off, "
-        f"array_append(s.acc, substr({col}, s.off + 16, 2 * {ln}))), "
+        f"cast(array() as array<binary>) as acc), "
+        f"(s, i) -> struct(cast(s.off + 8 + {ln} as int) as off, "
+        f"array_append(s.acc, substr({col}, s.off + 8, {ln}))), "
         f"s -> s.acc)"
     )
     # n=0 guard: Spark's sequence(1, 0) is DESCENDING [1, 0] — an empty
@@ -881,7 +888,7 @@ def _hex_frames_expr(col: str, n_col: str, skip_version: bool) -> str:
     # (unreachable from encode_open_batch_framed, but this is the public
     # consumer-side wire parser)
     return (f"CASE WHEN cast({n_col} as int) <= 0 "
-            f"THEN cast(array() as array<string>) ELSE {fold} END")
+            f"THEN cast(array() as array<binary>) ELSE {fold} END")
 
 
 def decode_open_batch_framed(df: DataFrame,
@@ -896,8 +903,10 @@ def decode_open_batch_framed(df: DataFrame,
     (``decompress_col``) or a plain one (``unhex`` → string) can both
     feed :func:`decode_open_for_apply`."""
     out = (
-        df.withColumn("_keys", F.expr(_hex_frames_expr(key_col, n_col, True)))
-        .withColumn("_vals", F.expr(_hex_frames_expr(value_col, n_col, False)))
+        df.withColumn("_kb", F.unhex(F.col(key_col)))
+        .withColumn("_vb", F.unhex(F.col(value_col)))
+        .withColumn("_keys", F.expr(_bin_frames_expr("_kb", n_col, True)))
+        .withColumn("_vals", F.expr(_bin_frames_expr("_vb", n_col, False)))
         .select(
             "topic", "partition", "batch_seq",
             F.posexplode(F.arrays_zip("_keys", "_vals")).alias("idx", "kv"),
@@ -906,8 +915,8 @@ def decode_open_batch_framed(df: DataFrame,
     return out.select(
         "topic", "partition", "batch_seq",
         F.col("idx").cast("bigint").alias("idx"),
-        F.decode(F.unhex(F.col("kv._keys")), "UTF-8").alias("key"),
-        F.col("kv._vals").alias("value_hex"),
+        F.decode(F.col("kv._keys"), "UTF-8").alias("key"),
+        F.hex(F.col("kv._vals")).alias("value_hex"),
     )
 
 
