@@ -89,11 +89,10 @@ def run_scale(spark, label: str, copies: int, n_files: int,
                                sink_uri=uri, sink=sink_cfg)
         if scheme == "sqlite":
             # r12: measure the executable writer WITH the r11 tidb_cdc
-            # bookkeeping lanes live — syncpoint ticks mirrored onto the
-            # downstream every ~2 stream-minutes so the flatness curve
-            # includes the syncpoint_v1/ddl_ts_v1 write path
+            # bookkeeping lanes live — syncpoint ticks (reference default
+            # hourly interval) mirrored onto the downstream so the
+            # flatness curve includes the syncpoint_v1 write path
             cfg.enable_sync_point = True
-            cfg.sync_point_interval_s = 120
         if redo:
             from tigate_spark.config import ConsistentConfig
 
