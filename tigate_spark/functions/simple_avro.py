@@ -93,7 +93,8 @@ def _vz(expr: str, d: dict, nbytes: int = 10) -> str:
     ``nbytes`` caps the CASE ladder; values stay canonical-minimal as
     long as the true magnitude fits."""
     nbytes = max(nbytes, 2)
-    w = f"(CASE WHEN ({expr}) >= 0 THEN ({expr}) ELSE -({expr}) - 1 END)"
+    # -((v)+1), NOT -(v)-1: negating INT64_MIN overflows before the -1
+    w = f"(CASE WHEN ({expr}) >= 0 THEN ({expr}) ELSE -(({expr}) + 1) END)"
     lsb = f"(CASE WHEN ({expr}) >= 0 THEN 0 ELSE 1 END)"
 
     def byte(i: int, last: bool) -> str:
