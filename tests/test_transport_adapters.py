@@ -8,10 +8,13 @@ pinned by tests."""
 
 from __future__ import annotations
 
+import glob
+import os
 import pickle
 from types import SimpleNamespace
 
 import pytest
+from pyspark.sql import functions as F
 
 from tigate_spark.streaming.dbapi import (
     DUP_ENTRY,
@@ -41,6 +44,26 @@ try:
     HAVE_PYMYSQL = True
 except ImportError:
     HAVE_PYMYSQL = False
+
+
+@pytest.fixture(scope="module")
+def chunked_source(spark, sf_dir, tmp_path_factory):
+    """events split into 4 files ordered by commit_ts -> 4 micro-batches
+    (same shape as test_streaming_changefeed's fixture)."""
+    src = str(tmp_path_factory.mktemp("events_src"))
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    qs = ev.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    for i in range(4):
+        part = ev.filter((F.col("event_id") > bounds[i])
+                         & (F.col("event_id") <= bounds[i + 1]))
+        part.coalesce(1).write.parquet(os.path.join(src, f"chunk-{i:02d}"))
+    flat = str(tmp_path_factory.mktemp("events_flat"))
+    for i in range(4):
+        for f in sorted(glob.glob(
+                os.path.join(src, f"chunk-{i:02d}", "part-*.parquet"))):
+            os.link(f, os.path.join(flat, f"{i:02d}-{os.path.basename(f)}"))
+    return flat
 
 
 # ---------------------------------------------------------------------------
@@ -322,3 +345,67 @@ def test_pymysql_real_client_shape():
     d = PyMySQLDriver("mysql://root@localhost:3306/test")
     assert d._connect_fn is not None
     assert d.error_class != (Exception,)
+
+
+# ---------------------------------------------------------------------------
+# transport selection on the sink URI (production swap = URI change)
+# ---------------------------------------------------------------------------
+
+def test_kafka_uri_wire_transport_e2e(spark, sf_dir, chunked_source,
+                                      tmp_path):
+    """`kafka://...?transport=wire` routes the changelog through the
+    fake wire broker purely via the URI — the broker's per-partition
+    logs hold exactly the messages the default parquet stand-in run
+    produces."""
+    from tigate_spark.config import ChangefeedConfig
+    from tigate_spark.streaming.changefeed import Changefeed
+    from tigate_spark.streaming.kafka import FakeWireProducer
+
+    broker_dir = str(tmp_path / "broker")
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-uri-wire",
+        sink_uri=f"kafka://broker:9092/cdc?transport=wire"
+                 f"&broker-dir={broker_dir}")
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path / "w1"))
+    assert isinstance(cf.sink.producer, FakeWireProducer)
+    cf.run_to_completion()
+    wire_msgs = {(r["seq"], r["value"])
+                 for r in cf.sink.producer.read_all()}
+    # reference run: the default stand-in on the same source
+    cfg2 = ChangefeedConfig(changefeed_id="cf-uri-plain",
+                            sink_uri="kafka://broker:9092/cdc")
+    cf2 = Changefeed(spark, cfg2, chunked_source, str(tmp_path / "w2"))
+    assert cf2.sink.producer is None
+    cf2.run_to_completion()
+    plain = {(r["seq"], r["message"])
+             for r in spark.read.parquet(cf2.sink.out_dir)
+             .select("seq", "message").collect()}
+    assert wire_msgs == plain and len(wire_msgs) > 0
+
+
+def test_kafka_uri_confluent_requires_library(spark, tmp_path,
+                                              chunked_source):
+    from tigate_spark.config import ChangefeedConfig
+    from tigate_spark.streaming.changefeed import Changefeed
+
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-uri-confluent",
+        sink_uri="kafka://b1:9092/cdc?transport=confluent")
+    if HAVE_CONFLUENT:
+        cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+        assert cf.sink.producer.conf["bootstrap.servers"] == "b1:9092"
+    else:
+        with pytest.raises(ValueError, match="confluent-kafka"):
+            Changefeed(spark, cfg, chunked_source, str(tmp_path))
+
+
+def test_kafka_uri_unknown_transport_rejected(spark, tmp_path,
+                                              chunked_source):
+    from tigate_spark.config import ChangefeedConfig
+    from tigate_spark.streaming.changefeed import Changefeed
+
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-uri-bad",
+        sink_uri="kafka://b:9092/t?transport=zeromq")
+    with pytest.raises(ValueError, match="unsupported kafka transport"):
+        Changefeed(spark, cfg, chunked_source, str(tmp_path))

@@ -323,9 +323,50 @@ class Changefeed:
                 PAYLOAD_COLS, self.bookkeeping,
             )
         if scheme in ("kafka", "changelog"):
+            # transport selection on the sink URI (r12) — the production
+            # swap is literally a URI change:
+            #   (none)               parquet-backed stand-in (default)
+            #   transport=wire       FakeWireProducer on broker-dir (the
+            #                        flock-serialized jsonl fake broker
+            #                        with idempotent sequence dedup)
+            #   transport=confluent  ConfluentKafkaProducer bound to the
+            #                        URI authority (kafka://host:9092/t)
+            #                        — requires confluent-kafka installed
+            q = self._sink_query
+            transport = (q.get("transport", [None])[0] or "").lower()
+            producer = None
+            if transport == "wire":
+                from tigate_spark.streaming.kafka import FakeWireProducer
+
+                broker_dir = q.get("broker-dir", [None])[0] or os.path.join(
+                    self.work_dir, "broker", self.cfg.changefeed_id)
+                producer = FakeWireProducer(broker_dir)
+            elif transport == "confluent":
+                try:
+                    import confluent_kafka  # type: ignore # noqa: F401
+                except ImportError:
+                    # create-time validation, like every other sink
+                    # misconfiguration — not a mid-stream surprise
+                    raise ValueError(
+                        "transport=confluent requires the "
+                        "confluent-kafka client library; install it or "
+                        "use transport=wire for the fake broker")
+                from urllib.parse import urlparse as _up
+
+                from tigate_spark.streaming.kafka_clients import (
+                    ConfluentKafkaProducer,
+                )
+
+                producer = ConfluentKafkaProducer(
+                    _up(self.cfg.sink_uri).netloc or "localhost:9092")
+            elif transport:
+                raise ValueError(
+                    f"unsupported kafka transport {transport!r} "
+                    f"(expected wire or confluent)")
             return ChangelogSink(
                 os.path.join(self.work_dir, "changelog", self.cfg.changefeed_id),
                 self.bookkeeping,
+                producer=producer,
                 num_partitions=self.cfg.sink.num_partitions,
             )
         if scheme in ("file", "s3", "storage"):
