@@ -409,3 +409,32 @@ def test_kafka_uri_unknown_transport_rejected(spark, tmp_path,
         sink_uri="kafka://b:9092/t?transport=zeromq")
     with pytest.raises(ValueError, match="unsupported kafka transport"):
         Changefeed(spark, cfg, chunked_source, str(tmp_path))
+
+
+def test_get_driver_mysql_binds_pymysql_when_present():
+    from tigate_spark.streaming.dbapi import get_driver
+
+    d = get_driver("mysql", "mysql://cdc:pw@db:4000/app")
+    if HAVE_PYMYSQL:
+        assert isinstance(d, PyMySQLDriver)
+        assert (d.host, d.port, d.database) == ("db", 4000, "app")
+    else:
+        # no library: keep the loud-refusal base, never a silent stub
+        assert type(d) is MySQLDriver
+        with pytest.raises(RuntimeError, match="register a driver"):
+            d.connect("lane-0")
+
+
+def test_get_driver_registered_still_wins(tmp_path):
+    from tigate_spark.streaming.dbapi import (
+        _DRIVERS,
+        get_driver,
+        register_driver,
+    )
+
+    fake = FakeMySQLDriver()
+    register_driver("mysql", fake)
+    try:
+        assert get_driver("mysql", "mysql://u@h:3306/d") is fake
+    finally:
+        _DRIVERS.pop("mysql", None)

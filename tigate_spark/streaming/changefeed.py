@@ -427,7 +427,7 @@ class Changefeed:
                 max_packet=_opt("max-packet", 64 * 1024, 1 << 30),
                 bookkeeping=self.bookkeeping,
                 write_source=self.cfg.source_id,
-                driver=get_driver(scheme),
+                driver=get_driver(scheme, self.cfg.sink_uri),
                 split_txn=self.cfg.sink.txn_atomicity != "table",
                 changefeed=self.cfg.changefeed_id,
                 sync_point_us=self.cfg.sync_point_interval_s * 1_000_000

@@ -203,11 +203,23 @@ def register_driver(scheme: str, driver) -> None:
     _DRIVERS[scheme] = driver
 
 
-def get_driver(scheme: str):
+def get_driver(scheme: str, sink_uri: str | None = None):
+    """Driver for a sink-URI scheme. Registered drivers win; otherwise
+    sqlite:// gets the SQLite driver and mysql://tidb:// binds
+    :class:`PyMySQLDriver` to the sink URI when the pymysql library is
+    importable (the production swap is the URI alone) — falling back to
+    the loud-refusal base when it is not."""
     if scheme in _DRIVERS:
         return _DRIVERS[scheme]
     if scheme == "sqlite":
         return SqliteDriver()
     if scheme in ("mysql", "tidb"):
+        if sink_uri is not None:
+            try:
+                import pymysql  # type: ignore  # noqa: F401
+
+                return PyMySQLDriver(sink_uri)
+            except ImportError:
+                pass
         return MySQLDriver()
     raise ValueError(f"no DBAPI driver for scheme {scheme!r}")
