@@ -225,3 +225,19 @@ def test_message_schema_union_order():
     (the decoder relies on index == kind)."""
     ptype = dict(MESSAGE_SCHEMA["fields"])["payload"]
     assert ptype == ["Watermark", "Bootstrap", "DDL", "DML"]
+
+
+def test_null_columns_take_the_null_union_branch(spark):
+    """A NULL payload column encodes as the value union's null branch
+    (encodeValue4Avro nil → "null"), not a NULL message."""
+    df = spark.createDataFrame(
+        [("app", "t1", 1, "I", 1704067200000000, 7, None, None, 13)],
+        "schema_name STRING, table_name STRING, table_id LONG, op STRING, "
+        "commit_ts LONG, pk LONG, event_type STRING, value_cents LONG, "
+        "user_id LONG")
+    hx = encode_simple_avro(df).first()["message_hex"]
+    assert hx is not None
+    data = decode_message(bytes.fromhex(hx))["payload"]["data"]
+    assert data["event_type"] is None
+    assert data["value_cents"] is None
+    assert data["pk"] == 7 and data["user_id"] == 13

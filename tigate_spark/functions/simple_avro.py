@@ -166,19 +166,35 @@ _MAP_KEYS = ("pk", "event_type", "value_cents", "user_id", "updated_at")
 _MAP_COUNT_H = _H(len(_MAP_KEYS))
 
 
+def _nullsafe(col_expr: str, enc: str) -> str:
+    """A NULL column value takes the union's null branch (one 0x00 byte
+    — ``encodeValue4Avro`` returns nil→"null", message.go:612-614)
+    instead of nulling out the whole concat. The engine's canonical
+    stream carries no NULL payloads, but this is the public encoder and
+    real tables do."""
+    return (f"CASE WHEN ({col_expr}) IS NULL THEN '{_H(U_NULL)}' "
+            f"ELSE {enc} END")
+
+
 def _map_hex(d: dict, d_name: str, vc_expr: str, ts_h_col: str) -> str:
     """data/old map hex: block count, key/value pairs in canonical
     order, 0-count terminator. Value unions: pk/user_id → long,
     event_type → string, value_cents → UnsignedBigint{value},
-    updated_at → Timestamp{location='UTC', value}."""
+    updated_at → Timestamp{location='UTC', value}; NULLs take the
+    null branch."""
     return (
-        f"'{_MAP_COUNT_H}"
-        f"{_py_str('pk')}{_H(U_LONG)}' || {_vz('pk', d, 2)} || "
-        f"'{_py_str('event_type')}{_H(U_STRING)}' || sa_et_h || "
-        f"'{_py_str('value_cents')}{_H(U_UBIG)}' || {_vz(vc_expr, d)} || "
-        f"'{_py_str('user_id')}{_H(U_LONG)}' || {_vz('user_id', d)} || "
-        f"'{_py_str('updated_at')}{_H(U_TS)}{_py_str('UTC')}' || "
-        f"{ts_h_col} || '00'"
+        f"'{_MAP_COUNT_H}{_py_str('pk')}' || "
+        + _nullsafe("pk", f"'{_H(U_LONG)}' || {_vz('pk', d, 2)}")
+        + f" || '{_py_str('event_type')}' || "
+        + _nullsafe("event_type", f"'{_H(U_STRING)}' || sa_et_h")
+        + f" || '{_py_str('value_cents')}' || "
+        + _nullsafe(vc_expr, f"'{_H(U_UBIG)}' || {_vz(vc_expr, d)}")
+        + f" || '{_py_str('user_id')}' || "
+        + _nullsafe("user_id", f"'{_H(U_LONG)}' || {_vz('user_id', d)}")
+        + f" || '{_py_str('updated_at')}' || "
+        + _nullsafe(ts_h_col,
+                    f"'{_H(U_TS)}{_py_str('UTC')}' || {ts_h_col}")
+        + " || '00'"
     )
 
 
