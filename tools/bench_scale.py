@@ -83,6 +83,12 @@ QUERIES = [
     # composites (only (id, 16-char hash) rows shuffle)
     "multimodal_gif_decode", "multimodal_adpcm_decode",
     "dedup_image_ahash", "dedup_audio_fingerprint",
+    # r12 additions: simple-protocol Avro binary wire (pure column
+    # expressions; checksum variant composes the CRC fold), the
+    # independent-reader consumer (Arrow mapInPandas), and the widened
+    # compressed-wire decode with the binary frame parser
+    "encoder_simple_avro", "encoder_simple_avro_checksum",
+    "decoder_simple_avro", "decoder_open_compressed",
 ]
 
 
