@@ -160,3 +160,48 @@ def test_translate_matrix_shapes():
     a, s, m = translate_ddl_for_sqlite(
         "DROP TABLE `app`.`other`", "app", "t2")
     assert a == "query"
+
+
+def test_concurrent_rename_attempts_serialize(lane):
+    """Two racing executors replaying the same RENAME barrier: the lane
+    flock serializes them — exactly one applies, the other sees the
+    renamed target and skips (the zombie-attempt story extended to the
+    widened DDL matrix)."""
+    import threading
+
+    results: list[str] = []
+
+    def run():
+        results.append(exec_ddl_on_lane(
+            lane, "RENAME TABLE `app`.`t1` TO `app`.`t1_x`", "app", "t1", 1))
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(results) == ["applied", "ignored"]
+    assert _tables_map(lane) == {"app__t1_x": 1}
+    con = sqlite3.connect(lane)
+    n = con.execute("SELECT count(*) FROM app__t1_x").fetchone()[0]
+    con.close()
+    assert n == 2  # rows survived exactly once
+
+
+def test_concurrent_add_index_attempts_serialize(lane):
+    import threading
+
+    results: list[str] = []
+
+    def run():
+        results.append(exec_ddl_on_lane(
+            lane, "CREATE INDEX `ix` ON `app`.`t1` (`event_type`)",
+            "app", "t1", 1))
+
+    ts = [threading.Thread(target=run) for _ in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(results) == ["applied", "ignored", "ignored"]
+    assert "app__t1__ix" in _master(lane, "index")
