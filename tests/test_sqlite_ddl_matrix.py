@@ -205,3 +205,79 @@ def test_concurrent_add_index_attempts_serialize(lane):
         t.join()
     assert sorted(results) == ["applied", "ignored", "ignored"]
     assert "app__t1__ix" in _master(lane, "index")
+
+
+def test_mysql_dialect_driver_gets_raw_passthrough(tmp_path):
+    """A real MySQL-dialect backend must receive the ORIGINAL statement
+    — never the SQLite translations (PRAGMA rebuild, DROP INDEX without
+    ON, _tables bookkeeping)."""
+    executed: list[str] = []
+
+    class _Cur:
+        def execute(self, sql, args=()):
+            executed.append(sql)
+
+    class _Con:
+        def cursor(self):
+            return _Cur()
+
+        def commit(self):
+            pass
+
+        def rollback(self):
+            pass
+
+        def close(self):
+            pass
+
+    class _StubMySQL:
+        scheme = "mysql"
+        dialect = "mysql"
+        error_class = (Exception,)
+
+        def connect(self, dsn):
+            return _Con()
+
+        def classify(self, exc):
+            return "fatal"
+
+    q = "ALTER TABLE `app`.`t1` MODIFY COLUMN `value_cents` BIGINT UNSIGNED"
+    out = exec_ddl_on_lane(str(tmp_path / "lane-0.db"), q, "app", "t1", 1,
+                           driver=_StubMySQL())
+    assert out == "applied"
+    assert executed == [q]  # verbatim, no PRAGMA, no meta tables
+
+
+def test_modify_rebuild_preserves_not_null_and_default(lane):
+    """The rebuild must carry untouched columns' NOT NULL/DEFAULT —
+    MySQL's MODIFY leaves other columns' constraints intact."""
+    con = sqlite3.connect(lane)
+    con.execute("ALTER TABLE app__t1 ADD COLUMN flagged INTEGER "
+                "NOT NULL DEFAULT 7")
+    con.commit()
+    con.close()
+    exec_ddl_on_lane(
+        lane, "ALTER TABLE `app`.`t1` MODIFY COLUMN `value_cents` BIGINT",
+        "app", "t1", 1)
+    con = sqlite3.connect(lane)
+    info = {r[1]: (r[3], r[4]) for r in
+            con.execute("PRAGMA table_info(app__t1)")}
+    assert info["flagged"] == (1, "7")  # NOT NULL + DEFAULT survived
+    # and the default still APPLIES on inserts that omit the column
+    con.execute("INSERT INTO app__t1 (pk, event_type, value_cents) "
+                "VALUES (9, 'x', 1)")
+    con.commit()
+    got = con.execute(
+        "SELECT flagged FROM app__t1 WHERE pk = 9").fetchone()[0]
+    con.close()
+    assert got == 7
+
+
+def test_prefix_length_index_translates(lane):
+    """MySQL prefix-length index parts (`col`(10)) index the whole
+    column in SQLite instead of falling through as raw MySQL syntax."""
+    out = exec_ddl_on_lane(
+        lane, "ALTER TABLE `app`.`t1` ADD INDEX `p10` (`event_type`(10))",
+        "app", "t1", 1)
+    assert out == "applied"
+    assert "app__t1__p10" in _master(lane, "index")

@@ -318,7 +318,7 @@ def test_pymysql_adapter_drives_the_fake_server(tmp_path):
         return fake.connect(str(tmp_path / "lane-0.db"))
 
     d = PyMySQLDriver("mysql://root@tidb.internal:4000/app",
-                      connect_fn=connect_fn)
+                      connect_fn=connect_fn, dialect="sqlite")
     out = exec_ddl_on_lane(
         str(tmp_path / "lane-0.db"),
         "ALTER TABLE `app`.`t1` ADD COLUMN `extra` INTEGER DEFAULT 0",

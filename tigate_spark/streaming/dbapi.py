@@ -40,6 +40,12 @@ class SqliteDriver:
     (SQLite reports no stable numeric codes through the DBAPI)."""
 
     scheme = "sqlite"
+    #: the SQL dialect the bound backend EXECUTES — the DDL path
+    #: translates MySQL statements onto this (sqlite) or passes them
+    #: through verbatim (mysql: the server speaks the statement's own
+    #: dialect, so PRAGMA-rebuilds / DROP INDEX-without-ON etc. must
+    #: never reach it)
+    dialect = "sqlite"
     #: exception types the writer loop catches and classifies; anything
     #: else propagates unclassified
     error_class = (sqlite3.OperationalError, sqlite3.IntegrityError)
@@ -115,6 +121,7 @@ class MySQLDriver:
     keeps this classify() and fakes only the socket."""
 
     scheme = "mysql"
+    dialect = "mysql"  # a real server executes MySQL DDL verbatim
     error_class = (Exception,)  # DBAPI base varies by module; code-gated
 
     def connect(self, dsn: str):
@@ -156,8 +163,12 @@ class PyMySQLDriver(MySQLDriver):
     mysql:// scheme with the sink URI's credentials."""
 
     def __init__(self, uri: str = "mysql://root@localhost:3306/test",
-                 connect_fn=None):
+                 connect_fn=None, dialect: str = "mysql"):
         from urllib.parse import urlparse
+
+        #: an injected connect_fn may bind a SQLite-backed fake — the
+        #: caller states what the backend executes
+        self.dialect = dialect
 
         u = urlparse(uri)
         self.host = u.hostname or "localhost"

@@ -148,6 +148,9 @@ class FakeMySQLDriver(MySQLDriver):
     """
 
     error_class = (FakeMySQLError,)
+    #: MySQL error CODES on the wire, but the executing engine is
+    #: SQLite — DDL must take the translation path
+    dialect = "sqlite"
 
     def __init__(self, inject: list | None = None,
                  inject_dir: str | None = None,

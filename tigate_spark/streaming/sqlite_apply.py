@@ -397,10 +397,10 @@ _QI = r"`(?P<schema>[^`]+)`\s*\.\s*`(?P<table>[^`]+)`"
 _DDL_FORMS = [
     ("add-index",
      rf"ALTER\s+TABLE\s+{_QI}\s+ADD\s+(?P<unique>UNIQUE\s+)?"
-     rf"(?:INDEX|KEY)\s+`?(?P<name>\w+)`?\s*\((?P<cols>[^)]*)\)\s*$"),
+     rf"(?:INDEX|KEY)\s+`?(?P<name>\w+)`?\s*\((?P<cols>.+)\)\s*$"),
     ("add-index",
      rf"CREATE\s+(?P<unique>UNIQUE\s+)?INDEX\s+`?(?P<name>\w+)`?\s+"
-     rf"ON\s+{_QI}\s*\((?P<cols>[^)]*)\)\s*$"),
+     rf"ON\s+{_QI}\s*\((?P<cols>.+)\)\s*$"),
     ("drop-index",
      rf"ALTER\s+TABLE\s+{_QI}\s+DROP\s+(?:INDEX|KEY)\s+`?(?P<name>\w+)`?\s*$"),
     ("drop-index",
@@ -467,9 +467,12 @@ def translate_ddl_for_sqlite(query: str, schema: str, table: str
         g = m.groupdict()
         if action == "add-index":
             uniq = "UNIQUE " if g.get("unique") else ""
+            # MySQL prefix-length index parts (`note`(10)) have no
+            # SQLite equivalent — index the whole column
+            cols = re.sub(r"\(\s*\d+\s*\)", "", g["cols"])
             return action, [
                 f"CREATE {uniq}INDEX `{tbl}__{g['name']}` "
-                f"ON `{tbl}` ({g['cols']})"], {"index": g["name"]}
+                f"ON `{tbl}` ({cols})"], {"index": g["name"]}
         if action == "drop-index":
             return action, [f"DROP INDEX `{tbl}__{g['name']}`"], {
                 "index": g["name"]}
@@ -490,12 +493,21 @@ def translate_ddl_for_sqlite(query: str, schema: str, table: str
 def _rebuild_modify_column(cur, tbl: str, column: str, decl: str) -> None:
     """MODIFY COLUMN via the documented SQLite rebuild (the lite form of
     sqlite.org/lang_altertable.html §7): new-decl shadow table, copy,
-    drop, rename back, then re-create the table's indexes."""
+    drop, rename back, then re-create the table's indexes. Untouched
+    columns keep their NOT NULL / DEFAULT clauses — MySQL's MODIFY
+    leaves other columns' constraints intact, so must the rebuild."""
     cols = list(cur.execute(f"PRAGMA table_info(`{tbl}`)"))
     defs = []
-    for _cid, name, ctype, _notnull, _dflt, pk in cols:
-        t = decl if name == column else (ctype or "NUMERIC")
-        defs.append(f"`{name}` {t}" + (" PRIMARY KEY" if pk else ""))
+    for _cid, name, ctype, notnull, dflt, pk in cols:
+        if name == column:
+            d = f"`{name}` {decl}"
+        else:
+            d = f"`{name}` {ctype or 'NUMERIC'}"
+            if notnull:
+                d += " NOT NULL"
+            if dflt is not None:
+                d += f" DEFAULT {dflt}"  # PRAGMA returns the SQL literal
+        defs.append(d + (" PRIMARY KEY" if pk else ""))
     idx_sql = [r[0] for r in cur.execute(
         "SELECT sql FROM sqlite_master WHERE type='index' "
         "AND tbl_name=? AND sql IS NOT NULL", (tbl,))]
@@ -507,6 +519,34 @@ def _rebuild_modify_column(cur, tbl: str, column: str, decl: str) -> None:
     cur.execute(f"ALTER TABLE `{tmp}` RENAME TO `{tbl}`")
     for s in idx_sql:
         cur.execute(s)
+
+
+def _exec_ddl_passthrough(db_path: str, query: str, driver,
+                          retries: int = 5) -> str:
+    """execDDL against a MySQL-dialect backend: the ORIGINAL statement
+    in its own transaction, server-code classification (ignorable =
+    already-applied replay), bounded retry. The lane lock still
+    serializes local attempts; the server serializes everything else."""
+    with _LaneLock(db_path):
+        con = driver.connect(db_path)
+        cur = con.cursor()
+        outcome = "applied"
+        for attempt in range(retries):
+            try:
+                cur.execute(query)
+                con.commit()
+                break
+            except driver.error_class as e:
+                con.rollback()
+                kind = driver.classify(e)
+                if kind == dbapi.IGNORABLE_DDL:
+                    outcome = "ignored"
+                    break
+                if kind != dbapi.TRANSIENT or attempt == retries - 1:
+                    raise
+                time.sleep(0.05 * (2 ** attempt))
+        con.close()
+        return outcome
 
 
 def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
@@ -521,6 +561,12 @@ def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
     sqlite). Returns 'applied' | 'ignored'.
     """
     driver = driver or dbapi.SqliteDriver()
+    if getattr(driver, "dialect", "sqlite") != "sqlite":
+        # a real MySQL-dialect server executes the reference's DDL
+        # verbatim (mysql_writer.go:600-668 runs the raw statement) —
+        # the SQLite translations (PRAGMA rebuild, DROP INDEX without
+        # ON, _tables bookkeeping) must never reach it
+        return _exec_ddl_passthrough(db_path, query, driver, retries)
     with _LaneLock(db_path):
         con = driver.connect(db_path)
         cur = con.cursor()
