@@ -97,8 +97,9 @@ class _MockBroker:
         for i, (k, sub) in enumerate(self.inject):
             if k == kind and sub in target and i not in self._fired:
                 self._fired.add(i)
-                return _MockKafkaError(f"injected {kind} on {target}",
-                                       retriable=(kind == "retriable"))
+                return _MockKafkaError(
+                    f"injected {kind} on {target}",
+                    retriable=(kind in ("retriable", "possibly")))
         return None
 
 
@@ -117,19 +118,43 @@ class _MockProducer:
         return 0
 
     def flush(self, _timeout=None):
+        # gapless ordering emulation: once one message of a partition
+        # fails in this flush, its successors fail too (librdkafka's
+        # idempotent producer purges them rather than deliver out of
+        # order) — so an app-level failed-only retry is a SUFFIX retry
+        poisoned: set = set()
         for topic, part, key, value, hdrs, cb in self._pending:
             target = f"{topic}-{part}"
+            status = 0  # NOT_PERSISTED
+            if target in poisoned:
+                if cb is not None:
+                    cb(_MockKafkaError(f"purged in queue on {target}",
+                                       retriable=True),
+                       SimpleNamespace(topic=lambda: topic,
+                                       status=lambda: 0))
+                continue
             err = self.broker.maybe_inject(target, "fatal")
+            if err is None:
+                # a NOT_PERSISTED retriable failure: rejected BEFORE
+                # the log (leader-not-available class) — the adapter's
+                # failed-only internal retry must redeliver it
+                err = self.broker.maybe_inject(target, "retriable")
             if err is None:
                 seq = int(hdrs["x-seq"])
                 log = self.broker.logs.setdefault((topic, part), [])
-                if seq not in {r["seq"] for r in log}:  # broker dedup
+                if seq not in {r["seq"] for r in log}:
                     log.append({"seq": seq, "key": key, "value": value})
-                # delivery-report-lost window: appended, then the report
-                # comes back failed
-                err = self.broker.maybe_inject(target, "retriable")
+                # the delivery-report-lost window: appended, then the
+                # report comes back failed = POSSIBLY_PERSISTED — an
+                # app-level resend could duplicate
+                err = self.broker.maybe_inject(target, "possibly")
+                if err is not None:
+                    status = 1  # POSSIBLY_PERSISTED
+            if err is not None and err.retriable() and status == 0:
+                poisoned.add(target)
             if cb is not None:
-                cb(err, SimpleNamespace(topic=lambda: topic))
+                cb(err, SimpleNamespace(topic=lambda: topic,
+                                        status=lambda s=status: s))
         self._pending = []
         return 0
 
@@ -438,3 +463,33 @@ def test_get_driver_registered_still_wins(tmp_path):
         assert get_driver("mysql", "mysql://u@h:3306/d") is fake
     finally:
         _DRIVERS.pop("mysql", None)
+
+
+def test_confluent_possibly_persisted_fails_unretriably():
+    """A delivery failure with POSSIBLY_PERSISTED status (in-flight at
+    failure, e.g. message timeout) must NOT be re-produced — broker
+    idempotence cannot dedup an application-level resend — and must not
+    surface as retriable (the caller's full resend would duplicate)."""
+    broker = _MockBroker()
+    p = _mock_confluent(broker)
+    p.ensure_topic("t_pp", 1)
+    broker.inject = [("possibly", "t_pp-0")]
+    with pytest.raises(ProduceError) as ei:
+        p.produce_partition("t_pp", 0, RECORDS[:3])
+    assert not ei.value.retriable
+    assert "possibly-persisted" in str(ei.value)
+    # the ambiguous record was appended exactly once and NOT re-produced
+    seqs = [r["seq"] for r in broker.logs[("t_pp", 0)]]
+    assert seqs.count(0) == 1
+
+
+def test_confluent_internal_retry_preserves_order():
+    """The failed-only internal retry redelivers the gapless suffix in
+    order — per-partition sequence order survives the retry."""
+    broker = _MockBroker()
+    p = _mock_confluent(broker)
+    p.ensure_topic("t_ord", 1)
+    broker.inject = [("retriable", "t_ord-0")]
+    n = p.produce_partition("t_ord", 0, RECORDS)
+    assert n == len(RECORDS)
+    assert [r["seq"] for r in broker.logs[("t_ord", 0)]] == [0, 1, 2, 3, 4, 5]

@@ -31,8 +31,9 @@ from __future__ import annotations
 from tigate_spark.streaming.kafka import KafkaProducer, ProduceError
 
 #: librdkafka config mirroring the reference's producer tuning
-#: (options.go: WaitForAll acks; idempotence → broker-side resend dedup,
-#: the property produce_with_retry's blind resend relies on)
+#: (options.go: WaitForAll acks; idempotence dedups the CLIENT's
+#: internal retries — application-level redelivery is handled by
+#: produce_partition's failed-only retry, never a blind batch resend)
 DEFAULT_CONFIG = {
     "enable.idempotence": True,
     "acks": "all",
@@ -93,13 +94,21 @@ class ConfluentKafkaProducer(KafkaProducer):
             self._p = factory(self.conf)
         return self._p
 
+    #: producer-only config keys the AdminClient must not receive
+    _PRODUCER_ONLY = ("enable.idempotence", "acks", "compression.type",
+                      "linger.ms", "batch.size", "transactional.id")
+
     def _admin_client(self):
         if self._admin is None:
             factory = self._admin_factory
             if factory is None:
                 _, factory = _confluent_factories()
-            self._admin = factory({"bootstrap.servers":
-                                   self.conf["bootstrap.servers"]})
+            # forward everything EXCEPT producer-only keys — a secured
+            # cluster needs the same security.protocol/sasl.*/ssl.*
+            # settings on admin requests as on produce
+            admin_conf = {k: v for k, v in self.conf.items()
+                          if k not in self._PRODUCER_ONLY}
+            self._admin = factory(admin_conf)
         return self._admin
 
     # -- admin (admin.go ClusterAdminClient twin) -------------------------
@@ -126,36 +135,97 @@ class ConfluentKafkaProducer(KafkaProducer):
             return None
         return v if isinstance(v, bytes) else str(v).encode()
 
+    #: librdkafka Message.status() value for "possibly persisted" — the
+    #: in-flight-at-failure state an application-level re-produce could
+    #: duplicate (broker idempotence only dedups the CLIENT's internal
+    #: retries, never a fresh produce() call)
+    _POSSIBLY_PERSISTED = 1
+    #: bounded failed-only redelivery passes inside one produce_partition
+    delivery_retries = 3
+
     def produce_partition(self, topic: str, partition: int, records) -> int:
+        """Deliver with per-record tracking. Kafka idempotence does NOT
+        dedup application-level re-produce calls, so this adapter never
+        relies on the seam's blind-resend contract: failures that are
+        provably not persisted are re-produced internally (failed
+        records ONLY); a possibly-persisted failure or a partial batch
+        that cannot be completed fails the feed unretriably (exactly-once
+        past that point needs Kafka transactions). A retriable
+        ProduceError escapes only when NOTHING was delivered — the one
+        case where the caller's full resend cannot duplicate."""
         p = self._producer()
-        errs: list = []
+        records = list(records)
+        pending = list(range(len(records)))
+        delivered: set = set()
+        last_err = None
+        for _pass in range(self.delivery_retries + 1):
+            failed: list = []  # (idx, err, possibly_persisted)
 
-        def on_delivery(err, _msg):
-            if err is not None:
-                errs.append(err)
+            def mk_cb(i):
+                def cb(err, msg):
+                    if err is None:
+                        delivered.add(i)
+                    else:
+                        status = getattr(msg, "status", None)
+                        possibly = (status is not None and callable(status)
+                                    and status() == self._POSSIBLY_PERSISTED)
+                        failed.append((i, err, possibly))
+                return cb
 
-        n = 0
-        for r in records:
-            p.produce(
-                topic, partition=int(partition),
-                key=self._bytes(r.get("key")),
-                value=self._bytes(r.get("value")),
-                # the seam's idempotence sequence rides as a header for
-                # consumer-side observability; resend dedup itself is the
-                # broker's enable.idempotence contract
-                headers=[("x-seq", str(r["seq"]).encode())],
-                on_delivery=on_delivery)
-            p.poll(0)
-            n += 1
-        p.flush(self.flush_timeout)
-        if errs:
-            # sarama retriability split: every failed delivery must be
-            # retriable for the batch resend to be sound
-            retriable = all(
-                getattr(e, "retriable", lambda: False)() for e in errs)
-            raise ProduceError(f"delivery failed: {errs[0]}",
-                               retriable=retriable)
-        return n
+            for i in pending:
+                r = records[i]
+                for _ in range(100):
+                    try:
+                        p.produce(
+                            topic, partition=int(partition),
+                            key=self._bytes(r.get("key")),
+                            value=self._bytes(r.get("value")),
+                            # the seam's sequence rides as a header for
+                            # consumer-side observability
+                            headers=[("x-seq", str(r["seq"]).encode())],
+                            on_delivery=mk_cb(i))
+                        break
+                    except BufferError:
+                        # local queue full: drain delivery reports and
+                        # re-produce this record (the standard loop)
+                        p.poll(0.5)
+                else:
+                    raise ProduceError(
+                        f"local producer queue stayed full on "
+                        f"{topic}-{partition}", retriable=False)
+                p.poll(0)
+            remaining = p.flush(self.flush_timeout)
+            if remaining:
+                # timed-out messages are in an unknown state — fail the
+                # feed rather than silently dropping or duplicating
+                raise ProduceError(
+                    f"flush timeout: {remaining} messages undelivered on "
+                    f"{topic}-{partition}", retriable=False)
+            if not failed:
+                return len(delivered)
+            last_err = failed[0][1]
+            # ambiguity first: whatever the error's retriability, a
+            # possibly-persisted failure must not be re-produced
+            possibly = [e for _i, e, pp in failed if pp]
+            if possibly:
+                raise ProduceError(
+                    f"delivery failed possibly-persisted: {possibly[0]} — "
+                    f"a resend could duplicate; exactly-once past this "
+                    f"point needs Kafka transactions", retriable=False)
+            fatal = [e for _i, e, _p in failed
+                     if not getattr(e, "retriable", lambda: False)()]
+            if fatal:
+                raise ProduceError(f"delivery failed: {fatal[0]}",
+                                   retriable=False)
+            pending = [i for i, _e, _p in failed]
+        if not delivered:
+            # nothing committed: the caller's full resend is safe
+            raise ProduceError(f"delivery failed: {last_err}",
+                               retriable=True)
+        raise ProduceError(
+            f"partial delivery ({len(delivered)}/{len(records)}) with "
+            f"retries exhausted: {last_err} — a blind resend would "
+            f"duplicate the delivered prefix", retriable=False)
 
     def flush(self) -> None:
         if self._p is not None:
