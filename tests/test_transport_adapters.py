@@ -8,8 +8,6 @@ pinned by tests."""
 
 from __future__ import annotations
 
-import glob
-import os
 import pickle
 from types import SimpleNamespace
 
@@ -44,26 +42,6 @@ try:
     HAVE_PYMYSQL = True
 except ImportError:
     HAVE_PYMYSQL = False
-
-
-@pytest.fixture(scope="module")
-def chunked_source(spark, sf_dir, tmp_path_factory):
-    """events split into 4 files ordered by commit_ts -> 4 micro-batches
-    (same shape as test_streaming_changefeed's fixture)."""
-    src = str(tmp_path_factory.mktemp("events_src"))
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    qs = ev.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.0)
-    bounds = [float("-inf"), *qs, float("inf")]
-    for i in range(4):
-        part = ev.filter((F.col("event_id") > bounds[i])
-                         & (F.col("event_id") <= bounds[i + 1]))
-        part.coalesce(1).write.parquet(os.path.join(src, f"chunk-{i:02d}"))
-    flat = str(tmp_path_factory.mktemp("events_flat"))
-    for i in range(4):
-        for f in sorted(glob.glob(
-                os.path.join(src, f"chunk-{i:02d}", "part-*.parquet"))):
-            os.link(f, os.path.join(flat, f"{i:02d}-{os.path.basename(f)}"))
-    return flat
 
 
 # ---------------------------------------------------------------------------
