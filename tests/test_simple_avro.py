@@ -227,6 +227,48 @@ def test_message_schema_union_order():
     assert ptype == ["Watermark", "Bootstrap", "DDL", "DML"]
 
 
+def test_full_domain_pk_table_id_tso_roundtrip(spark):
+    """r12 ADVICE (medium): capped varint ladders silently truncated
+    pk >= 8192 and table_id >= 8192 into plausible-but-wrong wire bytes.
+    Real auto-increment pks, globally-allocated TiDB table ids, and
+    TSO-scale timestamps (physical_ms << 18 ~ 2^59) must all round-trip
+    exactly through the public encoder."""
+    tso = (1704067200000 << 18) + 42          # realistic TiDB TSO
+    cases = [(8192, 101, 1704067200000000),
+             (1_000_000, 65_537, 1704067200000000),
+             (2**62 + 3, 2**40 + 1, tso),
+             (2**63 - 1, 8191, 1704067200000000)]
+    df = spark.createDataFrame(
+        [(i, "app", f"t{tid}", tid, "I", ts, pk, "ev", 5, 13)
+         for i, (pk, tid, ts) in enumerate(cases)],
+        "seq LONG, schema_name STRING, table_name STRING, table_id LONG, "
+        "op STRING, commit_ts LONG, pk LONG, event_type STRING, "
+        "value_cents LONG, user_id LONG")
+    got = {r["seq"]: r for r in decode_simple_avro_rows(
+        encode_simple_avro(df).select("seq", "message_hex")).collect()}
+    for i, (pk, tid, ts) in enumerate(cases):
+        assert got[i]["pk"] == pk
+        assert got[i]["table_id"] == tid
+        assert got[i]["commit_ts"] == ts
+
+
+def test_null_union_consumer_roundtrip(spark):
+    """r12 ADVICE (low): the consumer must decode the null union branch
+    the paired encoder emits for NULL value_cents/updated_at — record
+    wrappers unwrap conditionally instead of raising TypeError."""
+    df = spark.createDataFrame(
+        [(1, "app", "t1", 1, "I", 1704067200000000, 7, None, None, None)],
+        "seq LONG, schema_name STRING, table_name STRING, table_id LONG, "
+        "op STRING, commit_ts LONG, pk LONG, event_type STRING, "
+        "value_cents LONG, user_id LONG")
+    row = decode_simple_avro_rows(
+        encode_simple_avro(df).select("seq", "message_hex")).first()
+    assert row["pk"] == 7
+    assert row["event_type"] is None
+    assert row["value_cents"] is None
+    assert row["user_id"] is None
+
+
 def test_null_columns_take_the_null_union_branch(spark):
     """A NULL payload column encodes as the value union's null branch
     (encodeValue4Avro nil → "null"), not a NULL message."""

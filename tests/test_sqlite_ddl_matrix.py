@@ -11,6 +11,7 @@ import sqlite3
 
 import pytest
 
+from tigate_spark.streaming import dbapi
 from tigate_spark.streaming.sqlite_apply import (
     exec_ddl_on_lane,
     translate_ddl_for_sqlite,
@@ -281,3 +282,35 @@ def test_prefix_length_index_translates(lane):
         "app", "t1", 1)
     assert out == "applied"
     assert "app__t1__p10" in _master(lane, "index")
+
+
+def test_rename_collision_surfaces_not_swallowed(lane):
+    """r12 ADVICE: a rename whose target exists while the SOURCE is
+    still present is a genuine collision between two distinct tables —
+    it must raise, not be mistaken for an already-applied replay."""
+    # materialize a DIFFERENT table that happens to hold the target name
+    exec_ddl_on_lane(
+        lane, "ALTER TABLE `app`.`t1_archive` ADD COLUMN `x` INTEGER",
+        "app", "t1_archive", 2)
+    with pytest.raises(dbapi.DDLCollisionError):
+        exec_ddl_on_lane(
+            lane, "RENAME TABLE `app`.`t1` TO `t1_archive`", "app", "t1", 1)
+    # both tables untouched
+    assert {"app__t1", "app__t1_archive"} <= _master(lane, "table")
+
+
+def test_rename_reprefixes_lane_indexes(lane):
+    """r12 ADVICE: the `{tbl}__{name}` index namespace must follow a
+    RENAME TABLE so a later DROP INDEX against the NEW table name
+    resolves (previously it missed and was silently 'ignored')."""
+    exec_ddl_on_lane(
+        lane, "CREATE INDEX `by_et` ON `app`.`t1` (`event_type`)",
+        "app", "t1", 1)
+    exec_ddl_on_lane(
+        lane, "RENAME TABLE `app`.`t1` TO `t2`", "app", "t1", 1)
+    assert "app__t2__by_et" in _master(lane, "index")
+    assert "app__t1__by_et" not in _master(lane, "index")
+    out = exec_ddl_on_lane(
+        lane, "DROP INDEX `by_et` ON `app`.`t2`", "app", "t2", 1)
+    assert out == "applied"          # NOT 'ignored' — the drop resolved
+    assert "app__t2__by_et" not in _master(lane, "index")

@@ -471,3 +471,24 @@ def test_confluent_internal_retry_preserves_order():
     n = p.produce_partition("t_ord", 0, RECORDS)
     assert n == len(RECORDS)
     assert [r["seq"] for r in broker.logs[("t_ord", 0)]] == [0, 1, 2, 3, 4, 5]
+
+
+def test_topic_exists_classification_prefers_structured_code():
+    """r12 ADVICE: already-exists must classify by the STRUCTURED
+    librdkafka error code when the exception carries one — a substring
+    match would misclassify any unrelated error whose text contains
+    'ALREADY_EXISTS' (and vice versa across client versions)."""
+    probe = ConfluentKafkaProducer._is_topic_exists
+
+    def kafka_exc(code, text):
+        err = SimpleNamespace(code=lambda: code, __str__=lambda s: text)
+        return Exception(err)
+
+    # structured code 36 (TOPIC_ALREADY_EXISTS) → exists, whatever the text
+    assert probe(kafka_exc(36, "whatever")) is True
+    # structured NON-36 code whose TEXT happens to contain the token →
+    # NOT exists (the misclassification the fix removes)
+    assert probe(kafka_exc(7, "broker said ALREADY_EXISTS someplace")) is False
+    # unstructured mock-style exception falls back to the substring match
+    assert probe(Exception("KafkaError{code=TOPIC_ALREADY_EXISTS}")) is True
+    assert probe(Exception("request timed out")) is False

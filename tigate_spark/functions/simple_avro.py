@@ -80,7 +80,8 @@ def _py_bool(v: bool) -> str:
     return "01" if v else "00"
 
 
-def _vz(expr: str, d: dict, nbytes: int = 10) -> str:
+def _vz(expr: str, d: dict, nbytes: int = 10, *,
+        type_bounded: bool = False) -> str:
     """Avro long/int/enum SQL: zigzag varint hex of ``expr``, valid over
     the FULL signed-64 domain.
 
@@ -90,9 +91,18 @@ def _vz(expr: str, d: dict, nbytes: int = 10) -> str:
     w = v >= 0 ? v : -v-1 (always representable, half the magnitude)
     and lsb = the sign bit, byte 0 of zz is (w & 63)*2 + lsb and byte
     i>=1 is (w >> (7i-1)) & 127; the length ladder tests w < 2^(7n-1).
-    ``nbytes`` caps the CASE ladder; values stay canonical-minimal as
-    long as the true magnitude fits."""
-    nbytes = max(nbytes, 2)
+
+    ``nbytes`` may shrink the CASE ladder ONLY when the input's TYPE
+    provably bounds its magnitude under 2^(7*nbytes-1) (string
+    byte-lengths < 2^31 fit nbytes=5). A ladder shorter than the input
+    domain makes its ELSE branch silently truncate high bits into
+    plausible-but-wrong wire bytes (the r12 ADVICE finding: pk=8192 on
+    a 2-byte ladder decoded as 0), so arbitrary int64 columns — pks,
+    table ids, timestamps, checksums — keep the full 10-byte ladder.
+    Ladder width never changes in-domain bytes: the WHEN branches pick
+    the canonical-minimal byte count from the value's magnitude."""
+    if not type_bounded:
+        nbytes = 10
     # -((v)+1), NOT -(v)-1: negating INT64_MIN overflows before the -1
     w = f"(CASE WHEN ({expr}) >= 0 THEN ({expr}) ELSE -(({expr}) + 1) END)"
     lsb = f"(CASE WHEN ({expr}) >= 0 THEN 0 ELSE 1 END)"
@@ -118,8 +128,10 @@ def _vz(expr: str, d: dict, nbytes: int = 10) -> str:
 
 
 def _strhex(expr: str, d: dict) -> str:
-    """Avro string SQL: zigzag(byte length) + UTF-8 hex of ``expr``."""
-    return f"{_vz(d['slen'](expr), d, 3)} || hex({expr})"
+    """Avro string SQL: zigzag(byte length) + UTF-8 hex of ``expr``.
+    Byte lengths are type-bounded < 2^31 (Spark/DuckDB string limit),
+    so the 5-byte ladder (covers < 2^34) is full-domain for them."""
+    return f"{_vz(d['slen'](expr), d, 5, type_bounded=True)} || hex({expr})"
 
 
 def _ts_s(ts_expr: str, d_name: str) -> str:
@@ -184,7 +196,7 @@ def _map_hex(d: dict, d_name: str, vc_expr: str, ts_h_col: str) -> str:
     null branch."""
     return (
         f"'{_MAP_COUNT_H}{_py_str('pk')}' || "
-        + _nullsafe("pk", f"'{_H(U_LONG)}' || {_vz('pk', d, 2)}")
+        + _nullsafe("pk", f"'{_H(U_LONG)}' || {_vz('pk', d)}")
         + f" || '{_py_str('event_type')}' || "
         + _nullsafe("event_type", f"'{_H(U_STRING)}' || sa_et_h")
         + f" || '{_py_str('value_cents')}' || "
@@ -242,15 +254,14 @@ def simple_avro_dml_steps(d_name: str,
         # tableID, type, commitTs, buildTs(pinned commit ms),
         # schemaVersion=1, claimCheckLocation=null, handleKeyOnly=null,
         # checksum, data union, old union
-        # varint widths: table_id<4 and pk<200 are engine-canonical
-        # constants (sources/changes.py N_TABLES/N_KEYS); epoch-µs fits 8
-        # zigzag bytes through year ~4000, epoch-ms 7 — tighter CASE
-        # ladders keep the canonical minimal encoding while shrinking the
-        # generated code
+        # every int64 varint uses the full 10-byte ladder: this is the
+        # PUBLIC encoder and real pks/table-ids/TSOs exceed any narrow
+        # hint (r12 ADVICE: a 2-byte pk ladder silently corrupted
+        # pk>=8192); minimal encoding is unchanged for small values
         f"'{_msg_head(MSG_DML)}{_H(1)}' || sa_db_h || sa_tbl_h || "
-        f"{_vz('table_id', d, 1)} || {dml_type} || "
-        f"{_vz('commit_ts', d, 8)} || "
-        f"{_vz(d['idiv']('commit_ts', '1000'), d, 7)} || "
+        f"{_vz('table_id', d)} || {dml_type} || "
+        f"{_vz('commit_ts', d)} || "
+        f"{_vz(d['idiv']('commit_ts', '1000'), d)} || "
         f"'{_H(1)}' || '00' || '00' || sa_ck_h || "
         f"CASE WHEN op = 'D' THEN '00' "
         f"ELSE '{_H(1)}' || sa_map_a_h END || "
@@ -271,8 +282,8 @@ def simple_avro_watermark_sql(d_name: str, ts_expr: str = "resolved_ts") -> str:
     commitTs, buildTs}); buildTs pinned to the tick millisecond."""
     d = _dialect(d_name)
     return (f"'{_msg_head(MSG_WATERMARK)}{_H(1)}' || "
-            f"{_vz(ts_expr, d, 8)} || "
-            f"{_vz(d['idiv'](ts_expr, '1000'), d, 7)}")
+            f"{_vz(ts_expr, d)} || "
+            f"{_vz(d['idiv'](ts_expr, '1000'), d)}")
 
 
 #: fixed per-column metadata of the canonical table schema — constant
@@ -311,8 +322,8 @@ _INDEXES_HEX = (_H(1) + _py_str("primary") + _py_bool(True) + _py_bool(True)
 def _table_schema_hex(d: dict, version_expr: str) -> str:
     """TableSchema record hex over (schema_name, table_name, table_id)
     columns: database, table, tableID, version, columns[], indexes[]."""
-    return (f"sa_db_h || sa_tbl_h || {_vz('table_id', d, 1)} || "
-            f"{_vz(version_expr, d, 8)} || "
+    return (f"sa_db_h || sa_tbl_h || {_vz('table_id', d)} || "
+            f"{_vz(version_expr, d)} || "
             f"'{_H(len(_MAP_KEYS))}{_COLUMNS_HEX}00{_INDEXES_HEX}'")
 
 
@@ -328,7 +339,7 @@ def simple_avro_bootstrap_steps(d_name: str) -> list[tuple[str, str]]:
         ("sa_tbl_h", _strhex("table_name", d)),
         ("message_hex",
          f"'{_msg_head(MSG_BOOTSTRAP)}{_H(1)}' || "
-         f"{_vz(d['idiv']('version_ts', '1000'), d, 7)} || "
+         f"{_vz(d['idiv']('version_ts', '1000'), d)} || "
          f"{_table_schema_hex(d, 'version_ts')}"),
     ]
 
@@ -353,8 +364,8 @@ def simple_avro_ddl_steps(d_name: str) -> list[tuple[str, str]]:
         ("sa_sql_h", _strhex("query", d)),
         ("message_hex",
          f"'{_msg_head(MSG_DDL)}{_H(1)}' || {ddl_enum} || sa_sql_h || "
-         f"{_vz('commit_ts', d, 8)} || "
-         f"{_vz(d['idiv']('commit_ts', '1000'), d, 7)} || "
+         f"{_vz('commit_ts', d)} || "
+         f"{_vz(d['idiv']('commit_ts', '1000'), d)} || "
          f"CASE WHEN ddl_type = 'drop table' THEN '00' "
          f"ELSE {ts_union} END || "
          f"CASE WHEN ddl_type = 'create table' THEN '00' "
@@ -569,6 +580,13 @@ def decode_simple_avro_rows(df: DataFrame, hex_col: str = "message_hex",
                 m = decode_message(bytes.fromhex(hx))
                 p = m["payload"]
                 img = p["old"] if p["type"] == "DELETE" else p["data"]
+                # NULL columns take the value union's null branch (the
+                # encoder's _nullsafe deliberately emits it), so record
+                # wrappers (UnsignedBigint/Timestamp) unwrap
+                # conditionally — r12 ADVICE: the consumer must read
+                # what the public encoder produces
+                vc = img["value_cents"]
+                ua = img["updated_at"]
                 rows.append({
                     "seq": int(seq),
                     "database": p["database"],
@@ -580,9 +598,9 @@ def decode_simple_avro_rows(df: DataFrame, hex_col: str = "message_hex",
                     "schema_version": p["schemaVersion"],
                     "pk": img["pk"],
                     "event_type": img["event_type"],
-                    "value_cents": img["value_cents"]["value"],
+                    "value_cents": None if vc is None else vc["value"],
                     "user_id": img["user_id"],
-                    "updated_at": img["updated_at"]["value"],
+                    "updated_at": None if ua is None else ua["value"],
                 })
             yield pd.DataFrame(
                 rows, columns=[c.split()[0] for c in

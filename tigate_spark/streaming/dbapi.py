@@ -35,6 +35,13 @@ PACKET_OVERFLOW = "packet_overflow"
 FATAL = "fatal"
 
 
+class DDLCollisionError(RuntimeError):
+    """A DDL that downstream STATE proves is NOT an already-applied
+    replay (e.g. RENAME TABLE whose target exists while the source is
+    still present) — never classified ignorable; the feed must surface
+    it instead of silently swallowing a genuine name collision."""
+
+
 class SqliteDriver:
     """Default driver: stdlib sqlite3, message-substring classification
     (SQLite reports no stable numeric codes through the DBAPI)."""

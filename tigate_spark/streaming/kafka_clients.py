@@ -120,9 +120,29 @@ class ConfluentKafkaProducer(KafkaProducer):
             fut.result()
             return int(partition_count)
         except Exception as e:  # KafkaException(TOPIC_ALREADY_EXISTS) et al
-            if "ALREADY_EXISTS" not in str(e).upper():
+            if not self._is_topic_exists(e):
                 raise
             return self.partition_count(topic)
+
+    @staticmethod
+    def _is_topic_exists(e: Exception) -> bool:
+        """Classify create_topics failure as topic-already-exists by the
+        STRUCTURED librdkafka error code when available (KafkaException
+        args carry a KafkaError with .code(); compare against
+        KafkaError.TOPIC_ALREADY_EXISTS = 36). The substring match is
+        only the fallback for injected mocks without the attribute —
+        a raw-text match across client versions would misclassify any
+        unrelated error whose message happens to contain the token."""
+        err = e.args[0] if e.args else None
+        code = getattr(err, "code", None)
+        if callable(code):
+            try:
+                from confluent_kafka import KafkaError  # noqa: PLC0415
+                expected = KafkaError.TOPIC_ALREADY_EXISTS
+            except ImportError:
+                expected = 36  # librdkafka RD_KAFKA_RESP_ERR constant
+            return code() == expected
+        return "ALREADY_EXISTS" in str(e).upper()
 
     def partition_count(self, topic: str) -> int:
         md = self._admin_client().list_topics(topic=topic)

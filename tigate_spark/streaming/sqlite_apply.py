@@ -428,7 +428,11 @@ _AFFINITY = (("INT", "INTEGER"), ("BIGINT", "INTEGER"),
 #: the SQLite spellings of the codes apperror.IsIgnorableMySQLDDLError
 #: covers for that action (drop-of-missing analogs 1008/1051/1091/1176)
 _ACTION_IGNORABLE = {
-    "rename-table": ("no such table", "already exists"),
+    # NOTE: "already exists" deliberately absent for rename — replay is
+    # detected by STATE before execution (target present AND source
+    # absent); an execution-time collision must surface, not be
+    # swallowed (r12 ADVICE)
+    "rename-table": ("no such table",),
     "drop-table": ("no such table",),
     "drop-index": ("no such index",),
 }
@@ -584,8 +588,17 @@ def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
         # reference): a rename whose target exists / a drop whose table
         # is gone re-arrived after the original applied
         if action == "rename-table" and meta["rename_to"] in have:
+            # replay ONLY when the source is also gone — target present
+            # with the source still live is a genuine name collision
+            # between two distinct tables and must surface (r12 ADVICE)
+            if tbl not in have:
+                con.close()
+                return "ignored"
             con.close()
-            return "ignored"
+            raise dbapi.DDLCollisionError(
+                f"RENAME TABLE target `{meta['rename_to']}` already "
+                f"exists while source `{tbl}` is still present — "
+                "not a replay; refusing to swallow")
         if action == "drop-table" and tbl not in have:
             con.close()
             return "ignored"
@@ -613,10 +626,27 @@ def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
                 # _tables mapping follow-ups so read_state keeps
                 # resolving the table_id after the physical change
                 if action == "rename-table":
+                    new = meta["rename_to"]
+                    # re-prefix the table's `{tbl}__{name}` lane indexes
+                    # to the NEW table name — SQLite keeps index names
+                    # across RENAME TABLE, so a later DROP INDEX issued
+                    # against the renamed table would resolve to
+                    # `{new}__{name}`, miss, and be silently 'ignored'
+                    # (r12 ADVICE)
+                    for iname, isql in list(cur.execute(
+                            "SELECT name, sql FROM sqlite_master WHERE "
+                            "type='index' AND tbl_name=? AND sql IS NOT "
+                            "NULL", (new,))):
+                        if not iname.startswith(f"{tbl}__"):
+                            continue
+                        new_iname = f"{new}__{iname[len(tbl) + 2:]}"
+                        cur.execute(f"DROP INDEX `{iname}`")
+                        cur.execute(isql.replace(
+                            f"`{iname}`", f"`{new_iname}`", 1))
                     cur.execute("DELETE FROM _tables WHERE name=?",
-                                (meta["rename_to"],))
+                                (new,))
                     cur.execute("UPDATE _tables SET name=? WHERE name=?",
-                                (meta["rename_to"], tbl))
+                                (new, tbl))
                 elif action == "drop-table":
                     cur.execute("DELETE FROM _tables WHERE name=?", (tbl,))
                 con.commit()
