@@ -76,3 +76,39 @@ def test_sql_string_roundtrips_multibyte(s):
     assert hx == _py_str(s)
     got, used = avro_read("string", bytes.fromhex(hx))
     assert got == s and used * 2 == len(hx)
+
+
+def test_vz_is_the_craft_generator():
+    """r12 VERDICT #5: one zigzag-varint generator. simple_avro._vz must
+    delegate to craft._vhex — identical SQL for identical inputs."""
+    from tigate_spark.functions.craft import _vhex
+    for d_name in ("spark", "duckdb"):
+        d = _dialect(d_name)
+        assert _vz("x", d) == _vhex("x", d)
+        assert (_vz("x", d, 5, type_bounded=True)
+                == _vhex("x", d, 5, type_bounded=True))
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=200, deadline=None)
+def test_craft_vhex_full_domain(v):
+    """The unified generator under the craft name: full-int64 round trip
+    through the independent Avro reader (zigzag wire is shared), with
+    canonical minimal length."""
+    from tigate_spark.functions.craft import _vhex
+    hx = _eval(_vhex(f"CAST({v} AS BIGINT)", _D))
+    got, used = avro_read("long", bytes.fromhex(hx))
+    assert got == v
+    assert used * 2 == len(hx)
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=100, deadline=None)
+def test_craft_vhex_narrow_hint_is_ignored_unless_bounded(v):
+    """A narrow nbytes WITHOUT type_bounded must be widened to the full
+    ladder — the silent-truncation envelope cannot be re-introduced by
+    a careless call site."""
+    from tigate_spark.functions.craft import _vhex
+    hx = _eval(_vhex(f"CAST({v} AS BIGINT)", _D, 2))
+    got, _ = avro_read("long", bytes.fromhex(hx))
+    assert got == v

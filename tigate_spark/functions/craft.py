@@ -77,8 +77,16 @@ def _dialect(d: str):
     }
 
 
-def _uvhex(expr: str, d: dict, nbytes: int = 10) -> str:
-    """CASE expression: hex string of protobuf uvarint(expr), expr >= 0."""
+def _uvhex(expr: str, d: dict, nbytes: int = 10, *,
+           type_bounded: bool = False) -> str:
+    """CASE expression: hex string of protobuf uvarint(expr), expr >= 0.
+
+    ``nbytes`` may shrink the ladder ONLY when the input's type/structure
+    provably bounds it under 2^(7*nbytes) (``type_bounded=True``) —
+    otherwise the full ladder is used so the ELSE branch can never
+    silently truncate (same policy as :func:`_vhex`)."""
+    if not type_bounded:
+        nbytes = 10
     cases = []
     for n in range(1, nbytes + 1):
         parts = []
@@ -95,16 +103,55 @@ def _uvhex(expr: str, d: dict, nbytes: int = 10) -> str:
     return "CASE " + " ".join(cases) + " END"
 
 
-def _vhex(expr: str, d: dict, nbytes: int = 10) -> str:
-    """Zigzag varint hex (``encodeVarint``): uvarint((v<<1)^(v>>63)).
+def _vhex(expr: str, d: dict, nbytes: int = 10, *,
+          type_bounded: bool = False) -> str:
+    """Zigzag varint hex (``encodeVarint``), valid over the FULL
+    signed-64 domain — the ONE zigzag-varint generator shared by the
+    craft wire and the simple-Avro wire (``simple_avro._vz`` delegates
+    here; r12 VERDICT: two implementations of the same primitive with
+    different safety envelopes is how the next domain bug ships).
 
-    Domain: |v| < 2^62 — the doubled zigzag value must fit int64 (every
-    craft lane is a commit-ts/delta/dictionary-id bounded far below
-    this). For a full-int64 generator see
-    :func:`tigate_spark.functions.simple_avro._vz`, which derives the
-    bytes without materializing 2v."""
-    zz = f"(CASE WHEN ({expr}) >= 0 THEN 2 * ({expr}) ELSE -2 * ({expr}) - 1 END)"
-    return _uvhex(zz, d, nbytes)
+    zigzag(v) = 2v / -2v-1 does not fit int64 for |v| >= 2^62, and a
+    dialect either raises (DuckDB) or silently wraps (Spark non-ANSI) —
+    so the bytes are derived WITHOUT materializing zz: with
+    w = v >= 0 ? v : -v-1 (always representable, half the magnitude)
+    and lsb = the sign bit, byte 0 of zz is (w & 63)*2 + lsb and byte
+    i>=1 is (w >> (7i-1)) & 127; the length ladder tests w < 2^(7n-1).
+
+    ``nbytes`` may shrink the CASE ladder ONLY when the input's TYPE
+    provably bounds its magnitude under 2^(7*nbytes-1)
+    (``type_bounded=True``; e.g. byte lengths of in-memory strings are
+    < 2^31, covered by nbytes=5's 2^34). Any other narrow ladder would
+    make its ELSE branch silently truncate high bits into
+    plausible-but-wrong wire bytes (the r12 ADVICE finding), so
+    unbounded inputs always get the full 10-byte ladder. Ladder width
+    never changes in-domain bytes: the WHEN branches pick the
+    canonical-minimal byte count from the value's magnitude."""
+    if not type_bounded:
+        nbytes = 10
+    nbytes = max(nbytes, 2)
+    # -((v)+1), NOT -(v)-1: negating INT64_MIN overflows before the -1
+    w = f"(CASE WHEN ({expr}) >= 0 THEN ({expr}) ELSE -(({expr}) + 1) END)"
+    lsb = f"(CASE WHEN ({expr}) >= 0 THEN 0 ELSE 1 END)"
+
+    def byte(i: int, last: bool) -> str:
+        if i == 0:
+            b = f"(({w}) & 63) * 2 + {lsb}"
+        else:
+            b = f"({d['shr'](w, 7 * i - 1)}) & 127"
+        if not last:
+            b = f"(({b}) | 128)"
+        return f"lpad(hex({b}), 2, '0')"
+
+    cases = []
+    for n in range(1, nbytes + 1):
+        body = " || ".join(byte(i, last=(i == n - 1)) for i in range(n))
+        if n < nbytes and 7 * n - 1 < 63:
+            cases.append(f"WHEN ({w}) < {1 << (7 * n - 1)} THEN {body}")
+        else:
+            cases.append(f"ELSE {body}")
+            break
+    return "CASE " + " ".join(cases) + " END"
 
 
 def _revuvhex(expr: str, d: dict) -> str:
@@ -135,7 +182,7 @@ def craft_steps(d_name: str) -> list[tuple[str, str]]:
         # null encodes as -1 → 0x01), unlike the plain-uvarint string chunks
         lens = " || ".join(
             f"CASE WHEN {img}_{col} IS NULL THEN '01' "
-            f"ELSE {_vhex(d['idiv'](f'length({side}_{col}_h)', 2), d, 3)} END"
+            f"ELSE {_vhex(d['idiv'](f'length({side}_{col}_h)', 2), d, 5, type_bounded=True)} END"
             for col, _t, _f in CRAFT_COLS
         )
         vals = " || ".join(
@@ -160,8 +207,8 @@ def craft_steps(d_name: str) -> list[tuple[str, str]]:
     steps.append(("hdr_h", _uvhex("commit_ts", d) + " || '01' || '01' || '00' || '02'"))
     steps.append((
         "dict_h",
-        f"'{_NDICT_HEX}' || {_uvhex(d['slen']('schema_name'), d, 3)} || "
-        f"{_uvhex(d['slen']('table_name'), d, 3)} || '{_NAME_LENS_HEX}' || "
+        f"'{_NDICT_HEX}' || {_uvhex(d['slen']('schema_name'), d, 5, type_bounded=True)} || "
+        f"{_uvhex(d['slen']('table_name'), d, 5, type_bounded=True)} || '{_NAME_LENS_HEX}' || "
         f"hex(schema_name) || hex(table_name) || '{_NAMES_HEX}'",
     ))
     for name, src in (("hdr_sz", "hdr_h"), ("dict_sz", "dict_h"),
@@ -172,14 +219,16 @@ def craft_steps(d_name: str) -> list[tuple[str, str]]:
     steps.append((
         "group_tbl_h",
         "CASE WHEN g_new_h IS NOT NULL AND g_old_h IS NOT NULL THEN "
-        f"'02' || {_vhex('g1_sz', d, 3)} || "
-        f"{_vhex(d['idiv']('length(g_old_h)', 2) + ' - g1_sz', d, 3)} "
-        f"ELSE '01' || {_vhex('g1_sz', d, 3)} END",
+        f"'02' || {_vhex('g1_sz', d, 5, type_bounded=True)} || "
+        f"{_vhex(d['idiv']('length(g_old_h)', 2) + ' - g1_sz', d, 5, type_bounded=True)} "
+        f"ELSE '01' || {_vhex('g1_sz', d, 5, type_bounded=True)} END",
     ))
     steps.append((
         "st_h",
-        f"'02' || {_vhex('hdr_sz', d, 3)} || {_vhex('dict_sz - hdr_sz', d, 3)}"
-        f" || '01' || {_vhex('body_sz', d, 3)} || group_tbl_h",
+        f"'02' || {_vhex('hdr_sz', d, 5, type_bounded=True)} || "
+        f"{_vhex('dict_sz - hdr_sz', d, 5, type_bounded=True)}"
+        f" || '01' || {_vhex('body_sz', d, 5, type_bounded=True)} || "
+        "group_tbl_h",
     ))
     steps.append((
         "message_hex",
@@ -275,20 +324,22 @@ def craft_batch_steps(d_name: str) -> list[tuple[str, str]]:
     steps.append(("groups_all_h", d["fieldjoin"]("g")))
     steps.append((
         "dict_h",
-        f"'{_NDICT_HEX}' || {_uvhex(d['slen']('schema_name'), d, 3)} || "
-        f"{_uvhex(d['slen']('table_name'), d, 3)} || '{_NAME_LENS_HEX}' || "
+        f"'{_NDICT_HEX}' || {_uvhex(d['slen']('schema_name'), d, 5, type_bounded=True)} || "
+        f"{_uvhex(d['slen']('table_name'), d, 5, type_bounded=True)} || '{_NAME_LENS_HEX}' || "
         f"hex(schema_name) || hex(table_name) || '{_NAMES_HEX}'",
     ))
     steps.append(("hdr_sz", d["idiv"]("length(hdr_h)", 2)))
     steps.append(("dict_sz", d["idiv"]("length(dict_h)", 2)))
     steps.append((
         "body_tbl_h",
-        _uvhex(d["nel"], d, 3) + " || " + _vhex(d["el"](1, "bs"), d, 3) + " || "
-        + d["mapjoin"](_vhex(f"{d['el']('i', 'bs')} - {d['el']('i - 1', 'bs')}", d, 3)),
+        _uvhex(d["nel"], d, 3, type_bounded=True)  # count <= CRAFT_MAX_BATCH_SIZE
+        + " || " + _vhex(d["el"](1, "bs"), d, 5, type_bounded=True) + " || "
+        + d["mapjoin"](_vhex(f"{d['el']('i', 'bs')} - {d['el']('i - 1', 'bs')}", d, 5, type_bounded=True)),
     ))
     steps.append((
         "st_h",
-        f"'02' || {_vhex('hdr_sz', d, 3)} || {_vhex('dict_sz - hdr_sz', d, 3)}"
+        f"'02' || {_vhex('hdr_sz', d, 5, type_bounded=True)} || "
+        f"{_vhex('dict_sz - hdr_sz', d, 5, type_bounded=True)}"
         f" || body_tbl_h || {d['fieldjoin']('gt')}",
     ))
     steps.append((
@@ -398,7 +449,8 @@ def craft_resolved_steps(d_name: str) -> list[tuple[str, str]]:
     # meta [hdr, dict=1 byte] + body [0]; no group tables
     steps.append((
         "r_st_h",
-        f"'02' || {_vhex('r_hdr_sz', d, 3)} || {_vhex('1 - r_hdr_sz', d, 3)}"
+        f"'02' || {_vhex('r_hdr_sz', d, 5, type_bounded=True)} || "
+        f"{_vhex('1 - r_hdr_sz', d, 5, type_bounded=True)}"
         " || '01' || '00'",
     ))
     steps.append((

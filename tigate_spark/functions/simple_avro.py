@@ -47,7 +47,7 @@ import struct
 
 from pyspark.sql import DataFrame
 
-from tigate_spark.functions.craft import _dialect
+from tigate_spark.functions.craft import _dialect, _vhex
 
 # ---------------------------------------------------------------------------
 # python-side varint/literal helpers (constants baked into generated SQL)
@@ -92,39 +92,15 @@ def _vz(expr: str, d: dict, nbytes: int = 10, *,
     and lsb = the sign bit, byte 0 of zz is (w & 63)*2 + lsb and byte
     i>=1 is (w >> (7i-1)) & 127; the length ladder tests w < 2^(7n-1).
 
-    ``nbytes`` may shrink the CASE ladder ONLY when the input's TYPE
-    provably bounds its magnitude under 2^(7*nbytes-1) (string
-    byte-lengths < 2^31 fit nbytes=5). A ladder shorter than the input
-    domain makes its ELSE branch silently truncate high bits into
-    plausible-but-wrong wire bytes (the r12 ADVICE finding: pk=8192 on
-    a 2-byte ladder decoded as 0), so arbitrary int64 columns — pks,
-    table ids, timestamps, checksums — keep the full 10-byte ladder.
-    Ladder width never changes in-domain bytes: the WHEN branches pick
-    the canonical-minimal byte count from the value's magnitude."""
-    if not type_bounded:
-        nbytes = 10
-    # -((v)+1), NOT -(v)-1: negating INT64_MIN overflows before the -1
-    w = f"(CASE WHEN ({expr}) >= 0 THEN ({expr}) ELSE -(({expr}) + 1) END)"
-    lsb = f"(CASE WHEN ({expr}) >= 0 THEN 0 ELSE 1 END)"
-
-    def byte(i: int, last: bool) -> str:
-        if i == 0:
-            b = f"(({w}) & 63) * 2 + {lsb}"
-        else:
-            b = f"({d['shr'](w, 7 * i - 1)}) & 127"
-        if not last:
-            b = f"(({b}) | 128)"
-        return f"lpad(hex({b}), 2, '0')"
-
-    cases = []
-    for n in range(1, nbytes + 1):
-        body = " || ".join(byte(i, last=(i == n - 1)) for i in range(n))
-        if n < nbytes and 7 * n - 1 < 63:
-            cases.append(f"WHEN ({w}) < {1 << (7 * n - 1)} THEN {body}")
-        else:
-            cases.append(f"ELSE {body}")
-            break
-    return "CASE " + " ".join(cases) + " END"
+    Delegates to :func:`tigate_spark.functions.craft._vhex` — Avro's
+    long encoding IS craft's encodeVarint, and keeping ONE generator
+    keeps one safety envelope (r12 VERDICT #5: craft's old |v| < 2^62
+    form was the weaker sibling of this full-domain derivation).
+    ``nbytes`` may shrink the CASE ladder ONLY with ``type_bounded=True``
+    (the caller asserts the input's type bounds its magnitude under
+    2^(7*nbytes-1), e.g. string byte-lengths < 2^31 fit nbytes=5);
+    otherwise the full 10-byte ladder applies."""
+    return _vhex(expr, d, nbytes, type_bounded=type_bounded)
 
 
 def _strhex(expr: str, d: dict) -> str:
