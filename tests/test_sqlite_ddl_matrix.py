@@ -314,3 +314,88 @@ def test_rename_reprefixes_lane_indexes(lane):
         lane, "DROP INDEX `by_et` ON `app`.`t2`", "app", "t2", 1)
     assert out == "applied"          # NOT 'ignored' — the drop resolved
     assert "app__t2__by_et" not in _master(lane, "index")
+
+
+def test_rename_column_executes_and_replays(lane):
+    """r13: rename-column is an explicit action class executed natively
+    (SQLite ALTER TABLE ... RENAME COLUMN); replay lands in the
+    ErrBadField(1054) analog and is ignored."""
+    q = "ALTER TABLE `app`.`t1` RENAME COLUMN `event_type` TO `etype`"
+    assert exec_ddl_on_lane(lane, q, "app", "t1", 1) == "applied"
+    con = sqlite3.connect(lane)
+    cols = [r[1] for r in con.execute("PRAGMA table_info(app__t1)")]
+    con.close()
+    assert "etype" in cols and "event_type" not in cols
+    assert exec_ddl_on_lane(lane, q, "app", "t1", 1) == "ignored"
+
+
+@pytest.mark.parametrize("action,form", [
+    ("add-foreign-key",
+     "ALTER TABLE `app`.`t1` ADD CONSTRAINT `fk_u` FOREIGN KEY (`user_id`) "
+     "REFERENCES `app`.`users` (`id`)"),
+    ("add-foreign-key",
+     "ALTER TABLE `app`.`t1` ADD FOREIGN KEY (`user_id`) "
+     "REFERENCES `app`.`users` (`id`)"),
+    ("drop-foreign-key", "ALTER TABLE `app`.`t1` DROP FOREIGN KEY `fk_u`"),
+    ("partition",
+     "ALTER TABLE `app`.`t1` ADD PARTITION "
+     "(PARTITION p2 VALUES LESS THAN (3000))"),
+    ("partition", "ALTER TABLE `app`.`t1` DROP PARTITION p1"),
+    ("partition", "ALTER TABLE `app`.`t1` TRUNCATE PARTITION p1"),
+    ("partition",
+     "ALTER TABLE `app`.`t1` REORGANIZE PARTITION p1 INTO "
+     "(PARTITION p1a VALUES LESS THAN (100), "
+     "PARTITION p1b VALUES LESS THAN (200))"),
+    ("partition",
+     "ALTER TABLE `app`.`t1` EXCHANGE PARTITION p1 WITH TABLE `app`.`t1x`"),
+])
+def test_noop_classes_are_recognized_and_bookkept(lane, action, form):
+    """r13: FK and partition ops have no SQLite analog — they classify
+    explicitly (not raw-SQL fall-through), bookkeep in _ddl_noops, and
+    a replay reports 'ignored' via the bookkeeping key."""
+    got_action, stmts, _meta = translate_ddl_for_sqlite(form, "app", "t1")
+    assert got_action == action and stmts == []
+    assert exec_ddl_on_lane(lane, form, "app", "t1", 1) == "applied"
+    con = sqlite3.connect(lane)
+    noops = dict(con.execute("SELECT sql, action FROM _ddl_noops"))
+    con.close()
+    assert noops == {form: action}
+    assert exec_ddl_on_lane(lane, form, "app", "t1", 1) == "ignored"
+    # the table's data is untouched by the no-op
+    con = sqlite3.connect(lane)
+    assert con.execute("SELECT count(*) FROM app__t1").fetchone()[0] == 2
+    con.close()
+
+
+@pytest.mark.parametrize("q", [
+    "ALTER TABLE `app`.`t1` RENAME COLUMN `event_type` TO `etype`",
+    "ALTER TABLE `app`.`t1` ADD FOREIGN KEY (`user_id`) "
+    "REFERENCES `app`.`users` (`id`)",
+    "ALTER TABLE `app`.`t1` DROP FOREIGN KEY `fk_u`",
+    "ALTER TABLE `app`.`t1` EXCHANGE PARTITION p1 WITH TABLE `app`.`t1x`",
+    "ALTER TABLE `app`.`t1` REORGANIZE PARTITION p1 INTO "
+    "(PARTITION p1a VALUES LESS THAN (100))",
+])
+def test_new_classes_passthrough_verbatim_on_mysql_dialect(tmp_path, q):
+    """On a mysql-dialect backend every new class runs the ORIGINAL
+    statement verbatim — no no-op substitution, no bookkeeping tables."""
+    executed: list[str] = []
+
+    class _Cur:
+        def execute(self, sql, args=()):
+            executed.append(sql)
+
+    class _Con:
+        cursor = lambda self: _Cur()          # noqa: E731
+        commit = rollback = close = lambda self: None  # noqa: E731
+
+    class _StubMySQL:
+        scheme = dialect = "mysql"
+        error_class = (Exception,)
+        connect = lambda self, dsn: _Con()    # noqa: E731
+        classify = lambda self, exc: "fatal"  # noqa: E731
+
+    out = exec_ddl_on_lane(str(tmp_path / "lane-0.db"), q, "app", "t1", 1,
+                           driver=_StubMySQL())
+    assert out == "applied"
+    assert executed == [q]

@@ -2747,7 +2747,13 @@ WHERE rn = 1 AND op <> 'D'
         "re-create - state provably unchanged) and RENAME TABLE moves "
         "app.t2 to t2_archive with the _tables mapping following so the "
         "downstream read still resolves table_id 2 (replay skips via "
-        "the shouldExecDDLByTs-style state check). Every action's "
+        "the shouldExecDDLByTs-style state check). r13 widens the "
+        "matrix further: the lane index namespace follows the rename "
+        "(DROP INDEX on the new name resolves), RENAME COLUMN executes "
+        "natively with the ErrBadField replay class, and FK add/drop + "
+        "partition ops (add/exchange) classify as recognized no-ops "
+        "with _ddl_noops bookkeeping (replay = 'ignored'); a mysql "
+        "dialect gets all of them verbatim (unit-gated). Every action's "
         "exec/replay outcome is asserted; final state hash-matches the "
         "LWW + truncation oracle",
 )
@@ -2852,9 +2858,46 @@ def streaming_sqlite_ddl_matrix_e2e(spark: SparkSession,
             raise RuntimeError(f"RENAME exec/replay wrong: {out}, {replay}")
         con = sqlite3.connect(lane2)
         tabs = dict(con.execute("SELECT name, table_id FROM _tables"))
+        idx2 = {r[0] for r in con.execute(
+            "SELECT name FROM sqlite_master WHERE type='index'")}
         con.close()
         if tabs.get("app__t2_archive") != 2 or "app__t2" in tabs:
             raise RuntimeError(f"rename mapping did not follow: {tabs}")
+        # r13: the index namespace follows RENAME TABLE, so DROP INDEX
+        # against the NEW table name resolves (previously missed and
+        # was silently 'ignored')
+        if "app__t2_archive__by_et" not in idx2:
+            raise RuntimeError(f"index namespace did not follow: {idx2}")
+        if sink.exec_ddl("DROP INDEX `by_et` ON `app`.`t2_archive`",
+                         "app", "t2_archive", 2) != "applied":
+            raise RuntimeError("post-rename DROP INDEX did not resolve")
+        # r13 widened classes. rename-column: native execute + the
+        # ErrBadField(1054)-analog replay, then renamed back so state
+        # is untouched
+        rc = "ALTER TABLE `app`.`t0` RENAME COLUMN `event_type` TO `etype`"
+        outs = (sink.exec_ddl(rc, "app", "t0", 0),
+                sink.exec_ddl(rc, "app", "t0", 0),
+                sink.exec_ddl("ALTER TABLE `app`.`t0` RENAME COLUMN "
+                              "`etype` TO `event_type`", "app", "t0", 0))
+        if outs != ("applied", "ignored", "applied"):
+            raise RuntimeError(f"rename-column outcomes wrong: {outs}")
+        # FK + partition ops: recognized no-ops with bookkeeping on the
+        # sqlite dialect (verbatim passthrough on mysql — unit-gated);
+        # each applies once and replays 'ignored'
+        for noop in (
+            "ALTER TABLE `app`.`t0` ADD CONSTRAINT `fk_u` FOREIGN KEY "
+            "(`user_id`) REFERENCES `app`.`users` (`id`)",
+            "ALTER TABLE `app`.`t0` DROP FOREIGN KEY `fk_u`",
+            "ALTER TABLE `app`.`t0` ADD PARTITION "
+            "(PARTITION p2 VALUES LESS THAN (3000))",
+            "ALTER TABLE `app`.`t0` EXCHANGE PARTITION p2 "
+            "WITH TABLE `app`.`t0x`",
+        ):
+            pair = (sink.exec_ddl(noop, "app", "t0", 0),
+                    sink.exec_ddl(noop, "app", "t0", 0))
+            if pair != ("applied", "ignored"):
+                raise RuntimeError(f"no-op class outcomes wrong: {pair} "
+                                   f"for {noop}")
         state = sink.read_state(spark)
         after_t0 = sorted(
             r[:4] for r in state.filter("table_id = 0").collect())

@@ -172,6 +172,12 @@ def _ensure_meta(cur) -> None:
     cur.execute(
         "CREATE TABLE IF NOT EXISTS _write_source "
         "(k INTEGER PRIMARY KEY CHECK (k = 1), source_id INTEGER)")
+    # bookkeeping for recognized-no-op DDL classes (FK/partition ops on
+    # the sqlite dialect): one row per distinct statement; a replay hits
+    # the primary key and reports 'ignored'
+    cur.execute(
+        "CREATE TABLE IF NOT EXISTS _ddl_noops "
+        "(sql TEXT PRIMARY KEY, action TEXT, tbl TEXT)")
 
 
 class _LaneLock:
@@ -405,6 +411,23 @@ _DDL_FORMS = [
      rf"ALTER\s+TABLE\s+{_QI}\s+DROP\s+(?:INDEX|KEY)\s+`?(?P<name>\w+)`?\s*$"),
     ("drop-index",
      rf"DROP\s+INDEX\s+`?(?P<name>\w+)`?\s+ON\s+{_QI}\s*$"),
+    # r13: previously-fall-through classes get explicit actions
+    # (persist_storage.go:812-939 — ActionRenameColumn, ActionAdd/Drop-
+    # ForeignKey, ActionAdd/Drop/Truncate/Exchange/ReorganizePartition)
+    ("rename-column",
+     rf"ALTER\s+TABLE\s+{_QI}\s+RENAME\s+COLUMN\s+`?(?P<old>\w+)`?\s+"
+     rf"TO\s+`?(?P<new>\w+)`?\s*$"),
+    ("add-foreign-key",
+     rf"ALTER\s+TABLE\s+{_QI}\s+ADD\s+"
+     rf"(?:CONSTRAINT\s+`?(?P<name>\w+)`?\s+)?FOREIGN\s+KEY\s*"
+     rf"\((?P<cols>[^)]+)\)\s*REFERENCES\s+.+$"),
+    ("drop-foreign-key",
+     rf"ALTER\s+TABLE\s+{_QI}\s+DROP\s+FOREIGN\s+KEY\s+"
+     rf"`?(?P<name>\w+)`?\s*$"),
+    ("partition",
+     rf"ALTER\s+TABLE\s+{_QI}\s+"
+     rf"(?P<verb>ADD|DROP|TRUNCATE|COALESCE|REORGANIZE|EXCHANGE)\s+"
+     rf"PARTITION\b(?P<rest>.*)$"),
     ("rename-table",
      rf"RENAME\s+TABLE\s+{_QI}\s+TO\s+"
      rf"(?:`(?P<schema2>[^`]+)`\s*\.\s*)?`?(?P<table2>\w+)`?\s*$"),
@@ -435,7 +458,20 @@ _ACTION_IGNORABLE = {
     "rename-table": ("no such table",),
     "drop-table": ("no such table",),
     "drop-index": ("no such index",),
+    # rename-column replay: the old column is gone after the original
+    # applied (ErrBadField(1054) analog)
+    "rename-column": ("no such column",),
 }
+
+#: action classes with no physical SQLite form (FKs are table-creation-
+#: time only in SQLite without a rebuild; partitioning is a MySQL
+#: storage-layout concept with no SQLite analog) — executed as
+#: RECOGNIZED no-ops with bookkeeping in `_ddl_noops`, while a
+#: mysql-dialect backend gets the original statement verbatim via the
+#: passthrough path (persist_storage.go:812-939 tracks them; the
+#: reference's writer runs the raw SQL, mysql_writer.go:600-668)
+_NOOP_ACTIONS = frozenset({"add-foreign-key", "drop-foreign-key",
+                           "partition"})
 
 
 def _sqlite_decl(mysql_decl: str) -> str:
@@ -480,6 +516,16 @@ def translate_ddl_for_sqlite(query: str, schema: str, table: str
         if action == "drop-index":
             return action, [f"DROP INDEX `{tbl}__{g['name']}`"], {
                 "index": g["name"]}
+        if action == "rename-column":
+            return action, [
+                f"ALTER TABLE `{tbl}` RENAME COLUMN "
+                f"`{g['old']}` TO `{g['new']}`"], {
+                "old": g["old"], "new": g["new"]}
+        if action in _NOOP_ACTIONS:
+            # recognized no-op on the sqlite dialect; bookkept so replay
+            # detection and audits see it (the mysql dialect never gets
+            # here — passthrough runs the original statement verbatim)
+            return action, [], {"verb": (g.get("verb") or "").upper()}
         if action == "rename-table":
             new = _local_name(g.get("schema2") or schema, g["table2"])
             return action, [f"ALTER TABLE `{tbl}` RENAME TO `{new}`"], {
@@ -620,6 +666,15 @@ def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
                 if action == "modify-column":
                     _rebuild_modify_column(cur, tbl, meta["column"],
                                            meta["decl"])
+                elif action in _NOOP_ACTIONS:
+                    # recognized no-op: bookkeep once; a replay hits the
+                    # primary key and reports 'ignored' like any other
+                    # already-applied action
+                    cur.execute(
+                        "INSERT OR IGNORE INTO _ddl_noops VALUES (?, ?, ?)",
+                        (query.strip().rstrip(";"), action, tbl))
+                    if cur.rowcount == 0:
+                        outcome = "ignored"
                 else:
                     for s in stmts:
                         cur.execute(s)
