@@ -994,3 +994,68 @@ def test_storage_file_expiration_prunes_old_dates(spark, sf_dir,
             ),
             chunked_source, str(tmp_path / "bad"),
         )
+
+
+def test_simple_avro_changelog_lane(spark, sf_dir, chunked_source, tmp_path):
+    """protocol=simple&encoding-format=avro: every changelog VALUE is a
+    decodable com.pingcap.simple.avro binary Message (hex), value-only
+    (no key column), byte-identical to the batch encoder."""
+    from tigate_spark.functions.simple_avro import (
+        decode_message,
+        encode_simple_avro,
+    )
+
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-sa",
+        sink_uri="changelog://?protocol=simple&encoding-format=avro")
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    assert cfg.sink.encoding_format == "avro"  # URI overlay applied
+    cf.run_to_completion()
+    log = spark.read.parquet(cf.sink.out_dir)
+    assert "key" not in log.columns  # simple messages are value-only
+    ch = changes_stream(spark, sf_dir)
+    assert log.count() == ch.count()
+    for r in log.select("value").limit(20).collect():
+        m = decode_message(bytes.fromhex(r["value"]))
+        assert m["type"] == "DML"
+    # byte-identity with the batch encoder on a sample
+    want = {r["seq"]: r["message_hex"] for r in
+            encode_simple_avro(ch).select("seq", "message_hex")
+            .limit(100).collect()}
+    got = {r["seq"]: r["value"] for r in
+           log.filter(F.col("seq").isin(*want)).collect()}
+    assert got == want
+
+
+def test_simple_json_changelog_lane(spark, sf_dir, chunked_source, tmp_path):
+    """protocol=simple (default encoding-format=json): messages are the
+    simple-JSON row messages, matching the batch encoder."""
+    cfg = ChangefeedConfig(changefeed_id="cf-sj",
+                           sink_uri="changelog://?protocol=simple")
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    cf.run_to_completion()
+    log = spark.read.parquet(cf.sink.out_dir)
+    ch = changes_stream(spark, sf_dir)
+    assert log.count() == ch.count()
+    for r in log.select("message").limit(20).collect():
+        msg = json.loads(r["message"])
+        assert msg["version"] == 1
+        assert ("data" in msg) or ("old" in msg)
+
+
+def test_encoding_format_validations(spark, chunked_source, tmp_path):
+    """encoding-format validates at create: unknown values reject, and
+    avro belongs to the simple codec only (per-protocol option parity)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown encoding-format"):
+        Changefeed(spark, ChangefeedConfig(
+            changefeed_id="bad-ef",
+            sink_uri="changelog://?protocol=simple&encoding-format=capnp"),
+            chunked_source, str(tmp_path))
+    with _pytest.raises(ValueError,
+                        match="encoding-format avro is not supported"):
+        Changefeed(spark, ChangefeedConfig(
+            changefeed_id="bad-ef2",
+            sink_uri="changelog://?protocol=canal-json&encoding-format=avro"),
+            chunked_source, str(tmp_path))

@@ -1847,6 +1847,74 @@ def consumer_compressed_apply_e2e(spark: SparkSession,
 
 
 @register(
+    "consumer_simple_avro_apply_e2e",
+    _STREAM_ORACLE,
+    doc="The simple-protocol AVRO wire under the streaming engine (K8 "
+        "pattern, sixth consumer family): a changefeed with protocol="
+        "simple&encoding-format=avro (marshaller.go:50-56 dispatch) "
+        "encodes every change as the com.pingcap.simple.avro binary "
+        "Message riding as a hex changelog VALUE (value-only — simple "
+        "messages carry no key), and the consumer half decodes each "
+        "value with the INDEPENDENT schema-driven Python Avro reader "
+        "(decode_simple_avro_for_apply) and merges through the same "
+        "ReplicaSink — the final replica hash-matches the direct-path "
+        "LWW oracle, proving encode∘route∘decode∘apply composes to "
+        "identity through a real multi-batch streaming run, not just "
+        "the batch entries",
+)
+def consumer_simple_avro_apply_e2e(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.simple_avro import (
+        decode_simple_avro_for_apply,
+    )
+    from tigate_spark.streaming.changefeed import Changefeed
+    from tigate_spark.streaming.sinks import ReplicaSink, read_replica
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        ev = spark.read.parquet(src)
+        if ev.count() != ev.select("ts").distinct().count():
+            raise RuntimeError(
+                "simple-avro carries no start_ts: consumer LWW needs "
+                "a commit-ts tie-free corpus")
+        flat, land = split_commit_order(spark, src, os.path.join(work, "p"), 3)
+        for k in range(3):
+            land(k)
+        cfg = ChangefeedConfig(
+            changefeed_id="producer-simple-avro",
+            sink_uri="changelog://?protocol=simple&encoding-format=avro")
+        cfp = Changefeed(spark, cfg, flat, os.path.join(work, "pw"))
+        cfp.run_to_completion()
+        topic = cfp.sink.out_dir
+        raw = (
+            spark.readStream.schema(spark.read.parquet(topic).schema)
+            .option("maxFilesPerTrigger", "8")
+            .parquet(topic)
+            .select("value", "seq")
+        )
+        sink = ReplicaSink(os.path.join(work, "replica"),
+                           ["event_type", "value_cents"])
+        q = (
+            decode_simple_avro_for_apply(raw)
+            .writeStream.foreachBatch(sink.process_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        rep = read_replica(spark, sink.state_dir).select(
+            "table_id", "pk", F.col("commit_ts").alias("last_commit_ts"),
+            "event_type", "value_cents",
+        )
+        return _materialize(rep)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "consumer_kafka_wire_apply_e2e",
     _STREAM_ORACLE,
     doc="The MQ transport SEAM under the external oracle — the r11 "

@@ -129,6 +129,11 @@ class SinkConfig:
     #: as large-message-handle-compression, large_message.go:33).
     #: none|gzip|zlib executable here; lz4/zstd behind import-gates
     compression: str = "none"
+    #: simple-protocol marshaller dispatch (``pkg/sink/codec/simple/
+    #: marshaller.go:50-56`` EncodingFormat): 'json' (the default) or
+    #: 'avro' (the embedded com.pingcap.simple.avro binary wire). Only
+    #: meaningful for protocol='simple' — validated at create
+    encoding_format: str = "json"
 
 
 @dataclass

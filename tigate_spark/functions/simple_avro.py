@@ -625,3 +625,31 @@ def decode_simple_avro_bootstrap(df: DataFrame,
                                _BOOT_OUT_SCHEMA.split(", ")])
 
     return df.mapInPandas(fn, _BOOT_OUT_SCHEMA)
+
+
+def decode_simple_avro_for_apply(df: DataFrame, hex_col: str = "value",
+                                 seq_col: str = "seq") -> DataFrame:
+    """Consumer-side decode of simple-Avro changelog VALUES into the
+    apply shape the merge/sink operators consume (the open/canal
+    consumers' column contract — ``decode_open_for_apply``). start_ts is
+    not on the wire (emitted 0), so LWW correctness rests on a
+    commit-ts tie-free corpus, the same precondition the other consumer
+    families assert. DELETE rows surface the before image — the wire's
+    pinned pre-update derivation (value_cents - 100) — which only
+    routes the delete; LWW drops the payload."""
+    from pyspark.sql import functions as F
+
+    dec = decode_simple_avro_rows(df, hex_col=hex_col, seq_col=seq_col)
+    return dec.select(
+        F.col("database").alias("schema_name"),
+        "table_name",
+        "table_id",
+        "op",
+        F.lit(0).cast("bigint").alias("start_ts"),
+        "commit_ts",
+        F.col("seq").cast("bigint").alias("seq"),
+        "pk",
+        "event_type",
+        "value_cents",
+        "user_id",
+    )

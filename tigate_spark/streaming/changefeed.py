@@ -60,6 +60,9 @@ def _apply_sink_uri_options(cfg: ChangefeedConfig) -> dict:
         return q
     if "protocol" in q:
         cfg.sink.protocol = q["protocol"][0]
+    if "encoding-format" in q:
+        # simple-protocol marshaller dispatch (marshaller.go:50-56)
+        cfg.sink.encoding_format = q["encoding-format"][0]
     if "partition-num" in q:
         n = int(q["partition-num"][0])
         if n <= 0:
@@ -164,6 +167,20 @@ class Changefeed:
                 f"large message handle is set to "
                 f"{cfg.sink.large_message_handle}, protocol is "
                 f"{cfg.sink.protocol}, it's not supported")
+        if cfg.sink.encoding_format not in ("", "json", "avro"):
+            # marshaller.go:50-56: the simple codec dispatches on
+            # EncodingFormat json|avro only
+            raise ValueError(
+                f"unknown encoding-format {cfg.sink.encoding_format!r}, "
+                "only json and avro are supported")
+        if (cfg.sink.encoding_format == "avro"
+                and cfg.sink.protocol != "simple"):
+            # the option belongs to the simple codec; another protocol
+            # would silently ignore it — reject like the per-protocol
+            # option validation above
+            raise ValueError(
+                f"encoding-format avro is not supported by protocol "
+                f"{cfg.sink.protocol}")
         if cfg.sink.compression not in ("", "none"):
             # compression.Supported (large_message.go:57-59) — create-time
             from tigate_spark.functions.compress import ensure_supported
@@ -506,6 +523,25 @@ class Changefeed:
                     .withColumn("key", F.col("key_hex"))
                     .withColumn("value", F.col("value_hex"))
                 )
+            elif (self.cfg.sink.protocol == "simple"
+                  and self.cfg.sink.encoding_format == "avro"):
+                # simple protocol, Avro encoding format (marshaller.go:
+                # 50-56 dispatch): the com.pingcap.simple.avro binary
+                # wire rides as a hex VALUE (simple messages are
+                # value-only — no key), byte-exact vs the batch encoder
+                # entry; pure column expressions, zero Python
+                from tigate_spark.functions.simple_avro import (
+                    encode_simple_avro,
+                )
+
+                batch = encode_simple_avro(batch, out_col="value")
+            elif self.cfg.sink.protocol == "simple":
+                # simple protocol, JSON encoding format
+                from tigate_spark.functions.encoders import (
+                    encode_simple_protocol,
+                )
+
+                batch = encode_simple_protocol(batch)
             else:
                 batch = encode_canal_json(batch)
             if self.cfg.sink.large_message_handle == "claim-check":
@@ -522,7 +558,11 @@ class Changefeed:
                     # open/codec.go:85 counts compressed bytes), exactly
                     # like the ErrMessageTooLarge guard below; otherwise
                     # offload would trigger at ~half the threshold
-                    is_hex = self.cfg.sink.compression not in ("", "none")
+                    # ... and the simple-Avro binary wire also rides hex
+                    is_hex = (
+                        self.cfg.sink.compression not in ("", "none")
+                        or (self.cfg.sink.protocol == "simple"
+                            and self.cfg.sink.encoding_format == "avro"))
                     batch = claim_check(
                         batch, self.cfg.sink.large_message_threshold,
                         msg_col="value", value_is_hex=is_hex,
@@ -540,8 +580,10 @@ class Changefeed:
                 limit = self.cfg.sink.large_message_threshold
                 if "message" in batch.columns:  # canal-json
                     guards = [("message", F.octet_length(F.col("message")))]
-                elif self.cfg.sink.protocol == "avro":
-                    # Confluent framing rides as HEX strings: 2 chars/byte
+                elif self.cfg.sink.protocol == "avro" or (
+                        self.cfg.sink.protocol == "simple"
+                        and self.cfg.sink.encoding_format == "avro"):
+                    # Avro binary wires ride as HEX strings: 2 chars/byte
                     guards = [("value",
                                F.octet_length(F.col("value")) / 2)]
                 elif self.cfg.sink.protocol == "open-protocol":
