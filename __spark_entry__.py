@@ -37,61 +37,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #: scan, the claim-check hex sizing fix, the compress seam's snappy
 #: gate, the r12-audited frame parser and kafka/dbapi seams behind the
 #: new real-client adapters); positions 21-50 are the ENTIRE r5
-#: freshness cohort (VERDICT r11 task #1 — drain it: after this window
-#: no catalog entry's latest external green predates r7). The
-#: remainder is the full catalog freshness-ascending by latest
-#: external green round (computed from CORRECTNESS_r*.json).
+#: r13 window (first ~50 = the external driver cap): 3 new-this-round
+#: entries, 3 changed-critical wires (the varint unification + widened
+#: DDL matrix), then the ENTIRE r7 freshness cohort (44 — VERDICT r12
+#: task #1: after this window no entry's latest external green
+#: predates r8). Remainder: other r13-touched families, then the full
+#: catalog freshness-ascending (computed from CORRECTNESS_r*.json via
+#: tools/freshness.py).
 _PRIORITY = [
+    'consumer_simple_avro_apply_e2e',
+    'multimodal_flac_decode',
+    'dedup_audio_fingerprint_flac',
     'encoder_simple_avro',
     'decoder_simple_avro',
-    'encoder_simple_avro_checksum',
-    'encoder_simple_avro_bootstrap',
-    'decoder_simple_avro_bootstrap',
-    'encoder_simple_avro_watermark',
-    'encoder_simple_avro_ddl',
     'streaming_sqlite_ddl_matrix_e2e',
-    'streaming_sqlite_ddl_apply_e2e',
-    'streaming_sqlite_apply_e2e',
-    'engine_lifecycle_e2e',
-    'engine_multifeed_e2e',
-    'engine_crash_resume_e2e',
-    'claim_check_round_trip',
-    'encoder_claim_check',
-    'encoder_canal_claim_check',
-    'encoder_open_claim_check',
-    'decoder_open_compressed',
-    'consumer_compressed_apply_e2e',
-    'consumer_kafka_wire_apply_e2e',
-    'corpus_mix_stats',
-    'decontaminate_vs_eval',
-    'dedup_embedding_exact',
-    'dedup_minhash_signature',
-    'dedup_semantic_semdedup',
-    'dedup_simhash_pairs',
-    'embed_dim_stats',
-    'join_semi_anti_keys',
-    'sample_quality_weighted',
-    'setop_distinct_segments',
-    'setop_except_keys',
-    'sim_ivf_trained_topk',
-    'sim_lsh_bucket',
-    'sink_batch_progress',
-    'sink_checkpoint_messages',
-    'text_chunk_documents',
-    'text_mask_pii',
-    'text_repetition_score',
-    'tpch_q10_returned_items',
-    'tpch_q11_important_stock',
-    'tpch_q12_priority_by_status',
-    'tpch_q15_top_supplier',
-    'tpch_q18_large_volume_orders',
-    'tpch_q19_disjunctive_filter',
-    'tpch_q20_part_promotion',
-    'tpch_q22_idle_customers',
-    'tpch_q2_top_supplier_per_part',
-    'tpch_q7_nation_volume',
-    'tpch_q9_product_profit',
-    'window_ntile_rank',
     'agg_events_per_type_hour',
     'agg_props_json_profile',
     'bpe_merge_apply',
@@ -136,6 +95,17 @@ _PRIORITY = [
     'streaming_window_append_e2e',
     'text_gopher_quality_flags',
     'text_lm_score',
+    'encoder_craft_framed',
+    'encoder_craft_batch_framed',
+    'encoder_craft_resolved',
+    'encoder_simple_avro_checksum',
+    'encoder_simple_avro_watermark',
+    'encoder_simple_avro_bootstrap',
+    'decoder_simple_avro_bootstrap',
+    'encoder_simple_avro_ddl',
+    'streaming_sqlite_apply_e2e',
+    'streaming_sqlite_ddl_apply_e2e',
+    'streaming_sqlite_bookkeeping_e2e',
     'apply_incremental_agg',
     'apply_incremental_join',
     'apply_scd2_history',
@@ -151,9 +121,6 @@ _PRIORITY = [
     'embed_label_outliers',
     'embed_pq_encode',
     'encoder_avro_confluent_framed',
-    'encoder_craft_batch_framed',
-    'encoder_craft_framed',
-    'encoder_craft_resolved',
     'encoder_csv_rows',
     'encoder_debezium',
     'encoder_mysql_sql',
@@ -301,7 +268,6 @@ _PRIORITY = [
     'projection_updated_columns',
     'route_topic_partition',
     'schema_asof_join',
-    'streaming_sqlite_bookkeeping_e2e',
     'syncpoint_ticks',
     'tpch_q13_customer_distribution',
     'tpch_q17_small_quantity_revenue',
@@ -311,6 +277,46 @@ _PRIORITY = [
     'window_lag_interarrival',
     'window_range_1h_sum',
     'window_running_balance',
+    'claim_check_round_trip',
+    'consumer_compressed_apply_e2e',
+    'consumer_kafka_wire_apply_e2e',
+    'corpus_mix_stats',
+    'decoder_open_compressed',
+    'decontaminate_vs_eval',
+    'dedup_embedding_exact',
+    'dedup_minhash_signature',
+    'dedup_semantic_semdedup',
+    'dedup_simhash_pairs',
+    'embed_dim_stats',
+    'encoder_canal_claim_check',
+    'encoder_claim_check',
+    'encoder_open_claim_check',
+    'engine_crash_resume_e2e',
+    'engine_lifecycle_e2e',
+    'engine_multifeed_e2e',
+    'join_semi_anti_keys',
+    'sample_quality_weighted',
+    'setop_distinct_segments',
+    'setop_except_keys',
+    'sim_ivf_trained_topk',
+    'sim_lsh_bucket',
+    'sink_batch_progress',
+    'sink_checkpoint_messages',
+    'text_chunk_documents',
+    'text_mask_pii',
+    'text_repetition_score',
+    'tpch_q10_returned_items',
+    'tpch_q11_important_stock',
+    'tpch_q12_priority_by_status',
+    'tpch_q15_top_supplier',
+    'tpch_q18_large_volume_orders',
+    'tpch_q19_disjunctive_filter',
+    'tpch_q20_part_promotion',
+    'tpch_q22_idle_customers',
+    'tpch_q2_top_supplier_per_part',
+    'tpch_q7_nation_volume',
+    'tpch_q9_product_profit',
+    'window_ntile_rank',
 ]
 
 
