@@ -48,6 +48,8 @@ _PRIORITY = [
     'consumer_simple_avro_apply_e2e',
     'multimodal_flac_decode',
     'dedup_audio_fingerprint_flac',
+    'encoder_open_compressed_snappy',
+    'decoder_open_compressed_lz4',
     'encoder_simple_avro',
     'decoder_simple_avro',
     'streaming_sqlite_ddl_matrix_e2e',

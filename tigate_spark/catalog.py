@@ -2446,6 +2446,113 @@ def decoder_open_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "encoder_open_compressed_snappy",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq,
+  printf('{"ts":%d,"scm":"%s","tbl":"%s","t":1}', commit_ts, schema_name, table_name) AS key,
+  CASE WHEN op = 'U' THEN printf('{"u":%s,"p":%s}', after, before)
+       WHEN op = 'I' THEN printf('{"u":%s}', after)
+       ELSE printf('{"d":%s}', before) END AS value
+FROM changes
+""",
+    doc="E6 on the REFERENCE codec set: per-value snappy raw-block "
+        "compression (pkg/compression none/lz4/snappy — the Go side is "
+        "snappy.Encode/Decode, the raw block format) via the from-spec "
+        "pure-Python twin (functions/snappy_codec.py), round-tripped and "
+        "hash-matched against the independent PLAIN oracle; unlike the "
+        "gzip/zlib engine-extension wires this one is readable by "
+        "reference consumers",
+)
+def encoder_open_compressed_snappy(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.compress import compress_col, decompress_col
+    from tigate_spark.functions.encoders import encode_open_protocol
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    enc = encode_open_protocol(ch)
+    wire = compress_col(F.encode(F.col("value"), "UTF-8"), "snappy")
+    back = F.decode(decompress_col(wire, "snappy"), "UTF-8")
+    return enc.select("seq", "key", back.alias("value"))
+
+
+@register(
+    "decoder_open_compressed_lz4",
+    ORACLE_CHANGES_CTE
+    + f"""
+, msgs AS (
+  SELECT seq,
+    'app_' || table_name AS topic,
+    {h32_sql('pk')} % 16 AS partition,
+    commit_ts, schema_name, table_name, op,
+    CASE WHEN op = 'D' THEN before ELSE after END AS live
+  FROM changes
+), lanes AS (
+  SELECT *, (row_number() OVER (PARTITION BY topic, partition ORDER BY seq) - 1)
+            // 1024 AS batch_seq
+  FROM msgs
+)
+SELECT topic, partition, batch_seq, commit_ts, schema_name, table_name, op,
+  CAST(json_extract(live, '$.pk') AS BIGINT) AS pk,
+  json_extract_string(live, '$.event_type') AS event_type,
+  CAST(json_extract(live, '$.value_cents') AS BIGINT) AS value_cents,
+  CAST(json_extract(live, '$.user_id') AS BIGINT) AS user_id
+FROM lanes
+""",
+    doc="E6/E7 on the reference's lz4 lane: per-value LZ4 FRAME "
+        "compression (pkg/compression lz4 = lz4.NewWriter frame format) "
+        "via the from-spec twin (functions/lz4_codec.py: block matcher + "
+        "frame layout + xxHash32) BEFORE framing — the 8B length prefix "
+        "counts COMPRESSED bytes (open/codec.go:85) — then the framed "
+        "batches parsed back, values frame-decompressed (content "
+        "checksum verified per value) and decoded to the apply shape; "
+        "oracle rebuilds the corpus from the plain stream",
+)
+def decoder_open_compressed_lz4(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.compress import compress_col, decompress_col
+    from tigate_spark.functions.encoders import (
+        decode_open_batch_framed,
+        encode_open_batch_framed,
+        encode_open_protocol,
+    )
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    enc = encode_open_protocol(ch).withColumn(
+        "topic", F.format_string("app_%s", F.col("table_name"))
+    ).withColumn("partition", (h32(F.col("pk")) % 16))
+    enc = enc.withColumn(
+        "value", F.hex(compress_col(F.encode(F.col("value"), "UTF-8"), "lz4"))
+    )
+    framed = encode_open_batch_framed(enc, value_is_hex=True)
+    msgs = decode_open_batch_framed(framed)
+    plain = F.decode(
+        decompress_col(F.unhex(F.col("value_hex")), "lz4"), "UTF-8")
+    img = "STRUCT<pk BIGINT, event_type STRING, value_cents BIGINT, user_id BIGINT>"
+    k = F.from_json(F.col("key"), "ts BIGINT, scm STRING, tbl STRING, t BIGINT")
+    v = F.from_json(plain, f"u {img}, p {img}, d {img}")
+    parsed = msgs.select("topic", "partition", "batch_seq",
+                         k.alias("k"), v.alias("v"))
+    op = (
+        F.when(F.col("v.u").isNotNull() & F.col("v.p").isNotNull(), "U")
+        .when(F.col("v.u").isNotNull(), "I")
+        .otherwise("D")
+    )
+    live = F.when(op == "D", F.col("v.d")).otherwise(F.col("v.u"))
+    return parsed.select(
+        "topic", "partition", "batch_seq",
+        F.col("k.ts").alias("commit_ts"),
+        F.col("k.scm").alias("schema_name"),
+        F.col("k.tbl").alias("table_name"),
+        op.alias("op"),
+        live.getField("pk").alias("pk"),
+        live.getField("event_type").alias("event_type"),
+        live.getField("value_cents").alias("value_cents"),
+        live.getField("user_id").alias("user_id"),
+    )
+
+
+@register(
     "convert_canal_to_avro",
     ORACLE_CHANGES_CTE
     + """

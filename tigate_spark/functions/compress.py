@@ -4,15 +4,18 @@
 ``pkg/sink/codec/common/compress.go:23-41``), validated at config time
 (``pkg/config/large_message.go:52-59`` ``compression.Supported``).
 
-Codecs: ``none`` (identity), ``gzip``/``zlib`` (stdlib, always on),
-``lz4``/``snappy``/``zstd`` behind import-gates (the reference's set is
-none/lz4/snappy, ``pkg/compression/compression.go``; those libs aren't
-in this container — the seam raises the reference's "compression is not
-supported" error when absent). NOTE: gzip/zlib are ENGINE EXTENSIONS —
-a gzip/zlib wire is not readable by reference consumers, and the config
-error text flags them as non-reference-interoperable so an operator
-pointed at a reference consumer picks lz4/snappy. The gzip wire pins
-``mtime=0`` so compressed bytes are deterministic across executors.
+Codecs: ``none`` (identity), ``gzip``/``zlib`` (stdlib), and the
+REFERENCE set ``lz4``/``snappy`` — native libs when importable, else
+the from-spec pure-Python twins (``snappy_codec.py`` raw block format =
+``snappy.Encode`` twin; ``lz4_codec.py`` frame format = ``lz4.
+NewWriter`` twin, xxHash32 included), so the reference's wire codecs
+(``pkg/compression/compression.go``: none/lz4/snappy) are ALWAYS
+executable here and the wires interoperate with reference consumers.
+``zstd`` stays import-gated (not in the reference's set). NOTE:
+gzip/zlib remain ENGINE EXTENSIONS — a gzip/zlib wire is not readable
+by reference consumers, and their error text says so. The gzip wire
+pins ``mtime=0`` so compressed bytes are deterministic across
+executors.
 
 Column forms are Arrow-batched pandas UDFs (binary → binary): there is
 no JVM-side SQL compress function, and per-value DEFLATE is exactly the
@@ -69,13 +72,13 @@ REFERENCE_INTEROP = ("none", "lz4", "snappy")
 
 
 def supported(cc: str) -> bool:
-    """``compression.Supported`` twin — known AND executable here."""
-    if cc in ("none", "gzip", "zlib"):
+    """``compression.Supported`` twin — known AND executable here.
+
+    The reference codecs lz4/snappy are always executable (from-spec
+    fallbacks); only zstd still depends on its lib being present.
+    """
+    if cc in ("none", "gzip", "zlib", "lz4", "snappy"):
         return True
-    if cc == "lz4":
-        return _lz4_mod() is not None
-    if cc == "snappy":
-        return _snappy_mod() is not None
     if cc == "zstd":
         return _zstd_mod() is not None
     return False
@@ -86,10 +89,9 @@ def ensure_supported(cc: str) -> None:
     if not supported(cc):
         raise ValueError(
             f"compression is not supported, got {cc!r} "
-            f"(executable here: none/gzip/zlib; reference codecs "
-            f"lz4/snappy need their libs installed; gzip/zlib wires "
-            f"are engine extensions NOT readable by reference "
-            f"consumers)")
+            f"(executable here: none/gzip/zlib/lz4/snappy; zstd needs "
+            f"its lib installed; gzip/zlib wires are engine extensions "
+            f"NOT readable by reference consumers)")
 
 
 def compress_bytes(cc: str, data: bytes) -> bytes:
@@ -103,10 +105,16 @@ def compress_bytes(cc: str, data: bytes) -> bytes:
         mod = _lz4_mod()
         if mod is not None:
             return mod.compress(data)
+        from tigate_spark.functions import lz4_codec
+
+        return lz4_codec.frame_compress(data)
     if cc == "snappy":
         mod = _snappy_mod()
         if mod is not None:
             return mod.compress(data)
+        from tigate_spark.functions import snappy_codec
+
+        return snappy_codec.compress(data)
     if cc == "zstd":
         mod = _zstd_mod()
         if mod is not None:
@@ -125,10 +133,16 @@ def decompress_bytes(cc: str, data: bytes) -> bytes:
         mod = _lz4_mod()
         if mod is not None:
             return mod.decompress(data)
+        from tigate_spark.functions import lz4_codec
+
+        return lz4_codec.frame_decompress(data)
     if cc == "snappy":
         mod = _snappy_mod()
         if mod is not None:
             return mod.decompress(data)
+        from tigate_spark.functions import snappy_codec
+
+        return snappy_codec.decompress(data)
     if cc == "zstd":
         mod = _zstd_mod()
         if mod is not None:

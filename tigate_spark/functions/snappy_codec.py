@@ -1,0 +1,206 @@
+"""From-spec Snappy raw-block codec (pure Python, no external lib).
+
+The reference's per-message wire compression set is none/lz4/snappy
+(tiflow ``pkg/compression``, used by ``pkg/sink/codec/common/
+compress.go:23-41`` — the Go side calls ``snappy.Encode``/``Decode``,
+i.e. the RAW BLOCK format, not the framing format). This module
+implements that block format from the public format description
+(google/snappy ``format_description.txt``) so the seam can produce and
+consume reference-interoperable snappy wires even when python-snappy
+is absent, the same posture as the from-spec JPEG/PNG/GIF/ADPCM/FLAC
+codec families.
+
+Format recap (from the spec):
+
+- Preamble: uncompressed length as a little-endian varint (7 data bits
+  per byte, MSB = continuation).
+- Elements, each led by a tag byte whose two low bits select the type:
+  - ``00`` literal — ``tag>>2`` is length-1 for 0..59; 60..63 mean the
+    next 1..4 bytes hold length-1 little-endian.
+  - ``01`` copy, 1-byte offset — length ``((tag>>2)&7)+4`` (4..11),
+    offset ``((tag>>5)<<8) | next`` (0..2047).
+  - ``10`` copy, 2-byte offset — length ``(tag>>2)+1`` (1..64), offset
+    2-byte LE.
+  - ``11`` copy, 4-byte offset — same lengths, offset 4-byte LE.
+- Copies may overlap forward (offset < length runs the pattern).
+
+The encoder is a greedy 4-byte-hash matcher over 64 KiB input
+fragments (offsets therefore always fit 2 bytes); any spec-conforming
+decoder — including the reference's — reads its output. Compression
+parity with the C++/Go encoders is NOT a goal (the format does not
+require identical bytes); losslessness and interop are, and the
+round-trip + golden tests pin both.
+"""
+
+from __future__ import annotations
+
+
+class SnappyError(ValueError):
+    """Corrupt or truncated snappy stream."""
+
+
+def _read_uvarint(data: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(data):
+            raise SnappyError("truncated varint preamble")
+        b = data[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 35:
+            raise SnappyError("varint preamble too long")
+
+
+def _write_uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decompress(data: bytes) -> bytes:
+    """Decode a raw snappy block (``snappy.Decode`` twin)."""
+    expected, pos = _read_uvarint(data, 0)
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                extra = ln - 59
+                if pos + extra > n:
+                    raise SnappyError("truncated literal length")
+                ln = int.from_bytes(data[pos:pos + extra], "little")
+                pos += extra
+            ln += 1
+            if pos + ln > n:
+                raise SnappyError("truncated literal body")
+            out += data[pos:pos + ln]
+            pos += ln
+            continue
+        if kind == 1:
+            ln = ((tag >> 2) & 7) + 4
+            if pos >= n:
+                raise SnappyError("truncated copy-1 offset")
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:
+            ln = (tag >> 2) + 1
+            if pos + 2 > n:
+                raise SnappyError("truncated copy-2 offset")
+            off = int.from_bytes(data[pos:pos + 2], "little")
+            pos += 2
+        else:
+            ln = (tag >> 2) + 1
+            if pos + 4 > n:
+                raise SnappyError("truncated copy-4 offset")
+            off = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise SnappyError(f"copy offset {off} out of range at {pos}")
+        src = len(out) - off
+        if off >= ln:
+            out += out[src:src + ln]
+        else:  # overlapping copy: the pattern repeats forward
+            for i in range(ln):
+                out.append(out[src + i])
+    if len(out) != expected:
+        raise SnappyError(
+            f"decoded {len(out)} bytes, preamble said {expected}")
+    return bytes(out)
+
+
+def _emit_literal(out: bytearray, lit: bytes) -> None:
+    n = len(lit) - 1
+    if n < 60:
+        out.append(n << 2)
+    elif n < (1 << 8):
+        out.append(60 << 2)
+        out.append(n)
+    elif n < (1 << 16):
+        out.append(61 << 2)
+        out += n.to_bytes(2, "little")
+    elif n < (1 << 24):
+        out.append(62 << 2)
+        out += n.to_bytes(3, "little")
+    else:
+        out.append(63 << 2)
+        out += n.to_bytes(4, "little")
+    out += lit
+
+
+def _emit_copy(out: bytearray, off: int, ln: int) -> None:
+    # the C++ EmitCopy split: chunks of 64, never leaving a tail < 4
+    while ln >= 68:
+        out.append((63 << 2) | 2)
+        out += off.to_bytes(2, "little")
+        ln -= 64
+    if ln > 64:
+        out.append((59 << 2) | 2)  # 60-byte copy, leaving ln-60 in 4..8
+        out += off.to_bytes(2, "little")
+        ln -= 60
+    if ln >= 12 or off >= 2048 or ln < 4:
+        out.append(((ln - 1) << 2) | 2)
+        out += off.to_bytes(2, "little")
+    else:  # 1-byte-offset form: len 4..11, off < 2048
+        out.append(((off >> 8) << 5) | ((ln - 4) << 2) | 1)
+        out.append(off & 0xFF)
+
+
+_FRAGMENT = 1 << 16  # compress per 64 KiB window so offsets fit 2 bytes
+
+
+def _compress_fragment(frag: bytes, out: bytearray) -> None:
+    n = len(frag)
+    if n < 4:
+        _emit_literal(out, frag)
+        return
+    table: dict[bytes, int] = {}
+    pos = 0
+    lit_start = 0
+    limit = n - 3
+    while pos < limit:
+        quad = frag[pos:pos + 4]
+        cand = table.get(quad)
+        table[quad] = pos
+        if cand is None:
+            pos += 1
+            continue
+        # extend the 4-byte seed match as far as it goes
+        ln = 4
+        while pos + ln < n and frag[cand + ln] == frag[pos + ln]:
+            ln += 1
+        if lit_start < pos:
+            _emit_literal(out, frag[lit_start:pos])
+        _emit_copy(out, pos - cand, ln)
+        # seed the table across the matched span (sparsely: every 3rd
+        # position keeps the dict small without hurting small inputs)
+        end = pos + ln
+        for p in range(pos + 1, min(end, limit), 3):
+            table[frag[p:p + 4]] = p
+        pos = end
+        lit_start = end
+    if lit_start < n:
+        _emit_literal(out, frag[lit_start:])
+
+
+def compress(data: bytes) -> bytes:
+    """Encode to the raw snappy block format (``snappy.Encode`` twin)."""
+    out = bytearray(_write_uvarint(len(data)))
+    if not data:
+        return bytes(out)
+    for start in range(0, len(data), _FRAGMENT):
+        _compress_fragment(data[start:start + _FRAGMENT], out)
+    return bytes(out)
