@@ -15,6 +15,7 @@ from tigate_spark.config import ChangefeedConfig
 from tigate_spark.functions.compress import (
     compress_bytes,
     compress_col,
+    decompress_bytes,
     decompress_col,
     ensure_supported,
     supported,
@@ -25,11 +26,14 @@ from tigate_spark.streaming.changefeed import Changefeed
 
 def test_codec_seam_roundtrip_and_determinism():
     data = b'{"u":{"pk":1,"value_cents":12345}}' * 20
-    for cc in ("none", "gzip", "zlib"):
+    # the reference codec set (lz4/snappy, from-spec twins) is always
+    # executable alongside the stdlib engine extensions
+    for cc in ("none", "gzip", "zlib", "lz4", "snappy"):
         assert supported(cc)
         wire = compress_bytes(cc, data)
         if cc != "none":
             assert wire != data and len(wire) < len(data)
+            assert decompress_bytes(cc, wire) == data
         # deterministic across calls (gzip pins mtime=0)
         assert compress_bytes(cc, data) == wire
     # the wire is REAL gzip/zlib, not an opaque stand-in
@@ -38,8 +42,14 @@ def test_codec_seam_roundtrip_and_determinism():
 
 
 def test_unsupported_codec_rejected():
+    # zstd stays import-gated (lib absent here); unknown names reject
     with pytest.raises(ValueError, match="not supported"):
-        ensure_supported("snappy")
+        ensure_supported("brotli")
+    try:
+        import zstandard  # noqa: F401
+    except ImportError:
+        with pytest.raises(ValueError, match="not supported"):
+            ensure_supported("zstd")
 
 
 def test_compressed_feed_requires_open_protocol(spark, tmp_path, sf_dir,
@@ -51,7 +61,7 @@ def test_compressed_feed_requires_open_protocol(spark, tmp_path, sf_dir,
         Changefeed(spark, cfg, chunked_source, str(tmp_path))
     cfg2 = ChangefeedConfig(
         changefeed_id="cf-badcc2",
-        sink_uri="changelog://?protocol=open-protocol&compression=snappy")
+        sink_uri="changelog://?protocol=open-protocol&compression=brotli")
     with pytest.raises(ValueError, match="not supported"):
         Changefeed(spark, cfg2, chunked_source, str(tmp_path))
 

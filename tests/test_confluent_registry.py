@@ -91,15 +91,27 @@ def test_concurrent_process_allocation(tmp_path):
     assert ids == list(range(1, 21))
 
 
-def test_registry_resolved_decode_round_trip(spark, sf_dir):
+def test_registry_resolved_decode_round_trip(spark, sf_dir, tmp_path):
     """Consumer side: resolve each framed message's schema id against the
     registry and parse v1 vs v2 accordingly (v2 = trailing union-string
-    props). Proves the per-row id actually selects the right body."""
+    props). Proves the per-row id actually selects the right body.
+
+    The catalog entry's registry is run-scoped and deleted with the
+    builder (a review hardening — no predictable shared /tmp path), so
+    the consumer here replays the SAME registrations against a fresh
+    twin registry: Confluent id allocation is deterministic for a given
+    registration order, which is exactly the property the entry's
+    oracle templates (ids 1/2/3)."""
     from tigate_spark.catalog import get_catalog
     from tigate_spark.functions.avro_wire import (
         avro_long,
         avro_string,
         decode_avro_value,
+    )
+    from tigate_spark.functions.confluent_registry import (
+        EVENTS_KEY_SCHEMA,
+        EVENTS_VALUE_V1,
+        EVENTS_VALUE_V2,
     )
 
     df = get_catalog()["encoder_avro_registry_evolution"].builder(
@@ -109,11 +121,10 @@ def test_registry_resolved_decode_round_trip(spark, sf_dir):
     rows = (live.orderBy("schema_id", "seq").limit(100).collect()
             + live.orderBy(live.schema_id.desc(), "seq").limit(100).collect())
     assert rows
-    reg = FileSchemaRegistry(
-        "/tmp/tigate-avro-registry-"
-        + __import__("hashlib").md5(sf_dir.encode()).hexdigest()[:12]
-        + ".json"
-    )
+    reg = FileSchemaRegistry(str(tmp_path / "registry-twin.json"))
+    reg.register("events-key", EVENTS_KEY_SCHEMA)
+    reg.register("events-value", EVENTS_VALUE_V1)
+    reg.register("events-value", EVENTS_VALUE_V2)
     seen = set()
     for r in rows:
         raw = bytes.fromhex(r["value_hex"])

@@ -158,3 +158,82 @@ def test_existing_topic_count_wins_routing(spark, chunked_source, tmp_path):
     got = cf.sink.producer.read_all()
     assert len(got) > 0
     assert all(r["partition"] < 2 for r in got)
+
+
+# -- producer transport compression (sarama.go:79-94) ------------------------
+
+def test_transport_compression_stored_compressed_read_plain(tmp_path):
+    """compression=snappy on the producer: the broker's on-disk form is
+    compressed (no plain value field), read_log hands back the plain
+    value — transport compression is invisible to consumers."""
+    from tigate_spark.functions.snappy_codec import decompress as sdec
+
+    p = FakeWireProducer(str(tmp_path), compression="snappy")
+    p.ensure_topic("t", 1)
+    val = json.dumps({"u": {"pk": 1, "event_type": "click" * 30}})
+    p.produce_partition("t", 0, [{"seq": 0, "key": "k", "value": val},
+                                 {"seq": 1, "key": "k2", "value": None}])
+    with open(os.path.join(str(tmp_path), "t-0.jsonl")) as f:
+        raw = [json.loads(ln) for ln in f if ln.strip()]
+    assert "value" not in raw[0] and raw[0]["cc"] == "snappy"
+    assert sdec(bytes.fromhex(raw[0]["vz"])).decode() == val
+    assert raw[1]["value"] is None  # tombstones stay plain
+    back = p.read_log("t", 0)
+    assert back[0]["value"] == val and back[1]["value"] is None
+
+
+def test_transport_compression_e2e_identity(spark, sf_dir, chunked_source,
+                                            tmp_path):
+    """kafka-compression=lz4 through the URI: the full feed's broker log
+    reads back IDENTICAL to an uncompressed run's (same messages), and
+    the stored bytes really are lz4 frames."""
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-kc",
+        sink_uri="kafka:///?protocol=open-protocol&partition-num=8"
+                 "&transport=wire&kafka-compression=lz4"
+                 "&broker-dir=" + str(tmp_path / "bz"))
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path / "wz"))
+    assert cf.cfg.sink.kafka_compression == "lz4"
+    cf.run_to_completion()
+    plain = _run_feed(spark, chunked_source, str(tmp_path / "wp"),
+                      str(tmp_path / "bp"), feed_id="cf-kp")
+    a = sorted((r["topic"], r["partition"], r["seq"], r["key"], r["value"])
+               for r in cf.sink.producer.read_all())
+    b = sorted((r["topic"], r["partition"], r["seq"], r["key"], r["value"])
+               for r in plain.sink.producer.read_all())
+    assert a == b and len(a) > 0
+    # the on-disk form is the compressed wire
+    some = glob.glob(str(tmp_path / "bz" / "*.jsonl"))[0]
+    with open(some) as f:
+        rec = json.loads(f.readline())
+    assert "vz" in rec and rec["cc"] == "lz4"
+    assert bytes.fromhex(rec["vz"])[:4] == (0x184D2204).to_bytes(4, "little")
+
+
+def test_unknown_kafka_compression_warns_and_falls_back(spark, tmp_path,
+                                                        chunked_source):
+    """sarama.go:91-93: unknown producer compression WARNS and uses
+    none — it does not fail the changefeed."""
+    import warnings as _w
+
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-kcbad",
+        sink_uri="kafka:///?protocol=open-protocol"
+                 "&kafka-compression=brotli")
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    assert cf.cfg.sink.kafka_compression == "none"
+    assert any("Unsupported compression" in str(w.message) for w in caught)
+
+
+def test_large_message_handle_compression_uri_spelling(spark, tmp_path,
+                                                       chunked_source):
+    """The reference's canonical codec-level param name
+    (large_message.go:33) lands on sink.compression."""
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-lmhc",
+        sink_uri="changelog://?protocol=open-protocol"
+                 "&large-message-handle-compression=snappy")
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
+    assert cf.cfg.sink.compression == "snappy"

@@ -127,8 +127,15 @@ class SinkConfig:
     #: per-message VALUE compression, applied by the open codec before
     #: framing (open/codec.go:85,120 via common/compress.go; configured
     #: as large-message-handle-compression, large_message.go:33).
-    #: none|gzip|zlib executable here; lz4/zstd behind import-gates
+    #: none|gzip|zlib|lz4|snappy executable here (lz4/snappy via the
+    #: from-spec twins when the native libs are absent)
     compression: str = "none"
+    #: PRODUCER transport compression — the kafka sink URI's own
+    #: `compression` param (options.go:106,246), applied by the client
+    #: to record batches in flight and transparent to consumers
+    #: (sarama.go:79-94: none|gzip|snappy|lz4|zstd, unknown values WARN
+    #: and fall back to none rather than failing the changefeed)
+    kafka_compression: str = "none"
     #: simple-protocol marshaller dispatch (``pkg/sink/codec/simple/
     #: marshaller.go:50-56`` EncodingFormat): 'json' (the default) or
     #: 'avro' (the embedded com.pingcap.simple.avro binary wire). Only

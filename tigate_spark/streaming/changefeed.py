@@ -114,9 +114,33 @@ def _apply_sink_uri_options(cfg: ChangefeedConfig) -> dict:
     if "transaction-atomicity" in q:
         cfg.sink.txn_atomicity = q["transaction-atomicity"][0]
     if "compression" in q:
-        # large-message-handle-compression (large_message.go:33); the
-        # URI spelling mirrors the kafka sink's compression param
+        # ENGINE DEVIATION, kept for catalog/back-compat: plain
+        # `compression=` selects the CODEC-level value compression here,
+        # whereas the reference's kafka URI `compression` param is
+        # PRODUCER transport compression (options.go:106). The canonical
+        # reference spellings below are both accepted.
         cfg.sink.compression = q["compression"][0]
+    if "large-message-handle-compression" in q:
+        # the reference's canonical spelling for the codec-level value
+        # compression (large_message.go:33)
+        cfg.sink.compression = q["large-message-handle-compression"][0]
+    if "kafka-compression" in q:
+        # producer TRANSPORT compression (the reference kafka URI's own
+        # `compression` param, renamed here to avoid colliding with the
+        # codec-level alias above). sarama.go:79-94 semantics: known
+        # codecs apply; an unknown value WARNS and falls back to none
+        # instead of failing the changefeed
+        cc = q["kafka-compression"][0].strip().lower()
+        if cc in ("none", "gzip", "snappy", "lz4", "zstd"):
+            cfg.sink.kafka_compression = cc
+        else:
+            import warnings
+
+            warnings.warn(
+                f"Unsupported compression algorithm {cc!r}; kafka "
+                f"producer compression falls back to none "
+                f"(sarama.go:91-93)", stacklevel=2)
+            cfg.sink.kafka_compression = "none"
     return q
 
 
@@ -355,9 +379,19 @@ class Changefeed:
             if transport == "wire":
                 from tigate_spark.streaming.kafka import FakeWireProducer
 
+                kc = self.cfg.sink.kafka_compression
+                if kc not in ("", "none"):
+                    # the fake broker EXECUTES the codec locally (a real
+                    # broker-side decompress twin), so it needs the seam
+                    # codec present — create-time, like every misconfig
+                    from tigate_spark.functions.compress import (
+                        ensure_supported,
+                    )
+
+                    ensure_supported(kc)
                 broker_dir = q.get("broker-dir", [None])[0] or os.path.join(
                     self.work_dir, "broker", self.cfg.changefeed_id)
-                producer = FakeWireProducer(broker_dir)
+                producer = FakeWireProducer(broker_dir, compression=kc)
             elif transport == "confluent":
                 try:
                     import confluent_kafka  # type: ignore # noqa: F401
@@ -374,8 +408,17 @@ class Changefeed:
                     ConfluentKafkaProducer,
                 )
 
+                conf = {}
+                if self.cfg.sink.kafka_compression not in ("", "none"):
+                    # producer transport compression rides the client
+                    # config (librdkafka compression.type = the sarama
+                    # Producer.Compression twin); the real client
+                    # executes the codec itself, no local seam needed
+                    conf["compression.type"] = (
+                        self.cfg.sink.kafka_compression)
                 producer = ConfluentKafkaProducer(
-                    _up(self.cfg.sink_uri).netloc or "localhost:9092")
+                    _up(self.cfg.sink_uri).netloc or "localhost:9092",
+                    config=conf or None)
             elif transport:
                 raise ValueError(
                     f"unsupported kafka transport {transport!r} "

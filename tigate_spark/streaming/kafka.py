@@ -73,11 +73,20 @@ class FakeWireProducer(KafkaProducer):
     records were appended — the delivery-report-lost window, so the
     caller's resend exercises broker dedup) or 'fatal'. Each injection
     fires ONCE globally across executor processes (O_EXCL markers under
-    ``broker_dir/_inject``)."""
+    ``broker_dir/_inject``).
 
-    def __init__(self, broker_dir: str, inject: list | None = None):
+    ``compression``: producer TRANSPORT compression (the kafka sink
+    URI's `compression` param, sarama.go:79-94 — distinct from the
+    codec-level value compression the open protocol applies before
+    framing). Like a real client+broker pair, the stored form is
+    compressed and ``read_log`` hands consumers the PLAIN value back —
+    transport compression is invisible to the application protocol."""
+
+    def __init__(self, broker_dir: str, inject: list | None = None,
+                 compression: str = "none"):
         self.broker_dir = broker_dir
         self.inject = list(inject or [])
+        self.compression = compression or "none"
         os.makedirs(broker_dir, exist_ok=True)
         os.makedirs(os.path.join(broker_dir, "_inject"), exist_ok=True)
 
@@ -138,9 +147,20 @@ class FakeWireProducer(KafkaProducer):
                 for r in records:
                     if r["seq"] in seen:
                         continue  # idempotent-producer broker dedup
-                    f.write(json.dumps(
-                        {"seq": r["seq"], "key": r.get("key"),
-                         "value": r.get("value")}) + "\n")
+                    rec = {"seq": r["seq"], "key": r.get("key")}
+                    v = r.get("value")
+                    if self.compression != "none" and v is not None:
+                        from tigate_spark.functions.compress import (
+                            compress_bytes,
+                        )
+
+                        rec["vz"] = compress_bytes(
+                            self.compression,
+                            v.encode("utf-8")).hex()
+                        rec["cc"] = self.compression
+                    else:
+                        rec["value"] = v
+                    f.write(json.dumps(rec) + "\n")
                     seen.add(r["seq"])
                     accepted += 1
                 f.flush()
@@ -157,8 +177,23 @@ class FakeWireProducer(KafkaProducer):
         path = self._log_path(topic, partition)
         if not os.path.exists(path):
             return []
+        out = []
         with open(path) as f:
-            return [json.loads(ln) for ln in f if ln.strip()]
+            for ln in f:
+                if not ln.strip():
+                    continue
+                rec = json.loads(ln)
+                if "vz" in rec:  # transport-compressed record: the
+                    # consumer client decompresses transparently
+                    from tigate_spark.functions.compress import (
+                        decompress_bytes,
+                    )
+
+                    rec["value"] = decompress_bytes(
+                        rec.pop("cc"),
+                        bytes.fromhex(rec.pop("vz"))).decode("utf-8")
+                out.append(rec)
+        return out
 
     def read_all(self) -> list[dict]:
         out = []
