@@ -50,6 +50,7 @@ _PRIORITY = [
     'dedup_audio_fingerprint_flac',
     'encoder_open_compressed_snappy',
     'decoder_open_compressed_lz4',
+    'consumer_kafka_transport_compressed_e2e',
     'encoder_simple_avro',
     'decoder_simple_avro',
     'streaming_sqlite_ddl_matrix_e2e',

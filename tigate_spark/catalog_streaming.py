@@ -1976,6 +1976,79 @@ def consumer_kafka_wire_apply_e2e(spark: SparkSession,
 
 
 @register(
+    "consumer_kafka_transport_compressed_e2e",
+    _STREAM_ORACLE,
+    doc="Producer TRANSPORT compression under the external oracle — the "
+        "kafka URI's own compression param (options.go:106, "
+        "sarama.go:79-94; spelled kafka-compression= here because plain "
+        "compression= is the codec-level alias): the changefeed produces "
+        "open-protocol messages through the fake broker with "
+        "kafka-compression=snappy, so every on-disk broker record is the "
+        "from-spec snappy raw-block wire (snappy_codec.py) — and the "
+        "consumer client decompresses transparently on read_log, exactly "
+        "a real client+broker pair. The replayed log goes through "
+        "decode_open_for_apply + LWW materialize and must hash-match the "
+        "direct-path oracle: transport compression is invisible to the "
+        "application protocol, proven by value hash. A retriable produce "
+        "fault is injected too, so broker sequence dedup is exercised "
+        "over COMPRESSED records",
+)
+def consumer_kafka_transport_compressed_e2e(spark: SparkSession,
+                                            sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import decode_open_for_apply
+    from tigate_spark.operators.apply import materialize
+    from tigate_spark.streaming.changefeed import Changefeed
+    from tigate_spark.streaming.kafka import FakeWireProducer
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        ev = spark.read.parquet(src)
+        if ev.count() != ev.select("ts").distinct().count():
+            raise RuntimeError(
+                "open-protocol carries no start_ts: consumer LWW needs "
+                "a commit-ts tie-free corpus")
+        flat, land = split_commit_order(spark, src, os.path.join(work, "p"), 3)
+        for k in range(3):
+            land(k)
+        cfg = ChangefeedConfig(
+            changefeed_id="producer-kafka-snappy",
+            sink_uri="kafka:///?protocol=open-protocol&partition-num=8"
+                     "&kafka-compression=snappy")
+        cf = Changefeed(spark, cfg, flat, os.path.join(work, "pw"))
+        cf.sink.producer = FakeWireProducer(
+            os.path.join(work, "broker"),
+            inject=[("retriable", "app_t1-")],
+            compression=cfg.sink.kafka_compression)
+        cf.run_to_completion()
+        # the stored form really is the compressed wire (no plain value)
+        import json as _json
+
+        with open(next(
+                os.path.join(work, "broker", fn)
+                for fn in sorted(os.listdir(os.path.join(work, "broker")))
+                if fn.endswith(".jsonl"))) as f:
+            first = _json.loads(f.readline())
+        if "vz" not in first or first.get("cc") != "snappy":
+            raise RuntimeError("broker log is not transport-compressed")
+        got = cf.sink.producer.read_all()
+        seqs = [r["seq"] for r in got]
+        if len(set(seqs)) != len(seqs):
+            raise RuntimeError("broker log has duplicate sequences")
+        wire = spark.createDataFrame(
+            [(r["key"], r["value"], int(r["seq"])) for r in got],
+            "key string, value string, seq bigint")
+        state = materialize(
+            decode_open_for_apply(wire),
+            ["event_type", "value_cents"])
+        return _materialize(state.select(
+            "table_id", "pk", "last_commit_ts",
+            "event_type", "value_cents"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "consumer_storage_apply_e2e",
     _STREAM_ORACLE,
     doc="The STORAGE consumer pipeline end to end — the reference's "
