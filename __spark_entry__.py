@@ -50,6 +50,7 @@ _PRIORITY = [
     'dedup_audio_fingerprint_flac',
     'encoder_open_compressed_snappy',
     'decoder_open_compressed_lz4',
+    'encoder_open_compressed_zstd',
     'consumer_kafka_transport_compressed_e2e',
     'encoder_simple_avro',
     'decoder_simple_avro',

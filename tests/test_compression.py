@@ -42,14 +42,11 @@ def test_codec_seam_roundtrip_and_determinism():
 
 
 def test_unsupported_codec_rejected():
-    # zstd stays import-gated (lib absent here); unknown names reject
+    # the full known matrix (incl. zstd via its from-spec twin) is
+    # always executable; unknown names reject
+    ensure_supported("zstd")
     with pytest.raises(ValueError, match="not supported"):
         ensure_supported("brotli")
-    try:
-        import zstandard  # noqa: F401
-    except ImportError:
-        with pytest.raises(ValueError, match="not supported"):
-            ensure_supported("zstd")
 
 
 def test_compressed_feed_requires_open_protocol(spark, tmp_path, sf_dir,

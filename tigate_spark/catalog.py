@@ -2477,6 +2477,38 @@ def encoder_open_compressed_snappy(
 
 
 @register(
+    "encoder_open_compressed_zstd",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq,
+  printf('{"ts":%d,"scm":"%s","tbl":"%s","t":1}', commit_ts, schema_name, table_name) AS key,
+  CASE WHEN op = 'U' THEN printf('{"u":%s,"p":%s}', after, before)
+       WHEN op = 'I' THEN printf('{"u":%s}', after)
+       ELSE printf('{"d":%s}', before) END AS value
+FROM changes
+""",
+    doc="E6 completing the sarama codec matrix: per-value zstd via the "
+        "from-spec RFC 8878 twin (functions/zstd_codec.py — the kafka "
+        "producer's remaining codec, sarama.go:89-90, and the reference "
+        "event store's value codec, eventstore/event_store.go:32): "
+        "encode emits conforming raw/RLE-block frames with the xxHash64 "
+        "content checksum, decode is the FULL decoder (FSE + Huffman + "
+        "sequences + repeat offsets), round-tripped and hash-matched "
+        "against the independent PLAIN oracle",
+)
+def encoder_open_compressed_zstd(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.compress import compress_col, decompress_col
+    from tigate_spark.functions.encoders import encode_open_protocol
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    enc = encode_open_protocol(ch)
+    wire = compress_col(F.encode(F.col("value"), "UTF-8"), "zstd")
+    back = F.decode(decompress_col(wire, "zstd"), "UTF-8")
+    return enc.select("seq", "key", back.alias("value"))
+
+
+@register(
     "decoder_open_compressed_lz4",
     ORACLE_CHANGES_CTE
     + f"""

@@ -11,7 +11,11 @@ the from-spec pure-Python twins (``snappy_codec.py`` raw block format =
 NewWriter`` twin, xxHash32 included), so the reference's wire codecs
 (``pkg/compression/compression.go``: none/lz4/snappy) are ALWAYS
 executable here and the wires interoperate with reference consumers.
-``zstd`` stays import-gated (not in the reference's set). NOTE:
+``zstd`` (the kafka producer's remaining sarama codec, sarama.go:89-90,
+and the reference event store's value codec) likewise: native lib when
+importable, else the from-spec RFC 8878 twin (``zstd_codec.py`` — full
+decoder incl. FSE/Huffman/sequences; conforming raw/RLE-block frames
+on encode). NOTE:
 gzip/zlib remain ENGINE EXTENSIONS — a gzip/zlib wire is not readable
 by reference consumers, and their error text says so. The gzip wire
 pins ``mtime=0`` so compressed bytes are deterministic across
@@ -77,11 +81,7 @@ def supported(cc: str) -> bool:
     The reference codecs lz4/snappy are always executable (from-spec
     fallbacks); only zstd still depends on its lib being present.
     """
-    if cc in ("none", "gzip", "zlib", "lz4", "snappy"):
-        return True
-    if cc == "zstd":
-        return _zstd_mod() is not None
-    return False
+    return cc in ("none", "gzip", "zlib", "lz4", "snappy", "zstd")
 
 
 def ensure_supported(cc: str) -> None:
@@ -89,9 +89,9 @@ def ensure_supported(cc: str) -> None:
     if not supported(cc):
         raise ValueError(
             f"compression is not supported, got {cc!r} "
-            f"(executable here: none/gzip/zlib/lz4/snappy; zstd needs "
-            f"its lib installed; gzip/zlib wires are engine extensions "
-            f"NOT readable by reference consumers)")
+            f"(executable here: none/gzip/zlib/lz4/snappy/zstd; "
+            f"gzip/zlib wires are engine extensions NOT readable by "
+            f"reference consumers)")
 
 
 def compress_bytes(cc: str, data: bytes) -> bytes:
@@ -119,6 +119,12 @@ def compress_bytes(cc: str, data: bytes) -> bytes:
         mod = _zstd_mod()
         if mod is not None:
             return mod.ZstdCompressor().compress(data)
+        from tigate_spark.functions import zstd_codec
+
+        # from-spec raw/RLE-block frames: conforming (any zstd decoder
+        # reads them) but stored, not matched — the native lib wins on
+        # ratio when importable
+        return zstd_codec.compress(data)
     raise ValueError(f"compression is not supported, got {cc!r}")
 
 
@@ -147,6 +153,9 @@ def decompress_bytes(cc: str, data: bytes) -> bytes:
         mod = _zstd_mod()
         if mod is not None:
             return mod.ZstdDecompressor().decompress(data)
+        from tigate_spark.functions import zstd_codec
+
+        return zstd_codec.decompress(data)
     raise ValueError(f"compression is not supported, got {cc!r}")
 
 

@@ -1,0 +1,775 @@
+"""From-spec Zstandard codec (RFC 8878, pure Python).
+
+The reference's kafka producer accepts ``compression=zstd``
+(``pkg/sink/kafka/sarama.go:89-90``) and its event store compresses
+values with zstd (``logservice/eventstore/event_store.go:32``); until
+now zstd was the one codec in the engine's matrix that required the
+native lib. This module implements, from RFC 8878 only:
+
+- a FULL frame decoder: frame header (single-segment / window
+  descriptor / dictionary id / content size), raw + RLE + compressed
+  blocks, literals in all four forms (raw, RLE, Huffman-compressed
+  with 1 or 4 streams, treeless repeat), Huffman tree descriptions
+  (direct nibble weights and FSE-compressed weights with the two
+  interleaved states), FSE table descriptions with the small-value
+  probability encoding and zero-repeat flags, the predefined
+  literals-length/match-length/offset distributions, sequence
+  decoding (interleaved LL/OF/ML states over the backward bitstream,
+  extra-bits baselines) and execution with the three-slot repeat
+  offset history and its ``literals_length == 0`` shift rule;
+  multi-frame inputs and skippable frames; xxHash64 content checksum
+  verification;
+- a frame ENCODER emitting raw/RLE blocks only — a conforming
+  compressor is allowed to store (RFC 8878 §3.1.1.2.2: a frame made
+  of Raw_Block/RLE_Block is valid), so any zstd decoder reads its
+  output; match-finding compression is deliberately out of scope
+  (the from-spec posture targets interop, not ratio — the native lib
+  is preferred when importable, ``functions/compress.py``).
+
+The decode tables/constants below are the RFC's: predefined FSE
+distributions (§3.1.1.3.2.2), literals-length and match-length code
+baselines/extra-bits (§3.1.1.3.2.1.1), offset code semantics
+(§3.1.1.5), Huffman weight semantics (§4.2.1).
+"""
+
+from __future__ import annotations
+
+
+class ZstdError(ValueError):
+    """Corrupt, truncated, or unsupported zstd frame."""
+
+
+_MAGIC = 0xFD2FB528
+_SKIP_MAGIC_LO = 0x184D2A50
+_SKIP_MAGIC_HI = 0x184D2A5F
+
+
+# ------------------------------------------------------------------ xxHash64
+
+_P64_1 = 11400714785074694791
+_P64_2 = 14029467366897019727
+_P64_3 = 1609587929392839161
+_P64_4 = 9650029242287828579
+_P64_5 = 2870177450012600261
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round64(acc: int, lane: int) -> int:
+    return (_rotl64((acc + lane * _P64_2) & _M64, 31) * _P64_1) & _M64
+
+
+def _merge64(acc: int, v: int) -> int:
+    acc ^= _round64(0, v)
+    return (acc * _P64_1 + _P64_4) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """xxHash64 (the frame content checksum hash; vectors in tests)."""
+    n = len(data)
+    pos = 0
+    if n >= 32:
+        v1 = (seed + _P64_1 + _P64_2) & _M64
+        v2 = (seed + _P64_2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P64_1) & _M64
+        while pos + 32 <= n:
+            v1 = _round64(v1, int.from_bytes(data[pos:pos + 8], "little"))
+            v2 = _round64(v2, int.from_bytes(data[pos + 8:pos + 16],
+                                             "little"))
+            v3 = _round64(v3, int.from_bytes(data[pos + 16:pos + 24],
+                                             "little"))
+            v4 = _round64(v4, int.from_bytes(data[pos + 24:pos + 32],
+                                             "little"))
+            pos += 32
+        acc = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12)
+               + _rotl64(v4, 18)) & _M64
+        acc = _merge64(acc, v1)
+        acc = _merge64(acc, v2)
+        acc = _merge64(acc, v3)
+        acc = _merge64(acc, v4)
+    else:
+        acc = (seed + _P64_5) & _M64
+    acc = (acc + n) & _M64
+    while pos + 8 <= n:
+        acc ^= _round64(0, int.from_bytes(data[pos:pos + 8], "little"))
+        acc = (_rotl64(acc, 27) * _P64_1 + _P64_4) & _M64
+        pos += 8
+    if pos + 4 <= n:
+        acc ^= (int.from_bytes(data[pos:pos + 4], "little") * _P64_1) & _M64
+        acc = (_rotl64(acc, 23) * _P64_2 + _P64_3) & _M64
+        pos += 4
+    while pos < n:
+        acc ^= (data[pos] * _P64_5) & _M64
+        acc = (_rotl64(acc, 11) * _P64_1) & _M64
+        pos += 1
+    acc ^= acc >> 33
+    acc = (acc * _P64_2) & _M64
+    acc ^= acc >> 29
+    acc = (acc * _P64_3) & _M64
+    acc ^= acc >> 32
+    return acc
+
+
+# --------------------------------------------------------------- bit readers
+
+
+class _ForwardBits:
+    """LSB-first forward reader (FSE table descriptions, §4.1.1)."""
+
+    def __init__(self, data: bytes):
+        self._i = int.from_bytes(data, "little")
+        self._nbits = len(data) * 8
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        # reads may peek past the end (the small-value encoding peeks
+        # `bits` then rewinds 1): pad zeros; true overruns surface as
+        # sum-check corruption
+        v = (self._i >> self.pos) & ((1 << n) - 1)
+        self.pos += n
+        return v
+
+    def rewind(self, n: int) -> None:
+        self.pos -= n
+
+    def bytes_consumed(self) -> int:
+        return (self.pos + 7) // 8
+
+
+class _BackwardBits:
+    """MSB-sentinel backward reader (Huffman/FSE streams, §3.1.1.7):
+    the LAST byte carries a 1-bit sentinel at its highest set bit;
+    reads take the bits immediately below the current position."""
+
+    def __init__(self, data: bytes):
+        if not data or data[-1] == 0:
+            raise ZstdError("backward bitstream missing sentinel")
+        self._i = int.from_bytes(data, "little")
+        # strip the sentinel: remaining payload bits
+        self.avail = self._i.bit_length() - 1
+
+    def read(self, n: int) -> int:
+        """Read n bits; reading past the start pads zeros and drives
+        ``avail`` negative (the Huffman-weights termination signal)."""
+        if n == 0:
+            return 0
+        self.avail -= n
+        if self.avail >= 0:
+            return (self._i >> self.avail) & ((1 << n) - 1)
+        # overflowed: take what exists, zero-pad the low side
+        have = n + self.avail
+        if have <= 0:
+            return 0
+        return ((self._i & ((1 << (self.avail + n)) - 1))
+                << (-self.avail)) & ((1 << n) - 1)
+
+
+# ----------------------------------------------------------------------- FSE
+
+
+def _parse_fse_distribution(fb: _ForwardBits, max_symbol: int,
+                            max_accuracy: int) -> tuple[list[int], int]:
+    """FSE table description (§4.1.1): accuracy log + the small-value
+    probability code with zero-repeat flags. Returns (probs, accuracy)."""
+    accuracy = fb.read(4) + 5
+    if accuracy > max_accuracy:
+        raise ZstdError(f"FSE accuracy {accuracy} > max {max_accuracy}")
+    remaining = 1 << accuracy
+    probs: list[int] = []
+    while remaining > 0 and len(probs) <= max_symbol:
+        bits = (remaining + 1).bit_length()  # highbit(remaining+1) + 1
+        val = fb.read(bits)
+        lower_mask = (1 << (bits - 1)) - 1
+        threshold = (1 << bits) - 1 - (remaining + 1)
+        if (val & lower_mask) < threshold:
+            fb.rewind(1)
+            val &= lower_mask
+        elif val > lower_mask:
+            val -= threshold
+        prob = val - 1
+        probs.append(prob)
+        remaining -= -prob if prob < 0 else prob
+        if prob == 0:
+            while True:
+                rep = fb.read(2)
+                probs.extend([0] * rep)
+                if rep != 3:
+                    break
+    if remaining != 0:
+        raise ZstdError("FSE distribution does not sum to table size")
+    if len(probs) > max_symbol + 1:
+        raise ZstdError("FSE distribution has too many symbols")
+    return probs, accuracy
+
+
+def _build_fse_table(probs: list[int],
+                     accuracy: int) -> list[tuple[int, int, int]]:
+    """Decode table: cell -> (symbol, nb_bits, baseline) (§4.1.1)."""
+    size = 1 << accuracy
+    cells = [-1] * size
+    high = size - 1
+    # "less than 1" symbols take single cells from the table's end
+    for s, p in enumerate(probs):
+        if p == -1:
+            cells[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, p in enumerate(probs):
+        if p <= 0:
+            continue
+        for _ in range(p):
+            cells[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    table: list[tuple[int, int, int]] = [None] * size  # type: ignore
+    nxt = [p if p > 0 else 1 for p in probs]
+    # -1 symbols: x starts at 1 -> nb = accuracy, baseline 0
+    for i in range(size):
+        s = cells[i]
+        if s < 0:
+            raise ZstdError("FSE table has unassigned cells")
+        x = nxt[s]
+        nxt[s] += 1
+        nb = accuracy - (x.bit_length() - 1)
+        baseline = (x << nb) - size
+        table[i] = (s, nb, baseline)
+    return table
+
+
+class _FseState:
+    def __init__(self, table: list[tuple[int, int, int]], accuracy: int,
+                 bb: _BackwardBits):
+        self.table = table
+        self.state = bb.read(accuracy)
+
+    @property
+    def symbol(self) -> int:
+        return self.table[self.state][0]
+
+    def update(self, bb: _BackwardBits) -> None:
+        _, nb, baseline = self.table[self.state]
+        self.state = baseline + bb.read(nb)
+
+
+def _rle_table(symbol: int) -> list[tuple[int, int, int]]:
+    """RLE mode = an accuracy-0 table: one cell, zero update bits."""
+    return [(symbol, 0, 0)]
+
+
+# ------------------------------------------------------------------- Huffman
+
+
+def _huffman_table_from_weights(weights: list[int]) -> tuple[list, int]:
+    """Canonical Huffman decode table from weights (§4.2.1): the last
+    weight is implicit (completes the sum to a power of two); lookup
+    table of 2^max_bits entries -> (symbol, nb_bits)."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ZstdError("Huffman weights are all zero")
+    max_bits = total.bit_length() if total & (total - 1) else \
+        total.bit_length() - 1
+    if (1 << max_bits) < total + 1:
+        max_bits += 1
+    left = (1 << max_bits) - total
+    # the implicit last weight must itself be a power of two
+    if left & (left - 1):
+        raise ZstdError("Huffman weights do not leave a pow2 remainder")
+    last_weight = left.bit_length()  # 1 << (w-1) == left
+    weights = weights + [last_weight]
+    if max_bits > 11:
+        raise ZstdError(f"Huffman max bits {max_bits} > 11")
+    bits = [0 if w == 0 else max_bits + 1 - w for w in weights]
+    # rank layout: longer codes occupy the LOW part of the table
+    rank_count = [0] * (max_bits + 1)
+    for b in bits:
+        if b:
+            rank_count[b] += 1
+    rank_idx = [0] * (max_bits + 2)
+    for b in range(max_bits, 0, -1):
+        rank_idx[b - 1] = rank_idx[b] + rank_count[b] * (
+            1 << (max_bits - b))
+    if rank_idx[0] != (1 << max_bits):
+        raise ZstdError("Huffman weights do not fill the table")
+    table: list[tuple[int, int]] = [None] * (1 << max_bits)  # type: ignore
+    for sym, b in enumerate(bits):
+        if b == 0:
+            continue
+        span = 1 << (max_bits - b)
+        base = rank_idx[b]
+        for i in range(base, base + span):
+            table[i] = (sym, b)
+        rank_idx[b] += span
+    return table, max_bits
+
+
+def _parse_huffman_description(data: bytes) -> tuple[list, int, int]:
+    """Huffman tree description (§4.2.1.1): returns (table, max_bits,
+    bytes_consumed)."""
+    if not data:
+        raise ZstdError("empty Huffman description")
+    h = data[0]
+    if h >= 128:  # direct representation: 4-bit weights
+        nsym = h - 127
+        nbytes = (nsym + 1) // 2
+        if len(data) < 1 + nbytes:
+            raise ZstdError("truncated direct Huffman weights")
+        weights = []
+        for i in range(nsym):
+            byte = data[1 + i // 2]
+            weights.append((byte >> 4) if i % 2 == 0 else (byte & 0xF))
+        table, max_bits = _huffman_table_from_weights(weights)
+        return table, max_bits, 1 + nbytes
+    # FSE-compressed weights: h = compressed size (table desc + stream)
+    if len(data) < 1 + h:
+        raise ZstdError("truncated FSE-compressed Huffman weights")
+    blob = data[1:1 + h]
+    fb = _ForwardBits(blob)
+    probs, accuracy = _parse_fse_distribution(fb, max_symbol=255,
+                                              max_accuracy=6)
+    fse = _build_fse_table(probs, accuracy)
+    stream = blob[fb.bytes_consumed():]
+    bb = _BackwardBits(stream)
+    even = _FseState(fse, accuracy, bb)
+    odd = _FseState(fse, accuracy, bb)
+    weights: list[int] = []
+    # two interleaved states; when one's update exhausts the stream,
+    # the OTHER state's symbol is emitted and decoding stops
+    while True:
+        if len(weights) > 255:
+            raise ZstdError("more than 255 Huffman weights")
+        weights.append(even.symbol)
+        even.update(bb)
+        if bb.avail < 0:
+            weights.append(odd.symbol)
+            break
+        weights.append(odd.symbol)
+        odd.update(bb)
+        if bb.avail < 0:
+            weights.append(even.symbol)
+            break
+    table, max_bits = _huffman_table_from_weights(weights)
+    return table, max_bits, 1 + h
+
+
+def _huffman_decode_stream(table: list, max_bits: int, data: bytes,
+                           want: int) -> bytes:
+    bb = _BackwardBits(data)
+    out = bytearray()
+    # peek max_bits (zero-padded at the tail), consume the entry's bits
+    i = int.from_bytes(data, "little")
+    pos = bb.avail  # bits remaining above the cursor
+    while len(out) < want:
+        if pos <= 0:
+            raise ZstdError("Huffman stream exhausted early")
+        if pos >= max_bits:
+            idx = (i >> (pos - max_bits)) & ((1 << max_bits) - 1)
+        else:
+            idx = (i & ((1 << pos) - 1)) << (max_bits - pos)
+        sym, nb = table[idx]
+        out.append(sym)
+        pos -= nb
+    if pos != 0:
+        raise ZstdError("Huffman stream has leftover bits")
+    return bytes(out)
+
+
+# ------------------------------------------------- sequence code semantics
+
+#: literals-length codes (§3.1.1.3.2.1.1): code -> (baseline, extra bits)
+_LL_TABLE = [(i, 0) for i in range(16)] + [
+    (16, 1), (18, 1), (20, 1), (22, 1), (24, 2), (28, 2), (32, 3),
+    (40, 3), (48, 4), (64, 6), (128, 7), (256, 8), (512, 9), (1024, 10),
+    (2048, 11), (4096, 12), (8192, 13), (16384, 14), (32768, 15),
+    (65536, 16)]
+
+#: match-length codes: code -> (baseline, extra bits)
+_ML_TABLE = [(i + 3, 0) for i in range(32)] + [
+    (35, 1), (37, 1), (39, 1), (41, 1), (43, 2), (47, 2), (51, 3),
+    (59, 3), (67, 4), (83, 4), (99, 5), (131, 7), (259, 8), (515, 9),
+    (1027, 10), (2051, 11), (4099, 12), (8195, 13), (16387, 14),
+    (32771, 15), (65539, 16)]
+
+#: predefined distributions (§3.1.1.3.2.2)
+_LL_DEFAULT = [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+               2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+               -1, -1, -1, -1]
+_ML_DEFAULT = [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+               -1, -1, -1, -1, -1, -1, -1]
+_OF_DEFAULT = [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1]
+
+_LL_ACC, _ML_ACC, _OF_ACC = 6, 6, 5
+_LL_MAX_ACC, _ML_MAX_ACC, _OF_MAX_ACC = 9, 9, 8
+_PREDEF = {
+    "ll": _build_fse_table(_LL_DEFAULT, _LL_ACC),
+    "ml": _build_fse_table(_ML_DEFAULT, _ML_ACC),
+    "of": _build_fse_table(_OF_DEFAULT, _OF_ACC),
+}
+
+
+# -------------------------------------------------------------- frame decode
+
+
+class _FrameCtx:
+    """Cross-block state within one frame (§3.1.1.2.1)."""
+
+    def __init__(self) -> None:
+        self.rep = [1, 4, 8]  # repeat offset history
+        self.huffman: tuple[list, int] | None = None  # for treeless
+        self.fse_ll = None  # (table, accuracy) for Repeat_Mode
+        self.fse_ml = None
+        self.fse_of = None
+
+
+def _decode_literals(block: bytes, ctx: _FrameCtx) -> tuple[bytes, int]:
+    """Literals section (§3.1.1.3.1): returns (literals, bytes used)."""
+    if not block:
+        raise ZstdError("empty literals section")
+    b0 = block[0]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):  # Raw / RLE
+        if sf in (0, 2):
+            regen = b0 >> 3
+            hdr = 1
+        elif sf == 1:
+            if len(block) < 2:
+                raise ZstdError("truncated literals header")
+            regen = (b0 >> 4) | (block[1] << 4)
+            hdr = 2
+        else:
+            if len(block) < 3:
+                raise ZstdError("truncated literals header")
+            regen = (b0 >> 4) | (block[1] << 4) | (block[2] << 12)
+            hdr = 3
+        if ltype == 0:
+            if len(block) < hdr + regen:
+                raise ZstdError("truncated raw literals")
+            return block[hdr:hdr + regen], hdr + regen
+        if len(block) < hdr + 1:
+            raise ZstdError("truncated RLE literal byte")
+        return bytes([block[hdr]]) * regen, hdr + 1
+    # Compressed (2) / Treeless (3)
+    if sf == 0:
+        hdr, streams = 3, 1
+        x = int.from_bytes(block[:3], "little")
+        regen = (x >> 4) & 0x3FF
+        comp = (x >> 14) & 0x3FF
+    elif sf == 1:
+        hdr, streams = 3, 4
+        x = int.from_bytes(block[:3], "little")
+        regen = (x >> 4) & 0x3FF
+        comp = (x >> 14) & 0x3FF
+    elif sf == 2:
+        hdr, streams = 4, 4
+        x = int.from_bytes(block[:4], "little")
+        regen = (x >> 4) & 0x3FFF
+        comp = (x >> 18) & 0x3FFF
+    else:
+        hdr, streams = 5, 4
+        x = int.from_bytes(block[:5], "little")
+        regen = (x >> 4) & 0x3FFFF
+        comp = (x >> 22) & 0x3FFFF
+    if len(block) < hdr + comp:
+        raise ZstdError("truncated compressed literals")
+    body = block[hdr:hdr + comp]
+    if ltype == 2:
+        table, max_bits, used = _parse_huffman_description(body)
+        ctx.huffman = (table, max_bits)
+        body = body[used:]
+    else:  # treeless: previous table required
+        if ctx.huffman is None:
+            raise ZstdError("treeless literals with no previous table")
+        table, max_bits = ctx.huffman
+    if streams == 1:
+        return (_huffman_decode_stream(table, max_bits, body, regen),
+                hdr + comp)
+    if len(body) < 6:
+        raise ZstdError("truncated 4-stream jump table")
+    s1 = int.from_bytes(body[0:2], "little")
+    s2 = int.from_bytes(body[2:4], "little")
+    s3 = int.from_bytes(body[4:6], "little")
+    rest = body[6:]
+    if s1 + s2 + s3 > len(rest):
+        raise ZstdError("jump table exceeds literals payload")
+    part = (regen + 3) // 4
+    sizes = [s1, s2, s3, len(rest) - s1 - s2 - s3]
+    wants = [part, part, part, regen - 3 * part]
+    if wants[3] < 0:
+        raise ZstdError("regenerated size smaller than 3 stream quarters")
+    out = bytearray()
+    pos = 0
+    for sz, want in zip(sizes, wants):
+        out += _huffman_decode_stream(table, max_bits, rest[pos:pos + sz],
+                                      want)
+        pos += sz
+    return bytes(out), hdr + comp
+
+
+def _sequences_table(mode: int, kind: str, data: bytes, pos: int,
+                     ctx: _FrameCtx, max_symbol: int, max_acc: int):
+    """Resolve one of LL/OF/ML per its compression mode (§3.1.1.3.2)."""
+    if mode == 0:  # predefined
+        acc = {"ll": _LL_ACC, "ml": _ML_ACC, "of": _OF_ACC}[kind]
+        return _PREDEF[kind], acc, pos
+    if mode == 1:  # RLE: one byte = the symbol
+        if pos >= len(data):
+            raise ZstdError("truncated RLE sequence symbol")
+        sym = data[pos]
+        if sym > max_symbol:
+            raise ZstdError(f"RLE {kind} symbol {sym} out of range")
+        return _rle_table(sym), 0, pos + 1
+    if mode == 2:  # FSE table description
+        fb = _ForwardBits(data[pos:])
+        probs, acc = _parse_fse_distribution(fb, max_symbol, max_acc)
+        table = _build_fse_table(probs, acc)
+        setattr(ctx, f"fse_{kind}", (table, acc))
+        return table, acc, pos + fb.bytes_consumed()
+    prev = getattr(ctx, f"fse_{kind}")  # repeat mode
+    if prev is None:
+        raise ZstdError(f"repeat {kind} table with no previous table")
+    return prev[0], prev[1], pos
+
+
+def _decode_compressed_block(block: bytes, out: bytearray,
+                             ctx: _FrameCtx) -> None:
+    lits, used = _decode_literals(block, ctx)
+    data = block[used:]
+    if not data:
+        raise ZstdError("missing sequences section")
+    b0 = data[0]
+    if b0 == 0:  # no sequences: literals only
+        out += lits
+        return
+    if b0 < 128:
+        nseq, pos = b0, 1
+    elif b0 < 255:
+        if len(data) < 2:
+            raise ZstdError("truncated sequence count")
+        nseq, pos = ((b0 - 128) << 8) | data[1], 2
+    else:
+        if len(data) < 3:
+            raise ZstdError("truncated sequence count")
+        nseq, pos = int.from_bytes(data[1:3], "little") + 0x7F00, 3
+    if pos >= len(data):
+        raise ZstdError("truncated compression modes byte")
+    modes = data[pos]
+    pos += 1
+    if modes & 3:
+        raise ZstdError("reserved sequence mode bits set")
+    ll_tab, ll_acc, pos = _sequences_table(
+        (modes >> 6) & 3, "ll", data, pos, ctx, 35, _LL_MAX_ACC)
+    of_tab, of_acc, pos = _sequences_table(
+        (modes >> 4) & 3, "of", data, pos, ctx, 31, _OF_MAX_ACC)
+    ml_tab, ml_acc, pos = _sequences_table(
+        (modes >> 2) & 3, "ml", data, pos, ctx, 52, _ML_MAX_ACC)
+    bb = _BackwardBits(data[pos:])
+    ll = _FseState(ll_tab, ll_acc, bb)
+    of = _FseState(of_tab, of_acc, bb)
+    ml = _FseState(ml_tab, ml_acc, bb)
+    lit_pos = 0
+    for i in range(nseq):
+        if bb.avail < 0:
+            raise ZstdError("sequences bitstream exhausted early")
+        of_code = of.symbol
+        if of_code > 31:
+            raise ZstdError(f"offset code {of_code} out of range")
+        of_value = (1 << of_code) + bb.read(of_code)
+        ml_base, ml_bits = _ML_TABLE[ml.symbol]
+        match_len = ml_base + bb.read(ml_bits)
+        ll_base, ll_bits = _LL_TABLE[ll.symbol]
+        lit_len = ll_base + bb.read(ll_bits)
+        # offset conversion with the repeat history (§3.1.1.5)
+        rep = ctx.rep
+        if of_value > 3:
+            offset = of_value - 3
+            ctx.rep = [offset, rep[0], rep[1]]
+        else:
+            idx = of_value - 1 + (1 if lit_len == 0 else 0)
+            if idx == 0:
+                offset = rep[0]
+            elif idx == 1:
+                offset = rep[1]
+                ctx.rep = [offset, rep[0], rep[2]]
+            elif idx == 2:
+                offset = rep[2]
+                ctx.rep = [offset, rep[0], rep[1]]
+            else:  # of_value == 3 with lit_len == 0
+                offset = rep[0] - 1
+                if offset == 0:
+                    raise ZstdError("repeat offset underflow to zero")
+                ctx.rep = [offset, rep[0], rep[1]]
+        # execute: literals then match copy (may overlap forward)
+        if lit_pos + lit_len > len(lits):
+            raise ZstdError("sequence consumes more literals than exist")
+        out += lits[lit_pos:lit_pos + lit_len]
+        lit_pos += lit_len
+        if offset > len(out):
+            raise ZstdError("match offset beyond decoded history")
+        src = len(out) - offset
+        if offset >= match_len:
+            out += out[src:src + match_len]
+        else:
+            for k in range(match_len):
+                out.append(out[src + k])
+        if i + 1 < nseq:
+            ll.update(bb)
+            ml.update(bb)
+            of.update(bb)
+    if bb.avail != 0:
+        raise ZstdError("sequences bitstream has leftover bits")
+    out += lits[lit_pos:]
+
+
+def _decode_frame(data: bytes, pos: int) -> tuple[bytes, int]:
+    if len(data) < pos + 4:
+        raise ZstdError("truncated frame magic")
+    magic = int.from_bytes(data[pos:pos + 4], "little")
+    pos += 4
+    if magic != _MAGIC:
+        raise ZstdError(f"bad zstd magic {magic:#x}")
+    if len(data) < pos + 1:
+        raise ZstdError("truncated frame header")
+    fhd = data[pos]
+    pos += 1
+    if fhd & 0x08:
+        raise ZstdError("reserved frame header bit set")
+    single = bool(fhd & 0x20)
+    checksum = bool(fhd & 0x04)
+    did_flag = fhd & 3
+    fcs_flag = fhd >> 6
+    if not single:
+        if len(data) < pos + 1:
+            raise ZstdError("truncated window descriptor")
+        pos += 1  # window size only bounds memory; we hold the frame
+    did_len = (0, 1, 2, 4)[did_flag]
+    if did_len:
+        pos += did_len  # dictionary id: parsed, dictionaries unsupported
+        raise ZstdError("dictionary frames not supported")
+    fcs_len = (1 if single else 0, 2, 4, 8)[fcs_flag]
+    content_size = None
+    if fcs_len:
+        if len(data) < pos + fcs_len:
+            raise ZstdError("truncated frame content size")
+        content_size = int.from_bytes(data[pos:pos + fcs_len], "little")
+        if fcs_len == 2:
+            content_size += 256
+        pos += fcs_len
+    out = bytearray()
+    ctx = _FrameCtx()
+    while True:
+        if len(data) < pos + 3:
+            raise ZstdError("truncated block header")
+        hdr = int.from_bytes(data[pos:pos + 3], "little")
+        pos += 3
+        last = hdr & 1
+        btype = (hdr >> 1) & 3
+        bsize = hdr >> 3
+        if btype == 0:  # raw
+            if len(data) < pos + bsize:
+                raise ZstdError("truncated raw block")
+            out += data[pos:pos + bsize]
+            pos += bsize
+        elif btype == 1:  # RLE: one byte, repeated bsize times
+            if len(data) < pos + 1:
+                raise ZstdError("truncated RLE block")
+            out += bytes([data[pos]]) * bsize
+            pos += 1
+        elif btype == 2:
+            if len(data) < pos + bsize:
+                raise ZstdError("truncated compressed block")
+            _decode_compressed_block(data[pos:pos + bsize], out, ctx)
+            pos += bsize
+        else:
+            raise ZstdError("reserved block type")
+        if last:
+            break
+    if checksum:
+        if len(data) < pos + 4:
+            raise ZstdError("truncated content checksum")
+        want = int.from_bytes(data[pos:pos + 4], "little")
+        pos += 4
+        if (xxh64(bytes(out)) & 0xFFFFFFFF) != want:
+            raise ZstdError("content checksum mismatch")
+    if content_size is not None and content_size != len(out):
+        raise ZstdError(
+            f"content size {content_size} != decoded {len(out)}")
+    return bytes(out), pos
+
+
+def decompress(data: bytes) -> bytes:
+    """Decode one or more zstd frames (skippable frames skipped)."""
+    out = bytearray()
+    pos = 0
+    seen = False
+    while pos < len(data):
+        if len(data) >= pos + 4:
+            magic = int.from_bytes(data[pos:pos + 4], "little")
+            if _SKIP_MAGIC_LO <= magic <= _SKIP_MAGIC_HI:
+                if len(data) < pos + 8:
+                    raise ZstdError("truncated skippable frame")
+                size = int.from_bytes(data[pos + 4:pos + 8], "little")
+                pos += 8 + size
+                continue
+        chunk, pos = _decode_frame(data, pos)
+        out += chunk
+        seen = True
+    if not seen:
+        raise ZstdError("no zstd frame in input")
+    return bytes(out)
+
+
+# -------------------------------------------------------------- frame encode
+
+_RAW_BLOCK_MAX = 1 << 17  # 128 KiB (Block_Maximum_Size ceiling)
+
+
+def compress(data: bytes, checksum: bool = True) -> bytes:
+    """Emit a conforming frame of raw/RLE blocks (stored, no matches).
+
+    Any zstd decoder reads the output; ratio is not the goal (the
+    native lib takes over when importable). Uniform runs collapse to
+    RLE blocks, so the degenerate all-zeros case still shrinks."""
+    out = bytearray(_MAGIC.to_bytes(4, "little"))
+    n = len(data)
+    # single-segment + frame content size (+ optional checksum)
+    if n < 256:
+        fcs_flag, fcs_len = 0, 1
+    elif n <= 65535 + 256:
+        fcs_flag, fcs_len = 1, 2
+    elif n < (1 << 32):
+        fcs_flag, fcs_len = 2, 4
+    else:
+        fcs_flag, fcs_len = 3, 8
+    fhd = (fcs_flag << 6) | 0x20 | (0x04 if checksum else 0)
+    out.append(fhd)
+    stored = n - 256 if fcs_flag == 1 else n
+    out += stored.to_bytes(fcs_len, "little")
+    if n == 0:
+        out += (1).to_bytes(3, "little")  # last=1, raw, size 0
+    else:
+        pos = 0
+        while pos < n:
+            chunk = data[pos:pos + _RAW_BLOCK_MAX]
+            pos += len(chunk)
+            last = 1 if pos >= n else 0
+            if len(chunk) > 1 and chunk.count(chunk[0]) == len(chunk):
+                hdr = last | (1 << 1) | (len(chunk) << 3)
+                out += hdr.to_bytes(3, "little")
+                out.append(chunk[0])
+            else:
+                hdr = last | (0 << 1) | (len(chunk) << 3)
+                out += hdr.to_bytes(3, "little")
+                out += chunk
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
