@@ -514,3 +514,40 @@ def test_native_zstd_cross_interop():
     # we read native's REAL compressed frames (FSE+Huffman paths live)
     wire = zstandard.ZstdCompressor(level=19).compress(data)
     assert z.decompress(wire) == data
+
+
+def test_decoder_fuzz_raises_typed_errors_only():
+    """Dead-letter lanes depend on decoders raising their typed error,
+    never IndexError/KeyError/etc — random garbage and bit-flipped
+    valid wires must both be safe."""
+    import random
+
+    from tigate_spark.functions import lz4_codec as lz
+    from tigate_spark.functions import snappy_codec as sc
+
+    rng = random.Random(99)
+    decoders = ((sc.decompress, sc.SnappyError),
+                (lz.block_decompress, lz.LZ4Error),
+                (lz.frame_decompress, lz.LZ4Error),
+                (z.decompress, z.ZstdError))
+    for _ in range(400):
+        data = bytes(rng.randrange(256)
+                     for _ in range(rng.randint(0, 150)))
+        for fn, err in decoders:
+            try:
+                fn(data)
+            except err:
+                pass  # typed rejection is the contract
+    for _ in range(200):
+        base = bytes(rng.randrange(256)
+                     for _ in range(rng.randint(1, 80)))
+        for mk, fn, err in ((sc.compress, sc.decompress, sc.SnappyError),
+                            (lz.frame_compress, lz.frame_decompress,
+                             lz.LZ4Error),
+                            (z.compress, z.decompress, z.ZstdError)):
+            w = bytearray(mk(base))
+            w[rng.randrange(len(w))] ^= 1 << rng.randrange(8)
+            try:
+                fn(bytes(w))
+            except err:
+                pass

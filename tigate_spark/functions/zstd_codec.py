@@ -691,6 +691,12 @@ def _decode_frame(data: bytes, pos: int) -> tuple[bytes, int]:
             pos += bsize
         else:
             raise ZstdError("reserved block type")
+        if content_size is not None and len(out) > content_size:
+            # early bomb guard: a frame that has already exceeded its
+            # declared content size can only fail the final check
+            raise ZstdError(
+                f"decoded output exceeds declared content size "
+                f"{content_size}")
         if last:
             break
     if checksum:
