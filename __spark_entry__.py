@@ -25,24 +25,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return cat["cdc_pipeline_e2e"].builder(spark, "/root/testdata/sf0.001")
 
 
-#: External-window priority (the driver runs the first ~50): the head
-#: holds the EIGHT new round-12 entries — the simple-protocol Avro
-#: encoding format family (marshaller.go EncodingFormat dispatch:
-#: DML wire + independent-reader consumer, checksum-holder variant,
-#: bootstrap TableSchema pair, watermark, DDL) and the widened
-#: executable-DDL matrix e2e (add-index/truncate through the barrier,
-#: modify-column rebuild, rename with mapping follow-up); next are the
-#: TWELVE entries whose engine code round 12 touched (the sqlite
-#: writer's translate-DDL path, the engine's narrowed unretryable
-#: scan, the claim-check hex sizing fix, the compress seam's snappy
-#: gate, the r12-audited frame parser and kafka/dbapi seams behind the
-#: new real-client adapters); positions 21-50 are the ENTIRE r5
-#: r13 window (first ~50 = the external driver cap): 3 new-this-round
-#: entries, 3 changed-critical wires (the varint unification + widened
-#: DDL matrix), then the ENTIRE r7 freshness cohort (44 — VERDICT r12
-#: task #1: after this window no entry's latest external green
-#: predates r8). Remainder: other r13-touched families, then the full
-#: catalog freshness-ascending (computed from CORRECTNESS_r*.json via
+#: r13 window (first ~50 = the external driver cap): positions 0-6 are
+#: the SEVEN never-externally-driven entries (simple-Avro consumer
+#: e2e, FLAC decode + its dedup chain, the from-spec snappy/lz4/zstd
+#: wire entries, the transport-compressed kafka e2e); positions 7-50
+#: are the ENTIRE r7 freshness cohort (44 — VERDICT r12 task #1:
+#: after this window no entry's latest external green predates r8),
+#: with the cheapest, most stable cohort entry placed at position 50
+#: as the boundary sacrifice if the external cap is a hard 50; then
+#: the 3 r13-changed-critical wires (varint unification + widened DDL
+#: matrix — externally green in r12, byte-golden-pinned in pytest).
+#: Remainder: other r13-touched families, then the full catalog
+#: freshness-ascending (computed from CORRECTNESS_r*.json via
 #: tools/freshness.py).
 _PRIORITY = [
     'consumer_simple_avro_apply_e2e',
@@ -52,10 +46,6 @@ _PRIORITY = [
     'decoder_open_compressed_lz4',
     'encoder_open_compressed_zstd',
     'consumer_kafka_transport_compressed_e2e',
-    'encoder_simple_avro',
-    'decoder_simple_avro',
-    'streaming_sqlite_ddl_matrix_e2e',
-    'agg_events_per_type_hour',
     'agg_props_json_profile',
     'bpe_merge_apply',
     'bpe_train_merges',
@@ -99,6 +89,15 @@ _PRIORITY = [
     'streaming_window_append_e2e',
     'text_gopher_quality_flags',
     'text_lm_score',
+    # position 51 — the boundary sacrifice if the external cap is a
+    # hard 50: the cheapest, most stable cohort entry
+    'agg_events_per_type_hour',
+    # r13-changed-critical but externally green in r12 (varint
+    # unification kept the byte goldens; the DDL matrix has its own
+    # judge-run pytest): re-driven only if the window runs past 51
+    'encoder_simple_avro',
+    'decoder_simple_avro',
+    'streaming_sqlite_ddl_matrix_e2e',
     'encoder_craft_framed',
     'encoder_craft_batch_framed',
     'encoder_craft_resolved',
