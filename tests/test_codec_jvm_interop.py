@@ -86,3 +86,29 @@ def test_lz4_frame_cross_interop_both_directions(spark, corpora):
         got = bytes(fis.readAllBytes())
         fis.close()
         assert got == data, name
+
+
+def test_zstd_hypothesis_vs_reference_c(spark):
+    """Property sweep: random/structured corpora compressed by the C
+    implementation decode byte-exact — the strongest conformance
+    evidence available for the FSE/Huffman/sequence paths."""
+    import random
+
+    Zstd = _jvm(spark).com.github.luben.zstd.Zstd
+    rng = random.Random(1234)
+    for trial in range(60):
+        kind = trial % 4
+        n = rng.randint(0, 30000)
+        if kind == 0:
+            data = rng.randbytes(n)
+        elif kind == 1:
+            unit = rng.randbytes(rng.randint(1, 24)) or b"q"
+            data = unit * (n // max(1, len(unit)))
+        elif kind == 2:
+            data = b"".join(
+                b'{"k%d":%d}' % (i % 11, i * 7) for i in range(n // 10))
+        else:
+            data = bytes(rng.choice(b"aab") for _ in range(n))
+        level = rng.choice((1, 2, 3, 6, 12, 19, 22))
+        wire = bytes(Zstd.compress(data, level))
+        assert z.decompress(wire) == data, (trial, kind, n, level)
