@@ -237,3 +237,22 @@ def test_large_message_handle_compression_uri_spelling(spark, tmp_path,
                  "&large-message-handle-compression=snappy")
     cf = Changefeed(spark, cfg, chunked_source, str(tmp_path))
     assert cf.cfg.sink.compression == "snappy"
+
+
+def test_required_acks_uri_param(spark, tmp_path, chunked_source):
+    """options.go:88-98: -1/0/1 parse; anything else is the
+    ErrKafkaInvalidRequiredAcks class at create time."""
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-acks1",
+        sink_uri="kafka:///?protocol=open-protocol&required-acks=1")
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path / "a"))
+    assert cf.cfg.sink.required_acks == 1
+    for bad in ("2", "all", "-2"):
+        with pytest.raises(ValueError, match="invalid required acks"):
+            Changefeed(
+                spark,
+                ChangefeedConfig(
+                    changefeed_id=f"cf-acks-{bad}",
+                    sink_uri="kafka:///?protocol=open-protocol"
+                             f"&required-acks={bad}"),
+                chunked_source, str(tmp_path / f"b{bad}"))

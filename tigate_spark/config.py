@@ -136,6 +136,11 @@ class SinkConfig:
     #: (sarama.go:79-94: none|gzip|snappy|lz4|zstd, unknown values WARN
     #: and fall back to none rather than failing the changefeed)
     kafka_compression: str = "none"
+    #: producer required-acks (options.go:68-98 + URI form
+    #: `required-acks`): -1 WaitForAll (default), 1 WaitForLocal,
+    #: 0 NoResponse; anything else is ErrKafkaInvalidRequiredAcks at
+    #: create time
+    required_acks: int = -1
     #: simple-protocol marshaller dispatch (``pkg/sink/codec/simple/
     #: marshaller.go:50-56`` EncodingFormat): 'json' (the default) or
     #: 'avro' (the embedded com.pingcap.simple.avro binary wire). Only

@@ -141,6 +141,20 @@ def _apply_sink_uri_options(cfg: ChangefeedConfig) -> dict:
                 f"producer compression falls back to none "
                 f"(sarama.go:91-93)", stacklevel=2)
             cfg.sink.kafka_compression = "none"
+    if "required-acks" in q:
+        # options.go:88-98 requireAcksFromString: only -1/0/1 exist;
+        # anything else is ErrKafkaInvalidRequiredAcks (create-time)
+        raw = q["required-acks"][0]
+        try:
+            acks = int(raw)
+        except ValueError:
+            acks = None
+        if acks not in (-1, 0, 1):
+            raise ValueError(
+                f"invalid required acks {raw}"
+                f" (expected -1 WaitForAll, 1 WaitForLocal,"
+                f" 0 NoResponse)")
+        cfg.sink.required_acks = acks
     return q
 
 
@@ -416,6 +430,13 @@ class Changefeed:
                     # executes the codec itself, no local seam needed
                     conf["compression.type"] = (
                         self.cfg.sink.kafka_compression)
+                if self.cfg.sink.required_acks != -1:
+                    # sarama RequiredAcks twin; librdkafka spells them
+                    # "0"/"1"/"all", and idempotence REQUIRES acks=all,
+                    # so a weaker setting turns it off (the app-level
+                    # failed-only retry in produce_partition remains)
+                    conf["acks"] = str(self.cfg.sink.required_acks)
+                    conf["enable.idempotence"] = False
                 producer = ConfluentKafkaProducer(
                     _up(self.cfg.sink_uri).netloc or "localhost:9092",
                     config=conf or None)
