@@ -492,3 +492,29 @@ def test_topic_exists_classification_prefers_structured_code():
     # unstructured mock-style exception falls back to the substring match
     assert probe(Exception("KafkaError{code=TOPIC_ALREADY_EXISTS}")) is True
     assert probe(Exception("request timed out")) is False
+
+
+def test_replication_factor_reaches_new_topic():
+    """options.go:103: the replication factor configured on the sink
+    lands in the admin's NewTopic spec at create."""
+    seen = {}
+
+    def new_topic(topic, n, replication=1):
+        seen["args"] = (topic, n, replication)
+        return ("spec", topic, n, replication)
+
+    class _Fut:
+        def result(self):
+            return None
+
+    class _Admin:
+        def create_topics(self, specs):
+            return {specs[0][1]: _Fut()}
+
+    from tigate_spark.streaming.kafka_clients import ConfluentKafkaProducer
+
+    p = ConfluentKafkaProducer(
+        "b:9092", admin_factory=lambda conf: _Admin(),
+        new_topic=new_topic, replication_factor=3)
+    assert p.ensure_topic("t1", 8) == 8
+    assert seen["args"] == ("t1", 8, 3)

@@ -141,6 +141,8 @@ class SinkConfig:
     #: 0 NoResponse; anything else is ErrKafkaInvalidRequiredAcks at
     #: create time
     required_acks: int = -1
+    #: topic replication factor at create (options.go:103, default 1)
+    replication_factor: int = 1
     #: simple-protocol marshaller dispatch (``pkg/sink/codec/simple/
     #: marshaller.go:50-56`` EncodingFormat): 'json' (the default) or
     #: 'avro' (the embedded com.pingcap.simple.avro binary wire). Only

@@ -141,6 +141,14 @@ def _apply_sink_uri_options(cfg: ChangefeedConfig) -> dict:
                 f"producer compression falls back to none "
                 f"(sarama.go:91-93)", stacklevel=2)
             cfg.sink.kafka_compression = "none"
+    if "replication-factor" in q:
+        # options.go:103 (default 1, options.go:169) — applied at topic
+        # create by the admin client
+        rf = int(q["replication-factor"][0])
+        if rf < 1:
+            raise ValueError(
+                f"invalid replication-factor {rf}, must be >= 1")
+        cfg.sink.replication_factor = rf
     if "required-acks" in q:
         # options.go:88-98 requireAcksFromString: only -1/0/1 exist;
         # anything else is ErrKafkaInvalidRequiredAcks (create-time)
@@ -439,7 +447,8 @@ class Changefeed:
                     conf["enable.idempotence"] = False
                 producer = ConfluentKafkaProducer(
                     _up(self.cfg.sink_uri).netloc or "localhost:9092",
-                    config=conf or None)
+                    config=conf or None,
+                    replication_factor=self.cfg.sink.replication_factor)
             elif transport:
                 raise ValueError(
                     f"unsupported kafka transport {transport!r} "

@@ -54,10 +54,11 @@ def _confluent_factories():
     return (lambda conf: Producer(conf)), (lambda conf: AdminClient(conf))
 
 
-def _new_topic(topic: str, n: int):
+def _new_topic(topic: str, n: int, replication: int = 1):
     from confluent_kafka.admin import NewTopic  # type: ignore
 
-    return NewTopic(topic, num_partitions=n)
+    return NewTopic(topic, num_partitions=n,
+                    replication_factor=replication)
 
 
 class ConfluentKafkaProducer(KafkaProducer):
@@ -69,10 +70,13 @@ class ConfluentKafkaProducer(KafkaProducer):
 
     def __init__(self, bootstrap_servers: str, config: dict | None = None,
                  client_factory=None, admin_factory=None, new_topic=None,
-                 flush_timeout: float = 30.0):
+                 flush_timeout: float = 30.0, replication_factor: int = 1):
         self.conf = {"bootstrap.servers": bootstrap_servers,
                      **DEFAULT_CONFIG, **(config or {})}
         self.flush_timeout = flush_timeout
+        #: options.go:103/169 replication-factor (default 1), applied
+        #: at topic create (admin.go CreateTopic)
+        self.replication_factor = int(replication_factor)
         self._client_factory = client_factory
         self._admin_factory = admin_factory
         self._new_topic = new_topic
@@ -114,7 +118,12 @@ class ConfluentKafkaProducer(KafkaProducer):
     # -- admin (admin.go ClusterAdminClient twin) -------------------------
     def ensure_topic(self, topic: str, partition_count: int) -> int:
         admin = self._admin_client()
-        spec = (self._new_topic or _new_topic)(topic, int(partition_count))
+        mk = self._new_topic or _new_topic
+        try:
+            spec = mk(topic, int(partition_count),
+                      int(self.replication_factor))
+        except TypeError:  # mock new_topic without the replication arg
+            spec = mk(topic, int(partition_count))
         fut = admin.create_topics([spec])[topic]
         try:
             fut.result()
