@@ -518,3 +518,89 @@ def test_replication_factor_reaches_new_topic():
         new_topic=new_topic, replication_factor=3)
     assert p.ensure_topic("t1", 8) == 8
     assert seen["args"] == ("t1", 8, 3)
+
+
+def test_client_config_translation_full_matrix():
+    """options.go:104-128 -> librdkafka keys: client id, Go-duration
+    timeouts, SASL (plain + gssapi), TLS and the combined protocols."""
+    from tigate_spark.streaming.kafka_clients import (
+        client_config_from_params,
+        parse_go_duration_ms,
+    )
+
+    assert parse_go_duration_ms("10s") == 10000
+    assert parse_go_duration_ms("2m") == 120000
+    assert parse_go_duration_ms("1m30s") == 90000
+    assert parse_go_duration_ms("1.5s") == 1500
+    assert parse_go_duration_ms("250ms") == 250
+    import pytest as _pt
+    for bad in ("", "10", "s", "10x"):
+        with _pt.raises(ValueError, match="invalid duration"):
+            parse_go_duration_ms(bad)
+
+    conf = client_config_from_params({
+        "kafka-client-id": "cdc-1", "dial-timeout": "10s",
+        "read-timeout": "10s", "write-timeout": "20s"})
+    assert conf["client.id"] == "cdc-1"
+    assert conf["socket.connection.setup.timeout.ms"] == 10000
+    assert conf["socket.timeout.ms"] == 20000  # max(read, write)
+
+    conf = client_config_from_params({
+        "sasl-user": "u", "sasl-password": "p",
+        "sasl-mechanism": "scram-sha-256"})
+    assert conf["sasl.mechanisms"] == "SCRAM-SHA-256"
+    assert conf["security.protocol"] == "SASL_PLAINTEXT"
+
+    conf = client_config_from_params({
+        "sasl-user": "u", "sasl-mechanism": "plain",
+        "enable-tls": "true", "ca": "/ca.pem", "cert": "/c.pem",
+        "key": "/k.pem", "insecure-skip-verify": "true"})
+    assert conf["security.protocol"] == "SASL_SSL"
+    assert conf["ssl.ca.location"] == "/ca.pem"
+    assert conf["enable.ssl.certificate.verification"] is False
+
+    conf = client_config_from_params({
+        "sasl-mechanism": "gssapi", "sasl-gssapi-user": "svc@REALM",
+        "sasl-gssapi-service-name": "kafka",
+        "sasl-gssapi-keytab-path": "/kt"})
+    assert conf["sasl.kerberos.principal"] == "svc@REALM"
+    assert conf["sasl.kerberos.service.name"] == "kafka"
+
+    with _pt.raises(ValueError, match="sasl-mechanism"):
+        client_config_from_params({"sasl-mechanism": "oauth"})
+
+
+def test_auto_create_topic_false_fake_broker(tmp_path):
+    """options.go:108: auto-create-topic=false means query-only — a
+    missing topic is an unretriable produce-class error."""
+    from tigate_spark.streaming.kafka import FakeWireProducer, ProduceError
+
+    pre = FakeWireProducer(str(tmp_path))
+    pre.ensure_topic("exists", 4)
+    p = FakeWireProducer(str(tmp_path), auto_create=False)
+    assert p.ensure_topic("exists", 16) == 4  # existing count wins
+    import pytest as _pt
+    with _pt.raises(ProduceError, match="auto-create-topic"):
+        p.ensure_topic("missing", 8)
+
+
+def test_kafka_uri_client_params_validated_at_create(spark, tmp_path,
+                                                     chunked_source):
+    from tigate_spark.config import ChangefeedConfig
+    from tigate_spark.streaming.changefeed import Changefeed
+
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-cp",
+        sink_uri="kafka:///?protocol=open-protocol&kafka-client-id=cdc"
+                 "&dial-timeout=10s&sasl-user=u&sasl-mechanism=plain")
+    cf = Changefeed(spark, cfg, chunked_source, str(tmp_path / "a"))
+    assert cf.cfg.sink.kafka_client_params["kafka-client-id"] == "cdc"
+    import pytest as _pt
+    with _pt.raises(ValueError, match="invalid duration"):
+        Changefeed(
+            spark,
+            ChangefeedConfig(
+                changefeed_id="cf-cpbad",
+                sink_uri="kafka:///?protocol=open-protocol"
+                         "&dial-timeout=banana"),
+            chunked_source, str(tmp_path / "b"))

@@ -143,6 +143,14 @@ class SinkConfig:
     required_acks: int = -1
     #: topic replication factor at create (options.go:103, default 1)
     replication_factor: int = 1
+    #: auto-create-topic (options.go:108, default true): when false the
+    #: producer only queries the existing topic and errors if absent
+    auto_create_topic: bool = True
+    #: raw client params from the kafka URI (options.go:104-128:
+    #: kafka-client-id, dial/read/write timeouts, SASL + TLS families,
+    #: kafka-version) — translated to librdkafka keys by
+    #: streaming.kafka_clients.client_config_from_params
+    kafka_client_params: dict = field(default_factory=dict)
     #: simple-protocol marshaller dispatch (``pkg/sink/codec/simple/
     #: marshaller.go:50-56`` EncodingFormat): 'json' (the default) or
     #: 'avro' (the embedded com.pingcap.simple.avro binary wire). Only

@@ -141,6 +141,31 @@ def _apply_sink_uri_options(cfg: ChangefeedConfig) -> dict:
                 f"producer compression falls back to none "
                 f"(sarama.go:91-93)", stacklevel=2)
             cfg.sink.kafka_compression = "none"
+    if "auto-create-topic" in q:
+        # options.go:108 (default true): false = never create, only
+        # query; a missing topic then errors at produce/admin time
+        cfg.sink.auto_create_topic = (
+            q["auto-create-topic"][0].lower() in ("true", "1"))
+    _CLIENT_PARAMS = (
+        "kafka-client-id", "kafka-version", "dial-timeout",
+        "read-timeout", "write-timeout", "sasl-user", "sasl-password",
+        "sasl-mechanism", "sasl-gssapi-auth-type",
+        "sasl-gssapi-keytab-path", "sasl-gssapi-kerberos-config-path",
+        "sasl-gssapi-service-name", "sasl-gssapi-user",
+        "sasl-gssapi-password", "sasl-gssapi-realm",
+        "sasl-gssapi-disable-pafxfast", "enable-tls", "ca", "cert",
+        "key", "insecure-skip-verify")
+    for p in _CLIENT_PARAMS:
+        if p in q:
+            cfg.sink.kafka_client_params[p] = q[p][0]
+    if cfg.sink.kafka_client_params:
+        # validate at create (malformed durations / unknown mechanisms
+        # fail the changefeed now, not at first produce)
+        from tigate_spark.streaming.kafka_clients import (
+            client_config_from_params,
+        )
+
+        client_config_from_params(cfg.sink.kafka_client_params)
     if "replication-factor" in q:
         # options.go:103 (default 1, options.go:169) — applied at topic
         # create by the admin client
@@ -413,7 +438,9 @@ class Changefeed:
                     ensure_supported(kc)
                 broker_dir = q.get("broker-dir", [None])[0] or os.path.join(
                     self.work_dir, "broker", self.cfg.changefeed_id)
-                producer = FakeWireProducer(broker_dir, compression=kc)
+                producer = FakeWireProducer(
+                    broker_dir, compression=kc,
+                    auto_create=self.cfg.sink.auto_create_topic)
             elif transport == "confluent":
                 try:
                     import confluent_kafka  # type: ignore # noqa: F401
@@ -445,10 +472,18 @@ class Changefeed:
                     # failed-only retry in produce_partition remains)
                     conf["acks"] = str(self.cfg.sink.required_acks)
                     conf["enable.idempotence"] = False
+                if self.cfg.sink.kafka_client_params:
+                    from tigate_spark.streaming.kafka_clients import (
+                        client_config_from_params,
+                    )
+
+                    conf.update(client_config_from_params(
+                        self.cfg.sink.kafka_client_params))
                 producer = ConfluentKafkaProducer(
                     _up(self.cfg.sink_uri).netloc or "localhost:9092",
                     config=conf or None,
-                    replication_factor=self.cfg.sink.replication_factor)
+                    replication_factor=self.cfg.sink.replication_factor,
+                    auto_create=self.cfg.sink.auto_create_topic)
             elif transport:
                 raise ValueError(
                     f"unsupported kafka transport {transport!r} "

@@ -83,10 +83,13 @@ class FakeWireProducer(KafkaProducer):
     transport compression is invisible to the application protocol."""
 
     def __init__(self, broker_dir: str, inject: list | None = None,
-                 compression: str = "none"):
+                 compression: str = "none", auto_create: bool = True):
         self.broker_dir = broker_dir
         self.inject = list(inject or [])
         self.compression = compression or "none"
+        #: auto-create-topic=false (options.go:108): only query; a
+        #: missing topic is a create-class error, not a silent create
+        self.auto_create = auto_create
         os.makedirs(broker_dir, exist_ok=True)
         os.makedirs(os.path.join(broker_dir, "_inject"), exist_ok=True)
 
@@ -96,6 +99,12 @@ class FakeWireProducer(KafkaProducer):
 
     def ensure_topic(self, topic: str, partition_count: int) -> int:
         meta = self._topic_meta(topic)
+        if not self.auto_create:
+            if not os.path.exists(meta):
+                raise ProduceError(
+                    f"unknown topic {topic!r} and auto-create-topic "
+                    f"is false (options.go:108)", retriable=False)
+            return self.partition_count(topic)
         try:
             with open(meta, "x") as f:
                 json.dump({"partitions": int(partition_count)}, f)

@@ -41,6 +41,111 @@ DEFAULT_CONFIG = {
 }
 
 
+_GO_DURATION_UNITS = (("ns", 1e-6), ("us", 1e-3), ("µs", 1e-3),
+                      ("ms", 1.0), ("s", 1000.0), ("m", 60000.0),
+                      ("h", 3600000.0))
+
+
+def parse_go_duration_ms(text: str) -> int:
+    """Go ``time.ParseDuration`` subset → milliseconds (the reference's
+    dial/read/write timeouts arrive as '10s'/'2m' strings,
+    options.go:109-111)."""
+    s = text.strip()
+    total = 0.0
+    num = ""
+    i = 0
+    matched_any = False
+    while i < len(s):
+        c = s[i]
+        if c.isdigit() or c in ".+-":
+            num += c
+            i += 1
+            continue
+        for unit, scale in _GO_DURATION_UNITS:
+            if s.startswith(unit, i) and (
+                    unit != "m" or not s.startswith("ms", i)):
+                if not num:
+                    raise ValueError(f"invalid duration {text!r}")
+                total += float(num) * scale
+                num = ""
+                i += len(unit)
+                matched_any = True
+                break
+        else:
+            raise ValueError(f"invalid duration {text!r}")
+    if num or not matched_any:
+        raise ValueError(f"invalid duration {text!r}")
+    return int(total)
+
+
+#: sasl-mechanism values the reference accepts (security/sasl.go):
+#: plain/scram-sha-256/scram-sha-512/gssapi → librdkafka spellings
+_SASL_MECHANISMS = {
+    "plain": "PLAIN",
+    "scram-sha-256": "SCRAM-SHA-256",
+    "scram-sha-512": "SCRAM-SHA-512",
+    "gssapi": "GSSAPI",
+}
+
+
+def client_config_from_params(params: dict) -> dict:
+    """Translate the reference kafka URI's client params
+    (options.go:104-128: kafka-client-id, dial/read/write timeouts,
+    SASL family, TLS family; kafka-version is accepted and ignored —
+    librdkafka negotiates the protocol version sarama had to pin) into
+    librdkafka config keys. Raises ValueError on malformed values at
+    create time, like every other sink misconfiguration."""
+    conf: dict = {}
+    if params.get("kafka-client-id"):
+        conf["client.id"] = params["kafka-client-id"]
+    if params.get("dial-timeout"):
+        conf["socket.connection.setup.timeout.ms"] = (
+            parse_go_duration_ms(params["dial-timeout"]))
+    rw = [parse_go_duration_ms(params[k])
+          for k in ("read-timeout", "write-timeout") if params.get(k)]
+    if rw:
+        # librdkafka has ONE socket.timeout.ms for both directions —
+        # take the larger so neither reference bound tightens the other
+        conf["socket.timeout.ms"] = max(rw)
+    tls = str(params.get("enable-tls", "")).lower() in ("true", "1")
+    sasl = bool(params.get("sasl-user") or params.get("sasl-mechanism"))
+    if sasl:
+        mech = (params.get("sasl-mechanism") or "plain").lower()
+        if mech not in _SASL_MECHANISMS:
+            raise ValueError(
+                f"unknown sasl-mechanism {mech!r} (expected one of "
+                f"{sorted(_SASL_MECHANISMS)})")
+        conf["sasl.mechanisms"] = _SASL_MECHANISMS[mech]
+        if params.get("sasl-user"):
+            conf["sasl.username"] = params["sasl-user"]
+        if params.get("sasl-password"):
+            conf["sasl.password"] = params["sasl-password"]
+        if mech == "gssapi":
+            if params.get("sasl-gssapi-service-name"):
+                conf["sasl.kerberos.service.name"] = (
+                    params["sasl-gssapi-service-name"])
+            if params.get("sasl-gssapi-keytab-path"):
+                conf["sasl.kerberos.keytab"] = (
+                    params["sasl-gssapi-keytab-path"])
+            if params.get("sasl-gssapi-user"):
+                conf["sasl.kerberos.principal"] = (
+                    params["sasl-gssapi-user"])
+        conf["security.protocol"] = "SASL_SSL" if tls else "SASL_PLAINTEXT"
+    elif tls:
+        conf["security.protocol"] = "SSL"
+    if tls:
+        if params.get("ca"):
+            conf["ssl.ca.location"] = params["ca"]
+        if params.get("cert"):
+            conf["ssl.certificate.location"] = params["cert"]
+        if params.get("key"):
+            conf["ssl.key.location"] = params["key"]
+        if str(params.get("insecure-skip-verify", "")).lower() in (
+                "true", "1"):
+            conf["enable.ssl.certificate.verification"] = False
+    return conf
+
+
 def _confluent_factories():
     """Import-gated real client factories (confluent-kafka package)."""
     try:
@@ -70,13 +175,16 @@ class ConfluentKafkaProducer(KafkaProducer):
 
     def __init__(self, bootstrap_servers: str, config: dict | None = None,
                  client_factory=None, admin_factory=None, new_topic=None,
-                 flush_timeout: float = 30.0, replication_factor: int = 1):
+                 flush_timeout: float = 30.0, replication_factor: int = 1,
+                 auto_create: bool = True):
         self.conf = {"bootstrap.servers": bootstrap_servers,
                      **DEFAULT_CONFIG, **(config or {})}
         self.flush_timeout = flush_timeout
         #: options.go:103/169 replication-factor (default 1), applied
         #: at topic create (admin.go CreateTopic)
         self.replication_factor = int(replication_factor)
+        #: options.go:108 auto-create-topic: False = query-only
+        self.auto_create = auto_create
         self._client_factory = client_factory
         self._admin_factory = admin_factory
         self._new_topic = new_topic
@@ -117,6 +225,10 @@ class ConfluentKafkaProducer(KafkaProducer):
 
     # -- admin (admin.go ClusterAdminClient twin) -------------------------
     def ensure_topic(self, topic: str, partition_count: int) -> int:
+        if not self.auto_create:
+            # query-only: partition_count raises its unknown-topic
+            # class if the broker has no such topic
+            return self.partition_count(topic)
         admin = self._admin_client()
         mk = self._new_topic or _new_topic
         try:
@@ -155,7 +267,18 @@ class ConfluentKafkaProducer(KafkaProducer):
 
     def partition_count(self, topic: str) -> int:
         md = self._admin_client().list_topics(topic=topic)
-        return len(md.topics[topic].partitions)
+        meta = md.topics.get(topic) if hasattr(md.topics, "get") \
+            else md.topics[topic]
+        n = len(meta.partitions) if meta is not None else 0
+        if n == 0:
+            # unknown topic (librdkafka returns an errored/empty
+            # metadata entry rather than raising)
+            raise ProduceError(
+                f"unknown topic {topic!r}"
+                + ("" if self.auto_create
+                   else " and auto-create-topic is false"),
+                retriable=False)
+        return n
 
     # -- produce (sarama SyncProducer twin) -------------------------------
     @staticmethod
