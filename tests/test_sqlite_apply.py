@@ -396,3 +396,37 @@ def test_tidb_cdc_db_invisible_to_read_state(spark, tmp_path):
     sink = SqliteApplySink(str(tmp_path / "db"), changefeed="cf-x")
     sink.record_ddl_ts(100, [1])
     assert sink.read_state(spark).count() == 0
+
+
+def test_batch_dml_equivalent_to_sequential(tmp_path):
+    """batch-dml-enable (mysql/config.go:70, default true): adjacent
+    identical-SQL statements coalesce into executemany; final lane
+    state is identical to the statement-at-a-time run."""
+    import json as _json
+    import sqlite3
+
+    from tigate_spark.streaming.sqlite_apply import _exec_lane
+
+    stmts = []
+    for i in range(500):
+        stmts.append(("app", "t0", 0,
+                      "REPLACE INTO `app__t0` (pk, event_type, "
+                      "value_cents) VALUES (?, ?, ?)",
+                      _json.dumps([i % 100, f"e{i}", i]), (0, i + 2, 0)))
+        if i % 50 == 7:  # interleave a different text: breaks the run
+            stmts.append(("app", "t0", 0,
+                          "DELETE FROM `app__t0` WHERE pk = ?",
+                          _json.dumps([i % 100]), (0, i + 2, 1)))
+
+    def run(path, batch):
+        _exec_lane(str(path), list(stmts),
+                   txn_rows=64, max_packet=1 << 20, batch_dml=batch)
+        con = sqlite3.connect(str(path))
+        out = sorted(con.execute(
+            "SELECT pk, event_type, value_cents FROM `app__t0`"))
+        con.close()
+        return out
+
+    a = run(tmp_path / "batch.db", True)
+    b = run(tmp_path / "seq.db", False)
+    assert a == b and len(a) > 50

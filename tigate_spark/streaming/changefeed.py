@@ -557,6 +557,9 @@ class Changefeed:
                 changefeed=self.cfg.changefeed_id,
                 sync_point_us=self.cfg.sync_point_interval_s * 1_000_000
                 if self.cfg.enable_sync_point else None,
+                # batch-dml-enable (mysql/config.go:70, default true)
+                batch_dml=(q.get("batch-dml-enable", ["true"])[0]
+                           .lower() in ("true", "1")),
             )
         if scheme in ("noop", "blackhole"):
             return NoopSink(self.bookkeeping)

@@ -98,6 +98,15 @@ class _FakeCursor:
             raise _translate(e) from e
         return self
 
+    def executemany(self, sql: str, seq_of_args):
+        """DBAPI executemany — the batch-dml lane path. Routes through
+        execute() per row so the injection hooks and the server-side
+        packet accounting see exactly what a statement-at-a-time run
+        would (the multi-row wire still counts every row's bytes)."""
+        for args in seq_of_args:
+            self.execute(sql, args)
+        return self
+
     def __iter__(self):
         return iter(self._cur)
 

@@ -203,7 +203,7 @@ class _LaneLock:
 def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
                retries: int = 5, fence: str | None = None,
                write_source: int | None = None, driver=None,
-               split_txn: bool = True) -> None:
+               split_txn: bool = True, batch_dml: bool = True) -> None:
     """Sequential writer for ONE lane: explicit txns of <= txn_rows
     statements / <= max_packet arg bytes, with the reference's error
     classes (``driver.classify``): transient → rollback + backoff retry;
@@ -322,8 +322,33 @@ def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
                         pending, pending_bytes = [], 0
                         return
                     cur.execute("BEGIN")
-                    for s, a, _k in pending:
-                        cur.execute(s, a)
+                    if batch_dml:
+                        # batch-dml-enable (mysql/config.go:70,104,
+                        # default true): the reference renders multi-row
+                        # DML for row runs against one table; the DBAPI
+                        # twin is executemany over consecutive
+                        # statements sharing the SQL text (same
+                        # semantics, one driver round per run). Order
+                        # within the lane is preserved — only adjacent
+                        # identical-text statements coalesce
+                        i = 0
+                        np = len(pending)
+                        while i < np:
+                            s, a, _k = pending[i]
+                            j = i + 1
+                            if a:
+                                while (j < np and pending[j][0] == s
+                                       and pending[j][1]):
+                                    j += 1
+                            if j - i > 1:
+                                cur.executemany(
+                                    s, [p[1] for p in pending[i:j]])
+                            else:
+                                cur.execute(s, a)
+                            i = j
+                    else:
+                        for s, a, _k in pending:
+                            cur.execute(s, a)
                     if mark and fence is not None:
                         mark_fence()
                     con.commit()
@@ -731,7 +756,8 @@ class SqliteApplySink:
                  bookkeeping=None, write_source: int | None = None,
                  driver=None, split_txn: bool = True,
                  changefeed: str = "", cluster_id: str = "default",
-                 sync_point_us: int | None = None):
+                 sync_point_us: int | None = None,
+                 batch_dml: bool = True):
         self.db_dir = db_dir
         self.n_lanes = n_lanes
         self.txn_rows = txn_rows
@@ -754,6 +780,9 @@ class SqliteApplySink:
         #: transaction-atomicity (sink.go:39-49): False = 'table' level —
         #: single-table upstream txns apply atomically downstream
         self.split_txn = split_txn
+        #: batch-dml-enable (mysql/config.go:70, default true): adjacent
+        #: identical-SQL statements coalesce into one executemany
+        self.batch_dml = batch_dml
         os.makedirs(db_dir, exist_ok=True)
         # lane = table_id % n_lanes names PERSISTENT files: restarting a
         # feed over an existing db_dir with a different worker-count
@@ -786,7 +815,7 @@ class SqliteApplySink:
         db_dir, txn_rows, max_packet = \
             self.db_dir, self.txn_rows, self.max_packet
         write_source, driver = self.write_source, self.driver
-        split_txn = self.split_txn
+        split_txn, batch_dml = self.split_txn, self.batch_dml
         fence = f"b{batch_id}" if fence is None else fence
 
         def run_partition(rows) -> None:
@@ -818,6 +847,7 @@ class SqliteApplySink:
                     write_source=write_source,
                     driver=driver,
                     split_txn=split_txn,
+                    batch_dml=batch_dml,
                 )
 
         (stmts.repartition(self.n_lanes, "lane")
