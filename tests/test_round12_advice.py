@@ -78,16 +78,13 @@ def test_compressed_claim_check_feed_offloads_at_threshold(
 # -- snappy import-gate + interop flagging ----------------------------------
 
 def test_snappy_known_and_gated():
+    # r13 superseded the import gate: snappy is ALWAYS supported via
+    # the from-spec raw-block twin (functions/snappy_codec.py, JVM
+    # cross-validated); the reference-interop set is unchanged
     assert "snappy" in KNOWN
     assert REFERENCE_INTEROP == ("none", "lz4", "snappy")
-    try:
-        import snappy  # type: ignore  # noqa: F401
-        assert supported("snappy")
-    except ImportError:
-        assert not supported("snappy")
-        with pytest.raises(ValueError,
-                           match="NOT readable by reference"):
-            ensure_supported("snappy")
+    assert supported("snappy")
+    ensure_supported("snappy")
 
 
 # -- n_messages=0 guard in the batch frame parser ----------------------------

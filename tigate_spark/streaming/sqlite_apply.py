@@ -322,7 +322,11 @@ def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
                         pending, pending_bytes = [], 0
                         return
                     cur.execute("BEGIN")
-                    if batch_dml:
+                    # duck-typed drivers may lack executemany (DBAPI
+                    # guarantees it, but the seam accepts any cursor
+                    # with execute) — fall back per-statement then
+                    _many = getattr(cur, "executemany", None)
+                    if batch_dml and _many is not None:
                         # batch-dml-enable (mysql/config.go:70,104,
                         # default true): the reference renders multi-row
                         # DML for row runs against one table; the DBAPI
@@ -341,8 +345,7 @@ def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
                                        and pending[j][1]):
                                     j += 1
                             if j - i > 1:
-                                cur.executemany(
-                                    s, [p[1] for p in pending[i:j]])
+                                _many(s, [p[1] for p in pending[i:j]])
                             else:
                                 cur.execute(s, a)
                             i = j
