@@ -244,3 +244,25 @@ def test_native_lz4_cross_interop():
     data = b"cross interop payload " * 200
     assert lz4f.decompress(lz.frame_compress(data)) == data
     assert lz.frame_decompress(lz4f.compress(data)) == data
+
+
+def test_lz4_frame_block_dependent_decode():
+    """FLG B.Indep clear: matches reach into previous blocks' content.
+    Hand-build a 2-block dependent frame: block 2 copies a pattern
+    that lives entirely in block 1."""
+    pat = b"0123456789abcdef" * 8  # 128 bytes, in block 1
+    blk1 = lz.block_compress(pat)
+    # block 2: 4 literals then a 32-byte match at offset 132 — the
+    # match source lies entirely in block 1's content
+    blk2 = bytes([(4 << 4) | 15]) + b"WXYZ" \
+        + (132).to_bytes(2, "little") + bytes([32 - 4 - 15]) \
+        + bytes([0x50]) + b"tail!"
+    header = bytes([(1 << 6), 4 << 4])  # v1, B.Indep CLEAR, 64KB
+    hc = (lz.xxh32(header) >> 8) & 0xFF
+    frame = (0x184D2204).to_bytes(4, "little") + header + bytes([hc]) \
+        + len(blk1).to_bytes(4, "little") + blk1 \
+        + len(blk2).to_bytes(4, "little") + blk2 \
+        + (0).to_bytes(4, "little")
+    got = lz.frame_decompress(frame)
+    expect = pat + b"WXYZ" + (pat + b"WXYZ")[-132:-132 + 32] + b"tail!"
+    assert got == expect

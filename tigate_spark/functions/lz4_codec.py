@@ -87,9 +87,15 @@ def xxh32(data: bytes, seed: int = 0) -> int:
 # ------------------------------------------------------------- block format
 
 
-def block_decompress(data: bytes, max_size: int | None = None) -> bytes:
-    """Decode one LZ4 block (sequences of literals + matches)."""
-    out = bytearray()
+def block_decompress(data: bytes, max_size: int | None = None,
+                     prefix: bytes = b"") -> bytes:
+    """Decode one LZ4 block (sequences of literals + matches).
+
+    ``prefix`` is the already-decoded frame content for BLOCK-DEPENDENT
+    frames (FLG B.Indep clear): matches may reach up to 64 KiB back
+    into it. Returns only this block's bytes."""
+    out = bytearray(prefix[-65536:] if prefix else b"")
+    base = len(out)
     pos = 0
     n = len(data)
     while pos < n:
@@ -134,9 +140,9 @@ def block_decompress(data: bytes, max_size: int | None = None) -> bytes:
         else:  # overlap: repeat the pattern forward
             for i in range(ml):
                 out.append(out[src + i])
-        if max_size is not None and len(out) > max_size:
+        if max_size is not None and len(out) - base > max_size:
             raise LZ4Error("block exceeds declared content size")
-    return bytes(out)
+    return bytes(out[base:])
 
 
 def _emit_seq(out: bytearray, lits: bytes, off: int, ml: int) -> None:
@@ -246,6 +252,7 @@ def frame_decompress(data: bytes) -> bytes:
     flg = data[4]
     if (flg >> 6) != 1:
         raise LZ4Error(f"unsupported frame version {flg >> 6}")
+    block_indep = bool(flg & (1 << 5))
     block_checksum = bool(flg & (1 << 4))
     content_size_flag = bool(flg & (1 << 3))
     content_checksum = bool(flg & (1 << 2))
@@ -289,7 +296,14 @@ def frame_decompress(data: bytes) -> bytes:
             if int.from_bytes(data[pos:pos + 4], "little") != xxh32(body):
                 raise LZ4Error("block checksum mismatch")
             pos += 4
-        out += body if stored else block_decompress(body, max_block)
+        if stored:
+            out += body
+        else:
+            # dependent blocks (B.Indep clear) may match into the
+            # previous 64 KiB of decoded content
+            out += block_decompress(
+                body, max_block,
+                prefix=b"" if block_indep else bytes(out))
     if content_checksum:
         if len(data) < pos + 4:
             raise LZ4Error("truncated content checksum")
