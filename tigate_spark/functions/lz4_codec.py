@@ -185,26 +185,34 @@ def block_compress(data: bytes) -> bytes:
         _emit_seq(out, data, 0, 0)
         return bytes(out)
     table: dict[bytes, int] = {}
+    setdefault = table.setdefault
     pos = 0
     lit_start = 0
     match_limit = n - 12  # last match must start before here (spec)
     end_guard = n - 5     # matches may not cover the last 5 bytes
     while pos < match_limit:
         quad = data[pos:pos + 4]
-        cand = table.get(quad)
-        table[quad] = pos
-        if cand is None or pos - cand > 0xFFFF:
+        cand = setdefault(quad, pos)
+        if cand == pos:
             pos += 1
             continue
+        if pos - cand > 0xFFFF:  # stale entry beyond the window:
+            table[quad] = pos    # refresh and move on
+            pos += 1
+            continue
+        # extend the match: 64-byte slice compares (C speed) then a
+        # byte-wise tail — a long match must not cost a Python loop
+        # iteration per byte
         ln = 4
+        while (pos + ln + 64 <= end_guard
+               and data[cand + ln:cand + ln + 64]
+               == data[pos + ln:pos + ln + 64]):
+            ln += 64
         while pos + ln < end_guard and data[cand + ln] == data[pos + ln]:
             ln += 1
         _emit_seq(out, data[lit_start:pos], pos - cand, ln)
-        end = pos + ln
-        for p in range(pos + 1, min(end, match_limit), 3):
-            table[data[p:p + 4]] = p
-        pos = end
-        lit_start = end
+        pos += ln
+        lit_start = pos
     _emit_seq(out, data[lit_start:], 0, 0)
     return bytes(out)
 

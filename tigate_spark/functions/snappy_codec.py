@@ -183,8 +183,13 @@ def _compress_fragment(frag: bytes, out: bytearray) -> None:
         if cand == pos:
             pos += 1
             continue
-        # extend the 4-byte seed match as far as it goes
+        # extend the 4-byte seed match: 64-byte slice compares (C
+        # speed) then a byte-wise tail
         ln = 4
+        while (pos + ln + 64 <= n
+               and frag[cand + ln:cand + ln + 64]
+               == frag[pos + ln:pos + ln + 64]):
+            ln += 64
         while pos + ln < n and frag[cand + ln] == frag[pos + ln]:
             ln += 1
         if lit_start < pos:
