@@ -112,3 +112,16 @@ def test_zstd_hypothesis_vs_reference_c(spark):
         level = rng.choice((1, 2, 3, 6, 12, 19, 22))
         wire = bytes(Zstd.compress(data, level))
         assert z.decompress(wire) == data, (trial, kind, n, level)
+
+
+def test_zstd_our_compressed_blocks_really_compress_and_jni_reads(
+        spark, corpora):
+    """The encoder's compressed-block path actually engages (wire
+    smaller than input on matchable corpora) and the reference C
+    implementation decodes those frames byte-exact."""
+    Zstd = _jvm(spark).com.github.luben.zstd.Zstd
+    for name in ("repetitive", "json-ish", "mixed"):
+        data = corpora[name]
+        wire = z.compress(data)
+        assert len(wire) < len(data) // 2, (name, len(wire), len(data))
+        assert bytes(Zstd.decompress(wire, len(data))) == data, name

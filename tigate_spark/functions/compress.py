@@ -121,9 +121,9 @@ def compress_bytes(cc: str, data: bytes) -> bytes:
             return mod.ZstdCompressor().compress(data)
         from tigate_spark.functions import zstd_codec
 
-        # from-spec raw/RLE-block frames: conforming (any zstd decoder
-        # reads them) but stored, not matched — the native lib wins on
-        # ratio when importable
+        # from-spec frames with real compressed blocks (greedy matcher
+        # + predefined-FSE sequences, zstd-jni cross-validated); the
+        # native lib still wins on ratio when importable
         return zstd_codec.compress(data)
     raise ValueError(f"compression is not supported, got {cc!r}")
 

@@ -19,12 +19,16 @@ native lib. This module implements, from RFC 8878 only:
   offset history and its ``literals_length == 0`` shift rule;
   multi-frame inputs and skippable frames; xxHash64 content checksum
   verification;
-- a frame ENCODER emitting raw/RLE blocks only — a conforming
-  compressor is allowed to store (RFC 8878 §3.1.1.2.2: a frame made
-  of Raw_Block/RLE_Block is valid), so any zstd decoder reads its
-  output; match-finding compression is deliberately out of scope
-  (the from-spec posture targets interop, not ratio — the native lib
-  is preferred when importable, ``functions/compress.py``).
+- a frame ENCODER producing REAL compressed blocks: a greedy LZ77
+  matcher feeding predefined-mode FSE sequences (ANS states chosen in
+  reverse symbol order) over a raw-literals section, with RLE blocks
+  for uniform runs and raw blocks when matching doesn't pay — every
+  choice a legal compressor form, and the output is cross-validated
+  byte-exact against the reference C implementation (zstd-jni) in
+  ``tests/test_codec_jvm_interop.py``. Huffman literals and custom
+  FSE tables are intentionally not emitted (predefined tables and raw
+  literals are always valid); the native lib is preferred for ratio
+  when importable (``functions/compress.py``).
 
 The decode tables/constants below are the RFC's: predefined FSE
 distributions (§3.1.1.3.2.2), literals-length and match-length code
@@ -739,12 +743,136 @@ def decompress(data: bytes) -> bytes:
 _RAW_BLOCK_MAX = 1 << 17  # 128 KiB (Block_Maximum_Size ceiling)
 
 
-def compress(data: bytes, checksum: bool = True) -> bytes:
-    """Emit a conforming frame of raw/RLE blocks (stored, no matches).
+def _fse_encode_chain(symbols: list[int], table, accuracy: int):
+    """ANS encode one lane's symbol chain against a decode table:
+    states chosen in REVERSE symbol order so the decoder's forward
+    walk reproduces ``symbols``. Returns (init_state_index,
+    [(bits, nb) transitions] in decoder-read order)."""
+    size = 1 << accuracy
+    cells: dict[int, list[int]] = {}
+    for i, (s, _nb, _bl) in enumerate(table):
+        cells.setdefault(s, []).append(i)
+    counts = {s: len(v) for s, v in cells.items()}
+    state = cells[symbols[-1]][0]
+    transitions = []
+    for s in reversed(symbols[:-1]):
+        c = counts[s]
+        t = state + size
+        nb = 0
+        while (t >> nb) >= 2 * c:
+            nb += 1
+        x = t >> nb
+        transitions.append((t - (x << nb), nb))
+        state = cells[s][x - c]
+    transitions.reverse()
+    return state, transitions
 
-    Any zstd decoder reads the output; ratio is not the goal (the
-    native lib takes over when importable). Uniform runs collapse to
-    RLE blocks, so the degenerate all-zeros case still shrinks."""
+
+def _backward_stream(chunks) -> bytes:
+    """Lay out (value, nbits) chunks in decoder-read order as a
+    backward bitstream with the 1-bit sentinel."""
+    total = sum(n for _, n in chunks)
+    i = 1 << total
+    pos = total
+    for v, n in chunks:
+        pos -= n
+        i |= v << pos
+    return i.to_bytes((total + 8) // 8, "little")
+
+
+def _code_of(v: int, table: list[tuple[int, int]], direct: int) -> tuple:
+    """value -> (code, extra_bits_value, extra_bits_count) for the
+    LL/ML code tables; codes below ``direct`` map 1:1."""
+    if v - table[0][0] < direct:
+        return v - table[0][0], 0, 0
+    for code in range(len(table) - 1, direct - 1, -1):
+        base, bits = table[code]
+        if v >= base:
+            return code, v - base, bits
+    raise ZstdError(f"value {v} below code table")
+
+
+def _compress_block(data: bytes) -> bytes | None:
+    """One compressed block: raw-literals section + predefined-mode
+    sequences (greedy 4-byte-hash matcher, no repeat offsets). Returns
+    None when sequences don't pay (caller falls back to a raw block).
+    The output decodes on ANY conforming decoder — cross-validated
+    against zstd-jni in tests."""
+    n = len(data)
+    if n < 16:
+        return None
+    table: dict[bytes, int] = {}
+    setdefault = table.setdefault
+    seqs: list[tuple[int, int, int]] = []  # (lit_len, offset, match_len)
+    lits = bytearray()
+    pos = 0
+    lit_start = 0
+    limit = n - 4
+    while pos < limit:
+        quad = data[pos:pos + 4]
+        cand = setdefault(quad, pos)
+        if cand == pos:
+            pos += 1
+            continue
+        ln = 4
+        while (pos + ln + 64 <= n
+               and data[cand + ln:cand + ln + 64]
+               == data[pos + ln:pos + ln + 64]):
+            ln += 64
+        while pos + ln < n and data[cand + ln] == data[pos + ln]:
+            ln += 1
+        lits += data[lit_start:pos]
+        seqs.append((pos - lit_start, pos - cand, ln))
+        pos += ln
+        lit_start = pos
+    if not seqs:
+        return None
+    lits += data[lit_start:]
+    # --- literals section: raw form ---
+    regen = len(lits)
+    if regen < (1 << 12):
+        lit_hdr = (0 | (1 << 2) | (regen << 4)).to_bytes(2, "little")
+    else:
+        lit_hdr = (0 | (3 << 2) | (regen << 4)).to_bytes(3, "little")
+    # --- sequences section ---
+    nseq = len(seqs)
+    if nseq < 128:
+        head = bytes([nseq])
+    elif nseq < 0x7F00:
+        head = bytes([128 + (nseq >> 8), nseq & 0xFF])
+    else:
+        head = bytes([255]) + (nseq - 0x7F00).to_bytes(2, "little")
+    head += bytes([0])  # modes: predefined for LL, OF, ML
+    ll_syms, of_syms, ml_syms = [], [], []
+    extras = []
+    for (ll, off, ml) in seqs:
+        of_value = off + 3  # never the repeat-offset lane
+        lc, le, lb = _code_of(ll, _LL_TABLE, 16)
+        oc = of_value.bit_length() - 1
+        mc, me, mb = _code_of(ml, _ML_TABLE, 32)
+        ll_syms.append(lc)
+        of_syms.append(oc)
+        ml_syms.append(mc)
+        extras.append(((of_value - (1 << oc), oc), (me, mb), (le, lb)))
+    ll_i, ll_t = _fse_encode_chain(ll_syms, _PREDEF["ll"], _LL_ACC)
+    of_i, of_t = _fse_encode_chain(of_syms, _PREDEF["of"], _OF_ACC)
+    ml_i, ml_t = _fse_encode_chain(ml_syms, _PREDEF["ml"], _ML_ACC)
+    chunks = [(ll_i, _LL_ACC), (of_i, _OF_ACC), (ml_i, _ML_ACC)]
+    for i in range(nseq):
+        chunks.extend(extras[i])
+        if i + 1 < nseq:
+            chunks.append(ll_t[i])
+            chunks.append(ml_t[i])
+            chunks.append(of_t[i])
+    blk = lit_hdr + bytes(lits) + head + _backward_stream(chunks)
+    return blk if len(blk) < n else None
+
+
+def compress(data: bytes, checksum: bool = True) -> bytes:
+    """Emit a conforming zstd frame: per 128 KiB block, RLE for
+    uniform runs, a COMPRESSED block (raw literals + predefined-mode
+    FSE sequences from the greedy matcher) when it shrinks, else raw.
+    Any zstd decoder reads the output (zstd-jni cross-validated)."""
     out = bytearray(_MAGIC.to_bytes(4, "little"))
     n = len(data)
     # single-segment + frame content size (+ optional checksum)
@@ -772,6 +900,12 @@ def compress(data: bytes, checksum: bool = True) -> bytes:
                 hdr = last | (1 << 1) | (len(chunk) << 3)
                 out += hdr.to_bytes(3, "little")
                 out.append(chunk[0])
+                continue
+            comp = _compress_block(bytes(chunk))
+            if comp is not None:
+                hdr = last | (2 << 1) | (len(comp) << 3)
+                out += hdr.to_bytes(3, "little")
+                out += comp
             else:
                 hdr = last | (0 << 1) | (len(chunk) << 3)
                 out += hdr.to_bytes(3, "little")
