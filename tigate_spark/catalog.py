@@ -2491,10 +2491,13 @@ FROM changes
         "from-spec RFC 8878 twin (functions/zstd_codec.py — the kafka "
         "producer's remaining codec, sarama.go:89-90, and the reference "
         "event store's value codec, eventstore/event_store.go:32): "
-        "encode emits conforming raw/RLE-block frames with the xxHash64 "
-        "content checksum, decode is the FULL decoder (FSE + Huffman + "
-        "sequences + repeat offsets), round-tripped and hash-matched "
-        "against the independent PLAIN oracle",
+        "encode emits REAL compressed blocks (greedy matcher + "
+        "predefined-mode FSE sequences; RLE/raw fallbacks) with the "
+        "xxHash64 content checksum, decode is the FULL decoder (FSE + "
+        "Huffman + sequences + repeat offsets); both directions "
+        "cross-validated byte-exact against zstd-jni (the C "
+        "implementation) and round-trip hash-matched against the "
+        "independent PLAIN oracle",
 )
 def encoder_open_compressed_zstd(
         spark: SparkSession, sf_dir: str) -> DataFrame:
