@@ -551,3 +551,19 @@ def test_decoder_fuzz_raises_typed_errors_only():
                 fn(bytes(w))
             except err:
                 pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.one_of(
+    st.builds(lambda b, n: b * n, st.binary(min_size=1, max_size=24),
+              st.integers(min_value=2, max_value=3000)),
+    st.builds(lambda a, b, n, c: a + b * n + c,
+              st.binary(max_size=100),
+              st.binary(min_size=4, max_size=12),
+              st.integers(min_value=1, max_value=800),
+              st.binary(max_size=100)),
+))
+def test_compressed_block_roundtrip_property(data):
+    """Shapes that engage the matcher (so the COMPRESSED block path,
+    not the raw fallback, is what round-trips)."""
+    assert z.decompress(z.compress(data)) == data
