@@ -283,3 +283,65 @@ def test_null_columns_take_the_null_union_branch(spark):
     assert data["event_type"] is None
     assert data["value_cents"] is None
     assert data["pk"] == 7 and data["user_id"] == 13
+
+
+# -- large-message lanes: handle-key-only + claim-check ----------------------
+
+def test_large_message_degraded_wire_fills_union_holders(spark, changes):
+    """Oversized messages re-marshal with onlyHandleKey=true and (for
+    claim-check) claimCheckLocation set — avro.go:261-271 fills BOTH
+    holders; pk is the only surviving image column."""
+    from tigate_spark.functions.simple_avro import encode_simple_avro_large
+
+    enc = encode_simple_avro_large(
+        changes, "claim-check", keep=("sa_oversized", "sa_loc"))
+    rows = enc.select("op", "message_hex", "sa_oversized",
+                      "sa_loc").limit(400).collect()
+    saw_degraded = saw_inline = False
+    for r in rows:
+        p = decode_message(bytes.fromhex(r["message_hex"]))["payload"]
+        if r["sa_oversized"]:
+            saw_degraded = True
+            assert p["handleKeyOnly"] is True
+            assert p["claimCheckLocation"] == r["sa_loc"]
+            assert p["claimCheckLocation"].startswith("s3://claim-check/")
+            img = p["old"] if r["op"] == "D" else p["data"]
+            assert set(img) == {"pk"}
+        else:
+            saw_inline = True
+            assert p["handleKeyOnly"] is None
+            assert p["claimCheckLocation"] is None
+    assert saw_degraded and saw_inline
+
+
+def test_handle_key_only_lane_has_no_location(spark, changes):
+    from tigate_spark.functions.simple_avro import (
+        decode_simple_avro_large,
+        encode_simple_avro_large,
+    )
+
+    wire = encode_simple_avro_large(changes, "handle-key-only") \
+        .select("seq", "message_hex").limit(300)
+    dec = decode_simple_avro_large(wire).collect()
+    degraded = [r for r in dec if r["only_handle_key"] == 1]
+    assert degraded and all(r["claim_location"] is None for r in dec)
+    for r in degraded:
+        assert r["pk"] is not None
+        assert r["event_type"] is None and r["value_cents"] is None
+
+
+def test_claim_check_fetch_back_restores_full_bytes(spark, changes):
+    """The stored full wire decodes identical to the never-degraded
+    encoding of the same row."""
+    from tigate_spark.functions.simple_avro import encode_simple_avro_large
+
+    enc = encode_simple_avro_large(
+        changes, "claim-check",
+        keep=("sa_oversized", "sa_loc", "sa_full_h")).limit(500)
+    full = encode_simple_avro(changes).select(
+        "seq", F.col("message_hex").alias("expect_hex")).limit(500)
+    joined = enc.filter(F.col("sa_oversized") == 1) \
+        .select("seq", "sa_full_h").join(full, "seq").collect()
+    assert joined
+    for r in joined:
+        assert r["sa_full_h"] == r["expect_hex"]

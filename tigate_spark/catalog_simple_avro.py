@@ -20,13 +20,17 @@ from tigate_spark.catalog import (
     register,
 )
 from tigate_spark.functions.simple_avro import (
+    LARGE_MESSAGE_THRESHOLD,
+    decode_simple_avro_large,
     encode_simple_avro,
     encode_simple_avro_bootstrap,
     encode_simple_avro_ddl,
+    encode_simple_avro_large,
     oracle_suffix,
     simple_avro_bootstrap_steps,
     simple_avro_ddl_steps,
     simple_avro_dml_steps,
+    simple_avro_large_message_steps,
     simple_avro_watermark_sql,
 )
 from tigate_spark.sources.changes import ORACLE_CHANGES_CTE, changes_stream
@@ -110,6 +114,115 @@ def encoder_simple_avro_checksum(spark: SparkSession,
                        .otherwise(F.lit(0)).cast("bigint"))
     return encode_simple_avro(ch, with_checksum=True) \
         .select("seq", "message_hex")
+
+
+@register(
+    "encoder_simple_avro_claim_check",
+    ORACLE_CHANGES_CTE
+    + oracle_suffix(
+        simple_avro_large_message_steps("duckdb", "claim-check"), "changes")
+    + "\nSELECT seq, message_hex, sa_oversized AS offloaded, "
+      "sa_loc AS claim_location FROM sa_msg",
+    doc="Simple-Avro claim-check wire (encoder.go:84-120: oversized "
+        "message offloads to the md5-addressed store, then the event is "
+        "re-marshalled with onlyHandleKey=true AND claimCheckLocation "
+        "set — avro.go:261-271 fills BOTH union holders; scenario "
+        "kafka_simple_claim_check_avro): byte-exact hex for the inline "
+        "and degraded forms in both engines",
+)
+def encoder_simple_avro_claim_check(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    return encode_simple_avro_large(
+        ch, "claim-check", keep=("sa_oversized", "sa_loc")).select(
+        "seq", "message_hex",
+        F.col("sa_oversized").alias("offloaded"),
+        F.col("sa_loc").alias("claim_location"))
+
+
+_T2 = 2 * LARGE_MESSAGE_THRESHOLD
+
+
+@register(
+    "decoder_simple_avro_degraded",
+    ORACLE_CHANGES_CTE
+    + oracle_suffix(simple_avro_dml_steps("duckdb"), "changes")
+    + f"""
+SELECT seq,
+  CAST(CASE WHEN length(message_hex) > {_T2} THEN 1 ELSE 0 END AS BIGINT)
+    AS only_handle_key,
+  CAST(NULL AS VARCHAR) AS claim_location,
+  pk,
+  CASE WHEN length(message_hex) > {_T2} THEN NULL
+       ELSE event_type END AS event_type,
+  CASE WHEN length(message_hex) > {_T2} THEN NULL
+       WHEN op = 'D' THEN value_cents - 100
+       ELSE value_cents END AS value_cents,
+  CASE WHEN length(message_hex) > {_T2} THEN NULL
+       ELSE user_id END AS user_id,
+  CAST(commit_ts AS BIGINT) AS commit_ts
+FROM sa_msg
+""",
+    doc="Simple-Avro handle-key-only consumer (decoder.go:145-146,"
+        "197-232; scenario kafka_simple_handle_key_only_avro): degraded "
+        "messages surface only the handle key with only_handle_key=1 — "
+        "the consumer contract that a degraded row triggers an upstream "
+        "snapshot fetch instead of a partial apply; full messages "
+        "surface their live image (decoder twin of the claim-check "
+        "encoder's lossy sibling)",
+)
+def decoder_simple_avro_degraded(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    wire = encode_simple_avro_large(ch, "handle-key-only") \
+        .select("seq", "message_hex")
+    return decode_simple_avro_large(wire)
+
+
+@register(
+    "consumer_simple_avro_claim_check_e2e",
+    ORACLE_CHANGES_CTE
+    + oracle_suffix(simple_avro_dml_steps("duckdb"), "changes")
+    + f"""
+SELECT seq, pk, event_type,
+  CASE WHEN op = 'D' THEN value_cents - 100 ELSE value_cents END
+    AS value_cents,
+  user_id, CAST(commit_ts AS BIGINT) AS commit_ts,
+  CAST(CASE WHEN length(message_hex) > {_T2} THEN 1 ELSE 0 END AS BIGINT)
+    AS was_offloaded
+FROM sa_msg
+""",
+    doc="Simple-Avro claim-check fetch-back e2e (decoder.go:141-142,"
+        "168-195 assembleClaimCheckRowChangedEvent): the consumer reads "
+        "claimCheckLocation off the degraded wire, joins the "
+        "content-addressed offload store, decodes the stored FULL "
+        "message, and restores every column — proving the offloaded "
+        "bytes round-trip identical to the never-degraded lane",
+)
+def consumer_simple_avro_claim_check_e2e(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.simple_avro import decode_simple_avro_rows
+
+    ch = changes_stream(spark, sf_dir)
+    enc = encode_simple_avro_large(
+        ch, "claim-check", keep=("sa_oversized", "sa_loc", "sa_full_h"))
+    # the side-write the reference's claimCheck.WriteMessage performs —
+    # content-addressed, so identical wires share one object
+    store = enc.filter(F.col("sa_oversized") == 1).select(
+        F.col("sa_loc").alias("location"),
+        F.col("sa_full_h").alias("stored_hex")).dropDuplicates(["location"])
+    dec = decode_simple_avro_large(enc.select("seq", "message_hex"))
+    inline = dec.filter(F.col("claim_location").isNull()).select(
+        "seq", "pk", "event_type", "value_cents", "user_id", "commit_ts",
+        F.lit(0).cast("bigint").alias("was_offloaded"))
+    fetched = dec.filter(F.col("claim_location").isNotNull()) \
+        .select("seq", "claim_location") \
+        .join(store, F.col("claim_location") == F.col("location")) \
+        .select("seq", F.col("stored_hex").alias("message_hex"))
+    refull = decode_simple_avro_rows(fetched).select(
+        "seq", "pk", "event_type", "value_cents", "user_id", "commit_ts",
+        F.lit(1).cast("bigint").alias("was_offloaded"))
+    return inline.unionByName(refull)
 
 
 @register(

@@ -78,8 +78,9 @@ REFERENCE_INTEROP = ("none", "lz4", "snappy")
 def supported(cc: str) -> bool:
     """``compression.Supported`` twin — known AND executable here.
 
-    The reference codecs lz4/snappy are always executable (from-spec
-    fallbacks); only zstd still depends on its lib being present.
+    All six codecs are always executable: gzip/zlib via the stdlib and
+    lz4/snappy/zstd via the from-spec twins (native libs are preferred
+    when importable, but absence never disables a codec).
     """
     return cc in ("none", "gzip", "zlib", "lz4", "snappy", "zstd")
 

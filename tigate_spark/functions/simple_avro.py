@@ -248,6 +248,131 @@ def simple_avro_dml_steps(d_name: str,
 
 
 # ---------------------------------------------------------------------------
+# Large-message lanes: handle-key-only degradation + claim-check offload
+# ---------------------------------------------------------------------------
+
+#: reference default threshold stand-in for the catalog entries — the
+#: sf corpus is bimodal (~120 B single-image, ~208 B update wires), so
+#: 160 splits it: updates degrade, inserts/deletes stay inline
+LARGE_MESSAGE_THRESHOLD = 160
+
+#: md5-addressed offload location (claimcheck.FileNameWithPrefix over
+#: NewFileName; the reference uses a UUID — the twin content-addresses
+#: the full wire so the oracle can recompute it)
+_CLAIM_PREFIX = "s3://claim-check/"
+
+
+def _hko_map(d: dict) -> str:
+    """data/old map carrying ONLY the handle-key column (collectColumns
+    with onlyHandleKey=true keeps the primary-index columns,
+    ``simple/avro.go:213-244``): one pk entry, long union branch."""
+    return (f"'{_H(1)}{_py_str('pk')}{_H(U_LONG)}' || {_vz('pk', d)} "
+            f"|| '00'")
+
+
+def simple_avro_large_message_steps(
+        d_name: str, handle: str = "claim-check",
+        threshold: int = LARGE_MESSAGE_THRESHOLD) -> list[tuple[str, str]]:
+    """Steps building the large-message wire: the full DML message when
+    its size fits ``threshold`` bytes, else the degraded re-marshal with
+    ``onlyHandleKey=true`` maps — plus, for ``handle='claim-check'``,
+    the ``claimCheckLocation`` union filled with the offload address
+    (``simple/encoder.go:84-120``: oversized → optional claim-check
+    side-write → ``MarshalRowChangedEvent(event, true,
+    claimCheckLocation)``; ``avro.go:261-271`` fills BOTH union holders
+    on the degraded message — the decoder prefers claimCheckLocation,
+    ``decoder.go:141-147``). Adds ``sa_oversized`` (0/1) and, for
+    claim-check, ``sa_loc`` (the location string) alongside
+    ``message_hex``."""
+    assert handle in ("claim-check", "handle-key-only")
+    d = _dialect(d_name)
+    steps = [("sa_full_h" if n == "message_hex" else n, s)
+             for n, s in simple_avro_dml_steps(d_name)]
+    steps.append((
+        "sa_oversized",
+        f"CAST(CASE WHEN length(sa_full_h) > {2 * threshold} "
+        f"THEN 1 ELSE 0 END AS BIGINT)"))
+    if handle == "claim-check":
+        steps.append((
+            "sa_loc",
+            f"CASE WHEN sa_oversized = 1 THEN '{_CLAIM_PREFIX}' || "
+            f"md5(sa_full_h) || '.json' END"))
+        steps.append(("sa_loc_h", _strhex("sa_loc", d)))
+        cc = f"'{_H(1)}' || sa_loc_h"
+    else:
+        cc = "'00'"
+    dml_type = (f"CASE op WHEN 'I' THEN '{_H(DML_INSERT)}' "
+                f"WHEN 'U' THEN '{_H(DML_UPDATE)}' "
+                f"ELSE '{_H(DML_DELETE)}' END")
+    hko = _hko_map(d)
+    degraded = (
+        # same DML field order as the full message; claimCheckLocation
+        # and handleKeyOnly union holders filled, checksum null, maps
+        # degraded to the handle key
+        f"'{_msg_head(MSG_DML)}{_H(1)}' || sa_db_h || sa_tbl_h || "
+        f"{_vz('table_id', d)} || {dml_type} || "
+        f"{_vz('commit_ts', d)} || "
+        f"{_vz(d['idiv']('commit_ts', '1000'), d)} || "
+        f"'{_H(1)}' || {cc} || '{_H(1)}01' || '00' || "
+        f"CASE WHEN op = 'D' THEN '00' ELSE '{_H(1)}' || {hko} END || "
+        f"CASE WHEN op = 'I' THEN '00' ELSE '{_H(1)}' || {hko} END")
+    steps.append((
+        "message_hex",
+        f"CASE WHEN sa_oversized = 1 THEN {degraded} ELSE sa_full_h END"))
+    return steps
+
+
+def encode_simple_avro_large(df: DataFrame, handle: str = "claim-check",
+                             threshold: int = LARGE_MESSAGE_THRESHOLD,
+                             keep: tuple[str, ...] = ()) -> DataFrame:
+    """Spark builder for the large-message wire; ``keep`` names extra
+    step columns to surface (sa_oversized / sa_loc / sa_full_h)."""
+    steps = simple_avro_large_message_steps("spark", handle, threshold)
+    out = df.selectExpr("*", *[f"{sql} AS {name}" for name, sql in steps])
+    drop = [n for n, _ in steps if n != "message_hex" and n not in keep]
+    return out.drop(*drop)
+
+
+def decode_simple_avro_large(df: DataFrame, hex_col: str = "message_hex",
+                             seq_col: str = "seq") -> DataFrame:
+    """Consumer for the large-message wire: full messages surface their
+    live image; degraded messages surface only the handle key with
+    ``only_handle_key=1`` (the reference consumer then snapshot-queries
+    upstream, ``decoder.go:197-232``) and claim-check messages surface
+    their ``claim_location`` for the fetch-back
+    (``decoder.go:141-142``)."""
+    import pandas as pd
+
+    schema = ("seq long, only_handle_key long, claim_location string, "
+              "pk long, event_type string, value_cents long, "
+              "user_id long, commit_ts long")
+
+    def fn(it):
+        for pdf in it:
+            rows = []
+            for seq, hx in zip(pdf[seq_col], pdf[hex_col]):
+                p = decode_message(bytes.fromhex(hx))["payload"]
+                img = p["old"] if p["type"] == "DELETE" else p["data"]
+                degraded = bool(p["handleKeyOnly"])
+                rows.append({
+                    "seq": int(seq),
+                    "only_handle_key": 1 if degraded else 0,
+                    "claim_location": p["claimCheckLocation"],
+                    "pk": img["pk"],
+                    "event_type": None if degraded else img["event_type"],
+                    "value_cents": (
+                        None if degraded or img["value_cents"] is None
+                        else img["value_cents"]["value"]),
+                    "user_id": None if degraded else img["user_id"],
+                    "commit_ts": p["commitTs"],
+                })
+            yield pd.DataFrame(
+                rows, columns=[c.split()[0] for c in schema.split(", ")])
+
+    return df.mapInPandas(fn, schema)
+
+
+# ---------------------------------------------------------------------------
 # Watermark / Bootstrap / DDL messages
 # ---------------------------------------------------------------------------
 

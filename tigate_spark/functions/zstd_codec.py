@@ -521,9 +521,16 @@ def _decode_literals(block: bytes, ctx: _FrameCtx) -> tuple[bytes, int]:
 
 def _sequences_table(mode: int, kind: str, data: bytes, pos: int,
                      ctx: _FrameCtx, max_symbol: int, max_acc: int):
-    """Resolve one of LL/OF/ML per its compression mode (§3.1.1.3.2)."""
+    """Resolve one of LL/OF/ML per its compression mode (§3.1.1.3.2).
+
+    Every non-repeat mode persists its resolved (table, accuracy) into
+    ``ctx.fse_<kind>``: RFC 8878 §3.1.1.3.2.1.1 defines Repeat_Mode as
+    reusing "the table from the previous compressed block", which may
+    itself have been Predefined or RLE — not only FSE-described.
+    """
     if mode == 0:  # predefined
         acc = {"ll": _LL_ACC, "ml": _ML_ACC, "of": _OF_ACC}[kind]
+        setattr(ctx, f"fse_{kind}", (_PREDEF[kind], acc))
         return _PREDEF[kind], acc, pos
     if mode == 1:  # RLE: one byte = the symbol
         if pos >= len(data):
@@ -531,7 +538,9 @@ def _sequences_table(mode: int, kind: str, data: bytes, pos: int,
         sym = data[pos]
         if sym > max_symbol:
             raise ZstdError(f"RLE {kind} symbol {sym} out of range")
-        return _rle_table(sym), 0, pos + 1
+        table = _rle_table(sym)
+        setattr(ctx, f"fse_{kind}", (table, 0))
+        return table, 0, pos + 1
     if mode == 2:  # FSE table description
         fb = _ForwardBits(data[pos:])
         probs, acc = _parse_fse_distribution(fb, max_symbol, max_acc)
@@ -657,8 +666,15 @@ def _decode_frame(data: bytes, pos: int) -> tuple[bytes, int]:
         pos += 1  # window size only bounds memory; we hold the frame
     did_len = (0, 1, 2, 4)[did_flag]
     if did_len:
-        pos += did_len  # dictionary id: parsed, dictionaries unsupported
-        raise ZstdError("dictionary frames not supported")
+        # RFC 8878 §3.1.1.1.3: DID value 0 means "no dictionary" even
+        # when the field is physically present — only nonzero ids name
+        # an actual dictionary (which we don't support).
+        if len(data) < pos + did_len:
+            raise ZstdError("truncated dictionary id")
+        did = int.from_bytes(data[pos:pos + did_len], "little")
+        pos += did_len
+        if did != 0:
+            raise ZstdError("dictionary frames not supported")
     fcs_len = (1 if single else 0, 2, 4, 8)[fcs_flag]
     content_size = None
     if fcs_len:

@@ -119,6 +119,18 @@ def _apply_sink_uri_options(cfg: ChangefeedConfig) -> dict:
         # whereas the reference's kafka URI `compression` param is
         # PRODUCER transport compression (options.go:106). The canonical
         # reference spellings below are both accepted.
+        if urlparse(cfg.sink_uri).scheme.startswith("kafka"):
+            # a reference-written kafka URI lands here expecting
+            # transport compression — warn so the trap is visible
+            import warnings
+
+            warnings.warn(
+                "'compression=' on a kafka sink URI selects CODEC-level "
+                "(per-value) compression in this engine; the reference's "
+                "kafka 'compression' param is producer TRANSPORT "
+                "compression. Use 'kafka-compression=' for transport or "
+                "'large-message-handle-compression=' for codec-level.",
+                stacklevel=2)
         cfg.sink.compression = q["compression"][0]
     if "large-message-handle-compression" in q:
         # the reference's canonical spelling for the codec-level value

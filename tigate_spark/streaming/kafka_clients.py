@@ -49,8 +49,13 @@ _GO_DURATION_UNITS = (("ns", 1e-6), ("us", 1e-3), ("µs", 1e-3),
 def parse_go_duration_ms(text: str) -> int:
     """Go ``time.ParseDuration`` subset → milliseconds (the reference's
     dial/read/write timeouts arrive as '10s'/'2m' strings,
-    options.go:109-111)."""
+    options.go:109-111). Go edges honored: bare '0' is valid without a
+    unit (time.ParseDuration special-cases it); negative durations,
+    while parseable in Go, are rejected here because a negative
+    millisecond value is never a valid librdkafka timeout."""
     s = text.strip()
+    if s in ("0", "+0", "-0"):
+        return 0
     total = 0.0
     num = ""
     i = 0
@@ -75,6 +80,9 @@ def parse_go_duration_ms(text: str) -> int:
             raise ValueError(f"invalid duration {text!r}")
     if num or not matched_any:
         raise ValueError(f"invalid duration {text!r}")
+    if total < 0:
+        raise ValueError(f"negative duration {text!r} is not a valid "
+                         f"timeout")
     return int(total)
 
 

@@ -50,6 +50,10 @@ class ChangefeedMetricsListener(StreamingQueryListener):
                      "exception": event.exception})
 
     def onQueryIdle(self, event) -> None:
+        # Intentionally empty: idle ticks fire every availableNow poll
+        # with no progress payload — logging them would flood the ledger
+        # with zero-information rows. The progress/terminated events
+        # above carry the full picture.
         pass
 
     def _write(self, rec: dict) -> None:
