@@ -125,3 +125,18 @@ def test_zstd_our_compressed_blocks_really_compress_and_jni_reads(
         wire = z.compress(data)
         assert len(wire) < len(data) // 2, (name, len(wire), len(data))
         assert bytes(Zstd.decompress(wire, len(data))) == data, name
+
+
+def test_zstd_huffman_only_blocks_jni_reads(spark):
+    """r14: ASCII data with NO matches compresses through the
+    Huffman-literals-only path (nseq=0 sequences section, direct-weight
+    tree description) and the reference C implementation reads it."""
+    import random as _r
+
+    rng = _r.Random(11)
+    data = bytes(rng.randrange(32, 127) for _ in range(60000))
+    wire = z.compress(data)
+    assert len(wire) < len(data)  # Huffman gain on 95-symbol alphabet
+    Zstd = _jvm(spark).com.github.luben.zstd.Zstd
+    assert bytes(Zstd.decompress(wire, len(data))) == data
+    assert z.decompress(wire) == data

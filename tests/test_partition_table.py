@@ -1,0 +1,206 @@
+"""Partition-table routing (physical → logical) and the data-moving
+partition DDL verbs on the executing SQLite sink.
+
+Reference behavior pinned: DML from N physical partitions of one
+logical table must merge into ONE downstream table
+(``tests/integration_tests/partition_table/run.sh``;
+``DMLEvent.PhysicalTableID``, ``pkg/common/event/dml_event.go:20-61``);
+``EXCHANGE PARTITION`` swaps a partition's physical id with a
+standalone table's id and, downstream, swaps the rows
+(``logservice/schemastore/persist_storage.go:877-885,1391-1405``);
+``TRUNCATE PARTITION`` drops the partition's rows
+(scenario: ``alter table t truncate partition p3``).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+
+from tigate_spark.operators.partitions import (
+    exchange_partition,
+    partition_registry,
+    resolve_logical,
+)
+from tigate_spark.streaming.sqlite_apply import (
+    exec_ddl_on_lane,
+    translate_ddl_for_sqlite,
+)
+
+#: logical t1 split into three hash partitions + standalone t3
+_BASE_REG = [
+    (1000, 0, 1, "app", "t1"),
+    (1001, 0, 1, "app", "t1"),
+    (1002, 0, 1, "app", "t1"),
+    (103, 0, 3, "app", "t3"),
+]
+
+_EV_SCHEMA = ("schema_name string, table_name string, table_id long, "
+              "physical_table_id long, commit_ts long, pk long")
+
+
+def _ev(phys, ts, pk):
+    return ("phys", f"p{phys}", phys, phys, ts, pk)
+
+
+# -- registry resolution ------------------------------------------------------
+
+def test_fan_in_routes_all_partitions_to_one_logical_table(spark):
+    reg = partition_registry(spark, _BASE_REG)
+    events = spark.createDataFrame(
+        [_ev(1000, 10, 0), _ev(1001, 20, 1), _ev(1002, 30, 2),
+         _ev(103, 40, 5)], _EV_SCHEMA)
+    out = resolve_logical(events, reg).collect()
+    by_pk = {r["pk"]: r for r in out}
+    for pk in (0, 1, 2):
+        assert by_pk[pk]["table_id"] == 1
+        assert by_pk[pk]["table_name"] == "t1"
+        assert by_pk[pk]["schema_name"] == "app"
+    assert by_pk[5]["table_id"] == 3 and by_pk[5]["table_name"] == "t3"
+    # the physical provenance column survives the routing
+    assert by_pk[0]["physical_table_id"] == 1000
+
+
+def test_unmapped_physical_ids_pass_through(spark):
+    reg = partition_registry(spark, _BASE_REG)
+    events = spark.createDataFrame(
+        [("app", "t0", 0, 0, 10, 7)], _EV_SCHEMA)
+    row = resolve_logical(events, reg).first()
+    assert row["table_id"] == 0 and row["table_name"] == "t0"
+    assert row["schema_name"] == "app"
+
+
+def test_exchange_partition_flips_routing_as_of_ts(spark):
+    rows = exchange_partition(_BASE_REG, 100, 1002, 103)
+    reg = partition_registry(spark, rows)
+    events = spark.createDataFrame(
+        [_ev(1002, 50, 2), _ev(103, 50, 5),      # before the exchange
+         _ev(1002, 150, 2), _ev(103, 150, 5)],   # after
+        _EV_SCHEMA)
+    out = {(r["physical_table_id"], r["commit_ts"]): r["table_name"]
+           for r in resolve_logical(events, reg).collect()}
+    assert out[(1002, 50)] == "t1" and out[(103, 50)] == "t3"
+    assert out[(1002, 150)] == "t3" and out[(103, 150)] == "t1"
+
+
+def test_exchange_partition_requires_mapped_ids():
+    with pytest.raises(ValueError, match="unmapped"):
+        exchange_partition(_BASE_REG, 100, 9999, 103)
+
+
+def test_resolve_is_broadcast_no_event_shuffle(spark):
+    """The routing join must broadcast the registry — no exchange on
+    the event side (the 100 TB posture)."""
+    reg = partition_registry(spark, _BASE_REG)
+    events = spark.range(1000).select(
+        F.lit("phys").alias("schema_name"),
+        F.lit("p").alias("table_name"),
+        F.lit(1).cast("long").alias("table_id"),
+        (F.lit(1000) + F.col("id") % 3).alias("physical_table_id"),
+        F.col("id").alias("commit_ts"),
+        (F.col("id") % 50).alias("pk"))
+    plan = resolve_logical(events, reg)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # the only shuffle allowed is the interval-close window over the
+    # DIM-SIZED registry itself; the event side never exchanges
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 1
+
+
+# -- executing sink: partition verbs with a registered scheme ----------------
+
+_SCHEME = {"kind": "hash", "column": "pk", "parts": 3}
+
+
+@pytest.fixture()
+def lanes(tmp_path):
+    """One lane holding logical t1 (pks 0-5) and standalone t3
+    (pks 100-101); hash scheme pk%3 — partition p2 = pks {2, 5}."""
+    db = str(tmp_path / "lane-0.db")
+    exec_ddl_on_lane(db, "ALTER TABLE `app`.`t1` ADD INDEX `i` (`pk`)",
+                     "app", "t1", 1)
+    exec_ddl_on_lane(db, "ALTER TABLE `app`.`t3` ADD INDEX `i` (`pk`)",
+                     "app", "t3", 3)
+    con = sqlite3.connect(db)
+    con.executemany(
+        "INSERT INTO app__t1 (pk, event_type, value_cents) VALUES (?,?,?)",
+        [(k, "t1row", 100 + k) for k in range(6)])
+    con.executemany(
+        "INSERT INTO app__t3 (pk, event_type, value_cents) VALUES (?,?,?)",
+        [(100, "t3row", 900), (101, "t3row", 901)])
+    con.commit()
+    con.close()
+    return db
+
+
+def _pks(db, tbl):
+    con = sqlite3.connect(db)
+    rows = sorted(r[0] for r in con.execute(f"SELECT pk FROM {tbl}"))
+    con.close()
+    return rows
+
+
+def test_truncate_partition_deletes_partition_rows(lanes):
+    out = exec_ddl_on_lane(
+        lanes, "ALTER TABLE `app`.`t1` TRUNCATE PARTITION p1",
+        "app", "t1", 1, partition_scheme=_SCHEME, ddl_ts=500)
+    assert out == "applied"
+    assert _pks(lanes, "app__t1") == [0, 2, 3, 5]  # pk%3==1 gone
+    # replay at the same ddl_ts is fenced
+    assert exec_ddl_on_lane(
+        lanes, "ALTER TABLE `app`.`t1` TRUNCATE PARTITION p1",
+        "app", "t1", 1, partition_scheme=_SCHEME, ddl_ts=500) == "ignored"
+
+
+def test_exchange_partition_swaps_rows(lanes):
+    out = exec_ddl_on_lane(
+        lanes,
+        "ALTER TABLE `app`.`t1` EXCHANGE PARTITION p2 WITH TABLE `app`.`t3`",
+        "app", "t1", 1, partition_scheme=_SCHEME, ddl_ts=600)
+    assert out == "applied"
+    # p2 rows (pk%3==2: 2,5) moved to t3; t3's rows moved into t1
+    assert _pks(lanes, "app__t1") == [0, 1, 3, 4, 100, 101]
+    assert _pks(lanes, "app__t3") == [2, 5]
+    con = sqlite3.connect(lanes)
+    assert {r[0] for r in con.execute(
+        "SELECT event_type FROM app__t3")} == {"t1row"}
+    con.close()
+    # replay fenced — does NOT swap back
+    assert exec_ddl_on_lane(
+        lanes,
+        "ALTER TABLE `app`.`t1` EXCHANGE PARTITION p2 WITH TABLE `app`.`t3`",
+        "app", "t1", 1, partition_scheme=_SCHEME, ddl_ts=600) == "ignored"
+    assert _pks(lanes, "app__t3") == [2, 5]
+    # a LATER identical exchange (new ddl_ts) is a new DDL and runs:
+    # t1's p2 class is now {101} (101%3==2; 100%3==1 stays), t3's rows
+    # {2,5} move back in
+    assert exec_ddl_on_lane(
+        lanes,
+        "ALTER TABLE `app`.`t1` EXCHANGE PARTITION p2 WITH TABLE `app`.`t3`",
+        "app", "t1", 1, partition_scheme=_SCHEME, ddl_ts=700) == "applied"
+    assert _pks(lanes, "app__t3") == [101]
+    assert _pks(lanes, "app__t1") == [0, 1, 2, 3, 4, 5, 100]
+
+
+def test_partition_verbs_stay_noop_without_scheme(lanes):
+    out = exec_ddl_on_lane(
+        lanes, "ALTER TABLE `app`.`t1` TRUNCATE PARTITION p1",
+        "app", "t1", 1)
+    assert out == "applied"
+    assert _pks(lanes, "app__t1") == [0, 1, 2, 3, 4, 5]  # untouched
+
+
+def test_translate_exchange_forms():
+    action, stmts, meta = translate_ddl_for_sqlite(
+        "ALTER TABLE `app`.`t1` EXCHANGE PARTITION p2 WITH TABLE `app`.`t3` "
+        "WITHOUT VALIDATION", "app", "t1", _SCHEME)
+    assert action == "exchange-partition"
+    assert meta == {"other": "app__t3", "partition": "p2"}
+    assert any("(`pk` % 3) = 2" in s for s in stmts)
+    # no scheme → recognized no-op
+    action, stmts, _ = translate_ddl_for_sqlite(
+        "ALTER TABLE `app`.`t1` EXCHANGE PARTITION p2 WITH TABLE `app`.`t3`",
+        "app", "t1")
+    assert action == "partition" and stmts == []

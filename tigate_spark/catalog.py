@@ -3000,6 +3000,71 @@ def projection_type_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: gbk-charset lane labels: mixed ASCII + 2-byte GBK (CJK ideographs AND
+#: GBK 2-byte punctuation like · / —, which utf8 encodes differently)
+_GBK_LABELS = {
+    "click": "点击事件", "error": "错误·故障", "purchase": "购买—成交",
+    "signup": "注册用户", "view": "浏览页面",
+}
+
+
+def _gbk_oracle_sql() -> str:
+    """The transcoded literals, baked from PYTHON's stdlib gbk codec —
+    so the entry cross-checks the JVM's GBK charset against CPython's."""
+
+    def case(fn):
+        arms = " ".join(f"WHEN '{et}' THEN {fn(et, zh)}"
+                        for et, zh in _GBK_LABELS.items())
+        return f"CASE event_type {arms} END"
+
+    full = {et: f"{et}:{zh}" for et, zh in _GBK_LABELS.items()}
+    return ORACLE_CHANGES_CTE + f"""
+SELECT seq, event_type,
+  {case(lambda et, zh: f"'{full[et]}'")} AS rendered_string,
+  {case(lambda et, zh: f"'{full[et].encode('gbk').hex()}'")} AS gbk_hex,
+  {case(lambda et, zh:
+        f"CAST({len(full[et].encode('gbk'))} AS BIGINT)")} AS gbk_bytes,
+  {case(lambda et, zh:
+        f"CAST({len(full[et].encode())} AS BIGINT)")} AS utf8_bytes
+FROM changes
+"""
+
+
+@register(
+    "projection_type_render_gbk",
+    _gbk_oracle_sql(),
+    doc="P4 charset-aware rendering (FormatColVal's charset branch, "
+        "pkg/common/helper.go:52-62: a char/varchar column with a "
+        "non-binary charset renders as a STRING — transcoded, so the "
+        "go-sql-driver doesn't force _binary — while a binary-charset "
+        "column stays bytes; scenarios charset_gbk/ + "
+        "consistent_replicate_gbk/): each row's label round-trips "
+        "through real GBK column bytes JVM-side (encode/decode under "
+        "spark.sql.legacy.javaCharsets), and the oracle bakes the same "
+        "bytes from CPython's gbk codec — two independent codec "
+        "implementations meeting at the hex, plus the 2-byte-GBK vs "
+        "3-byte-utf8 length divergence as a visible signal",
+)
+def projection_type_render_gbk(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ch = changes_stream(spark, sf_dir)
+    label = F.lit(None).cast("string")
+    for et, zh in _GBK_LABELS.items():
+        label = F.when(F.col("event_type") == et, f"{et}:{zh}") \
+            .otherwise(label)
+    gbk = F.encode(label, "GBK")  # the column's stored gbk wire bytes
+    return ch.select(
+        "seq", "event_type",
+        # non-binary charset: decode back to a utf8 string (helper.go:56)
+        F.decode(gbk, "GBK").alias("rendered_string"),
+        # binary charset: raw bytes surface (hex for the compare)
+        F.lower(F.hex(gbk)).alias("gbk_hex"),
+        F.octet_length(gbk).cast("bigint").alias("gbk_bytes"),
+        F.octet_length(F.encode(label, "UTF-8")).cast("bigint")
+        .alias("utf8_bytes"),
+    )
+
+
 @register(
     "schema_asof_join_grouped",
     ORACLE_CHANGES_CTE + _VERSIONS_CTE

@@ -1512,6 +1512,149 @@ def streaming_sqlite_ddl_apply_e2e(spark: SparkSession,
 
 
 @register(
+    "streaming_partition_table_e2e",
+    ORACLE_CHANGES_CTE + """
+, ordered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY table_id, pk
+    ORDER BY commit_ts DESC, start_ts DESC,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC, seq DESC
+  ) AS rn
+  FROM changes
+)""" + _ddl_anchor_oracle(9, 10, 400) + """
+SELECT table_id, pk, event_type, value_cents
+FROM ordered
+WHERE rn = 1 AND op <> 'D'
+  AND NOT (table_id = 1 AND pk % 3 = 1
+           AND commit_ts < (SELECT ddl_ts FROM anchor))
+""",
+    doc="Partition-table fan-in e2e (scenario partition_table/run.sh; "
+        "DMLEvent.PhysicalTableID, dml_event.go:20-61): logical app.t1 "
+        "is THREE physical partitions (hash pk%3, physical ids "
+        "1000-1002) whose change streams the registry "
+        "(operators/partitions.py — broadcast interval join, zero "
+        "event-side shuffle) merges into ONE downstream table, while "
+        "non-partitioned tables pass through. Mid-stream an ALTER "
+        "TABLE t1 TRUNCATE PARTITION p1 barrier executes its DATA "
+        "effect on the owning SQLite lane (delete the partition's "
+        "rows; MySQL runs the verb natively) between fenced "
+        "sub-batches, replay asserted 'ignored' via the ddl_ts fence. "
+        "Final downstream state hash-matches the LWW oracle minus "
+        "t1-p1 keys whose last write predates the barrier",
+)
+def streaming_partition_table_e2e(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from tigate_spark.operators.partitions import (
+        partition_registry,
+        resolve_logical,
+    )
+    from tigate_spark.sources.changes import normalize_events
+    from tigate_spark.streaming.ddl import DDLEvent, split_batch_at_ddl
+    from tigate_spark.streaming.sqlite_apply import SqliteApplySink
+
+    scheme = {"kind": "hash", "column": "pk", "parts": 3}
+    reg_rows = [
+        (1000, 0, 1, "app", "t1"), (1001, 0, 1, "app", "t1"),
+        (1002, 0, 1, "app", "t1"),
+        (100, 0, 0, "app", "t0"), (102, 0, 2, "app", "t2"),
+        (103, 0, 3, "app", "t3"),
+    ]
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        base = spark.read.parquet(src)
+        # the upstream's physical provenance: t1 rows carry their hash
+        # partition's physical id, other tables their own id
+        phys = F.when(
+            F.col("user_id") % 4 == 1,
+            F.lit(1000) + (F.col("event_id") % 200) % 3,
+        ).otherwise(F.lit(100) + F.col("user_id") % 4).cast("long")
+        reg = partition_registry(spark, reg_rows)
+        norm = resolve_logical(
+            normalize_events(base.withColumn("_physical_table_id", phys)),
+            reg)
+        if (norm.filter("table_id = 1")
+                .select("physical_table_id").distinct().count()) != 3:
+            raise RuntimeError("expected 3 physical partitions for t1")
+        ddl_ts, anchor_seq = _ddl_anchor(norm, 9, 10, max_tail=400)
+        # non-trivial scenario guard: some t1-p1 key must have ONLY
+        # pre-barrier writes, so the truncate is downstream-visible
+        if (norm.filter("table_id = 1 and pk % 3 = 1").groupBy("pk")
+                .agg(F.max("commit_ts").alias("mx"))
+                .filter(F.col("mx") < ddl_ts).count()) == 0:
+            raise RuntimeError("truncate partition would be invisible")
+        ddl = DDLEvent(
+            commit_ts=int(ddl_ts), table_id=1,
+            query="ALTER TABLE `app`.`t1` TRUNCATE PARTITION p1",
+            schema_tag="v1")
+        order_sql = (
+            "ts, -(event_id % 97), "
+            "case when event_id % 10 >= 9 then 1 "
+            "when event_id % 10 >= 6 then 2 else 3 end, event_id"
+        )
+        flat, land = split_df_in_order(spark, base, work, 3, order_sql)
+        for k in range(3):
+            land(k)
+        raw = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(flat)
+        )
+        sink = SqliteApplySink(os.path.join(work, "db"))
+        ckpt = os.path.join(work, "ckpt")
+        ddl_log: list[tuple[str, str]] = []
+
+        def run(batch_df: DataFrame, batch_id: int) -> None:
+            has_anchor = (
+                batch_df.filter(F.col("seq") == anchor_seq).count() > 0
+            )
+
+            def apply_dml(part_df: DataFrame, sub: int) -> None:
+                sink.process_batch(
+                    part_df, batch_id, fence=f"b{batch_id}.s{sub}")
+
+            def apply_ddl(d: DDLEvent) -> None:
+                first = sink.exec_ddl(
+                    d.query, "app", "t1", 1,
+                    partition_scheme=scheme, ddl_ts=d.commit_ts)
+                replay = sink.exec_ddl(
+                    d.query, "app", "t1", 1,
+                    partition_scheme=scheme, ddl_ts=d.commit_ts)
+                ddl_log.append((first, replay))
+
+            split_batch_at_ddl(
+                batch_df, [ddl] if has_anchor else [], apply_dml, apply_ddl
+            )
+
+        routed = resolve_logical(
+            normalize_events(
+                raw.withColumn("_physical_table_id", phys)), reg)
+        q = (
+            routed.writeStream.foreachBatch(run)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        if ddl_log != [("applied", "ignored")]:
+            raise RuntimeError(f"DDL exec/replay outcome wrong: {ddl_log}")
+        off = os.path.join(ckpt, "offsets")
+        n_batches = len(os.listdir(off)) if os.path.isdir(off) else 0
+        if n_batches < 2:
+            raise RuntimeError(f"expected multi-batch run, got {n_batches}")
+        state = sink.read_state(spark)
+        # fan-in sanity: no physical id leaked downstream as a table id
+        if state.filter("table_id >= 100").count() > 0:
+            raise RuntimeError("physical table ids leaked downstream")
+        return _materialize(state)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "redo_disaster_recovery_e2e",
     _STREAM_ORACLE,
     doc="Consistent replication / disaster recovery end to end "

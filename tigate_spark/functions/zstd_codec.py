@@ -808,6 +808,161 @@ def _code_of(v: int, table: list[tuple[int, int]], direct: int) -> tuple:
     raise ZstdError(f"value {v} below code table")
 
 
+# ------------------------------------------- Huffman literals (encoding)
+
+
+def _package_merge_lengths(freqs: dict[int, int],
+                           max_len: int = 11) -> dict[int, int] | None:
+    """Length-limited optimal prefix-code lengths (package-merge),
+    Kraft-complete by construction — exactly the shape §4.2.1 weights
+    require. Returns {symbol: bit_length} or None when a code is not
+    constructible (fewer than 2 symbols, or more symbols than 2^L)."""
+    n = len(freqs)
+    if n < 2 or n > (1 << max_len):
+        return None
+    originals = sorted((f, s) for s, f in freqs.items())
+    singles = [(f, (s,)) for f, s in originals]
+    merged = list(singles)
+    for _ in range(max_len - 1):
+        paired = [
+            (merged[i][0] + merged[i + 1][0],
+             merged[i][1] + merged[i + 1][1])
+            for i in range(0, len(merged) - 1, 2)
+        ]
+        merged = sorted(paired + singles, key=lambda t: t[0])
+    lengths: dict[int, int] = {s: 0 for s in freqs}
+    for _, syms in merged[:2 * n - 2]:
+        for s in syms:
+            lengths[s] += 1
+    return lengths
+
+
+def _huffman_codes_from_weights(weights: list[int],
+                                max_bits: int) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, nbits) matching the decoder's rank layout
+    (longer codes low in the table; code = top bits of the table
+    index)."""
+    bits = [0 if w == 0 else max_bits + 1 - w for w in weights]
+    rank_count = [0] * (max_bits + 1)
+    for b in bits:
+        if b:
+            rank_count[b] += 1
+    rank_idx = [0] * (max_bits + 2)
+    for b in range(max_bits, 0, -1):
+        rank_idx[b - 1] = rank_idx[b] + rank_count[b] * (1 << (max_bits - b))
+    codes: dict[int, tuple[int, int]] = {}
+    for sym, b in enumerate(bits):
+        if b == 0:
+            continue
+        codes[sym] = (rank_idx[b] >> (max_bits - b), b)
+        rank_idx[b] += 1 << (max_bits - b)
+    return codes
+
+
+def _huffman_literals_section(lits: bytes) -> bytes | None:
+    """Compressed_Literals_Block (§3.1.1.3.1.4/§4.2.1, direct-weight
+    tree description): single-stream for regen < 1024, else the
+    4-stream layout with the 18-bit size header. Returns None when the
+    direct representation can't express the alphabet (a present symbol
+    above 128 would need > 128 listed weights) or when Huffman doesn't
+    shrink the section vs raw literals."""
+    regen = len(lits)
+    if regen < 128:
+        # the direct-weight tree description alone runs ~40-65 bytes
+        # for a text alphabet; under ~128 literals the break-even needs
+        # ≤3 bits/char — skip outright so tiny per-message values (the
+        # codec-level compression hot path) stay near-free
+        return None
+    freqs: dict[int, int] = {}
+    for b in lits:
+        freqs[b] = freqs.get(b, 0) + 1
+    last = max(freqs)
+    if last > 128:  # direct 4-bit weights list symbols 0..last-1 (≤128)
+        return None
+    # cheap entropy gate before the package-merge: Huffman can't beat
+    # the Shannon bound, so if bound + tree description can't undercut
+    # the raw section, skip the construction entirely (this is the
+    # per-message hot path — tiny/incompressible values must stay
+    # near-free)
+    from math import log2
+
+    raw_len = regen + (2 if regen < (1 << 12) else 3)
+    est_bits = sum(f * log2(regen / f) for f in freqs.values())
+    tree_bytes = 1 + (last + 1) // 2
+    if est_bits / 8 + tree_bytes + 6 >= raw_len:
+        return None
+    lengths = _package_merge_lengths(freqs)
+    if lengths is None:
+        return None
+    max_bits = max(lengths.values())
+    # weights for ALL symbols 0..last; the wire lists 0..last-1 and the
+    # decoder deduces symbol `last` from the pow2 completion
+    weights = [0 if lengths.get(s, 0) == 0 else max_bits + 1 - lengths[s]
+               for s in range(last + 1)]
+    listed = weights[:-1]
+    desc = bytearray([127 + len(listed)])
+    for i in range(0, len(listed), 2):
+        hi = listed[i] << 4
+        lo = listed[i + 1] if i + 1 < len(listed) else 0
+        desc.append(hi | lo)
+    codes = _huffman_codes_from_weights(weights, max_bits)
+
+    def stream(chunk: bytes) -> bytes:
+        # same layout as _backward_stream (first symbol in the top
+        # bits, 1-bit sentinel, little-endian bytes) built with an
+        # O(n) low-to-high accumulator — the one-big-int form is
+        # quadratic on multi-KiB literal streams
+        out = bytearray()
+        acc = 0
+        nbits = 0
+        for b in reversed(chunk):
+            code, nb = codes[b]
+            acc |= code << nbits
+            nbits += nb
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        acc |= 1 << nbits  # sentinel
+        nbits += 1
+        while nbits > 0:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        return bytes(out)
+
+    if regen < 1024:
+        body = bytes(desc) + stream(lits)
+        comp = len(body)
+        if comp >= 1024:
+            return None
+        hdr = (2 | (0 << 2) | (regen << 4) | (comp << 14)).to_bytes(
+            3, "little")
+    else:
+        part = (regen + 3) // 4
+        parts = [lits[0:part], lits[part:2 * part],
+                 lits[2 * part:3 * part], lits[3 * part:]]
+        ss = [stream(p) for p in parts]
+        if any(len(s) > 0xFFFF for s in ss[:3]):
+            return None
+        jump = b"".join(len(s).to_bytes(2, "little") for s in ss[:3])
+        body = bytes(desc) + jump + b"".join(ss)
+        comp = len(body)
+        if regen > 0x3FFFF or comp > 0x3FFFF:
+            return None
+        hdr = (2 | (3 << 2) | (regen << 4) | (comp << 22)).to_bytes(
+            5, "little")
+    sec = hdr + body
+    return sec if len(sec) < raw_len else None
+
+
+def _raw_literals_section(lits: bytes) -> bytes:
+    regen = len(lits)
+    if regen < (1 << 12):
+        return (0 | (1 << 2) | (regen << 4)).to_bytes(2, "little") + lits
+    return (0 | (3 << 2) | (regen << 4)).to_bytes(3, "little") + lits
+
+
 def _compress_block(data: bytes) -> bytes | None:
     """One compressed block: raw-literals section + predefined-mode
     sequences (greedy 4-byte-hash matcher, no repeat offsets). Returns
@@ -841,15 +996,17 @@ def _compress_block(data: bytes) -> bytes | None:
         seqs.append((pos - lit_start, pos - cand, ln))
         pos += ln
         lit_start = pos
-    if not seqs:
-        return None
     lits += data[lit_start:]
-    # --- literals section: raw form ---
-    regen = len(lits)
-    if regen < (1 << 12):
-        lit_hdr = (0 | (1 << 2) | (regen << 4)).to_bytes(2, "little")
-    else:
-        lit_hdr = (0 | (3 << 2) | (regen << 4)).to_bytes(3, "little")
+    # --- literals section: Huffman when it shrinks, else raw ---
+    huff = _huffman_literals_section(bytes(lits))
+    if not seqs:
+        # no matches found, but Huffman literals alone may still shrink
+        # the block: emit a sequences section with nseq=0 (§3.1.1.3.2 —
+        # "the sequence section stops immediately")
+        if huff is not None and len(huff) + 1 < n:
+            return huff + b"\x00"
+        return None
+    lit_sec = huff or _raw_literals_section(bytes(lits))
     # --- sequences section ---
     nseq = len(seqs)
     if nseq < 128:
@@ -880,15 +1037,17 @@ def _compress_block(data: bytes) -> bytes | None:
             chunks.append(ll_t[i])
             chunks.append(ml_t[i])
             chunks.append(of_t[i])
-    blk = lit_hdr + bytes(lits) + head + _backward_stream(chunks)
+    blk = lit_sec + head + _backward_stream(chunks)
     return blk if len(blk) < n else None
 
 
 def compress(data: bytes, checksum: bool = True) -> bytes:
     """Emit a conforming zstd frame: per 128 KiB block, RLE for
-    uniform runs, a COMPRESSED block (raw literals + predefined-mode
-    FSE sequences from the greedy matcher) when it shrinks, else raw.
-    Any zstd decoder reads the output (zstd-jni cross-validated)."""
+    uniform runs, a COMPRESSED block (Huffman-compressed literals with
+    a direct-weight tree description when that shrinks the section,
+    else raw literals; predefined-mode FSE sequences from the greedy
+    matcher) when it shrinks, else raw. Any zstd decoder reads the
+    output (zstd-jni cross-validated)."""
     out = bytearray(_MAGIC.to_bytes(4, "little"))
     n = len(data)
     # single-segment + frame content size (+ optional checksum)

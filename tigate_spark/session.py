@@ -38,6 +38,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # E6 parity: zstd on stored state/changelogs, like the reference's
     # pebble value compression (event_store.go:32).
     "spark.sql.parquet.compression.codec": "zstd",
+    # Charset-aware rendering (FormatColVal, helper.go:52-62; scenario
+    # charset_gbk/): encode/decode need the full JVM charset registry
+    # for non-utf8 column charsets like GBK (Spark 4 whitelists only
+    # the unicode family by default).
+    "spark.sql.legacy.javaCharsets": "true",
 }
 
 

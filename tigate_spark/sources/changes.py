@@ -76,6 +76,14 @@ def normalize_events(ev: DataFrame, with_images: bool = False) -> DataFrame:
         F.lit("app").alias("schema_name"),
         F.concat(F.lit("t"), (F.col("user_id") % N_TABLES).cast("string")).alias("table_name"),
         (F.col("user_id") % N_TABLES).cast("bigint").alias("table_id"),
+        # DMLEvent.PhysicalTableID (dml_event.go:20-61): the physical
+        # partition the rows came from — equals table_id unless the
+        # upstream tags partitions (operators/partitions.py then routes
+        # physical → logical). Sources expose it via _physical_table_id.
+        (F.col("_physical_table_id")
+         if "_physical_table_id" in ev.columns
+         else F.col("user_id") % N_TABLES).cast("bigint")
+        .alias("physical_table_id"),
         F.when(F.col("event_id") % 10 < 6, "I")
         .when(F.col("event_id") % 10 < 9, "U")
         .otherwise("D")
@@ -117,6 +125,7 @@ WITH changes AS (
     'app' AS schema_name,
     't' || CAST(user_id % 4 AS VARCHAR) AS table_name,
     CAST(user_id % 4 AS BIGINT) AS table_id,
+    CAST(user_id % 4 AS BIGINT) AS physical_table_id,
     CASE WHEN event_id % 10 < 6 THEN 'I'
          WHEN event_id % 10 < 9 THEN 'U'
          ELSE 'D' END AS op,

@@ -452,6 +452,14 @@ _DDL_FORMS = [
     ("drop-foreign-key",
      rf"ALTER\s+TABLE\s+{_QI}\s+DROP\s+FOREIGN\s+KEY\s+"
      rf"`?(?P<name>\w+)`?\s*$"),
+    # r14: exchange-partition gets its own form so the executing sink
+    # can perform the data swap (persist_storage.go:877-885; scenario
+    # partition_table/); must precede the generic partition catch-all
+    ("exchange-partition",
+     rf"ALTER\s+TABLE\s+{_QI}\s+EXCHANGE\s+PARTITION\s+"
+     rf"`?(?P<pname>\w+)`?\s+WITH\s+TABLE\s+"
+     rf"(?:`(?P<schema2>[^`]+)`\s*\.\s*)?`?(?P<table2>\w+)`?"
+     rf"(?:\s+(?P<novalid>WITHOUT\s+VALIDATION))?\s*$"),
     ("partition",
      rf"ALTER\s+TABLE\s+{_QI}\s+"
      rf"(?P<verb>ADD|DROP|TRUNCATE|COALESCE|REORGANIZE|EXCHANGE)\s+"
@@ -513,7 +521,19 @@ def _sqlite_decl(mysql_decl: str) -> str:
     return "NUMERIC"
 
 
-def translate_ddl_for_sqlite(query: str, schema: str, table: str
+def _partition_pred(scheme: dict, pname: str) -> str:
+    """SQL predicate selecting one partition's rows under a registered
+    scheme. Hash partitioning (the scenario's ``partition by hash(a)
+    partitions N``): partition ``pK`` holds rows with
+    ``column % N == K``."""
+    if scheme.get("kind") != "hash":
+        raise ValueError(f"unsupported partition scheme {scheme!r}")
+    k = int(pname.lstrip("pP"))
+    return f"(`{scheme['column']}` % {int(scheme['parts'])}) = {k}"
+
+
+def translate_ddl_for_sqlite(query: str, schema: str, table: str,
+                             partition_scheme: dict | None = None
                              ) -> tuple[str, list[str], dict]:
     """One MySQL DDL → (action, local SQLite statements, meta).
 
@@ -523,6 +543,17 @@ def translate_ddl_for_sqlite(query: str, schema: str, table: str
     column (flagged for the rebuild path — SQLite has no MODIFY),
     truncate (DELETE FROM), drop table. Anything unrecognized falls
     through as the schema-qualified local rename the r9 path applied.
+
+    r14: when the caller registers a ``partition_scheme`` (``{"kind":
+    "hash", "column": ..., "parts": N}``), the partition verbs gain
+    their downstream DATA effect — MySQL executes them natively
+    (mysql_writer.go:600-668 runs the raw SQL) but SQLite has no
+    partitions, so the twin renders the row movement: TRUNCATE/DROP
+    PARTITION delete the partition's rows; EXCHANGE PARTITION swaps the
+    partition's rows with the standalone table's rows (WITHOUT
+    VALIDATION semantics — MySQL moves the rows unconditionally; both
+    tables must be shape-identical, the MySQL 1736/1737 precondition).
+    Without a scheme they remain recognized bookkept no-ops.
     """
     import re
 
@@ -533,6 +564,32 @@ def translate_ddl_for_sqlite(query: str, schema: str, table: str
         if not m or m.group("schema") != schema or m.group("table") != table:
             continue
         g = m.groupdict()
+        if action == "exchange-partition":
+            if partition_scheme is None:
+                # no scheme registered: same bookkept no-op the generic
+                # partition class gets
+                return "partition", [], {"verb": "EXCHANGE"}
+            other = _local_name(g.get("schema2") or schema, g["table2"])
+            pred = _partition_pred(partition_scheme, g["pname"])
+            return action, [
+                f"CREATE TEMP TABLE _xp_swap AS "
+                f"SELECT * FROM `{tbl}` WHERE {pred}",
+                f"DELETE FROM `{tbl}` WHERE {pred}",
+                f"INSERT INTO `{tbl}` SELECT * FROM `{other}`",
+                f"DELETE FROM `{other}`",
+                f"INSERT INTO `{other}` SELECT * FROM _xp_swap",
+                "DROP TABLE _xp_swap",
+            ], {"other": other, "partition": g["pname"]}
+        if (action == "partition" and partition_scheme is not None
+                and (g.get("verb") or "").upper() in ("TRUNCATE", "DROP")):
+            pm = re.search(r"PARTITION\s+`?(\w+)`?", g.get("rest") or "",
+                           re.IGNORECASE) or re.match(r"\s*`?(\w+)`?",
+                                                      g.get("rest") or "")
+            if pm and pm.group(1):
+                pred = _partition_pred(partition_scheme, pm.group(1))
+                return "partition-data", [
+                    f"DELETE FROM `{tbl}` WHERE {pred}"], {
+                    "verb": g["verb"].upper(), "partition": pm.group(1)}
         if action == "add-index":
             uniq = "UNIQUE " if g.get("unique") else ""
             # MySQL prefix-length index parts (`note`(10)) have no
@@ -629,7 +686,9 @@ def _exec_ddl_passthrough(db_path: str, query: str, driver,
 
 def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
                      table_id: int, retries: int = 5,
-                     write_source: int | None = None, driver=None) -> str:
+                     write_source: int | None = None, driver=None,
+                     partition_scheme: dict | None = None,
+                     ddl_ts: int | None = None) -> str:
     """Execute one DDL on a lane DB the way the reference's MySQL writer
     does (``mysql_writer.go:600-668``): its OWN transaction, the ``USE
     db`` switch (here: the schema-qualified local rename), the write-
@@ -654,7 +713,8 @@ def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
                 "INSERT OR REPLACE INTO _write_source VALUES (1, ?)",
                 (int(write_source),))
         tbl = _local_name(schema, table)
-        action, stmts, meta = translate_ddl_for_sqlite(query, schema, table)
+        action, stmts, meta = translate_ddl_for_sqlite(
+            query, schema, table, partition_scheme)
         have = {r[0] for r in cur.execute(
             "SELECT name FROM sqlite_master WHERE type='table'")}
         # already-applied replay detection by downstream STATE (the
@@ -703,6 +763,24 @@ def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
                         (query.strip().rstrip(";"), action, tbl))
                     if cur.rowcount == 0:
                         outcome = "ignored"
+                elif action in ("exchange-partition", "partition-data"):
+                    # data-moving partition verbs are NOT idempotent (a
+                    # replayed exchange would swap back) — fence on the
+                    # statement (+ its ddl_ts when the caller carries
+                    # one, so a LATER identical statement still runs)
+                    # like the reference fences on ddl_ts
+                    # (shouldExecDDLByTs / ddl_ts_v1)
+                    fence_key = query.strip().rstrip(";")
+                    if ddl_ts is not None:
+                        fence_key += f"@{int(ddl_ts)}"
+                    cur.execute(
+                        "INSERT OR IGNORE INTO _ddl_noops VALUES (?, ?, ?)",
+                        (fence_key, action, tbl))
+                    if cur.rowcount == 0:
+                        outcome = "ignored"
+                    else:
+                        for s in stmts:
+                            cur.execute(s)
                 else:
                     for s in stmts:
                         cur.execute(s)
@@ -991,15 +1069,24 @@ class SqliteApplySink:
         return spark.createDataFrame(rows, schema)
 
     def exec_ddl(self, query: str, schema: str, table: str,
-                 table_id: int) -> str:
+                 table_id: int,
+                 partition_scheme: dict | None = None,
+                 ddl_ts: int | None = None) -> str:
         """Run a DDL between barrier sub-batches on the owning lane
         (driver-side, like the reference's elected DDL writer —
-        ``maintainer/barrier.go:36`` one writer per DDL)."""
+        ``maintainer/barrier.go:36`` one writer per DDL).
+        ``partition_scheme`` unlocks the partition verbs' data effects
+        on the sqlite dialect (see translate_ddl_for_sqlite); a
+        partition DDL's participating tables must share ONE lane —
+        the caller routes by the LOGICAL table id, and an exchange's
+        standalone table must live on the same lane (the reference's
+        elected writer touches both tables in one downstream txn)."""
         lane = int(table_id) % self.n_lanes
         return exec_ddl_on_lane(
             os.path.join(self.db_dir, f"lane-{lane}.db"),
             query, schema, table, int(table_id),
-            write_source=self.write_source, driver=self.driver)
+            write_source=self.write_source, driver=self.driver,
+            partition_scheme=partition_scheme, ddl_ts=ddl_ts)
 
     def read_state(self, spark, extra_cols: tuple[str, ...] = ()
                    ) -> DataFrame:
