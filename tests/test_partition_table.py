@@ -204,3 +204,32 @@ def test_translate_exchange_forms():
         "ALTER TABLE `app`.`t1` EXCHANGE PARTITION p2 WITH TABLE `app`.`t3`",
         "app", "t1")
     assert action == "partition" and stmts == []
+
+
+def test_fan_in_composes_with_lww_apply(spark):
+    """The routed stream feeds the standard apply/materialize shape:
+    three physical partitions' writes to one pk space LWW-merge as ONE
+    logical table (the downstream contract of partition_table/run.sh,
+    independent of sink flavor)."""
+    from tigate_spark.operators.apply import materialize
+
+    reg = partition_registry(spark, _BASE_REG)
+    rows = [
+        # (schema, table, table_id, phys, commit_ts, pk) — two writers
+        # of pk 2 from DIFFERENT physical partitions; latest wins
+        ("phys", "p1000", 1000, 1000, 10, 2),
+        ("phys", "p1001", 1001, 1001, 20, 2),
+        ("phys", "p1002", 1002, 1002, 30, 7),
+    ]
+    ev = spark.createDataFrame(rows, _EV_SCHEMA).select(
+        "*",
+        F.lit("I").alias("op"), F.lit(0).cast("long").alias("start_ts"),
+        F.col("commit_ts").alias("seq"),
+        F.lit("click").alias("event_type"),
+        (F.col("commit_ts") * 10).alias("value_cents"),
+        F.lit(1).cast("long").alias("user_id"))
+    out = materialize(resolve_logical(ev, reg),
+                      ["event_type", "value_cents", "user_id"])
+    state = {(r["table_id"], r["pk"]): r for r in out.collect()}
+    assert set(state) == {(1, 2), (1, 7)}  # ONE logical table
+    assert state[(1, 2)]["value_cents"] == 200  # commit_ts 20 won
