@@ -233,3 +233,72 @@ def test_fan_in_composes_with_lww_apply(spark):
     state = {(r["table_id"], r["pk"]): r for r in out.collect()}
     assert set(state) == {(1, 2), (1, 7)}  # ONE logical table
     assert state[(1, 2)]["value_cents"] == 200  # commit_ts 20 won
+
+
+def test_truncate_partition_list_and_all(lanes):
+    """A comma-separated partition list deletes EVERY named partition's
+    rows (MySQL truncates all of them); ALL empties the table."""
+    out = exec_ddl_on_lane(
+        lanes, "ALTER TABLE `app`.`t1` TRUNCATE PARTITION p1, p2",
+        "app", "t1", 1, partition_scheme=_SCHEME, ddl_ts=500)
+    assert out == "applied"
+    assert _pks(lanes, "app__t1") == [0, 3]  # pk%3 in (1,2) gone
+    assert exec_ddl_on_lane(
+        lanes, "ALTER TABLE `app`.`t1` TRUNCATE PARTITION ALL",
+        "app", "t1", 1, partition_scheme=_SCHEME, ddl_ts=510) == "applied"
+    assert _pks(lanes, "app__t1") == []
+
+
+def test_partition_name_edge_cases(lanes):
+    import pytest as _pt
+
+    # non p<digits> spellings raise clearly instead of mis-targeting
+    with _pt.raises(ValueError, match="does not map"):
+        exec_ddl_on_lane(
+            lanes, "ALTER TABLE `app`.`t1` TRUNCATE PARTITION pmax",
+            "app", "t1", 1, partition_scheme=_SCHEME, ddl_ts=520)
+    with _pt.raises(ValueError, match="does not map"):
+        exec_ddl_on_lane(
+            lanes, "ALTER TABLE `app`.`t1` TRUNCATE PARTITION pp1",
+            "app", "t1", 1, partition_scheme=_SCHEME, ddl_ts=521)
+    with _pt.raises(ValueError, match="out of range"):
+        exec_ddl_on_lane(
+            lanes, "ALTER TABLE `app`.`t1` TRUNCATE PARTITION p7",
+            "app", "t1", 1, partition_scheme=_SCHEME, ddl_ts=522)
+    # rows untouched by the failed attempts
+    assert _pks(lanes, "app__t1") == [0, 1, 2, 3, 4, 5]
+
+
+def test_partition_data_ddl_requires_ddl_ts(lanes):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="requires ddl_ts"):
+        exec_ddl_on_lane(
+            lanes, "ALTER TABLE `app`.`t1` TRUNCATE PARTITION p1",
+            "app", "t1", 1, partition_scheme=_SCHEME)
+
+
+def test_exchange_cross_lane_surfaces_clearly(tmp_path):
+    """An exchange whose standalone table is NOT on the lane raises the
+    co-location constraint by name (not a retried 'no such table')."""
+    from tigate_spark.streaming import dbapi
+
+    db = str(tmp_path / "lane-1.db")
+    exec_ddl_on_lane(db, "ALTER TABLE `app`.`t1` ADD INDEX `i` (`pk`)",
+                     "app", "t1", 1)
+    with pytest.raises(dbapi.DDLCollisionError, match="share a lane"):
+        exec_ddl_on_lane(
+            db,
+            "ALTER TABLE `app`.`t1` EXCHANGE PARTITION p2 "
+            "WITH TABLE `app`.`t9`",
+            "app", "t1", 1, partition_scheme=_SCHEME, ddl_ts=600)
+
+
+def test_go_duration_interior_sign_rejected():
+    from tigate_spark.streaming.kafka_clients import parse_go_duration_ms
+
+    with pytest.raises(ValueError, match="invalid"):
+        parse_go_duration_ms("1h-30m")
+    with pytest.raises(ValueError, match="invalid"):
+        parse_go_duration_ms("1h+30m")
+    assert parse_go_duration_ms("+1h30m") == 5_400_000

@@ -62,7 +62,9 @@ def parse_go_duration_ms(text: str) -> int:
     matched_any = False
     while i < len(s):
         c = s[i]
-        if c.isdigit() or c in ".+-":
+        # Go allows a sign only at the very start of the string — an
+        # interior '-'/'+' (e.g. '1h-30m') is invalid, not a new number
+        if c.isdigit() or c == "." or (c in "+-" and i == 0):
             num += c
             i += 1
             continue

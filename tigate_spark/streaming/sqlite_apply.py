@@ -525,10 +525,23 @@ def _partition_pred(scheme: dict, pname: str) -> str:
     """SQL predicate selecting one partition's rows under a registered
     scheme. Hash partitioning (the scenario's ``partition by hash(a)
     partitions N``): partition ``pK`` holds rows with
-    ``column % N == K``."""
+    ``column % N == K``. Only the strict ``p<digits>`` spelling maps to
+    an ordinal — anything else raises a CLEAR error instead of silently
+    targeting the wrong partition (``pp1`` must not become 1)."""
+    import re
+
     if scheme.get("kind") != "hash":
         raise ValueError(f"unsupported partition scheme {scheme!r}")
-    k = int(pname.lstrip("pP"))
+    m = re.fullmatch(r"[pP](\d+)", pname)
+    if not m:
+        raise ValueError(
+            f"partition name {pname!r} does not map to a hash-scheme "
+            f"ordinal (expected p<digits>)")
+    k = int(m.group(1))
+    if k >= int(scheme["parts"]):
+        raise ValueError(
+            f"partition {pname!r} out of range for a {scheme['parts']}-"
+            f"part hash scheme")
     return f"(`{scheme['column']}` % {int(scheme['parts'])}) = {k}"
 
 
@@ -582,14 +595,23 @@ def translate_ddl_for_sqlite(query: str, schema: str, table: str,
             ], {"other": other, "partition": g["pname"]}
         if (action == "partition" and partition_scheme is not None
                 and (g.get("verb") or "").upper() in ("TRUNCATE", "DROP")):
-            pm = re.search(r"PARTITION\s+`?(\w+)`?", g.get("rest") or "",
-                           re.IGNORECASE) or re.match(r"\s*`?(\w+)`?",
-                                                      g.get("rest") or "")
-            if pm and pm.group(1):
-                pred = _partition_pred(partition_scheme, pm.group(1))
+            rest = (g.get("rest") or "").strip()
+            if rest.upper() == "ALL":
+                # TRUNCATE PARTITION ALL: every partition's rows go
+                return "partition-data", [f"DELETE FROM `{tbl}`"], {
+                    "verb": g["verb"].upper(), "partition": "ALL"}
+            # the verb takes a comma-separated partition NAME LIST
+            # (scenario: REORGANIZE p0,p2; TRUNCATE p1 — one DELETE per
+            # named partition, or MySQL-divergent rows survive silently)
+            names = [p.strip().strip("`") for p in rest.split(",")]
+            if names and all(names):
+                preds = [_partition_pred(partition_scheme, p)
+                         for p in names]
                 return "partition-data", [
-                    f"DELETE FROM `{tbl}` WHERE {pred}"], {
-                    "verb": g["verb"].upper(), "partition": pm.group(1)}
+                    f"DELETE FROM `{tbl}` WHERE {pred}"
+                    for pred in preds], {
+                    "verb": g["verb"].upper(),
+                    "partition": ",".join(names)}
         if action == "add-index":
             uniq = "UNIQUE " if g.get("unique") else ""
             # MySQL prefix-length index parts (`note`(10)) have no
@@ -736,6 +758,27 @@ def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
         if action == "drop-table" and tbl not in have:
             con.close()
             return "ignored"
+        if action in ("exchange-partition", "partition-data"):
+            # data-moving verbs NEED the ts fence: with a text-only key
+            # a LATER legitimate identical DDL would be silently
+            # swallowed as a replay (the reference fences on ddl_ts —
+            # shouldExecDDLByTs / ddl_ts_v1)
+            if ddl_ts is None:
+                con.close()
+                raise ValueError(
+                    f"{action} requires ddl_ts for replay fencing")
+            if (action == "exchange-partition"
+                    and meta["other"] not in have):
+                # both tables of an exchange live in ONE downstream txn
+                # — the standalone table must exist on THIS lane (route
+                # partition DDL by the logical table id and keep the
+                # pair co-located); surface the constraint clearly
+                # instead of a retried 'no such table'
+                con.close()
+                raise dbapi.DDLCollisionError(
+                    f"EXCHANGE PARTITION standalone table "
+                    f"`{meta['other']}` is not on this lane DB — the "
+                    f"exchange pair must share a lane")
         if action != "drop-table":
             # DDL may precede any DML for the table (schema-first
             # changefeed start) — materialize the base table like the
@@ -765,14 +808,13 @@ def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
                         outcome = "ignored"
                 elif action in ("exchange-partition", "partition-data"):
                     # data-moving partition verbs are NOT idempotent (a
-                    # replayed exchange would swap back) — fence on the
-                    # statement (+ its ddl_ts when the caller carries
-                    # one, so a LATER identical statement still runs)
-                    # like the reference fences on ddl_ts
-                    # (shouldExecDDLByTs / ddl_ts_v1)
-                    fence_key = query.strip().rstrip(";")
-                    if ddl_ts is not None:
-                        fence_key += f"@{int(ddl_ts)}"
+                    # replayed exchange would swap back) — fence on
+                    # (statement, ddl_ts) so a replay is ignored but a
+                    # LATER identical statement still runs (ddl_ts is
+                    # required, checked above — the reference fences on
+                    # ts via shouldExecDDLByTs / ddl_ts_v1)
+                    fence_key = (query.strip().rstrip(";")
+                                 + f"@{int(ddl_ts)}")
                     cur.execute(
                         "INSERT OR IGNORE INTO _ddl_noops VALUES (?, ?, ?)",
                         (fence_key, action, tbl))
