@@ -345,3 +345,67 @@ def test_claim_check_fetch_back_restores_full_bytes(spark, changes):
     assert joined
     for r in joined:
         assert r["sa_full_h"] == r["expect_hex"]
+
+
+# -- simple-protocol JSON large-message lanes (the Avro lanes' siblings) -----
+
+def test_simple_json_large_message_lanes(spark, sf_dir):
+    """simple/message.go:488-492 omitempty fields on the JSON wire:
+    oversized messages degrade to pk-only images with handleKeyOnly
+    (+claimCheckLocation in claim-check mode); the consumer reads them
+    back per decoder.go:141-147 and the fetch-back restores full
+    bytes."""
+    from tigate_spark.functions.encoders import (
+        decode_simple_protocol_large,
+        encode_simple_protocol_large,
+    )
+
+    ch = changes_stream(spark, sf_dir, with_images=True).limit(400)
+    enc = encode_simple_protocol_large(ch, threshold=215,
+                                   handle="claim-check")
+    rows = enc.select("op", "message", "offloaded", "claim_addr",
+                      "full_message").collect()
+    import json as _json
+
+    saw_deg = saw_full = False
+    for r in rows:
+        m = _json.loads(r["message"])
+        if r["offloaded"]:
+            saw_deg = True
+            assert m["handleKeyOnly"] is True
+            assert m["claimCheckLocation"] == r["claim_addr"]
+            img = m.get("data") or m.get("old")
+            assert set(img) == {"pk"}
+        else:
+            saw_full = True
+            assert "handleKeyOnly" not in m  # omitempty
+            assert "claimCheckLocation" not in m
+    assert saw_deg and saw_full
+    # consumer surfaces the degrade signals
+    dec = decode_simple_protocol_large(enc.select("message")).collect()
+    deg = [r for r in dec if r["only_handle_key"] == 1]
+    assert deg and all(r["claim_location"] for r in deg)
+    assert all(r["value_cents"] is None and r["pk"] is not None
+               for r in deg)
+    # fetch-back: the stored full message re-decodes to the source row
+    from tigate_spark.functions.encoders import decode_simple_protocol
+
+    store = enc.filter("offloaded = 1").select(
+        F.col("full_message").alias("message"))
+    refull = decode_simple_protocol(store)
+    assert refull.filter("value_cents IS NULL").count() == 0
+    assert refull.count() == len(deg)
+
+
+def test_simple_json_handle_key_only_mode(spark, sf_dir):
+    from tigate_spark.functions.encoders import (
+        decode_simple_protocol_large,
+        encode_simple_protocol_large,
+    )
+
+    ch = changes_stream(spark, sf_dir, with_images=True).limit(300)
+    enc = encode_simple_protocol_large(ch, threshold=215,
+                                       handle="handle-key-only")
+    dec = decode_simple_protocol_large(enc.select("message")).collect()
+    deg = [r for r in dec if r["only_handle_key"] == 1]
+    assert deg and all(r["claim_location"] is None for r in dec)

@@ -601,9 +601,86 @@ def decode_csv_for_apply(df: DataFrame, line_col: str = "line") -> DataFrame:
 _SIMPLE_MSG_SCHEMA = (
     "STRUCT<version: INT, `database`: STRING, `table`: STRING, tableID: BIGINT, "
     "type: STRING, commitTs: BIGINT, buildTs: BIGINT, schemaVersion: INT, "
+    "claimCheckLocation: STRING, handleKeyOnly: BOOLEAN, "
     "data: STRUCT<pk: BIGINT, event_type: STRING, value_cents: BIGINT>, "
     "old: STRUCT<pk: BIGINT, event_type: STRING, value_cents: BIGINT>>"
 )
+
+
+def encode_simple_protocol_large(df: DataFrame, threshold: int,
+                                 handle: str = "claim-check",
+                                 out_col: str = "message") -> DataFrame:
+    """Simple-protocol JSON large-message lanes (``simple/message.go:
+    488-492`` — ``claimCheckLocation``/``handleKeyOnly`` omitempty
+    fields; encoder flow ``simple/encoder.go:84-120``; scenarios
+    ``kafka_simple_claim_check`` / ``kafka_simple_handle_key_only``,
+    the JSON siblings of the Avro lanes): a message over ``threshold``
+    bytes re-renders with pk-only images and ``handleKeyOnly:true``,
+    plus — for ``handle='claim-check'`` — the md5-addressed
+    ``claimCheckLocation`` of the offloaded full message. Adds
+    ``offloaded`` (0/1) and ``claim_addr`` columns."""
+    assert handle in ("claim-check", "handle-key-only")
+    full = encode_simple_protocol(df, out_col="_full_msg")
+    prefix = F.format_string(
+        _SIMPLE_PREFIX_FMT,
+        F.col("schema_name"), F.col("table_name"), F.col("table_id"),
+        F.col("commit_ts"), F.expr("commit_ts div 1000"))
+    loc = F.format_string("s3://claim-check/%s.json",
+                          F.md5(F.col("_full_msg")))
+    cc = (F.format_string(',"claimCheckLocation":"%s"', loc)
+          if handle == "claim-check" else F.lit(""))
+    img = F.format_string('{"pk":%d}', F.col("pk"))
+    tail = (
+        F.when(F.col("op") == "I", F.format_string(',"data":%s}', img))
+        .when(F.col("op") == "U",
+              F.format_string(',"data":%s,"old":%s}', img, img))
+        .otherwise(F.format_string(',"old":%s}', img))
+    )
+    degraded = F.concat(prefix, cc, F.lit(',"handleKeyOnly":true'), tail)
+    oversized = F.octet_length(F.col("_full_msg")) > threshold
+    return full.withColumn(
+        "offloaded", oversized.cast("bigint")
+    ).withColumn(
+        "claim_addr",
+        F.when(oversized, loc) if handle == "claim-check"
+        else F.lit(None).cast("string"),
+    ).withColumn(
+        out_col, F.when(oversized, degraded).otherwise(F.col("_full_msg"))
+    ).withColumnRenamed("_full_msg", "full_message")
+
+
+def decode_simple_protocol_large(df: DataFrame,
+                                 msg_col: str = "message") -> DataFrame:
+    """Consumer for the simple-JSON large-message wire (``decoder.go:
+    141-147`` order: claim-check location first, then handleKeyOnly):
+    degraded rows surface pk-only with ``only_handle_key=1`` and their
+    ``claim_location`` for the fetch-back; full rows surface their
+    image."""
+    parsed = df.withColumn("m", F.from_json(F.col(msg_col),
+                                            _SIMPLE_MSG_SCHEMA))
+    has_data = F.col("m.data").isNotNull()
+    has_old = F.col("m.old").isNotNull()
+    op = (
+        F.when(has_data & has_old, "U")
+        .when(has_data, F.lit("I"))
+        .otherwise(F.lit("D"))
+    )
+    img = F.when(has_data, F.col("m.data")).otherwise(F.col("m.old"))
+    degraded = F.coalesce(F.col("m.handleKeyOnly"), F.lit(False))
+    return parsed.select(
+        F.col("m.database").alias("database"),
+        F.col("m.table").alias("table_name"),
+        F.col("m.tableID").alias("table_id"),
+        op.alias("op"),
+        F.col("m.commitTs").alias("commit_ts"),
+        degraded.cast("bigint").alias("only_handle_key"),
+        F.col("m.claimCheckLocation").alias("claim_location"),
+        img["pk"].alias("pk"),
+        F.when(degraded, F.lit(None).cast("string"))
+        .otherwise(img["event_type"]).alias("event_type"),
+        F.when(degraded, F.lit(None).cast("bigint"))
+        .otherwise(img["value_cents"]).alias("value_cents"),
+    )
 
 
 def decode_simple_protocol(df: DataFrame, msg_col: str = "message") -> DataFrame:
