@@ -302,3 +302,39 @@ def test_go_duration_interior_sign_rejected():
     with pytest.raises(ValueError, match="invalid"):
         parse_go_duration_ms("1h+30m")
     assert parse_go_duration_ms("+1h30m") == 5_400_000
+
+
+# -- P1 rule-dispatch column selectors (kafka_column_selector scenario) -------
+
+def test_column_selectors_first_match_dispatch(spark):
+    from tigate_spark.config import ColumnSelector
+    from tigate_spark.operators.projections import column_selectors
+
+    rows = [("app", "t0", 0, 0, 1, 1, "click", 100, 5),
+            ("app", "t1", 1, 1, 1, 2, "view", 200, 6),
+            ("other", "t9", 9, 9, 1, 3, "buy", 300, 7)]
+    df = spark.createDataFrame(
+        rows, "schema_name string, table_name string, table_id long, "
+              "physical_table_id long, commit_ts long, pk long, "
+              "event_type string, value_cents long, user_id long")
+    rules = [
+        # first rule: t0 keeps only event_type
+        ColumnSelector(matcher=["app.t0"], columns=["event_type"]),
+        # second rule ALSO matches t0 but must not apply (first wins);
+        # t1 keeps value_cents + user_id
+        ColumnSelector(matcher=["app.t*"],
+                       columns=["value_cents", "user_id"]),
+    ]
+    out = {r["table_name"]: r for r in column_selectors(df, rules).collect()}
+    t0 = out["t0"]
+    assert t0["event_type"] == "click"
+    assert t0["value_cents"] is None and t0["user_id"] is None
+    t1 = out["t1"]
+    assert t1["event_type"] is None
+    assert t1["value_cents"] == 200 and t1["user_id"] == 6
+    # unmatched table: DefaultColumnSelector keeps everything
+    t9 = out["t9"]
+    assert (t9["event_type"], t9["value_cents"], t9["user_id"]) \
+        == ("buy", 300, 7)
+    # handle key + metadata always survive
+    assert t0["pk"] == 1 and t0["commit_ts"] == 1

@@ -37,6 +37,47 @@ def column_selector(df: DataFrame, selector: ColumnSelector) -> DataFrame:
     return df.select(*keep)
 
 
+def _table_match_cond(rule: ColumnSelector):
+    """Column condition: does this row's (schema, table) match the
+    rule's ``db.table`` matcher list (``column_selector.go:63-65``
+    MatchTable; fnmatch wildcards like the filter rules)."""
+    qualified = F.concat(F.col("schema_name"), F.lit("."),
+                         F.col("table_name"))
+    cond = F.lit(False)
+    for pat in rule.matcher:
+        cond = cond | qualified.rlike(fnmatch.translate(pat))
+    return cond
+
+
+def column_selectors(df: DataFrame,
+                     rules: list[ColumnSelector]) -> DataFrame:
+    """P1, full rule-dispatch form (``column_selector.go:74-101``
+    ColumnSelectors + scenario ``kafka_column_selector``): the FIRST
+    rule whose table matcher matches an event's (schema, table) decides
+    its columns; rows matching no rule keep every column (the
+    DefaultColumnSelector). Columns a matched rule deselects are
+    NULLed (the relational rendering of "not encoded" — the frame
+    stays one schema, the encoders' omit-null image builders drop
+    them from the wire). Metadata/handle-key columns always survive,
+    the reference's dispatch-ability precondition."""
+    out = df
+    for c in df.columns:
+        if c in META_COLS:
+            continue
+        # fold rules LAST → FIRST so the first matching rule wins
+        acc = F.col(c)  # no rule matched → DefaultColumnSelector keeps
+        for rule in reversed(rules):
+            selected = any(fnmatch.fnmatch(c, pat)
+                           for pat in rule.columns)
+            acc = F.when(
+                _table_match_cond(rule),
+                F.col(c) if selected else F.lit(None).cast(
+                    dict(df.dtypes)[c]),
+            ).otherwise(acc)
+        out = out.withColumn(c, acc)
+    return out
+
+
 def handle_key_only(df: DataFrame, threshold: int,
                     payload_col: str = "after") -> DataFrame:
     """P3: rows whose encoded payload exceeds ``threshold`` bytes are
