@@ -338,3 +338,56 @@ def test_column_selectors_first_match_dispatch(spark):
         == ("buy", 300, 7)
     # handle key + metadata always survive
     assert t0["pk"] == 1 and t0["commit_ts"] == 1
+
+
+# -- storage + redo composition (csv_storage_partition_table,
+#    consistent_partition_table scenarios) -----------------------------------
+
+def test_fan_in_through_storage_sink_dated_tree(spark, tmp_path):
+    """csv_storage_partition_table/: N physical partitions' changes land
+    under ONE logical table directory in the dated tree — the physical
+    ids never become path components."""
+    from tigate_spark.streaming.sinks import StorageSink, read_storage
+
+    reg = partition_registry(spark, _BASE_REG)
+    rows = [("phys", f"p{1000 + i % 3}", 1000 + i % 3, 1000 + i % 3,
+             1_704_067_200_000_000 + i, i % 9) for i in range(30)]
+    ev = spark.createDataFrame(rows, _EV_SCHEMA).select(
+        "*", F.lit("I").alias("op"),
+        F.lit(0).cast("long").alias("start_ts"),
+        F.col("commit_ts").alias("seq"),
+        F.lit("click").alias("event_type"),
+        F.lit(100).cast("long").alias("value_cents"),
+        F.lit(1).cast("long").alias("user_id"))
+    sink = StorageSink(str(tmp_path / "store"))
+    sink.process_batch(resolve_logical(ev, reg), 0)
+    back = read_storage(spark, str(tmp_path / "store"))
+    tables = {r["table_name"] for r in
+              back.select("table_name").distinct().collect()}
+    assert tables == {"t1"}  # one logical dir, no p100x leaves
+    assert back.count() == 30
+
+
+def test_fan_in_through_redo_log(spark, tmp_path):
+    """consistent_partition_table/: the WAL records the LOGICAL routing,
+    so redo_apply restores the fan-in state after a downstream loss."""
+    from tigate_spark.streaming.redo import RedoLog
+
+    reg = partition_registry(spark, _BASE_REG)
+    rows = [("phys", f"p{1000 + i % 3}", 1000 + i % 3, 1000 + i % 3,
+             1_704_067_200_000_000 + i, i % 9) for i in range(30)]
+    ev = spark.createDataFrame(rows, _EV_SCHEMA).select(
+        "*", F.lit("I").alias("op"),
+        F.lit(0).cast("long").alias("start_ts"),
+        F.col("commit_ts").alias("seq"),
+        F.lit("click").alias("event_type"),
+        F.lit(100).cast("long").alias("value_cents"),
+        F.lit(1).cast("long").alias("user_id"))
+    routed = resolve_logical(ev, reg)
+    redo = RedoLog(str(tmp_path / "redo"))
+    lo = routed.agg(F.min("commit_ts")).collect()[0][0]
+    hi = routed.agg(F.max("commit_ts")).collect()[0][0]
+    redo.log_batch(routed, 0, lo=lo, hi=hi)
+    logged = spark.read.parquet(str(tmp_path / "redo" / "row"))
+    assert logged.filter("table_id <> 1").count() == 0
+    assert logged.count() == 30
