@@ -391,3 +391,31 @@ def test_fan_in_through_redo_log(spark, tmp_path):
     logged = spark.read.parquet(str(tmp_path / "redo" / "row"))
     assert logged.filter("table_id <> 1").count() == 0
     assert logged.count() == 30
+
+
+# -- P6 sibling: split only pk/uk-changing updates ----------------------------
+
+def test_split_updates_on_key_change(spark):
+    """csv_storage_update_pk_* scenarios: a pk-changing UPDATE becomes
+    DELETE(old key)+INSERT(new key); key-stable updates stay single."""
+    from tigate_spark.operators.projections import (
+        split_updates_on_key_change,
+    )
+
+    rows = [
+        # key-stable update: stays ONE event
+        ("U", '{"pk":1,"v":10}', '{"pk":1,"v":11}'),
+        # pk-changing update: splits
+        ("U", '{"pk":2,"v":20}', '{"pk":3,"v":20}'),
+        ("I", None, '{"pk":4,"v":40}'),
+        ("D", '{"pk":5,"v":50}', None),
+    ]
+    df = spark.createDataFrame(rows, "op string, before string, after string")
+    out = split_updates_on_key_change(df).collect()
+    assert len(out) == 5  # 1 + 2 + 1 + 1
+    split = sorted((r["op"], r["piece_no"], r["image"]) for r in out
+                   if '"v":20' in (r["image"] or ""))
+    assert split == [("D", 1, '{"pk":2,"v":20}'),
+                     ("I", 2, '{"pk":3,"v":20}')]
+    stable = [r for r in out if '"v":11' in (r["image"] or "")]
+    assert len(stable) == 1 and stable[0]["op"] == "U"

@@ -121,6 +121,52 @@ def split_updates(df: DataFrame) -> DataFrame:
     )
 
 
+def split_updates_on_key_change(df: DataFrame,
+                                key_json_path: str = "$.pk") -> DataFrame:
+    """P6 sibling: split ONLY updates whose handle key changed.
+
+    The reference's ``output-raw-change-event`` knob
+    (``pkg/config/sink.go:457-462``; scenarios
+    ``csv_storage_update_pk_clustered`` / ``_nonclustered`` /
+    ``storage_csv_update``) defaults to splitting a pk/uk-changing
+    UPDATE into DELETE(old key) + INSERT(new key) — a downstream
+    applying the raw update would orphan the old-key row — while
+    key-stable updates stay single events. Emitted delete sorts before
+    the paired insert (``piece_no``), the event-store D < I order."""
+    before_key = F.get_json_object(F.col("before"), key_json_path)
+    after_key = F.get_json_object(F.col("after"), key_json_path)
+    key_changed = (F.col("op") == "U") & (
+        ~before_key.eqNullSafe(after_key))
+    pieces = F.when(
+        key_changed,
+        F.array(
+            F.struct(F.lit("D").alias("op2"),
+                     F.col("before").alias("image"),
+                     F.lit(1).alias("piece")),
+            F.struct(F.lit("I").alias("op2"),
+                     F.col("after").alias("image"),
+                     F.lit(2).alias("piece")),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.col("op").alias("op2"),
+                F.when(F.col("op") == "D", F.col("before"))
+                .otherwise(F.col("after")).alias("image"),
+                F.lit(1).alias("piece"),
+            )
+        )
+    )
+    exploded = df.withColumn("piece", F.explode(pieces))
+    return (
+        exploded.withColumn("op_out", F.col("piece.op2"))
+        .withColumn("image", F.col("piece.image"))
+        .withColumn("piece_no", F.col("piece.piece"))
+        .drop("piece", "op")
+        .withColumnRenamed("op_out", "op")
+    )
+
+
 def row_checksum(df: DataFrame, cols: list[str], out_col: str = "checksum") -> DataFrame:
     """P7: deterministic row integrity checksum (md5 of NUL-joined values;
     portable across engines)."""
