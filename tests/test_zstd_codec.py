@@ -66,6 +66,17 @@ def test_raw_frame_roundtrip_property(data):
     assert z.decompress(z.compress(data)) == data
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               min_size=128, max_size=4096))
+def test_huffman_literals_roundtrip_property(text):
+    """ASCII corpora ≥128 bytes take the Huffman-literals path (direct
+    weights, package-merge lengths) whenever entropy beats raw — the
+    r14 encode surface under hypothesis."""
+    data = text.encode()
+    assert z.decompress(z.compress(data)) == data
+
+
 # ===================================================================== writer
 # Minimal compressed-block writer (encoding direction, from the spec).
 
