@@ -419,3 +419,47 @@ def test_split_updates_on_key_change(spark):
                      ("I", 2, '{"pk":3,"v":20}')]
     stable = [r for r in out if '"v":11' in (r["image"] or "")]
     assert len(stable) == 1 and stable[0]["op"] == "U"
+
+
+# -- first-class changefeed wiring (cfg.partition_mappings) -------------------
+
+def test_changefeed_partition_mappings_fan_in(spark, sf_dir, tmp_path):
+    """A changefeed configured with partition_mappings fan-ins a
+    partitioned upstream through the REAL streaming path: the source
+    tags t1 rows with three physical ids via _physical_table_id, and
+    the replica ends keyed by the LOGICAL table."""
+    from tigate_spark.config import ChangefeedConfig
+    from tigate_spark.operators.apply import materialize
+    from tigate_spark.streaming.changefeed import PAYLOAD_COLS, Changefeed
+    from tigate_spark.streaming.sinks import read_replica
+
+    src = str(tmp_path / "src")
+    base = spark.read.parquet(sf_dir + "/events.parquet").limit(4000)
+    base.withColumn(
+        "_physical_table_id",
+        F.when(F.col("user_id") % 4 == 1,
+               F.lit(1000) + (F.col("event_id") % 200) % 3)
+        .otherwise(F.lit(100) + F.col("user_id") % 4).cast("long"),
+    ).coalesce(1).write.parquet(src)
+    cfg = ChangefeedConfig(
+        changefeed_id="cf-part", sink_uri="replica://",
+        partition_mappings=[
+            (1000, 0, 1, "app", "t1"), (1001, 0, 1, "app", "t1"),
+            (1002, 0, 1, "app", "t1"),
+            (100, 0, 0, "app", "t0"), (102, 0, 2, "app", "t2"),
+            (103, 0, 3, "app", "t3"),
+        ])
+    cf = Changefeed(spark, cfg, src, str(tmp_path / "work"))
+    cf.run_to_completion()
+    got = read_replica(spark, cf.sink.state_dir).select(
+        "table_id", "pk", *PAYLOAD_COLS)
+    assert got.filter("table_id >= 100").count() == 0  # no physical ids
+    from tigate_spark.sources.changes import normalize_events
+
+    # the physical routing is information-free for final state: the
+    # logical identity equals the plain normalization's
+    exp = materialize(
+        normalize_events(spark.read.parquet(src)),
+        PAYLOAD_COLS).select("table_id", "pk", *PAYLOAD_COLS)
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0

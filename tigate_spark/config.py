@@ -231,6 +231,14 @@ class ChangefeedConfig:
     #: (sources/formats.py), proving the changefeed is source-format
     #: agnostic end to end
     source_format: str = "parquet"
+    #: partition-table routing (DMLEvent.PhysicalTableID fan-in,
+    #: dml_event.go:20-61; scenario partition_table/): versioned
+    #: physical→logical rows ``(physical_table_id, valid_from_ts,
+    #: table_id, schema_name, table_name)`` — see
+    #: operators/partitions.py. None/empty = no partitioned upstream
+    #: tables; sources tag partitions via a ``_physical_table_id``
+    #: column
+    partition_mappings: list | None = None
 
 
 def _build(cls, data: dict):

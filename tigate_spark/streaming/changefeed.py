@@ -399,6 +399,20 @@ class Changefeed:
             and self.cfg.sink.protocol == "canal-json"
         )
         ch = normalize_events(raw, with_images=with_images)
+        if self.cfg.partition_mappings:
+            # partition-table routing (DMLEvent.PhysicalTableID,
+            # dml_event.go:20-61; scenario partition_table/): N physical
+            # partitions fan into their logical table before filtering/
+            # routing — a broadcast interval join against the versioned
+            # registry, zero event-side shuffle
+            from tigate_spark.operators.partitions import (
+                partition_registry,
+                resolve_logical,
+            )
+
+            reg = partition_registry(self.spark,
+                                     list(self.cfg.partition_mappings))
+            ch = resolve_logical(ch, reg)
         if self.cfg.bdr_mode and "source_id" in ch.columns:
             # BDR loop prevention (replica_config.go:148): replicate only
             # application writes — txns another CDC applied carry its
