@@ -976,12 +976,20 @@ def _raw_literals_section(lits: bytes) -> bytes:
     return (0 | (3 << 2) | (regen << 4)).to_bytes(3, "little") + lits
 
 
-def _compress_block(data: bytes) -> bytes | None:
-    """One compressed block: raw-literals section + predefined-mode
-    sequences (greedy 4-byte-hash matcher, no repeat offsets). Returns
-    None when sequences don't pay (caller falls back to a raw block).
+def _compress_block(data: bytes, rep: list[int] | None = None
+                    ) -> bytes | None:
+    """One compressed block: literals section (Huffman when it pays) +
+    predefined-mode sequences from the greedy 4-byte-hash matcher,
+    offsets re-coded through the 3-slot repeat history (§3.1.1.5 — a
+    recurring offset costs ~0-1 extra bits instead of its full bit
+    width; big on fixed-stride record data). ``rep`` is the caller's
+    cross-block history, MUTATED only when a block is emitted (the
+    caller passes a copy and commits it with the block). Returns None
+    when sequences don't pay (caller falls back to a raw block).
     The output decodes on ANY conforming decoder — cross-validated
     against zstd-jni in tests."""
+    if rep is None:
+        rep = [1, 4, 8]
     n = len(data)
     if n < 16:
         return None
@@ -1031,8 +1039,23 @@ def _compress_block(data: bytes) -> bytes | None:
     head += bytes([0])  # modes: predefined for LL, OF, ML
     ll_syms, of_syms, ml_syms = [], [], []
     extras = []
+    r0, r1, r2 = rep
     for (ll, off, ml) in seqs:
-        of_value = off + 3  # never the repeat-offset lane
+        # offset → Offset_Value through the repeat history, mirroring
+        # the decoder's update rules exactly (incl. the ll==0 shift;
+        # ll==0 cannot express rep1, and rep1-minus-one is never
+        # emitted). Locals, not list ops — this is the per-seq hot loop
+        if off == r0 and ll > 0:
+            of_value = 1  # rep1: history unchanged
+        elif off == r1:
+            of_value = 1 if ll == 0 else 2  # decoder shift at ll==0
+            r0, r1 = off, r0
+        elif off == r2:
+            of_value = 2 if ll == 0 else 3
+            r0, r1, r2 = off, r0, r1
+        else:
+            of_value = off + 3
+            r0, r1, r2 = off, r0, r1
         lc, le, lb = _code_of(ll, _LL_TABLE, 16)
         oc = of_value.bit_length() - 1
         mc, me, mb = _code_of(ml, _ML_TABLE, 32)
@@ -1040,6 +1063,7 @@ def _compress_block(data: bytes) -> bytes | None:
         of_syms.append(oc)
         ml_syms.append(mc)
         extras.append(((of_value - (1 << oc), oc), (me, mb), (le, lb)))
+    rep[:] = [r0, r1, r2]  # commit the block's final history
     ll_i, ll_t = _fse_encode_chain(ll_syms, _PREDEF["ll"], _LL_ACC)
     of_i, of_t = _fse_encode_chain(of_syms, _PREDEF["of"], _OF_ACC)
     ml_i, ml_t = _fse_encode_chain(ml_syms, _PREDEF["ml"], _ML_ACC)
@@ -1080,6 +1104,7 @@ def compress(data: bytes, checksum: bool = True) -> bytes:
         out += (1).to_bytes(3, "little")  # last=1, raw, size 0
     else:
         pos = 0
+        rep = [1, 4, 8]  # repeat-offset history, frame-scoped (ctx.rep)
         while pos < n:
             chunk = data[pos:pos + _RAW_BLOCK_MAX]
             pos += len(chunk)
@@ -1089,8 +1114,10 @@ def compress(data: bytes, checksum: bool = True) -> bytes:
                 out += hdr.to_bytes(3, "little")
                 out.append(chunk[0])
                 continue
-            comp = _compress_block(bytes(chunk))
+            cand_rep = list(rep)
+            comp = _compress_block(bytes(chunk), cand_rep)
             if comp is not None:
+                rep = cand_rep  # the block shipped; its history sticks
                 hdr = last | (2 << 1) | (len(comp) << 3)
                 out += hdr.to_bytes(3, "little")
                 out += comp
