@@ -759,16 +759,28 @@ def decompress(data: bytes) -> bytes:
 _RAW_BLOCK_MAX = 1 << 17  # 128 KiB (Block_Maximum_Size ceiling)
 
 
+_CELLS_CACHE: dict[int, tuple[dict, dict]] = {}
+
+
 def _fse_encode_chain(symbols: list[int], table, accuracy: int):
     """ANS encode one lane's symbol chain against a decode table:
     states chosen in REVERSE symbol order so the decoder's forward
     walk reproduces ``symbols``. Returns (init_state_index,
-    [(bits, nb) transitions] in decoder-read order)."""
+    [(bits, nb) transitions] in decoder-read order). The per-table
+    cell map is memoized by table identity — the three predefined
+    tables are encoded against on every block."""
     size = 1 << accuracy
-    cells: dict[int, list[int]] = {}
-    for i, (s, _nb, _bl) in enumerate(table):
-        cells.setdefault(s, []).append(i)
-    counts = {s: len(v) for s, v in cells.items()}
+    cached = _CELLS_CACHE.get(id(table))
+    if cached is None:
+        cells: dict[int, list[int]] = {}
+        for i, (s, _nb, _bl) in enumerate(table):
+            cells.setdefault(s, []).append(i)
+        counts = {s: len(v) for s, v in cells.items()}
+        if table is _PREDEF["ll"] or table is _PREDEF["ml"] \
+                or table is _PREDEF["of"]:
+            _CELLS_CACHE[id(table)] = (cells, counts)
+    else:
+        cells, counts = cached
     state = cells[symbols[-1]][0]
     transitions = []
     for s in reversed(symbols[:-1]):
