@@ -1012,22 +1012,50 @@ def _compress_block(data: bytes, rep: list[int] | None = None
     pos = 0
     lit_start = 0
     limit = n - 4
+    # live rep1 under the coding rules below: every accepted match sets
+    # r0 = its offset, so tracking the last offset here agrees with the
+    # coding phase by construction. Probing it catches record-periodic
+    # matches the single-slot hash misses (zstd's repcode check).
+    cr0 = rep[0]
+    # the per-position rep probe costs one slice-compare; on tiny
+    # blocks (the per-message codec hot path) it can't amortize
+    probe_rep = n >= 256
     while pos < limit:
         quad = data[pos:pos + 4]
         cand = setdefault(quad, pos)
-        if cand == pos:
+        rep_src = pos - cr0
+        rep_ok = (probe_rep and rep_src >= 0
+                  and data[rep_src:rep_src + 4] == quad)
+        if cand == pos and not rep_ok:
             pos += 1
             continue
-        ln = 4
-        while (pos + ln + 64 <= n
-               and data[cand + ln:cand + ln + 64]
-               == data[pos + ln:pos + ln + 64]):
-            ln += 64
-        while pos + ln < n and data[cand + ln] == data[pos + ln]:
-            ln += 1
+        best_ln = 0
+        best_off = 0
+        if cand != pos:
+            ln = 4
+            while (pos + ln + 64 <= n
+                   and data[cand + ln:cand + ln + 64]
+                   == data[pos + ln:pos + ln + 64]):
+                ln += 64
+            while pos + ln < n and data[cand + ln] == data[pos + ln]:
+                ln += 1
+            best_ln = ln
+            best_off = pos - cand
+        if rep_ok:
+            ln = 4
+            while (pos + ln + 64 <= n
+                   and data[rep_src + ln:rep_src + ln + 64]
+                   == data[pos + ln:pos + ln + 64]):
+                ln += 64
+            while pos + ln < n and data[rep_src + ln] == data[pos + ln]:
+                ln += 1
+            if ln >= best_ln:  # ties → rep: the cheaper offset code
+                best_ln = ln
+                best_off = cr0
         lits += data[lit_start:pos]
-        seqs.append((pos - lit_start, pos - cand, ln))
-        pos += ln
+        seqs.append((pos - lit_start, best_off, best_ln))
+        cr0 = best_off
+        pos += best_ln
         lit_start = pos
     lits += data[lit_start:]
     # --- literals section: Huffman when it shrinks, else raw ---
