@@ -45,7 +45,11 @@ def _table_match_cond(rule: ColumnSelector):
                          F.col("table_name"))
     cond = F.lit(False)
     for pat in rule.matcher:
-        cond = cond | qualified.rlike(fnmatch.translate(pat))
+        # fnmatch.translate only appends \Z and Spark rlike is substring
+        # (find) matching — prepend ^ so 'app.t1' can't match 'webapp.t1'
+        # (the filters.py:39-41 idiom; the reference's filter.MatchTable
+        # is fully anchored per schema/table component)
+        cond = cond | qualified.rlike("^" + fnmatch.translate(pat))
     return cond
 
 

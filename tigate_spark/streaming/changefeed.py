@@ -28,7 +28,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from tigate_spark.config import ChangefeedConfig
 from tigate_spark.operators import filters as f_ops
-from tigate_spark.operators.projections import column_selector
+from tigate_spark.operators.projections import column_selectors
 from tigate_spark.session import ensure_confs
 from tigate_spark.sources.changes import normalize_events
 from tigate_spark.streaming.sinks import (
@@ -424,8 +424,12 @@ class Changefeed:
         if self.cfg.target_ts:
             ch = ch.filter(F.col("commit_ts") <= self.cfg.target_ts)
         ch = f_ops.apply_filter_config(ch, self.cfg.filter)
-        for sel in self.cfg.sink.column_selectors:
-            ch = column_selector(ch, sel)
+        if self.cfg.sink.column_selectors:
+            # first-matching-rule dispatch (column_selector.go:74-101
+            # ColumnSelectors.GetSelector) — NOT cumulative per-rule
+            # application, which would intersect rules when a config
+            # carries several selector rules
+            ch = column_selectors(ch, self.cfg.sink.column_selectors)
         return ch
 
     # -- sink --------------------------------------------------------------
