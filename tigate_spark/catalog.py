@@ -359,6 +359,92 @@ def projection_update_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "projection_column_selectors_dispatch",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT schema_name, table_name, table_id, op, seq, pk,
+  CASE WHEN table_name <> 't2' THEN event_type END AS event_type,
+  CASE WHEN table_name IN ('t2', 't3') THEN value_cents END AS value_cents,
+  CASE WHEN table_name = 't3' THEN user_id END AS user_id
+FROM changes
+""",
+    doc="P1 rule-dispatch form (columnselector/column_selector.go:74-101 "
+        "ColumnSelectors.GetSelector; scenario kafka_column_selector/): "
+        "the FIRST rule whose table matcher matches decides the columns — "
+        "t0/t1 hit rule 1 (event_type only) even though rule 2's matcher "
+        "also covers t0; t2 falls through to rule 2 (value_cents only); "
+        "t3 matches no rule and keeps everything (DefaultColumnSelector). "
+        "Handle key + metadata always survive.",
+)
+def projection_column_selectors_dispatch(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    from tigate_spark.config import ColumnSelector
+    from tigate_spark.operators.projections import column_selectors
+
+    ch = changes_stream(spark, sf_dir)
+    rules = [
+        ColumnSelector(matcher=["app.t0", "app.t1"],
+                       columns=["event_type"]),
+        ColumnSelector(matcher=["app.t0", "app.t2"],
+                       columns=["value_cents"]),
+    ]
+    return column_selectors(ch, rules).select(
+        "schema_name", "table_name", "table_id", "op", "seq", "pk",
+        "event_type", "value_cents", "user_id")
+
+
+@register(
+    "projection_update_pk_split",
+    ORACLE_CHANGES_CTE
+    + """
+, mut AS (
+  SELECT seq, op, before,
+    CASE WHEN op = 'U' AND seq % 7 = 0 THEN printf(
+      '{"pk":%d,"event_type":"%s","value_cents":%d,"user_id":%d}',
+      pk + 1000, event_type, value_cents, user_id)
+    ELSE after END AS after
+  FROM changes
+)
+SELECT seq, 'D' AS op, before AS image, CAST(1 AS INT) AS piece_no
+FROM mut WHERE op = 'U' AND seq % 7 = 0
+UNION ALL
+SELECT seq, 'I' AS op, after AS image, CAST(2 AS INT) AS piece_no
+FROM mut WHERE op = 'U' AND seq % 7 = 0
+UNION ALL
+SELECT seq, op, CASE WHEN op = 'D' THEN before ELSE after END AS image,
+       CAST(1 AS INT) AS piece_no
+FROM mut WHERE NOT (op = 'U' AND seq % 7 = 0)
+""",
+    doc="P6 pk/uk-change-only split (output-raw-change-event default, "
+        "pkg/config/sink.go:457-462; scenarios csv_storage_update_pk_"
+        "clustered/_nonclustered): every 7th event's UPDATE is given a key-"
+        "changing after-image (pk+1000, the upstream pk-rewrite "
+        "scenario) and ONLY those split into DELETE(old key) + "
+        "INSERT(new key) — key-stable updates stay single events; the "
+        "emitted delete sorts before its insert (piece_no, event-store "
+        "D < I order).",
+)
+def projection_update_pk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.operators.projections import (
+        split_updates_on_key_change,
+    )
+    from tigate_spark.sources.changes import _IMG_FMT
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    mut = ch.withColumn(
+        "after",
+        F.when(
+            (F.col("op") == "U") & (F.col("seq") % 7 == 0),
+            F.format_string(_IMG_FMT, F.col("pk") + 1000,
+                            F.col("event_type"), F.col("value_cents"),
+                            F.col("user_id")),
+        ).otherwise(F.col("after")))
+    out = split_updates_on_key_change(mut)
+    return out.select("seq", F.col("op").cast("string").alias("op"),
+                      "image", F.col("piece_no").cast("int").alias("piece_no"))
+
+
+@register(
     "projection_handle_key_only",
     ORACLE_CHANGES_CTE
     + """
@@ -1454,6 +1540,155 @@ def encoder_simple_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ch = changes_stream(spark, sf_dir, with_images=True)
     return encode_simple_protocol(ch).select("seq", "message")
+
+
+# --------------------------------------------------------------------------
+# Simple-protocol JSON large-message lanes (simple/message.go:488-492
+# omitempty claimCheckLocation/handleKeyOnly; encoder flow
+# simple/encoder.go:84-120; consumer order decoder.go:141-147; scenarios
+# kafka_simple_claim_check/ and kafka_simple_handle_key_only/). The
+# threshold 215 splits this corpus bimodally (updates carry two images).
+# --------------------------------------------------------------------------
+_SJ_THRESHOLD = 215
+
+_SJ_LARGE_CTE = ORACLE_CHANGES_CTE + f"""
+, sj_full AS (
+  SELECT *,
+    printf('{{"version":1,"database":"%s","table":"%s","tableID":%d,"type":"DML","commitTs":%d,"buildTs":%d,"schemaVersion":1',
+           schema_name, table_name, table_id, commit_ts, commit_ts // 1000)
+      AS sj_prefix,
+    CASE op
+      WHEN 'I' THEN printf(',"data":%s}}', after)
+      WHEN 'U' THEN printf(',"data":%s,"old":%s}}', after, before)
+      ELSE printf(',"old":%s}}', before)
+    END AS sj_tail,
+    CASE op
+      WHEN 'I' THEN printf(',"data":{{"pk":%d}}}}', pk)
+      WHEN 'U' THEN printf(',"data":{{"pk":%d}},"old":{{"pk":%d}}}}', pk, pk)
+      ELSE printf(',"old":{{"pk":%d}}}}', pk)
+    END AS sj_pk_tail
+  FROM changes
+), sj AS (
+  SELECT *, sj_prefix || sj_tail AS full_message,
+    strlen(sj_prefix || sj_tail) > {_SJ_THRESHOLD} AS oversized,
+    printf('s3://claim-check/%s.json', md5(sj_prefix || sj_tail)) AS loc
+  FROM sj_full
+)
+"""
+
+
+@register(
+    "encoder_simple_json_claim_check",
+    _SJ_LARGE_CTE + """
+SELECT seq,
+  CASE WHEN oversized THEN sj_prefix
+         || printf(',"claimCheckLocation":"%s"', loc)
+         || ',"handleKeyOnly":true' || sj_pk_tail
+       ELSE full_message END AS message,
+  CAST(CASE WHEN oversized THEN 1 ELSE 0 END AS BIGINT) AS offloaded,
+  CASE WHEN oversized THEN loc END AS claim_addr
+FROM sj
+""",
+    doc="Simple-JSON claim-check wire (simple/message.go:488-492 "
+        "omitempty fields; encoder.go:84-120: the oversized message "
+        "offloads to the md5-addressed store, then re-renders with "
+        "pk-only images, handleKeyOnly:true AND claimCheckLocation set; "
+        "scenario kafka_simple_claim_check/): byte-exact inline and "
+        "degraded forms in both engines — pure format_string/md5/"
+        "octet_length column expressions, zero Python",
+)
+def encoder_simple_json_claim_check(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_simple_protocol_large
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    return encode_simple_protocol_large(
+        ch, threshold=_SJ_THRESHOLD, handle="claim-check").select(
+        "seq", "message", "offloaded", "claim_addr")
+
+
+@register(
+    "decoder_simple_json_large",
+    _SJ_LARGE_CTE + """
+SELECT seq, 'app' AS database, table_name, table_id, op,
+  CAST(commit_ts AS BIGINT) AS commit_ts,
+  CAST(CASE WHEN oversized THEN 1 ELSE 0 END AS BIGINT) AS only_handle_key,
+  CASE WHEN oversized THEN loc END AS claim_location,
+  pk,
+  CASE WHEN oversized THEN NULL ELSE event_type END AS event_type,
+  CASE WHEN oversized THEN NULL
+       WHEN op = 'D' THEN value_cents - 100
+       ELSE value_cents END AS value_cents
+FROM sj
+""",
+    doc="Simple-JSON large-message consumer (decoder.go:141-147 order: "
+        "claimCheckLocation first, then handleKeyOnly; scenario "
+        "kafka_simple_handle_key_only/): degraded rows surface pk-only "
+        "with only_handle_key=1 and their claim_location for the "
+        "fetch-back — the consumer contract that a degraded row triggers "
+        "a fetch instead of a partial apply; full rows surface their "
+        "live image (old for DELETE)",
+)
+def decoder_simple_json_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import (
+        decode_simple_protocol_large,
+        encode_simple_protocol_large,
+    )
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    wire = encode_simple_protocol_large(
+        ch, threshold=_SJ_THRESHOLD, handle="claim-check").select(
+        "seq", "message")
+    return decode_simple_protocol_large(wire, keep=("seq",))
+
+
+@register(
+    "consumer_simple_json_claim_check_e2e",
+    _SJ_LARGE_CTE + """
+SELECT seq, pk, event_type,
+  CASE WHEN op = 'D' THEN value_cents - 100 ELSE value_cents END
+    AS value_cents,
+  CAST(commit_ts AS BIGINT) AS commit_ts,
+  CAST(CASE WHEN oversized THEN 1 ELSE 0 END AS BIGINT) AS was_offloaded
+FROM sj
+""",
+    doc="Simple-JSON claim-check fetch-back e2e (decoder.go:141-142,"
+        "168-195 assembleClaimCheckRowChangedEvent): the consumer reads "
+        "claimCheckLocation off the degraded wire, joins the content-"
+        "addressed offload store (broadcast-sized here; AQE size-decides "
+        "so a 100 TB store flips to co-shuffle naturally), decodes the "
+        "stored FULL message, and restores every column — the offloaded "
+        "bytes round-trip identical to the never-degraded lane",
+)
+def consumer_simple_json_claim_check_e2e(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import (
+        decode_simple_protocol,
+        decode_simple_protocol_large,
+        encode_simple_protocol_large,
+    )
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    enc = encode_simple_protocol_large(
+        ch, threshold=_SJ_THRESHOLD, handle="claim-check")
+    # the side-write the reference's claimCheck.WriteMessage performs —
+    # content-addressed, so identical wires share one object
+    store = enc.filter(F.col("offloaded") == 1).select(
+        F.col("claim_addr").alias("location"),
+        F.col("full_message").alias("stored_msg")).dropDuplicates(
+        ["location"])
+    dec = decode_simple_protocol_large(
+        enc.select("seq", "message"), keep=("seq",))
+    common = ["seq", "pk", "event_type", "value_cents", "commit_ts"]
+    inline = dec.filter(F.col("claim_location").isNull()).select(
+        *common, F.lit(0).cast("bigint").alias("was_offloaded"))
+    fetched = dec.filter(F.col("claim_location").isNotNull()) \
+        .select("seq", "claim_location") \
+        .join(store, F.col("claim_location") == F.col("location")) \
+        .select("seq", F.col("stored_msg").alias("message"))
+    refull = decode_simple_protocol(fetched, keep=("seq",)).select(
+        *common, F.lit(1).cast("bigint").alias("was_offloaded"))
+    return inline.unionByName(refull)
 
 
 def _bootstrap_fmt() -> str:

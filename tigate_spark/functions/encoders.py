@@ -650,12 +650,13 @@ def encode_simple_protocol_large(df: DataFrame, threshold: int,
 
 
 def decode_simple_protocol_large(df: DataFrame,
-                                 msg_col: str = "message") -> DataFrame:
+                                 msg_col: str = "message",
+                                 keep: tuple[str, ...] = ()) -> DataFrame:
     """Consumer for the simple-JSON large-message wire (``decoder.go:
     141-147`` order: claim-check location first, then handleKeyOnly):
     degraded rows surface pk-only with ``only_handle_key=1`` and their
     ``claim_location`` for the fetch-back; full rows surface their
-    image."""
+    image. ``keep`` passes wire-side columns (e.g. an offset) through."""
     parsed = df.withColumn("m", F.from_json(F.col(msg_col),
                                             _SIMPLE_MSG_SCHEMA))
     has_data = F.col("m.data").isNotNull()
@@ -668,6 +669,7 @@ def decode_simple_protocol_large(df: DataFrame,
     img = F.when(has_data, F.col("m.data")).otherwise(F.col("m.old"))
     degraded = F.coalesce(F.col("m.handleKeyOnly"), F.lit(False))
     return parsed.select(
+        *[F.col(c) for c in keep],
         F.col("m.database").alias("database"),
         F.col("m.table").alias("table_name"),
         F.col("m.tableID").alias("table_id"),
@@ -683,7 +685,8 @@ def decode_simple_protocol_large(df: DataFrame,
     )
 
 
-def decode_simple_protocol(df: DataFrame, msg_col: str = "message") -> DataFrame:
+def decode_simple_protocol(df: DataFrame, msg_col: str = "message",
+                           keep: tuple[str, ...] = ()) -> DataFrame:
     """E7 for the simple protocol: consumer-side decode of
     :func:`encode_simple_protocol` (``pkg/sink/codec/simple``'s decoder
     counterpart). Op is inferred from image presence exactly as the
@@ -700,6 +703,7 @@ def decode_simple_protocol(df: DataFrame, msg_col: str = "message") -> DataFrame
     )
     img = F.when(has_data, F.col("m.data")).otherwise(F.col("m.old"))
     return parsed.select(
+        *[F.col(c) for c in keep],
         F.col("m.database").alias("database"),
         F.col("m.table").alias("table_name"),
         F.col("m.tableID").alias("table_id"),
