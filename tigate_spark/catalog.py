@@ -3772,7 +3772,7 @@ def encoder_message_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE_CHANGES_CTE
     + """
 SELECT seq, printf(
-  '{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,"type":"%s","es":%d,"ts":%d,"sql":"","sqlType":{"pk":-5,"event_type":12,"value_cents":-5},"mysqlType":{"pk":"bigint","event_type":"varchar(255)","value_cents":"bigint"},"data":%s,"old":%s,"_tidb":{"commitTs":%d}}',
+  '{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,"type":"%s","es":%d,"ts":%d,"sql":"","sqlType":{"pk":-5,"event_type":12,"value_cents":-5},"mysqlType":{"pk":"bigint","event_type":"varchar","value_cents":"bigint"},"data":%s,"old":%s,"_tidb":{"commitTs":%d}}',
   schema_name, table_name,
   CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
   commit_ts // 1000, commit_ts // 1000,
@@ -3783,14 +3783,51 @@ FROM changes
 """,
     doc="E1 full message shape: canal-json with per-column sqlType "
         "(java.sql.Types) and mysqlType maps (canal_json_message.go:55-57; "
-        "maps built from table info in canal/encoder.go:155,218-277) — "
-        "the type-metadata surface SURVEY §7.4 flags as hard part 4",
+        "maps built from table info in canal/encoder.go:155,218-277; "
+        "default rendering = tiflow GetMySQLType(col, false) SHORT type "
+        "names) — the type-metadata surface SURVEY §7.4 flags as hard "
+        "part 4",
 )
 def encoder_canal_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tigate_spark.functions.encoders import encode_canal_json_typed
 
     ch = changes_stream(spark, sf_dir, with_images=True)
     return encode_canal_json_typed(ch).select("seq", "message")
+
+
+@register(
+    "encoder_canal_json_content_compatible",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, printf(
+  '{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,"type":"%s","es":%d,"ts":%d,"sql":"","sqlType":{"pk":-5,"event_type":12,"value_cents":-5},"mysqlType":{"pk":"bigint(20)","event_type":"varchar(255)","value_cents":"bigint(20)"},"data":%s,"old":%s,"_tidb":{"commitTs":%d}}',
+  schema_name, table_name,
+  CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+  commit_ts // 1000, commit_ts // 1000,
+  '[' || coalesce(CASE WHEN op = 'D' THEN before ELSE after END, 'null') || ']',
+  CASE WHEN op = 'U'
+       THEN printf('[{"value_cents":%d}]', value_cents - 100)
+       ELSE 'null' END,
+  commit_ts) AS message
+FROM changes
+""",
+    doc="E1 content-compatible mode (sink URI content-compatible=true; "
+        "common/config.go:65,262-265; canal/encoder.go:260 GetMySQLType"
+        "(col, true); scenarios canal_json_content_compatible/, "
+        "canal_json_adapter_compatibility/): mysqlType renders FULL type "
+        "descriptors (bigint(20), varchar(255)) for the official Canal "
+        "adapter, and OnlyOutputUpdatedColumns is forced on — an "
+        "UPDATE's old image carries ONLY the changed columns "
+        "(value_cents here, by stream construction). The oracle pins "
+        "both differences byte-exactly against the default-mode entry.",
+)
+def encoder_canal_json_content_compatible(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_canal_json_typed
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    return encode_canal_json_typed(
+        ch, content_compatible=True).select("seq", "message")
 
 
 _DBZ_MSG_CTE = ORACLE_CHANGES_CTE + """

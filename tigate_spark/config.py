@@ -102,6 +102,10 @@ class SinkConfig:
     #: (`csv_storage_basic/conf/changefeed.toml:6`)
     date_separator: str = "day"
     only_output_updated_columns: bool = False
+    #: canal-json adapter-compatibility rendering (sink URI
+    #: ``content-compatible=true``; common/config.go:65,262-265): full
+    #: mysqlType descriptors + forces only_output_updated_columns
+    content_compatible: bool = False
     delete_only_output_handle_key_columns: bool = False
     large_message_handle: str | None = None  # None | handle-key-only | claim-check
     #: max-message-bytes twin — default matches the reference's

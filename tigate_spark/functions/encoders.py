@@ -31,28 +31,59 @@ _CANAL_TYPE = {"I": "INSERT", "U": "UPDATE", "D": "DELETE"}
 #: engine's change payload is (pk BIGINT, event_type VARCHAR,
 #: value_cents BIGINT) → BIGINT=-5, VARCHAR=12.
 CANAL_SQL_TYPE_MAP = '{"pk":-5,"event_type":12,"value_cents":-5}'
+#: default mysqlType rendering — tiflow ``codec/utils.GetMySQLType(col,
+#: fullType=false)``: short type name via types.TypeToStr (+" unsigned"/
+#: " zerofill" when flagged; none here)
 CANAL_MYSQL_TYPE_MAP = (
-    '{"pk":"bigint","event_type":"varchar(255)","value_cents":"bigint"}'
+    '{"pk":"bigint","event_type":"varchar","value_cents":"bigint"}'
+)
+#: content-compatible rendering — ``GetMySQLType(col, fullType=true)`` =
+#: FieldType.CompactStr full descriptors (display width / length), the
+#: strings the official Canal adapter emits and expects
+CANAL_MYSQL_TYPE_MAP_FULL = (
+    '{"pk":"bigint(20)","event_type":"varchar(255)",'
+    '"value_cents":"bigint(20)"}'
 )
 
 _CANAL_TYPED_FMT = (
     '{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,'
     '"type":"%s","es":%d,"ts":%d,"sql":"",'
     '"sqlType":' + CANAL_SQL_TYPE_MAP + ','
-    '"mysqlType":' + CANAL_MYSQL_TYPE_MAP + ','
+    '"mysqlType":%s,'
     '"data":%s,"old":%s,"_tidb":{"commitTs":%d}}'
 )
 
 
-def encode_canal_json_typed(df: DataFrame, out_col: str = "message") -> DataFrame:
+def encode_canal_json_typed(df: DataFrame, out_col: str = "message",
+                            content_compatible: bool = False) -> DataFrame:
     """E1 with column type metadata: the full JSONMessage shape including
     the per-column ``sqlType`` (java.sql.Types codes) and ``mysqlType``
     maps (``canal_json_message.go:55-57``; maps built per table info in
     ``canal/encoder.go:155,218-277``). The maps here come from the fixed
     change-payload schema; with per-table schemas they are rendered from
-    the broadcast schema registry (T3) the same way."""
+    the broadcast schema registry (T3) the same way.
+
+    ``content_compatible=True`` is the sink URI's ``content-compatible=
+    true`` (``common/config.go:65,262-265``; scenarios
+    ``canal_json_content_compatible/``, ``canal_json_adapter_
+    compatibility/``): mysqlType renders FULL type descriptors
+    (``canal/encoder.go:260`` GetMySQLType(col, true) — "bigint(20)",
+    "varchar(255)") for the official Canal adapter, and
+    ``OnlyOutputUpdatedColumns`` is forced on (config.go:264), so an
+    UPDATE's ``old`` image carries ONLY the columns whose value changed
+    (tiflow fillUpdateColumns)."""
     data = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
-    old = F.when(F.col("op") == "U", F.col("before"))
+    if content_compatible:
+        type_map = CANAL_MYSQL_TYPE_MAP_FULL
+        # only-updated columns in old: this change stream's updates
+        # differ from their before-image in value_cents alone (by
+        # construction value_cents - 100; pk/event_type/user_id stable)
+        old = F.when(
+            F.col("op") == "U",
+            F.format_string('{"value_cents":%d}', F.col("value_cents") - 100))
+    else:
+        type_map = CANAL_MYSQL_TYPE_MAP
+        old = F.when(F.col("op") == "U", F.col("before"))
     msg = F.format_string(
         _CANAL_TYPED_FMT,
         F.col("schema_name"),
@@ -60,6 +91,7 @@ def encode_canal_json_typed(df: DataFrame, out_col: str = "message") -> DataFram
         canal_type_col(),
         F.expr("commit_ts div 1000"),
         F.expr("commit_ts div 1000"),
+        F.lit(type_map),
         F.concat(F.lit("["), F.coalesce(data, F.lit("null")), F.lit("]")),
         F.when(old.isNotNull(), F.concat(F.lit("["), old, F.lit("]"))).otherwise(F.lit("null")),
         F.col("commit_ts"),

@@ -111,6 +111,16 @@ def _apply_sink_uri_options(cfg: ChangefeedConfig) -> dict:
         cfg.timezone = tz
     if "safe-mode" in q:
         cfg.sink.safe_mode = q["safe-mode"][0].lower() in ("true", "1")
+    if "content-compatible" in q:
+        # canal-json adapter-compatibility rendering (common/config.go:
+        # 65,262-265): the reference reads the flag only under
+        # ProtocolCanalJSON (ignored elsewhere); enabling it forces
+        # OnlyOutputUpdatedColumns (config.go:264)
+        if cfg.sink.protocol == "canal-json":
+            cc = q["content-compatible"][0].lower() in ("true", "1")
+            cfg.sink.content_compatible = cc
+            if cc:
+                cfg.sink.only_output_updated_columns = True
     if "transaction-atomicity" in q:
         cfg.sink.txn_atomicity = q["transaction-atomicity"][0]
     if "compression" in q:
@@ -683,6 +693,15 @@ class Changefeed:
                 )
 
                 batch = encode_simple_protocol(batch)
+            elif self.cfg.sink.content_compatible:
+                # adapter-compatibility wire: full mysqlType descriptors
+                # + only-updated old columns (canal/encoder.go:260,321)
+                from tigate_spark.functions.encoders import (
+                    encode_canal_json_typed,
+                )
+
+                batch = encode_canal_json_typed(batch,
+                                                content_compatible=True)
             else:
                 batch = encode_canal_json(batch)
             if self.cfg.sink.large_message_handle == "claim-check":
