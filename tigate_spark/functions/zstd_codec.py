@@ -20,15 +20,23 @@ native lib. This module implements, from RFC 8878 only:
   multi-frame inputs and skippable frames; xxHash64 content checksum
   verification;
 - a frame ENCODER producing REAL compressed blocks: a greedy LZ77
-  matcher feeding predefined-mode FSE sequences (ANS states chosen in
-  reverse symbol order) over a raw-literals section, with RLE blocks
-  for uniform runs and raw blocks when matching doesn't pay — every
-  choice a legal compressor form, and the output is cross-validated
-  byte-exact against the reference C implementation (zstd-jni) in
-  ``tests/test_codec_jvm_interop.py``. Huffman literals and custom
-  FSE tables are intentionally not emitted (predefined tables and raw
-  literals are always valid); the native lib is preferred for ratio
-  when importable (``functions/compress.py``).
+  matcher (with a live rep1 probe on blocks ≥256 B) feeding
+  predefined-mode FSE sequences (ANS states chosen in reverse symbol
+  order, O(n) backward bitstreams) with the full three-slot
+  repeat-offset emission (§3.1.1.5, incl. the ``ll==0`` shift rule,
+  history threaded across blocks), Huffman-compressed literals with
+  direct nibble weights (§4.2.1 — package-merge length-limited codes
+  behind a Shannon-bound entropy pre-gate, single-stream under 1 KiB
+  and the 4-stream 18-bit layout above, nseq=0 Huffman-only blocks
+  for match-free data), plus RLE blocks for uniform runs and raw
+  blocks when neither pays — every choice a legal compressor form,
+  and the output is cross-validated byte-exact against the reference
+  C implementation (zstd-jni) in ``tests/test_codec_jvm_interop.py``.
+  Custom (FSE-described) SEQUENCE tables and FSE-compressed Huffman
+  WEIGHTS are the two remaining unemitted forms (predefined tables
+  and direct weights are always valid; the decoder reads both); the
+  native lib is preferred for ratio when importable
+  (``functions/compress.py``).
 
 The decode tables/constants below are the RFC's: predefined FSE
 distributions (§3.1.1.3.2.2), literals-length and match-length code
