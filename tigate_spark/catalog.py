@@ -2998,6 +2998,61 @@ def partition_table_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "partition_route_versioned",
+    ORACLE_CHANGES_CTE
+    + """
+, b AS (
+  SELECT min(commit_ts) + (max(commit_ts) - min(commit_ts)) // 2 AS m
+  FROM changes
+)
+SELECT schema_name,
+  CASE WHEN table_id = 0 AND pk % 3 = 2
+            AND commit_ts >= (SELECT m FROM b)
+       THEN 't9' ELSE table_name END AS table_name,
+  CAST(CASE WHEN table_id = 0 AND pk % 3 = 2
+                 AND commit_ts >= (SELECT m FROM b)
+            THEN 9 ELSE table_id END AS BIGINT) AS table_id,
+  CAST(CASE WHEN table_id = 0 THEN 100 + pk % 3
+            ELSE table_id END AS BIGINT) AS physical_table_id,
+  op, seq, pk, commit_ts, value_cents
+FROM changes
+""",
+    doc="T13 batch form: versioned physical→logical partition routing "
+        "(DMLEvent.PhysicalTableID, dml_event.go:20-61; EXCHANGE "
+        "PARTITION persist_storage.go:877-885,1391-1405; scenario "
+        "partition_table/): logical t0 is 3 physical partitions "
+        "(100+pk%3); mid-stream an EXCHANGE PARTITION swaps physical "
+        "102 with standalone table 9, so 102's events route to t0 "
+        "before the swap and t9 after — the interval-closed registry "
+        "(operators/partitions.py) broadcast-joins the stream with "
+        "ZERO event-side shuffle (the 100 TB shape; registry windowing "
+        "is dim-sized only)",
+)
+def partition_route_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.operators.partitions import (
+        exchange_partition,
+        partition_registry,
+        resolve_logical,
+    )
+
+    ch = changes_stream(spark, sf_dir).withColumn(
+        "physical_table_id",
+        F.when(F.col("table_id") == 0, F.lit(100) + F.col("pk") % 3)
+        .otherwise(F.col("table_id")))
+    # dim-sized bookkeeping scalar: the exchange DDL's commit-ts anchor
+    mn, mx = ch.agg(F.min("commit_ts"), F.max("commit_ts")).first()
+    m = mn + (mx - mn) // 2
+    rows = [(100, 0, 0, "app", "t0"), (101, 0, 0, "app", "t0"),
+            (102, 0, 0, "app", "t0"), (9, 0, 9, "app", "t9")]
+    rows = exchange_partition(rows, m, partition_physical_id=102,
+                              table_physical_id=9)
+    reg = partition_registry(spark, rows)
+    return resolve_logical(ch, reg).select(
+        "schema_name", "table_name", "table_id", "physical_table_id",
+        "op", "seq", "pk", "commit_ts", "value_cents")
+
+
+@register(
     "agg_session_windows",
     ORACLE_CHANGES_CTE
     + """
