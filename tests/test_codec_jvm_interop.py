@@ -140,3 +140,32 @@ def test_zstd_huffman_only_blocks_jni_reads(spark):
     Zstd = _jvm(spark).com.github.luben.zstd.Zstd
     assert bytes(Zstd.decompress(wire, len(data))) == data
     assert z.decompress(wire) == data
+
+
+def test_zstd_custom_fse_tables_jni_reads(spark):
+    """r15: custom FSE-described sequence tables (mode 2) — a
+    skewed-sequence corpus engages them (asserted via the lane
+    planner) and the reference C implementation decodes the frame
+    byte-exact; RLE sequence lanes likewise."""
+    data = b"".join(b'{"id":%d,"user":"u%d","ev":"click","v":%d}\n'
+                    % (i, i % 97, i * 7 % 1000) for i in range(4000))
+    modes = []
+    orig = z._lane_plan
+
+    def spy(syms, kind):
+        plan = orig(syms, kind)
+        modes.append(plan[0])
+        return plan
+
+    z._lane_plan = spy
+    try:
+        wire = z.compress(data)
+    finally:
+        z._lane_plan = orig
+    assert 2 in modes, modes
+    Zstd = _jvm(spark).com.github.luben.zstd.Zstd
+    assert bytes(Zstd.decompress(wire, len(data))) == data
+    assert z.decompress(wire) == data
+    rle_data = b"ABCDEFGH" * 8000
+    rle_wire = z.compress(rle_data)
+    assert bytes(Zstd.decompress(rle_wire, len(rle_data))) == rle_data

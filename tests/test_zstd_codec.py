@@ -578,3 +578,109 @@ def test_compressed_block_roundtrip_property(data):
     """Shapes that engage the matcher (so the COMPRESSED block path,
     not the raw fallback, is what round-trips)."""
     assert z.decompress(z.compress(data)) == data
+
+
+# -- r15: custom FSE-described sequence tables (mode 2) + RLE lanes ----------
+
+def test_fse_description_writer_roundtrips_through_parser():
+    """_fse_description is the exact inverse of _parse_fse_distribution
+    for every small-value form (short / in-range / offset) and the
+    2-bit zero-repeat chains."""
+    cases = [
+        ([2, 2, 2, 2, 8, 16], 5),
+        ([1] * 32, 5),
+        ([30, 1, 1], 5),
+        ([10, 0, 0, 0, 0, 0, 0, 0, 0, 6, 16], 5),   # long zero run
+        ([1, 0, 0, 0, 1, 62], 6),
+        ([100, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 28], 7),
+    ]
+    for probs, acc in cases:
+        assert sum(probs) == 1 << acc
+        desc = z._fse_description(probs, acc)
+        got, got_acc = z._parse_fse_distribution(
+            z._ForwardBits(desc), max_symbol=63, max_accuracy=9)
+        assert got_acc == acc
+        # parser may stop before trailing zeros; normalize both
+        while got and got[-1] == 0:
+            got.pop()
+        want = list(probs)
+        while want and want[-1] == 0:
+            want.pop()
+        assert got == want, (probs, acc, got)
+
+
+def test_normalize_probs_invariants():
+    import random as _r
+
+    rng = _r.Random(7)
+    for _ in range(200):
+        nsym = rng.randrange(2, 40)
+        freqs = {s: rng.randrange(1, 10000)
+                 for s in rng.sample(range(53), nsym)}
+        for acc in (5, 6, 8, 9):
+            probs = z._normalize_probs(freqs, acc)
+            if probs is None:
+                assert (1 << acc) < len(freqs)
+                continue
+            assert sum(probs) == 1 << acc
+            for s, f in freqs.items():
+                assert probs[s] >= 1  # every present symbol encodable
+            for s, p in enumerate(probs):
+                if p:
+                    assert s in freqs
+
+
+def test_custom_fse_mode_engages_and_roundtrips():
+    """A skewed-sequence corpus must take the mode-2 path (cheaper than
+    predefined by the entropy estimate) and round-trip through our own
+    decoder; the frame's modes byte is checked directly."""
+    data = b"".join(b'{"id":%d,"user":"u%d","ev":"click","v":%d}\n'
+                    % (i, i % 97, i * 7 % 1000) for i in range(4000))
+    wire = z.compress(data)
+    assert z.decompress(wire) == data
+    # locate the first block's sequences section modes byte: parse far
+    # enough to know the lane plan engaged — cheaper: plan directly
+    seqs_modes = []
+    orig = z._lane_plan
+
+    def spy(syms, kind):
+        plan = orig(syms, kind)
+        seqs_modes.append((kind, plan[0]))
+        return plan
+
+    z._lane_plan = spy
+    try:
+        z.compress(data)
+    finally:
+        z._lane_plan = orig
+    assert any(m == 2 for _, m in seqs_modes), seqs_modes
+    # ratio must beat the predefined-only encoding meaningfully
+    old_gate = z._CUSTOM_FSE_MIN_SEQS
+    z._CUSTOM_FSE_MIN_SEQS = 10 ** 9
+    try:
+        predef_wire = z.compress(data)
+    finally:
+        z._CUSTOM_FSE_MIN_SEQS = old_gate
+    assert len(wire) < 0.8 * len(predef_wire)
+
+
+def test_rle_sequence_lane_mode():
+    """A corpus whose offset lane collapses to one symbol emits RLE
+    mode (one desc byte, zero stream bits) and round-trips."""
+    data = b"ABCDEFGH" * 8000  # single recurring offset
+    wire = z.compress(data)
+    assert z.decompress(wire) == data
+    modes = []
+    orig = z._lane_plan
+
+    def spy(syms, kind):
+        plan = orig(syms, kind)
+        modes.append((kind, plan[0]))
+        return plan
+
+    z._lane_plan = spy
+    try:
+        z.compress(data)
+    finally:
+        z._lane_plan = orig
+    assert ("of", 1) in modes or ("ml", 1) in modes, modes

@@ -829,6 +829,154 @@ def _backward_stream(chunks) -> bytes:
     return bytes(out)
 
 
+def _forward_stream(chunks) -> bytes:
+    """LSB-first forward bitstream (FSE table descriptions, §4.1.1) —
+    the writer twin of ``_ForwardBits``; zero-padded to a byte."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    for v, n in chunks:
+        acc |= v << nbits
+        nbits += n
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _normalize_probs(freqs: dict[int, int], acc: int) -> list[int] | None:
+    """Scale a symbol histogram to probabilities summing to ``2^acc``
+    with every present symbol ≥ 1 (the normalization custom FSE tables
+    need; ``-1`` less-than-one probabilities are never emitted — always
+    legal). Returns the prob list trimmed to the last nonzero symbol,
+    or None when the correction can't keep every symbol ≥ 1."""
+    size = 1 << acc
+    total = sum(freqs.values())
+    scaled = {s: max(1, (f * size) // total) for s, f in freqs.items()}
+    diff = size - sum(scaled.values())
+    if diff != 0:
+        # push the correction onto the biggest lanes first, floor 1
+        for s in sorted(freqs, key=freqs.get, reverse=True):
+            if diff > 0:
+                scaled[s] += diff
+                diff = 0
+            else:
+                take = min(-diff, scaled[s] - 1)
+                scaled[s] -= take
+                diff += take
+            if diff == 0:
+                break
+        if diff != 0:
+            return None
+    probs = [0] * (max(freqs) + 1)
+    for s, p in scaled.items():
+        probs[s] = p
+    return probs
+
+
+def _fse_description(probs: list[int], acc: int) -> bytes:
+    """FSE table description (§4.1.1) — the writer twin of
+    ``_parse_fse_distribution``: accuracy nibble, then each probability
+    as prob+1 in the small-value code (short form when below the
+    threshold, offset form above ``lower_mask``), 2-bit zero-repeat
+    flags after every explicit zero."""
+    chunks: list[tuple[int, int]] = [(acc - 5, 4)]
+    remaining = 1 << acc
+    i = 0
+    while remaining > 0:
+        prob = probs[i]
+        i += 1
+        v = prob + 1
+        bits = (remaining + 1).bit_length()
+        lower_mask = (1 << (bits - 1)) - 1
+        threshold = (1 << bits) - 1 - (remaining + 1)
+        if v < threshold:
+            chunks.append((v, bits - 1))
+        elif v <= lower_mask:
+            chunks.append((v, bits))
+        else:
+            chunks.append((v + threshold, bits))
+        remaining -= -prob if prob < 0 else prob
+        if prob == 0 and remaining > 0:
+            # count the zero run that follows; the decoder keeps reading
+            # 2-bit repeats while each reads 3
+            z = 0
+            while i + z < len(probs) and probs[i + z] == 0:
+                z += 1
+            i += z
+            while True:
+                rep = min(z, 3)
+                chunks.append((rep, 2))
+                z -= rep
+                if rep != 3:
+                    break
+    return _forward_stream(chunks)
+
+
+#: per-lane (predefined table, predefined accuracy, max accuracy)
+_LANE_SPEC = {
+    "ll": (_LL_ACC, _LL_MAX_ACC),
+    "of": (_OF_ACC, _OF_MAX_ACC),
+    "ml": (_ML_ACC, _ML_MAX_ACC),
+}
+
+#: consider a custom table only when the lane can amortize its
+#: description (tiny per-message blocks stay on the predefined path)
+_CUSTOM_FSE_MIN_SEQS = 64
+
+
+import math as _math
+
+#: log2 lookup up to the largest possible cell count (2^max_accuracy)
+_LOG2 = [0.0] + [_math.log2(_i) for _i in range(1, 1024)]
+
+#: predefined cell counts per lane symbol (prob, with -1 → one cell)
+_PREDEF_COUNTS = {
+    "ll": [p if p > 0 else 1 for p in _LL_DEFAULT],
+    "ml": [p if p > 0 else 1 for p in _ML_DEFAULT],
+    "of": [p if p > 0 else 1 for p in _OF_DEFAULT],
+}
+
+
+def _lane_plan(syms: list[int], kind: str):
+    """Pick the cheapest legal coding for one LL/OF/ML lane
+    (§3.1.1.3.2: Predefined / RLE / FSE-described). RLE is exact;
+    predefined vs custom is decided by the entropy estimate
+    ``Σ f·(acc − log2 cells)`` (+ description bytes for custom) so only
+    the CHOSEN chain is ANS-encoded — the measured-cost version encoded
+    both chains and cost ~35% throughput on text. Returns
+    (mode, desc_bytes, init_state, transitions, accuracy)."""
+    pre_acc, max_acc = _LANE_SPEC[kind]
+    freqs: dict[int, int] = {}
+    for s in syms:
+        freqs[s] = freqs.get(s, 0) + 1
+    if len(freqs) == 1:
+        # RLE: one desc byte, zero stream bits (accuracy-0 table)
+        return 1, bytes([syms[0]]), 0, [(0, 0)] * (len(syms) - 1), 0
+    if len(syms) >= _CUSTOM_FSE_MIN_SEQS:
+        acc = min(max_acc,
+                  max(5, len(freqs).bit_length(),
+                      len(syms).bit_length() - 2))
+        probs = _normalize_probs(freqs, acc)
+        if probs is not None:
+            pre_counts = _PREDEF_COUNTS[kind]
+            est_pre = sum(
+                f * (pre_acc - _LOG2[pre_counts[s]])
+                for s, f in freqs.items())
+            desc = _fse_description(probs, acc)
+            est_cust = len(desc) * 8 + sum(
+                f * (acc - _LOG2[probs[s]]) for s, f in freqs.items())
+            if est_cust < est_pre:
+                table = _build_fse_table(probs, acc)
+                c_init, c_trans = _fse_encode_chain(syms, table, acc)
+                return 2, desc, c_init, c_trans, acc
+    init, trans = _fse_encode_chain(syms, _PREDEF[kind], pre_acc)
+    return 0, b"", init, trans, pre_acc
+
+
 def _code_of(v: int, table: list[tuple[int, int]], direct: int) -> tuple:
     """value -> (code, extra_bits_value, extra_bits_count) for the
     LL/ML code tables; codes below ``direct`` map 1:1."""
@@ -1084,7 +1232,6 @@ def _compress_block(data: bytes, rep: list[int] | None = None
         head = bytes([128 + (nseq >> 8), nseq & 0xFF])
     else:
         head = bytes([255]) + (nseq - 0x7F00).to_bytes(2, "little")
-    head += bytes([0])  # modes: predefined for LL, OF, ML
     ll_syms, of_syms, ml_syms = [], [], []
     extras = []
     r0, r1, r2 = rep
@@ -1112,10 +1259,16 @@ def _compress_block(data: bytes, rep: list[int] | None = None
         ml_syms.append(mc)
         extras.append(((of_value - (1 << oc), oc), (me, mb), (le, lb)))
     rep[:] = [r0, r1, r2]  # commit the block's final history
-    ll_i, ll_t = _fse_encode_chain(ll_syms, _PREDEF["ll"], _LL_ACC)
-    of_i, of_t = _fse_encode_chain(of_syms, _PREDEF["of"], _OF_ACC)
-    ml_i, ml_t = _fse_encode_chain(ml_syms, _PREDEF["ml"], _ML_ACC)
-    chunks = [(ll_i, _LL_ACC), (of_i, _OF_ACC), (ml_i, _ML_ACC)]
+    # per-lane mode selection by measured cost (§3.1.1.3.2): predefined
+    # vs RLE vs a custom FSE-described table normalized to this block's
+    # own histogram — descriptions laid out LL, OF, ML after the modes
+    # byte, exactly the decoder's _sequences_table walk
+    ll_m, ll_d, ll_i, ll_t, ll_a = _lane_plan(ll_syms, "ll")
+    of_m, of_d, of_i, of_t, of_a = _lane_plan(of_syms, "of")
+    ml_m, ml_d, ml_i, ml_t, ml_a = _lane_plan(ml_syms, "ml")
+    head += bytes([(ll_m << 6) | (of_m << 4) | (ml_m << 2)])
+    head += ll_d + of_d + ml_d
+    chunks = [(ll_i, ll_a), (of_i, of_a), (ml_i, ml_a)]
     for i in range(nseq):
         chunks.extend(extras[i])
         if i + 1 < nseq:
