@@ -32,11 +32,13 @@ native lib. This module implements, from RFC 8878 only:
   blocks when neither pays — every choice a legal compressor form,
   and the output is cross-validated byte-exact against the reference
   C implementation (zstd-jni) in ``tests/test_codec_jvm_interop.py``.
-  Custom (FSE-described) SEQUENCE tables and FSE-compressed Huffman
-  WEIGHTS are the two remaining unemitted forms (predefined tables
-  and direct weights are always valid; the decoder reads both); the
-  native lib is preferred for ratio when importable
-  (``functions/compress.py``).
+  Sequence lanes pick their coding per block by entropy estimate:
+  predefined tables, RLE (single-symbol lanes), or a custom
+  FSE-described table normalized to the block's own histogram with a
+  from-spec §4.1.1 description writer. FSE-compressed Huffman WEIGHTS
+  are the one remaining unemitted form (direct weights are always
+  valid; the decoder reads both); the native lib is preferred for
+  throughput when importable (``functions/compress.py``).
 
 The decode tables/constants below are the RFC's: predefined FSE
 distributions (§3.1.1.3.2.2), literals-length and match-length code
