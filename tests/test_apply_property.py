@@ -43,6 +43,7 @@ def _model(rows):
 
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
+@pytest.mark.slow
 @given(st.lists(change, min_size=1, max_size=60))
 def test_materialize_matches_sequential_replay(spark_prop, data):
     rows = [

@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 
 from tigate_spark.streaming.sinks import ReplicaSink, read_replica
 
+#: heavy streaming/e2e tail — excluded from the fast path
+#: (`pytest -m "not slow"`); the close gate runs everything
+pytestmark = pytest.mark.slow
+
 N_ACCOUNTS = 100
 INIT_BALANCE = 1000
 N_TXNS = 400

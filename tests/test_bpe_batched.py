@@ -83,6 +83,7 @@ CORPUS = [
 
 
 @pytest.mark.parametrize("m", [1, 3])
+@pytest.mark.slow
 def test_batched_trainer_matches_reference_model(spark, tmp_path, m,
                                                  monkeypatch):
     import tigate_spark.catalog_llm as cl
@@ -118,6 +119,7 @@ def test_greedy_select_skips_shared_symbols():
     assert len(_bpe_greedy_select(cands, 1)) == 1
 
 
+@pytest.mark.slow
 def test_batched_round_trip_count_is_consistent(spark, sf_dir):
     """On real testdata: selection ranks are valid, counts decrease
     within a round, and corpus size shrinks by exactly the applied-merge

@@ -16,6 +16,10 @@ import pytest
 from tigate_spark.catalog import get_catalog
 from tigate_spark.sources.batch import TABLES
 
+#: heavy streaming/e2e tail — excluded from the fast path
+#: (`pytest -m "not slow"`); the close gate runs everything
+pytestmark = pytest.mark.slow
+
 CATALOG = get_catalog()
 SF_DIR = os.environ.get("TIGATE_TEST_SF_DIR", "/root/testdata/sf0.001")
 

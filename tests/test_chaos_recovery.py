@@ -34,6 +34,10 @@ from tigate_spark.sources.changes import changes_stream
 from tigate_spark.streaming.changefeed import PAYLOAD_COLS, Changefeed
 from tigate_spark.streaming.redo import RedoLog, redo_apply
 
+#: heavy streaming/e2e tail — excluded from the fast path
+#: (`pytest -m "not slow"`); the close gate runs everything
+pytestmark = pytest.mark.slow
+
 _OUT = ["table_id", "pk", "event_type", "value_cents"]
 
 

@@ -63,6 +63,7 @@ def test_compressed_feed_requires_open_protocol(spark, tmp_path, sf_dir,
         Changefeed(spark, cfg2, chunked_source, str(tmp_path))
 
 
+@pytest.mark.slow
 def test_changelog_compressed_wire_roundtrip(spark, sf_dir, chunked_source,
                                              tmp_path):
     """Full feed with compression=gzip: every changelog value is real

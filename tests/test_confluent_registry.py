@@ -91,6 +91,7 @@ def test_concurrent_process_allocation(tmp_path):
     assert ids == list(range(1, 21))
 
 
+@pytest.mark.slow
 def test_registry_resolved_decode_round_trip(spark, sf_dir, tmp_path):
     """Consumer side: resolve each framed message's schema id against the
     registry and parse v1 vs v2 accordingly (v2 = trailing union-string

@@ -46,6 +46,7 @@ def _jaccard_model(texts, df_cap):
 
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
+@pytest.mark.slow
 @given(st.lists(doc, min_size=2, max_size=10), st.sampled_from([2, 3, None]))
 def test_jaccard_single_pass_matches_model(spark_prop, texts, df_cap):
     from tigate_spark.functions import dedup as dd
@@ -77,6 +78,7 @@ def _ltr_merges(tokens, w1, w2):
 @given(st.lists(st.lists(st.sampled_from(["a", "b"]), min_size=0,
                          max_size=12).map(" ".join),
                 min_size=1, max_size=8))
+@pytest.mark.slow
 def test_bpe_merge_count_matches_ltr_simulation(spark_prop, tmp_path_factory, texts):
     import os
 
@@ -165,6 +167,7 @@ def _bpe_train_model(texts, rounds):
 @given(st.lists(st.lists(st.sampled_from(["a", "b", "c"]), min_size=0,
                          max_size=14).map(" ".join),
                 min_size=1, max_size=6))
+@pytest.mark.slow
 def test_bpe_trainer_matches_direct_simulation(spark_prop, tmp_path_factory,
                                                texts):
     import os

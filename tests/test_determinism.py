@@ -10,6 +10,9 @@ import os
 
 import pytest
 
+#: heavy streaming/e2e tail — excluded from the fast path
+pytestmark = pytest.mark.slow
+
 from tigate_spark.catalog import get_catalog
 
 CATALOG = get_catalog()

@@ -12,6 +12,10 @@ from tigate_spark.engine import Engine
 from tigate_spark.sources.changes import changes_stream
 from tigate_spark.streaming.sinks import read_replica
 
+#: heavy streaming/e2e tail — excluded from the fast path
+#: (`pytest -m "not slow"`); the close gate runs everything
+pytestmark = pytest.mark.slow
+
 
 def test_create_validates_id(spark, sf_dir, tmp_path):
     eng = Engine(spark, os.path.join(sf_dir, "events.parquet"), str(tmp_path))

@@ -6,6 +6,7 @@ banded-boundary formulation on the same synthetic frame."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -70,6 +71,7 @@ def test_oversized_txn_is_its_own_batch(spark_prop):
     assert [(r["n_txns"], r["n_rows"]) for r in rows] == [(1, 500), (2, 2)]
 
 
+@pytest.mark.slow
 def test_streaming_flush_matches_batch_on_variable_sizes(
         spark_prop, tmp_path_factory):
     """Cross-micro-batch state carry with VARIABLE txn sizes: a batch

@@ -12,6 +12,9 @@ import json
 import os
 
 import pytest
+
+#: heavy streaming/e2e tail — excluded from the fast path
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from tigate_spark.config import ChangefeedConfig

@@ -265,6 +265,7 @@ def test_q21_semi_anti_self_joins(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+@pytest.mark.slow
 def test_new_codecs_stay_jvm_side(spark):
     """Every codec added in round 2 — typed canal, mysql SQL text,
     debezium/csv/simple decoders, batching, int8 quantize — is pure
@@ -321,6 +322,7 @@ def test_chunking_zero_shuffle(spark):
     assert_no_python_in_plan(df)
 
 
+@pytest.mark.slow
 def test_craft_encoders_jvm_side_and_lane_bounded(spark):
     """Craft framing (single, batch, resolved) and the avro/open wire
     encoders are pure column expressions; the batch fold shuffles only

@@ -40,6 +40,7 @@ def test_claim_check_hex_value_sized_at_wire_bytes(spark):
     assert big.first()["offloaded"] is True
 
 
+@pytest.mark.slow
 def test_compressed_claim_check_feed_offloads_at_threshold(
         spark, sf_dir, chunked_source, tmp_path):
     """compression + claim-check on an open-protocol feed: offload

@@ -4,6 +4,8 @@ operator gets an oracle AND an independent model check)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from hypothesis import HealthCheck, given, settings
@@ -47,6 +49,7 @@ def _gopher_model(texts):
 
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
+@pytest.mark.slow
 @given(st.lists(doc, min_size=1, max_size=8))
 def test_gopher_flags_match_model(spark_prop, tmp_path_factory, texts):
     from tigate_spark.catalog_llm import text_gopher_quality_flags
@@ -82,6 +85,7 @@ def _paragraph_model(texts):
 
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
+@pytest.mark.slow
 @given(st.lists(doc, min_size=2, max_size=8))
 def test_paragraph_fraction_matches_model(spark_prop, tmp_path_factory,
                                           texts):
@@ -154,6 +158,7 @@ def _blocky_corpus(draw):
 
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
+@pytest.mark.slow
 @given(_blocky_corpus())
 def test_c4_span_excise_matches_model(spark_prop, tmp_path_factory, texts):
     from tigate_spark.catalog_llm import dedup_c4_span_excise

@@ -20,6 +20,7 @@ import os
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+import pytest
 
 HOSTILE_PROPS = [
     "plain",
@@ -106,6 +107,7 @@ payload = st.text(alphabet=chars, max_size=24)
 
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
+@pytest.mark.slow
 @given(st.lists(payload, min_size=1, max_size=16))
 def test_escape_pair_is_exact_inverse(spark_prop, texts):
     from tigate_spark.sources.formats import csv_escape_text, csv_unescape_text
@@ -122,6 +124,7 @@ def test_escape_pair_is_exact_inverse(spark_prop, texts):
     assert got == {i: t for i, t in enumerate(texts)}
 
 
+@pytest.mark.slow
 def test_streaming_csv_changefeed_hostile_newlines(spark, tmp_path):
     """The changefeed CSV branch (config.source_format='csv') ingests the
     newline-free export and the replica's payload columns match the

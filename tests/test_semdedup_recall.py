@@ -20,6 +20,9 @@ import math
 
 import pytest
 
+#: heavy streaming/e2e tail — excluded from the fast path
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 SF01 = "/root/testdata/sf0.01"

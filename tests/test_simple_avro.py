@@ -207,6 +207,7 @@ def test_ddl_enum_order_is_getddltype():
                          "CINDEX", "DINDEX", "QUERY")
 
 
+@pytest.mark.slow
 def test_checksum_holder_roundtrip(spark, sf_dir):
     from tigate_spark.catalog import get_catalog
 
@@ -330,6 +331,7 @@ def test_handle_key_only_lane_has_no_location(spark, changes):
         assert r["event_type"] is None and r["value_cents"] is None
 
 
+@pytest.mark.slow
 def test_claim_check_fetch_back_restores_full_bytes(spark, changes):
     """The stored full wire decodes identical to the never-degraded
     encoding of the same row."""

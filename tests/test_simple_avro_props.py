@@ -11,6 +11,8 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from tigate_spark.functions.craft import _dialect
+import pytest
+
 from tigate_spark.functions.simple_avro import (
     _py_str,
     _py_vz,
@@ -34,6 +36,7 @@ def _vz_lit(v: int) -> str:
 
 @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
 @settings(max_examples=200, deadline=None)
+@pytest.mark.slow
 def test_sql_varint_roundtrips_through_reader(v):
     hx = _eval(_vz_lit(v))
     got, used = avro_read("long", bytes.fromhex(hx))
@@ -41,6 +44,7 @@ def test_sql_varint_roundtrips_through_reader(v):
     assert used * 2 == len(hx)  # canonical minimal encoding, no tail
 
 
+@pytest.mark.slow
 @given(st.integers(min_value=0, max_value=2**63 - 1))
 @settings(max_examples=100, deadline=None)
 def test_sql_varint_matches_python_literal(v):
@@ -49,6 +53,7 @@ def test_sql_varint_matches_python_literal(v):
     assert _eval(_vz_lit(v)) == _py_vz(v)
 
 
+@pytest.mark.slow
 @given(st.integers(min_value=1, max_value=2**63 - 1))
 @settings(max_examples=50, deadline=None)
 def test_ladder_boundaries(v):
@@ -89,6 +94,7 @@ def test_vz_is_the_craft_generator():
                 == _vhex("x", d, 5, type_bounded=True))
 
 
+@pytest.mark.slow
 @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
 @settings(max_examples=200, deadline=None)
 def test_craft_vhex_full_domain(v):

@@ -29,6 +29,10 @@ from tigate_spark.streaming.ddl import (
 )
 from tigate_spark.streaming.sinks import read_replica
 
+#: heavy streaming/e2e tail — excluded from the fast path
+#: (`pytest -m "not slow"`); the close gate runs everything
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def chunked_source(spark, sf_dir, tmp_path_factory):

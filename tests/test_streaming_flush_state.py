@@ -7,6 +7,11 @@ stream was interrupted."""
 
 from __future__ import annotations
 
+import pytest
+
+#: heavy streaming/e2e tail — excluded from the fast path
+pytestmark = pytest.mark.slow
+
 import glob
 import os
 import time

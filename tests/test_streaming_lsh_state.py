@@ -12,6 +12,9 @@ import time
 import pyspark.sql.functions as F
 import pytest
 
+#: heavy streaming/e2e tail — excluded from the fast path
+pytestmark = pytest.mark.slow
+
 from tigate_spark.functions import dedup as dd
 from tigate_spark.streaming.stateful import lsh_incremental_pairs
 

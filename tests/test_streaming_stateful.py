@@ -7,6 +7,9 @@ import os
 import time
 
 import pytest
+
+#: heavy streaming/e2e tail — excluded from the fast path
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from tigate_spark.sources.changes import changes_stream, normalize_events

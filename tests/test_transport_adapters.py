@@ -12,6 +12,9 @@ import pickle
 from types import SimpleNamespace
 
 import pytest
+
+#: heavy streaming/e2e tail — excluded from the fast path
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from tigate_spark.streaming.dbapi import (
