@@ -97,3 +97,54 @@ def test_changefeed_emits_content_compatible_wire(spark, sf_dir, tmp_path):
     m = json.loads(msg)
     assert m["mysqlType"]["pk"] == "bigint(20)"
     assert list(m["old"][0]) == ["value_cents"]
+
+
+# -- standalone only-output-updated-columns (sink.go:160) --------------------
+
+def test_only_updated_old_image_general_diff(spark):
+    """The image diff is general: multi-field changes keep every changed
+    fragment (original quoting preserved), no-change updates render an
+    empty object, and string-typed changes survive verbatim."""
+    from tigate_spark.operators.projections import only_updated_old_image
+
+    rows = [
+        ('{"pk":1,"event_type":"click","value_cents":100,"user_id":5}',
+         '{"pk":1,"event_type":"view","value_cents":200,"user_id":5}'),
+        ('{"pk":2,"event_type":"buy","value_cents":7,"user_id":9}',
+         '{"pk":2,"event_type":"buy","value_cents":7,"user_id":9}'),
+        ('{"pk":3,"event_type":"a,b","value_cents":1,"user_id":2}',
+         '{"pk":3,"event_type":"a,b","value_cents":9,"user_id":2}'),
+    ]
+    df = spark.createDataFrame(rows, "before string, after string")
+    out = [r["old"] for r in df.select(
+        only_updated_old_image(df.before, df.after).alias("old")).collect()]
+    assert out[0] == '{"event_type":"click","value_cents":100}'
+    assert out[1] == "{}"
+    # a comma INSIDE a quoted value does not split the fragment (the
+    # ',"' boundary requires the quote)
+    assert out[2] == '{"value_cents":1}'
+
+
+def test_only_updated_uri_param_threads_to_wire(spark, sf_dir, tmp_path):
+    import os
+
+    from tigate_spark.config import ChangefeedConfig
+    from tigate_spark.streaming.changefeed import Changefeed
+
+    src = str(tmp_path / "events_src")
+    spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).limit(500).coalesce(1).write.parquet(src)
+    cfg = ChangefeedConfig(
+        changefeed_id="oouc-e2e",
+        sink_uri="changelog:///tmp/unused?protocol=canal-json"
+                 "&only-output-updated-columns=true")
+    feed = Changefeed(spark, cfg, src, str(tmp_path / "work"))
+    assert cfg.sink.only_output_updated_columns is True
+    feed.run_to_completion()
+    log = spark.read.parquet(feed.sink.out_dir)
+    msg = log.filter(F.col("message").contains('"type":"UPDATE"')) \
+        .select("message").first()["message"]
+    m = json.loads(msg)
+    assert list(m["old"][0]) == ["value_cents"]  # only the changed column
+    assert "mysqlType" not in m  # plain canal wire, not content-compatible

@@ -3851,6 +3851,40 @@ def encoder_canal_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "encoder_canal_json_only_updated",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, printf(
+  '{"id":0,"database":"%s","table":"%s","pkNames":["pk"],"isDdl":false,"type":"%s","es":%d,"ts":%d,"sql":"","data":%s,"old":%s,"_tidb":{"commitTs":%d}}',
+  schema_name, table_name,
+  CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+  commit_ts // 1000, commit_ts // 1000,
+  '[' || coalesce(CASE WHEN op = 'D' THEN before ELSE after END, 'null') || ']',
+  CASE WHEN op = 'U'
+       THEN printf('[{"value_cents":%d}]', value_cents - 100)
+       ELSE 'null' END,
+  commit_ts) AS message
+FROM changes
+""",
+    doc="E1/P2: standalone only-output-updated-columns=true "
+        "(pkg/config/sink.go:160; tiflow fillUpdateColumns): an "
+        "UPDATE's old image carries ONLY the changed columns — rendered "
+        "by the GENERAL JVM image diff (only_updated_old_image: "
+        "original before-fragments filtered by a map comparison), which "
+        "the oracle pins byte-exactly (this stream's updates change "
+        "value_cents alone, so the diff must produce exactly that one "
+        "fragment)",
+)
+def encoder_canal_json_only_updated(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_canal_json
+
+    ch = changes_stream(spark, sf_dir, with_images=True)
+    return encode_canal_json(ch, only_updated_old=True) \
+        .select("seq", "message")
+
+
+@register(
     "encoder_canal_json_content_compatible",
     ORACLE_CHANGES_CTE
     + """

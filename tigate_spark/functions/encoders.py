@@ -74,13 +74,14 @@ def encode_canal_json_typed(df: DataFrame, out_col: str = "message",
     (tiflow fillUpdateColumns)."""
     data = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
     if content_compatible:
+        from tigate_spark.operators.projections import only_updated_old_image
+
         type_map = CANAL_MYSQL_TYPE_MAP_FULL
-        # only-updated columns in old: this change stream's updates
-        # differ from their before-image in value_cents alone (by
-        # construction value_cents - 100; pk/event_type/user_id stable)
+        # only-updated columns in old (tiflow fillUpdateColumns) — the
+        # general JVM image diff, not a stream-specific shortcut
         old = F.when(
             F.col("op") == "U",
-            F.format_string('{"value_cents":%d}', F.col("value_cents") - 100))
+            only_updated_old_image(F.col("before"), F.col("after")))
     else:
         type_map = CANAL_MYSQL_TYPE_MAP
         old = F.when(F.col("op") == "U", F.col("before"))
@@ -108,7 +109,8 @@ def canal_type_col(op_col: str = "op") -> Column:
 
 
 def encode_canal_json(df: DataFrame, out_col: str = "message",
-                      tidb_extension: bool = True) -> DataFrame:
+                      tidb_extension: bool = True,
+                      only_updated_old: bool = False) -> DataFrame:
     """E1: one canal-json message per change row.
 
     ``data``: after-image for I/U, before-image for D (canal semantics);
@@ -122,9 +124,21 @@ def encode_canal_json(df: DataFrame, out_col: str = "message",
     field, consumers get only the millisecond ``es`` clock, and
     watermark/resolved messages (which exist only as the extension's
     TYPE_TIDB_WATERMARK) cannot be emitted.
+
+    ``only_updated_old=True`` is the standalone
+    ``only-output-updated-columns=true`` sink option
+    (``pkg/config/sink.go:160``; tiflow ``fillUpdateColumns``): an
+    UPDATE's ``old`` image carries only the columns whose value changed.
     """
     data = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
-    old = F.when(F.col("op") == "U", F.col("before"))
+    if only_updated_old:
+        from tigate_spark.operators.projections import only_updated_old_image
+
+        old = F.when(
+            F.col("op") == "U",
+            only_updated_old_image(F.col("before"), F.col("after")))
+    else:
+        old = F.when(F.col("op") == "U", F.col("before"))
     args = [
         F.col("schema_name"),
         F.col("table_name"),

@@ -279,6 +279,28 @@ def build_checksum_bytes(col, mysql_type: str) -> "F.Column":
     return F.when(col.isNull(), F.lit(b"")).otherwise(enc(col))
 
 
+def only_updated_old_image(before_col, after_col):
+    """P2 old-image form: the before-image reduced to the columns whose
+    value CHANGED (tiflow ``fillUpdateColumns`` under
+    ``OnlyOutputUpdatedColumns``, ``pkg/config/sink.go:160``). The diff
+    keeps each ORIGINAL before-image fragment so quoting/typing survive
+    verbatim; the canonical flat images never carry ``,"`` inside a
+    value, which is the fragment boundary (the reference diffs typed
+    columns — this is the same decision applied to the rendered image).
+    Pure JVM column expressions."""
+    inner = F.regexp_replace(before_col, r"^\{|\}$", "")
+    frags = F.split(inner, ',(?=")')
+    amap = F.from_json(after_col, IMG_MAP)
+    bmap = F.from_json(before_col, IMG_MAP)
+
+    def _changed(fr):
+        key = F.regexp_replace(F.substring_index(fr, ":", 1), '"', "")
+        return ~bmap[key].eqNullSafe(amap[key])
+
+    kept = F.filter(frags, _changed)
+    return F.concat(F.lit("{"), F.array_join(kept, ","), F.lit("}"))
+
+
 def tidb_row_checksum(lanes: list[tuple["F.Column", str]]) -> "F.Column":
     """bigint: `calculateChecksum` — CRC-32/IEEE over the per-column byte
     encodings in column-id order (the order of `lanes`)."""

@@ -111,6 +111,12 @@ def _apply_sink_uri_options(cfg: ChangefeedConfig) -> dict:
         cfg.timezone = tz
     if "safe-mode" in q:
         cfg.sink.safe_mode = q["safe-mode"][0].lower() in ("true", "1")
+    if "only-output-updated-columns" in q:
+        # standalone sink option (pkg/config/sink.go:160; URI form in
+        # the mq sink options): UPDATE old images carry only the
+        # changed columns
+        cfg.sink.only_output_updated_columns = (
+            q["only-output-updated-columns"][0].lower() in ("true", "1"))
     if "content-compatible" in q:
         # canal-json adapter-compatibility rendering (common/config.go:
         # 65,262-265): the reference reads the flag only under
@@ -703,7 +709,10 @@ class Changefeed:
                 batch = encode_canal_json_typed(batch,
                                                 content_compatible=True)
             else:
-                batch = encode_canal_json(batch)
+                batch = encode_canal_json(
+                    batch,
+                    only_updated_old=self.cfg.sink
+                    .only_output_updated_columns)
             if self.cfg.sink.large_message_handle == "claim-check":
                 # E5: oversized encoded messages become object-store pointers
                 from tigate_spark.functions.encoders import claim_check
