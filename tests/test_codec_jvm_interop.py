@@ -169,3 +169,24 @@ def test_zstd_custom_fse_tables_jni_reads(spark):
     rle_data = b"ABCDEFGH" * 8000
     rle_wire = z.compress(rle_data)
     assert bytes(Zstd.decompress(rle_wire, len(rle_data))) == rle_data
+
+
+def test_zstd_fse_weights_description_jni_reads(spark):
+    """r15: FSE-compressed Huffman-weight descriptions (§4.2.1.2, two
+    interleaved ANS states, over-read termination) — a >128-symbol
+    alphabet forces the form (direct weights can't express it) and the
+    reference C implementation decodes the frame byte-exact."""
+    import random as _r
+
+    rng = _r.Random(5)
+    data = bytes(rng.randrange(130, 250) for _ in range(50000))
+    wire = z.compress(data)
+    assert len(wire) < len(data)  # Huffman engages above symbol 128
+    Zstd = _jvm(spark).com.github.luben.zstd.Zstd
+    assert bytes(Zstd.decompress(wire, len(data))) == data
+    assert z.decompress(wire) == data
+    # ascii corpus: the selector may pick either form; whichever wins,
+    # jni must read it
+    data2 = bytes(rng.randrange(32, 127) for _ in range(60000))
+    wire2 = z.compress(data2)
+    assert bytes(Zstd.decompress(wire2, len(data2))) == data2

@@ -684,3 +684,52 @@ def test_rle_sequence_lane_mode():
     finally:
         z._lane_plan = orig
     assert ("of", 1) in modes or ("ml", 1) in modes, modes
+
+
+def test_fse_weights_blob_interleaved_decode_roundtrip():
+    """The §4.2.1.2 weights writer against the decoder's own
+    interleaved walk: every (listed-weights) shape round-trips,
+    including the over-read termination on both parities."""
+    import random as _r
+
+    rng = _r.Random(3)
+    for _ in range(150):
+        n = rng.randrange(2, 100)
+        listed = [rng.randrange(0, 9) for _ in range(n)]
+        if len(set(listed)) < 2:
+            continue
+        blob = z._fse_weights_blob(listed)
+        if blob is None:
+            continue
+        fb = z._ForwardBits(blob)
+        probs, acc = z._parse_fse_distribution(fb, 255, 6)
+        table = z._build_fse_table(probs, acc)
+        bb = z._BackwardBits(blob[fb.bytes_consumed():])
+        even = z._FseState(table, acc, bb)
+        odd = z._FseState(table, acc, bb)
+        got = []
+        while True:
+            got.append(even.symbol)
+            even.update(bb)
+            if bb.avail < 0:
+                got.append(odd.symbol)
+                break
+            got.append(odd.symbol)
+            odd.update(bb)
+            if bb.avail < 0:
+                got.append(even.symbol)
+                break
+        assert got == listed
+
+
+def test_high_alphabet_literals_compress_via_fse_weights():
+    """Symbols above 128 can't use direct weights — r15's FSE-weights
+    form is the only legal tree description, and the encoder now emits
+    it instead of falling back to raw literals."""
+    import random as _r
+
+    rng = _r.Random(5)
+    data = bytes(rng.randrange(130, 250) for _ in range(50000))
+    wire = z.compress(data)
+    assert len(wire) < 0.93 * len(data)
+    assert z.decompress(wire) == data

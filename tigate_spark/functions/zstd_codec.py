@@ -35,10 +35,15 @@ native lib. This module implements, from RFC 8878 only:
   Sequence lanes pick their coding per block by entropy estimate:
   predefined tables, RLE (single-symbol lanes), or a custom
   FSE-described table normalized to the block's own histogram with a
-  from-spec §4.1.1 description writer. FSE-compressed Huffman WEIGHTS
-  are the one remaining unemitted form (direct weights are always
-  valid; the decoder reads both); the native lib is preferred for
-  throughput when importable (``functions/compress.py``).
+  from-spec §4.1.1 description writer. Huffman tree descriptions emit
+  whichever of direct 4-bit weights or FSE-compressed weights
+  (§4.2.1.2 — two interleaved ANS states, over-read termination) is
+  shorter; alphabets with symbols above 128 use the FSE form, the
+  only one that can express them. The encoder thus emits every
+  within-block form the decoder accepts; only the CROSS-block reuse
+  modes (treeless literals, sequence Repeat_Mode) are never emitted —
+  always-legal omissions. The native lib is preferred for throughput
+  when importable (``functions/compress.py``).
 
 The decode tables/constants below are the RFC's: predefined FSE
 distributions (§3.1.1.3.2.2), literals-length and match-length code
@@ -772,13 +777,20 @@ _RAW_BLOCK_MAX = 1 << 17  # 128 KiB (Block_Maximum_Size ceiling)
 _CELLS_CACHE: dict[int, tuple[dict, dict]] = {}
 
 
-def _fse_encode_chain(symbols: list[int], table, accuracy: int):
+def _fse_encode_chain(symbols: list[int], table, accuracy: int,
+                      final_min_nb: int = 0):
     """ANS encode one lane's symbol chain against a decode table:
     states chosen in REVERSE symbol order so the decoder's forward
     walk reproduces ``symbols``. Returns (init_state_index,
     [(bits, nb) transitions] in decoder-read order). The per-table
     cell map is memoized by table identity — the three predefined
-    tables are encoded against on every block."""
+    tables are encoded against on every block.
+
+    ``final_min_nb``: require the chain's FINAL state to carry at
+    least that many update bits (the Huffman-weights writer needs the
+    dangling post-final read to over-read the stream, §4.2.1.2's
+    termination rule); returns None when no cell of the final symbol
+    satisfies it."""
     size = 1 << accuracy
     cached = _CELLS_CACHE.get(id(table))
     if cached is None:
@@ -792,6 +804,13 @@ def _fse_encode_chain(symbols: list[int], table, accuracy: int):
     else:
         cells, counts = cached
     state = cells[symbols[-1]][0]
+    if final_min_nb:
+        for i in cells[symbols[-1]]:
+            if table[i][1] >= final_min_nb:
+                state = i
+                break
+        else:
+            return None
     transitions = []
     for s in reversed(symbols[:-1]):
         c = counts[s]
@@ -1042,6 +1061,52 @@ def _huffman_codes_from_weights(weights: list[int],
     return codes
 
 
+def _fse_weights_blob(listed: list[int]) -> bytes | None:
+    """FSE-compressed Huffman weights (§4.2.1.2): table description +
+    two interleaved ANS states over the weight sequence (even indices
+    on one chain, odd on the other). The stream carries every REAL
+    transition; the decoder's post-final update over-reads (avail < 0)
+    which is exactly its termination rule, so that chain's final state
+    must carry ≥1 update bit (``final_min_nb``). Returns the blob
+    (WITHOUT the leading size byte) or None when the form doesn't
+    apply (fewer than 2 weights, single-weight alphabet, blob ≥ 128)."""
+    n = len(listed)
+    if n < 2:
+        return None
+    freqs: dict[int, int] = {}
+    for w in listed:
+        freqs[w] = freqs.get(w, 0) + 1
+    if len(freqs) < 2:
+        return None
+    best: bytes | None = None
+    for acc in (5, 6):
+        probs = _normalize_probs(freqs, acc)
+        if probs is None:
+            continue
+        desc = _fse_description(probs, acc)
+        table = _build_fse_table(probs, acc)
+        even, odd = listed[0::2], listed[1::2]
+        # the dangling (over-reading) update belongs to the chain that
+        # emits w[n-2]: even when n is even, odd when n is odd
+        e = _fse_encode_chain(even, table, acc,
+                              final_min_nb=1 if n % 2 == 0 else 0)
+        o = _fse_encode_chain(odd, table, acc,
+                              final_min_nb=1 if n % 2 == 1 else 0)
+        if e is None or o is None:
+            continue
+        (e_init, e_trans), (o_init, o_trans) = e, o
+        chunks = [(e_init, acc), (o_init, acc)]
+        for i in range(max(len(e_trans), len(o_trans))):
+            if i < len(e_trans):
+                chunks.append(e_trans[i])
+            if i < len(o_trans):
+                chunks.append(o_trans[i])
+        blob = desc + _backward_stream(chunks)
+        if len(blob) < 128 and (best is None or len(blob) < len(best)):
+            best = blob
+    return best
+
+
 def _huffman_literals_section(lits: bytes) -> bytes | None:
     """Compressed_Literals_Block (§3.1.1.3.1.4/§4.2.1, direct-weight
     tree description): single-stream for regen < 1024, else the
@@ -1060,18 +1125,17 @@ def _huffman_literals_section(lits: bytes) -> bytes | None:
     for b in lits:
         freqs[b] = freqs.get(b, 0) + 1
     last = max(freqs)
-    if last > 128:  # direct 4-bit weights list symbols 0..last-1 (≤128)
-        return None
     # cheap entropy gate before the package-merge: Huffman can't beat
     # the Shannon bound, so if bound + tree description can't undercut
     # the raw section, skip the construction entirely (this is the
     # per-message hot path — tiny/incompressible values must stay
-    # near-free)
+    # near-free). Above symbol 128 only the FSE-weights form applies;
+    # its description is bounded < 128 bytes.
     from math import log2
 
     raw_len = regen + (2 if regen < (1 << 12) else 3)
     est_bits = sum(f * log2(regen / f) for f in freqs.values())
-    tree_bytes = 1 + (last + 1) // 2
+    tree_bytes = 1 + (last + 1) // 2 if last <= 128 else 72
     if est_bits / 8 + tree_bytes + 6 >= raw_len:
         return None
     lengths = _package_merge_lengths(freqs)
@@ -1083,11 +1147,24 @@ def _huffman_literals_section(lits: bytes) -> bytes | None:
     weights = [0 if lengths.get(s, 0) == 0 else max_bits + 1 - lengths[s]
                for s in range(last + 1)]
     listed = weights[:-1]
-    desc = bytearray([127 + len(listed)])
-    for i in range(0, len(listed), 2):
-        hi = listed[i] << 4
-        lo = listed[i + 1] if i + 1 < len(listed) else 0
-        desc.append(hi | lo)
+    # tree description: direct 4-bit weights (only expressible for
+    # symbols 0..127) vs FSE-compressed weights (§4.2.1.2) — emit the
+    # shorter; above symbol 128 the FSE form is the only one
+    direct: bytearray | None = None
+    if last <= 128:
+        direct = bytearray([127 + len(listed)])
+        for i in range(0, len(listed), 2):
+            hi = listed[i] << 4
+            lo = listed[i + 1] if i + 1 < len(listed) else 0
+            direct.append(hi | lo)
+    fse_blob = _fse_weights_blob(listed)
+    if fse_blob is not None and (direct is None
+                                 or 1 + len(fse_blob) < len(direct)):
+        desc = bytearray([len(fse_blob)]) + fse_blob
+    elif direct is not None:
+        desc = direct
+    else:
+        return None
     codes = _huffman_codes_from_weights(weights, max_bits)
 
     def stream(chunk: bytes) -> bytes:
