@@ -148,3 +148,36 @@ def test_only_updated_uri_param_threads_to_wire(spark, sf_dir, tmp_path):
     m = json.loads(msg)
     assert list(m["old"][0]) == ["value_cents"]  # only the changed column
     assert "mysqlType" not in m  # plain canal wire, not content-compatible
+
+
+def test_storage_sink_honors_canal_flags(spark, sf_dir, tmp_path):
+    """canal_json_storage_* composition: the dated-tree storage sink
+    renders the same content-compatible wire as the MQ path."""
+    import glob
+    import os
+
+    from tigate_spark.config import ChangefeedConfig
+    from tigate_spark.streaming.changefeed import Changefeed
+
+    src = str(tmp_path / "events_src")
+    spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).limit(400).coalesce(1).write.parquet(src)
+    cfg = ChangefeedConfig(
+        changefeed_id="cc-storage",
+        sink_uri="file:///unused?protocol=canal-json"
+                 "&content-compatible=true&date-separator=day")
+    feed = Changefeed(spark, cfg, src, str(tmp_path / "work"))
+    feed.run_to_completion()
+    leaf = [p for p in glob.glob(str(tmp_path / "work") + "/storage/**/*",
+                                 recursive=True)
+            if os.path.isfile(p) and "part-" in p and "metadata" not in p]
+    assert leaf
+    lines = []
+    for p in leaf:
+        lines += [ln for ln in open(p).read().splitlines() if ln]
+    upd = [ln for ln in lines if '"type":"UPDATE"' in ln]
+    assert upd
+    m = json.loads(upd[0])
+    assert m["mysqlType"]["pk"] == "bigint(20)"
+    assert list(m["old"][0]) == ["value_cents"]

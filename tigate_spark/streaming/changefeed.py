@@ -555,6 +555,8 @@ class Changefeed:
                 bookkeeping=self.bookkeeping,
                 file_expiration_days=self.cfg.sink.file_expiration_days,
                 csv_config=self.cfg.sink.csv,
+                only_updated_old=self.cfg.sink.only_output_updated_columns,
+                content_compatible=self.cfg.sink.content_compatible,
             )
         if scheme in ("sqlite", "mysql", "tidb"):
             # the executable writer loop (K1's live-SQL form): renders

@@ -505,7 +505,9 @@ class StorageSink:
                  files_per_leaf: int = 4,
                  timezone: str | None = None,
                  file_expiration_days: int | None = None,
-                 csv_config=None):
+                 csv_config=None,
+                 only_updated_old: bool = False,
+                 content_compatible: bool = False):
         if date_separator not in _DATE_SEPARATOR_FMT:
             raise ValueError(f"unsupported date-separator: {date_separator}")
         if protocol not in ("csv", "canal-json"):
@@ -536,6 +538,10 @@ class StorageSink:
         #: every other sink option — a bad delimiter must fail create,
         #: not the first micro-batch
         self.csv_config = csv_config
+        #: canal-json option flags (pkg/config/sink.go:160; config.go:
+        #: 262-265) — the storage tree honors them like the MQ path
+        self.only_updated_old = only_updated_old
+        self.content_compatible = content_compatible
         if csv_config is not None:
             if protocol != "csv":
                 raise ValueError("csv config requires protocol=csv")
@@ -556,7 +562,17 @@ class StorageSink:
                 return encode_csv_configured(
                     batch_df, self.csv_config, out_col="line")
             return encode_csv_rows(batch_df, out_col="line")
-        return encode_canal_json(batch_df, out_col="line")
+        if self.content_compatible:
+            # adapter-compatibility wire on the storage tree
+            # (canal_json_storage_* scenarios compose with the flag)
+            from tigate_spark.functions.encoders import (
+                encode_canal_json_typed,
+            )
+
+            return encode_canal_json_typed(
+                batch_df, out_col="line", content_compatible=True)
+        return encode_canal_json(batch_df, out_col="line",
+                                 only_updated_old=self.only_updated_old)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         parts = ["schema_name", "table_name"]
