@@ -971,13 +971,19 @@ def _lane_plan(syms: list[int], kind: str):
     both chains and cost ~35% throughput on text. Returns
     (mode, desc_bytes, init_state, transitions, accuracy)."""
     pre_acc, max_acc = _LANE_SPEC[kind]
-    freqs: dict[int, int] = {}
+    first = syms[0]
+    all_same = True
     for s in syms:
-        freqs[s] = freqs.get(s, 0) + 1
-    if len(freqs) == 1:
+        if s != first:
+            all_same = False
+            break
+    if all_same:
         # RLE: one desc byte, zero stream bits (accuracy-0 table)
-        return 1, bytes([syms[0]]), 0, [(0, 0)] * (len(syms) - 1), 0
+        return 1, bytes([first]), 0, [(0, 0)] * (len(syms) - 1), 0
     if len(syms) >= _CUSTOM_FSE_MIN_SEQS:
+        freqs: dict[int, int] = {}
+        for s in syms:
+            freqs[s] = freqs.get(s, 0) + 1
         acc = min(max_acc,
                   max(5, len(freqs).bit_length(),
                       len(syms).bit_length() - 2))
