@@ -81,3 +81,43 @@ def test_changefeed_column_selectors_first_match(spark, tmp_path):
     assert all(r["value_cents"] is None for r in t0)
     assert t1 and all(r["event_type"] is None for r in t1)
     assert all(r["value_cents"] is not None for r in t1)
+
+
+# -- table-filter column DSL (ParseColumnFilter semantics) -------------------
+
+def test_column_filter_negation_last_match_wins():
+    from tigate_spark.operators.projections import column_selected
+
+    # the scenario's exact rule: everything except b
+    assert column_selected("a", ["*", "!b"])
+    assert not column_selected("b", ["*", "!b"])
+    # last match wins: re-include after a negation
+    assert column_selected("event_type", ["*", "!e*", "event_type"])
+    assert not column_selected("evil", ["*", "!e*", "event_type"])
+    # leading negation implies accept-all first
+    assert not column_selected("abc", ["!a*"])
+    assert column_selected("xyz", ["!a*"])
+    # case-insensitive (SinkConfig.CaseSensitive defaults false)
+    assert not column_selected("B", ["*", "!b"])
+    # positive-only rule sets keep the historical any-match behavior
+    assert column_selected("event_type", ["event_*"])
+    assert not column_selected("value_cents", ["event_*"])
+    # empty rule list selects everything
+    assert column_selected("anything", [])
+
+
+def test_column_selectors_dispatch_with_negation(spark):
+    from tigate_spark.config import ColumnSelector
+    from tigate_spark.operators.projections import column_selectors
+
+    rows = [("app", "t0", 0, 1, 1, "click", 100, 5)]
+    df = spark.createDataFrame(
+        rows, "schema_name string, table_name string, table_id long, "
+              "commit_ts long, pk long, event_type string, "
+              "value_cents long, user_id long")
+    rules = [ColumnSelector(matcher=["app.*"],
+                            columns=["*", "!user_id"])]
+    r = column_selectors(df, rules).collect()[0]
+    assert r["event_type"] == "click" and r["value_cents"] == 100
+    assert r["user_id"] is None
+    assert r["pk"] == 1  # handle key survives

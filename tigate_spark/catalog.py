@@ -1929,6 +1929,48 @@ def encoder_avro_confluent_framed(spark: SparkSession, sf_dir: str) -> DataFrame
     return encode_avro_confluent(ch).select("seq", "key_hex", "value_hex")
 
 
+def _avro_selector_oracle() -> str:
+    from tigate_spark.functions.avro_wire import avro_wire_oracle_suffix
+
+    return (
+        ORACLE_CHANGES_CTE
+        + """
+, avro_in AS (
+  SELECT seq, op, pk, event_type, value_cents, commit_ts,
+         CAST(NULL AS BIGINT) AS user_id
+  FROM changes
+)"""
+        + avro_wire_oracle_suffix(exclude=("user_id",))
+        + "\nSELECT seq, key_hex, value_hex FROM avro_msg"
+    )
+
+
+@register(
+    "encoder_avro_column_selector",
+    _avro_selector_oracle(),
+    doc="P1 × Avro wire (scenario kafka_column_selector_avro/, rule "
+        "columns=['*','!user_id'] — the table-filter column DSL with "
+        "last-match-wins '!' negation, column_selector.go:52 "
+        "ParseColumnFilter): the registered value schema for the table "
+        "simply LACKS the deselected field, so the Avro binary body "
+        "skips its fragment — handle key and the _tidb extension fields "
+        "always survive. Byte-exact hex in both engines; deletes stay "
+        "key + null-value tombstones.",
+)
+def encoder_avro_column_selector(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from tigate_spark.config import ColumnSelector
+    from tigate_spark.functions.avro_wire import encode_avro_confluent
+    from tigate_spark.operators.projections import column_selectors
+
+    ch = changes_stream(spark, sf_dir)
+    rules = [ColumnSelector(matcher=["app.*"],
+                            columns=["*", "!user_id"])]
+    selected = column_selectors(ch, rules)
+    return encode_avro_confluent(selected, exclude=("user_id",)).select(
+        "seq", "key_hex", "value_hex")
+
+
 def _avro_evolution_oracle() -> str:
     from tigate_spark.functions.avro_wire import avro_evolution_oracle_suffix
     from tigate_spark.functions.confluent_registry import (

@@ -53,10 +53,18 @@ _VALUE_HDR = f"00{VALUE_SCHEMA_ID:08X}"
 _UNION1 = "02"
 
 
-def avro_wire_steps(d_name: str) -> list[tuple[str, str]]:
+def avro_wire_steps(d_name: str,
+                    exclude: tuple[str, ...] = ()) -> list[tuple[str, str]]:
     """Ordered (column, SQL) steps shared by the Spark builder and the
     DuckDB oracle. Expects columns: op, pk, event_type, value_cents,
-    user_id, commit_ts."""
+    user_id, commit_ts.
+
+    ``exclude``: payload columns a column selector deselected — the
+    record schema the registry serves for the table simply lacks those
+    fields, so the binary body skips their fragments entirely
+    (scenario ``kafka_column_selector_avro/``: the SELECTED schema is
+    the registered schema; the handle key and extension fields always
+    survive, the dispatch-ability precondition)."""
     d = _dialect(d_name)
     steps: list[tuple[str, str]] = []
     # Avro string = long(byte length) + bytes
@@ -66,13 +74,16 @@ def avro_wire_steps(d_name: str) -> list[tuple[str, str]]:
     ))
     op_ch = "CASE WHEN op = 'I' THEN 'c' ELSE 'u' END"
     steps.append(("op_h", f"'02' || hex({op_ch})"))
-    steps.append((
-        "value_body_h",
-        f"{_vhex('pk', d)} || '{_UNION1}' || et_h || "
-        f"'{_UNION1}' || {_vhex('value_cents', d)} || "
-        f"'{_UNION1}' || {_vhex('user_id', d)} || op_h || "
-        f"{_vhex('commit_ts', d)} || {_vhex(d['idiv']('commit_ts', 1000), d)}",
-    ))
+    body = [f"{_vhex('pk', d)}"]
+    if "event_type" not in exclude:
+        body.append(f"'{_UNION1}' || et_h")
+    if "value_cents" not in exclude:
+        body.append(f"'{_UNION1}' || {_vhex('value_cents', d)}")
+    if "user_id" not in exclude:
+        body.append(f"'{_UNION1}' || {_vhex('user_id', d)}")
+    body.append(f"op_h || {_vhex('commit_ts', d)} || "
+                f"{_vhex(d['idiv']('commit_ts', 1000), d)}")
+    steps.append(("value_body_h", " || ".join(body)))
     steps.append((
         "key_hex",
         f"'{_KEY_HDR}' || {_vhex('pk', d)}",
@@ -84,22 +95,23 @@ def avro_wire_steps(d_name: str) -> list[tuple[str, str]]:
     return steps
 
 
-def encode_avro_confluent(df: DataFrame) -> DataFrame:
+def encode_avro_confluent(df: DataFrame,
+                          exclude: tuple[str, ...] = ()) -> DataFrame:
     """Confluent-framed Avro binary key/value per change row, as hex
     strings (``unhex`` of the columns is the exact producer payload).
 
     Expects ``op, pk, event_type, value_cents, user_id, commit_ts``.
     Pure column expressions — whole-stage codegen, no Python on the path.
     """
-    steps = avro_wire_steps("spark")
+    steps = avro_wire_steps("spark", exclude=exclude)
     out = df.selectExpr("*", *[f"{sql} AS {name}" for name, sql in steps])
     return out.drop("et_h", "op_h", "value_body_h")
 
 
-def avro_wire_oracle_suffix() -> str:
+def avro_wire_oracle_suffix(exclude: tuple[str, ...] = ()) -> str:
     """DuckDB mirror: chained CTEs over an ``avro_in`` relation ending in
     ``avro_msg`` with key_hex/value_hex."""
-    steps = avro_wire_steps("duckdb")
+    steps = avro_wire_steps("duckdb", exclude=exclude)
     sql = []
     prev = "avro_in"
     for i, (name, expr) in enumerate(steps):

@@ -25,6 +25,28 @@ META_COLS = ("schema_name", "table_name", "table_id", "op",
              "start_ts", "commit_ts", "seq", "pk")
 
 
+def column_selected(name: str, patterns: list[str]) -> bool:
+    """Column-filter semantics of the reference's rule.Columns — TiDB
+    ``util/table-filter.ParseColumnFilter`` (``column_selector.go:52``):
+    rules apply in order and the LAST matching rule wins; a ``!`` prefix
+    negates; a LEADING negation implies an accept-all rule before it;
+    matching is case-insensitive (SinkConfig.CaseSensitive defaults
+    false). Positive-only rule sets degrade to the any-match behavior."""
+    if not patterns:
+        return True
+    pats = list(patterns)
+    if pats[0].startswith("!"):
+        pats = ["*"] + pats
+    low = name.lower()
+    selected = False
+    for p in pats:
+        neg = p.startswith("!")
+        body = (p[1:] if neg else p).lower()
+        if fnmatch.fnmatch(low, body):
+            selected = not neg
+    return selected
+
+
 def column_selector(df: DataFrame, selector: ColumnSelector) -> DataFrame:
     """P1: keep only selected payload columns (+ change metadata)."""
     keep: list[str] = []
@@ -32,7 +54,7 @@ def column_selector(df: DataFrame, selector: ColumnSelector) -> DataFrame:
         if c in META_COLS:
             keep.append(c)
             continue
-        if any(fnmatch.fnmatch(c, pat) for pat in selector.columns):
+        if column_selected(c, selector.columns):
             keep.append(c)
     return df.select(*keep)
 
@@ -71,8 +93,7 @@ def column_selectors(df: DataFrame,
         # fold rules LAST → FIRST so the first matching rule wins
         acc = F.col(c)  # no rule matched → DefaultColumnSelector keeps
         for rule in reversed(rules):
-            selected = any(fnmatch.fnmatch(c, pat)
-                           for pat in rule.columns)
+            selected = column_selected(c, rule.columns)
             acc = F.when(
                 _table_match_cond(rule),
                 F.col(c) if selected else F.lit(None).cast(
