@@ -152,8 +152,8 @@ def test_zstd_custom_fse_tables_jni_reads(spark):
     modes = []
     orig = z._lane_plan
 
-    def spy(syms, kind):
-        plan = orig(syms, kind)
+    def spy(syms, kind, prev=None):
+        plan = orig(syms, kind, prev)
         modes.append(plan[0])
         return plan
 
@@ -190,3 +190,27 @@ def test_zstd_fse_weights_description_jni_reads(spark):
     data2 = bytes(rng.randrange(32, 127) for _ in range(60000))
     wire2 = z.compress(data2)
     assert bytes(Zstd.decompress(wire2, len(data2))) == data2
+
+
+def test_zstd_repeat_mode_jni_reads(spark):
+    """r15: a frame with cross-block Repeat_Mode lanes (forced by a
+    stride corpus whose per-block histograms are identical) decodes
+    byte-exact on the reference C implementation."""
+    modes = []
+    orig = z._lane_plan
+
+    def spy(syms, kind, prev=None):
+        plan = orig(syms, kind, prev)
+        modes.append(plan[0])
+        return plan
+
+    z._lane_plan = spy
+    try:
+        data = b"ABCDEFGH" * 40000
+        wire = z.compress(data)
+    finally:
+        z._lane_plan = orig
+    assert 3 in modes, modes
+    Zstd = _jvm(spark).com.github.luben.zstd.Zstd
+    assert bytes(Zstd.decompress(wire, len(data))) == data
+    assert z.decompress(wire) == data

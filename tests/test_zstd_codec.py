@@ -643,8 +643,8 @@ def test_custom_fse_mode_engages_and_roundtrips():
     seqs_modes = []
     orig = z._lane_plan
 
-    def spy(syms, kind):
-        plan = orig(syms, kind)
+    def spy(syms, kind, prev=None):
+        plan = orig(syms, kind, prev)
         seqs_modes.append((kind, plan[0]))
         return plan
 
@@ -673,8 +673,8 @@ def test_rle_sequence_lane_mode():
     modes = []
     orig = z._lane_plan
 
-    def spy(syms, kind):
-        plan = orig(syms, kind)
+    def spy(syms, kind, prev=None):
+        plan = orig(syms, kind, prev)
         modes.append((kind, plan[0]))
         return plan
 
@@ -733,3 +733,50 @@ def test_high_alphabet_literals_compress_via_fse_weights():
     wire = z.compress(data)
     assert len(wire) < 0.93 * len(data)
     assert z.decompress(wire) == data
+
+
+def test_sequence_repeat_mode_emits_and_roundtrips():
+    """Cross-block Repeat_Mode (§3.1.1.3.2.1.1): with a prev lane table
+    whose estimate beats a fresh description, mode 3 is emitted with
+    ZERO desc bytes; an RLE-stable lane repeats for free. Forced here
+    via a two-block corpus with identical per-block statistics."""
+    modes = []
+    orig = z._lane_plan
+
+    def spy(syms, kind, prev=None):
+        plan = orig(syms, kind, prev)
+        modes.append((kind, plan[0]))
+        return plan
+
+    z._lane_plan = spy
+    try:
+        # ABCDEFGH stride: every lane's histogram is IDENTICAL per
+        # block, so block 2+ must repeat (0 desc bytes ≤ any fresh desc)
+        data = b"ABCDEFGH" * 40000  # 320 KB → 3 blocks
+        wire = z.compress(data)
+    finally:
+        z._lane_plan = orig
+    assert z.decompress(wire) == data
+    assert any(m == 3 for _, m in modes), modes
+
+
+def test_repeat_mode_never_without_previous_table():
+    """The first compressed block of a frame can never emit mode 3 —
+    the planner only considers Repeat when a prev ctx exists."""
+    data = b"".join(b'{"k%d":%d}' % (i % 9, i * 31 % 1000)
+                    for i in range(8000))[:100_000]
+    plans = []
+    orig = z._lane_plan
+
+    def spy(syms, kind, prev=None):
+        plan = orig(syms, kind, prev)
+        plans.append((prev, plan[0]))
+        return plan
+
+    z._lane_plan = spy
+    try:
+        z.compress(data)
+    finally:
+        z._lane_plan = orig
+    for prev, mode in plans[:3]:  # the first block's three lanes
+        assert prev is None and mode != 3

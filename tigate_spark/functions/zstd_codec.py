@@ -39,11 +39,13 @@ native lib. This module implements, from RFC 8878 only:
   whichever of direct 4-bit weights or FSE-compressed weights
   (§4.2.1.2 — two interleaved ANS states, over-read termination) is
   shorter; alphabets with symbols above 128 use the FSE form, the
-  only one that can express them. The encoder thus emits every
-  within-block form the decoder accepts; only the CROSS-block reuse
-  modes (treeless literals, sequence Repeat_Mode) are never emitted —
-  always-legal omissions. The native lib is preferred for throughput
-  when importable (``functions/compress.py``).
+  only one that can express them. Sequence lanes also emit cross-block
+  Repeat_Mode (§3.1.1.3.2.1.1) when the previous compressed block's
+  table estimates cheaper than any fresh description (the encoder
+  mirrors the decoder's ctx.fse_<kind>, committed only when a block
+  ships). The one remaining unemitted form is treeless (repeat)
+  LITERALS — an always-legal omission. The native lib is preferred
+  for throughput when importable (``functions/compress.py``).
 
 The decode tables/constants below are the RFC's: predefined FSE
 distributions (§3.1.1.3.2.2), literals-length and match-length code
@@ -960,16 +962,26 @@ _PREDEF_COUNTS = {
     "ml": [p if p > 0 else 1 for p in _ML_DEFAULT],
     "of": [p if p > 0 else 1 for p in _OF_DEFAULT],
 }
+#: dict form for the cross-block lane context (symbol → cell count)
+_PREDEF_COUNTS_D = {k: dict(enumerate(v)) for k, v in _PREDEF_COUNTS.items()}
+_PREDEF_CTX = {k: (_PREDEF[k], {"ll": _LL_ACC, "ml": _ML_ACC,
+                                "of": _OF_ACC}[k], _PREDEF_COUNTS_D[k])
+               for k in ("ll", "ml", "of")}
 
 
-def _lane_plan(syms: list[int], kind: str):
+def _lane_plan(syms: list[int], kind: str, prev=None):
     """Pick the cheapest legal coding for one LL/OF/ML lane
-    (§3.1.1.3.2: Predefined / RLE / FSE-described). RLE is exact;
-    predefined vs custom is decided by the entropy estimate
+    (§3.1.1.3.2: Predefined / RLE / FSE-described / Repeat). RLE is
+    exact; the rest are decided by the entropy estimate
     ``Σ f·(acc − log2 cells)`` (+ description bytes for custom) so only
     the CHOSEN chain is ANS-encoded — the measured-cost version encoded
-    both chains and cost ~35% throughput on text. Returns
-    (mode, desc_bytes, init_state, transitions, accuracy)."""
+    both chains and cost ~35% throughput on text. ``prev`` is the
+    (table, accuracy, counts) the DECODER currently holds for this lane
+    (the previous compressed block's resolution, ctx.fse_<kind>) —
+    Repeat_Mode reuses it with ZERO description bytes when it covers
+    every symbol and estimates cheapest. Returns
+    (mode, desc_bytes, init_state, transitions, accuracy, next_ctx)
+    where ``next_ctx`` is the decoder's lane state after this block."""
     pre_acc, max_acc = _LANE_SPEC[kind]
     first = syms[0]
     all_same = True
@@ -978,8 +990,13 @@ def _lane_plan(syms: list[int], kind: str):
             all_same = False
             break
     if all_same:
+        if prev is not None and len(prev[2]) == 1 and first in prev[2]:
+            # prev is an RLE table of the SAME symbol: Repeat costs 0
+            # desc bytes and 0 stream bits — strictly beats RLE's byte
+            return (3, b"", 0, [(0, 0)] * (len(syms) - 1), 0, prev)
         # RLE: one desc byte, zero stream bits (accuracy-0 table)
-        return 1, bytes([first]), 0, [(0, 0)] * (len(syms) - 1), 0
+        return (1, bytes([first]), 0, [(0, 0)] * (len(syms) - 1), 0,
+                (_rle_table(first), 0, {first: 1}))
     if len(syms) >= _CUSTOM_FSE_MIN_SEQS:
         freqs: dict[int, int] = {}
         for s in syms:
@@ -988,20 +1005,35 @@ def _lane_plan(syms: list[int], kind: str):
                   max(5, len(freqs).bit_length(),
                       len(syms).bit_length() - 2))
         probs = _normalize_probs(freqs, acc)
+        pre_counts = _PREDEF_COUNTS[kind]
+        est_pre = sum(
+            f * (pre_acc - _LOG2[pre_counts[s]])
+            for s, f in freqs.items())
+        best_mode, best_est, desc = 0, est_pre, b""
         if probs is not None:
-            pre_counts = _PREDEF_COUNTS[kind]
-            est_pre = sum(
-                f * (pre_acc - _LOG2[pre_counts[s]])
-                for s, f in freqs.items())
-            desc = _fse_description(probs, acc)
-            est_cust = len(desc) * 8 + sum(
+            d = _fse_description(probs, acc)
+            est_cust = len(d) * 8 + sum(
                 f * (acc - _LOG2[probs[s]]) for s, f in freqs.items())
-            if est_cust < est_pre:
-                table = _build_fse_table(probs, acc)
-                c_init, c_trans = _fse_encode_chain(syms, table, acc)
-                return 2, desc, c_init, c_trans, acc
+            if est_cust < best_est:
+                best_mode, best_est, desc = 2, est_cust, d
+        if prev is not None:
+            ptable, pacc, pcounts = prev
+            if all(s in pcounts for s in freqs):
+                est_rep = sum(
+                    f * (pacc - _LOG2[pcounts[s]])
+                    for s, f in freqs.items())
+                if est_rep < best_est:
+                    best_mode, best_est = 3, est_rep
+        if best_mode == 2:
+            table = _build_fse_table(probs, acc)
+            c_init, c_trans = _fse_encode_chain(syms, table, acc)
+            return (2, desc, c_init, c_trans, acc,
+                    (table, acc, {s: probs[s] for s in freqs}))
+        if best_mode == 3:
+            r_init, r_trans = _fse_encode_chain(syms, prev[0], prev[1])
+            return 3, b"", r_init, r_trans, prev[1], prev
     init, trans = _fse_encode_chain(syms, _PREDEF[kind], pre_acc)
-    return 0, b"", init, trans, pre_acc
+    return 0, b"", init, trans, pre_acc, _PREDEF_CTX[kind]
 
 
 def _code_of(v: int, table: list[tuple[int, int]], direct: int) -> tuple:
@@ -1229,8 +1261,8 @@ def _raw_literals_section(lits: bytes) -> bytes:
     return (0 | (3 << 2) | (regen << 4)).to_bytes(3, "little") + lits
 
 
-def _compress_block(data: bytes, rep: list[int] | None = None
-                    ) -> bytes | None:
+def _compress_block(data: bytes, rep: list[int] | None = None,
+                    lane_ctx: dict | None = None) -> bytes | None:
     """One compressed block: literals section (Huffman when it pays) +
     predefined-mode sequences from the greedy 4-byte-hash matcher,
     offsets re-coded through the 3-slot repeat history (§3.1.1.5 — a
@@ -1344,13 +1376,20 @@ def _compress_block(data: bytes, rep: list[int] | None = None
         ml_syms.append(mc)
         extras.append(((of_value - (1 << oc), oc), (me, mb), (le, lb)))
     rep[:] = [r0, r1, r2]  # commit the block's final history
-    # per-lane mode selection by measured cost (§3.1.1.3.2): predefined
-    # vs RLE vs a custom FSE-described table normalized to this block's
-    # own histogram — descriptions laid out LL, OF, ML after the modes
-    # byte, exactly the decoder's _sequences_table walk
-    ll_m, ll_d, ll_i, ll_t, ll_a = _lane_plan(ll_syms, "ll")
-    of_m, of_d, of_i, of_t, of_a = _lane_plan(of_syms, "of")
-    ml_m, ml_d, ml_i, ml_t, ml_a = _lane_plan(ml_syms, "ml")
+    # per-lane mode selection by estimated cost (§3.1.1.3.2):
+    # predefined vs RLE vs custom FSE-described vs Repeat of the
+    # previous compressed block's table (``lane_ctx`` mirrors the
+    # decoder's ctx.fse_<kind>, MUTATED only when the caller ships the
+    # block) — descriptions laid out LL, OF, ML after the modes byte,
+    # exactly the decoder's _sequences_table walk
+    ctx = lane_ctx if lane_ctx is not None else {}
+    ll_m, ll_d, ll_i, ll_t, ll_a, ll_nx = _lane_plan(
+        ll_syms, "ll", ctx.get("ll"))
+    of_m, of_d, of_i, of_t, of_a, of_nx = _lane_plan(
+        of_syms, "of", ctx.get("of"))
+    ml_m, ml_d, ml_i, ml_t, ml_a, ml_nx = _lane_plan(
+        ml_syms, "ml", ctx.get("ml"))
+    ctx["ll"], ctx["of"], ctx["ml"] = ll_nx, of_nx, ml_nx
     head += bytes([(ll_m << 6) | (of_m << 4) | (ml_m << 2)])
     head += ll_d + of_d + ml_d
     chunks = [(ll_i, ll_a), (of_i, of_a), (ml_i, ml_a)]
@@ -1391,6 +1430,7 @@ def compress(data: bytes, checksum: bool = True) -> bytes:
     else:
         pos = 0
         rep = [1, 4, 8]  # repeat-offset history, frame-scoped (ctx.rep)
+        lane_ctx: dict = {}  # decoder's ctx.fse_<kind>, frame-scoped
         while pos < n:
             chunk = data[pos:pos + _RAW_BLOCK_MAX]
             pos += len(chunk)
@@ -1401,9 +1441,11 @@ def compress(data: bytes, checksum: bool = True) -> bytes:
                 out.append(chunk[0])
                 continue
             cand_rep = list(rep)
-            comp = _compress_block(bytes(chunk), cand_rep)
+            cand_ctx = dict(lane_ctx)
+            comp = _compress_block(bytes(chunk), cand_rep, cand_ctx)
             if comp is not None:
                 rep = cand_rep  # the block shipped; its history sticks
+                lane_ctx = cand_ctx
                 hdr = last | (2 << 1) | (len(comp) << 3)
                 out += hdr.to_bytes(3, "little")
                 out += comp
