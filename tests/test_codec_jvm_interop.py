@@ -214,3 +214,33 @@ def test_zstd_repeat_mode_jni_reads(spark):
     Zstd = _jvm(spark).com.github.luben.zstd.Zstd
     assert bytes(Zstd.decompress(wire, len(data))) == data
     assert z.decompress(wire) == data
+
+
+def test_zstd_treeless_literals_jni_reads(spark):
+    """r15: frames whose later blocks carry TREELESS literal sections
+    decode byte-exact on the reference C implementation — with this the
+    encoder emits every form its decoder accepts."""
+    import random as _r
+
+    rng = _r.Random(4)
+    words = [bytes(rng.choice(b"abcdefghijklmnopqrstuvwxyz")
+                   for _ in range(rng.randrange(3, 9))) for _ in range(500)]
+    text = b" ".join(rng.choice(words) for _ in range(120000))
+    ltypes = []
+    orig = z._huffman_literals_section
+
+    def spy(lits, huff_ctx=None):
+        sec = orig(lits, huff_ctx=huff_ctx)
+        if sec is not None:
+            ltypes.append(sec[0] & 3)
+        return sec
+
+    z._huffman_literals_section = spy
+    try:
+        wire = z.compress(text)
+    finally:
+        z._huffman_literals_section = orig
+    assert 3 in ltypes, ltypes
+    Zstd = _jvm(spark).com.github.luben.zstd.Zstd
+    assert bytes(Zstd.decompress(wire, len(text))) == text
+    assert z.decompress(wire) == text

@@ -780,3 +780,43 @@ def test_repeat_mode_never_without_previous_table():
         z._lane_plan = orig
     for prev, mode in plans[:3]:  # the first block's three lanes
         assert prev is None and mode != 3
+
+
+def test_treeless_literals_emit_and_roundtrip():
+    """Cross-block treeless literals (§3.1.1.3.1.4 type 3): a stable
+    literal alphabet makes block 2+ reuse block 1's tree with zero
+    description bytes; a fresh description only when it measures
+    smaller. Forced via multi-block word text."""
+    import random as _r
+
+    rng = _r.Random(4)
+    words = [bytes(rng.choice(b"abcdefghijklmnopqrstuvwxyz")
+                   for _ in range(rng.randrange(3, 9))) for _ in range(500)]
+    text = b" ".join(rng.choice(words) for _ in range(80000))
+    ltypes = []
+    orig = z._huffman_literals_section
+
+    def spy(lits, huff_ctx=None):
+        sec = orig(lits, huff_ctx=huff_ctx)
+        if sec is not None:
+            ltypes.append(sec[0] & 3)
+        return sec
+
+    z._huffman_literals_section = spy
+    try:
+        wire = z.compress(text)
+    finally:
+        z._huffman_literals_section = orig
+    assert z.decompress(wire) == text
+    assert ltypes[0] == 2 and 3 in ltypes[1:], ltypes
+
+
+def test_treeless_never_without_previous_tree():
+    """The first compressed-literals section of a frame is always a
+    fresh description (the decoder would reject type 3 with no ctx)."""
+    import random as _r
+
+    rng = _r.Random(8)
+    data = bytes(rng.randrange(32, 127) for _ in range(60000))
+    wire = z.compress(data)
+    assert z.decompress(wire) == data  # decoder enforces the ctx rule

@@ -39,13 +39,14 @@ native lib. This module implements, from RFC 8878 only:
   whichever of direct 4-bit weights or FSE-compressed weights
   (§4.2.1.2 — two interleaved ANS states, over-read termination) is
   shorter; alphabets with symbols above 128 use the FSE form, the
-  only one that can express them. Sequence lanes also emit cross-block
-  Repeat_Mode (§3.1.1.3.2.1.1) when the previous compressed block's
-  table estimates cheaper than any fresh description (the encoder
-  mirrors the decoder's ctx.fse_<kind>, committed only when a block
-  ships). The one remaining unemitted form is treeless (repeat)
-  LITERALS — an always-legal omission. The native lib is preferred
-  for throughput when importable (``functions/compress.py``).
+  only one that can express them. Both cross-block reuse forms emit
+  too, chosen by the same estimates: sequence Repeat_Mode
+  (§3.1.1.3.2.1.1) and TREELESS literals (§3.1.1.3.1.4 type 3) reuse
+  the previous compressed block's tables with zero description bytes
+  (the encoder mirrors the decoder's ctx, committed only when a block
+  ships). The encoder therefore emits EVERY form its decoder accepts.
+  The native lib is preferred for throughput when importable
+  (``functions/compress.py``).
 
 The decode tables/constants below are the RFC's: predefined FSE
 distributions (§3.1.1.3.2.2), literals-length and match-length code
@@ -1145,13 +1146,17 @@ def _fse_weights_blob(listed: list[int]) -> bytes | None:
     return best
 
 
-def _huffman_literals_section(lits: bytes) -> bytes | None:
-    """Compressed_Literals_Block (§3.1.1.3.1.4/§4.2.1, direct-weight
-    tree description): single-stream for regen < 1024, else the
-    4-stream layout with the 18-bit size header. Returns None when the
-    direct representation can't express the alphabet (a present symbol
-    above 128 would need > 128 listed weights) or when Huffman doesn't
-    shrink the section vs raw literals."""
+def _huffman_literals_section(lits: bytes,
+                              huff_ctx: dict | None = None) -> bytes | None:
+    """Compressed_Literals_Block (§3.1.1.3.1.4/§4.2.1): single-stream
+    for regen < 1024, else the 4-stream layout with the 18-bit size
+    header; tree description = direct weights, FSE-compressed weights,
+    or TREELESS (§3.1.1.3.1.4 type 3 — reuse the previous block's
+    table, zero description bytes) — whichever measures smallest.
+    ``huff_ctx`` mirrors the decoder's ctx.huffman under key "huff"
+    ((codes, max_bits)); a fresh tree updates it, treeless leaves it —
+    the caller commits the dict only when the block ships. Returns None
+    when no form shrinks the section vs raw literals."""
     regen = len(lits)
     if regen < 128:
         # the direct-weight tree description alone runs ~40-65 bytes
@@ -1171,39 +1176,59 @@ def _huffman_literals_section(lits: bytes) -> bytes | None:
     # its description is bounded < 128 bytes.
     from math import log2
 
+    prev = huff_ctx.get("huff") if huff_ctx is not None else None
+    prev_ok = prev is not None and all(s in prev[0] for s in freqs)
     raw_len = regen + (2 if regen < (1 << 12) else 3)
     est_bits = sum(f * log2(regen / f) for f in freqs.values())
     tree_bytes = 1 + (last + 1) // 2 if last <= 128 else 72
+    if prev_ok:
+        tree_bytes = 0  # treeless needs no description
     if est_bits / 8 + tree_bytes + 6 >= raw_len:
         return None
+    # fresh tree (may be unconstructible — then treeless is the only form)
+    desc: bytearray | None = None
+    codes: dict | None = None
+    max_bits = 0
+    fresh_bits = None
     lengths = _package_merge_lengths(freqs)
-    if lengths is None:
+    if lengths is not None:
+        max_bits = max(lengths.values())
+        # weights for ALL symbols 0..last; the wire lists 0..last-1 and
+        # the decoder deduces symbol `last` from the pow2 completion
+        weights = [0 if lengths.get(s, 0) == 0
+                   else max_bits + 1 - lengths[s]
+                   for s in range(last + 1)]
+        listed = weights[:-1]
+        # tree description: direct 4-bit weights (only expressible for
+        # symbols 0..127) vs FSE-compressed weights (§4.2.1.2) — the
+        # shorter; above symbol 128 the FSE form is the only one
+        direct: bytearray | None = None
+        if last <= 128:
+            direct = bytearray([127 + len(listed)])
+            for i in range(0, len(listed), 2):
+                hi = listed[i] << 4
+                lo = listed[i + 1] if i + 1 < len(listed) else 0
+                direct.append(hi | lo)
+        fse_blob = _fse_weights_blob(listed)
+        if fse_blob is not None and (direct is None
+                                     or 1 + len(fse_blob) < len(direct)):
+            desc = bytearray([len(fse_blob)]) + fse_blob
+        elif direct is not None:
+            desc = direct
+        if desc is not None:
+            codes = _huffman_codes_from_weights(weights, max_bits)
+            fresh_bits = len(desc) * 8 + sum(
+                f * (max_bits + 1 - weights[s]) for s, f in freqs.items())
+    ltype = 2
+    if prev_ok:
+        prev_codes, prev_max = prev
+        treeless_bits = sum(f * prev_codes[s][1] for s, f in freqs.items())
+        if fresh_bits is None or treeless_bits <= fresh_bits:
+            ltype = 3
+            desc = bytearray()
+            codes, max_bits = prev_codes, prev_max
+    if codes is None:
         return None
-    max_bits = max(lengths.values())
-    # weights for ALL symbols 0..last; the wire lists 0..last-1 and the
-    # decoder deduces symbol `last` from the pow2 completion
-    weights = [0 if lengths.get(s, 0) == 0 else max_bits + 1 - lengths[s]
-               for s in range(last + 1)]
-    listed = weights[:-1]
-    # tree description: direct 4-bit weights (only expressible for
-    # symbols 0..127) vs FSE-compressed weights (§4.2.1.2) — emit the
-    # shorter; above symbol 128 the FSE form is the only one
-    direct: bytearray | None = None
-    if last <= 128:
-        direct = bytearray([127 + len(listed)])
-        for i in range(0, len(listed), 2):
-            hi = listed[i] << 4
-            lo = listed[i + 1] if i + 1 < len(listed) else 0
-            direct.append(hi | lo)
-    fse_blob = _fse_weights_blob(listed)
-    if fse_blob is not None and (direct is None
-                                 or 1 + len(fse_blob) < len(direct)):
-        desc = bytearray([len(fse_blob)]) + fse_blob
-    elif direct is not None:
-        desc = direct
-    else:
-        return None
-    codes = _huffman_codes_from_weights(weights, max_bits)
 
     def stream(chunk: bytes) -> bytes:
         # same layout as _backward_stream (first symbol in the top
@@ -1234,7 +1259,7 @@ def _huffman_literals_section(lits: bytes) -> bytes | None:
         comp = len(body)
         if comp >= 1024:
             return None
-        hdr = (2 | (0 << 2) | (regen << 4) | (comp << 14)).to_bytes(
+        hdr = (ltype | (0 << 2) | (regen << 4) | (comp << 14)).to_bytes(
             3, "little")
     else:
         part = (regen + 3) // 4
@@ -1248,10 +1273,18 @@ def _huffman_literals_section(lits: bytes) -> bytes | None:
         comp = len(body)
         if regen > 0x3FFFF or comp > 0x3FFFF:
             return None
-        hdr = (2 | (3 << 2) | (regen << 4) | (comp << 22)).to_bytes(
+        hdr = (ltype | (3 << 2) | (regen << 4) | (comp << 22)).to_bytes(
             5, "little")
     sec = hdr + body
-    return sec if len(sec) < raw_len else None
+    if len(sec) >= raw_len:
+        return None
+    if ltype == 2 and huff_ctx is not None:
+        # mirror the decoder: a fresh description replaces ctx.huffman
+        # ONLY when the section is actually returned (a None fallback
+        # leaves the decoder's ctx untouched, so ours too); the caller
+        # commits the dict only when the whole block ships
+        huff_ctx["huff"] = (codes, max_bits)
+    return sec
 
 
 def _raw_literals_section(lits: bytes) -> bytes:
@@ -1332,7 +1365,7 @@ def _compress_block(data: bytes, rep: list[int] | None = None,
         lit_start = pos
     lits += data[lit_start:]
     # --- literals section: Huffman when it shrinks, else raw ---
-    huff = _huffman_literals_section(bytes(lits))
+    huff = _huffman_literals_section(bytes(lits), huff_ctx=lane_ctx)
     if not seqs:
         # no matches found, but Huffman literals alone may still shrink
         # the block: emit a sequences section with nseq=0 (§3.1.1.3.2 —
