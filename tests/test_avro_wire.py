@@ -71,6 +71,93 @@ def test_no_python_in_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+# -- AWS Glue registry framing (glue_schema_registry.go:326-353) -------------
+
+@pytest.fixture(scope="module")
+def glue_encoded(spark):
+    from tigate_spark.functions.avro_wire import encode_avro_glue
+
+    df = encode_avro_glue(spark.createDataFrame(ROWS))
+    return {r["seq"]: r for r in df.collect()}
+
+
+def test_glue_header_shape(glue_encoded):
+    """18-byte header: version byte 3, compression byte 0, 16-byte
+    schema-version UUID (AWSSchemaRegistryConstants layout)."""
+    from tigate_spark.functions.avro_wire import (
+        GLUE_KEY_SCHEMA_UUID,
+        GLUE_VALUE_SCHEMA_UUID,
+    )
+    import uuid as _uuid
+
+    k = bytes.fromhex(glue_encoded[1]["key_hex"])
+    v = bytes.fromhex(glue_encoded[1]["value_hex"])
+    for raw, want in ((k, GLUE_KEY_SCHEMA_UUID), (v, GLUE_VALUE_SCHEMA_UUID)):
+        assert raw[0] == 3 and raw[1] == 0
+        assert _uuid.UUID(bytes=raw[2:18]) == want
+
+
+def test_glue_frames_decode(glue_encoded):
+    """The independent Glue-header parser + shared Avro binary decoder
+    recover every field; the record body is byte-identical to the
+    Confluent body (the SchemaManager seam: header-only difference)."""
+    from tigate_spark.functions.avro_wire import (
+        decode_avro_glue_key,
+        decode_avro_glue_value,
+    )
+
+    for row in ROWS:
+        assert decode_avro_glue_key(
+            bytes.fromhex(glue_encoded[row.seq]["key_hex"])) == row.pk
+        if row.op == "D":
+            assert glue_encoded[row.seq]["value_hex"] is None
+            continue
+        got = decode_avro_glue_value(
+            bytes.fromhex(glue_encoded[row.seq]["value_hex"]))
+        assert got == dict(
+            pk=row.pk, event_type=row.event_type,
+            value_cents=row.value_cents, user_id=row.user_id,
+            op="c" if row.op == "I" else "u", commit_ts=row.commit_ts,
+            phys=row.commit_ts // 1000,
+        )
+
+
+def test_glue_body_equals_confluent_body(encoded, glue_encoded):
+    for row in ROWS:
+        assert (bytes.fromhex(glue_encoded[row.seq]["key_hex"])[18:]
+                == bytes.fromhex(encoded[row.seq]["key_hex"])[5:])
+        if row.op != "D":
+            assert (bytes.fromhex(glue_encoded[row.seq]["value_hex"])[18:]
+                    == bytes.fromhex(encoded[row.seq]["value_hex"])[5:])
+
+
+def test_glue_header_rejections():
+    from tigate_spark.functions.avro_wire import (
+        GLUE_KEY_SCHEMA_UUID,
+        strip_glue_header,
+    )
+
+    good = bytes([3, 0]) + GLUE_KEY_SCHEMA_UUID.bytes + b"\x02"
+    assert strip_glue_header(good, GLUE_KEY_SCHEMA_UUID) == b"\x02"
+    with pytest.raises(ValueError, match="too short"):
+        strip_glue_header(good[:17], GLUE_KEY_SCHEMA_UUID)
+    with pytest.raises(ValueError, match="version byte"):
+        strip_glue_header(bytes([0]) + good[1:], GLUE_KEY_SCHEMA_UUID)
+    with pytest.raises(ValueError, match="compression"):
+        strip_glue_header(bytes([3, 5]) + good[2:], GLUE_KEY_SCHEMA_UUID)
+    with pytest.raises(ValueError, match="uuid"):
+        strip_glue_header(good[:2] + bytes(16) + good[18:],
+                          GLUE_KEY_SCHEMA_UUID)
+
+
+def test_glue_no_python_in_plan(spark):
+    from tigate_spark.functions.avro_wire import encode_avro_glue
+
+    df = encode_avro_glue(spark.createDataFrame(ROWS))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_open_ddl_matches_reference_golden(spark):
     """open/codec_test.go:211: value[8:] must equal
     {"q":"<query>","t":3} for a create-table DDL."""

@@ -102,8 +102,10 @@ def test_column_filter_negation_last_match_wins():
     # positive-only rule sets keep the historical any-match behavior
     assert column_selected("event_type", ["event_*"])
     assert not column_selected("value_cents", ["event_*"])
-    # empty rule list selects everything
-    assert column_selected("anything", [])
+    # empty rule list matches NOTHING (r15 ADVICE: mirror
+    # ParseColumnFilter's false fold start; ColumnSelector rejects []
+    # at construction so this branch is direct-caller-only)
+    assert not column_selected("anything", [])
 
 
 def test_column_selectors_dispatch_with_negation(spark):

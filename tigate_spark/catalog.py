@@ -1971,6 +1971,44 @@ def encoder_avro_column_selector(spark: SparkSession,
         "seq", "key_hex", "value_hex")
 
 
+def _avro_glue_oracle() -> str:
+    from tigate_spark.functions.avro_wire import avro_glue_oracle_suffix
+
+    return (
+        ORACLE_CHANGES_CTE
+        + """
+, avro_in AS (
+  SELECT seq, op, pk, event_type, value_cents, user_id, commit_ts
+  FROM changes
+)"""
+        + avro_glue_oracle_suffix()
+        + "\nSELECT seq, key_hex, value_hex FROM avro_msg"
+    )
+
+
+@register(
+    "encoder_avro_glue_framed",
+    _avro_glue_oracle(),
+    doc="AWS Glue schema-registry Avro wire format as byte-exact hex: "
+        "[1B header version = 3][1B compression = 0][16B schema-version "
+        "UUID] (glue_schema_registry.go:326-353 getMsgHeader; registry "
+        "dispatch arvo.go:1019-1032) + the SAME Avro binary record body "
+        "as the Confluent frame (the SchemaManager seam — only the "
+        "header differs). Deletes stay key + null-value tombstones. "
+        "Schema-version UUIDs are the stand-in registry's deterministic "
+        "UUIDv5s of the subject names (the Glue precedent of the "
+        "Confluent first-registration ids; the AWS round-trip stays "
+        "unmodeled). Pure column expressions in both engines — the hash "
+        "match proves the wire bytes; tests/test_avro_wire.py decodes "
+        "the frames with an independent Python Glue-header parser.",
+)
+def encoder_avro_glue_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.avro_wire import encode_avro_glue
+
+    ch = changes_stream(spark, sf_dir)
+    return encode_avro_glue(ch).select("seq", "key_hex", "value_hex")
+
+
 def _avro_evolution_oracle() -> str:
     from tigate_spark.functions.avro_wire import avro_evolution_oracle_suffix
     from tigate_spark.functions.confluent_registry import (

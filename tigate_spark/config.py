@@ -36,10 +36,21 @@ class FilterConfig:
 
 @dataclass
 class ColumnSelector:
-    """``pkg/common/columnselector/column_selector.go:23-101``."""
+    """``pkg/common/columnselector/column_selector.go:23-101``.
+
+    An empty ``columns`` rule list is rejected here (it would select
+    nothing — ParseColumnFilter matches nothing on zero rules — which
+    can only be a config mistake; the reference's selector is always
+    built from at least one rule string)."""
 
     matcher: list[str] = field(default_factory=lambda: ["*.*"])
     columns: list[str] = field(default_factory=lambda: ["*"])
+
+    def __post_init__(self) -> None:
+        if not self.columns:
+            raise ValueError(
+                "ColumnSelector.columns must list at least one rule "
+                "(empty rules would select no columns)")
 
 
 @dataclass

@@ -36,9 +36,20 @@ stand-in registry assigns them deterministically in first-registration
 order — key subject ``<topic>-key`` = 1, value subject ``<topic>-value``
 = 2 — the exact ids a fresh Confluent registry hands a single-table
 changefeed.
+
+The reference's Avro codec supports a SECOND registry, AWS Glue
+(``glue_schema_registry.go:326-353``; dispatch ``arvo.go:1019-1032``):
+same record body, different frame — ``[1B header version = 3]
+[1B compression = 0][16B schema-version UUID]``. :func:`encode_avro_glue`
+/ :func:`strip_glue_header` twin it; the stand-in registry's
+schema-version UUIDs are deterministic UUIDv5s of the subject names
+(the registry HTTP/AWS round-trip itself stays unmodeled, as with
+Confluent).
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame
 
@@ -52,9 +63,30 @@ _VALUE_HDR = f"00{VALUE_SCHEMA_ID:08X}"
 #: union branch index 1 (non-null) as a zigzag-varint long
 _UNION1 = "02"
 
+# ---------------------------------------------------------------------------
+# AWS Glue schema-registry framing (glue_schema_registry.go:326-353; registry
+# dispatch arvo.go:1019-1032): [1B header version = 3][1B compression = 0]
+# [16B schema-version UUID] + the SAME Avro binary record body as the
+# Confluent wire. Glue identifies a registered schema version by UUID
+# (GetSchemaVersionInput.SchemaVersionId), not a small integer; the stand-in
+# registry assigns each subject the deterministic UUIDv5 of its subject name
+# — the Glue precedent of the Confluent stand-in's first-registration ids.
+# ---------------------------------------------------------------------------
+GLUE_HEADER_VERSION = 3   # headerVersionByte — fixed for every glue message
+GLUE_NO_COMPRESSION = 0   # compressionDefaultByte — 0 = no compression
+GLUE_KEY_SCHEMA_UUID = uuid.uuid5(uuid.NAMESPACE_URL, "glue://tigate/changes-key")
+GLUE_VALUE_SCHEMA_UUID = uuid.uuid5(
+    uuid.NAMESPACE_URL, "glue://tigate/changes-value")
+_GLUE_KEY_HDR = (f"{GLUE_HEADER_VERSION:02X}{GLUE_NO_COMPRESSION:02X}"
+                 f"{GLUE_KEY_SCHEMA_UUID.hex.upper()}")
+_GLUE_VALUE_HDR = (f"{GLUE_HEADER_VERSION:02X}{GLUE_NO_COMPRESSION:02X}"
+                   f"{GLUE_VALUE_SCHEMA_UUID.hex.upper()}")
+
 
 def avro_wire_steps(d_name: str,
-                    exclude: tuple[str, ...] = ()) -> list[tuple[str, str]]:
+                    exclude: tuple[str, ...] = (),
+                    key_hdr: str = _KEY_HDR,
+                    value_hdr: str = _VALUE_HDR) -> list[tuple[str, str]]:
     """Ordered (column, SQL) steps shared by the Spark builder and the
     DuckDB oracle. Expects columns: op, pk, event_type, value_cents,
     user_id, commit_ts.
@@ -64,7 +96,12 @@ def avro_wire_steps(d_name: str,
     fields, so the binary body skips their fragments entirely
     (scenario ``kafka_column_selector_avro/``: the SELECTED schema is
     the registered schema; the handle key and extension fields always
-    survive, the dispatch-ability precondition)."""
+    survive, the dispatch-ability precondition).
+
+    ``key_hdr``/``value_hdr``: the registry framing prefix as hex —
+    Confluent's 5-byte magic+id by default, or the Glue 18-byte
+    version+compression+UUID header (the record BODY is
+    registry-agnostic, exactly the reference's SchemaManager seam)."""
     d = _dialect(d_name)
     steps: list[tuple[str, str]] = []
     # Avro string = long(byte length) + bytes
@@ -86,11 +123,11 @@ def avro_wire_steps(d_name: str,
     steps.append(("value_body_h", " || ".join(body)))
     steps.append((
         "key_hex",
-        f"'{_KEY_HDR}' || {_vhex('pk', d)}",
+        f"'{key_hdr}' || {_vhex('pk', d)}",
     ))
     steps.append((
         "value_hex",
-        f"CASE WHEN op <> 'D' THEN '{_VALUE_HDR}' || value_body_h END",
+        f"CASE WHEN op <> 'D' THEN '{value_hdr}' || value_body_h END",
     ))
     return steps
 
@@ -116,6 +153,35 @@ def avro_wire_oracle_suffix(exclude: tuple[str, ...] = ()) -> str:
     prev = "avro_in"
     for i, (name, expr) in enumerate(steps):
         cte = "avro_msg" if i == len(steps) - 1 else f"av{i}"
+        sql.append(f", {cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cte
+    return "".join(sql)
+
+
+def encode_avro_glue(df: DataFrame,
+                     exclude: tuple[str, ...] = ()) -> DataFrame:
+    """Glue-framed Avro binary key/value per change row, as hex strings:
+    [03][00][16B schema-version UUID] + the registry-agnostic Avro
+    binary body (``glue_schema_registry.go:326-353`` getMsgHeader; the
+    Confluent/Glue split is only the header, ``arvo.go:1019-1032``).
+    Pure column expressions — whole-stage codegen, no Python."""
+    steps = avro_wire_steps("spark", exclude=exclude,
+                            key_hdr=_GLUE_KEY_HDR,
+                            value_hdr=_GLUE_VALUE_HDR)
+    out = df.selectExpr("*", *[f"{sql} AS {name}" for name, sql in steps])
+    return out.drop("et_h", "op_h", "value_body_h")
+
+
+def avro_glue_oracle_suffix(exclude: tuple[str, ...] = ()) -> str:
+    """DuckDB mirror of :func:`encode_avro_glue` — chained CTEs over
+    ``avro_in`` ending in ``avro_msg``."""
+    steps = avro_wire_steps("duckdb", exclude=exclude,
+                            key_hdr=_GLUE_KEY_HDR,
+                            value_hdr=_GLUE_VALUE_HDR)
+    sql = []
+    prev = "avro_in"
+    for i, (name, expr) in enumerate(steps):
+        cte = "avro_msg" if i == len(steps) - 1 else f"avg{i}"
         sql.append(f", {cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
         prev = cte
     return "".join(sql)
@@ -214,6 +280,22 @@ def strip_confluent_header(raw: bytes, want_id: int) -> bytes:
     return raw[5:]
 
 
+def strip_glue_header(raw: bytes, want_uuid: uuid.UUID) -> bytes:
+    """Validate and strip the 18-byte Glue message header
+    (``getGlueSchemaIDFromHeader``: len >= 18, version byte 3,
+    compression byte 0, schema-version UUID at bytes 2:18)."""
+    if len(raw) < 18:
+        raise ValueError(f"avro: payload too short for glue header ({len(raw)}B)")
+    if raw[0] != GLUE_HEADER_VERSION:
+        raise ValueError(f"avro: bad glue header version byte {raw[0]}")
+    if raw[1] != GLUE_NO_COMPRESSION:
+        raise ValueError(f"avro: unsupported glue compression byte {raw[1]}")
+    got = uuid.UUID(bytes=raw[2:18])
+    if got != want_uuid:
+        raise ValueError(f"avro: glue schema uuid {got} != expected {want_uuid}")
+    return raw[18:]
+
+
 def decode_avro_key(raw: bytes) -> int:
     body = strip_confluent_header(raw, KEY_SCHEMA_ID)
     pk, i = avro_long(body, 0)
@@ -222,8 +304,23 @@ def decode_avro_key(raw: bytes) -> int:
     return pk
 
 
+def decode_avro_glue_key(raw: bytes) -> int:
+    body = strip_glue_header(raw, GLUE_KEY_SCHEMA_UUID)
+    pk, i = avro_long(body, 0)
+    if i != len(body):
+        raise ValueError(f"avro: glue key has {len(body) - i} trailing bytes")
+    return pk
+
+
+def decode_avro_glue_value(raw: bytes) -> dict:
+    return _decode_value_body(strip_glue_header(raw, GLUE_VALUE_SCHEMA_UUID))
+
+
 def decode_avro_value(raw: bytes) -> dict:
-    body = strip_confluent_header(raw, VALUE_SCHEMA_ID)
+    return _decode_value_body(strip_confluent_header(raw, VALUE_SCHEMA_ID))
+
+
+def _decode_value_body(body: bytes) -> dict:
     i = 0
     pk, i = avro_long(body, i)
     branch, i = avro_long(body, i)

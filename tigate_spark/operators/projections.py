@@ -31,9 +31,15 @@ def column_selected(name: str, patterns: list[str]) -> bool:
     rules apply in order and the LAST matching rule wins; a ``!`` prefix
     negates; a LEADING negation implies an accept-all rule before it;
     matching is case-insensitive (SinkConfig.CaseSensitive defaults
-    false). Positive-only rule sets degrade to the any-match behavior."""
+    false). Positive-only rule sets degrade to the any-match behavior.
+
+    An EMPTY rule list matches nothing — the reference's
+    ParseColumnFilter folds rules over a ``false`` start, so zero rules
+    select zero columns (``ColumnSelector`` defaults ``columns=['*']``
+    and rejects ``[]`` at construction, keeping this branch for direct
+    callers only)."""
     if not patterns:
-        return True
+        return False
     pats = list(patterns)
     if pats[0].startswith("!"):
         pats = ["*"] + pats
@@ -305,17 +311,25 @@ def only_updated_old_image(before_col, after_col):
     value CHANGED (tiflow ``fillUpdateColumns`` under
     ``OnlyOutputUpdatedColumns``, ``pkg/config/sink.go:160``). The diff
     keeps each ORIGINAL before-image fragment so quoting/typing survive
-    verbatim; the canonical flat images never carry ``,"`` inside a
-    value, which is the fragment boundary (the reference diffs typed
-    columns — this is the same decision applied to the rendered image).
-    Pure JVM column expressions."""
+    verbatim (the reference diffs typed columns — this is the same
+    decision applied to the rendered image). Pure JVM column expressions.
+
+    Fragment boundaries are lexer-grade for any VALID flat JSON object:
+    a top-level comma is one followed by a complete JSON string (the
+    next key, escapes honored) and a colon — a ``,"`` byte sequence
+    INSIDE a value cannot match because an unescaped quote inside a
+    valid JSON string is impossible, so the lookahead's string+colon
+    requirement only holds at real key positions. Keys are assumed to
+    need no JSON escaping (they are column identifiers at every call
+    site); nested object/array values are out of scope — the same
+    flatness ``IMG_MAP`` (map<string,string>) already requires."""
     inner = F.regexp_replace(before_col, r"^\{|\}$", "")
-    frags = F.split(inner, ',(?=")')
+    frags = F.split(inner, ',(?="(?:[^"\\\\]|\\\\.)*"\\s*:)')
     amap = F.from_json(after_col, IMG_MAP)
     bmap = F.from_json(before_col, IMG_MAP)
 
     def _changed(fr):
-        key = F.regexp_replace(F.substring_index(fr, ":", 1), '"', "")
+        key = F.regexp_extract(fr, '^"((?:[^"\\\\]|\\\\.)*)"', 1)
         return ~bmap[key].eqNullSafe(amap[key])
 
     kept = F.filter(frags, _changed)
