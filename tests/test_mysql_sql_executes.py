@@ -97,6 +97,80 @@ def test_safe_mode_sql_replays_to_lww_state(spark):
     assert got == want
 
 
+def test_generated_column_skip_executes_on_generated_table(spark):
+    """Generated-column DML skip (sql_builder.go:163-166; scenario
+    generate_column/): replay the safe-mode statement stream rendered
+    with extra_cols=((user_id, stored), (value_dollars, GENERATED))
+    onto SQLite tables whose value_dollars is a real GENERATED ALWAYS AS
+    column. The statements must never name value_dollars (SQLite — like
+    MySQL 3105 — errors on an explicit value for a generated column),
+    and the DOWNSTREAM-computed generated values must match the LWW
+    materialization's value_cents / 100."""
+    from pyspark.sql import functions as F
+
+    from tigate_spark.catalog import get_catalog
+    from tigate_spark.functions.encoders import encode_mysql_sql
+    from tigate_spark.sources.changes import changes_stream
+
+    ch = changes_stream(spark, SF_DIR).withColumn(
+        "value_dollars", F.expr("cast(value_cents div 100 as bigint)"))
+    enc = encode_mysql_sql(
+        ch, replicating_ts=0, safe_mode_split=True,
+        extra_cols=(("user_id", False), ("value_dollars", True)))
+    keys = ch.select("seq", "commit_ts", "start_ts", "op")
+    stmts = (
+        enc.join(keys, "seq")
+        .withColumn("opr", F.expr(
+            "case op when 'D' then 1 when 'U' then 2 else 3 end"))
+        .orderBy("commit_ts", "start_ts", "opr", "seq", "piece_no")
+        .select("sql", "args")
+        .collect()
+    )
+    assert len(stmts) > 1000
+    assert all("value_dollars" not in r["sql"] for r in stmts), \
+        "generated column leaked into rendered DML"
+
+    con = sqlite3.connect(":memory:")
+    cur = con.cursor()
+    strip_limit = not _limit_supported(cur)
+    made: set[tuple[str, str]] = set()
+    for r in stmts:
+        sql = r["sql"]
+        if strip_limit:
+            sql = sql.replace(" LIMIT 1", "")
+        head = sql.split("`")
+        schema, table = head[1], head[3]
+        if (schema, table) not in made:
+            if not any(s == schema for s, _ in made):
+                cur.execute(f"ATTACH ':memory:' AS `{schema}`")
+            cur.execute(
+                f"CREATE TABLE `{schema}`.`{table}` "
+                "(pk INTEGER PRIMARY KEY, event_type TEXT, "
+                "value_cents INTEGER, user_id INTEGER, "
+                "value_dollars INTEGER GENERATED ALWAYS AS "
+                "(value_cents / 100) VIRTUAL)"
+            )
+            made.add((schema, table))
+        cur.execute(sql, json.loads(r["args"]))
+
+    cat = get_catalog()
+    want = {}
+    for m in cat["apply_materialize"].builder(spark, SF_DIR).collect():
+        vc = m["value_cents"]
+        want[(m["table_id"], m["pk"])] = (
+            m["event_type"], vc, None if vc is None else vc // 100)
+    got = {}
+    for schema, table in made:
+        tid = int(table.lstrip("t"))
+        for pk, et, vc, vd in cur.execute(
+            f"SELECT pk, event_type, value_cents, value_dollars "
+            f"FROM `{schema}`.`{table}`"
+        ):
+            got[(tid, pk)] = (et, vc, vd)
+    con.close()
+    assert got == want
+
+
 def test_args_escape_hostile_event_types(spark):
     """A quote/backslash/newline in event_type must survive the JSON arg
     vector (json_escape on the engine side, mirrored in the oracles) —

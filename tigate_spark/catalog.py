@@ -3846,6 +3846,52 @@ def encoder_mysql_sql_safe_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "encoder_mysql_sql_generated_skip",
+    ORACLE_CHANGES_CTE
+    + ("""
+SELECT seq,
+  CASE op
+    WHEN 'I' THEN CASE WHEN commit_ts > %d
+      THEN printf('INSERT INTO `%%s`.`%%s` (`pk`,`event_type`,`value_cents`,`user_id`) VALUES (?,?,?,?)', schema_name, table_name)
+      ELSE printf('REPLACE INTO `%%s`.`%%s` (`pk`,`event_type`,`value_cents`,`user_id`) VALUES (?,?,?,?)', schema_name, table_name) END
+    WHEN 'U' THEN printf('UPDATE `%%s`.`%%s` SET `event_type` = ?, `value_cents` = ?, `user_id` = ? WHERE `pk` = ? LIMIT 1', schema_name, table_name)
+    ELSE printf('DELETE FROM `%%s`.`%%s` WHERE `pk` = ? LIMIT 1', schema_name, table_name)
+  END AS sql,
+  CASE op
+    WHEN 'I' THEN printf('[%%d,"%%s",%%s,%%s]', pk, __ESC_ET__, coalesce(CAST(value_cents AS VARCHAR), 'null'), coalesce(CAST(user_id AS VARCHAR), 'null'))
+    WHEN 'U' THEN printf('["%%s",%%s,%%s,%%d]', __ESC_ET__, coalesce(CAST(value_cents AS VARCHAR), 'null'), coalesce(CAST(user_id AS VARCHAR), 'null'), pk)
+    ELSE printf('[%%d]', pk)
+  END AS args
+FROM changes
+""" % (_REPLICATING_TS_US, ))
+    .replace("__ESC_ET__", _json_esc_sql("event_type")),
+    doc="K1 generated-column skip (sql_builder.go:163-166 getArgs + "
+        "table_info_helper.go:788-790 getColumnList; scenario "
+        "generate_column/): the table schema carries a stored extra "
+        "column (user_id) AND a generated column (value_dollars, "
+        "mounted on the change row as value_cents div 100) — the "
+        "generated column appears in NO column list, SET list, or arg "
+        "vector (the downstream engine computes it; sending a value "
+        "would be MySQL error 3105), while the stored extra renders "
+        "like any canonical column. The oracle renders the 4-column "
+        "statement matrix with no value_dollars anywhere; "
+        "tests/test_mysql_sql_executes.py replays the safe-mode form "
+        "onto SQLite tables whose value_dollars is GENERATED ALWAYS AS "
+        "and asserts the DB-computed values match the LWW state.",
+)
+def encoder_mysql_sql_generated_skip(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.encoders import encode_mysql_sql
+
+    ch = changes_stream(spark, sf_dir).withColumn(
+        "value_dollars", F.expr("cast(value_cents div 100 as bigint)"))
+    return encode_mysql_sql(
+        ch, _REPLICATING_TS_US,
+        extra_cols=(("user_id", False), ("value_dollars", True)),
+    )
+
+
+@register(
     "encoder_message_batches",
     ORACLE_CHANGES_CTE
     + f"""

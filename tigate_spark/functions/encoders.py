@@ -1205,7 +1205,9 @@ def encode_open_ddl(df: DataFrame) -> DataFrame:
 
 
 def encode_mysql_sql(df: DataFrame, replicating_ts: int,
-                     safe_mode_split: bool = False) -> DataFrame:
+                     safe_mode_split: bool = False,
+                     extra_cols: tuple[tuple[str, bool], ...] = ()
+                     ) -> DataFrame:
     """K1: the MySQL sink's prepareDMLs SQL text surface
     (``pkg/sink/mysql/sql_builder.go:56-205``; the INSERT/REPLACE
     translate boundary ``mysql_writer.go:686-691``).
@@ -1224,26 +1226,44 @@ def encode_mysql_sql(df: DataFrame, replicating_ts: int,
     piece_no, sql, args). ``tests/test_mysql_sql_executes.py`` executes
     this form on SQLite and asserts the final state equals the engine's
     LWW materialization.
+
+    ``extra_cols``: schema columns beyond the canonical payload as
+    ``(name, is_generated)`` pairs — numeric-typed columns of ``df``.
+    A GENERATED column is skipped from every column list, SET list, and
+    arg vector (``sql_builder.go:163-166`` getArgs +
+    ``table_info_helper.go:788-790`` getColumnList: the downstream
+    engine computes it; sending a value would error with MySQL 3105
+    "value specified for generated column"); stored extras render like
+    the canonical columns. The mounted generated VALUE may ride ``df``
+    — it simply never reaches the DML, scenario ``generate_column/``.
     """
     qual = (F.col("schema_name"), F.col("table_name"))
-    replace_sql = F.format_string(
-        "REPLACE INTO `%s`.`%s` (`pk`,`event_type`,`value_cents`) "
-        "VALUES (?,?,?)", *qual)
-    delete_sql = F.format_string(
-        "DELETE FROM `%s`.`%s` WHERE `pk` = ? LIMIT 1", *qual)
     vc = F.coalesce(F.col("value_cents").cast("string"), F.lit("null"))
     # args render as a JSON array — escape the one free-form string field
     # so a quote/backslash in event_type cannot break the vector (the
     # SQLite replay test json.loads()-es these); oracles mirror the chain
     et = json_escape(F.col("event_type"))
-    row_args = F.format_string('[%d,"%s",%s]', F.col("pk"), et, vc)
+    stored = [n for n, gen in extra_cols if not gen]
+    names = ["pk", "event_type", "value_cents"] + stored
+    col_list = ",".join(f"`{c}`" for c in names)
+    marks = ",".join("?" for _ in names)
+    ex_fmts = ["%s"] * len(stored)
+    ex_args = [F.coalesce(F.col(c).cast("string"), F.lit("null"))
+               for c in stored]
+    replace_sql = F.format_string(
+        f"REPLACE INTO `%s`.`%s` ({col_list}) VALUES ({marks})", *qual)
+    delete_sql = F.format_string(
+        "DELETE FROM `%s`.`%s` WHERE `pk` = ? LIMIT 1", *qual)
+    row_args = F.format_string(
+        "[" + ",".join(['%d', '"%s"', '%s'] + ex_fmts) + "]",
+        F.col("pk"), et, vc, *ex_args)
     pk_args = F.format_string("[%d]", F.col("pk"))
     if not safe_mode_split:
         insert_sql = F.format_string(
-            "INSERT INTO `%s`.`%s` (`pk`,`event_type`,`value_cents`) "
-            "VALUES (?,?,?)", *qual)
+            f"INSERT INTO `%s`.`%s` ({col_list}) VALUES ({marks})", *qual)
+        set_list = ", ".join(f"`{c}` = ?" for c in names[1:])
         update_sql = F.format_string(
-            "UPDATE `%s`.`%s` SET `event_type` = ?, `value_cents` = ? "
+            f"UPDATE `%s`.`%s` SET {set_list} "
             "WHERE `pk` = ? LIMIT 1", *qual)
         sql = (
             F.when((F.col("op") == "I")
@@ -1255,7 +1275,9 @@ def encode_mysql_sql(df: DataFrame, replicating_ts: int,
         args = (
             F.when(F.col("op") == "I", row_args)
             .when(F.col("op") == "U",
-                  F.format_string('["%s",%s,%d]', et, vc, F.col("pk")))
+                  F.format_string(
+                      "[" + ",".join(['"%s"', '%s'] + ex_fmts + ['%d']) + "]",
+                      et, vc, *ex_args, F.col("pk")))
             .otherwise(pk_args)
         )
         return df.select("seq", sql.alias("sql"), args.alias("args"))
