@@ -3190,3 +3190,154 @@ def streaming_sqlite_ddl_matrix_e2e(spark: SparkSession,
         return _materialize(state)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# K1 full-width replication: the 45-type fixture schema through the LIVE
+# executable sink — normalize → wide mounted projection (T3 typed view) →
+# safe-mode SQL rendering with the widened column lists → execution on
+# per-lane SQLite. Today's other streaming e2es ride the narrow canonical
+# payload; this is the full-width path (sql_builder_test.go:169's 45-column
+# fixture families; FormatColVal helper.go:19-80).
+# ---------------------------------------------------------------------------
+#: (name, spark_expr, duckdb_expr, sqlite_decl, spark_read_type) — the
+#: type-family lanes of the reference's 45-column sink fixture, derived
+#: deterministically from the canonical change row (the proven
+#: projection_type_render spelling pairs, re-keyed onto change columns)
+_WIDE_LANES = [
+    ("ship_date_str",
+     "date_format(timestamp_micros(commit_ts), 'yyyy-MM-dd')",
+     "strftime(make_timestamp(commit_ts), '%Y-%m-%d')",
+     "TEXT", "string"),
+    ("ship_datetime_str",
+     "date_format(timestamp_micros(commit_ts), 'yyyy-MM-dd HH:mm:ss')",
+     "strftime(make_timestamp(commit_ts), '%Y-%m-%d %H:%M:%S')",
+     "TEXT", "string"),
+    ("quantity_str",
+     # NB: a bare 100.0 literal parses as DECIMAL(3,1) in Spark SQL and
+     # %.2f rejects Decimal — force the double division explicitly
+     "format_string('%.2f', cast(value_cents as double) / 100)",
+     "printf('%.2f', CAST(value_cents AS DOUBLE) / 100)",
+     "TEXT", "string"),
+    ("returnflag_enum",
+     "cast(case event_type when 'click' then 1 when 'error' then 2 "
+     "when 'purchase' then 3 when 'signup' then 4 else 5 end as bigint)",
+     "CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 "
+     "WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END AS BIGINT)",
+     "INTEGER", "bigint"),
+    ("line_bit", "pk & 1", "CAST(pk & 1 AS BIGINT)", "INTEGER", "bigint"),
+    ("ubig_dec20_str",
+     "cast(cast(pk as decimal(20,0)) + 9223372036854775807 as string)",
+     "CAST(CAST(pk AS DECIMAL(20,0)) + 9223372036854775807 AS VARCHAR)",
+     "TEXT", "string"),
+    ("ship_year",
+     "cast(year(timestamp_micros(commit_ts)) as bigint)",
+     "CAST(strftime(make_timestamp(commit_ts), '%Y') AS BIGINT)",
+     "INTEGER", "bigint"),
+    ("dur_time_str",
+     "format_string('%02d:%02d:%02d', (seq % 86400) div 3600, "
+     "((seq % 86400) % 3600) div 60, (seq % 86400) % 60)",
+     "printf('%02d:%02d:%02d', (seq % 86400) // 3600, "
+     "((seq % 86400) % 3600) // 60, (seq % 86400) % 60)",
+     "TEXT", "string"),
+    ("set_mask", "user_id % 8", "CAST(user_id % 8 AS BIGINT)",
+     "INTEGER", "bigint"),
+    ("set_names",
+     "concat_ws(',', case when user_id % 2 = 1 then 'AIR' end, "
+     "case when user_id % 4 >= 2 then 'MAIL' end, "
+     "case when user_id % 8 >= 4 then 'SHIP' end)",
+     "concat_ws(',', CASE WHEN user_id % 2 = 1 THEN 'AIR' END, "
+     "CASE WHEN user_id % 4 >= 2 THEN 'MAIL' END, "
+     "CASE WHEN user_id % 8 >= 4 THEN 'SHIP' END)",
+     "TEXT", "string"),
+    ("varbin_hex",
+     "lower(hex(encode(event_type, 'UTF-8')))",
+     "lower(hex(encode(event_type)))",
+     "TEXT", "string"),
+    ("bin8_hex",
+     "rpad(lower(hex(encode(event_type, 'UTF-8'))), 16, '0')",
+     "rpad(lower(hex(encode(event_type))), 16, '0')",
+     "TEXT", "string"),
+    ("uint_render", "4294967295 - pk", "CAST(4294967295 - pk AS BIGINT)",
+     "INTEGER", "bigint"),
+    ("price_dec15_2_str",
+     "cast(cast(cast(value_cents as double) / 100 as decimal(15,2)) "
+     "as string)",
+     "CAST(CAST(CAST(value_cents AS DOUBLE) / 100 AS DECIMAL(15,2)) "
+     "AS VARCHAR)",
+     "TEXT", "string"),
+    ("float_cents_sanitized",
+     "case when isnan(case when pk % 13 = 7 then cast('NaN' as float) "
+     "else cast(value_cents as float) end) then null else "
+     "cast(round(cast(case when pk % 13 = 7 then cast('NaN' as float) "
+     "else cast(value_cents as float) end as double) / 100) as bigint) end",
+     "CASE WHEN isnan(CASE WHEN pk % 13 = 7 THEN CAST('nan' AS REAL) "
+     "ELSE CAST(value_cents AS REAL) END) THEN NULL ELSE "
+     "CAST(round(CAST(CASE WHEN pk % 13 = 7 THEN CAST('nan' AS REAL) "
+     "ELSE CAST(value_cents AS REAL) END AS DOUBLE) / 100) AS BIGINT) END",
+     "INTEGER", "bigint"),
+    ("vector_literal",
+     "case when pk % 11 = 6 then null else concat('[', "
+     "cast(pk % 10 as string), ',', cast(user_id % 10 as string), ',', "
+     "cast(table_id as string), ']') end",
+     "CASE WHEN pk % 11 = 6 THEN NULL ELSE '[' || "
+     "CAST(pk % 10 AS VARCHAR) || ',' || CAST(user_id % 10 AS VARCHAR) "
+     "|| ',' || CAST(table_id AS VARCHAR) || ']' END",
+     "TEXT", "string"),
+]
+
+_WIDE_ORACLE = ORACLE_CHANGES_CTE + """
+, ordered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY table_id, pk
+    ORDER BY commit_ts DESC, start_ts DESC,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC, seq DESC
+  ) AS rn
+  FROM changes
+)
+SELECT table_id, pk, event_type, value_cents,
+""" + ",\n".join(f"  {duck} AS {name}"
+                 for name, _, duck, _, _ in _WIDE_LANES) + """
+FROM ordered WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register(
+    "streaming_wide_replica_e2e",
+    _WIDE_ORACLE,
+    doc="K1 full-width streaming replication (the 45-column sink fixture "
+        "families, sql_builder_test.go:169 / FormatColVal helper.go:19-80) "
+        "through the LIVE executable sink: normalize → wide mounted "
+        "projection (16 type-family lanes as pure column expressions: "
+        "date/datetime/fixed-dp strings, enum ordinal, bit, unsigned "
+        "DECIMAL(20,0) digits, year, duration HH:MM:SS, SET mask+names, "
+        "varbinary/BINARY(8) hex, unsigned int, DECIMAL(15,2) string, "
+        "float32-NaN-sanitized lane, VECTOR literal with a NULL lane) → "
+        "safe-mode SQL rendered with the WIDENED column lists "
+        "(encode_mysql_sql extra_cols — 19-column REPLACE) → executed on "
+        "per-lane SQLite with the widened CREATE TABLE — the reference's "
+        "writer always renders the full TableInfo schema. Oracle = LWW "
+        "winner per key with the same renderings in DuckDB spellings.",
+)
+def streaming_wide_replica_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.streaming.changefeed import Changefeed
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        cfg = ChangefeedConfig(
+            changefeed_id="wide-e2e", sink_uri="sqlite://",
+            wide_payload=tuple(
+                (n, spark_e, decl)
+                for n, spark_e, _, decl, _ in _WIDE_LANES),
+        )
+        cf = Changefeed(
+            spark, cfg, os.path.join(sf_dir, "events.parquet"), work
+        )
+        cf.run_to_completion()
+        state = cf.sink.read_state(
+            spark,
+            extra_cols=tuple((n, rt) for n, _, _, _, rt in _WIDE_LANES),
+        )
+        return _materialize(state)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

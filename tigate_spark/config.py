@@ -254,6 +254,15 @@ class ChangefeedConfig:
     #: tables; sources tag partitions via a ``_physical_table_id``
     #: column
     partition_mappings: list | None = None
+    #: full-width replicated schema beyond the canonical payload:
+    #: ``(column, spark_sql_expr, sqlite_decl)`` triples — the mounted
+    #: per-version typed projection of the table's full TableInfo (T3;
+    #: the reference's writer always renders/applies every schema
+    #: column, sql_builder.go getColumnList). Each expr evaluates over
+    #: the canonical change row after normalize; executable sinks
+    #: create lane tables with the widened DDL and render the widened
+    #: statements, the replica sink extends its payload columns
+    wide_payload: tuple = ()
 
 
 def _build(cls, data: dict):

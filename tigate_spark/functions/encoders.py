@@ -1228,14 +1228,16 @@ def encode_mysql_sql(df: DataFrame, replicating_ts: int,
     LWW materialization.
 
     ``extra_cols``: schema columns beyond the canonical payload as
-    ``(name, is_generated)`` pairs — numeric-typed columns of ``df``.
-    A GENERATED column is skipped from every column list, SET list, and
-    arg vector (``sql_builder.go:163-166`` getArgs +
+    ``(name, is_generated)`` pairs — columns of ``df``. A GENERATED
+    column is skipped from every column list, SET list, and arg vector
+    (``sql_builder.go:163-166`` getArgs +
     ``table_info_helper.go:788-790`` getColumnList: the downstream
     engine computes it; sending a value would error with MySQL 3105
     "value specified for generated column"); stored extras render like
-    the canonical columns. The mounted generated VALUE may ride ``df``
-    — it simply never reaches the DML, scenario ``generate_column/``.
+    the canonical columns — string-typed ones quoted + json-escaped
+    (NULL renders as the bare JSON ``null``), numerics as digits. The
+    mounted generated VALUE may ride ``df`` — it simply never reaches
+    the DML, scenario ``generate_column/``.
     """
     qual = (F.col("schema_name"), F.col("table_name"))
     vc = F.coalesce(F.col("value_cents").cast("string"), F.lit("null"))
@@ -1247,9 +1249,15 @@ def encode_mysql_sql(df: DataFrame, replicating_ts: int,
     names = ["pk", "event_type", "value_cents"] + stored
     col_list = ",".join(f"`{c}`" for c in names)
     marks = ",".join("?" for _ in names)
+    dtypes = dict(df.dtypes)
     ex_fmts = ["%s"] * len(stored)
-    ex_args = [F.coalesce(F.col(c).cast("string"), F.lit("null"))
-               for c in stored]
+    ex_args = [
+        F.when(F.col(c).isNull(), F.lit("null")).otherwise(
+            F.concat(F.lit('"'), json_escape(F.col(c)), F.lit('"')))
+        if dtypes.get(c) == "string"
+        else F.coalesce(F.col(c).cast("string"), F.lit("null"))
+        for c in stored
+    ]
     replace_sql = F.format_string(
         f"REPLACE INTO `%s`.`%s` ({col_list}) VALUES ({marks})", *qual)
     delete_sql = F.format_string(

@@ -52,6 +52,13 @@ The decode tables/constants below are the RFC's: predefined FSE
 distributions (§3.1.1.3.2.2), literals-length and match-length code
 baselines/extra-bits (§3.1.1.3.2.1.1), offset code semantics
 (§3.1.1.5), Huffman weight semantics (§4.2.1).
+
+**FEATURE-COMPLETE vs RFC 8878 §3.1.1 (frozen r16)**: the encoder
+emits every block, literal, tree-description, and sequence-coding
+form its decoder accepts, each cross-validated byte-exact against
+zstd-jni. Remaining ratio work (optimal parsing, lazy matching) is
+pure tuning with no parity value — do not reopen this module for
+coverage; only for measured hot-path throughput wins.
 """
 
 from __future__ import annotations

@@ -446,6 +446,12 @@ class Changefeed:
             # application, which would intersect rules when a config
             # carries several selector rules
             ch = column_selectors(ch, self.cfg.sink.column_selectors)
+        for name, expr, _decl in (self.cfg.wide_payload or ()):
+            # full-width mounted projection (T3 typed view): every
+            # schema column of the replicated table, derived from the
+            # change row — pure column expressions, stays in the scan
+            # stage's whole-stage codegen
+            ch = ch.withColumn(name, F.expr(expr))
         return ch
 
     # -- sink --------------------------------------------------------------
@@ -454,7 +460,8 @@ class Changefeed:
         if scheme == "replica":
             return ReplicaSink(
                 os.path.join(self.work_dir, "replica", self.cfg.changefeed_id),
-                PAYLOAD_COLS, self.bookkeeping,
+                PAYLOAD_COLS + [n for n, _, _ in (self.cfg.wide_payload or ())],
+                self.bookkeeping,
             )
         if scheme in ("kafka", "changelog"):
             # transport selection on the sink URI (r12) — the production
@@ -608,6 +615,9 @@ class Changefeed:
                 # batch-dml-enable (mysql/config.go:70, default true)
                 batch_dml=(q.get("batch-dml-enable", ["true"])[0]
                            .lower() in ("true", "1")),
+                wide_cols=tuple(
+                    (n, decl)
+                    for n, _, decl in (self.cfg.wide_payload or ())),
             )
         if scheme in ("noop", "blackhole"):
             return NoopSink(self.bookkeeping)

@@ -88,7 +88,8 @@ def render_safe_mode_statements(changes: DataFrame,
                                 extra_tables: frozenset[int] | set[int]
                                 = frozenset(),
                                 extra_col: str = "extra_cents",
-                                extra_expr: str = DEFAULT_EXTRA_EXPR
+                                extra_expr: str = DEFAULT_EXTRA_EXPR,
+                                wide_cols: tuple[str, ...] = ()
                                 ) -> DataFrame:
     """Changes → ordered, lane-keyed safe-mode statement stream:
     (lane, table_id, schema_name, table_name, commit_ts, start_ts, opr,
@@ -102,10 +103,23 @@ def render_safe_mode_statements(changes: DataFrame,
     after-image. The widening rebuilds the statement from its parts (no
     text surgery on the VALUES arity), so a future change to the base
     REPLACE shape cannot silently desynchronize SQL and args.
+
+    ``wide_cols``: stored schema columns beyond the canonical payload
+    (the full-width table form, e.g. the 45-type fixture schema) —
+    every statement renders the widened column list / arg vector via
+    ``encode_mysql_sql(extra_cols=...)``. Mutually exclusive with
+    ``extra_tables`` (the DDL-evolution widening assumes the canonical
+    3-column REPLACE shape).
     """
     from tigate_spark.functions.encoders import encode_mysql_sql
 
-    enc = encode_mysql_sql(changes, replicating_ts=0, safe_mode_split=True)
+    if wide_cols and extra_tables:
+        raise ValueError(
+            "wide_cols and extra_tables widening cannot combine — the "
+            "DDL-evolution rewrite assumes the canonical REPLACE shape")
+    enc = encode_mysql_sql(
+        changes, replicating_ts=0, safe_mode_split=True,
+        extra_cols=tuple((c, False) for c in wide_cols))
     keys = changes.select(
         "seq", "commit_ts", "start_ts", "table_id",
         "schema_name", "table_name",
@@ -203,7 +217,8 @@ class _LaneLock:
 def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
                retries: int = 5, fence: str | None = None,
                write_source: int | None = None, driver=None,
-               split_txn: bool = True, batch_dml: bool = True) -> None:
+               split_txn: bool = True, batch_dml: bool = True,
+               wide_ddl: str = "") -> None:
     """Sequential writer for ONE lane: explicit txns of <= txn_rows
     statements / <= max_packet arg bytes, with the reference's error
     classes (``driver.classify``): transient → rollback + backoff retry;
@@ -392,7 +407,7 @@ def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
                     cur.execute(
                         f"CREATE TABLE IF NOT EXISTS `{tbl}` "
                         "(pk INTEGER PRIMARY KEY, event_type TEXT, "
-                        "value_cents INTEGER)"
+                        f"value_cents INTEGER{wide_ddl})"
                     )
                     cur.execute(
                         "INSERT OR IGNORE INTO _tables VALUES (?, ?)",
@@ -880,7 +895,8 @@ class SqliteApplySink:
                  driver=None, split_txn: bool = True,
                  changefeed: str = "", cluster_id: str = "default",
                  sync_point_us: int | None = None,
-                 batch_dml: bool = True):
+                 batch_dml: bool = True,
+                 wide_cols: tuple[tuple[str, str], ...] = ()):
         self.db_dir = db_dir
         self.n_lanes = n_lanes
         self.txn_rows = txn_rows
@@ -906,6 +922,12 @@ class SqliteApplySink:
         #: batch-dml-enable (mysql/config.go:70, default true): adjacent
         #: identical-SQL statements coalesce into one executemany
         self.batch_dml = batch_dml
+        #: full-width table schema beyond the canonical payload:
+        #: (column, sqlite_decl) pairs — statements render the widened
+        #: column list/args (encode_mysql_sql extra_cols) and lane
+        #: tables are created with the widened DDL (the reference's
+        #: writer always renders the table's full TableInfo schema)
+        self.wide_cols = tuple(wide_cols)
         os.makedirs(db_dir, exist_ok=True)
         # lane = table_id % n_lanes names PERSISTENT files: restarting a
         # feed over an existing db_dir with a different worker-count
@@ -934,11 +956,13 @@ class SqliteApplySink:
         micro-batch id, so a full replay after a crash between sink
         commit and checkpoint commit short-circuits on the marker."""
         stmts = render_safe_mode_statements(
-            changes, self.n_lanes, extra_tables)
+            changes, self.n_lanes, extra_tables,
+            wide_cols=tuple(n for n, _ in self.wide_cols))
         db_dir, txn_rows, max_packet = \
             self.db_dir, self.txn_rows, self.max_packet
         write_source, driver = self.write_source, self.driver
         split_txn, batch_dml = self.split_txn, self.batch_dml
+        wide_ddl = "".join(f", `{n}` {decl}" for n, decl in self.wide_cols)
         fence = f"b{batch_id}" if fence is None else fence
 
         def run_partition(rows) -> None:
@@ -971,6 +995,7 @@ class SqliteApplySink:
                     driver=driver,
                     split_txn=split_txn,
                     batch_dml=batch_dml,
+                    wide_ddl=wide_ddl,
                 )
 
         (stmts.repartition(self.n_lanes, "lane")
@@ -1130,14 +1155,18 @@ class SqliteApplySink:
             write_source=self.write_source, driver=self.driver,
             partition_scheme=partition_scheme, ddl_ts=ddl_ts)
 
-    def read_state(self, spark, extra_cols: tuple[str, ...] = ()
+    def read_state(self, spark, extra_cols: tuple = ()
                    ) -> DataFrame:
         """Union of all lane DBs as (table_id, pk, event_type,
         value_cents[, *extra_cols]) — the downstream's live state.
-        ``extra_cols`` are post-DDL columns: NULL for tables that never
-        saw the DDL. Driver-side read of a bounded replica (the
-        verification surface; a real deployment scans back through a
-        JDBC source instead)."""
+        ``extra_cols`` are post-DDL or wide-schema columns: plain names
+        read back as bigint (the evolution lanes' historical shape), or
+        ``(name, spark_type)`` pairs for typed wide columns; NULL for
+        tables that never saw the column. Driver-side read of a bounded
+        replica (the verification surface; a real deployment scans back
+        through a JDBC source instead)."""
+        typed = [(c, "bigint") if isinstance(c, str) else (c[0], c[1])
+                 for c in extra_cols]
         rows = []
         for f in sorted(os.listdir(self.db_dir)):
             if not f.endswith(".db"):
@@ -1151,11 +1180,11 @@ class SqliteApplySink:
                 sel = ", ".join(
                     f"`{c}`" if c in have else "NULL"
                     for c in ("pk", "event_type", "value_cents",
-                              *extra_cols))
+                              *[n for n, _ in typed]))
                 for row in cur.execute(f"SELECT {sel} FROM `{t}`"):
                     rows.append((int(tid), *row))
             con.close()
-        extra_schema = "".join(f", {c} bigint" for c in extra_cols)
+        extra_schema = "".join(f", {n} {ty}" for n, ty in typed)
         return spark.createDataFrame(
             rows,
             "table_id bigint, pk bigint, event_type string, "
