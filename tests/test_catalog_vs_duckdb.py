@@ -1,8 +1,17 @@
-"""Generic parity gate: every catalog query vs its DuckDB oracle.
+"""Generic parity gate: catalog queries vs their DuckDB oracles.
 
 Mirrors the driver's CORRECTNESS check — row count, schema width, and an
 order-insensitive value comparison — so a green run here predicts a green
 driver run at sf0.01.
+
+This pytest twin SAMPLES the catalog (default 40 entries, deterministic
+md5 ranking — same picks every run) to bound suite growth: the
+authoritative full sweep is ``tools/drive_driver.py`` (dtype-strict,
+the close gate), and duplicating all ~300 entries here doubled the
+slow-path wall for no added coverage (VERDICT r15 task #6). Controls:
+``TIGATE_FULL_CATALOG_SWEEP=1`` runs everything;
+``TIGATE_CATALOG_SAMPLE=N`` resizes; ``TIGATE_SAMPLE_SALT=x`` rotates
+the deterministic pick.
 """
 
 from __future__ import annotations
@@ -22,6 +31,22 @@ pytestmark = pytest.mark.slow
 
 CATALOG = get_catalog()
 SF_DIR = os.environ.get("TIGATE_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _sampled_names() -> list[str]:
+    names = sorted(CATALOG.keys())
+    if os.environ.get("TIGATE_FULL_CATALOG_SWEEP") == "1":
+        return names
+    n = int(os.environ.get("TIGATE_CATALOG_SAMPLE", "40"))
+    if n >= len(names):
+        return names
+    import hashlib
+
+    salt = os.environ.get("TIGATE_SAMPLE_SALT", "")
+    ranked = sorted(
+        names,
+        key=lambda x: hashlib.md5((salt + x).encode()).hexdigest())
+    return sorted(ranked[:n])
 
 
 @pytest.fixture(scope="module")
@@ -66,7 +91,7 @@ def _canon(rows, columns):
     return out
 
 
-@pytest.mark.parametrize("name", sorted(CATALOG.keys()))
+@pytest.mark.parametrize("name", _sampled_names())
 def test_query_matches_oracle(spark, name, ddb):
     spec = CATALOG[name]
     sdf = spec.builder(spark, SF_DIR)

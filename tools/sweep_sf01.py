@@ -10,6 +10,9 @@ from tigate_spark.session import get_spark
 SF = "/root/testdata/sf0.1"
 spark = get_spark("sweep", cpus=16)
 cat = get_catalog()
+if len(sys.argv) > 2 and sys.argv[1] == "--only":
+    names = sys.argv[2].split(",")
+    cat = {n: cat[n] for n in names}
 t_all = time.time()
 bad = []
 heaviest = []
