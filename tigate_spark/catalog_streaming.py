@@ -3215,8 +3215,12 @@ _WIDE_LANES = [
      "TEXT", "string"),
     ("quantity_str",
      # NB: a bare 100.0 literal parses as DECIMAL(3,1) in Spark SQL and
-     # %.2f rejects Decimal — force the double division explicitly
-     "format_string('%.2f', cast(value_cents as double) / 100)",
+     # %.2f rejects Decimal — force the double division explicitly; the
+     # NULL guard matters because Spark's format_string renders a null
+     # arg as the text 'null' (then %.2f truncates it to 'nu') while
+     # DuckDB's printf returns NULL
+     "case when value_cents is null then null else "
+     "format_string('%.2f', cast(value_cents as double) / 100) end",
      "printf('%.2f', CAST(value_cents AS DOUBLE) / 100)",
      "TEXT", "string"),
     ("returnflag_enum",

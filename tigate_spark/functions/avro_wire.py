@@ -133,22 +133,30 @@ def avro_wire_steps(d_name: str,
 
 
 def encode_avro_confluent(df: DataFrame,
-                          exclude: tuple[str, ...] = ()) -> DataFrame:
-    """Confluent-framed Avro binary key/value per change row, as hex
-    strings (``unhex`` of the columns is the exact producer payload).
+                          exclude: tuple[str, ...] = (),
+                          key_hdr: str = _KEY_HDR,
+                          value_hdr: str = _VALUE_HDR) -> DataFrame:
+    """Registry-framed Avro binary key/value per change row, as hex
+    strings (``unhex`` of the columns is the exact producer payload) —
+    Confluent headers by default, any registry frame via the kwargs.
 
     Expects ``op, pk, event_type, value_cents, user_id, commit_ts``.
     Pure column expressions — whole-stage codegen, no Python on the path.
     """
-    steps = avro_wire_steps("spark", exclude=exclude)
+    steps = avro_wire_steps("spark", exclude=exclude,
+                            key_hdr=key_hdr, value_hdr=value_hdr)
     out = df.selectExpr("*", *[f"{sql} AS {name}" for name, sql in steps])
     return out.drop("et_h", "op_h", "value_body_h")
 
 
-def avro_wire_oracle_suffix(exclude: tuple[str, ...] = ()) -> str:
+def avro_wire_oracle_suffix(exclude: tuple[str, ...] = (),
+                            key_hdr: str = _KEY_HDR,
+                            value_hdr: str = _VALUE_HDR) -> str:
     """DuckDB mirror: chained CTEs over an ``avro_in`` relation ending in
-    ``avro_msg`` with key_hex/value_hex."""
-    steps = avro_wire_steps("duckdb", exclude=exclude)
+    ``avro_msg`` with key_hex/value_hex — any registry frame via the
+    header kwargs."""
+    steps = avro_wire_steps("duckdb", exclude=exclude,
+                            key_hdr=key_hdr, value_hdr=value_hdr)
     sql = []
     prev = "avro_in"
     for i, (name, expr) in enumerate(steps):
@@ -163,28 +171,17 @@ def encode_avro_glue(df: DataFrame,
     """Glue-framed Avro binary key/value per change row, as hex strings:
     [03][00][16B schema-version UUID] + the registry-agnostic Avro
     binary body (``glue_schema_registry.go:326-353`` getMsgHeader; the
-    Confluent/Glue split is only the header, ``arvo.go:1019-1032``).
-    Pure column expressions — whole-stage codegen, no Python."""
-    steps = avro_wire_steps("spark", exclude=exclude,
-                            key_hdr=_GLUE_KEY_HDR,
-                            value_hdr=_GLUE_VALUE_HDR)
-    out = df.selectExpr("*", *[f"{sql} AS {name}" for name, sql in steps])
-    return out.drop("et_h", "op_h", "value_body_h")
+    Confluent/Glue split is only the header, ``arvo.go:1019-1032``)."""
+    return encode_avro_confluent(df, exclude=exclude,
+                                 key_hdr=_GLUE_KEY_HDR,
+                                 value_hdr=_GLUE_VALUE_HDR)
 
 
 def avro_glue_oracle_suffix(exclude: tuple[str, ...] = ()) -> str:
-    """DuckDB mirror of :func:`encode_avro_glue` — chained CTEs over
-    ``avro_in`` ending in ``avro_msg``."""
-    steps = avro_wire_steps("duckdb", exclude=exclude,
-                            key_hdr=_GLUE_KEY_HDR,
-                            value_hdr=_GLUE_VALUE_HDR)
-    sql = []
-    prev = "avro_in"
-    for i, (name, expr) in enumerate(steps):
-        cte = "avro_msg" if i == len(steps) - 1 else f"avg{i}"
-        sql.append(f", {cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
-        prev = cte
-    return "".join(sql)
+    """DuckDB mirror of :func:`encode_avro_glue`."""
+    return avro_wire_oracle_suffix(exclude=exclude,
+                                   key_hdr=_GLUE_KEY_HDR,
+                                   value_hdr=_GLUE_VALUE_HDR)
 
 
 # ---------------------------------------------------------------------------

@@ -1251,11 +1251,22 @@ def encode_mysql_sql(df: DataFrame, replicating_ts: int,
     marks = ",".join("?" for _ in names)
     dtypes = dict(df.dtypes)
     ex_fmts = ["%s"] * len(stored)
+
+    def _bare_json(dtype: str) -> bool:
+        # only dtypes whose string cast IS a valid bare JSON token may
+        # render unquoted; everything else (string, timestamp, date,
+        # interval, binary...) quotes + escapes — an unquoted
+        # '1970-01-01 00:00:00' would corrupt the args vector
+        return dtype in ("boolean",) or dtype.startswith(
+            ("tinyint", "smallint", "int", "bigint", "float", "double",
+             "decimal"))
+
     ex_args = [
-        F.when(F.col(c).isNull(), F.lit("null")).otherwise(
-            F.concat(F.lit('"'), json_escape(F.col(c)), F.lit('"')))
-        if dtypes.get(c) == "string"
-        else F.coalesce(F.col(c).cast("string"), F.lit("null"))
+        F.coalesce(F.col(c).cast("string"), F.lit("null"))
+        if _bare_json(dtypes.get(c, "string"))
+        else F.when(F.col(c).isNull(), F.lit("null")).otherwise(
+            F.concat(F.lit('"'), json_escape(F.col(c).cast("string")),
+                     F.lit('"')))
         for c in stored
     ]
     replace_sql = F.format_string(

@@ -725,7 +725,8 @@ def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
                      table_id: int, retries: int = 5,
                      write_source: int | None = None, driver=None,
                      partition_scheme: dict | None = None,
-                     ddl_ts: int | None = None) -> str:
+                     ddl_ts: int | None = None,
+                     wide_ddl: str = "") -> str:
     """Execute one DDL on a lane DB the way the reference's MySQL writer
     does (``mysql_writer.go:600-668``): its OWN transaction, the ``USE
     db`` switch (here: the schema-qualified local rename), the write-
@@ -797,11 +798,13 @@ def exec_ddl_on_lane(db_path: str, query: str, schema: str, table: str,
         if action != "drop-table":
             # DDL may precede any DML for the table (schema-first
             # changefeed start) — materialize the base table like the
-            # DML path would
+            # DML path would, INCLUDING the sink's wide schema columns
+            # (a narrow create here would crash the first widened
+            # REPLACE with 'no column named ...')
             cur.execute(
                 f"CREATE TABLE IF NOT EXISTS `{tbl}` "
                 "(pk INTEGER PRIMARY KEY, event_type TEXT, "
-                "value_cents INTEGER)")
+                f"value_cents INTEGER{wide_ddl})")
             cur.execute("INSERT OR IGNORE INTO _tables VALUES (?, ?)",
                         (tbl, int(table_id)))
         con.commit()
@@ -1153,7 +1156,9 @@ class SqliteApplySink:
             os.path.join(self.db_dir, f"lane-{lane}.db"),
             query, schema, table, int(table_id),
             write_source=self.write_source, driver=self.driver,
-            partition_scheme=partition_scheme, ddl_ts=ddl_ts)
+            partition_scheme=partition_scheme, ddl_ts=ddl_ts,
+            wide_ddl="".join(
+                f", `{n}` {decl}" for n, decl in self.wide_cols))
 
     def read_state(self, spark, extra_cols: tuple = ()
                    ) -> DataFrame:

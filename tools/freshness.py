@@ -43,9 +43,14 @@ def latest_green() -> dict[str, int]:
 
 
 def _argval(flag: str) -> int | None:
-    if flag in sys.argv:
-        return int(sys.argv[sys.argv.index(flag) + 1])
-    return None
+    if flag not in sys.argv:
+        return None
+    idx = sys.argv.index(flag)
+    if idx + 1 >= len(sys.argv) or not sys.argv[idx + 1].isdigit():
+        print(f"usage: {flag} N (round number) — got "
+              f"{sys.argv[idx + 1:idx + 2] or 'nothing'}")
+        sys.exit(2)
+    return int(sys.argv[idx + 1])
 
 
 def main() -> None:

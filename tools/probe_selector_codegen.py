@@ -59,7 +59,13 @@ def main() -> None:
     # whole-stage codegen nodes carry a "*(k)" prefix; an interpreted
     # fallback leaves the Project bare
     proj_lines = [ln for ln in plan.splitlines() if "Project" in ln]
-    codegen = all(re.search(r"\*\(\d+\)", ln) for ln in proj_lines)
+    # bool() guard: all() over an empty list is vacuously True — no
+    # Project node found must read as NOT-verified, not WHOLE-STAGE
+    codegen = bool(proj_lines) and all(
+        re.search(r"\*\(\d+\)", ln) for ln in proj_lines)
+    if not proj_lines:
+        print("WARNING: no Project node found in the executed plan — "
+              "verdict unreliable")
     payload = [c for c in wide.columns if c not in META_COLS]
     print(f"cols={len(wide.columns)} (payload={len(payload)}) "
           f"rules={len(rules)} rows={n} wall={wall:.2f}s "
