@@ -264,6 +264,12 @@ class ChangefeedConfig:
     #: statements, the replica sink extends its payload columns
     wide_payload: tuple = ()
 
+    def __post_init__(self) -> None:
+        # JSON round-trips render tuples as lists — normalize so a
+        # config rebuilt from its dict form compares equal
+        self.wide_payload = tuple(
+            tuple(t) for t in (self.wide_payload or ()))
+
 
 def _build(cls, data: dict):
     """Construct a config dataclass from a plain dict, ignoring unknown
