@@ -4239,6 +4239,41 @@ def decoder_avro_confluent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decoder_avro_glue",
+    ORACLE_CHANGES_CTE
+    + """
+SELECT seq, pk,
+  CASE WHEN op = 'D' THEN NULL ELSE event_type END AS event_type,
+  CASE WHEN op = 'D' THEN NULL ELSE value_cents END AS value_cents,
+  CASE WHEN op = 'D' THEN NULL ELSE user_id END AS user_id,
+  CASE WHEN op = 'D' THEN NULL WHEN op = 'I' THEN 'c' ELSE 'u' END AS op_flag,
+  CASE WHEN op = 'D' THEN NULL ELSE commit_ts END AS commit_ts,
+  CASE WHEN op = 'D' THEN NULL ELSE commit_ts // 1000 END AS phys_ms,
+  CAST(CASE WHEN op = 'D' THEN 1 ELSE 0 END AS BIGINT) AS is_tombstone
+FROM changes
+""",
+    doc="E7 Glue Avro consumer (glue_schema_registry.go "
+        "getGlueSchemaIDFromHeader + arvo.go decode dispatch): decode "
+        "the Glue-framed wire messages (18-byte version+compression+"
+        "schema-UUID header + Avro binary body) back into typed rows "
+        "via the independent Python decoder over Arrow mapInPandas; a "
+        "null value is the delete tombstone, key-only. Full "
+        "encode→decode round trip hash-matched against the pre-encode "
+        "truth — the consumer sibling of encoder_avro_glue_framed, "
+        "closing the Confluent/Glue decode symmetry",
+)
+def decoder_avro_glue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigate_spark.functions.avro_wire import (
+        avro_decode_rows,
+        encode_avro_glue,
+    )
+
+    ch = changes_stream(spark, sf_dir)
+    enc = encode_avro_glue(ch).select("seq", "key_hex", "value_hex")
+    return avro_decode_rows(enc, registry="glue")
+
+
+@register(
     "decoder_craft_dead_letter",
     ORACLE_CHANGES_CTE
     + """

@@ -348,22 +348,31 @@ _AVRO_DEC_SCHEMA = (
 
 
 def avro_decode_rows(df: DataFrame, key_col: str = "key_hex",
-                     value_col: str = "value_hex") -> DataFrame:
-    """Decode Confluent-framed Avro binary messages back into typed rows;
+                     value_col: str = "value_hex",
+                     registry: str = "confluent") -> DataFrame:
+    """Decode registry-framed Avro binary messages back into typed rows;
     a null value is the delete tombstone (key decodes alone). Arrow
-    ``mapInPandas``, per-partition, no shuffle."""
+    ``mapInPandas``, per-partition, no shuffle. ``registry`` picks the
+    header parser: ``confluent`` (5-byte magic+id) or ``glue`` (18-byte
+    version+compression+UUID)."""
     import pandas as pd
+
+    if registry not in ("confluent", "glue"):
+        raise ValueError(f"unknown avro registry framing: {registry!r}")
+    dec_key = decode_avro_glue_key if registry == "glue" else decode_avro_key
+    dec_val = (decode_avro_glue_value if registry == "glue"
+               else decode_avro_value)
 
     def fn(it):
         for pdf in it:
             rows = []
             for seq, kh, vh in zip(pdf["seq"], pdf[key_col], pdf[value_col]):
-                pk = decode_avro_key(bytes.fromhex(kh))
+                pk = dec_key(bytes.fromhex(kh))
                 if vh is None or (isinstance(vh, float)):
                     rows.append((int(seq), pk, None, None, None,
                                  None, None, None, 1))
                     continue
-                v = decode_avro_value(bytes.fromhex(vh))
+                v = dec_val(bytes.fromhex(vh))
                 if v["pk"] != pk:
                     raise ValueError(
                         f"avro: key pk {pk} != value pk {v['pk']}")
