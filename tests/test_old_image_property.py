@@ -1,0 +1,66 @@
+"""Property test for ``only_updated_old_image`` (P2 old-image diff):
+for ANY valid flat JSON object — values containing quotes, backslashes,
+commas, colons, newlines, unicode — the diff must keep exactly the
+changed keys' ORIGINAL fragments, byte-verbatim, in before-image order.
+
+This is the adversarial generalization of the r15 ADVICE finding (the
+old ``,(?=")`` boundary corrupted values containing ``,\"``); the
+boundary is now lexer-grade: a top-level comma followed by a complete
+JSON string key and a colon. Keys stay simple identifiers — the
+documented call-site invariant (column names)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+#: 30 Spark jobs ≈ 40 s — heavyweight hypothesis model, slow set
+pytestmark = pytest.mark.slow
+
+_KEY = st.from_regex(r"[a-z_][a-z0-9_]{0,8}", fullmatch=True)
+_VAL = st.one_of(
+    st.none(),
+    st.integers(min_value=-10**15, max_value=10**15),
+    st.text(max_size=24),
+)
+
+
+@st.composite
+def _image_pair(draw):
+    keys = draw(st.lists(_KEY, min_size=1, max_size=6, unique=True))
+    before = {k: draw(_VAL) for k in keys}
+    after = {}
+    for k in keys:
+        if draw(st.booleans()):
+            after[k] = before[k]
+        else:
+            after[k] = draw(_VAL)
+    return before, after
+
+
+def _expected_old(before: dict, after: dict) -> str:
+    kept = {k: v for k, v in before.items() if after.get(k, object()) != v}
+    # the diff keeps ORIGINAL fragments in before order; json.dumps of
+    # the subset with the same separators reproduces them byte-exactly
+    return json.dumps(kept, separators=(",", ":"), ensure_ascii=False)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pair=_image_pair())
+def test_old_image_diff_matches_python_oracle(spark, pair):
+    from tigate_spark.operators.projections import only_updated_old_image
+
+    before, after = pair
+    b = json.dumps(before, separators=(",", ":"), ensure_ascii=False)
+    a = json.dumps(after, separators=(",", ":"), ensure_ascii=False)
+    got = spark.createDataFrame(
+        [(b, a)], "before string, after string"
+    ).select(
+        only_updated_old_image(F.col("before"), F.col("after")).alias("old")
+    ).first()["old"]
+    assert got == _expected_old(before, after), (b, a)
