@@ -84,6 +84,28 @@ def test_boolean_extra_renders_bare_json(spark):
     assert json.loads(r["args"])[-1] is True
 
 
+def test_wide_payload_reaches_replica_sink(spark, tmp_path):
+    """The replica:// scheme extends its payload columns with the wide
+    lanes — the merged state carries the mounted wide values."""
+    import os
+
+    from tigate_spark.config import ChangefeedConfig
+    from tigate_spark.streaming.changefeed import Changefeed
+    from tigate_spark.streaming.sinks import read_replica
+
+    sf_dir = os.environ.get("TIGATE_TEST_SF_DIR", "/root/testdata/sf0.001")
+    cfg = ChangefeedConfig(
+        changefeed_id="wide-replica", sink_uri="replica://",
+        wide_payload=(("set_mask", "user_id % 8", "INTEGER"),))
+    cf = Changefeed(spark, cfg, os.path.join(sf_dir, "events.parquet"),
+                    str(tmp_path))
+    cf.run_to_completion()
+    state = read_replica(spark, cf.sink.state_dir)
+    assert "set_mask" in state.columns
+    rows = state.select("user_id", "set_mask").collect()
+    assert rows and all(r["set_mask"] == r["user_id"] % 8 for r in rows)
+
+
 @pytest.mark.parametrize("vc", [None, 150, 7])
 def test_quantity_str_lane_null_safe_both_engines(spark, vc):
     from tigate_spark.catalog_streaming import _WIDE_LANES
