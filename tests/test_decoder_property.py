@@ -1,0 +1,156 @@
+"""Consumer-decode property tests (r16 verdict task #4): for ANY
+payload values — quotes, backslashes, commas, unicode, nulls, huge
+ints — encode∘decode must be the identity on the canonical apply
+columns, for three protocol families:
+
+- canal-json  (``encode_canal_json`` → ``decode_canal_for_apply``)
+- open-protocol (``encode_open_protocol`` → ``decode_open_for_apply``)
+- simple-Avro (``encode_simple_avro`` → ``decode_simple_avro_for_apply``)
+
+The consumer e2es prove the composition on the fixture corpus (a
+controlled event_type vocabulary); these close the corpus-shape gap the
+r16 ``only_updated_old_image`` hypothesis precedent opened. The JSON
+families' before/after images are built driver-side with ``json.dumps``
+(the escaping contract an image builder must meet); the Avro family
+encodes the canonical columns directly, so its hostile strings traverse
+the length-prefixed binary wire with no escaping at all.
+
+Identity is per the wire's documented loss model, mirrored in
+``_expected``: start_ts is not carried (decodes 0); a DELETE surfaces
+its BEFORE image (canal/open: the provided one; simple-Avro: the
+encoder's pinned value_cents-100 derivation)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+pytestmark = pytest.mark.slow
+
+_BIG = 2**62  # stays inside BIGINT after json round-trips
+_STR = st.text(max_size=20)  # full unicode incl. ", \, commas, newlines
+
+
+@st.composite
+def _payload(draw, allow_null_et: bool = True):
+    et = st.one_of(st.none(), _STR) if allow_null_et else _STR
+    return {
+        "pk": draw(st.integers(min_value=-_BIG, max_value=_BIG)),
+        "event_type": draw(et),
+        "value_cents": draw(st.one_of(
+            st.none(), st.integers(min_value=-_BIG, max_value=_BIG))),
+        "user_id": draw(st.one_of(
+            st.none(), st.integers(min_value=-_BIG, max_value=_BIG))),
+    }
+
+
+@st.composite
+def _rows(draw, allow_null_et: bool = True):
+    n = draw(st.integers(min_value=1, max_value=5))
+    rows = []
+    for i in range(n):
+        op = draw(st.sampled_from("IUD"))
+        rows.append({
+            "seq": i,
+            "table": draw(st.integers(min_value=0, max_value=3)),
+            "op": op,
+            # sane epoch-µs window (the Avro wire renders a timestamp
+            # string from it; -1s must stay non-negative)
+            "commit_ts": draw(st.integers(
+                min_value=10**6, max_value=4 * 10**15)),
+            "after": draw(_payload(allow_null_et)),
+            "before": draw(_payload(allow_null_et)),
+        })
+    return rows
+
+
+def _expected(rows, before_of):
+    """Canonical apply columns the decoder must reproduce; ``before_of``
+    supplies the family's DELETE-surfaced image."""
+    exp = []
+    for r in rows:
+        img = before_of(r) if r["op"] == "D" else r["after"]
+        exp.append((
+            "app", f"t{r['table']}", r["table"], r["op"], 0,
+            r["commit_ts"], r["seq"], img["pk"], img["event_type"],
+            img["value_cents"], img["user_id"]))
+    return exp
+
+
+_APPLY_COLS = ("schema_name", "table_name", "table_id", "op", "start_ts",
+               "commit_ts", "seq", "pk", "event_type", "value_cents",
+               "user_id")
+
+
+def _collect(df):
+    return [tuple(r[c] for c in _APPLY_COLS)
+            for r in df.orderBy("seq").collect()]
+
+
+def _json_images_frame(spark, rows):
+    def img(p):
+        return json.dumps(p, separators=(",", ":"), ensure_ascii=False)
+
+    data = [("app", f"t{r['table']}", r["op"], r["commit_ts"], r["seq"],
+             img(r["before"]) if r["op"] in ("U", "D") else None,
+             img(r["after"]) if r["op"] in ("I", "U") else None)
+            for r in rows]
+    return spark.createDataFrame(
+        data, "schema_name string, table_name string, op string, "
+              "commit_ts long, seq long, before string, after string")
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_rows())
+def test_canal_json_apply_round_trip(spark, rows):
+    from tigate_spark.functions.encoders import (decode_canal_for_apply,
+                                                 encode_canal_json)
+
+    wire = encode_canal_json(_json_images_frame(spark, rows))
+    got = _collect(decode_canal_for_apply(wire))
+    assert got == _expected(rows, lambda r: r["before"])
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_rows())
+def test_open_protocol_apply_round_trip(spark, rows):
+    from tigate_spark.functions.encoders import (decode_open_for_apply,
+                                                 encode_open_protocol)
+
+    wire = encode_open_protocol(_json_images_frame(spark, rows))
+    got = _collect(decode_open_for_apply(wire))
+    assert got == _expected(rows, lambda r: r["before"])
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_rows(allow_null_et=False))
+def test_simple_avro_apply_round_trip(spark, rows):
+    from tigate_spark.functions.simple_avro import (
+        decode_simple_avro_for_apply, encode_simple_avro)
+
+    # the Avro encoder takes the canonical columns and derives the
+    # before image itself (value_cents - 100, avro.go's fixture pin)
+    data = [("app", f"t{r['table']}", r["table"], r["op"], r["commit_ts"],
+             r["seq"], r["after"]["pk"], r["after"]["event_type"],
+             r["after"]["value_cents"], r["after"]["user_id"])
+            for r in rows]
+    ch = spark.createDataFrame(
+        data, "schema_name string, table_name string, table_id long, "
+              "op string, commit_ts long, seq long, pk long, "
+              "event_type string, value_cents long, user_id long")
+    wire = encode_simple_avro(ch, out_col="value")
+    got = _collect(decode_simple_avro_for_apply(wire))
+
+    def before_of(r):
+        a = dict(r["after"])
+        if a["value_cents"] is not None:
+            a["value_cents"] -= 100
+        return a
+
+    assert got == _expected(rows, before_of)

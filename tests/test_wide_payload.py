@@ -121,3 +121,43 @@ def test_quantity_str_lane_null_safe_both_engines(spark, vc):
     assert got_spark == got_duck
     if vc == 150:
         assert got_spark == "1.50"
+
+
+def test_interval_extra_renders_quoted_json(spark):
+    """'interval second' must not be treated as a bare-JSON integer just
+    because 'int' prefixes it — an unquoted INTERVAL '02' SECOND would
+    corrupt the args vector (r16 ADVICE)."""
+    from tigate_spark.functions.encoders import encode_mysql_sql
+
+    df = spark.createDataFrame(
+        [(1, "app", "t0", "I", 10, 20, 7, "x", 5)],
+        "seq long, schema_name string, table_name string, op string, "
+        "start_ts long, commit_ts long, pk long, event_type string, "
+        "value_cents long",
+    ).withColumn("iv_extra", F.expr("INTERVAL '2' SECOND"))
+    assert dict(df.dtypes)["iv_extra"].startswith("int")  # the trap
+    r = encode_mysql_sql(df, replicating_ts=0,
+                         extra_cols=(("iv_extra", False),)).first()
+    args = json.loads(r["args"])  # raises on an unquoted INTERVAL token
+    assert isinstance(args[-1], str) and "SECOND" in args[-1]
+
+
+def test_wide_sink_rejects_ddl_widening_up_front(spark, tmp_path):
+    """A full-width sink receiving add-column DDL evolution must fail
+    fast with a configuration-level error at process_batch entry, not
+    die inside statement rendering (r16 ADVICE)."""
+    from tigate_spark.streaming.sqlite_apply import SqliteApplySink
+
+    sink = SqliteApplySink(str(tmp_path / "lanes"), n_lanes=2,
+                           wide_cols=(("set_mask", "INTEGER"),))
+    ch = spark.createDataFrame(
+        [(1, "app", "t0", 0, "I", 10, 20, 7, "click", 500, 3)],
+        "seq long, schema_name string, table_name string, table_id long, "
+        "op string, start_ts long, commit_ts long, pk long, "
+        "event_type string, value_cents long, set_mask long",
+    )
+    with pytest.raises(ValueError, match="configuration error"):
+        sink.process_batch(ch, batch_id=0, extra_tables=frozenset({0}))
+    # nothing of the rejected batch reached the lanes
+    assert sink.read_state(
+        spark, extra_cols=(("set_mask", "bigint"),)).count() == 0

@@ -1256,10 +1256,13 @@ def encode_mysql_sql(df: DataFrame, replicating_ts: int,
         # only dtypes whose string cast IS a valid bare JSON token may
         # render unquoted; everything else (string, timestamp, date,
         # interval, binary...) quotes + escapes — an unquoted
-        # '1970-01-01 00:00:00' would corrupt the args vector
-        return dtype in ("boolean",) or dtype.startswith(
-            ("tinyint", "smallint", "int", "bigint", "float", "double",
-             "decimal"))
+        # '1970-01-01 00:00:00' would corrupt the args vector. Exact
+        # names, not prefixes: 'int' as a prefix would also match
+        # 'interval day to second', whose cast ('INTERVAL ...') must
+        # quote.
+        return dtype in ("boolean", "tinyint", "smallint", "int",
+                         "bigint", "float", "double"
+                         ) or dtype.startswith("decimal(")
 
     ex_args = [
         F.coalesce(F.col(c).cast("string"), F.lit("null"))

@@ -81,8 +81,61 @@ def _table_match_cond(rule: ColumnSelector):
     return cond
 
 
+#: above this rule count the dispatch form switches to the folded plan:
+#: the nested per-column CASE chains are measured whole-stage through
+#: 300 rules x 45 columns (tools/probe_selector_codegen.py), but at
+#: ~400 rules the DRIVER dies in Column-node conversion with a
+#: StackOverflowError (analysis recursion over the O(rules)-deep when
+#: tree, not janino) — the folded form keeps every tree WIDE instead
+#: of deep, so it has no rule-count ceiling
+FOLD_RULE_THRESHOLD = 300
+
+
+def _folded_rule_idx(rules: list[ColumnSelector]):
+    """Index of the FIRST rule whose table matcher matches this row's
+    (schema, table), NULL when none does — built as ONE coalesce over
+    n_rules when-children (a single wide node; nesting the whens
+    instead recurses the analyzer n_rules deep)."""
+    whens = [F.when(_table_match_cond(r), F.lit(i))
+             for i, r in enumerate(rules)]
+    return whens[0] if len(whens) == 1 else F.coalesce(*whens)
+
+
+def _column_selectors_folded(df: DataFrame,
+                             rules: list[ColumnSelector]) -> DataFrame:
+    """Wide-rule-set form of :func:`column_selectors` (same semantics,
+    pinned hash-equal in ``tests/test_projections.py``): the per-column
+    rule outcome is pre-resolved DRIVER-side into a '0'/'1' mask string
+    over rule indices (``column_selected`` is a pure function of the
+    rule), so each column's projection is a single constant-depth
+    lookup — ``substring(mask, rule_idx + 1, 1)`` — instead of an
+    O(rules)-deep CASE chain. The row-dependent work (which rule
+    matches) happens ONCE per row in ``_folded_rule_idx``, not once per
+    column, so this form also evaluates n_cols× fewer matcher regexes
+    at any width."""
+    if not rules:
+        return df  # no rule ever matches → DefaultColumnSelector for all
+    dtypes = dict(df.dtypes)
+    idx = F.col("_rule_idx")
+    cols = []
+    for c in df.columns:
+        if c in META_COLS:
+            cols.append(F.col(c))
+            continue
+        mask = "".join(
+            "1" if column_selected(c, r.columns) else "0" for r in rules)
+        keep = idx.isNull() | (
+            F.substring(F.lit(mask), idx + F.lit(1), F.lit(1)) == "1")
+        cols.append(
+            F.when(keep, F.col(c))
+            .otherwise(F.lit(None).cast(dtypes[c])).alias(c))
+    return df.withColumn("_rule_idx", _folded_rule_idx(rules)) \
+             .select(*cols)
+
+
 def column_selectors(df: DataFrame,
-                     rules: list[ColumnSelector]) -> DataFrame:
+                     rules: list[ColumnSelector],
+                     fold: bool | None = None) -> DataFrame:
     """P1, full rule-dispatch form (``column_selector.go:74-101``
     ColumnSelectors + scenario ``kafka_column_selector``): the FIRST
     rule whose table matcher matches an event's (schema, table) decides
@@ -91,7 +144,16 @@ def column_selectors(df: DataFrame,
     NULLed (the relational rendering of "not encoded" — the frame
     stays one schema, the encoders' omit-null image builders drop
     them from the wire). Metadata/handle-key columns always survive,
-    the reference's dispatch-ability precondition."""
+    the reference's dispatch-ability precondition.
+
+    ``fold``: None = auto (the measured-fast nested dispatch up to
+    ``FOLD_RULE_THRESHOLD`` rules, the width-unbounded folded plan
+    above it); True/False forces a form — the regression test drives
+    both over the same frame and pins value equality."""
+    if fold is None:
+        fold = len(rules) > FOLD_RULE_THRESHOLD
+    if fold:
+        return _column_selectors_folded(df, rules)
     out = df
     for c in df.columns:
         if c in META_COLS:

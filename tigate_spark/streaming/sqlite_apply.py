@@ -167,6 +167,97 @@ def render_safe_mode_statements(changes: DataFrame,
     )
 
 
+#: multi-row statement bounds — the reference's defaults for the two
+#: caps a rendered multi-row DML must respect (max-txn-row,
+#: mysql/config.go:66 defaultMaxTxnRow; max_allowed_packet soft bound)
+MULTIROW_MAX_ROWS = 256
+MULTIROW_MAX_PACKET = 64 * 1024
+
+
+def coalesce_multirow_statements(stmts: DataFrame,
+                                 max_rows: int = MULTIROW_MAX_ROWS,
+                                 max_packet: int = MULTIROW_MAX_PACKET
+                                 ) -> DataFrame:
+    """batch-dml's real win on MySQL (mysql/config.go:70
+    batch-dml-enable + the driver's multi-row rewrite the reference
+    relies on; r13 note): coalesce ADJACENT identical-text REPLACEs in
+    a lane's apply order into ONE multi-row ``REPLACE INTO ... VALUES
+    (...),(...),...`` statement, so one driver round (and one packet)
+    carries the whole run. Input = ``render_safe_mode_statements``
+    output; output = (lane, stmt_seq, n_rows, table_id, schema_name,
+    table_name, sql, args) with args the concatenated JSON arg vector.
+
+    Bounds mirror the writer's flush caps: a run splits every
+    ``max_rows`` rows (max-txn-row) and whenever the accumulated arg
+    bytes BEFORE a row cross a ``max_packet`` boundary (the same
+    crossing-item-included semantics as the flush accounting — each
+    statement's bytes stay under max_packet + one row). Non-REPLACE
+    statements (the safe-mode DELETE pieces) pass through as singleton
+    runs in order; only adjacency within (lane, apply-order) coalesces,
+    so replaying the output row-at-a-time is statement-order-equivalent
+    to the uncoalesced stream and converges to the same LWW state
+    (pinned in ``tests/test_multirow_dml.py`` on the fake-MySQL
+    driver). Pure window + aggregate expressions — no Python, one
+    shuffle on lane (the same key the writer partitions by)."""
+    from pyspark.sql import Window
+
+    order_cols = ["commit_ts", "start_ts", "table_id", "opr", "seq",
+                  "piece_no"]
+    w = Window.partitionBy("lane").orderBy(*order_cols)
+    is_rep = F.col("sql").startswith("REPLACE INTO ")
+    prev_sql = F.lag("sql").over(w)
+    prev_rep = F.lag(is_rep).over(w)
+    brk = F.when(
+        (~is_rep) | prev_sql.isNull() | (prev_sql != F.col("sql"))
+        | (~prev_rep), F.lit(1)).otherwise(F.lit(0))
+    df = stmts.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("run"),
+    )
+    wr = Window.partitionBy("lane", "run").orderBy("rn")
+    df = df.select(
+        "*",
+        (F.row_number().over(wr) - 1).alias("ridx"),
+        F.coalesce(
+            F.sum(F.length("args")).over(
+                wr.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("bytes_before"),
+    ).withColumn(
+        "bucket",
+        F.greatest(F.expr(f"ridx div {int(max_rows)}"),
+                   F.expr(f"bytes_before div {int(max_packet)}")),
+    )
+    g = df.groupBy("lane", "run", "bucket").agg(
+        # bigint: row_number is int32 on Spark but the external oracle
+        # compare is dtype-strict (DuckDB window funcs emit int64)
+        F.min("rn").cast("bigint").alias("stmt_seq"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.any_value(F.col("table_id")).alias("table_id"),
+        F.any_value(F.col("schema_name")).alias("schema_name"),
+        F.any_value(F.col("table_name")).alias("table_name"),
+        F.any_value(F.col("sql")).alias("sql1"),
+        F.expr(
+            # ordered concatenation of the arg-vector BODIES
+            "array_join(transform(array_sort(collect_list(struct(rn, "
+            "substring(args, 2, length(args) - 2) AS body))), "
+            "x -> x.body), ',')").alias("args_body"),
+    )
+    multi = F.concat(
+        F.expr("element_at(split(sql1, ' VALUES '), 1)"),
+        F.lit(" VALUES "),
+        F.expr("array_join(array_repeat(element_at(split(sql1, "
+               "' VALUES '), 2), cast(n_rows as int)), ',')"))
+    return g.select(
+        "lane", "stmt_seq", "n_rows", "table_id", "schema_name",
+        "table_name",
+        F.when(F.col("n_rows") == 1, F.col("sql1"))
+        .otherwise(multi).alias("sql"),
+        F.concat(F.lit("["), F.col("args_body"), F.lit("]")).alias("args"),
+    )
+
+
 def _local_name(schema: str, table: str) -> str:
     """The SQLite physical name for ``schema``.``table`` (one namespace
     per lane file — the ``USE db`` equivalent)."""
@@ -958,6 +1049,20 @@ class SqliteApplySink:
         distinct ``fence`` per sub-batch then). The default fence is the
         micro-batch id, so a full replay after a crash between sink
         commit and checkpoint commit short-circuits on the marker."""
+        if extra_tables and self.wide_cols:
+            # fail fast at the sink's DDL-accept point, before anything
+            # of this batch renders or applies: a full-width sink
+            # (wide_cols) cannot also take the add-column DDL widening —
+            # render_safe_mode_statements would refuse mid-render
+            # otherwise, which reads as a mid-apply crash rather than
+            # the configuration error it is
+            raise ValueError(
+                "sink configuration error: this SqliteApplySink was "
+                "constructed with wide_cols (full-width schema) and "
+                "cannot apply add-column DDL evolution (extra_tables="
+                f"{sorted(extra_tables)}); configure the feed with "
+                "either the wide schema or DDL widening, not both — "
+                f"rejected before batch {batch_id} rendered")
         stmts = render_safe_mode_statements(
             changes, self.n_lanes, extra_tables,
             wide_cols=tuple(n for n, _ in self.wide_cols))

@@ -25,6 +25,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cols", type=int, default=45)
     ap.add_argument("--rules", type=int, default=50)
+    ap.add_argument("--fold", choices=["auto", "on", "off"], default="auto",
+                    help="force the folded (wide-tree) or nested "
+                         "(per-column CASE chain) dispatch form; auto = "
+                         "the FOLD_RULE_THRESHOLD gate")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     args = ap.parse_args()
 
@@ -50,7 +54,8 @@ def main() -> None:
         rules.append(ColumnSelector(
             matcher=[f"app.t{i % 4}"],
             columns=["*", f"!c{i % max(1, n_payload):02d}"]))
-    out = column_selectors(wide, rules)
+    fold = {"auto": None, "on": True, "off": False}[args.fold]
+    out = column_selectors(wide, rules, fold=fold)
 
     t0 = time.time()
     n = out.count()
