@@ -3891,6 +3891,101 @@ def encoder_mysql_sql_generated_skip(spark: SparkSession,
     )
 
 
+#: small caps so the sf0.01 corpus exercises the run-splitting
+_MULTIROW_ROWS, _MULTIROW_PACKET = 8, 256
+
+
+@register(
+    "encoder_mysql_sql_multirow",
+    ORACLE_CHANGES_CTE
+    + f"""
+, p AS (
+  SELECT seq, commit_ts, start_ts, table_id, table_id % 4 AS lane,
+         CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END AS opr,
+         CAST(1 AS BIGINT) AS piece_no,
+         printf('DELETE FROM `%s`.`%s` WHERE `pk` = ? LIMIT 1', schema_name, table_name) AS sql,
+         printf('[%d]', pk) AS args
+  FROM changes WHERE op IN ('U', 'D')
+  UNION ALL
+  SELECT seq, commit_ts, start_ts, table_id, table_id % 4 AS lane,
+         CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END AS opr,
+         CAST(CASE WHEN op = 'U' THEN 2 ELSE 1 END AS BIGINT) AS piece_no,
+         printf('REPLACE INTO `%s`.`%s` (`pk`,`event_type`,`value_cents`) VALUES (?,?,?)', schema_name, table_name) AS sql,
+         printf('[%d,"%s",%s]', pk, __ESC_ET__, coalesce(CAST(value_cents AS VARCHAR), 'null')) AS args
+  FROM changes WHERE op IN ('U', 'I')
+)
+, o AS (
+  SELECT p.*, row_number() OVER w AS rn,
+         sql LIKE 'REPLACE INTO %' AS is_rep,
+         lag(sql) OVER w AS prev_sql,
+         lag(sql LIKE 'REPLACE INTO %') OVER w AS prev_rep
+  FROM p
+  WINDOW w AS (PARTITION BY lane
+               ORDER BY commit_ts, start_ts, table_id, opr, seq, piece_no)
+)
+, r AS (
+  SELECT o.*,
+         SUM(CASE WHEN NOT is_rep OR prev_sql IS NULL
+                       OR prev_sql <> sql OR NOT prev_rep
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY lane ORDER BY rn) AS run
+  FROM o
+)
+, b AS (
+  SELECT r.*, row_number() OVER wr - 1 AS ridx,
+         coalesce(SUM(length(args)) OVER (PARTITION BY lane, run
+           ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS bytes_before
+  FROM r
+  WINDOW wr AS (PARTITION BY lane, run ORDER BY rn)
+)
+, c AS (
+  SELECT b.*, greatest(ridx // {_MULTIROW_ROWS},
+                       bytes_before // {_MULTIROW_PACKET}) AS bucket
+  FROM b
+)
+, g AS (
+  SELECT lane, run, bucket,
+         CAST(min(rn) AS BIGINT) AS stmt_seq,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         min(sql) AS sql1,
+         string_agg(substr(args, 2, length(args) - 2), ','
+                    ORDER BY rn) AS args_body
+  FROM c GROUP BY lane, run, bucket
+)
+SELECT lane, stmt_seq, n_rows,
+  CASE WHEN n_rows = 1 THEN sql1
+       ELSE split_part(sql1, ' VALUES ', 1) || ' VALUES ' ||
+            rtrim(repeat(split_part(sql1, ' VALUES ', 2) || ',',
+                         CAST(n_rows AS INT)), ',')
+  END AS sql,
+  '[' || args_body || ']' AS args
+FROM g
+""".replace("__ESC_ET__", _json_esc_sql("event_type")),
+    doc="K1 multi-row DML rendering (batch-dml-enable, mysql/config.go:"
+        "70,104 + the MySQL driver's multi-row rewrite the reference "
+        "leans on): adjacent identical-text safe-mode REPLACEs in a "
+        "lane's apply order coalesce into ONE 'REPLACE INTO ... VALUES "
+        "(...),(...),...' statement with the concatenated arg vector, "
+        "bounded by max-txn-row (8 here) and packet bytes (256) — the "
+        "oracle re-derives run detection (lag), the row/byte bucket "
+        "split, and the repeated-tuple SQL text from scratch. "
+        "tests/test_multirow_dml.py replays both forms on the "
+        "fake-MySQL driver: same LWW state, fewer statements, packet "
+        "accounting green. Pure window + aggregate plan, one shuffle "
+        "on lane (the writer's own partitioning key).",
+)
+def encoder_mysql_sql_multirow(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from tigate_spark.streaming.sqlite_apply import (
+        coalesce_multirow_statements, render_safe_mode_statements)
+
+    stmts = render_safe_mode_statements(changes_stream(spark, sf_dir))
+    return coalesce_multirow_statements(
+        stmts, max_rows=_MULTIROW_ROWS, max_packet=_MULTIROW_PACKET,
+    ).select("lane", "stmt_seq", "n_rows", "sql", "args")
+
+
 @register(
     "encoder_message_batches",
     ORACLE_CHANGES_CTE

@@ -50,11 +50,17 @@ def build_source(spark, out_dir: str, copies: int, n_files: int) -> int:
     parquet files → n_files micro-batches at maxFilesPerTrigger=1."""
     ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
     n = ev.count()
-    big = ev
-    for i in range(1, copies):
-        big = big.unionByName(
-            ev.withColumn("event_id", F.col("event_id") + F.lit(i * n))
-        )
+    if copies > 1:
+        # crossJoin against a range, not a union chain: the 100M tier
+        # needs 1000 copies and a 1000-way union is an analyzer-melting
+        # plan; the row set is identical (repartition reshuffles anyway)
+        big = (ev.crossJoin(spark.range(copies)
+                            .withColumnRenamed("id", "_copy"))
+               .withColumn("event_id",
+                           F.col("event_id") + F.col("_copy") * F.lit(n))
+               .drop("_copy"))
+    else:
+        big = ev
     big.repartition(n_files).write.mode("overwrite").parquet(out_dir)
     return n * copies
 
@@ -181,7 +187,7 @@ def main() -> None:
                     help="comma list: replica,changelog,file,sqlite")
     ap.add_argument("--scales", default="1M,10M")
     args = ap.parse_args()
-    scales = {"1M": (10, 4), "10M": (100, 40)}
+    scales = {"1M": (10, 4), "10M": (100, 40), "100M": (1000, 400)}
     spark = get_spark("tigate-streaming-scale")
     try:
         for sink in args.sinks.split(","):
