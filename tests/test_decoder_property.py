@@ -154,3 +154,82 @@ def test_simple_avro_apply_round_trip(spark, rows):
         return a
 
     assert got == _expected(rows, before_of)
+
+
+# -- CSV-configured dialect (4th family) -------------------------------------
+# The csv wire has DOCUMENTED loss lanes (they are the dialect's, not a
+# bug, and both engines agree on them): a value equal to null_string
+# reads back NULL; the univocity writer trims leading/trailing
+# whitespace off unquoted fields; the quote-less dialect cannot carry
+# the delimiter at all. The property asserts EXACT identity outside
+# those lanes (hypothesis assume()), over embedded delimiters, quotes,
+# backslashes, newlines and unicode.
+
+def _csv_rows_strategy():
+    return st.lists(st.tuples(
+        st.sampled_from("IUD"),
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=-_BIG, max_value=_BIG),   # pk
+        _STR,                                           # event_type
+        st.one_of(st.none(),
+                  st.integers(min_value=-_BIG, max_value=_BIG)),
+    ), min_size=1, max_size=5)
+
+
+def _csv_round_trip(spark, cfg, rows):
+    from hypothesis import assume
+
+    from tigate_spark.functions.encoders import (decode_csv_configured,
+                                                 encode_csv_configured)
+
+    for _, _, _, et, _ in rows:
+        assume(et != cfg.null_string)       # reads back as NULL
+        # the univocity writer trims unquoted fields JAVA-style: every
+        # boundary char <= U+0020 goes (wider than Python strip — \x1b
+        # found by hypothesis), so exclude such values from identity
+        assume(et and et[0] > " " and et[-1] > " ")
+        if not cfg.quote:
+            assume(cfg.delimiter not in et  # unrepresentable quote-less
+                   and "\n" not in et and "\r" not in et)
+    data = [(i, op, "app", f"t{t}", 100 + i, pk, et, vc)
+            for i, (op, t, pk, et, vc) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "seq long, op string, schema_name string, "
+              "table_name string, commit_ts long, pk long, "
+              "event_type string, value_cents long")
+    wire = encode_csv_configured(df, cfg).select("seq", "line")
+    got = [tuple(r) for r in decode_csv_configured(wire, cfg)
+           .orderBy("seq")
+           .select("op", "table_name", "pk", "event_type", "value_cents")
+           .collect()]
+    want = [(op, f"t{t}", pk, et, vc) for op, t, pk, et, vc in rows]
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_csv_rows_strategy())
+def test_csv_default_dialect_round_trip(spark, rows):
+    from tigate_spark.config import CSVConfig
+
+    _csv_round_trip(spark, CSVConfig(), rows)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_csv_rows_strategy())
+def test_csv_custom_dialect_round_trip(spark, rows):
+    from tigate_spark.config import CSVConfig
+
+    _csv_round_trip(spark, CSVConfig(delimiter="|", quote="'",
+                                     null_string="NULL",
+                                     include_commit_ts=False), rows)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_csv_rows_strategy())
+def test_csv_quoteless_dialect_round_trip(spark, rows):
+    from tigate_spark.config import CSVConfig
+
+    _csv_round_trip(spark, CSVConfig(quote=""), rows)
