@@ -35,7 +35,7 @@ from tigate_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     spark = get_spark("tigate-bench", cpus=cpus)

@@ -127,3 +127,43 @@ def test_multirow_row_cap_splits_runs(spark):
         "stmt_seq").collect()
     assert [r["n_rows"] for r in out] == [4, 4, 2]
     assert [json.loads(r["args"])[0] for r in out] == [0, 4, 8]
+
+
+def test_multirow_caps_hold_under_skewed_arg_sizes(spark):
+    """Self-review repro regression: the original greatest(row-bucket,
+    byte-bucket) grouping violated BOTH caps when one criterion split a
+    run and the other counter kept advancing. Two large-args rows
+    followed by many tiny ones (byte split early, then a long tail) and
+    a tiny-then-medium mix (row split first, bytes accumulating) must
+    each respect max_rows AND the packet bound per statement."""
+    from tigate_spark.streaming.sqlite_apply import (
+        coalesce_multirow_statements, render_safe_mode_statements)
+
+    def caps_hold(events, max_rows, max_packet):
+        ch = spark.createDataFrame(
+            events, "seq long, schema_name string, table_name string, "
+                    "table_id long, op string, start_ts long, "
+                    "commit_ts long, pk long, event_type string, "
+                    "value_cents long")
+        stmts = render_safe_mode_statements(ch)
+        singles = stmts.orderBy("commit_ts", "piece_no").collect()
+        biggest = max(len(r["args"]) for r in singles)
+        out = coalesce_multirow_statements(
+            stmts, max_rows=max_rows, max_packet=max_packet).collect()
+        assert sum(r["n_rows"] for r in out) == len(singles)
+        for r in out:
+            assert r["n_rows"] <= max_rows, out
+            assert len(r["args"]) - 2 <= max_packet + biggest, out
+        return out
+
+    # repro 1: two ~200-byte args then 14 tiny — the byte counter
+    # crosses early; the row counter must still cap the tail
+    ev1 = [(i, "app", "t0", 0, "I", 10 + i, 20 + i, i,
+            ("X" * 180) if i < 2 else "s", i) for i in range(16)]
+    out1 = caps_hold(ev1, max_rows=8, max_packet=256)
+    # repro 2: 8 tiny then 8 ~55-byte args — the row counter splits
+    # first; the byte bound must still hold inside the second group
+    ev2 = [(i, "app", "t0", 0, "I", 10 + i, 20 + i, i,
+            "s" if i < 8 else ("Y" * 50), i) for i in range(16)]
+    out2 = caps_hold(ev2, max_rows=8, max_packet=256)
+    assert any(r["n_rows"] > 1 for r in out1 + out2)

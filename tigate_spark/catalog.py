@@ -3940,18 +3940,18 @@ _MULTIROW_ROWS, _MULTIROW_PACKET = 8, 256
   WINDOW wr AS (PARTITION BY lane, run ORDER BY rn)
 )
 , c AS (
-  SELECT b.*, greatest(ridx // {_MULTIROW_ROWS},
-                       bytes_before // {_MULTIROW_PACKET}) AS bucket
+  SELECT b.*, ridx // {_MULTIROW_ROWS} AS bucket_r,
+         bytes_before // {_MULTIROW_PACKET} AS bucket_b
   FROM b
 )
 , g AS (
-  SELECT lane, run, bucket,
+  SELECT lane, run, bucket_r, bucket_b,
          CAST(min(rn) AS BIGINT) AS stmt_seq,
          CAST(count(*) AS BIGINT) AS n_rows,
          min(sql) AS sql1,
          string_agg(substr(args, 2, length(args) - 2), ','
                     ORDER BY rn) AS args_body
-  FROM c GROUP BY lane, run, bucket
+  FROM c GROUP BY lane, run, bucket_r, bucket_b
 )
 SELECT lane, stmt_seq, n_rows,
   CASE WHEN n_rows = 1 THEN sql1

@@ -104,7 +104,8 @@ def _folded_rule_idx(rules: list[ColumnSelector]):
 def _column_selectors_folded(df: DataFrame,
                              rules: list[ColumnSelector]) -> DataFrame:
     """Wide-rule-set form of :func:`column_selectors` (same semantics,
-    pinned hash-equal in ``tests/test_projections.py``): the per-column
+    pinned hash-equal in ``tests/test_partition_table.py::
+    test_column_selectors_folded_form_hash_equal``): the per-column
     rule outcome is pre-resolved DRIVER-side into a '0'/'1' mask string
     over rule indices (``column_selected`` is a pure function of the
     rule), so each column's projection is a single constant-depth

@@ -225,11 +225,21 @@ def coalesce_multirow_statements(stmts: DataFrame,
                 wr.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0)).alias("bytes_before"),
     ).withColumn(
-        "bucket",
-        F.greatest(F.expr(f"ridx div {int(max_rows)}"),
-                   F.expr(f"bytes_before div {int(max_packet)}")),
+        # split on BOTH bucket counters, not their max: each is monotone
+        # non-decreasing along the run (so equal pairs stay adjacent),
+        # and sharing bucket_r bounds the group to max_rows rows while
+        # sharing bucket_b bounds its byte span to max_packet + one
+        # row's args. greatest() of the two counters does NOT bound
+        # either — the counters never reset when the OTHER criterion
+        # splits, so rows from an early byte-overflow group would merge
+        # with the next row-count group (caught by self-review repro;
+        # regression-pinned with skewed arg sizes in
+        # tests/test_multirow_dml.py)
+        "bucket_r", F.expr(f"ridx div {int(max_rows)}"),
+    ).withColumn(
+        "bucket_b", F.expr(f"bytes_before div {int(max_packet)}"),
     )
-    g = df.groupBy("lane", "run", "bucket").agg(
+    g = df.groupBy("lane", "run", "bucket_r", "bucket_b").agg(
         # bigint: row_number is int32 on Spark but the external oracle
         # compare is dtype-strict (DuckDB window funcs emit int64)
         F.min("rn").cast("bigint").alias("stmt_seq"),
