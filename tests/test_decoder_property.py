@@ -233,3 +233,25 @@ def test_csv_quoteless_dialect_round_trip(spark, rows):
     from tigate_spark.config import CSVConfig
 
     _csv_round_trip(spark, CSVConfig(quote=""), rows)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_rows())
+def test_debezium_apply_round_trip(spark, rows):
+    """5th family: the debezium envelope carries a narrower decode
+    surface (no table_id/start_ts/user_id) — identity on what it
+    carries: c/u/d ↔ I/U/D, source.commit_ts exact, d surfaces before."""
+    from tigate_spark.functions.encoders import (decode_debezium,
+                                                 encode_debezium)
+
+    wire = encode_debezium(_json_images_frame(spark, rows))
+    got = [(r["database"], r["table_name"], r["op"], r["commit_ts"],
+            r["pk"], r["event_type"], r["value_cents"])
+           for r in decode_debezium(wire).orderBy("seq").collect()]
+    want = []
+    for r in rows:
+        img = r["before"] if r["op"] == "D" else r["after"]
+        want.append(("app", f"t{r['table']}", r["op"], r["commit_ts"],
+                     img["pk"], img["event_type"], img["value_cents"]))
+    assert got == want
