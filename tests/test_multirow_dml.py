@@ -167,3 +167,57 @@ def test_multirow_caps_hold_under_skewed_arg_sizes(spark):
             "s" if i < 8 else ("Y" * 50), i) for i in range(16)]
     out2 = caps_hold(ev2, max_rows=8, max_packet=256)
     assert any(r["n_rows"] > 1 for r in out1 + out2)
+
+
+def test_multirow_live_sink_matches_plain_sink(spark, tmp_path):
+    """The LIVE executable path (multirow_dml=True): same micro-batch
+    through the plain and multi-row sinks lands the same state, and the
+    fence still short-circuits a replay."""
+    from tigate_spark.sources.changes import changes_stream
+    from tigate_spark.streaming.sqlite_apply import SqliteApplySink
+
+    ch = changes_stream(spark, SF_DIR)
+    plain = SqliteApplySink(str(tmp_path / "plain"), n_lanes=2)
+    multi = SqliteApplySink(str(tmp_path / "multi"), n_lanes=2,
+                            multirow_dml=True)
+    plain.process_batch(ch, batch_id=0)
+    multi.process_batch(ch, batch_id=0)
+    multi.process_batch(ch, batch_id=0)  # fence replay: must no-op
+    key = ["table_id", "pk"]
+    a = [tuple(r) for r in plain.read_state(spark).orderBy(*key).collect()]
+    b = [tuple(r) for r in multi.read_state(spark).orderBy(*key).collect()]
+    assert a and a == b
+
+
+def test_multirow_requires_split_txn(tmp_path):
+    import pytest
+
+    from tigate_spark.streaming.sqlite_apply import SqliteApplySink
+
+    with pytest.raises(ValueError, match="transaction-atomicity"):
+        SqliteApplySink(str(tmp_path / "x"), multirow_dml=True,
+                        split_txn=False)
+
+
+def test_multirow_changefeed_uri_e2e(spark, tmp_path):
+    """sqlite://?batch-dml-multirow=true through the full changefeed
+    equals the engine's LWW materialization."""
+    import os
+
+    from tigate_spark.catalog import get_catalog
+    from tigate_spark.config import ChangefeedConfig
+    from tigate_spark.streaming.changefeed import Changefeed
+
+    cfg = ChangefeedConfig(
+        changefeed_id="multirow-e2e",
+        sink_uri="sqlite://?batch-dml-multirow=true&max-txn-row=16")
+    cf = Changefeed(spark, cfg, os.path.join(SF_DIR, "events.parquet"),
+                    str(tmp_path))
+    assert cf.sink.multirow_dml and cf.sink.txn_rows == 16
+    cf.run_to_completion()
+    got = {(r["table_id"], r["pk"]): (r["event_type"], r["value_cents"])
+           for r in cf.sink.read_state(spark).collect()}
+    want = {(m["table_id"], m["pk"]): (m["event_type"], m["value_cents"])
+            for m in get_catalog()["apply_materialize"]
+            .builder(spark, SF_DIR).collect()}
+    assert got == want

@@ -1390,6 +1390,84 @@ def _ddl_anchor_oracle(num: int, den: int,
 
 
 @register(
+    "streaming_sqlite_multirow_e2e",
+    ORACLE_CHANGES_CTE + """
+, ordered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY table_id, pk
+    ORDER BY commit_ts DESC, start_ts DESC,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC, seq DESC
+  ) AS rn
+  FROM changes
+)
+SELECT table_id, pk, event_type, value_cents
+FROM ordered WHERE rn = 1 AND op <> 'D'
+""",
+    doc="K1 executable sink, batch-dml MULTI-ROW form (the MySQL "
+        "driver's rewriteBatchedStatements shape batch-dml actually "
+        "wins by, mysql/config.go:70,104): the changefeed's rendered "
+        "safe-mode stream passes through coalesce_multirow_statements "
+        "— adjacent same-table REPLACEs become ONE multi-row VALUES "
+        "statement bounded by max-txn-row (16 here) and packet bytes — "
+        "and the lane writer executes each coalesced statement in its "
+        "own downstream txn on live SQLite. Same LWW oracle as the "
+        "row-at-a-time e2e: the two execution forms MUST converge to "
+        "identical state (tests/test_multirow_dml.py pins the caps and "
+        "the fake-MySQL packet accounting). The entry pre-asserts the "
+        "corpus genuinely coalesces (max n_rows > 1), so it cannot "
+        "pass vacuously as disguised row-at-a-time",
+)
+def streaming_sqlite_multirow_e2e(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from tigate_spark.sources.changes import normalize_events
+    from tigate_spark.streaming.sqlite_apply import (
+        SqliteApplySink, coalesce_multirow_statements,
+        render_safe_mode_statements)
+
+    work = tempfile.mkdtemp(prefix="tigate-stream-")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        base = spark.read.parquet(src)
+        order_sql = (
+            "ts, -(event_id % 97), "
+            "case when event_id % 10 >= 9 then 1 "
+            "when event_id % 10 >= 6 then 2 else 3 end, event_id"
+        )
+        flat, land = split_df_in_order(spark, base, work, 3, order_sql)
+        for k in range(3):
+            land(k)
+        # non-triviality: this corpus must actually form multi-row runs
+        probe = coalesce_multirow_statements(
+            render_safe_mode_statements(
+                normalize_events(spark.read.parquet(src))),
+            max_rows=16).agg(F.max("n_rows").alias("m")).first()["m"]
+        if probe < 2:
+            raise RuntimeError("corpus never coalesces — vacuous entry")
+        raw = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(flat)
+        )
+        sink = SqliteApplySink(os.path.join(work, "db"),
+                               txn_rows=16, multirow_dml=True)
+        ckpt = os.path.join(work, "ckpt")
+        q = (
+            normalize_events(raw)
+            .writeStream.foreachBatch(sink.process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        return _materialize(sink.read_state(spark))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "streaming_sqlite_ddl_apply_e2e",
     ORACLE_CHANGES_CTE + """
 , ordered AS (

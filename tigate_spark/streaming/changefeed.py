@@ -615,6 +615,14 @@ class Changefeed:
                 # batch-dml-enable (mysql/config.go:70, default true)
                 batch_dml=(q.get("batch-dml-enable", ["true"])[0]
                            .lower() in ("true", "1")),
+                # batch-dml-multirow (default false): render batch-dml's
+                # multi-row VALUES form explicitly — the MySQL driver's
+                # rewriteBatchedStatements shape, one statement per
+                # adjacent same-table REPLACE run bounded by
+                # max-txn-row/max-packet — instead of the executemany
+                # coalescing twin
+                multirow_dml=(q.get("batch-dml-multirow", ["false"])[0]
+                              .lower() in ("true", "1")),
                 wide_cols=tuple(
                     (n, decl)
                     for n, _, decl in (self.cfg.wide_payload or ())),

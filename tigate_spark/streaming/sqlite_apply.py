@@ -1000,6 +1000,7 @@ class SqliteApplySink:
                  changefeed: str = "", cluster_id: str = "default",
                  sync_point_us: int | None = None,
                  batch_dml: bool = True,
+                 multirow_dml: bool = False,
                  wide_cols: tuple[tuple[str, str], ...] = ()):
         self.db_dir = db_dir
         self.n_lanes = n_lanes
@@ -1026,6 +1027,20 @@ class SqliteApplySink:
         #: batch-dml-enable (mysql/config.go:70, default true): adjacent
         #: identical-SQL statements coalesce into one executemany
         self.batch_dml = batch_dml
+        #: explicit multi-row rendering (the MySQL driver's
+        #: rewriteBatchedStatements form batch-dml actually wins by):
+        #: adjacent same-table REPLACEs render as ONE multi-row VALUES
+        #: statement via coalesce_multirow_statements, bounded by
+        #: txn_rows/max_packet, and each statement commits in its own
+        #: downstream txn (= the driver txn that carried the batch).
+        #: Requires split_txn (multi-row runs span upstream txns).
+        self.multirow_dml = multirow_dml
+        if multirow_dml and not split_txn:
+            raise ValueError(
+                "batch-dml-multirow requires transaction-atomicity=none "
+                "(multi-row statements coalesce rows across upstream "
+                "transactions, which 'table' atomicity must not split "
+                "or merge)")
         #: full-width table schema beyond the canonical payload:
         #: (column, sqlite_decl) pairs — statements render the widened
         #: column list/args (encode_mysql_sql extra_cols) and lane
@@ -1076,6 +1091,10 @@ class SqliteApplySink:
         stmts = render_safe_mode_statements(
             changes, self.n_lanes, extra_tables,
             wide_cols=tuple(n for n, _ in self.wide_cols))
+        multirow = self.multirow_dml
+        if multirow:
+            stmts = coalesce_multirow_statements(
+                stmts, max_rows=self.txn_rows, max_packet=self.max_packet)
         db_dir, txn_rows, max_packet = \
             self.db_dir, self.txn_rows, self.max_packet
         write_source, driver = self.write_source, self.driver
@@ -1090,6 +1109,26 @@ class SqliteApplySink:
             for r in rows:
                 by_lane.setdefault(r["lane"], []).append(r)
             for lane, rs in by_lane.items():
+                if multirow:
+                    # one multi-row statement already carries up to a
+                    # full txn's rows (coalesce caps at txn_rows), so
+                    # each statement commits in its own downstream txn
+                    # (txn_rows=1) — the MySQL driver-rewrite shape
+                    rs.sort(key=lambda r: r["stmt_seq"])
+                    _exec_lane(
+                        os.path.join(db_dir, f"lane-{lane}.db"),
+                        ((r["schema_name"], r["table_name"],
+                          r["table_id"], r["sql"], r["args"], None)
+                         for r in rs),
+                        1, max_packet,
+                        fence=f"{fence}.l{lane}",
+                        write_source=write_source,
+                        driver=driver,
+                        split_txn=True,
+                        batch_dml=False,  # statements are pre-coalesced
+                        wide_ddl=wide_ddl,
+                    )
+                    continue
                 # table_id sits INSIDE the (commit_ts, start_ts) txn
                 # group: a multi-table upstream txn whose tables share a
                 # lane must keep each single-table slice CONTIGUOUS, or
