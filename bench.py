@@ -33,6 +33,7 @@ from tigate_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    _load0 = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
@@ -54,7 +55,10 @@ def main() -> None:
         dfs[name].write.format("noop").mode("overwrite").save()
 
     samples: dict[str, list[float]] = {n: [] for n in names}
-    loadavg: list[float] = []
+    # first element = load BEFORE this process did any work (the
+    # external-neighbor signal); later elements are taken before each
+    # timed pass and include this bench's own warm JVM
+    loadavg: list[float] = [_load0]
     for _ in range(runs):
         loadavg.append(round(os.getloadavg()[0], 2))
         for name in names:
