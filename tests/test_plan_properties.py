@@ -766,3 +766,34 @@ def test_simple_avro_decoder_is_arrow_mapinpandas(spark):
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan
     assert count_exchanges(df) == 0
+
+
+def test_folded_selector_stays_whole_stage(spark):
+    """The wide-rule folded dispatch (auto above FOLD_RULE_THRESHOLD)
+    must keep its Projects inside whole-stage codegen — the form exists
+    to remove the nested form's ~400-rule analyzer ceiling, so a
+    codegen fallback here would silently lose the hot path."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tigate_spark.config import ColumnSelector
+    from tigate_spark.operators.projections import column_selectors
+
+    df = spark.createDataFrame(
+        [("app", f"t{i % 4}", i % 4, i % 4, i, i, f"e{i}", i, i)
+         for i in range(64)],
+        "schema_name string, table_name string, table_id long, "
+        "physical_table_id long, commit_ts long, pk long, "
+        "event_type string, value_cents long, user_id long")
+    rules = [ColumnSelector(matcher=[f"app.t{i % 4}"],
+                            columns=["*", "!user_id" if i % 2 else
+                                     "!event_type"])
+             for i in range(350)]  # above the 300 gate → folded form
+    out = column_selectors(df, rules)
+    assert out.count() == 64  # must not stack-overflow the analyzer
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    proj = [ln for ln in plan.splitlines() if "Project" in ln]
+    assert proj and all(re.search(r"\*\(\d+\)", ln) for ln in proj), plan
+    # and the dispatch is real: rows matching a rule had a column NULLed
+    assert out.where(F.col("user_id").isNull()).count() > 0
