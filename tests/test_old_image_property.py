@@ -14,7 +14,7 @@ from __future__ import annotations
 import json
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -52,6 +52,11 @@ def _expected_old(before: dict, after: dict) -> str:
 @settings(max_examples=30, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(pair=_image_pair())
+# r17 hypothesis find, pinned forever: number 0 -> string "0" is a
+# CHANGED value, but the old map<string,string> comparison cast both
+# to '0' and dropped the key — the diff now compares rendered
+# fragments, never casts
+@example(pair=({"a": 0}, {"a": "0"}))
 def test_old_image_diff_matches_python_oracle(spark, pair):
     from tigate_spark.operators.projections import only_updated_old_image
 

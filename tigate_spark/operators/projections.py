@@ -384,18 +384,20 @@ def only_updated_old_image(before_col, after_col):
     valid JSON string is impossible, so the lookahead's string+colon
     requirement only holds at real key positions. Keys are assumed to
     need no JSON escaping (they are column identifiers at every call
-    site); nested object/array values are out of scope — the same
-    flatness ``IMG_MAP`` (map<string,string>) already requires."""
-    inner = F.regexp_replace(before_col, r"^\{|\}$", "")
-    frags = F.split(inner, ',(?="(?:[^"\\\\]|\\\\.)*"\\s*:)')
-    amap = F.from_json(after_col, IMG_MAP)
-    bmap = F.from_json(before_col, IMG_MAP)
+    site); nested object/array values are out of scope (flat images).
 
-    def _changed(fr):
-        key = F.regexp_extract(fr, '^"((?:[^"\\\\]|\\\\.)*)"', 1)
-        return ~bmap[key].eqNullSafe(amap[key])
-
-    kept = F.filter(frags, _changed)
+    "Changed" = the before FRAGMENT (key + rendered value, byte-exact)
+    does not appear among the after fragments. Comparing rendered
+    fragments rather than ``from_json``-cast map values matters: the
+    map cast is stringly — number ``0`` and string ``"0"`` both cast
+    to ``'0'`` and would compare EQUAL, silently dropping a
+    type-changing update from the old image (hypothesis-found in r17;
+    images rendered from a typed schema are type-stable, but the diff
+    must not depend on that invariant to be correct)."""
+    pat = ',(?="(?:[^"\\\\]|\\\\.)*"\\s*:)'
+    frags = F.split(F.regexp_replace(before_col, r"^\{|\}$", ""), pat)
+    afrags = F.split(F.regexp_replace(after_col, r"^\{|\}$", ""), pat)
+    kept = F.filter(frags, lambda fr: ~F.array_contains(afrags, fr))
     return F.concat(F.lit("{"), F.array_join(kept, ","), F.lit("}"))
 
 
