@@ -255,3 +255,67 @@ def test_debezium_apply_round_trip(spark, rows):
         want.append(("app", f"t{r['table']}", r["op"], r["commit_ts"],
                      img["pk"], img["event_type"], img["value_cents"]))
     assert got == want
+
+
+# -- simple-JSON large-message lane (6th family) ------------------------------
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_rows(allow_null_et=False),
+       threshold=st.integers(min_value=100, max_value=260))
+def test_simple_json_large_threshold_round_trip(spark, rows, threshold):
+    """The degrade decision is a BYTE threshold (octet_length) over the
+    rendered wire — multi-byte unicode in event_type must count as its
+    UTF-8 bytes, not its chars; the Python mirror rebuilds the exact
+    wire, its byte length, and the md5 claim address, and the decoder
+    must agree on which branch every row took."""
+    import hashlib
+
+    from tigate_spark.functions.encoders import (
+        decode_simple_protocol_large, encode_simple_protocol_large)
+
+    def img(p):
+        return json.dumps(p, separators=(",", ":"), ensure_ascii=False)
+
+    # the encoder additionally needs table_id and the handle-key pk
+    # (the degraded image renders {"pk":%d} from the frame's pk column)
+    data = [("app", f"t{r['table']}", r["table"], r["op"],
+             r["commit_ts"], r["seq"],
+             (r["before"] if r["op"] == "D" else r["after"])["pk"],
+             img(r["before"]) if r["op"] in ("U", "D") else None,
+             img(r["after"]) if r["op"] in ("I", "U") else None)
+            for r in rows]
+    frame = spark.createDataFrame(
+        data, "schema_name string, table_name string, table_id long, "
+              "op string, commit_ts long, seq long, pk long, "
+              "before string, after string")
+    wire = encode_simple_protocol_large(frame, threshold=threshold)
+    got = [(r["table_name"], r["op"], r["commit_ts"],
+            r["only_handle_key"], r["claim_location"], r["pk"],
+            r["event_type"], r["value_cents"])
+           for r in decode_simple_protocol_large(
+               wire, keep=("seq",)).orderBy("seq").collect()]
+
+    want = []
+    for r in rows:
+        t, c = r["table"], r["commit_ts"]
+        prefix = (f'{{"version":1,"database":"app","table":"t{t}",'
+                  f'"tableID":{t},"type":"DML","commitTs":{c},'
+                  f'"buildTs":{c // 1000},"schemaVersion":1')
+        if r["op"] == "I":
+            tail = f',"data":{img(r["after"])}}}'
+        elif r["op"] == "U":
+            tail = f',"data":{img(r["after"])},"old":{img(r["before"])}}}'
+        else:
+            tail = f',"old":{img(r["before"])}}}'
+        full = prefix + tail
+        live = r["before"] if r["op"] == "D" else r["after"]
+        if len(full.encode("utf-8")) > threshold:  # octet semantics
+            md5 = hashlib.md5(full.encode("utf-8")).hexdigest()
+            want.append((f"t{t}", r["op"], c, 1,
+                         f"s3://claim-check/{md5}.json", live["pk"],
+                         None, None))
+        else:
+            want.append((f"t{t}", r["op"], c, 0, None, live["pk"],
+                         live["event_type"], live["value_cents"]))
+    assert got == want
