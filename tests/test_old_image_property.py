@@ -69,3 +69,17 @@ def test_old_image_diff_matches_python_oracle(spark, pair):
         only_updated_old_image(F.col("before"), F.col("after")).alias("old")
     ).first()["old"]
     assert got == _expected_old(before, after), (b, a)
+
+
+def test_updated_columns_type_change_and_null_before(spark):
+    """updated_columns_projection must share the fragment-comparison
+    semantics: a number→string change of the same rendering IS a
+    change, and a null-valued before key that differs in after is
+    reported (the old map_filter form dropped both)."""
+    from tigate_spark.operators.projections import updated_columns_projection
+
+    df = spark.createDataFrame(
+        [("U", '{"a":0,"b":null,"c":"x"}', '{"a":"0","b":5,"c":"x"}')],
+        "op string, before string, after string")
+    row = updated_columns_projection(df).first()
+    assert row["changed_cols"] == ["a", "b"] and row["n_changed"] == 2

@@ -424,16 +424,22 @@ def updated_columns_projection(df: DataFrame) -> DataFrame:
     (``pkg/config/sink.go:160``; open-codec ``open/codec.go:56-72`` drops
     unchanged columns from the ``old`` image).
 
-    The images are JSON; the diff is a JVM-side map comparison
-    (``from_json`` → ``map_filter``), no Python.
-    """
+    The images are JSON; the diff is JVM-side over the RENDERED
+    fragments (the same lexer-grade boundaries and byte-exact
+    comparison as :func:`only_updated_old_image` — the earlier
+    ``from_json``+``map_filter`` form was stringly, so number ``0`` vs
+    string ``"0"`` compared equal, and its non-null-safe ``!=``
+    silently dropped null-valued before keys from the diff), no
+    Python."""
     from pyspark.sql import functions as F
 
-    b = F.from_json(F.col("before"), IMG_MAP)
-    a = F.from_json(F.col("after"), IMG_MAP)
-    changed = F.array_sort(
-        F.map_keys(F.map_filter(b, lambda k, v: v != a[k]))
-    )
+    pat = ',(?="(?:[^"\\\\]|\\\\.)*"\\s*:)'
+    bf = F.split(F.regexp_replace(F.col("before"), r"^\{|\}$", ""), pat)
+    af = F.split(F.regexp_replace(F.col("after"), r"^\{|\}$", ""), pat)
+    kept = F.filter(bf, lambda fr: ~F.array_contains(af, fr))
+    changed = F.array_sort(F.transform(
+        kept,
+        lambda fr: F.regexp_extract(fr, '^"((?:[^"\\\\]|\\\\.)*)"', 1)))
     return (
         df.filter(F.col("op") == "U")
         .withColumn("changed_cols", changed)
