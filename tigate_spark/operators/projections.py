@@ -414,8 +414,6 @@ def tidb_row_checksum_bytes(lanes: list[tuple["F.Column", str]]) -> "F.Column":
         F.concat(*[build_checksum_bytes(c, t) for c, t in lanes])))
 
 
-#: payload image schema for the canonical synthetic images
-IMG_MAP = "map<string,string>"
 
 
 def updated_columns_projection(df: DataFrame) -> DataFrame:

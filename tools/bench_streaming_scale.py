@@ -188,7 +188,11 @@ def main() -> None:
     ap.add_argument("--scales", default="1M,10M")
     args = ap.parse_args()
     scales = {"1M": (10, 4), "10M": (100, 40), "100M": (1000, 400)}
-    spark = get_spark("tigate-streaming-scale")
+    # keep EVERY micro-batch's progress: the default recentProgress
+    # buffer holds 100 entries, so the 400-batch 100M tier would lose
+    # its head and the flatness ratio would compare mid-stream to tail
+    spark = get_spark("tigate-streaming-scale", extra_confs={
+        "spark.sql.streaming.numRecentProgressUpdates": "1000"})
     try:
         for sink in args.sinks.split(","):
             for label in args.scales.split(","):
