@@ -221,3 +221,50 @@ def test_multirow_changefeed_uri_e2e(spark, tmp_path):
             for m in get_catalog()["apply_materialize"]
             .builder(spark, SF_DIR).collect()}
     assert got == want
+
+
+def test_multirow_survives_values_in_identifier(spark):
+    """A backticked table name containing ' VALUES ' must not corrupt
+    the multi-row rebuild (no re-parsing of identifier text) and the
+    row bound must hold exactly: a 15-row remainder followed by a full
+    run cannot merge into a 31-row downstream txn (second self-review
+    findings, both pinned here)."""
+    from tigate_spark.streaming.sqlite_apply import (
+        coalesce_multirow_statements, render_safe_mode_statements)
+
+    rows = [(i, "app", "t VALUES x", 0, "I", 10 + i, 20 + i, i, "e", i)
+            for i in range(5)]
+    ch = spark.createDataFrame(
+        rows, "seq long, schema_name string, table_name string, "
+              "table_id long, op string, start_ts long, commit_ts long, "
+              "pk long, event_type string, value_cents long")
+    out = coalesce_multirow_statements(
+        render_safe_mode_statements(ch)).orderBy("stmt_seq").collect()
+    assert [r["n_rows"] for r in out] == [5]
+    assert out[0]["sql"] == (
+        "REPLACE INTO `app`.`t VALUES x` (`pk`,`event_type`,"
+        "`value_cents`) VALUES " + ",".join(["(?,?,?)"] * 5))
+
+
+def test_multirow_txn_weight_never_exceeds_bound(spark, tmp_path):
+    """Executable-path check for the weighted flush: with txn_rows=16,
+    a lane stream whose coalesced statements are a 16-row full run and
+    a 15-row remainder must apply cleanly with every downstream txn
+    <= 16 rows (the fake driver's packet counter is per-txn, so arm a
+    packet bound that a 31-row merged txn would blow)."""
+    from tigate_spark.streaming.fake_mysql import FakeMySQLDriver
+    from tigate_spark.streaming.sqlite_apply import SqliteApplySink
+
+    rows = [(i, "app", "t0", 0, "I", 10 + i, 20 + i, i, "e", i)
+            for i in range(31)]
+    ch = spark.createDataFrame(
+        rows, "seq long, schema_name string, table_name string, "
+              "table_id long, op string, start_ts long, commit_ts long, "
+              "pk long, event_type string, value_cents long")
+    # one row's args ~= 12 bytes; 16 rows ~= 200, 31 rows ~= 390 —
+    # bound between them so a merged 31-row txn raises 1153
+    drv = FakeMySQLDriver(server_max_packet=280)
+    sink = SqliteApplySink(str(tmp_path / "lanes"), n_lanes=1,
+                           txn_rows=16, multirow_dml=True, driver=drv)
+    sink.process_batch(ch, batch_id=0)  # must not raise
+    assert sink.read_state(spark).count() == 31

@@ -2277,14 +2277,14 @@ def txn_match_prewrite_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT seq,
   array_to_string(list_sort(list_filter(json_keys(after),
-    k -> json_extract_string(before, '$.' || k)
-         IS DISTINCT FROM json_extract_string(after, '$.' || k))), ',') AS changed_cols,
+    k -> json_extract(before, '$.' || k)
+         IS DISTINCT FROM json_extract(after, '$.' || k))), ',') AS changed_cols,
   CAST(len(list_filter(json_keys(after),
-    k -> json_extract_string(before, '$.' || k)
-         IS DISTINCT FROM json_extract_string(after, '$.' || k))) AS BIGINT) AS n_changed
+    k -> json_extract(before, '$.' || k)
+         IS DISTINCT FROM json_extract(after, '$.' || k))) AS BIGINT) AS n_changed
 FROM changes WHERE op = 'U'
 """,
-    doc="P2: only-updated-columns — JVM map-diff of before/after images "
+    doc="P2: only-updated-columns — byte-exact fragment diff of the before/after images "
         "(sink.go:160; open/codec.go:56-72). Catalog entry emits the "
         "changed-column list as a sorted comma-joined string so the external "
         "comparator can hash it (arrays are unhashable in the pandas sort).",
@@ -4091,7 +4091,7 @@ FROM changes
         "(pkg/config/sink.go:160; tiflow fillUpdateColumns): an "
         "UPDATE's old image carries ONLY the changed columns — rendered "
         "by the GENERAL JVM image diff (only_updated_old_image: "
-        "original before-fragments filtered by a map comparison), which "
+        "original before-fragments kept when absent from the after fragments, byte-exact), which "
         "the oracle pins byte-exactly (this stream's updates change "
         "value_cents alone, so the diff must produce exactly that one "
         "fragment)",

@@ -1441,7 +1441,7 @@ def streaming_sqlite_multirow_e2e(spark: SparkSession,
             render_safe_mode_statements(
                 normalize_events(spark.read.parquet(src))),
             max_rows=16).agg(F.max("n_rows").alias("m")).first()["m"]
-        if probe < 2:
+        if not probe or probe < 2:
             raise RuntimeError("corpus never coalesces — vacuous entry")
         raw = (
             spark.readStream.schema(base.schema)

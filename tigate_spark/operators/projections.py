@@ -394,11 +394,30 @@ def only_updated_old_image(before_col, after_col):
     type-changing update from the old image (hypothesis-found in r17;
     images rendered from a typed schema are type-stable, but the diff
     must not depend on that invariant to be correct)."""
-    pat = ',(?="(?:[^"\\\\]|\\\\.)*"\\s*:)'
-    frags = F.split(F.regexp_replace(before_col, r"^\{|\}$", ""), pat)
-    afrags = F.split(F.regexp_replace(after_col, r"^\{|\}$", ""), pat)
-    kept = F.filter(frags, lambda fr: ~F.array_contains(afrags, fr))
+    kept = _changed_fragments(before_col, after_col)
     return F.concat(F.lit("{"), F.array_join(kept, ","), F.lit("}"))
+
+
+#: lexer-grade top-level fragment boundary for a flat compact JSON
+#: object: a comma followed by a complete JSON string (the next key,
+#: escapes honored) and a colon — shared by BOTH image-diff operators
+#: so the boundary can never drift between them
+_FRAG_BOUNDARY = ',(?="(?:[^"\\\\]|\\\\.)*"\\s*:)'
+_FRAG_KEY = '^"((?:[^"\\\\]|\\\\.)*)"'
+
+
+def _image_fragments(col):
+    """``'{"k":v,...}'`` → array of its top-level ``"k":v`` fragments
+    (empty object → empty array, not ``['']``)."""
+    frags = F.split(F.regexp_replace(col, r"^\{|\}$", ""), _FRAG_BOUNDARY)
+    return F.filter(frags, lambda fr: fr != "")
+
+
+def _changed_fragments(before_col, after_col):
+    """Before fragments (byte-exact) absent from the after image."""
+    afrags = _image_fragments(after_col)
+    return F.filter(_image_fragments(before_col),
+                    lambda fr: ~F.array_contains(afrags, fr))
 
 
 def tidb_row_checksum(lanes: list[tuple["F.Column", str]]) -> "F.Column":
@@ -431,13 +450,9 @@ def updated_columns_projection(df: DataFrame) -> DataFrame:
     Python."""
     from pyspark.sql import functions as F
 
-    pat = ',(?="(?:[^"\\\\]|\\\\.)*"\\s*:)'
-    bf = F.split(F.regexp_replace(F.col("before"), r"^\{|\}$", ""), pat)
-    af = F.split(F.regexp_replace(F.col("after"), r"^\{|\}$", ""), pat)
-    kept = F.filter(bf, lambda fr: ~F.array_contains(af, fr))
     changed = F.array_sort(F.transform(
-        kept,
-        lambda fr: F.regexp_extract(fr, '^"((?:[^"\\\\]|\\\\.)*)"', 1)))
+        _changed_fragments(F.col("before"), F.col("after")),
+        lambda fr: F.regexp_extract(fr, _FRAG_KEY, 1)))
     return (
         df.filter(F.col("op") == "U")
         .withColumn("changed_cols", changed)

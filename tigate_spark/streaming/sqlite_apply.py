@@ -254,11 +254,16 @@ def coalesce_multirow_statements(stmts: DataFrame,
             "substring(args, 2, length(args) - 2) AS body))), "
             "x -> x.body), ',')").alias("args_body"),
     )
-    multi = F.concat(
-        F.expr("element_at(split(sql1, ' VALUES '), 1)"),
-        F.lit(" VALUES "),
-        F.expr("array_join(array_repeat(element_at(split(sql1, "
-               "' VALUES '), 2), cast(n_rows as int)), ',')"))
+    # the single-row tuple is the statement's mandatory final
+    # " VALUES (?,...,?)" tail — anchored extraction, NOT a split on
+    # ' VALUES ': a backticked identifier may legally contain that
+    # substring (render_safe_mode_statements carries identity columns
+    # precisely so the writer never re-parses SQL text; the rebuild
+    # must hold itself to the same rule)
+    tup = "regexp_extract(sql1, ' VALUES (\\\\(\\\\?(?:,\\\\?)*\\\\))$', 1)"
+    multi = F.expr(
+        f"concat(substring(sql1, 1, length(sql1) - length({tup})), "
+        f"array_join(array_repeat({tup}, cast(n_rows as int)), ','))")
     return g.select(
         "lane", "stmt_seq", "n_rows", "table_id", "schema_name",
         "table_name",
@@ -530,8 +535,13 @@ def _exec_lane(db_path: str, stmts, txn_rows: int, max_packet: int,
                 sql = sql.replace(" LIMIT 1", "")
             # flush BEFORE appending, and under atomicity=table only at
             # an upstream-txn boundary — a txn group never splits across
-            # downstream commits
-            if pending and (pending_rows >= txn_rows
+            # downstream commits. The row check must account for the
+            # INCOMING statement's weight: `pending_rows >= txn_rows`
+            # alone would let a 15-row remainder + a full 16-row
+            # multi-row statement commit as a 31-row txn, breaking the
+            # max-txn-row bound (weight-1 behavior is unchanged:
+            # pending_rows + 1 > txn_rows ⇔ the old len >= txn_rows)
+            if pending and (pending_rows + weight > txn_rows
                             or pending_bytes >= max_packet):
                 if split_txn or txn_key is None or txn_key != cur_key:
                     flush()
