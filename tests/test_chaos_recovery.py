@@ -113,7 +113,13 @@ def _arm_crash(cf: Changefeed, window: str, crash_batch: int = 1):
     return fired
 
 
-@pytest.mark.parametrize("sink_uri", ["replica://", "sqlite://"])
+@pytest.mark.parametrize("sink_uri", [
+    "replica://", "sqlite://",
+    # the r17 multi-row executable path: replay convergence rests on
+    # the same safe-mode REPLACE idempotence, but the statement/txn
+    # shapes differ — both crash windows must still converge
+    "sqlite://?batch-dml-multirow=true",
+])
 @pytest.mark.parametrize("window", ["W1", "W2"])
 def test_kill_mid_batch_recovers(spark, sf_dir, chunked_source, tmp_path,
                                  window, sink_uri):
