@@ -1,0 +1,80 @@
+"""round_half_up_bigint must be an exact drop-in for
+``F.round(x).cast('bigint')`` on its contract domain (x >= 0, x < 2**51).
+
+The r17 optimization replaced Spark's BigDecimal-allocating ``Round`` with
+``floor(x + 0.5)`` in every integer-cents projection (catalog_relational,
+sources/changes). A divergence here silently changes money sums, so the
+equivalence is pinned three ways: hypothesis over the contract domain,
+the documented adversarial boundary values, and the real money
+expressions over the sf0.001 data.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+def _bigdecimal_half_up(x: float) -> int:
+    """Python twin of Spark's Round on double: HALF_UP on the shortest
+    decimal string (repr(float) is shortest-round-trip, like
+    Double.toString)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def _floor_half(x: float) -> int:
+    # twin of round_half_up_bigint's guarded floor form
+    return 0 if x < 0.5 else math.floor(x + 0.5)
+
+
+@given(st.floats(min_value=0.0, max_value=float(2**51), allow_nan=False))
+@settings(max_examples=2000, deadline=None)
+def test_floor_form_matches_half_up_on_contract_domain(x: float) -> None:
+    assert _floor_half(x) == _bigdecimal_half_up(x), x
+
+
+def test_adversarial_boundaries() -> None:
+    cases = [
+        0.0, 0.5, 0.49999999999999994, 1.5, 2.5,
+        14.499999999999998, 14.999999999999998,
+        math.nextafter(0.5, 0.0), math.nextafter(0.5, 1.0),
+        math.nextafter(1000.5, 0.0), math.nextafter(1000.5, 2000.0),
+        math.nextafter(10_000_000.5, 0.0),
+        math.nextafter(10_000_000.5, 1e9),
+        float(2**51 - 1), 2**51 - 1.5,
+    ]
+    for x in cases:
+        assert _floor_half(x) == _bigdecimal_half_up(x), x
+
+
+@pytest.mark.slow
+def test_spark_expressions_identical_on_testdata(spark) -> None:
+    """Every replaced money expression, row-exact vs F.round at sf0.001."""
+    from pyspark.sql import functions as F
+    exprs = {
+        "lineitem": [
+            "l_quantity",
+            "l_extendedprice * 100",
+            "l_extendedprice * (1 - l_discount) * 100",
+            "l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100",
+            "l_extendedprice * l_discount * 100",
+        ],
+        "orders": ["o_totalprice * 100"],
+        "events": ["value * 100"],
+    }
+    for tbl, es in exprs.items():
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{tbl}.parquet")
+        for e in es:
+            n_neg = df.filter(F.expr(f"({e}) < 0")).count()
+            assert n_neg == 0, f"{tbl}: {e} has negative values"
+            n_bad = df.filter(
+                F.expr(
+                    f"cast(round({e}) as bigint) != cast(case when ({e}) < 0.5d "
+                    f"then 0 else floor(({e}) + 0.5d) end as bigint)"
+                )
+            ).count()
+            assert n_bad == 0, f"{tbl}: {e} diverges on {n_bad} rows"

@@ -14,12 +14,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tigate_spark.catalog import register
+from tigate_spark.functions.rounding import cents as _cents
+from tigate_spark.functions.rounding import round_half_up_bigint
 from tigate_spark.sources.batch import load_table
 from tigate_spark.sources.changes import event_us
-
-
-def _cents(col):
-    return F.round(col * 100).cast("bigint")
 
 
 @register(
@@ -46,7 +44,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("sum_qty"),
+            F.sum(round_half_up_bigint(F.col("l_quantity"))).alias("sum_qty"),
             F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
             F.sum(_cents(disc)).alias("sum_disc_price_cents"),
             F.sum(_cents(charge)).alias("sum_charge_cents"),
@@ -267,7 +265,7 @@ def agg_events_per_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+            F.sum(round_half_up_bigint(F.col("value") * 100)).alias("value_cents"),
         )
     )
 
@@ -452,7 +450,7 @@ def tpch_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input from line-level to order-level (the scale move for Q18)
     qty = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("sum_qty"))
+        .agg(F.sum(round_half_up_bigint(F.col("l_quantity"))).alias("sum_qty"))
         .filter(F.col("sum_qty") > 200)
     )
     return (
@@ -912,12 +910,12 @@ def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty96 = F.when(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")),
-        F.round(F.col("l_quantity")).cast("bigint"),
+        round_half_up_bigint(F.col("l_quantity")),
     ).otherwise(F.lit(0))
     ps = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("avail_qty"),
+            F.sum(round_half_up_bigint(F.col("l_quantity"))).alias("avail_qty"),
             F.sum(qty96).alias("qty_1996"),
         )
     )

@@ -120,3 +120,34 @@ def count_exchanges(df: DataFrame) -> int:
             continue
         n += 1
     return n
+
+
+def count_data_exchanges(df: DataFrame) -> int:
+    """Like :func:`count_exchanges`, but additionally ignoring explicit
+    round-robin ``repartition(n)`` fan-outs (``REPARTITION_BY_NUM``).
+
+    The r17 adaptive scan fan-out (``sources.batch.scan_fan_out``) inserts
+    one of these on provably-small inputs so a one-file scan does not
+    serialize the whole pipeline into a single task; it is a no-op at lake
+    scale. Zero-exchange design gates ("encode/decode is row-local, no
+    data-dependency shuffle") should count *data* exchanges — exchanges
+    required by the operator's dataflow — and not fail on the fan-out.
+    """
+    lines = plan_of(df).splitlines()
+    n = 0
+    for i, raw in enumerate(lines):
+        if not _EXCHANGE_HEADER.match(raw.strip()):
+            continue
+        args = ""
+        for follow in lines[i + 1 : i + 6]:
+            if follow.strip().startswith("Arguments:"):
+                args = follow
+                break
+        if (
+            "SinglePartition" in args
+            or "broadcast" in args.lower()
+            or ("RoundRobinPartitioning" in args and "REPARTITION_BY_NUM" in args)
+        ):
+            continue
+        n += 1
+    return n

@@ -30,6 +30,43 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: never fan out inputs above this size — past it the scan itself has
+#: enough splits and the shuffle would move real data for nothing
+FAN_OUT_MAX_BYTES = 8 << 30
+#: parquet split size the planner packs scan tasks to (Spark default)
+_MAX_SPLIT_BYTES = 128 << 20
+
+
+def scan_fan_out(df: DataFrame, *paths: str) -> DataFrame:
+    """Repartition a freshly-scanned DataFrame to ``defaultParallelism``
+    when the file layout cannot feed that many scan tasks.
+
+    The bench/test tables are single-file single-row-group parquet, so
+    every scan — and everything Catalyst fuses into it (projection-heavy
+    encode stages, partial aggregation) — runs in ONE task regardless of
+    core count (guide §2/§6: input splits bound stage parallelism). For
+    expression-heavy pipelines the cheap fix is one small round-robin
+    exchange of the raw rows before the heavy projections.
+
+    Scale-adaptive, not a local[32] constant: the exchange is inserted
+    only when the input is provably too small to parallelize the scan
+    (total bytes < cores × 128 MB split size, capped at 8 GiB). At lake
+    scale the condition is false and this is a no-op — the scan already
+    fans out and an extra exchange of the payload would be pure waste.
+    ``defaultParallelism`` scales with the executor fleet, so the target
+    partition count is right on a real cluster too.
+    """
+    try:
+        total = sum(os.path.getsize(p) for p in paths)
+    except OSError:
+        return df
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if total >= par * _MAX_SPLIT_BYTES or total > FAN_OUT_MAX_BYTES:
+        return df
+    return df.repartition(par)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. ``events.ts`` dtype varies by data vintage
     (timestamp_ntz today, epoch-nanos long historically) — downstream code
