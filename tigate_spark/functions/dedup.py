@@ -66,8 +66,13 @@ def with_shingles(df: DataFrame) -> DataFrame:
     # equivalent size(shingles) filter would inline the whole shingle
     # expression into a pre-shuffle, single-split Filter — observed 2×
     # slowdown).
+    # The pre-fan-out count predicate runs inside the SINGLE scan task a
+    # one-file input produces, so it must be as cheap as possible: lower()
+    # is dropped (case never changes the token count — lowercase mappings
+    # never produce a space) and only the split/filter skeleton remains.
+    # The real TOKENS_EXPR (with lower) is recomputed post-shuffle.
     return (
-        df.filter(F.expr(f"size({TOKENS_EXPR}) >= 5"))
+        df.filter(F.expr("size(filter(split(text, ' '), x -> x <> '')) >= 5"))
         .transform(_fan_out)
         .withColumn("tokens", F.expr(TOKENS_EXPR))
         .withColumn("shingles", F.expr(f"array_distinct({SHINGLES_EXPR})"))

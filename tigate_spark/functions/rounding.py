@@ -63,3 +63,16 @@ def round_half_up_bigint(col: Column) -> Column:
 def cents(col: Column) -> Column:
     """Integer cents: ``round(col * 100)`` as bigint (non-negative input)."""
     return round_half_up_bigint(col * 100)
+
+
+def round_half_away_sql(v: str) -> str:
+    """SQL-expression twin of ``cast(round(v) as bigint)`` for ANY double
+    with ``|v| + 1 < 2**52`` — sign-aware: Spark's Round (BigDecimal
+    HALF_UP) rounds away from zero, which mirrors the guarded floor form
+    through ``-round(|v|)``. ``v`` is substituted verbatim (parenthesize
+    composite expressions at the call site or pass a column name)."""
+    pos = f"case when ({v}) < 0.5d then 0L else floor(({v}) + 0.5d) end"
+    neg = f"case when -({v}) < 0.5d then 0L else floor(-({v}) + 0.5d) end"
+    return (
+        f"cast(case when ({v}) >= 0 then ({pos}) else -({neg}) end as bigint)"
+    )

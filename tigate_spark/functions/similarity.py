@@ -25,10 +25,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tigate_spark.functions.rounding import round_half_away_sql
+
 _H32 = "cast(conv(substr(md5({e}), 1, 8), 16, 10) as bigint)"
 
 #: integer quantization of the embedding (exact cross-engine arithmetic)
-QUANT_EXPR = "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))"
+# guarded floor form of cast(round(v) as bigint) — exact HALF_UP twin
+# without the per-value BigDecimal allocation (functions/rounding.py)
+QUANT_EXPR = (
+    "transform(embedding, x -> "
+    + round_half_away_sql("cast(x as double) * 10000")
+    + ")"
+)
 
 N_PLANES = 8
 DIM = 64
@@ -65,8 +73,10 @@ def brute_force_topk(df: DataFrame, n_queries: int = 20, k: int = 10) -> DataFra
     ).withColumn(
         "cos_bp",
         F.expr(
-            "cast(round(dot / (sqrt(cast(norm_sq as double)) * sqrt(cast(q_norm as double)))"
-            " * 10000) as bigint)"
+            round_half_away_sql(
+                "dot / (sqrt(cast(norm_sq as double)) * "
+                "sqrt(cast(q_norm as double))) * 10000"
+            )
         ),
     )
     from pyspark.sql import Window
@@ -127,8 +137,10 @@ def ann_lsh_topk(df: DataFrame, n_queries: int = 20, k: int = 5) -> DataFrame:
     ).withColumn(
         "cos_bp",
         F.expr(
-            "cast(round(dot / (sqrt(cast(norm_sq as double)) * sqrt(cast(q_norm as double)))"
-            " * 10000) as bigint)"
+            round_half_away_sql(
+                "dot / (sqrt(cast(norm_sq as double)) * "
+                "sqrt(cast(q_norm as double))) * 10000"
+            )
         ),
     )
     from pyspark.sql import Window
@@ -195,8 +207,10 @@ def embedding_cosine_near_dup(df: DataFrame, threshold_bp: int = 3000,
         .withColumn(
             "cos_bp",
             F.expr(
-                "cast(round(dot / (sqrt(cast(na as double)) * "
-                "sqrt(cast(nb as double))) * 10000) as bigint)"
+                round_half_away_sql(
+                    "dot / (sqrt(cast(na as double)) * "
+                    "sqrt(cast(nb as double))) * 10000"
+                )
             ),
         )
     )
@@ -253,8 +267,10 @@ def ivf_topk(df: DataFrame, n_centroids: int = 16,
     ).withColumn(
         "cos_bp",
         F.expr(
-            "cast(round(dot / (sqrt(cast(norm_sq as double)) * sqrt(cast(q_norm as double)))"
-            " * 10000) as bigint)"
+            round_half_away_sql(
+                "dot / (sqrt(cast(norm_sq as double)) * "
+                "sqrt(cast(q_norm as double))) * 10000"
+            )
         ),
     )
     from pyspark.sql import Window
@@ -406,8 +422,10 @@ def ivf_trained_topk(df: DataFrame, k_cents: int = 8, iters: int = 2,
     ).withColumn(
         "cos_bp",
         F.expr(
-            "cast(round(dot / (sqrt(cast(norm_sq as double)) * sqrt(cast(q_norm as double)))"
-            " * 10000) as bigint)"
+            round_half_away_sql(
+                "dot / (sqrt(cast(norm_sq as double)) * "
+                "sqrt(cast(q_norm as double))) * 10000"
+            )
         ),
     )
     from pyspark.sql import Window
@@ -497,9 +515,12 @@ def semantic_dedup(df: DataFrame, k: int = 8, iters: int = 2,
             F.least("p.a.vec_id", "p.b.vec_id").alias("vec_a"),
             F.greatest("p.a.vec_id", "p.b.vec_id").alias("vec_b"),
             F.expr(
-                "cast(round(aggregate(zip_with(p.a.q, p.b.q, (x, y) -> x * y), "
-                "0L, (acc, x) -> acc + x) / (sqrt(cast(p.a.norm_sq as double)) * "
-                "sqrt(cast(p.b.norm_sq as double))) * 10000) as bigint)"
+                round_half_away_sql(
+                    "aggregate(zip_with(p.a.q, p.b.q, (x, y) -> x * y), "
+                    "0L, (acc, x) -> acc + x) / "
+                    "(sqrt(cast(p.a.norm_sq as double)) * "
+                    "sqrt(cast(p.b.norm_sq as double))) * 10000"
+                )
             ).alias("cos_bp"),
         )
 
