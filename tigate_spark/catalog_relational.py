@@ -153,16 +153,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-06-15").cast("timestamp")
     )
-    # r17 join order (guide §2.3, shuffle fewer bytes): orders⋈customer
-    # runs FIRST, so lineitem — the widest, largest fact — is shuffled
-    # exactly once (on orderkey, against the already-customer-filtered
-    # orders). The previous li⋈o-first shape reshuffled the lineitem-sized
-    # join result a second time on custkey. Result verified identical;
-    # sf0.1 wall unchanged (all-BHJ there), the win is the at-scale
-    # exchange diet.
-    oc = o.join(c, o.o_custkey == c.c_custkey)
     return (
-        li.join(oc, li.l_orderkey == oc.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
         .select("l_orderkey", "revenue_cents", "o_orderdate")
@@ -191,30 +184,21 @@ GROUP BY n.n_name
     bench=True,
 )
 def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r17 join-order optimization (guide §3.2, pre-filter the big side):
-    # supplier is restricted to the ASIA nations FIRST (broadcast dims),
-    # and lineitem joins that ~20%-selective supplier set BEFORE the
-    # fact⋈fact joins. The two-condition supplier join decomposes into an
-    # inner join on l_suppkey plus a post-customer c_nationkey filter —
-    # identical inner-join semantics, verified exceptAll-empty both ways.
-    # At scale this shuffles ~1.4× lineitem total across the three fact
-    # joins instead of 3× (the orders/customer co-shuffles see only the
-    # ASIA-supplied rows); at sf0.1 it is −17% wall.
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    s_asia = (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    )
     return (
-        li.join(s_asia, li.l_suppkey == s_asia.s_suppkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
     )
