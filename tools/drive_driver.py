@@ -59,8 +59,18 @@ def main():
     ap.add_argument("--limit", type=int, default=None)
     args = ap.parse_args()
 
+    # Driver heap is a STARTUP-only size knob, not a runtime conf the
+    # entries could repair — and this tool runs the FULL catalog (296
+    # entries, dozens of streaming e2es) in one long-lived JVM where the
+    # external driver runs ~50 per round. At the 1 GiB default that
+    # cumulative load OOMs around entry ~150 (r17: heap OOM inside a
+    # shuffle trigger of consumer_simple_avro_claim_check_e2e, which
+    # passes in isolation). Sizing the heap keeps the plain-session
+    # conf-repair contract intact while making full drives reliable.
     spark = (SparkSession.builder.master("local[8]")
              .appName("drive_driver").config("spark.ui.enabled", "false")
+             .config("spark.driver.memory",
+                     os.environ.get("TIGATE_DRIVER_MEM", "4g"))
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
