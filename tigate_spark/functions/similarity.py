@@ -45,60 +45,11 @@ DIM = 64
 SIM_BUCKET_CAP = 100
 
 
-# --------------------------------------------------------------------------
-# Unrolled vector kernels (optimization guide §1.2 step 2 / §4.1).
-#
-# Spark's higher-order functions (aggregate/zip_with/transform) evaluate
-# their lambda INTERPRETED, one invocation per element, and zip_with
-# additionally materializes the intermediate pair array — ~2·dim boxed
-# lambda calls plus an array allocation per row-pair for one dot product.
-# The embedding geometry is fixed (DIM, PQ_SUBDIM are module constants the
-# oracles also hard-code), so the kernels below unroll to straight-line
-# integer arithmetic that whole-stage codegen compiles into the fused
-# stage loop. Result-identical to the HOF forms on dim-length arrays:
-# integer + is associative, and a null element (or an array shorter than
-# dim — out-of-bounds indexing yields NULL) nulls the whole sum exactly
-# like the HOF left-fold does.
-# --------------------------------------------------------------------------
-def dot_sql(a: str, b: str, dim: int = DIM) -> str:
-    """Σ a[i]·b[i] over two int64 array columns, unrolled."""
-    return "(" + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim)) + ")"
-
-
-def dot_const_sql(a: str, coefs: list[int]) -> str:
-    """Σ a[i]·cᵢ against a plan-time constant vector, unrolled."""
-    return "(" + " + ".join(f"{a}[{i}] * {c}L" for i, c in enumerate(coefs)) + ")"
-
-
-def l2_sql(a: str, b: str, dim: int = DIM) -> str:
-    """Σ (a[i]−b[i])² over two int64 array columns, unrolled."""
-    return "(" + " + ".join(
-        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(dim)
-    ) + ")"
-
-
-def norm_sq_sql(a: str, dim: int = DIM) -> str:
-    """Σ a[i]² over an int64 array column, unrolled."""
-    return "(" + " + ".join(f"{a}[{i}] * {a}[{i}]" for i in range(dim)) + ")"
-
-
-def sub_sql(a: str, b: str, dim: int = DIM) -> str:
-    """Element-wise a−b as a new array, unrolled (zip_with twin)."""
-    return "array(" + ", ".join(f"{a}[{i}] - {b}[{i}]" for i in range(dim)) + ")"
-
-
-#: unrolled quantization twin of QUANT_EXPR for DIM-length embeddings
-QUANT_UNROLLED = "array(" + ", ".join(
-    round_half_away_sql(f"cast(embedding[{i}] as double) * 10000")
-    for i in range(DIM)
-) + ")"
-
-
 def with_quantized(df: DataFrame) -> DataFrame:
     # fan out: a single parquet split would serialize the vector math
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    return df.withColumn("q", F.expr(QUANT_UNROLLED)).withColumn(
-        "norm_sq", F.expr(norm_sq_sql("q"))
+    return df.withColumn("q", F.expr(QUANT_EXPR)).withColumn(
+        "norm_sq", F.expr("aggregate(q, 0L, (acc, x) -> acc + x * x)")
     )
 
 
@@ -118,7 +69,7 @@ def brute_force_topk(df: DataFrame, n_queries: int = 20, k: int = 10) -> DataFra
     )
     joined = base.crossJoin(queries).filter(F.col("vec_id") != F.col("query_id"))
     scored = joined.withColumn(
-        "dot", F.expr(dot_sql("q", "qq"))
+        "dot", F.expr("aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
     ).withColumn(
         "cos_bp",
         F.expr(
@@ -157,7 +108,8 @@ def lsh_bucket(df: DataFrame, n_planes: int = N_PLANES, dim: int = DIM) -> DataF
     coefs = _plane_coefs(n_planes, dim)
     bucket = None
     for p in range(n_planes):
-        dot_p = dot_const_sql("q", coefs[p])
+        arr = "array(" + ", ".join(f"{c}L" for c in coefs[p]) + ")"
+        dot_p = f"aggregate(zip_with(q, {arr}, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
         bit = F.when(F.expr(dot_p) > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         bucket = bit if bucket is None else bucket + bit
     return with_quantized(df).withColumn("bucket", bucket)
@@ -181,7 +133,7 @@ def ann_lsh_topk(df: DataFrame, n_queries: int = 20, k: int = 5) -> DataFrame:
         (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
     )
     scored = joined.withColumn(
-        "dot", F.expr(dot_sql("q", "qq"))
+        "dot", F.expr("aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
     ).withColumn(
         "cos_bp",
         F.expr(
@@ -245,7 +197,10 @@ def embedding_cosine_near_dup(df: DataFrame, threshold_bp: int = 3000,
         .select(
             F.col("p.a.vec_id").alias("vec_a"),
             F.col("p.b.vec_id").alias("vec_b"),
-            F.expr(dot_sql("p.a.q", "p.b.q")).alias("dot"),
+            F.expr(
+                "aggregate(zip_with(p.a.q, p.b.q, (x, y) -> x * y), "
+                "0L, (acc, x) -> acc + x)"
+            ).alias("dot"),
             F.col("p.a.norm_sq").alias("na"),
             F.col("p.b.norm_sq").alias("nb"),
         )
@@ -283,7 +238,7 @@ def ivf_topk(df: DataFrame, n_centroids: int = 16,
         )
     )
     dist = F.expr(
-        l2_sql("q", "cq")
+        "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
     )
     cells = (
         base.crossJoin(cents)
@@ -308,7 +263,7 @@ def ivf_topk(df: DataFrame, n_centroids: int = 16,
         (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
     )
     scored = joined.withColumn(
-        "dot", F.expr(dot_sql("q", "qq"))
+        "dot", F.expr("aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
     ).withColumn(
         "cos_bp",
         F.expr(
@@ -336,7 +291,7 @@ def _assign_cells(base: DataFrame, cents: DataFrame,
     ``with_dist`` the assigned cell's exact L2 distance rides along as
     ``cdist`` (SemDeDup orders cell members by it)."""
     dist = F.expr(
-        l2_sql("q", "cq")
+        "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
     )
     aggs = [
         F.min_by(F.col("cent_id"), F.struct(F.col("dist"), F.col("cent_id"))).alias("cell"),
@@ -422,7 +377,7 @@ def kmeans_clusters(df: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
     base = with_quantized(df).select("vec_id", "q", "norm_sq")
     cents = kmeans_train(df, k, iters)
     dist = F.expr(
-        l2_sql("q", "cq")
+        "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
     )
     assigned = (
         base.crossJoin(F.broadcast(cents))
@@ -463,7 +418,7 @@ def ivf_trained_topk(df: DataFrame, k_cents: int = 8, iters: int = 2,
         (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
     )
     scored = joined.withColumn(
-        "dot", F.expr(dot_sql("q", "qq"))
+        "dot", F.expr("aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
     ).withColumn(
         "cos_bp",
         F.expr(
@@ -561,8 +516,9 @@ def semantic_dedup(df: DataFrame, k: int = 8, iters: int = 2,
             F.greatest("p.a.vec_id", "p.b.vec_id").alias("vec_b"),
             F.expr(
                 round_half_away_sql(
-                    dot_sql("p.a.q", "p.b.q")
-                    + " / (sqrt(cast(p.a.norm_sq as double)) * "
+                    "aggregate(zip_with(p.a.q, p.b.q, (x, y) -> x * y), "
+                    "0L, (acc, x) -> acc + x) / "
+                    "(sqrt(cast(p.a.norm_sq as double)) * "
                     "sqrt(cast(p.b.norm_sq as double))) * 10000"
                 )
             ).alias("cos_bp"),
@@ -652,10 +608,14 @@ def pca_project(df: DataFrame, iters: int = 2) -> DataFrame:
     """Per-vector projection onto the corpus' top principal direction —
     the PCA-outlier / whitening diagnostic as one broadcast pass."""
     v = pca_top_direction(df, iters)
+    arr = "array(" + ",".join(f"{x}L" for x in v) + ")"
     base = with_quantized(df).select("vec_id", "q")
     return base.select(
         "vec_id",
-        F.expr(dot_const_sql("q", v)).alias("pc1_proj"),
+        F.expr(
+            f"aggregate(zip_with(q, {arr}, (x, w) -> x * w), 0L, "
+            "(acc, t) -> acc + t)"
+        ).alias("pc1_proj"),
     )
 
 
@@ -682,7 +642,10 @@ def _pq_base(df: DataFrame) -> DataFrame:
     return _pq_split(with_quantized(df).select("vec_id", "q"))
 
 
-_PQ_DIST = l2_sql("subq", "cq", PQ_SUBDIM)
+_PQ_DIST = (
+    "aggregate(zip_with(subq, cq, (x, y) -> (x - y) * (x - y)), "
+    "0L, (acc, v) -> acc + v)"
+)
 
 
 def _pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
@@ -753,7 +716,10 @@ def pq_adc_topk(df: DataFrame, n_queries: int = 5, k: int = 5,
         qsubs.join(cents, "s")
         .select(
             "query_id", "s", F.col("cent_id").alias("code"),
-            F.expr(l2_sql("qsub", "cq", PQ_SUBDIM)).alias("dpart"),
+            F.expr(
+                "aggregate(zip_with(qsub, cq, (x, y) -> (x - y) * (x - y)), "
+                "0L, (acc, v) -> acc + v)"
+            ).alias("dpart"),
         )
     )
     scored = (
@@ -823,7 +789,7 @@ def ivfpq_topk(df: DataFrame, k_cents: int = 8, km_iters: int = 2,
                    "cell")
         .select(
             "vec_id", "cell",
-            F.expr(sub_sql("q", "cq")).alias("q"),
+            F.expr("zip_with(q, cq, (x, y) -> x - y)").alias("q"),
         )
         # the residual frame feeds FOUR downstream branches (PQ training,
         # assignment, query split, query cells) of one final plan —
@@ -852,7 +818,10 @@ def ivfpq_topk(df: DataFrame, k_cents: int = 8, km_iters: int = 2,
         qres.join(cents, "s")
         .select(
             "query_id", "q_cell", "s", F.col("cent_id").alias("code"),
-            F.expr(l2_sql("qsub", "cq", PQ_SUBDIM)).alias("dpart"),
+            F.expr(
+                "aggregate(zip_with(qsub, cq, (x, y) -> (x - y) * (x - y)), "
+                "0L, (acc, v) -> acc + v)"
+            ).alias("dpart"),
         )
     )
     scored = (
