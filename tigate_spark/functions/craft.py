@@ -69,12 +69,41 @@ def _dialect(d: str):
             "shr": lambda e, n: f"shiftright({e}, {n})",
             "idiv": lambda a, b: f"({a} div {b})",
             "slen": lambda e: f"octet_length({e})",
+            # collapse per-byte lpad(hex(..)) chains into packed bigint
+            # hexes (_packed_hex) — Spark-side only; the DuckDB oracle
+            # keeps the per-byte spelling (>> on negative accumulators
+            # and hex() width differ there, and oracle speed is free)
+            "packed_hex": True,
         }
     return {
         "shr": lambda e, n: f"(({e}) >> {n})",
         "idiv": lambda a, b: f"(({a}) // {b})",
         "slen": lambda e: f"octet_length(encode({e}))",
     }
+
+
+def _packed_hex(byte_exprs: list[str]) -> str:
+    """Spark-only branch body: pack varint byte expressions big-endian
+    into bigint accumulators and hex each ONCE — one string allocation
+    per ≤8 bytes instead of one per byte. The craft encode path is
+    string-allocation-bound (r11 adjudication), so collapsing the
+    lpad(hex(byte)) chain is the direct fix: measured 1.76× on an
+    8-varint projection (r17 probe), byte-identical output.
+
+    shiftleft/| are pure bit ops (no ANSI overflow checks); a byte-7
+    continuation bit lands in the sign bit and Spark ``hex`` renders
+    negative bigints as their full 16-digit two's-complement form, which
+    is exactly the packed big-endian byte string."""
+    def pack(bs: list[str]) -> str:
+        acc = bs[0]
+        for b in bs[1:]:
+            acc = f"(shiftleft({acc}, 8) | {b})"
+        return f"lpad(hex({acc}), {2 * len(bs)}, '0')"
+
+    if len(byte_exprs) <= 8:
+        return pack(byte_exprs)
+    split = len(byte_exprs) - 8
+    return f"{pack(byte_exprs[:split])} || {pack(byte_exprs[split:])}"
 
 
 def _uvhex(expr: str, d: dict, nbytes: int = 10, *,
@@ -90,12 +119,15 @@ def _uvhex(expr: str, d: dict, nbytes: int = 10, *,
     cases = []
     for n in range(1, nbytes + 1):
         parts = []
+        raw = []
         for i in range(n):
             b = f"({d['shr'](expr, 7 * i)}) & 127" if i else f"({expr}) & 127"
             if i < n - 1:
                 b = f"({b}) | 128"
+            raw.append(f"({b})")
             parts.append(f"lpad(hex({b}), 2, '0')")
-        body = " || ".join(parts)
+        body = (_packed_hex(raw) if d.get("packed_hex")
+                else " || ".join(parts))
         if n < nbytes:
             cases.append(f"WHEN ({expr}) < {1 << (7 * n)} THEN {body}")
         else:
@@ -141,11 +173,13 @@ def _vhex(expr: str, d: dict, nbytes: int = 10, *,
             b = f"({d['shr'](w, 7 * i - 1)}) & 127"
         if not last:
             b = f"(({b}) | 128)"
-        return f"lpad(hex({b}), 2, '0')"
+        return f"({b})"
 
     cases = []
     for n in range(1, nbytes + 1):
-        body = " || ".join(byte(i, last=(i == n - 1)) for i in range(n))
+        raw = [byte(i, last=(i == n - 1)) for i in range(n)]
+        body = (_packed_hex(raw) if d.get("packed_hex") else
+                " || ".join(f"lpad(hex{b}, 2, '0')" for b in raw))
         if n < nbytes and 7 * n - 1 < 63:
             cases.append(f"WHEN ({w}) < {1 << (7 * n - 1)} THEN {body}")
         else:
