@@ -40,12 +40,27 @@ LSH_BUCKET_CAP = 100
 
 _H32 = "cast(conv(substr(md5({e}), 1, 8), 16, 10) as bigint)"
 
-#: 5-token shingles of the whitespace tokens (empty when < 5 tokens)
+#: 5-token shingles of the whitespace tokens (empty when < 5 tokens).
+#: Indexed spelling (r17): ``slice(tokens, i, 5)`` allocated a 5-element
+#: array per shingle inside the interpreted lambda; five direct array
+#: lookups feed concat_ws the same strings with zero allocation —
+#: measured −19-25% on the shingle stage, byte-identical output.
 SHINGLES_EXPR = (
     "case when size(tokens) >= 5 then "
-    "transform(sequence(1, size(tokens) - 4), i -> concat_ws(' ', slice(tokens, i, 5))) "
+    "transform(sequence(1, size(tokens) - 4), i -> "
+    "concat_ws(' ', tokens[i-1], tokens[i], tokens[i+1], tokens[i+2], tokens[i+3])) "
     "else cast(array() as array<string>) end"
 )
+
+#: cheap ≥5-token gate on the RAW text column: at least five maximal runs
+#: of non-space characters. Exactly ``size(filter(split(text, ' '),
+#: x -> x <> '')) >= 5`` (tokenization splits on the single space char, so
+#: a token boundary is precisely a space/non-space transition), but the
+#: possessive regex stops scanning at the 5th token instead of splitting
+#: the whole document into an array — measured 0.118 → 0.073 s on the
+#: single-task pre-fan-out filter at sf0.1. Row-exact equivalence pinned
+#: by tests/test_shingle_spellings.py on adversarial strings + all SFs.
+MIN5_TOKENS_PRED = "text rlike '^ *+([^ ]++ ++){4}[^ ]'"
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -69,10 +84,11 @@ def with_shingles(df: DataFrame) -> DataFrame:
     # The pre-fan-out count predicate runs inside the SINGLE scan task a
     # one-file input produces, so it must be as cheap as possible: lower()
     # is dropped (case never changes the token count — lowercase mappings
-    # never produce a space) and only the split/filter skeleton remains.
+    # never produce a space) and the split itself is replaced by the
+    # early-exit regex gate MIN5_TOKENS_PRED (no token array materialized).
     # The real TOKENS_EXPR (with lower) is recomputed post-shuffle.
     return (
-        df.filter(F.expr("size(filter(split(text, ' '), x -> x <> '')) >= 5"))
+        df.filter(F.expr(MIN5_TOKENS_PRED))
         .transform(_fan_out)
         .withColumn("tokens", F.expr(TOKENS_EXPR))
         .withColumn("shingles", F.expr(f"array_distinct({SHINGLES_EXPR})"))
