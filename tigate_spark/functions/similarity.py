@@ -62,6 +62,14 @@ SIM_BUCKET_CAP = 100
 # same terms, same integer +, same null propagation (an out-of-range
 # index yields NULL and nulls the whole sum, exactly like zip_with's
 # null padding when either side is shorter than dim).
+#
+# Every scalar fold in this module goes through these two kernels (the
+# high-volume brute-force site measured +13-30% warm; the small sites —
+# LSH plane dots, PQ sub-L2, PCA projection, semdedup pair cosine —
+# measured in-band at sf0.1 and were converted for the same per-element
+# form, r17 probe). The one remaining zip_with (the IVF residual
+# q − cq) PRODUCES an array, where the index form saves nothing — the
+# result allocation dominates either spelling; left deliberately.
 # --------------------------------------------------------------------------
 def dot_sql(a: str, b: str, dim: int = DIM) -> str:
     """Σ a[i]·b[i] over two int64 array columns, index-loop form."""
@@ -139,7 +147,7 @@ def lsh_bucket(df: DataFrame, n_planes: int = N_PLANES, dim: int = DIM) -> DataF
     bucket = None
     for p in range(n_planes):
         arr = "array(" + ", ".join(f"{c}L" for c in coefs[p]) + ")"
-        dot_p = f"aggregate(zip_with(q, {arr}, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+        dot_p = dot_sql("q", arr, dim)
         bit = F.when(F.expr(dot_p) > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         bucket = bit if bucket is None else bucket + bit
     return with_quantized(df).withColumn("bucket", bucket)
@@ -545,8 +553,7 @@ def semantic_dedup(df: DataFrame, k: int = 8, iters: int = 2,
             F.greatest("p.a.vec_id", "p.b.vec_id").alias("vec_b"),
             F.expr(
                 round_half_away_sql(
-                    "aggregate(zip_with(p.a.q, p.b.q, (x, y) -> x * y), "
-                    "0L, (acc, x) -> acc + x) / "
+                    dot_sql("p.a.q", "p.b.q") + " / "
                     "(sqrt(cast(p.a.norm_sq as double)) * "
                     "sqrt(cast(p.b.norm_sq as double))) * 10000"
                 )
@@ -641,10 +648,7 @@ def pca_project(df: DataFrame, iters: int = 2) -> DataFrame:
     base = with_quantized(df).select("vec_id", "q")
     return base.select(
         "vec_id",
-        F.expr(
-            f"aggregate(zip_with(q, {arr}, (x, w) -> x * w), 0L, "
-            "(acc, t) -> acc + t)"
-        ).alias("pc1_proj"),
+        F.expr(dot_sql("q", arr)).alias("pc1_proj"),
     )
 
 
@@ -671,10 +675,7 @@ def _pq_base(df: DataFrame) -> DataFrame:
     return _pq_split(with_quantized(df).select("vec_id", "q"))
 
 
-_PQ_DIST = (
-    "aggregate(zip_with(subq, cq, (x, y) -> (x - y) * (x - y)), "
-    "0L, (acc, v) -> acc + v)"
-)
+_PQ_DIST = l2_sql("subq", "cq", PQ_SUBDIM)
 
 
 def _pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
@@ -745,10 +746,7 @@ def pq_adc_topk(df: DataFrame, n_queries: int = 5, k: int = 5,
         qsubs.join(cents, "s")
         .select(
             "query_id", "s", F.col("cent_id").alias("code"),
-            F.expr(
-                "aggregate(zip_with(qsub, cq, (x, y) -> (x - y) * (x - y)), "
-                "0L, (acc, v) -> acc + v)"
-            ).alias("dpart"),
+            F.expr(l2_sql("qsub", "cq", PQ_SUBDIM)).alias("dpart"),
         )
     )
     scored = (
@@ -847,10 +845,7 @@ def ivfpq_topk(df: DataFrame, k_cents: int = 8, km_iters: int = 2,
         qres.join(cents, "s")
         .select(
             "query_id", "q_cell", "s", F.col("cent_id").alias("code"),
-            F.expr(
-                "aggregate(zip_with(qsub, cq, (x, y) -> (x - y) * (x - y)), "
-                "0L, (acc, v) -> acc + v)"
-            ).alias("dpart"),
+            F.expr(l2_sql("qsub", "cq", PQ_SUBDIM)).alias("dpart"),
         )
     )
     scored = (
