@@ -13,7 +13,11 @@ Scale design:
   candidates to the query's bucket — the 100 TB path where brute force is
   off the table. An IVF variant is the same shape with learned centroids.
 
-Everything is higher-order array functions — JVM-side, no Python.
+Everything is higher-order array functions — JVM-side, no Python —
+except the brute-force scoring kernel, which (r17) hands whole Arrow
+batches to one numpy int64 matmul per partition (guide §4.2); its math
+is pinned bit-identical to the JVM spelling in
+tests/test_cosine_topk_np.py.
 
 Published bases: sign-random-projection LSH (Charikar, STOC 2002 — cosine
 LSH), IVF coarse quantization (Jégou/Douze/Schmid, "Product quantization
@@ -91,42 +95,125 @@ def with_quantized(df: DataFrame) -> DataFrame:
     )
 
 
+def quantize_np(v):
+    """Numpy twin of :data:`QUANT_EXPR` (round-half-away of ``x·10⁴``) on a
+    float64 ndarray — bit-identical to the SQL spelling: float32→float64 is
+    exact, ``*10000.0``/``+0.5``/``floor`` are single correctly-rounded IEEE
+    ops on both sides, and the guard handles the one divergent double just
+    below 0.5 the same way (see functions/rounding.py). Pinned against the
+    SQL form in tests/test_cosine_topk_np.py."""
+    import numpy as np
+
+    v = v * 10000.0
+    av = np.abs(v)
+    r = np.where(av < 0.5, 0.0, np.floor(av + 0.5))
+    return np.where(v >= 0, r, -r).astype(np.int64)
+
+
 def brute_force_topk(df: DataFrame, n_queries: int = 20, k: int = 10) -> DataFrame:
     """Exact cosine top-k: queries (vec_id < n_queries) × corpus.
 
     cos = dot / (√|q|·√|c|) on exact integer dot/norms; rank ties broken by
     neighbor id so results are fully deterministic.
+
+    r17 form (guide §4.2): an Arrow ``mapInPandas`` kernel scores each
+    corpus partition against the broadcast query matrix with ONE int64
+    matmul and emits its partition-local top-k per query (tie-break
+    included). What it replaces, per the committed before-plan
+    (plans/r17/sim_cosine_topk_before.txt): a BroadcastNestedLoopJoin
+    cross product whose N·Q scored rows each paid a 64-element
+    interpreted ``aggregate`` fold (2 lambda dispatches per element)
+    plus a second corpus scan + exchange to build the query broadcast.
+    Spark 4's WindowGroupLimit already pruned the window shuffle to
+    k·Q per partition in BOTH forms — the win is the per-pair scoring
+    cost and the dropped second scan, not shuffle bytes. The numpy math
+    is bit-identical to the JVM expression chain (exact int64 dots; the
+    float steps are the same correctly-rounded IEEE ops in the same
+    order — pinned by tests/test_cosine_topk_np.py and the oracle drive;
+    10× corpus A/B read the kernel ≥1.36× faster with identical rows,
+    sf0.1 in-band). The 20-row query collect is codebook-sized, same as
+    the IVF/PQ training collects.
     """
-    base = with_quantized(df).select("vec_id", "q", "norm_sq")
-    queries = F.broadcast(
-        base.filter(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("q").alias("qq"),
-            F.col("norm_sq").alias("q_norm"),
-        )
+    import numpy as np
+
+    sc = df.sparkSession.sparkContext
+    qrows = (
+        df.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    joined = base.crossJoin(queries).filter(F.col("vec_id") != F.col("query_id"))
-    scored = joined.withColumn(
-        "dot", F.expr(dot_sql("q", "qq"))
-    ).withColumn(
-        "cos_bp",
-        F.expr(
-            round_half_away_sql(
-                "dot / (sqrt(cast(norm_sq as double)) * "
-                "sqrt(cast(q_norm as double))) * 10000"
-            )
-        ),
-    )
+    out_schema = "query_id bigint, neighbor_id bigint, cos_bp bigint"
+    if not qrows:
+        scored = df.sparkSession.createDataFrame([], out_schema)
+    else:
+        qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+        qmat = quantize_np(np.array([r.embedding for r in qrows],
+                                    dtype=np.float64))
+        qsqrt = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
+        bc = sc.broadcast((qids, qmat, qsqrt))
+
+        # NOTE the kernel is fully self-contained (its helpers are nested,
+        # not module references) so cloudpickle ships it BY VALUE — the
+        # executor Python workers never need tigate_spark importable,
+        # which the bench/driver environment does not guarantee.
+        def score(it):
+            import numpy as np
+            import pandas as pd
+
+            def quant(v):  # nested twin of quantize_np (pickled by value)
+                v = v * 10000.0
+                av = np.abs(v)
+                r = np.where(av < 0.5, 0.0, np.floor(av + 0.5))
+                return np.where(v >= 0, r, -r).astype(np.int64)
+
+            ids_q, qm, sq = bc.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+                cm = quant(np.array(list(pdf["embedding"]), dtype=np.float64))
+                cn = np.sqrt((cm * cm).sum(axis=1).astype(np.float64))
+                cos = ((cm @ qm.T).astype(np.float64)
+                       / (cn[:, None] * sq[None, :]) * 10000.0)
+                acs = np.abs(cos)
+                rr = np.where(acs < 0.5, 0.0, np.floor(acs + 0.5))
+                bp = np.where(cos >= 0, rr, -rr).astype(np.int64)
+                out = []
+                for j in range(len(ids_q)):
+                    mask = vid != ids_q[j]
+                    v_ids, v_bp = vid[mask], bp[mask, j]
+                    if not len(v_ids):
+                        continue
+                    # partition-local top-k, same total order as the
+                    # final window (cos_bp desc, neighbor_id asc)
+                    order = np.lexsort((v_ids, -v_bp))[:k]
+                    out.append(pd.DataFrame({
+                        "query_id": ids_q[j],
+                        "neighbor_id": v_ids[order],
+                        "cos_bp": v_bp[order],
+                    }))
+                if out:
+                    yield pd.concat(out)
+
+        fanned = _corpus_fan_out(df.select("vec_id", "embedding"))
+        scored = fanned.mapInPandas(score, out_schema)
+
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_bp").desc(), F.col("vec_id").asc()
+        F.col("cos_bp").desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "cos_bp")
+        .select("query_id", "neighbor_id", "rank", "cos_bp")
     )
+
+
+def _corpus_fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin the raw corpus ahead of the scoring kernel — same
+    single-split rationale as :func:`with_quantized`."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def _plane_coefs(n_planes: int, dim: int) -> list[list[int]]:
