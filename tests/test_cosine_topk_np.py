@@ -90,11 +90,15 @@ def _brute_force_topk_jvm(df, n_queries=20, k=10):
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.01"])
 def test_brute_force_topk_np_matches_jvm_form(spark, sf):
     emb = load_table(spark, sf, "embeddings")
-    new = sim.brute_force_topk(emb)
+    kernel = sim.brute_force_topk(emb, use_kernel=True)
+    jvm = sim.brute_force_topk(emb, use_kernel=False)
     old = _brute_force_topk_jvm(emb)
-    assert new.exceptAll(old).count() == 0
-    assert old.exceptAll(new).count() == 0
-    assert new.count() == 200  # 20 queries × k=10, non-trivial
+    # kernel path == in-module JVM path == reconstructed pre-r17 spelling
+    assert kernel.exceptAll(jvm).count() == 0
+    assert jvm.exceptAll(kernel).count() == 0
+    assert jvm.exceptAll(old).count() == 0
+    assert old.exceptAll(jvm).count() == 0
+    assert kernel.count() == 200  # 20 queries × k=10, non-trivial
 
 
 def test_brute_force_topk_is_arrow_mapinpandas(spark):
@@ -102,11 +106,42 @@ def test_brute_force_topk_is_arrow_mapinpandas(spark):
     row-at-a-time Python, and the cross-join + second corpus scan of the
     old spelling are gone (one Scan parquet, no join node)."""
     emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
-    plan = sim.brute_force_topk(emb)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        sim.brute_force_topk(emb, use_kernel=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_brute_force_topk_scale_gate(spark, monkeypatch):
+    """The corpus-bytes gate picks the JVM form below the crossover, the
+    kernel at/above it, and the kernel when the input cannot be sized."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    nbytes = sim._corpus_input_bytes(emb)
+    assert nbytes is not None and 0 < nbytes < sim.KERNEL_MIN_INPUT_BYTES
+
+    # tiny file input → JVM expression scoring (no Python node)
+    plan = sim.brute_force_topk(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert "Join" in plan
+
+    # same input with the threshold lowered → kernel
+    monkeypatch.setattr(sim, "KERNEL_MIN_INPUT_BYTES", 1)
+    plan = sim.brute_force_topk(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    monkeypatch.undo()
+
+    # non-file input (size unknown) → kernel, the at-scale default
+    mem = spark.createDataFrame(
+        [(i, [float(i)] * sim.DIM) for i in range(30)],
+        "vec_id bigint, embedding array<float>",
+    )
+    assert sim._corpus_input_bytes(mem) is None
+    plan = sim.brute_force_topk(mem)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
 
 
 def test_brute_force_topk_empty_queries(spark):
@@ -114,4 +149,5 @@ def test_brute_force_topk_empty_queries(spark):
         [(100 + i, [float(i)] * sim.DIM) for i in range(5)],
         "vec_id bigint, embedding array<float>",
     )
-    assert sim.brute_force_topk(emb).count() == 0
+    assert sim.brute_force_topk(emb, use_kernel=True).count() == 0
+    assert sim.brute_force_topk(emb, use_kernel=False).count() == 0

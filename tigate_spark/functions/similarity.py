@@ -15,9 +15,11 @@ Scale design:
 
 Everything is higher-order array functions — JVM-side, no Python —
 except the brute-force scoring kernel, which (r17) hands whole Arrow
-batches to one numpy int64 matmul per partition (guide §4.2); its math
-is pinned bit-identical to the JVM spelling in
-tests/test_cosine_topk_np.py.
+batches to one numpy int64 matmul per partition (guide §4.2) when the
+corpus is large enough to amortize the Python task dispatch
+(:data:`KERNEL_MIN_INPUT_BYTES` gate; below it the all-JVM expression
+form wins and is used instead). The kernel math is pinned bit-identical
+to the JVM spelling in tests/test_cosine_topk_np.py.
 
 Published bases: sign-random-projection LSH (Charikar, STOC 2002 — cosine
 LSH), IVF coarse quantization (Jégou/Douze/Schmid, "Product quantization
@@ -110,30 +112,124 @@ def quantize_np(v):
     return np.where(v >= 0, r, -r).astype(np.int64)
 
 
-def brute_force_topk(df: DataFrame, n_queries: int = 20, k: int = 10) -> DataFrame:
+#: corpus-bytes crossover between the two exact scoring forms (below:
+#: all-JVM expression scoring; at/above or unknown: the numpy matmul
+#: kernel). Measured on the r17 bench host, interleaved same-JVM
+#: min-of-4 at 2k/6k/10k/20k corpus rows (~400 B/row parquet): the JVM
+#: form wins up to ~10k rows (0.37-0.44 s vs 0.50-0.53 s — the kernel's
+#: ~0.45 s Python/Arrow task dispatch dominates tiny inputs) and the
+#: kernel wins from ~20k rows (0.623 vs 0.655 s), with a ~2.5× shallower
+#: per-row slope (≈6.5 µs/row vs ≈16 µs/row of interpreted fold) — i.e.
+#: strictly dominant at scale. 8 MiB ≈ the measured crossover.
+KERNEL_MIN_INPUT_BYTES = 8 * 1024 * 1024
+
+
+def _corpus_input_bytes(df: DataFrame) -> int | None:
+    """Total bytes of the DataFrame's file inputs, or None when they
+    cannot be sized driver-side (non-file source, remote FS). Same
+    plan-time trigger pattern as ``sources.batch.scan_fan_out``."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        p = f[5:]
+        while p.startswith("//"):
+            p = p[1:]
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
+def brute_force_topk(df: DataFrame, n_queries: int = 20, k: int = 10,
+                     use_kernel: bool | None = None) -> DataFrame:
     """Exact cosine top-k: queries (vec_id < n_queries) × corpus.
 
     cos = dot / (√|q|·√|c|) on exact integer dot/norms; rank ties broken by
     neighbor id so results are fully deterministic.
 
-    r17 form (guide §4.2): an Arrow ``mapInPandas`` kernel scores each
-    corpus partition against the broadcast query matrix with ONE int64
-    matmul and emits its partition-local top-k per query (tie-break
-    included). What it replaces, per the committed before-plan
-    (plans/r17/sim_cosine_topk_before.txt): a BroadcastNestedLoopJoin
-    cross product whose N·Q scored rows each paid a 64-element
-    interpreted ``aggregate`` fold (2 lambda dispatches per element)
-    plus a second corpus scan + exchange to build the query broadcast.
-    Spark 4's WindowGroupLimit already pruned the window shuffle to
-    k·Q per partition in BOTH forms — the win is the per-pair scoring
-    cost and the dropped second scan, not shuffle bytes. The numpy math
-    is bit-identical to the JVM expression chain (exact int64 dots; the
-    float steps are the same correctly-rounded IEEE ops in the same
-    order — pinned by tests/test_cosine_topk_np.py and the oracle drive;
-    10× corpus A/B read the kernel ≥1.36× faster with identical rows,
-    sf0.1 in-band). The 20-row query collect is codebook-sized, same as
-    the IVF/PQ training collects.
+    Two scoring forms, bit-identical rows (tests/test_cosine_topk_np.py
+    pins them against each other and the oracle drives both):
+
+    - **numpy matmul kernel** (guide §4.2, r17): an Arrow ``mapInPandas``
+      kernel scores each corpus partition against the broadcast query
+      matrix with ONE int64 matmul and emits its partition-local top-k
+      per query (tie-break included) — one corpus scan, no join node,
+      ≈6.5 µs/row·20q vs the fold form's ≈16 µs/row on the r17 bench
+      host. The at-scale form.
+    - **all-JVM expression scoring** (the pre-r17 spelling): broadcast
+      cross join + index-loop ``aggregate`` fold per pair. No Python
+      task dispatch, which the kernel pays ~0.45 s for per execution on
+      the bench host — faster below ~20k corpus rows.
+
+    ``use_kernel=None`` picks by corpus input bytes
+    (:data:`KERNEL_MIN_INPUT_BYTES`, measured crossover; unknown size →
+    kernel, the at-scale-correct default) — scale-adaptive like
+    ``scan_fan_out``, not a local-mode constant: a lake-sized corpus
+    always takes the kernel. The numpy math is bit-identical to the JVM
+    expression chain (exact int64 dots; the float steps are the same
+    correctly-rounded IEEE ops in the same order). The 20-row query
+    collect is codebook-sized, same as the IVF/PQ training collects.
     """
+    if use_kernel is None:
+        nbytes = _corpus_input_bytes(df)
+        use_kernel = nbytes is None or nbytes >= KERNEL_MIN_INPUT_BYTES
+    if use_kernel:
+        scored = _bf_scored_kernel(df, n_queries, k)
+    else:
+        scored = _bf_scored_jvm(df, n_queries)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_bp").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_bp")
+    )
+
+
+def _bf_scored_jvm(df: DataFrame, n_queries: int) -> DataFrame:
+    """(query_id, neighbor_id, cos_bp) via broadcast cross join + integer
+    fold — the pre-r17 all-JVM spelling, kept for sub-crossover corpora."""
+    base = with_quantized(df).select("vec_id", "q", "norm_sq")
+    queries = F.broadcast(
+        base.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("norm_sq").alias("q_norm"),
+        )
+    )
+    joined = base.crossJoin(queries).filter(F.col("vec_id") != F.col("query_id"))
+    return (
+        joined.withColumn("dot", F.expr(dot_sql("q", "qq")))
+        .withColumn(
+            "cos_bp",
+            F.expr(
+                round_half_away_sql(
+                    "dot / (sqrt(cast(norm_sq as double)) * "
+                    "sqrt(cast(q_norm as double))) * 10000"
+                )
+            ),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_bp")
+    )
+
+
+def _bf_scored_kernel(df: DataFrame, n_queries: int, k: int) -> DataFrame:
+    """(query_id, neighbor_id, cos_bp) partition-local top-k via the Arrow
+    numpy matmul kernel (self-contained closure, pickled by value)."""
     import numpy as np
 
     sc = df.sparkSession.sparkContext
@@ -197,17 +293,7 @@ def brute_force_topk(df: DataFrame, n_queries: int = 20, k: int = 10) -> DataFra
 
         fanned = _corpus_fan_out(df.select("vec_id", "embedding"))
         scored = fanned.mapInPandas(score, out_schema)
-
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_bp").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_bp")
-    )
+    return scored
 
 
 def _corpus_fan_out(df: DataFrame) -> DataFrame:
