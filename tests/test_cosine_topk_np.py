@@ -117,11 +117,13 @@ def test_brute_force_topk_is_arrow_mapinpandas(spark):
 
 
 def test_brute_force_topk_scale_gate(spark, monkeypatch):
-    """The corpus-bytes gate picks the JVM form below the crossover, the
+    """The corpus-rows gate picks the JVM form below the crossover, the
     kernel at/above it, and the kernel when the input cannot be sized."""
     emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
-    nbytes = sim._corpus_input_bytes(emb)
-    assert nbytes is not None and 0 < nbytes < sim.KERNEL_MIN_INPUT_BYTES
+    nrows = sim._corpus_input_rows(emb)
+    # footer row count is exact, not an estimate
+    assert nrows == emb.count()
+    assert 0 < nrows < sim.KERNEL_MIN_ROWS
 
     # tiny file input → JVM expression scoring (no Python node)
     plan = sim.brute_force_topk(emb)._jdf.queryExecution().executedPlan().toString()
@@ -129,7 +131,7 @@ def test_brute_force_topk_scale_gate(spark, monkeypatch):
     assert "Join" in plan
 
     # same input with the threshold lowered → kernel
-    monkeypatch.setattr(sim, "KERNEL_MIN_INPUT_BYTES", 1)
+    monkeypatch.setattr(sim, "KERNEL_MIN_ROWS", 1)
     plan = sim.brute_force_topk(emb)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     monkeypatch.undo()
@@ -139,7 +141,7 @@ def test_brute_force_topk_scale_gate(spark, monkeypatch):
         [(i, [float(i)] * sim.DIM) for i in range(30)],
         "vec_id bigint, embedding array<float>",
     )
-    assert sim._corpus_input_bytes(mem) is None
+    assert sim._corpus_input_rows(mem) is None
     plan = sim.brute_force_topk(mem)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
 

@@ -17,7 +17,7 @@ Everything is higher-order array functions — JVM-side, no Python —
 except the brute-force scoring kernel, which (r17) hands whole Arrow
 batches to one numpy int64 matmul per partition (guide §4.2) when the
 corpus is large enough to amortize the Python task dispatch
-(:data:`KERNEL_MIN_INPUT_BYTES` gate; below it the all-JVM expression
+(:data:`KERNEL_MIN_ROWS` gate; below it the all-JVM expression
 form wins and is used instead). The kernel math is pinned bit-identical
 to the JVM spelling in tests/test_cosine_topk_np.py.
 
@@ -112,42 +112,46 @@ def quantize_np(v):
     return np.where(v >= 0, r, -r).astype(np.int64)
 
 
-#: corpus-bytes crossover between the two exact scoring forms (below:
+#: corpus-rows crossover between the two exact scoring forms (below:
 #: all-JVM expression scoring; at/above or unknown: the numpy matmul
 #: kernel). Measured on the r17 bench host, interleaved same-JVM
-#: min-of-4 at 2k/6k/10k/20k corpus rows (~400 B/row parquet): the JVM
-#: form wins up to ~10k rows (0.37-0.44 s vs 0.50-0.53 s — the kernel's
-#: ~0.45 s Python/Arrow task dispatch dominates tiny inputs) and the
-#: kernel wins from ~20k rows (0.623 vs 0.655 s), with a ~2.5× shallower
-#: per-row slope (≈6.5 µs/row vs ≈16 µs/row of interpreted fold) — i.e.
-#: strictly dominant at scale. 8 MiB ≈ the measured crossover.
-KERNEL_MIN_INPUT_BYTES = 8 * 1024 * 1024
+#: min-of-4 at 2k/6k/10k/20k corpus rows: the JVM form wins up to ~10k
+#: rows (0.37-0.44 s vs 0.50-0.53 s — the kernel's ~0.45 s Python/Arrow
+#: task dispatch dominates tiny inputs) and the kernel wins from ~20k
+#: rows (0.623 vs 0.655 s), with a ~2.5× shallower per-row slope
+#: (≈6.5 µs/row vs ≈16 µs/row of interpreted fold) — i.e. strictly
+#: dominant at scale. Rows, not file bytes: parquet dictionary-encodes
+#: repetitive vector payloads (a replicated 10× corpus compresses to
+#: the 1× size), and the measured crossover is a per-row quantity.
+KERNEL_MIN_ROWS = 20_000
 
 
-def _corpus_input_bytes(df: DataFrame) -> int | None:
-    """Total bytes of the DataFrame's file inputs, or None when they
-    cannot be sized driver-side (non-file source, remote FS). Same
-    plan-time trigger pattern as ``sources.batch.scan_fan_out``."""
-    import os
-
+def _corpus_input_rows(df: DataFrame) -> int | None:
+    """Exact row count of the DataFrame's parquet file inputs from the
+    footers (driver-side metadata read, no Spark job), or None when the
+    inputs cannot be sized that way (non-file source, remote FS,
+    non-parquet). Same plan-time trigger pattern as
+    ``sources.batch.scan_fan_out``."""
     try:
         files = df.inputFiles()
     except Exception:
         return None
     if not files:
         return None
-    total = 0
-    for f in files:
-        if not f.startswith("file:"):
-            return None
-        p = f[5:]
-        while p.startswith("//"):
-            p = p[1:]
-        try:
-            total += os.path.getsize(p)
-        except OSError:
-            return None
-    return total
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            if not f.startswith("file:"):
+                return None
+            p = f[5:]
+            while p.startswith("//"):
+                p = p[1:]
+            total += pq.ParquetFile(p).metadata.num_rows
+        return total
+    except Exception:
+        return None
 
 
 def brute_force_topk(df: DataFrame, n_queries: int = 20, k: int = 10,
@@ -171,8 +175,8 @@ def brute_force_topk(df: DataFrame, n_queries: int = 20, k: int = 10,
       task dispatch, which the kernel pays ~0.45 s for per execution on
       the bench host — faster below ~20k corpus rows.
 
-    ``use_kernel=None`` picks by corpus input bytes
-    (:data:`KERNEL_MIN_INPUT_BYTES`, measured crossover; unknown size →
+    ``use_kernel=None`` picks by corpus row count from the parquet
+    footers (:data:`KERNEL_MIN_ROWS`, measured crossover; unknown size →
     kernel, the at-scale-correct default) — scale-adaptive like
     ``scan_fan_out``, not a local-mode constant: a lake-sized corpus
     always takes the kernel. The numpy math is bit-identical to the JVM
@@ -181,8 +185,8 @@ def brute_force_topk(df: DataFrame, n_queries: int = 20, k: int = 10,
     collect is codebook-sized, same as the IVF/PQ training collects.
     """
     if use_kernel is None:
-        nbytes = _corpus_input_bytes(df)
-        use_kernel = nbytes is None or nbytes >= KERNEL_MIN_INPUT_BYTES
+        nrows = _corpus_input_rows(df)
+        use_kernel = nrows is None or nrows >= KERNEL_MIN_ROWS
     if use_kernel:
         scored = _bf_scored_kernel(df, n_queries, k)
     else:
