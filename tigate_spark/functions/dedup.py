@@ -248,13 +248,25 @@ def minhash_signature(df: DataFrame, k: int = MINHASH_K) -> DataFrame:
 
 
 def lsh_bands(df: DataFrame) -> DataFrame:
-    """(doc_id, band, v) rows: band value = the r=2 minhash pair rendered
-    as a string key."""
+    """(doc_id, band, v) rows: band value = the r=2 minhash pair packed
+    into ONE bigint (``hi << 31 | lo``; minhashes are < 2^31 so the pack
+    is injective — the same bucket partition as the oracle's
+    ``printf('%d:%d')`` string spelling, which every consumer uses only
+    as an internal group/join key, never as output).
+
+    The packed form (r17, guide §2.3 "narrower types") replaces the
+    previous ``concat_ws(':')`` string: the (doc, band, v) rows are the
+    dominant shuffle of the whole fuzzy-dedup family, and the key drops
+    from a ~13-20 byte string (plus two int→string renders per band) to
+    8 bytes with integer hash/compare. Output-identity across all seven
+    band consumers verified by oracle re-drives; local bench effect
+    ~5-8% on minhash_lsh (interleaved A/B), the bytes win is the
+    at-scale point."""
     sigs = minhash_signature(df, MINHASH_K)
     bands = F.expr(
         f"transform(sequence(0, {MINHASH_BANDS - 1}), b -> struct(b as band, "
-        "concat_ws(':', element_at(sig, cast(2 * b + 1 as int)), "
-        "element_at(sig, cast(2 * b + 2 as int))) as v))"
+        "shiftleft(element_at(sig, cast(2 * b + 1 as int)), 31) + "
+        "element_at(sig, cast(2 * b + 2 as int)) as v))"
     )
     return (
         sigs.select("doc_id", F.explode_outer(bands).alias("bv"))
