@@ -29,6 +29,11 @@ from tigate_spark.functions.text import TOKENS_EXPR
 
 #: MinHash modulus (2^31 - 1, prime); products stay < 2^62 — no overflow.
 MINHASH_P = 2_147_483_647
+# Pack-width invariant (see lsh_bands / minhash_lsh_pairs): both minhashes
+# must fit 31 bits so `hi << 31 | lo` is injective, and the packed band
+# value must fit 62 bits so `band << 62 | v` is injective in int64. A
+# future change to the hash family or modulus must trip this loudly.
+assert MINHASH_P <= (1 << 31) - 1, "band-key packing requires minhashes < 2^31"
 #: number of MinHash functions (banded as b=4 bands × r=2 rows)
 MINHASH_K = 8
 #: LSH bands use r=2 rows — a collision needs two agreeing minhashes,
@@ -68,11 +73,13 @@ def _fan_out(df: DataFrame) -> DataFrame:
 
     A small parquet file arrives as one split → one task; hashing every
     shingle of every doc in a single thread serializes the stage. At lake
-    scale the scan has many splits, but widening CPU-bound stages beyond
-    split count is still the right call — the shuffle is tiny (raw text)
-    compared to the compute it parallelizes.
+    scale the scan already has splits and the exchange would be pure
+    movement — bytes-gated since r18 (``fan_out_if_small``); streaming
+    micro-batch inputs (unsizeable) keep the fan-out.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    from tigate_spark.sources.batch import fan_out_if_small
+
+    return fan_out_if_small(df)
 
 
 def with_shingles(df: DataFrame) -> DataFrame:
@@ -283,15 +290,35 @@ def minhash_lsh_pairs(df: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFr
     pairing (an oversized bucket is a corpus-common feature — pairing it
     is quadratic and semantically useless). Only (doc, band) rows shuffle.
     """
-    # Bucket-local pair generation: ONE shuffle clusters (band, v); pairs
-    # come from array combinations inside each bucket row (bounded by
-    # bucket_cap → ≤ cap·(cap-1)/2 pairs), then one final agg shuffle.
+    # Bucket-local pair generation: ONE shuffle clusters the bucket key;
+    # pairs come from array combinations inside each bucket row (bounded
+    # by bucket_cap → ≤ cap·(cap-1)/2 pairs), then one final agg shuffle.
     # This replaces the sizes-join + self-join formulation (4 shuffles and
     # 4 recomputes of the signature pipeline) — the standard
     # sort-by-bucket-then-pair MinHash layout at lake scale.
+    #
+    # The (band, v) pair is packed into ONE bigint group key
+    # (``band << 62 | v`` — injective: band < 4 and v < 2^62 since both
+    # minhashes are < 2^31, see the MINHASH_P assert). r18, guide §2.3:
+    # halves the group-key width of the family's dominant shuffle
+    # (16 → 8 bytes) and replaces a two-column hash/compare with one
+    # bigint; measured min-of-5 interleaved 0.456 → 0.424 at sf0.1 AND
+    # 1.741 → 1.701 at the 10× probe. The bucket membership is identical
+    # (key is internal only; outputs are doc pairs).
+    #
+    # Probed and REJECTED in the same A/B (r18): (a) a window-count gate
+    # before a bounded collect_list (state-bounded, ties sf0.1 but loses
+    # ~9-17% at 10× — the sort+window pass costs more than map-side
+    # partial collect saves); (b) the count-gate + join-back posting
+    # form (loses 30-70% at both SFs — the signature pipeline is
+    # recomputed for the sizes branch).
     buckets = (
         lsh_bands(df)
-        .groupBy("band", "v")
+        .select(
+            "doc_id",
+            (F.expr("shiftleft(cast(band as bigint), 62)") + F.col("v")).alias("bv"),
+        )
+        .groupBy("bv")
         .agg(F.expr("array_sort(collect_list(doc_id))").alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= bucket_cap))
     )
