@@ -90,8 +90,11 @@ def l2_sql(a: str, b: str, dim: int = DIM) -> str:
 
 
 def with_quantized(df: DataFrame) -> DataFrame:
-    # fan out: a single parquet split would serialize the vector math
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # fan out: a single parquet split would serialize the vector math;
+    # bytes-gated since r18 (no-op once the scan itself has enough splits)
+    from tigate_spark.sources.batch import fan_out_if_small
+
+    df = fan_out_if_small(df)
     return df.withColumn("q", F.expr(QUANT_EXPR)).withColumn(
         "norm_sq", F.expr("aggregate(q, 0L, (acc, x) -> acc + x * x)")
     )
@@ -126,17 +129,30 @@ def quantize_np(v):
 KERNEL_MIN_ROWS = 20_000
 
 
+#: cap on the number of parquet footers _corpus_input_rows will read on
+#: the driver — past it the corpus is presumed large and the kernel (the
+#: at-scale default) is used without paying per-file plan-time latency
+_FOOTER_READ_CAP = 64
+
+
 def _corpus_input_rows(df: DataFrame) -> int | None:
-    """Exact row count of the DataFrame's parquet file inputs from the
-    footers (driver-side metadata read, no Spark job), or None when the
-    inputs cannot be sized that way (non-file source, remote FS,
-    non-parquet). Same plan-time trigger pattern as
-    ``sources.batch.scan_fan_out``."""
+    """UPPER BOUND on the corpus row count: the summed parquet-footer
+    ``num_rows`` of the plan's input FILES (driver-side metadata read, no
+    Spark job), or None when the inputs cannot be sized that way
+    (non-file source, remote FS, non-parquet, or more than
+    ``_FOOTER_READ_CAP`` files). Same plan-time trigger pattern as
+    ``sources.batch.scan_fan_out``.
+
+    Files, not rows-after-filters: a filtered view of a large file — or
+    a frame whose lineage spans other parquet tables — is counted at
+    full file size, so ``brute_force_topk`` may pick the kernel below
+    the true crossover. That is the at-scale-safe direction (the kernel
+    is the asymptotically dominant form), accepted deliberately."""
     try:
         files = df.inputFiles()
     except Exception:
         return None
-    if not files:
+    if not files or len(files) > _FOOTER_READ_CAP:
         return None
     try:
         import pyarrow.parquet as pq
@@ -148,7 +164,8 @@ def _corpus_input_rows(df: DataFrame) -> int | None:
             p = f[5:]
             while p.startswith("//"):
                 p = p[1:]
-            total += pq.ParquetFile(p).metadata.num_rows
+            with pq.ParquetFile(p) as pf:
+                total += pf.metadata.num_rows
         return total
     except Exception:
         return None
@@ -302,8 +319,10 @@ def _bf_scored_kernel(df: DataFrame, n_queries: int, k: int) -> DataFrame:
 
 def _corpus_fan_out(df: DataFrame) -> DataFrame:
     """Round-robin the raw corpus ahead of the scoring kernel — same
-    single-split rationale as :func:`with_quantized`."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    single-split rationale (and r18 bytes gate) as :func:`with_quantized`."""
+    from tigate_spark.sources.batch import fan_out_if_small
+
+    return fan_out_if_small(df)
 
 
 def _plane_coefs(n_planes: int, dim: int) -> list[list[int]]:

@@ -67,6 +67,47 @@ def scan_fan_out(df: DataFrame, *paths: str) -> DataFrame:
     return df.repartition(par)
 
 
+def fan_out_if_small(df: DataFrame) -> DataFrame:
+    """:func:`scan_fan_out` keyed off the frame's OWN input files, for
+    CPU-bound operators that receive an arbitrary frame rather than a
+    fresh scan (shingle/minhash pipelines, embedding quantization).
+
+    r18 (guide §2.4, VERDICT #3): these call sites used to repartition
+    unconditionally — correct for the single-split local testdata and for
+    streaming micro-batches, but a full shuffle of raw documents/vectors
+    that is pure movement at lake scale, where the scan already has
+    splits. The gate is the same bytes condition as :func:`scan_fan_out`
+    (total input bytes < defaultParallelism × 128 MB split size, capped
+    at 8 GiB — generous, per the CPU-bound rationale: widening these
+    kernels beyond split count pays until the scan itself feeds full
+    core width).
+
+    ``df.inputFiles()`` is an upper bound over the plan's input files
+    (filters don't shrink it), so a small filtered view of a big input
+    skips the fan-out — the at-scale-safe direction. Unsizeable inputs
+    (streaming sources, non-local files) KEEP the fan-out: streaming
+    micro-batches are small by construction and were the original
+    motivation for the unconditional form.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = None
+    if files:
+        paths = []
+        for f in files:
+            if not f.startswith("file:"):
+                paths = None
+                break
+            p = f[5:]
+            while p.startswith("//"):
+                p = p[1:]
+            paths.append(p)
+        if paths:
+            return scan_fan_out(df, *paths)
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. ``events.ts`` dtype varies by data vintage
     (timestamp_ntz today, epoch-nanos long historically) — downstream code
