@@ -78,3 +78,49 @@ def test_spark_expressions_identical_on_testdata(spark) -> None:
                 )
             ).count()
             assert n_bad == 0, f"{tbl}: {e} diverges on {n_bad} rows"
+
+
+# --- r18: sign-aware column form (round_half_away_bigint) ------------------
+
+def _half_away(x: float) -> int:
+    # twin of round_half_away_bigint (sign-mirrored guarded floor)
+    m = 0 if abs(x) < 0.5 else math.floor(abs(x) + 0.5)
+    return -m if x < 0 else m
+
+
+@given(st.floats(min_value=-float(2**51), max_value=float(2**51),
+                 allow_nan=False))
+@settings(max_examples=2000, deadline=None)
+def test_half_away_matches_half_up_on_full_domain(x: float) -> None:
+    assert _half_away(x) == _bigdecimal_half_up(x), x
+
+
+def test_half_away_adversarial_boundaries() -> None:
+    cases = [
+        0.0, -0.0, 0.5, -0.5, 0.49999999999999994, -0.49999999999999994,
+        -1.5, -2.5, -14.499999999999998,
+        math.nextafter(-0.5, 0.0), math.nextafter(-0.5, -1.0),
+        math.nextafter(-1000.5, 0.0), math.nextafter(-1000.5, -2000.0),
+        -float(2**51 - 1), -(2**51 - 1.5),
+    ]
+    for x in cases:
+        assert _half_away(x) == _bigdecimal_half_up(x), x
+
+
+@pytest.mark.slow
+def test_spark_half_away_identical_on_negative_domains(spark) -> None:
+    """The r18 sign-aware sites (acctbal — genuinely negative in the
+    data — and the event value) must match F.round row-exact."""
+    from pyspark.sql import functions as F
+
+    from tigate_spark.functions.rounding import round_half_away_bigint
+
+    for tbl, e in [("customer", "c_acctbal"), ("supplier", "s_acctbal"),
+                   ("events", "value")]:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{tbl}.parquet")
+        n_bad = df.withColumn(
+            "a", F.round(F.col(e) * 100).cast("bigint")
+        ).withColumn(
+            "b", round_half_away_bigint(F.col(e) * 100)
+        ).filter("a != b or (a is null) != (b is null)").count()
+        assert n_bad == 0, f"{tbl}.{e} diverges on {n_bad} rows"

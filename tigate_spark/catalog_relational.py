@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from tigate_spark.catalog import register
 from tigate_spark.functions.rounding import cents as _cents
+from tigate_spark.functions.rounding import round_half_away_bigint
 from tigate_spark.functions.rounding import round_half_up_bigint
 from tigate_spark.sources.batch import load_table
 from tigate_spark.sources.changes import event_us
@@ -265,7 +266,7 @@ def agg_events_per_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(round_half_up_bigint(F.col("value") * 100)).alias("value_cents"),
+            F.sum(round_half_away_bigint(F.col("value") * 100)).alias("value_cents"),
         )
     )
 
@@ -518,7 +519,8 @@ GROUP BY c_mktsegment
 )
 def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").withColumn(
-        "bal_cents", _cents(F.col("c_acctbal"))
+        # acctbal goes NEGATIVE in real TPC-H data — sign-aware round (r18)
+        "bal_cents", round_half_away_bigint(F.col("c_acctbal") * 100)
     )
     o_keys = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
@@ -577,7 +579,8 @@ def tpch_q2_top_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rn") == 1)
         .select(
             "p_partkey", "s_suppkey", "s_name",
-            _cents(F.col("s_acctbal")).alias("acctbal_cents"),
+            # acctbal goes NEGATIVE in real TPC-H data — sign-aware round (r18)
+            round_half_away_bigint(F.col("s_acctbal") * 100).alias("acctbal_cents"),
         )
     )
 

@@ -65,6 +65,24 @@ def cents(col: Column) -> Column:
     return round_half_up_bigint(col * 100)
 
 
+def round_half_away_bigint(col: Column) -> Column:
+    """Column twin of :func:`round_half_away_sql` — exact
+    ``F.round(col).cast('bigint')`` for ANY double with
+    ``|col| + 1 < 2**52``, sign-aware (HALF_UP = away from zero).
+
+    r18 (VERDICT #4): use this wherever the input domain is not *proven*
+    non-negative — ``round_half_up_bigint`` silently returns 0 for
+    negative inputs. The extra CASE is branch-predictable on one-sided
+    data and measured free in the bench."""
+    a = F.abs(col)
+    mag = (
+        F.when(a < 0.5, F.lit(0).cast("bigint"))
+        .otherwise(F.floor(a + F.lit(0.5)))
+        .cast("bigint")
+    )
+    return F.when(col < 0, -mag).otherwise(mag).cast("bigint")
+
+
 def round_half_away_sql(v: str) -> str:
     """SQL-expression twin of ``cast(round(v) as bigint)`` for ANY double
     with ``|v| + 1 < 2**52`` — sign-aware: Spark's Round (BigDecimal

@@ -33,7 +33,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tigate_spark.functions.rounding import round_half_up_bigint
+from tigate_spark.functions.rounding import round_half_away_bigint
 from tigate_spark.sources.batch import load_table, scan_fan_out
 
 #: number of logical tables the stream fans out to
@@ -114,7 +114,10 @@ def normalize_events(ev: DataFrame, with_images: bool = False) -> DataFrame:
         F.col("event_id").alias("seq"),
         (F.col("event_id") % N_KEYS).cast("bigint").alias("pk"),
         F.col("event_type"),
-        round_half_up_bigint(F.col("value") * 100).alias("value_cents"),
+        # sign-aware (r18, VERDICT #4): the event value domain is not a
+        # checked invariant — on arbitrary data a negative value must
+        # still round like round(), not collapse to 0
+        round_half_away_bigint(F.col("value") * 100).alias("value_cents"),
         F.col("user_id"),
         F.col("props"),
         # write-source attribution (tidb_cdc_write_source): rows applied
