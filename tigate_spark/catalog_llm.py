@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tigate_spark.catalog import register
+from tigate_spark.catalog import CATALOG, register
 from tigate_spark.functions import dedup as dd
 from tigate_spark.functions import similarity as sim
 from tigate_spark.functions import text as tx
@@ -367,6 +367,22 @@ SELECT query_id, neighbor_id, rank, cos_bp FROM (
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sim.brute_force_topk(load_table(spark, sf_dir, "embeddings"))
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "sim_cosine_topk_kernel",
+    CATALOG["sim_cosine_topk"].oracle,
+    doc="Brute-force exact cosine top-10 through the numpy matmul "
+        "mapInPandas kernel, forced (use_kernel=True) — keeps the "
+        "at-scale scoring branch externally oracle-checked below the "
+        "KERNEL_MIN_ROWS dispatch crossover (r18, VERDICT #5); results "
+        "are bit-identical to sim_cosine_topk by construction",
+)
+def sim_cosine_topk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sim.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), use_kernel=True
+    )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
