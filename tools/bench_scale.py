@@ -182,6 +182,22 @@ def _join_classes(df) -> dict:
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma list of catalog entries to probe")
+    ap.add_argument("--headline", action="store_true",
+                    help="probe the bench contract's headline (bench=True) "
+                         "queries instead of the QUERIES survey list")
+    ap.add_argument("--out", default=None,
+                    help="also write the final JSON line to this file "
+                         "(the committed BENCH_SCALE_r<N>.json artifact)")
+    ap.add_argument("--runs", type=int,
+                    default=int(os.environ.get("SCALE_RUNS", "1")),
+                    help="timed passes per scale (best-of-N, default 1)")
+    args = ap.parse_args()
+
     want_shuffle = os.environ.get("SCALE_SHUFFLE_METRICS") == "1"
     warm = os.environ.get("SCALE_WARM", "1") == "1"
     spark = get_spark(
@@ -197,8 +213,11 @@ def main() -> None:
     cat = get_catalog()
     results = {}
     names = QUERIES
-    if len(sys.argv) > 2 and sys.argv[1] == "--only":
-        names = sys.argv[2].split(",")
+    if args.headline:
+        names = sorted(n for n, s in cat.items() if s.bench)
+    if args.only:
+        names = args.only.split(",")
+    runs = max(1, args.runs)
     for name in names:
         fn = cat[name].builder
 
@@ -206,10 +225,13 @@ def main() -> None:
             if warm:
                 fn(spark, sf_path).write.format("noop").mode("overwrite").save()
             before = _max_stage_id(spark) if want_shuffle else -1
-            t0 = time.time()
-            df = fn(spark, sf_path)
-            df.write.format("noop").mode("overwrite").save()
-            sec = time.time() - t0
+            sec = None
+            for _ in range(runs):
+                t0 = time.time()
+                df = fn(spark, sf_path)
+                df.write.format("noop").mode("overwrite").save()
+                t = time.time() - t0
+                sec = t if sec is None else min(sec, t)
             extra = _shuffle_stats(spark, before) if want_shuffle else {}
             if want_shuffle:
                 extra["joins"] = _join_classes(fn(spark, sf_path))
@@ -226,7 +248,21 @@ def main() -> None:
             results[name]["sf0.1"] = base_extra
             results[name][f"{COPIES}x"] = scaled_extra
         print(json.dumps({name: results[name]}), flush=True)
-    print(json.dumps({"metric": "scale_probe", "copies": COPIES, "results": results}))
+    final = {
+        "metric": "scale_probe", "copies": COPIES, "runs": runs,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "results": results,
+        # contract-shaped convenience block: the 10x walls per query
+        "queries": {n: r[f"{COPIES}x_sec"] for n, r in results.items()},
+        "value": round(sum(r[f"{COPIES}x_sec"] for r in results.values()), 3),
+        "unit": "sec",
+    }
+    print(json.dumps(final))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(final, f, indent=2)
+            f.write("\n")
 
 
 if __name__ == "__main__":
