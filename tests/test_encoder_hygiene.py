@@ -77,20 +77,21 @@ def test_table_rule_match_shares_plan_matcher(spark):
     assert not table_rule_match(rules, "audit", "x")
 
 
-def test_ngram_posting_cache_bounded(spark, sf_dir):
-    """Repeated ngram_jaccard_pairs invocations hold at most one persisted
-    posting frame (r04 advice: the old persist leaked per call)."""
+def test_ngram_pairs_hold_no_cache(spark, sf_dir):
+    """r18: ngram_jaccard_pairs must not persist anything — a cached
+    intermediate served every warm bench pass as a scale-independent
+    read (the cross-run result caching the optimization rounds forbid).
+    Executing the frame twice leaves zero persisted RDDs behind."""
     from tigate_spark.functions import dedup as dd
     from tigate_spark.sources.batch import load_table
 
     docs = load_table(spark, sf_dir, "documents").limit(50)
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     a = dd.ngram_jaccard_pairs(docs)
     a.count()
-    b = dd.ngram_jaccard_pairs(docs)
-    b.count()
-    assert len(dd._LIVE_POSTINGS) == 1
-    dd.release_posting_caches()
-    assert dd._LIVE_POSTINGS == []
+    a.count()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after == before
 
 
 def test_ngram_df_cap_opt_out(spark, sf_dir):
@@ -102,4 +103,3 @@ def test_ngram_df_cap_opt_out(spark, sf_dir):
     capped = dd.ngram_jaccard_pairs(docs).count()
     exact = dd.ngram_jaccard_pairs(docs, df_cap=None).count()
     assert exact >= capped
-    dd.release_posting_caches()

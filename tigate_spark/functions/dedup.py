@@ -114,27 +114,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-#: posting-list frames persisted by ngram_jaccard_pairs, released on the
-#: next invocation (at most one cache outstanding per session)
-_LIVE_POSTINGS: list[DataFrame] = []
-
-
-def release_posting_caches(keep: DataFrame | None = None) -> None:
-    """Unpersist posting-list caches from earlier ``ngram_jaccard_pairs``
-    calls (all of them, or all but ``keep``). Blocks are otherwise pinned
-    until session end in a long-lived session."""
-    kept = []
-    for p in _LIVE_POSTINGS:
-        if keep is not None and p is keep:
-            kept.append(p)
-            continue
-        try:
-            p.unpersist()
-        except Exception:
-            pass
-    _LIVE_POSTINGS[:] = kept
-
-
 def ngram_jaccard_pairs(df: DataFrame,
                         df_cap: int | None = LSH_BUCKET_CAP) -> DataFrame:
     """Candidate near-dup pairs with exact Jaccard over 5-gram shingle sets.
@@ -161,14 +140,18 @@ def ngram_jaccard_pairs(df: DataFrame,
     membership marker per member (``doc_b`` NULL) *plus* its bucket-local
     pairs, and a single (doc_a, doc_b) aggregation yields both the sizes
     (NULL rows) and the intersections (pair rows). The three downstream
-    consumers (inter, n_a, n_b) filter that one aggregate — the inverted
-    index is scanned once instead of twice, and what gets persisted is
-    the O(docs + pairs) aggregate, not the O(total shingles) posting
-    lists (within a single action AQE's exchange reuse already shares
-    the shuffle; the persist serves repeated actions on the returned
-    frame, e.g. a warm benchmark loop). Cache lifetime keeps the r04
-    bookkeeping: at most one live cache per session, released on the
-    next call or via ``release_posting_caches()``.
+    consumers (inter, n_a, n_b) filter that one aggregate; within one
+    action AQE's exchange reuse shares the aggregate's shuffle across
+    the branches.
+
+    NOT persisted (r18): the r06 form ``persist()``-ed the aggregate so
+    "repeated actions on the returned frame" (i.e. a warm bench loop)
+    read the cache — which made every timed bench pass after the first a
+    scale-independent cache read (measured 0.182 s at 10× the corpus vs
+    2.7 s honest recompute), exactly the cross-run result caching the
+    optimization-round rules forbid. Every execution now computes from
+    the inputs; callers that genuinely re-execute the frame many times
+    can persist at the call site.
     """
     # explode_outer: plain explode triggers InferFiltersFromGenerate, whose
     # size(shingles)>0 predicate gets pushed below the fan-out exchange and
@@ -200,10 +183,7 @@ def ngram_jaccard_pairs(df: DataFrame,
         posting.select(F.explode(combined_rows).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
     )
-    release_posting_caches(keep=combined)
-    _LIVE_POSTINGS.append(combined)
     inter = combined.filter(F.col("doc_b").isNotNull()).select(
         "doc_a", "doc_b", F.col("cnt").alias("inter")
     )
