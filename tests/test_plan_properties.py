@@ -168,7 +168,14 @@ def test_jaccard_pairs_bucket_local(spark):
     from tigate_spark.plans.audit import plan_of
 
     df = _df(spark, "dedup_ngram_jaccard")
-    assert count_exchanges(df) <= 7
+    # r18: the combined aggregate is no longer persist()-ed (the cache
+    # served warm bench passes — removed as cross-run result caching), so
+    # the INITIAL plan renders the shared 3-exchange posting subtree once
+    # per consumer branch (inter + the two size joins) = up to 9 headers;
+    # at runtime AQE ReusedExchange collapses the identical subtrees, so
+    # the executed work is still the single pipeline the old <=7 gate
+    # (with InMemoryRelation) pinned.
+    assert count_exchanges(df) <= 9
     # pair generation must come from bucket-local combinations (explode of
     # posting-list arrays), not a shingle-equality self-join
     assert "flatten(transform(sequence" in plan_of(df)
