@@ -39,9 +39,13 @@ sf0.001/0.01/0.1 (zero mismatches, zero negative inputs) and
 property-tested (hypothesis + adversarial boundary set) in
 tests/test_rounding_equivalence.py.
 
-Do NOT use this for possibly-negative columns (e.g. cosine scores):
-HALF_UP rounds away from zero there while floor rounds toward +inf —
-keep ``F.round`` for those.
+Do NOT use the bare non-negative form for possibly-negative columns
+(e.g. cosine scores, account balances): HALF_UP rounds away from zero
+there while floor rounds toward +inf. Use the sign-aware twins instead —
+:func:`round_half_away_bigint` (column form, r18) or
+:func:`round_half_away_sql` (SQL-string form) — which are exact on the
+FULL signed domain for one extra branch-predictable CASE; never fall
+back to the BigDecimal-allocating ``F.round`` on a hot path.
 """
 
 from __future__ import annotations

@@ -148,22 +148,22 @@ def _corpus_input_rows(df: DataFrame) -> int | None:
     full file size, so ``brute_force_topk`` may pick the kernel below
     the true crossover. That is the at-scale-safe direction (the kernel
     is the asymptotically dominant form), accepted deliberately."""
+    from tigate_spark.sources.batch import local_paths_from_input_files
+
     try:
         files = df.inputFiles()
     except Exception:
         return None
     if not files or len(files) > _FOOTER_READ_CAP:
         return None
+    paths = local_paths_from_input_files(files)
+    if paths is None:
+        return None
     try:
         import pyarrow.parquet as pq
 
         total = 0
-        for f in files:
-            if not f.startswith("file:"):
-                return None
-            p = f[5:]
-            while p.startswith("//"):
-                p = p[1:]
+        for p in paths:
             with pq.ParquetFile(p) as pf:
                 total += pf.metadata.num_rows
         return total

@@ -67,6 +67,23 @@ def scan_fan_out(df: DataFrame, *paths: str) -> DataFrame:
     return df.repartition(par)
 
 
+def local_paths_from_input_files(files: list[str]) -> list[str] | None:
+    """``df.inputFiles()`` URIs → local filesystem paths, or None when any
+    input is not a local ``file:`` URI (remote FS — the caller must treat
+    the scan as sizeable-but-unknown, not as a micro-batch). Shared by the
+    fan-out gate here and the cosine kernel gate in
+    :mod:`tigate_spark.functions.similarity`."""
+    paths = []
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        p = f[5:]
+        while p.startswith("//"):
+            p = p[1:]
+        paths.append(p)
+    return paths
+
+
 def fan_out_if_small(df: DataFrame) -> DataFrame:
     """:func:`scan_fan_out` keyed off the frame's OWN input files, for
     CPU-bound operators that receive an arbitrary frame rather than a
@@ -84,27 +101,41 @@ def fan_out_if_small(df: DataFrame) -> DataFrame:
 
     ``df.inputFiles()`` is an upper bound over the plan's input files
     (filters don't shrink it), so a small filtered view of a big input
-    skips the fan-out — the at-scale-safe direction. Unsizeable inputs
-    (streaming sources, non-local files) KEEP the fan-out: streaming
-    micro-batches are small by construction and were the original
-    motivation for the unconditional form.
+    skips the fan-out — the at-scale-safe direction.
+
+    Fallback directions, chosen per what the failure implies (r18
+    self-review):
+
+    - ``inputFiles()`` raises or returns EMPTY → streaming micro-batch /
+      non-file source → KEEP the fan-out (micro-batches are small by
+      construction and were the original motivation for the
+      unconditional form);
+    - non-empty but NON-LOCAL files (hdfs/s3/…) → the input IS a file
+      scan, just unsizeable from here → SKIP the fan-out (at lake scale
+      the scan has its own splits; an unconditional shuffle of a remote
+      multi-TB corpus is exactly what this gate exists to remove);
+    - local files whose size read fails (deleted between listing and
+      stat, odd URI) → indeterminate local-scan case → KEEP the fan-out
+      (only the local bench/test layout produces it, and there the
+      fan-out is the measured win).
     """
     try:
         files = df.inputFiles()
     except Exception:
         files = None
     if files:
-        paths = []
-        for f in files:
-            if not f.startswith("file:"):
-                paths = None
-                break
-            p = f[5:]
-            while p.startswith("//"):
-                p = p[1:]
-            paths.append(p)
-        if paths:
-            return scan_fan_out(df, *paths)
+        paths = local_paths_from_input_files(files)
+        if paths is None:  # remote file scan: sizeable-but-unknown
+            return df
+        sc = df.sparkSession.sparkContext
+        par = sc.defaultParallelism
+        try:
+            total = sum(os.path.getsize(p) for p in paths)
+        except OSError:
+            total = 0  # indeterminate local case: keep the fan-out
+        if total >= par * _MAX_SPLIT_BYTES or total > FAN_OUT_MAX_BYTES:
+            return df
+        return df.repartition(par)
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 

@@ -226,13 +226,18 @@ def main() -> None:
                 fn(spark, sf_path).write.format("noop").mode("overwrite").save()
             before = _max_stage_id(spark) if want_shuffle else -1
             sec = None
-            for _ in range(runs):
+            extra = {}
+            for i in range(runs):
                 t0 = time.time()
                 df = fn(spark, sf_path)
                 df.write.format("noop").mode("overwrite").save()
                 t = time.time() - t0
                 sec = t if sec is None else min(sec, t)
-            extra = _shuffle_stats(spark, before) if want_shuffle else {}
+                if i == 0 and want_shuffle:
+                    # shuffle volume from the FIRST timed pass only —
+                    # summing across all N passes would inflate
+                    # total_shuffle_write_mb ~N× (r18 self-review)
+                    extra = _shuffle_stats(spark, before)
             if want_shuffle:
                 extra["joins"] = _join_classes(fn(spark, sf_path))
             return sec, extra
